@@ -1,0 +1,123 @@
+"""U1 — per-group linear forecast (the reference's per-commune sklearn
+OLS, reference:0_insert_conso_an_ville_in_bq.py:57-89).
+
+Two implementations:
+
+- ``ols_forecast`` (canonical, 100 TB path): closed-form simple linear
+  regression as built-in aggregates — slope = covar_pop(x,y)/var_pop(x),
+  intercept = avg(y) − slope·avg(x) — then explode the target years and
+  project ŷ = intercept + slope·year. One hash aggregation + a
+  map-side explode; no Python, no per-group state, arbitrarily many
+  groups.
+
+- ``ols_forecast_pandas`` (semantic cross-check): ``applyInPandas``
+  grouped-map doing an explicit least-squares fit per group, mirroring
+  the reference's sklearn call including its exception→NaN fallback
+  (reference:0_insert_conso_an_ville_in_bq.py:67-69). Used in tests to
+  pin the closed-form variant's semantics; not the production path.
+
+Degenerate groups (one distinct x): var_pop = 0 → slope/intercept NULL
+→ NULL predictions, matching the reference's failure path (sklearn
+raises on a 1-point fit only for empty input, but a single year gives a
+perfect-fit vertical ambiguity the reference resolves by... succeeding
+with slope 0 via sklearn. NOTE: sklearn actually fits a constant on a
+single point; we emit NULL instead — the deterministic, documented
+choice, see SURVEY.md §7.5.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ols_forecast(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    target_xs: Sequence[int],
+    pred_col: str = "prediction",
+    round_digits: int = 2,
+) -> DataFrame:
+    """Per-group OLS fit of y ~ x, predicting at ``target_xs``.
+
+    Output: one row per (group × target_x):
+    (*group_cols, x_col, pred_col). NULL prediction when var_pop(x)=0.
+    """
+    var_x = F.var_pop(F.col(x_col).cast("double"))
+    fitted = df.groupBy(*group_cols).agg(
+        F.when(
+            var_x != 0.0,
+            F.covar_pop(F.col(x_col).cast("double"), F.col(y_col)) / var_x,
+        ).alias("_slope"),
+        F.avg(y_col).alias("_ybar"),
+        F.avg(F.col(x_col).cast("double")).alias("_xbar"),
+    )
+    targets = F.explode(
+        F.array(*[F.lit(int(t)) for t in target_xs])
+    ).alias(x_col)
+    # +1e-9 nudge before rounding: predictions are rational combinations of
+    # already-rounded inputs and can land exactly on a rounding boundary,
+    # where ulp-level float noise would flip the digit; the nudge moves all
+    # boundary cases deterministically up (mirrored in the SQL oracles).
+    return fitted.select(*group_cols, "_slope", "_ybar", "_xbar", targets).select(
+        *group_cols,
+        F.col(x_col),
+        F.round(
+            F.col("_ybar")
+            + F.col("_slope") * (F.col(x_col) - F.col("_xbar"))
+            + F.lit(1e-9),
+            round_digits,
+        ).alias(pred_col),
+    )
+
+
+def ols_forecast_pandas(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    target_xs: Sequence[int],
+    pred_col: str = "prediction",
+    round_digits: int = 2,
+) -> DataFrame:
+    """Grouped-map cross-check of ``ols_forecast`` (Arrow-batched).
+
+    Mirrors the reference's estimate_year: fit per group, predict the
+    target years, emit NaN rows when the fit is impossible
+    (reference:0_insert_conso_an_ville_in_bq.py:57-79).
+    """
+    import numpy as np
+
+    keys = list(group_cols)
+    schema_parts = df.select(*keys).schema.fields
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_parts)
+        + f", {x_col} int, {pred_col} double"
+    )
+    xs = [int(t) for t in target_xs]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        head = pdf.iloc[0]
+        x = pdf[x_col].astype("float64").to_numpy()
+        y = pdf[y_col].astype("float64").to_numpy()
+        try:
+            if len(x) < 2 or np.var(x) == 0.0 or np.isnan(y).any():
+                raise ValueError("degenerate group")
+            slope = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+            ybar, xbar = float(np.mean(y)), float(np.mean(x))
+            preds = [
+                round(ybar + slope * (t - xbar) + 1e-9, round_digits) for t in xs
+            ]
+        except Exception:
+            preds = [float("nan")] * len(xs)  # reference's NaN fallback
+        out = {k: [head[k]] * len(xs) for k in keys}
+        out[x_col] = xs
+        out[pred_col] = preds
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=out_schema)

@@ -1,0 +1,480 @@
+"""Query registry — every implemented operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair over the driver testdata tables.
+
+Determinism rules that make the DuckDB comparison exact:
+- every float produced by an aggregation is ``round(x, 2..6)`` in BOTH
+  engines at the same step, so downstream arithmetic sees identical
+  doubles (rounding at k decimal places never hits a tie: m.5·10^-k is
+  not representable in binary for k ≥ 1, so the engines' tie-break
+  rules never fire; integer rounding ties are half-away-from-zero in
+  both Spark and DuckDB for positive values);
+- no raw timestamp columns in outputs (the testdata's ns precision
+  differs between readers); dates/years only;
+- all computed columns aliased identically in both dialects;
+- integer-typed derived columns are cast to INT on the DuckDB side
+  (DuckDB's year()/len() return BIGINT where Spark returns INT).
+
+Fixed literals (deterministic, chosen from the testdata's ranges —
+events span 2024-01-01..2024-01-30, orders/lineitem span 1995..2001):
+run_date 2024-01-30, trailing window 30 d, α years 1999→2000.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators.forecast import ols_forecast
+from ..operators.ingest import bootstrap_annual_pipeline, daily_downsample
+from ..operators.pricing import score_requests
+from ..sources.tables import load_table
+
+RUN_DATE = "2024-01-30"
+ALPHA_YEAR = 1999
+
+
+# --------------------------------------------------------------------------
+# Stand-in domain tables derived deterministically from the testdata
+# (FIXTURES.md §B mapping). Each has an exact SQL twin in the oracles.
+# --------------------------------------------------------------------------
+
+
+def _requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-request stand-in: customer ⋈ nation ⋈ region (A5)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("libelle_region"),
+            F.col("c_name").alias("nom_commune"),
+            F.col("c_custkey").cast("string").alias("code_commune"),
+            (F.lit(1) + F.col("c_custkey") % 5).cast("int").alias("nb_personne"),
+            (F.lit(50) + (F.col("c_custkey") % 10) * 15).cast("int").alias("nb_m2"),
+        )
+    )
+
+
+def _daily_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conso_jour_region stand-in: events downsampled per (region, day)."""
+    events = load_table(spark, sf_dir, "events")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        events.join(
+            F.broadcast(region),
+            (F.col("user_id") % 5).cast("int") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("libelle_region"),
+            F.to_date("ts").alias("date"),
+        )
+        .agg(F.round(F.avg("value") * 100, 4).alias("conso_mwh"))
+    )
+
+
+def _annual_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conso_an_ville stand-in: orders per (customer, year)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("nom_commune"),
+            F.col("o_custkey").cast("string").alias("code_commune"),
+            F.year("o_orderdate").alias("annee"),
+        )
+        .agg(F.round(F.avg("o_totalprice") / 1000, 4).alias("conso_moyenne_mwh"))
+    )
+
+
+_DOMAIN_CTES = f"""
+requests AS (
+  SELECT r_name AS libelle_region, c_name AS nom_commune,
+         cast(c_custkey AS VARCHAR) AS code_commune,
+         cast(1 + c_custkey % 5 AS INTEGER) AS nb_personne,
+         cast(50 + (c_custkey % 10) * 15 AS INTEGER) AS nb_m2
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+daily AS (
+  SELECT r_name AS libelle_region, cast(ts AS DATE) AS date,
+         round(avg(value) * 100, 4) AS conso_mwh
+  FROM events JOIN region ON cast(user_id % 5 AS INTEGER) = r_regionkey
+  GROUP BY 1, 2
+),
+annual AS (
+  SELECT c_name AS nom_commune, cast(o_custkey AS VARCHAR) AS code_commune,
+         cast(year(o_orderdate) AS INTEGER) AS annee,
+         round(avg(o_totalprice) / 1000, 4) AS conso_moyenne_mwh
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Queries. q<nn>_<name>; each has an ORACLE_SQL twin keyed identically.
+# --------------------------------------------------------------------------
+
+
+def q01_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5+A3 (V2 shape): trailing-window filter + equality + ungrouped
+    mean, folded into the scan (anti-pattern fix of reference:api.py:47-61)."""
+    events = load_table(spark, sf_dir, "events")
+    run = F.lit(RUN_DATE).cast("date")
+    return (
+        events.filter(
+            (F.to_date("ts") >= F.date_sub(run, 10))
+            & (F.to_date("ts") <= run)
+            & (F.col("event_type") == "click")
+        )
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q02_groupby_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: multi-key group-by mean (reference:0_insert_conso_an_ville_in_bq.py:50-52)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_suppkey", F.year("l_shipdate").alias("annee")
+    ).agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+
+
+def q03_daily_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+F1+F2: sub-daily → daily mean, rounded (the DAG transform,
+    reference:airflow/dags/insert_conso_jour_region_in_bq.py:80-89)."""
+    events = load_table(spark, sf_dir, "events")
+    raw = events.select(
+        F.col("user_id"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("date"),
+        F.col("value").alias("consommation"),
+    )
+    return daily_downsample(
+        raw, region_cols=("user_id",), date_col="date", value_col="consommation"
+    )
+
+
+def q04_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6/S3/S4: projection + range/IN/comparison predicates, all pushed
+    into the parquet scan by Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_quantity") > 10)
+        )
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q05_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: union-all of two disjoint filters
+    (reference:0_insert_conso_an_ville_in_bq.py:101)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ("o_orderkey", "o_custkey", "o_totalprice")
+    old_f = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.year("o_orderdate") < 1997)
+    ).select(*cols)
+    new_o = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.year("o_orderdate") >= 1999)
+    ).select(*cols)
+    return old_f.unionByName(new_o)
+
+
+def q06_orderby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + top-k: global sort (TakeOrderedAndProject — no full shuffle
+    sort for a bounded k)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(100)
+    )
+
+
+def q07_alpha_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/§2.5: deterministic lead-over-year ratio with two-sided clamp
+    (fixes the order-dependent α of reference:api.py:86-90)."""
+    from ..operators.pricing import city_alpha
+
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey"), F.year("o_orderdate").alias("annee")
+        )
+        .agg(F.round(F.avg("o_totalprice"), 4).alias("conso"))
+    )
+    return city_alpha(
+        yearly,
+        ALPHA_YEAR,
+        key_cols=("o_custkey",),
+        year_col="annee",
+        value_col="conso",
+    ).select(F.col("o_custkey"), F.col("alpha"))
+
+
+def q08_ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: per-group closed-form OLS forecast (pure aggregates — the 100 TB
+    path for reference:0_insert_conso_an_ville_in_bq.py:57-89)."""
+    yearly = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey", F.year("l_shipdate").alias("annee"))
+        .agg(F.round(F.avg("l_quantity"), 4).alias("conso"))
+    )
+    return ols_forecast(
+        yearly,
+        group_cols=("l_suppkey",),
+        x_col="annee",
+        y_col="conso",
+        target_xs=(2002, 2003, 2004),
+        pred_col="prediction",
+        round_digits=2,
+    )
+
+
+def q09_price_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 flagship: the whole /price serving path as one batch plan
+    (reference:api.py:95-132 → SURVEY.md §3.1 Spark target)."""
+    return score_requests(
+        _requests(spark, sf_dir),
+        _daily_region(spark, sf_dir),
+        _annual_city(spark, sf_dir),
+        run_date=RUN_DATE,
+        year_n=ALPHA_YEAR,
+    )
+
+
+def q10_bootstrap_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 composed bootstrap ETL: filter → group-mean → OLS forecast →
+    union (reference:0_insert_conso_an_ville_in_bq.py end-to-end)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_suppkey").cast("string").alias("nom_commune"),
+        F.col("l_suppkey").cast("string").alias("code_commune"),
+        F.col("l_quantity").alias("conso_moyenne_mwh"),
+        F.year("l_shipdate").alias("annee"),
+        F.when(F.col("l_returnflag") == "N", "RESIDENTIEL")
+        .otherwise("PRO")
+        .alias("code_grand_secteur"),
+    )
+    return bootstrap_annual_pipeline(
+        raw, years=(1995, 1996, 1997), target_years=(1998, 1999)
+    )
+
+
+def q11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min id + dup count.
+    (Extension surface — LLM-pipeline operator on `documents`.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups")
+    ).select("doc_id", "n_dups")
+
+
+def q12_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, char length, stopword ratio, md5
+    fingerprint — all JVM-side expressions (extension surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        F.length(t).alias("len_chars"),
+        F.round(X.stopword_ratio(t), 4).alias("stop_ratio"),
+        X.fingerprint_md5(t).alias("fingerprint"),
+    )
+
+
+_STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_trailing_window_avg": f"""
+        SELECT round(avg(value), 4) AS avg_value
+        FROM events
+        WHERE cast(ts AS DATE) >= DATE '{RUN_DATE}' - 10
+          AND cast(ts AS DATE) <= DATE '{RUN_DATE}'
+          AND event_type = 'click'
+    """,
+    "q02_groupby_mean": """
+        SELECT l_suppkey, cast(year(l_shipdate) AS INTEGER) AS annee,
+               round(avg(l_extendedprice), 4) AS avg_price
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "q03_daily_downsample": """
+        SELECT user_id, cast(strftime(ts, '%Y-%m-%d') AS DATE) AS date,
+               round(avg(value)) AS conso_mwh
+        FROM events GROUP BY 1, 2
+    """,
+    "q04_filter_project": """
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+          AND l_returnflag IN ('A', 'R')
+          AND l_quantity > 10
+    """,
+    "q05_union_all": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND year(o_orderdate) < 1997
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'O' AND year(o_orderdate) >= 1999
+    """,
+    "q06_orderby_topk": """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 100
+    """,
+    "q07_alpha_lead": f"""
+        WITH yearly AS (
+          SELECT o_custkey, cast(year(o_orderdate) AS INTEGER) AS annee,
+                 round(avg(o_totalprice), 4) AS conso
+          FROM orders GROUP BY 1, 2
+        ), led AS (
+          SELECT o_custkey, annee, conso,
+                 lead(conso) OVER w AS next_conso,
+                 lead(annee) OVER w AS next_annee
+          FROM yearly
+          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY annee)
+        )
+        SELECT o_custkey,
+               round(least(greatest(next_conso / conso, 1.0), 1.3), 6) AS alpha
+        FROM led
+        WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
+          AND conso IS NOT NULL AND conso <> 0 AND next_conso IS NOT NULL
+    """,
+    "q08_ols_forecast": """
+        WITH yearly AS (
+          SELECT l_suppkey, cast(year(l_shipdate) AS INTEGER) AS annee,
+                 round(avg(l_quantity), 4) AS conso
+          FROM lineitem GROUP BY 1, 2
+        ), fit AS (
+          SELECT l_suppkey,
+                 CASE WHEN var_pop(annee) = 0 THEN NULL
+                      ELSE covar_pop(annee, conso) / var_pop(annee) END AS slope,
+                 avg(conso) AS ybar, avg(annee) AS xbar
+          FROM yearly GROUP BY 1
+        )
+        SELECT l_suppkey, cast(t.annee AS INTEGER) AS annee,
+               round(ybar + slope * (t.annee - xbar) + 1e-9, 2) AS prediction
+        FROM fit CROSS JOIN (VALUES (2002), (2003), (2004)) t(annee)
+    """,
+    "q09_price_batch": f"""
+        WITH {_DOMAIN_CTES},
+        region_avg AS (
+          SELECT libelle_region, round(avg(conso_mwh), 4) AS conso30
+          FROM daily
+          WHERE date >= DATE '{RUN_DATE}' - 30 AND date <= DATE '{RUN_DATE}'
+          GROUP BY 1
+        ), led AS (
+          SELECT nom_commune, code_commune, annee, conso_moyenne_mwh,
+                 lead(conso_moyenne_mwh) OVER w AS next_conso,
+                 lead(annee) OVER w AS next_annee
+          FROM annual
+          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
+          WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
+        ), alpha AS (
+          SELECT nom_commune, code_commune,
+                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0), 1.3), 6)
+                   AS alpha
+          FROM led
+          WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
+            AND conso_moyenne_mwh IS NOT NULL AND conso_moyenne_mwh <> 0
+            AND next_conso IS NOT NULL
+        ), scored AS (
+          SELECT q.libelle_region, q.nom_commune, q.code_commune,
+                 q.nb_personne, q.nb_m2, r.conso30, a.alpha,
+                 110.0 * q.nb_m2 + 1000.0 * q.nb_personne + 1100.0 AS conso_foyer,
+                 round(least(0.05, 0.01 * r.conso30 / 4000.0), 6) AS m_factor
+          FROM requests q
+          LEFT JOIN region_avg r USING (libelle_region)
+          LEFT JOIN alpha a USING (nom_commune, code_commune)
+        )
+        SELECT libelle_region, nom_commune, code_commune, nb_personne, nb_m2,
+               conso30, alpha, conso_foyer, m_factor,
+               round((0.1558 + alpha * m_factor) * conso_foyer + 72.0) AS price
+        FROM scored
+    """,
+    "q10_bootstrap_annual": """
+        WITH raw AS (
+          SELECT cast(l_suppkey AS VARCHAR) AS nom_commune,
+                 cast(l_suppkey AS VARCHAR) AS code_commune,
+                 l_quantity AS conso_moyenne_mwh,
+                 cast(year(l_shipdate) AS INTEGER) AS annee,
+                 CASE WHEN l_returnflag = 'N' THEN 'RESIDENTIEL' ELSE 'PRO' END
+                   AS code_grand_secteur
+          FROM lineitem
+        ), hist AS (
+          SELECT nom_commune, code_commune, annee,
+                 round(avg(conso_moyenne_mwh), 4) AS conso_moyenne_mwh
+          FROM raw
+          WHERE annee IN (1995, 1996, 1997) AND code_grand_secteur = 'RESIDENTIEL'
+          GROUP BY 1, 2, 3
+        ), fit AS (
+          SELECT nom_commune, code_commune,
+                 CASE WHEN var_pop(annee) = 0 THEN NULL
+                      ELSE covar_pop(annee, conso_moyenne_mwh) / var_pop(annee) END
+                   AS slope,
+                 avg(conso_moyenne_mwh) AS ybar, avg(annee) AS xbar
+          FROM hist GROUP BY 1, 2
+        ), fc AS (
+          SELECT nom_commune, code_commune,
+                 round(ybar + slope * (t.annee - xbar) + 1e-9, 4)
+                   AS conso_moyenne_mwh,
+                 cast(t.annee AS INTEGER) AS annee
+          FROM fit CROSS JOIN (VALUES (1998), (1999)) t(annee)
+        )
+        SELECT nom_commune, code_commune, conso_moyenne_mwh, annee FROM hist
+        UNION ALL
+        SELECT nom_commune, code_commune, conso_moyenne_mwh, annee FROM fc
+    """,
+    "q11_dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "q12_text_stats": f"""
+        SELECT doc_id,
+               cast(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                 AS n_tokens,
+               cast(length(text) AS INTEGER) AS len_chars,
+               round(
+                 CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+                      THEN len(list_filter(
+                             string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> list_contains({_STOP_SQL}, x)))
+                           / len(string_split_regex(trim(lower(text)), '\\s+'))
+                      ELSE 0.0 END, 4) AS stop_ratio,
+               md5(lower(trim(text))) AS fingerprint
+        FROM documents
+    """,
+}
+
+QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_trailing_window_avg": q01_trailing_window_avg,
+    "q02_groupby_mean": q02_groupby_mean,
+    "q03_daily_downsample": q03_daily_downsample,
+    "q04_filter_project": q04_filter_project,
+    "q05_union_all": q05_union_all,
+    "q06_orderby_topk": q06_orderby_topk,
+    "q07_alpha_lead": q07_alpha_lead,
+    "q08_ols_forecast": q08_ols_forecast,
+    "q09_price_batch": q09_price_batch,
+    "q10_bootstrap_annual": q10_bootstrap_annual,
+    "q11_dedup_exact": q11_dedup_exact,
+    "q12_text_stats": q12_text_stats,
+}
+
+
+def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES_IMPL)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q09_price_batch(spark, sf_dir)

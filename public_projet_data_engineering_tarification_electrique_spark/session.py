@@ -1,0 +1,84 @@
+"""SparkSession factory and runtime configuration.
+
+Design notes (100 TB posture):
+- AQE on everywhere: runtime coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned partition counts
+  when the real cluster sees real data volumes.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count for
+  tests; on a real cluster this is sized so a shuffle partition is
+  ~128-256 MB (AQE coalesces the rest).
+- ``nanosAsLong``: the driver testdata's ``events.parquet`` carries
+  TIMESTAMP(NANOS) which Spark's vectorized parquet reader rejects;
+  reading nanos as LONG and normalizing to ``timestamp_ntz`` keeps the
+  scan vectorized (see sources.tables.load_table).
+- Arrow enabled for any pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that can be applied to an already-running session (runtime SQL
+# confs). The driver harness creates its own SparkSession, so every
+# entry point calls configure(spark) before reading testdata.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS); read as LONG, normalize later.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Push count/min/max straight into parquet footers when possible.
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Idempotent daily append: overwrite only the touched (date) partitions.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — only settable at session creation.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "tarification-electrique-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores); on a real cluster pass ``None`` and submit with
+    ``spark-submit --master yarn/k8s``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

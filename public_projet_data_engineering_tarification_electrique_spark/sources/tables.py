@@ -1,0 +1,49 @@
+"""Testdata catalog: load the driver's TPC-H-ish parquet tables with
+normalized types and register them as temp views.
+
+The one normalization: ``events.parquet`` stores ``ts`` as parquet
+TIMESTAMP(NANOS), which Spark's reader rejects unless
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in
+session.RUNTIME_CONFS). We read it as LONG nanoseconds and convert to
+``timestamp_ntz`` via integer division (``ts div 1000`` — a double
+division would lose precision above 2^53 ns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing types (events.ts → timestamp_ntz)."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register each table as a temp view for spark.sql() plans."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

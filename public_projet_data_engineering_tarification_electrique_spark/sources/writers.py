@@ -1,0 +1,39 @@
+"""Sinks.
+
+Reference parity:
+- S6 CSV sink (reference:0_insert_conso_an_ville_in_bq.py:40,92)
+- S9 warehouse append (reference:0_insert_conso_an_ville_in_bq.py:104-113,
+  reference:airflow/dags/insert_conso_jour_region_in_bq.py:100-110)
+
+Scale note: the reference's WRITE_APPEND plus backfill can write
+duplicate (region, date) rows (SURVEY.md §2.9). Our daily sink is
+idempotent instead: dynamic partition overwrite keyed on the date
+partition, so a re-run of a day replaces that day only — no full-table
+rewrite, no dup rows, safe backfill at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """Plain append — the reference's WRITE_APPEND semantics."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite_date_partition(
+    df: DataFrame, path: str, partition_col: str = "date"
+) -> None:
+    """Idempotent daily append: overwrite only the touched date partitions.
+
+    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
+    session.RUNTIME_CONFS). Partitioning the fact table by date also buys
+    partition pruning for the trailing-30-day serving scan (P4).
+    """
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink with header, mirroring ``to_csv(index=False)`` (S6)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
