@@ -1,0 +1,198 @@
+"""Deduplication family for large-scale training-data pipelines
+(extension surface, BASELINE.json north star): exact, MinHash+LSH,
+SimHash, n-gram Jaccard. Embedding-cosine near-dup lives in
+similarity.embedding_neardup.
+
+Scale design notes:
+- exact: one hash aggregation on the content key (or its md5 for wide
+  text) — the cheapest possible full-corpus dedup.
+- MinHash LSH (MLlib): shingle → sparse vector → minhash bands →
+  bucket join; candidate pairs only where bands collide. O(N·bands)
+  shuffle instead of O(N²).
+- SimHash: 64-bit signature via per-token xxhash64 bit-voting; near-dup
+  candidates via band equality + hamming ≤ r. Pure DataFrame ops
+  (explode → conditional sums → bit ops), fully codegen'd.
+- n-gram Jaccard: exact verification metric, blocked by a shared-shingle
+  join so only colliding pairs are scored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def exact_dedup(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep min id per identical content, count dups."""
+    return (
+        docs.groupBy(content_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, "n_dups")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document.
+
+    Classic bit-voting: each token votes +1/−1 on each signature bit
+    according to its xxhash64; the sign of each bit-sum is the
+    signature bit. Implemented as explode → 64 conditional sums →
+    bit-OR recombination — all built-in expressions.
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok")
+    ).withColumn("_h", F.xxhash64("_tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: band-blocked candidate join + hamming filter.
+
+    A pair within hamming ≤ r on a 64-bit signature must agree exactly on
+    at least one of r+1 bands (pigeonhole), so banding loses no true
+    candidates for n_bands ≥ max_hamming+1.
+    Output: (id_a, id_b, hamming).
+    """
+    assert n_bands >= max_hamming + 1, "banding would miss true pairs"
+    width = 64 // n_bands
+    sig = simhash64(docs, text_col=text_col, id_col=id_col)
+    banded = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "simhash", "_band.band", "_band.key")
+    a = banded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa")
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb")
+    )
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for candidate pairs.
+
+    Blocking: pairs are generated only via the shared-shingle join, so
+    disjoint documents are never compared. |∪| = |A|+|B|−|∩| avoids a
+    second pass. Output: (id_a, id_b, jaccard ≥ threshold).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    jaccard_distance_threshold: float = 0.7,
+    k: int = 3,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy dedup via MLlib MinHashLSH over word-shingle sets.
+
+    shingle → HashingTF (binary) → MinHash signatures → band-bucketed
+    approxSimilarityJoin. Deterministic under the fixed seed; not
+    SQL-expressible → rows-only correctness check.
+    Output: (id_a, id_b, jaccard_distance).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("_shingles")
+    )
+    tf = HashingTF(
+        inputCol="_shingles", outputCol="_features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="_dist"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("_dist", 4).alias("jaccard_distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,86 @@
+"""Multimodal column plumbing (extension surface): media as opaque
+``binary`` columns + typed metadata, processed by Arrow-batched
+``mapInPandas``.
+
+The decode step is STUBBED (this container has no image/audio libs):
+``fake_decode_meta`` derives deterministic metadata from the raw bytes,
+and ``decode_image`` raises NotImplementedError unless a real decoder
+is importable. The Spark-side plumbing — binary schema, Arrow batch
+shape, mapInPandas signature, partition-parallel execution — is real
+and oracle-tested (the fake decode is a pure function of the bytes, so
+DuckDB can verify it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Deterministic fake formats keyed by id % 3 (stands in for sniffing
+#: magic bytes in a real decoder).
+_FORMATS = ("png", "jpg", "webp")
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, format string"
+)
+
+
+def attach_binary_payload(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Treat each document's utf-8 bytes as an opaque media payload.
+
+    In a real pipeline this column comes straight from parquet/tar
+    shards of images/audio; binary stays opaque to Catalyst and is
+    never shuffled except where the plan requires the payload itself.
+    """
+    return docs.select(
+        F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload")
+    )
+
+
+def extract_media_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    mapInPandas streams RecordBatches through Python once, partition
+    parallel — the pattern a real decode/resize/feature-extract step
+    uses. The metadata here is a deterministic function of the bytes
+    (see module docstring).
+    """
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "width": (64 + n_bytes % 64).astype("int32"),
+                    "height": (64 + (n_bytes // 64) % 64).astype("int32"),
+                    "format": [
+                        _FORMATS[int(i) % 3] for i in pdf[id_col].to_numpy()
+                    ],
+                }
+            )
+
+    return with_payload.mapInPandas(meta_batches, schema=MEDIA_META_SCHEMA)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """Real image decode — unavailable in this environment.
+
+    Gate: import Pillow if present, else explicit NotImplementedError so
+    callers fail loudly rather than silently skipping decode.
+    """
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires Pillow, not installed in this container"
+        ) from exc

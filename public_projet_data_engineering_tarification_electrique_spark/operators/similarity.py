@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (extension surface,
+BASELINE.json north star).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Queries are broadcast; candidates stream through a map-side cross
+  join; per-query top-k via a window. At 100 TB the candidate side
+  stays partition-parallel with no shuffle until the (tiny) per-query
+  k-row aggregation.
+- ``lsh_topk``: the scale path — MLlib BucketedRandomProjectionLSH
+  buckets candidates so each query only scores its bucket's collisions
+  (probabilistic recall, tunable via bucketLength/numHashTables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query.
+
+    ``queries``: (query_id, embedding). Output:
+    (query_id, vec_id, sim, rank) with rank 1..k ordered by rounded sim
+    desc then vec_id (the rounded value is the ranking key so ordering
+    is reproducible across engines).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    sims = candidates.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine within a blocking bucket.
+
+    The bucket join (e.g. on a cluster/label/LSH-band column) keeps the
+    pairwise comparison O(Σ bucket²) instead of O(N²) — the standard
+    blocking pattern for embedding dedup at scale.
+    Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
+    """
+    a = embeddings.select(
+        F.col(bucket_col).alias("_bk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = embeddings.select(
+        F.col(bucket_col).alias("_bk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, on="_bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (MLlib).
+
+    Unit-norm embeddings ⇒ euclidean distance is monotone in cosine
+    (d² = 2 − 2·cos), so ranking by LSH euclidean distance matches the
+    cosine ranking. Not SQL-expressible → rows-only correctness check.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    cand = candidates.select(
+        id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    )
+    qs = queries.select(
+        F.col(query_id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cand)
+    joined = model.approxSimilarityJoin(
+        model.transform(qs), model.transform(cand), 2.0, distCol="_dist"
+    ).select(
+        F.col(f"datasetA.{query_id_col}").alias(query_id_col),
+        F.col(f"datasetB.{id_col}").alias(id_col),
+        F.round(F.lit(1.0) - F.col("_dist") * F.col("_dist") / 2, 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

@@ -292,6 +292,92 @@ def q12_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: exact brute-force cosine top-10 for 5 query
+    vectors (the correctness baseline; q15's LSH variant is the scale
+    path)."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+def q14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label."""
+    from ..operators.similarity import embedding_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 0.35: the synthetic embeddings top out at ~0.47 within-label
+    # cosine, so 0.35 yields a non-vacuous (non-empty) result set
+    return embedding_neardup(emb, threshold=0.35, bucket_col="label")
+
+
+def q15_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: BucketedRandomProjectionLSH top-k (rows-only
+    check — MLlib hashing is not SQL-expressible)."""
+    from ..operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10)
+
+
+def q16_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup scale path: MinHashLSH over word shingles (rows-only
+    check)."""
+    from ..operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, jaccard_distance_threshold=0.5)
+
+
+def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs via shared-shingle blocking."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+
+
+def q18_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID + quality scoring per document."""
+    from ..operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_scores(docs)
+
+
+def q19_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming availableNow run of the daily downsample —
+    same result as the batch plan, so the batch SQL is its oracle."""
+    from ..streaming.daily import stream_daily_event_avg
+
+    return stream_daily_event_avg(spark, f"{sf_dir}/events.parquet")
+
+
+def q20_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas metadata extraction (deterministic fake decode, so the
+    formula is oracle-checkable)."""
+    from ..operators.multimodal import attach_binary_payload, extract_media_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_meta(attach_binary_payload(docs))
+
+
+def q21_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded; xxhash64-based → rows-only check)."""
+    from ..operators.dedup import simhash_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup(docs, max_hamming=3, n_bands=4)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -439,6 +525,98 @@ ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         FROM documents GROUP BY text
     """,
+    "q13_ann_cosine_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < 5
+        ), c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+        ), sims AS (
+          SELECT q.query_id, c.vec_id,
+                 round(list_dot_product(qe, ce)
+                       / (sqrt(list_dot_product(qe, qe))
+                          * sqrt(list_dot_product(ce, ce))), 6) AS sim
+          FROM q CROSS JOIN c
+        ), ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, vec_id, sim, cast(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 10
+    """,
+    "q14_embedding_neardup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                    6) >= 0.35
+    """,
+    "q17_ngram_jaccard": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END) AS sh
+          FROM toks
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+    """,
+    "q18_lang_quality": f"""
+        WITH feats AS (
+          SELECT doc_id, lang,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                 length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   * 1.0 / length(text) AS punct_ratio
+          FROM documents
+        ), ratios AS (
+          SELECT doc_id, lang, punct_ratio, len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                   * 1.0 / len(toks) AS stop_ratio
+          FROM feats
+        )
+        SELECT doc_id, lang,
+               CASE WHEN stop_ratio > 0.04 THEN 'en' ELSE 'unk' END AS pred_lang,
+               round(least(1.0, n_tokens / 120.0) * (1.0 - punct_ratio), 4)
+                 AS quality
+        FROM ratios
+    """,
+    "q19_streaming_daily": """
+        SELECT cast(date_trunc('day', ts) AS DATE) AS date, event_type,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q20_multimodal_meta": """
+        SELECT doc_id,
+               cast(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               cast(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+               cast(64 + (octet_length(encode(text)) // 64) % 64 AS INTEGER)
+                 AS height,
+               ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
+        FROM documents
+    """,
     "q12_text_stats": f"""
         SELECT doc_id,
                cast(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
@@ -469,6 +647,15 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_bootstrap_annual": q10_bootstrap_annual,
     "q11_dedup_exact": q11_dedup_exact,
     "q12_text_stats": q12_text_stats,
+    "q13_ann_cosine_topk": q13_ann_cosine_topk,
+    "q14_embedding_neardup": q14_embedding_neardup,
+    "q15_lsh_topk": q15_lsh_topk,
+    "q16_minhash_dedup": q16_minhash_dedup,
+    "q17_ngram_jaccard": q17_ngram_jaccard,
+    "q18_lang_quality": q18_lang_quality,
+    "q19_streaming_daily": q19_streaming_daily,
+    "q20_multimodal_meta": q20_multimodal_meta,
+    "q21_simhash_neardup": q21_simhash_neardup,
 }
 
 

