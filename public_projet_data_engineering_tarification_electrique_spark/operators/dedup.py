@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
+from .util import ensure_parallelism
 
 
 def exact_dedup(
@@ -43,7 +44,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     signature bit. Implemented as explode → 64 conditional sums →
     bit-OR recombination — all built-in expressions.
     """
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok")
     ).withColumn("_h", F.xxhash64("_tok"))
     votes = [
@@ -81,7 +82,11 @@ def simhash_neardup(
     """
     assert n_bands >= max_hamming + 1, "banding would miss true pairs"
     width = 64 // n_bands
-    sig = simhash64(docs, text_col=text_col, id_col=id_col)
+    # signature is consumed by both sides of the candidate self-join;
+    # materialize it once (it is tiny: one long per doc)
+    sig = simhash64(docs, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
     banded = sig.select(
         F.col(id_col),
         "simhash",
@@ -131,10 +136,15 @@ def ngram_jaccard_pairs(
     disjoint documents are never compared. |∪| = |A|+|B|−|∩| avoids a
     second pass. Output: (id_a, id_b, jaccard ≥ threshold).
     """
-    sh = docs.select(
+    # The shingle table is consumed three times (sizes + both join sides):
+    # compute it once, in parallel (a small documents file arrives as ONE
+    # parquet split — without repartition the whole shingling stage would
+    # run on a single core), and localCheckpoint so the self-join does not
+    # re-tokenize the corpus per side.
+    sh = ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -173,7 +183,7 @@ def minhash_dedup(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = docs.select(
+    shingled = ensure_parallelism(docs).select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("_shingles")
     )
     tf = HashingTF(
@@ -184,8 +194,12 @@ def minhash_dedup(
         inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
     )
     model = lsh.fit(feats)
+    # Materialize shingling + TF + signatures once (localCheckpoint eagerly
+    # computes and truncates lineage): the self-join consumes the same plan
+    # on both sides, which would otherwise re-tokenize the corpus twice.
+    hashed = model.transform(feats).localCheckpoint(eager=True)
     pairs = model.approxSimilarityJoin(
-        feats, feats, jaccard_distance_threshold, distCol="_dist"
+        hashed, hashed, jaccard_distance_threshold, distCol="_dist"
     )
     return (
         pairs.select(

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import ensure_parallelism
+
 #: Deterministic fake formats keyed by id % 3 (stands in for sniffing
 #: magic bytes in a real decoder).
 _FORMATS = ("png", "jpg", "webp")
@@ -37,7 +39,7 @@ def attach_binary_payload(
     shards of images/audio; binary stays opaque to Catalyst and is
     never shuffled except where the plan requires the payload itself.
     """
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload")
     )
 

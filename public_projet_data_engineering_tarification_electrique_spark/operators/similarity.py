@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import dot_product, l2_norm
+from .util import ensure_parallelism
 
 
 def cosine_topk(
@@ -34,14 +35,25 @@ def cosine_topk(
     desc then vec_id (the rounded value is the ranking key so ordering
     is reproducible across engines).
     """
+    # Precompute each side's norm ONCE per row (not per pair): the pair
+    # scoring then does a single dot-product fold instead of three.
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
-    sims = candidates.crossJoin(F.broadcast(q)).select(
+    c = ensure_parallelism(candidates).select(
+        id_col,
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
         F.round(
-            cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6
+            dot_product(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qnorm") * F.col("_cnorm")),
+            6,
         ).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -66,15 +78,20 @@ def embedding_neardup(
     blocking pattern for embedding dedup at scale.
     Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
     """
-    a = embeddings.select(
+    # Norms once per row; pair scoring is then a single fold (see cosine_topk).
+    normed = ensure_parallelism(embeddings).select(
         F.col(bucket_col).alias("_bk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
     )
-    b = embeddings.select(
-        F.col(bucket_col).alias("_bk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
+    a = normed.select(
+        F.col("_bk"), F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = normed.select(
+        F.col("_bk"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, on="_bk")
@@ -82,7 +99,11 @@ def embedding_neardup(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -108,7 +129,7 @@ def lsh_topk(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    cand = candidates.select(
+    cand = ensure_parallelism(candidates).select(
         id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
     )
     qs = queries.select(

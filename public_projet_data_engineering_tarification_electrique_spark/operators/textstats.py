@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import punct_ratio, stopword_ratio, token_count
+from .util import ensure_parallelism
 
 
 def quality_scores(
@@ -26,7 +27,7 @@ def quality_scores(
     t = F.col(text_col)
     n_tokens = token_count(t)
     stop = stopword_ratio(t)
-    return docs.select(
+    return ensure_parallelism(docs).select(
         id_col,
         F.col("lang"),
         F.when(stop > 0.04, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),

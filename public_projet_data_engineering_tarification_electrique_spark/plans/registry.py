@@ -78,17 +78,26 @@ def _daily_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _annual_city(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """conso_an_ville stand-in: orders per (customer, year)."""
+    """conso_an_ville stand-in: orders per (customer, year).
+
+    Aggregate-below-join: the fact table collapses to (custkey, year)
+    grain BEFORE the dimension join (c_name is functionally dependent on
+    c_custkey), so the shuffle carries the aggregate, not 100× raw rows,
+    and the dimension join broadcasts. Same result as joining first —
+    the oracle keeps the join-first formulation as the semantic spec.
+    """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .groupBy(
-            F.col("c_name").alias("nom_commune"),
-            F.col("o_custkey").cast("string").alias("code_commune"),
-            F.year("o_orderdate").alias("annee"),
-        )
-        .agg(F.round(F.avg("o_totalprice") / 1000, 4).alias("conso_moyenne_mwh"))
+    yearly = orders.groupBy(
+        F.col("o_custkey"), F.year("o_orderdate").alias("annee")
+    ).agg(F.round(F.avg("o_totalprice") / 1000, 4).alias("conso_moyenne_mwh"))
+    return yearly.join(
+        F.broadcast(customer), yearly.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_name").alias("nom_commune"),
+        F.col("o_custkey").cast("string").alias("code_commune"),
+        "annee",
+        "conso_moyenne_mwh",
     )
 
 
@@ -281,7 +290,9 @@ def q11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, char length, stopword ratio, md5
     fingerprint — all JVM-side expressions (extension surface)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
