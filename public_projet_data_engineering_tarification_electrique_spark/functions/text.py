@@ -46,6 +46,50 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
+#: Rabin-Karp parameters: base 131, Mersenne prime 2^31-1. acc stays
+#: < 2^31, so acc*131 + 0x10FFFF < 2^39 — no 64-bit overflow, and the
+#: identical recurrence is expressible in ANSI SQL (DuckDB list_reduce).
+_RK_BASE = 131
+_RK_MOD = 2_147_483_647
+
+#: GPT-2-ish pre-tokenizer regex, restricted to the syntax common to
+#: Java regex (Spark) and RE2 (DuckDB): letter runs, digit runs,
+#: punctuation runs — each with an optional leading space — then
+#: whitespace runs.
+BPE_ISH_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: Rabin-Karp rolling hash
+    over the code points of the normalized text.
+
+    hash = fold(acc -> (acc*131 + codepoint) mod 2^31-1) — a true
+    rolling hash (unlike md5, prefixes share state, so it extends to
+    chunk-level fingerprinting). Pure higher-order functions: the char
+    codes come from sequence+transform+ascii, the fold from
+    F.aggregate; everything stays JVM-side.
+    """
+    t = F.lower(F.trim(text))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long"),
+    )
+    fold = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _RK_BASE + c) % _RK_MOD,
+    )
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) rather than
+    # returning [] — an empty/whitespace-only doc must hash to 0
+    return F.when(F.length(t) > 0, fold).otherwise(F.lit(0).cast("long"))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Array of BPE-style pre-tokens (GPT-2-ish split of letter / digit
+    / punctuation runs with attached leading space)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Array of character n-grams (shingles) — input to MinHash/Jaccard.
 

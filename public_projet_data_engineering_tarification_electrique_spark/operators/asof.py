@@ -1,0 +1,82 @@
+"""As-of (nearest-timestamp) join — a standard time-series operator the
+reference lacks (SURVEY.md §2.3 "absent: … as-of"), provided as part of
+the extension surface.
+
+Scale design — union + window, not a join: tag both inputs, union them,
+and take ``last(right_payload, ignorenulls)`` over a window partitioned
+by the join keys and ordered by time. This is ONE shuffle of
+|L| + |R| rows with no candidate-pair blow-up; the classic
+join-then-rank formulation shuffles the same data AND materializes
+every (left, right) pair that passes the range predicate before
+pruning to rank 1. Equal timestamps match inclusively (right sorts
+before left via the side tag). Skew note: partitioning is by entity
+key, identical to what any per-entity time-series operator needs; AQE
+skew-split applies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the nearest right row per key.
+
+    ``direction="backward"`` takes the latest right row with
+    ``right_ts <= left_ts``; ``"forward"`` the earliest with
+    ``right_ts >= left_ts``. Timestamps are integer-comparable (epoch
+    seconds/nanos). ``tolerance`` (same unit) nulls out matches farther
+    than the bound. Output: all left columns + ``right_prefix<c>`` for
+    each requested right column (null when no match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+    on = list(on)
+    payload = F.struct(
+        F.col(right_ts).cast("long").alias("_rts"),
+        *[F.col(c) for c in right_cols],
+    )
+    l = left.select(
+        F.lit(1).alias("_side"),
+        F.col(left_ts).cast("long").alias("_ats"),
+        *[F.col(c) for c in left.columns],
+    )
+    r = right.select(
+        F.lit(0).alias("_side"),
+        F.col(right_ts).cast("long").alias("_ats"),
+        *[F.col(c) for c in on],
+        payload.alias("_asof"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    ts_order = F.asc("_ats") if direction == "backward" else F.desc("_ats")
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_order, F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("_m", F.last("_asof", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    if tolerance is not None:
+        gap = F.abs(F.col("_ats") - F.col("_m._rts"))
+        matched = matched.withColumn(
+            "_m", F.when(gap <= tolerance, F.col("_m"))
+        )
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
+    )

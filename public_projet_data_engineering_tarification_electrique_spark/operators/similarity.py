@@ -157,3 +157,84 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer + probed-cluster search.
+
+    The scale path for similarity search when LSH recall is too blunt:
+    fit k-means centroids (MLlib), assign every candidate to its
+    nearest centroid (the "inverted file"), route each query to its
+    ``n_probe`` nearest centroids, and score exact cosine only inside
+    the probed clusters — an equi-join on cluster id instead of a cross
+    join, cutting scored pairs by ~n_clusters/n_probe. At 100 TB the
+    assignment is a write-once partitioned materialization; queries
+    broadcast. Not SQL-expressible (k-means) → rows-only check.
+    Output: (query_id, vec_id, sim, rank) — rank 1..k per query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand = ensure_parallelism(candidates).select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster"
+    ).fit(cand)
+    inverted = model.transform(cand).select(
+        id_col, "_cvec", "_cluster", l2_norm(F.col("_cvec")).alias("_cnorm")
+    )
+
+    # Tiny centroid table (n_clusters × dim floats) — route queries to
+    # their n_probe nearest centroids via a broadcast cross join.
+    spark = candidates.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "_cluster int, _centroid array<double>",
+    )
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qvec"), F.col("_centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(F.asc("_d2"), F.asc("_cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", d2)
+        .withColumn("_probe", F.row_number().over(probe_w))
+        .filter(F.col("_probe") <= n_probe)
+        .select(query_id_col, "_cluster", "_qvec", "_qnorm")
+    )
+
+    sims = inverted.join(F.broadcast(probes), on="_cluster").select(
+        query_id_col,
+        id_col,
+        F.round(
+            dot_product(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qnorm") * F.col("_cnorm")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

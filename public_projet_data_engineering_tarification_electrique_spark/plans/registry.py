@@ -389,6 +389,102 @@ def q21_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup(docs, max_hamming=3, n_bands=4)
 
 
+def q22_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) per user — batch twin of a
+    stateful streaming session window (extension surface)."""
+    from ..operators.sessions import sessionize
+
+    events = load_table(spark, sf_dir, "events", raw=True).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr("ts DIV 1000000000").alias("ts_s"),
+    )
+    return sessionize(events, gap_seconds=1800)
+
+
+def q23_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy aggregate: ROLLUP(event_type, date) with grand total —
+    grouping-sets coverage the reference lacks (SURVEY.md §2.4 absent)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type", F.to_date("ts").alias("date"), "value"
+        )
+        .rollup("event_type", "date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q24_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the user's most recent
+    error event at-or-before it (union+window formulation, no join)."""
+    from ..operators.asof import asof_join
+
+    # µs, not ns: DuckDB TIMESTAMP is µs-precision, so the oracle can
+    # only see µs — and no two same-user events collide at µs grain.
+    e = load_table(spark, sf_dir, "events", raw=True).select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("ts DIV 1000").alias("ts_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on=("user_id",),
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=("event_id", "value"),
+    )
+
+
+def q25_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: Rabin-Karp rolling hash (order-sensitive,
+    chunk-extensible) alongside the md5 content digest."""
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.rolling_fingerprint(t).alias("rk_fingerprint"),
+        X.fingerprint_md5(t).alias("md5_fingerprint"),
+    )
+
+
+def q26_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: BPE-ish regex pre-tokenizer vs whitespace split."""
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(X.bpe_ish_tokens(t)).alias("n_bpe_tokens"),
+        X.token_count(t).alias("n_ws_tokens"),
+    )
+
+
+def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer + probed-cluster exact cosine
+    (rows-only check — k-means is not SQL-expressible)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -628,6 +724,73 @@ ORACLE_SQL: dict[str, str] = {
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
     """,
+    "q22_sessionize": """
+        WITH e AS (
+          SELECT event_id, user_id, value,
+                 epoch_ns(ts) // 1000000000 AS ts_s
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, value, ts_s,
+                 CASE WHEN lag(ts_s) OVER w IS NULL
+                           OR ts_s - lag(ts_s) OVER w > 1800
+                      THEN 1 ELSE 0 END AS b
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        ), sess AS (
+          SELECT user_id, value, ts_s,
+                 sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts_s) AS start_s, max(ts_s) AS end_s,
+               round(sum(value), 4) AS sum_value
+        FROM sess GROUP BY 1, 2
+    """,
+    "q23_rollup_daily": """
+        SELECT event_type, cast(ts AS DATE) AS date,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (event_type, cast(ts AS DATE))
+    """,
+    "q24_asof_join": """
+        WITH e AS (
+          SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+          FROM events
+        ), clicks AS (
+          SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'
+        ), errors AS (
+          SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'error'
+        )
+        SELECT c.event_id, c.user_id, c.ts_us,
+               e.event_id AS asof_event_id, e.value AS asof_value
+        FROM clicks c
+        ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+    """,
+    "q25_rolling_fingerprint": """
+        WITH norm AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN length(t) > 0 THEN
+                 list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(range(1, length(t) + 1),
+                                    i -> ascii(substr(t, i, 1))::BIGINT)),
+                   (acc, c) -> (acc * 131 + c) % 2147483647)
+               ELSE 0 END AS rk_fingerprint,
+               md5(t) AS md5_fingerprint
+        FROM norm
+    """,
+    "q26_bpe_tokens": """
+        SELECT doc_id,
+               cast(len(regexp_extract_all(lower(text),
+                    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS INTEGER)
+                 AS n_bpe_tokens,
+               cast(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                 AS n_ws_tokens
+        FROM documents
+    """,
     "q12_text_stats": f"""
         SELECT doc_id,
                cast(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
@@ -667,6 +830,12 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_streaming_daily": q19_streaming_daily,
     "q20_multimodal_meta": q20_multimodal_meta,
     "q21_simhash_neardup": q21_simhash_neardup,
+    "q22_sessionize": q22_sessionize,
+    "q23_rollup_daily": q23_rollup_daily,
+    "q24_asof_join": q24_asof_join,
+    "q25_rolling_fingerprint": q25_rolling_fingerprint,
+    "q26_bpe_tokens": q26_bpe_tokens,
+    "q27_ivf_topk": q27_ivf_topk,
 }
 
 

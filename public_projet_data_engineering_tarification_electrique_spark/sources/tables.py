@@ -30,10 +30,20 @@ TESTDATA_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing types (events.ts → timestamp_ntz)."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, raw: bool = False
+) -> DataFrame:
+    """Load one testdata table, normalizing types (events.ts → timestamp_ntz).
+
+    ``raw=True`` skips the normalization: events.ts stays LONG epoch
+    nanoseconds — the exact integer form time-arithmetic operators
+    (sessionize, as-of) want, since TIMESTAMP_NTZ admits no numeric
+    cast under ANSI and a double roundtrip loses sub-µs precision.
+    """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if raw:
+        return df
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
