@@ -473,6 +473,16 @@ def q26_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState +
+    event-time timeout). Emits sessions the watermark has sealed;
+    rows-only check — incremental emission is not SQL-expressible
+    (tests pin exact agreement with the batch twin q22)."""
+    from ..streaming.sessions import stream_sessionize
+
+    return stream_sessionize(spark, f"{sf_dir}/events.parquet", gap_seconds=1800)
+
+
 def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer + probed-cluster exact cosine
     (rows-only check — k-means is not SQL-expressible)."""
@@ -836,6 +846,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_rolling_fingerprint": q25_rolling_fingerprint,
     "q26_bpe_tokens": q26_bpe_tokens,
     "q27_ivf_topk": q27_ivf_topk,
+    "q28_stream_sessionize": q28_stream_sessionize,
 }
 
 

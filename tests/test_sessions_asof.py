@@ -130,3 +130,50 @@ def test_bpe_ish_tokens_known_split(spark):
     df = spark.createDataFrame([(1, "Hello world, 42 times!")], "id long, text string")
     toks = df.select(bpe_ish_tokens(F.col("text")).alias("t")).collect()[0].t
     assert toks == ["hello", " world", ",", " 42", " times", "!"]
+
+
+def test_stream_sessionize_matches_batch_twin(spark):
+    """Every session the stream emits must be bit-identical to the batch
+    operator's session with the same (user, session_id); the stream may
+    hold back only sessions still open at end-of-input (watermark has
+    not sealed them)."""
+    from pyspark.sql import Window
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sessions import (
+        sessionize,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.sessions import (
+        stream_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_sessionize(spark, f"{sf}/events.parquet", gap_seconds=1800)
+    batch = sessionize(
+        load_table(spark, sf, "events", raw=True).select(
+            "event_id", "user_id", "value", F.expr("ts DIV 1000000000").alias("ts_s")
+        ),
+        gap_seconds=1800,
+    )
+    n_streamed = streamed.count()
+    exact = (
+        streamed.alias("s")
+        .join(batch.alias("b"), ["user_id", "session_id"])
+        .filter(
+            (F.col("s.n_events") == F.col("b.n_events"))
+            & (F.col("s.start_s") == F.col("b.start_s"))
+            & (F.col("s.end_s") == F.col("b.end_s"))
+            & (F.abs(F.col("s.sum_value") - F.col("b.sum_value")) < 1e-6)
+        )
+        .count()
+    )
+    assert exact == n_streamed, "streamed session disagrees with batch twin"
+    w = Window.partitionBy("user_id")
+    n_closed = (
+        batch.withColumn("_m", F.max("session_id").over(w))
+        .filter(F.col("session_id") < F.col("_m"))
+        .count()
+    )
+    assert n_streamed >= n_closed, "stream failed to emit a sealed session"
