@@ -19,3 +19,41 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | tuple[str, ...],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (big) side, replicate
+    the other side across all salts, join on keys+salt.
+
+    The classic recipe for when one join key dominates (a bot user, an
+    empty-string key): a plain shuffle join puts the whole hot key in
+    ONE reducer; salting fans it out over ``n_salts`` partitions at the
+    cost of replicating the small side ``n_salts``×. Result-identical
+    to ``big.join(small, on, how)`` for inner/left joins (each big row
+    carries exactly one salt; every small row exists under every salt).
+
+    Prefer AQE's automatic skew-join split (on by default in
+    session.RUNTIME_CONFS) when it fires — this utility is for the
+    cases it cannot see, e.g. skew appearing after a UDF stage, or
+    non-AQE environments. Salt is rand(seed)-assigned: any assignment
+    yields the same join result, so cross-run plan stability is not
+    required.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    on = list(on)
+    big_s = big.withColumn(
+        "_salt", F.floor(F.rand(seed=42) * n_salts).cast("int")
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return big_s.join(small_s, on=on + ["_salt"], how=how).drop("_salt")

@@ -77,7 +77,9 @@ def _daily_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _annual_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _annual_city(
+    spark: SparkSession, sf_dir: str, year_range: tuple[int, int] | None = None
+) -> DataFrame:
     """conso_an_ville stand-in: orders per (customer, year).
 
     Aggregate-below-join: the fact table collapses to (custkey, year)
@@ -85,8 +87,20 @@ def _annual_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_custkey), so the shuffle carries the aggregate, not 100× raw rows,
     and the dimension join broadcasts. Same result as joining first —
     the oracle keeps the join-first formulation as the semantic spec.
+
+    ``year_range=(lo, hi)`` (inclusive) prunes the scan with a raw
+    o_orderdate range predicate — unlike ``year(o_orderdate) IN (…)``
+    this reaches the parquet reader as a PushedFilter (row-group /
+    partition pruning at 100 TB). Per-(customer, year) groups are
+    independent, so dropping whole years never changes surviving rows.
     """
     orders = load_table(spark, sf_dir, "orders")
+    if year_range is not None:
+        lo, hi = year_range
+        orders = orders.filter(
+            (F.col("o_orderdate") >= f"{lo}-01-01")
+            & (F.col("o_orderdate") < f"{hi + 1}-01-01")
+        )
     customer = load_table(spark, sf_dir, "customer")
     yearly = orders.groupBy(
         F.col("o_custkey"), F.year("o_orderdate").alias("annee")
@@ -215,6 +229,12 @@ def q07_alpha_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     yearly = (
         load_table(spark, sf_dir, "orders")
+        # raw-date range (not year(…) IN) so the predicate reaches the
+        # parquet scan; result-identical — per-year groups are disjoint
+        .filter(
+            (F.col("o_orderdate") >= f"{ALPHA_YEAR}-01-01")
+            & (F.col("o_orderdate") < f"{ALPHA_YEAR + 2}-01-01")
+        )
         .groupBy(
             F.col("o_custkey"), F.year("o_orderdate").alias("annee")
         )
@@ -254,7 +274,8 @@ def q09_price_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_requests(
         _requests(spark, sf_dir),
         _daily_region(spark, sf_dir),
-        _annual_city(spark, sf_dir),
+        # α consumes only years (n, n+1): prune the orders scan to them
+        _annual_city(spark, sf_dir, year_range=(ALPHA_YEAR, ALPHA_YEAR + 1)),
         run_date=RUN_DATE,
         year_n=ALPHA_YEAR,
     )

@@ -177,3 +177,27 @@ def test_stream_sessionize_matches_batch_twin(spark):
         .count()
     )
     assert n_streamed >= n_closed, "stream failed to emit a sealed session"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.util import (
+        salted_join,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+        F.count("*"), F.round(F.sum("l_quantity"), 2), F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0]
+    salted = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+    ).agg(
+        F.count("*"), F.round(F.sum("l_quantity"), 2), F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
