@@ -516,6 +516,58 @@ def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10)
 
 
+def q29_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL++ distinct users + quantile sketch of
+    value per event_type — the sketch path for 100 TB cardinality work
+    (rows-only: sketch internals differ across engines by design)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5, 10000), 2).alias("approx_median"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q30_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event_type columns × day rows (wide daily activity matrix).
+    Fixed pivot values keep the plan single-pass (no distinct-scan)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.to_date("ts").alias("date"), "event_type", "value")
+        .groupBy("date")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.round(F.avg("value"), 4))
+    )
+
+
+def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median / p90) per event_type —
+    sort-based aggregate the reference cannot express at all."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract props.k from the JSON column and
+    aggregate — JSON-path evaluation inside the scan projection."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -755,6 +807,29 @@ ORACLE_SQL: dict[str, str] = {
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
     """,
+    "q30_pivot_daily": """
+        SELECT cast(ts AS DATE) AS date,
+               round(avg(value) FILTER (event_type = 'click'), 4) AS click,
+               round(avg(value) FILTER (event_type = 'view'), 4) AS view,
+               round(avg(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+               round(avg(value) FILTER (event_type = 'error'), 4) AS error
+        FROM events GROUP BY 1
+    """,
+    "q31_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY 1
+    """,
+    "q32_json_extract": """
+        SELECT event_type,
+               round(avg(cast(json_extract_string(props, '$.k') AS INTEGER)), 4)
+                 AS avg_k,
+               max(cast(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+               count(DISTINCT cast(json_extract_string(props, '$.k') AS INTEGER))
+                 AS n_distinct_k
+        FROM events GROUP BY 1
+    """,
     "q22_sessionize": """
         WITH e AS (
           SELECT event_id, user_id, value,
@@ -868,6 +943,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_bpe_tokens": q26_bpe_tokens,
     "q27_ivf_topk": q27_ivf_topk,
     "q28_stream_sessionize": q28_stream_sessionize,
+    "q29_approx_stats": q29_approx_stats,
+    "q30_pivot_daily": q30_pivot_daily,
+    "q31_percentiles": q31_percentiles,
+    "q32_json_extract": q32_json_extract,
 }
 
 
