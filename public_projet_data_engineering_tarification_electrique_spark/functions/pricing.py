@@ -47,14 +47,20 @@ def alpha_clamped(ratio: Column) -> Column:
     return clamp(ratio, ALPHA_MIN, ALPHA_MAX)
 
 
-def annual_price(alpha: Column, m: Column, conso_foyer_kwh: Column) -> Column:
+def annual_price(
+    alpha: Column, m: Column, conso_foyer_kwh: Column, rounded: bool = True
+) -> Column:
     """F10 — Prix = round((0.1558 + α·M)·x + 72) (reference:api.py:99,127)."""
-    return F.round(
-        (F.lit(BASE_RATE) + alpha * m) * conso_foyer_kwh + F.lit(ANNUAL_SUBSCRIPTION)
-    )
+    raw = (
+        F.lit(BASE_RATE) + alpha * m
+    ) * conso_foyer_kwh + F.lit(ANNUAL_SUBSCRIPTION)
+    return F.round(raw) if rounded else raw
 
 
-def monthly_price(alpha: Column, m: Column, conso_foyer_kwh: Column) -> Column:
-    """Notice variant: (0.1558 + α·M)·x/12 + 6
+def monthly_price(
+    alpha: Column, m: Column, conso_foyer_kwh: Column, rounded: bool = False
+) -> Column:
+    """Notice variant: (0.1558 + α·M)·x/12 + 6 — exactly annual/12
     (reference:docs/Notice technique.htm:22,96)."""
-    return (F.lit(BASE_RATE) + alpha * m) * conso_foyer_kwh / F.lit(12.0) + F.lit(6.0)
+    raw = (F.lit(BASE_RATE) + alpha * m) * conso_foyer_kwh / F.lit(12.0) + F.lit(6.0)
+    return F.round(raw, 1) if rounded else raw

@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis): each property generates MANY cases
+but runs ONE Spark job — examples become rows of a single DataFrame, and
+the assertion compares against a plain-Python model row-wise. (A
+per-example Spark job would make hypothesis unusably slow.)"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from public_projet_data_engineering_tarification_electrique_spark.functions.pricing import (
+    alpha_clamped,
+    annual_price,
+    monthly_price,
+)
+from public_projet_data_engineering_tarification_electrique_spark.functions.text import (
+    _RK_BASE,
+    _RK_MOD,
+    rolling_fingerprint,
+    word_shingles,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.sessions import (
+    sessionize,
+)
+
+# printable ASCII without the surrogate/control issues Spark<->Arrow
+# transfer would mask
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+def _rk_model(s: str) -> int:
+    acc = 0
+    for ch in s.lower().strip():
+        acc = (acc * _RK_BASE + ord(ch)) % _RK_MOD
+    return acc
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=40))
+def test_rolling_fingerprint_matches_python_model(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {
+        r.id: r.fp
+        for r in df.select("id", rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _rk_model(t), repr(t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_alpha_clamp_range_and_identity(spark, ratios):
+    df = spark.createDataFrame([(i, float(r)) for i, r in enumerate(ratios)],
+                               "id long, ratio double")
+    got = {
+        r.id: r.a
+        for r in df.select("id", alpha_clamped(F.col("ratio")).alias("a")).collect()
+    }
+    for i, r in enumerate(ratios):
+        assert 1.0 <= got[i] <= 1.3
+        if 1.0 <= r <= 1.3:
+            assert got[i] == r  # identity inside the band
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=1.0, max_value=1.3, allow_nan=False),   # alpha
+            st.floats(min_value=0.0, max_value=0.05, allow_nan=False),  # M
+            st.floats(min_value=0.0, max_value=50000, allow_nan=False), # kWh
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_annual_is_twelve_times_monthly(spark, cases):
+    """SURVEY.md §2.8 semantics decision: the annual formula (C=72) must
+    equal 12× the documented monthly formula (C=6) exactly, pre-round."""
+    df = spark.createDataFrame(
+        [(i, a, m, x) for i, (a, m, x) in enumerate(cases)],
+        "id long, alpha double, m double, x double",
+    )
+    rows = df.select(
+        "id",
+        annual_price(F.col("alpha"), F.col("m"), F.col("x"), rounded=False).alias("an"),
+        monthly_price(F.col("alpha"), F.col("m"), F.col("x"), rounded=False).alias("mo"),
+    ).collect()
+    for r in rows:
+        assert abs(r.an - 12.0 * r.mo) < 1e-6
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=100_000),  # event times (seconds)
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=5000),  # gap
+)
+def test_sessionize_invariants(spark, times, gap):
+    rows = [(i, 1, int(t), 1.0) for i, t in enumerate(sorted(times))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s long, value double")
+    sessions = sorted(
+        sessionize(df, gap_seconds=gap).collect(), key=lambda r: r.session_id
+    )
+    # partition: every event in exactly one session
+    assert sum(s.n_events for s in sessions) == len(times)
+    # sessions are numbered 1..k and ordered in time with gaps > gap between
+    for j, s in enumerate(sessions):
+        assert s.session_id == j + 1
+        assert s.start_s <= s.end_s
+        if j:
+            assert s.start_s - sessions[j - 1].end_s > gap
+    # model: number of sessions == 1 + number of over-gap deltas
+    ts = sorted(times)
+    expected = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > gap)
+    assert len(sessions) == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=30), st.integers(2, 4))
+def test_word_shingles_count(spark, texts, k):
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", F.size(word_shingles(F.col("text"), k)).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        n_tokens = len(t.lower().split())
+        # Spark split on \s+ of a trimmed empty string yields [""] → 1 token
+        n_tokens = max(n_tokens, 1)
+        assert got[i] == max(1, n_tokens - k + 1), repr(t)

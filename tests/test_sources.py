@@ -1,0 +1,92 @@
+"""Source/sink coverage (SURVEY.md §2.1 S1-S9): REST export reader with
+pushdown params, schema-declared CSV/JSON round-trips."""
+
+from __future__ import annotations
+
+import urllib.parse
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from public_projet_data_engineering_tarification_electrique_spark.sources.readers import (
+    read_csv,
+    read_json_records,
+)
+from public_projet_data_engineering_tarification_electrique_spark.sources.rest import (
+    build_export_url,
+    read_rest_json,
+)
+from public_projet_data_engineering_tarification_electrique_spark.sources.writers import (
+    write_csv,
+)
+
+ANNUAL_SCHEMA = T.StructType(
+    [
+        T.StructField("nom_commune", T.StringType()),
+        T.StructField("code_commune", T.StringType()),
+        T.StructField("conso_moyenne_mwh", T.DoubleType()),
+        T.StructField("annee", T.IntegerType()),
+    ]
+)
+
+
+def test_build_export_url_pushdown_params():
+    url = build_export_url(
+        "https://example.org/api/records/1.0",
+        "eco2mix-regional-tr",
+        select="code_insee_region, date, consommation",
+        where="date='2024-01-17'",
+    )
+    parsed = urllib.parse.urlparse(url)
+    qs = urllib.parse.parse_qs(parsed.query)
+    assert parsed.path.endswith("/eco2mix-regional-tr/exports/json")
+    assert qs["limit"] == ["-1"]  # unbounded, as the reference requests
+    assert qs["select"] == ["code_insee_region, date, consommation"]
+    assert qs["where"] == ["date='2024-01-17'"]
+
+
+def test_read_rest_json_with_injected_fetcher(spark):
+    payload = [
+        # extra field the API returns but the schema does not declare
+        {"nom_commune": "Brageac", "code_commune": "15024",
+         "conso_moyenne_mwh": 398.0, "annee": 2021, "code_grand_secteur": "RES"},
+        {"nom_commune": "Brageac", "code_commune": "15024",
+         "conso_moyenne_mwh": 407.0, "annee": 2022},
+    ]
+    seen: list[str] = []
+
+    def fake_fetcher(url: str) -> list[dict]:
+        seen.append(url)
+        return payload
+
+    df = read_rest_json(spark, "http://test/x/exports/json?limit=-1",
+                        ANNUAL_SCHEMA, fetcher=fake_fetcher)
+    assert seen == ["http://test/x/exports/json?limit=-1"]
+    assert df.columns == [f.name for f in ANNUAL_SCHEMA.fields]
+    rows = sorted(df.collect(), key=lambda r: r.annee)
+    assert rows[0].conso_moyenne_mwh == 398.0
+    assert rows[1].annee == 2022
+
+
+def test_csv_roundtrip_with_declared_schema(spark, tmp_path):
+    src = spark.createDataFrame(
+        [("a", "1", 398.0, 2021), ("b", "2", None, 2022)], ANNUAL_SCHEMA
+    )
+    path = str(tmp_path / "annual_csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, ANNUAL_SCHEMA)
+    assert back.schema == ANNUAL_SCHEMA
+    assert sorted((r.nom_commune, r.annee) for r in back.collect()) == [
+        ("a", 2021), ("b", 2022),
+    ]
+    # NULL round-trips as NULL, not the string "null"
+    assert back.filter(F.col("conso_moyenne_mwh").isNull()).count() == 1
+
+
+def test_json_records_path_mode(spark, tmp_path):
+    p = tmp_path / "rec.jsonl"
+    p.write_text(
+        '{"nom_commune":"a","code_commune":"1","conso_moyenne_mwh":1.5,"annee":2020}\n'
+    )
+    df = read_json_records(spark, str(p), ANNUAL_SCHEMA)
+    assert df.collect()[0].conso_moyenne_mwh == 1.5
