@@ -9,6 +9,8 @@ comparison is therefore bit-stable, not just close.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -36,3 +38,28 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (||a||·||b||); NULL on zero-norm inputs."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0.0, dot_product(a, b) / denom)
+
+
+def cosine_similarity_pandas():
+    """Arrow-vectorized Pandas UDF twin of ``cosine_similarity``.
+
+    The JVM fold (F.aggregate over zip_with) is the default hot path;
+    this variant exists for pipelines that already cross into Python
+    (e.g. after a model-inference mapInPandas stage), where one Arrow
+    batch transfer amortizes better than returning to the JVM. Batches
+    are scored as stacked numpy matrices — one BLAS call per batch, no
+    per-row Python.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # pandas/numpy are imported at module scope: pandas_udf resolves the
+    # (stringified, PEP 563) type hints against this module's globals.
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy())
+        mb = np.stack(b.to_numpy())
+        dots = np.einsum("ij,ij->i", ma, mb)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(dots / norms)
+
+    return _cos

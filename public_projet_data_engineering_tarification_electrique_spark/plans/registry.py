@@ -568,6 +568,20 @@ def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — SQL-text entry point: the same Catalyst plans drive
+    ``spark.sql`` over registered views (the reference's
+    ``client.query(sql)``, reference:api.py:57, without the network
+    hop or the f-string injection risk — views, not interpolation)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+        FROM events_v GROUP BY event_type
+        """
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -807,6 +821,10 @@ ORACLE_SQL: dict[str, str] = {
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
     """,
+    "q33_sql_text": """
+        SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+        FROM events GROUP BY event_type
+    """,
     "q30_pivot_daily": """
         SELECT cast(ts AS DATE) AS date,
                round(avg(value) FILTER (event_type = 'click'), 4) AS click,
@@ -947,6 +965,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_pivot_daily": q30_pivot_daily,
     "q31_percentiles": q31_percentiles,
     "q32_json_extract": q32_json_extract,
+    "q33_sql_text": q33_sql_text,
 }
 
 

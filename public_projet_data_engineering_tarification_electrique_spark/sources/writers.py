@@ -37,3 +37,30 @@ def overwrite_date_partition(
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV sink with header, mirroring ``to_csv(index=False)`` (S6)."""
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 8,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffle data ON WRITE so that every
+    later equi-join/aggregation on ``bucket_cols`` is exchange-free.
+
+    The 100 TB lever for repeated joins: two tables bucketed on the same
+    key with the same bucket count sort-merge-join with ZERO shuffle —
+    each task reads matching bucket files from both sides. ``sort_cols``
+    additionally pre-sorts within buckets, removing the join's sort
+    step. Costs one shuffle at write time, amortized over every read.
+    """
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

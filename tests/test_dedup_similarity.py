@@ -117,3 +117,30 @@ def test_embedding_neardup_planted(spark):
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
     assert (1, 4) not in pairs  # different label bucket → never compared
+
+
+def test_pandas_udf_cosine_matches_jvm_fold(spark):
+    """The Arrow-batched cosine must agree with the JVM aggregate-fold
+    expression to float64 precision."""
+    from pyspark.sql import functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_pandas,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb")).limit(500)
+    cos_pd = cosine_similarity_pandas()
+    diff = pairs.select(
+        F.abs(
+            cosine_similarity(F.col("va"), F.col("vb"))
+            - cos_pd(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+        ).alias("d")
+    ).agg(F.max("d")).collect()[0][0]
+    assert diff < 1e-9

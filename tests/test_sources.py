@@ -90,3 +90,45 @@ def test_json_records_path_mode(spark, tmp_path):
     )
     df = read_json_records(spark, str(p), ANNUAL_SCHEMA)
     assert df.collect()[0].conso_moyenne_mwh == 1.5
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join without
+    any Exchange on either side (the write pre-paid the shuffle)."""
+    import io
+    import contextlib
+
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt.db'")
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(
+        load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+        "bkt.li", ("l_orderkey",), num_buckets=4, sort_cols=("l_orderkey",),
+    )
+    write_bucketed(
+        load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        "bkt.ord", ("o_orderkey",), num_buckets=4, sort_cols=("o_orderkey",),
+    )
+    li, ord_ = spark.table("bkt.li"), spark.table("bkt.ord")
+    joined = li.hint("merge").join(ord_, li.l_orderkey == ord_.o_orderkey)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # sanity: result matches the plain join
+    plain = load_table(spark, sf, "lineitem").join(
+        load_table(spark, sf, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert joined.count() == plain.count()
+    spark.sql("DROP TABLE bkt.li")
+    spark.sql("DROP TABLE bkt.ord")
+    spark.sql("DROP DATABASE bkt")
