@@ -72,3 +72,26 @@ def daily_downsample(
         .agg(F.round(F.avg(value_col)).alias(out_col))
         .withColumn(date_col, F.to_date(date_col, "yyyy-MM-dd"))
     )
+
+
+def backfill_daily(
+    daily: DataFrame,
+    out_path: str,
+    start: str,
+    end: str,
+    date_col: str = "date",
+) -> None:
+    """T5 — backfill a date range of the daily table, idempotently.
+
+    The reference backfills by re-running the Airflow DAG once per
+    historical day (reference:README.md:120-126), each run appending —
+    so a re-backfill duplicates rows (SURVEY.md §2.9 note). Here the
+    whole range is ONE job: filter the recomputed daily frame to
+    [start, end] and dynamically overwrite exactly those date
+    partitions. Re-running is a no-op-equivalent rewrite; days outside
+    the range are untouched.
+    """
+    from ..sources.writers import overwrite_date_partition
+
+    window = daily.filter(F.col(date_col).between(start, end))
+    overwrite_date_partition(window, out_path, partition_col=date_col)

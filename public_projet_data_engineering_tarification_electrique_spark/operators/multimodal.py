@@ -86,3 +86,78 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
         raise NotImplementedError(
             "image decoding requires Pillow, not installed in this container"
         ) from exc
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+FEATURE_SCHEMA = "doc_id long, features array<long>"
+
+
+def frame_sample(
+    with_payload: DataFrame,
+    frame_bytes: int = 64,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling plumbing: explode each payload into up to
+    ``max_frames`` fixed-width byte windows (the stand-in for video
+    keyframe extraction — a real decoder swaps the window slicing for
+    codec frame boundaries; the 1→N Arrow fan-out shape is identical).
+
+    Output grain: one row per (doc, frame). At 100 TB the payload column
+    never shuffles — mapInPandas runs on the scan's partitions and only
+    the (much smaller) sampled frames flow on.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            blobs: list[bytes] = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                n = min(max(1, len(b) // frame_bytes), max_frames)
+                for i in range(n):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    blobs.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": blobs}
+            )
+
+    return with_payload.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def byte_histogram_features(
+    with_payload: DataFrame, n_bins: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL feature extraction over the binary column: an ``n_bins``-bin
+    byte-value histogram per payload as ``array<long>`` (numpy bincount
+    per Arrow batch — no per-byte Python). This is the embedding-shaped
+    output a learned feature extractor would produce, with the same
+    schema, batching, and partition-parallelism."""
+    import numpy as np
+
+    assert 256 % n_bins == 0, "n_bins must divide 256"
+    shrink = 256 // n_bins
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                feats.append(
+                    np.bincount(arr // shrink, minlength=n_bins)
+                    .astype("int64")
+                    .tolist()
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "features": feats})
+
+    return with_payload.mapInPandas(hist, schema=FEATURE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
+    """Real image resize — requires a decoder, absent here (see
+    decode_image). Kept as a loud stub so the operator surface is
+    explicit about what a deployment must provide."""
+    img = decode_image(payload)  # raises NotImplementedError without Pillow
+    return img.resize((width, height))

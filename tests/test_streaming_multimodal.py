@@ -88,3 +88,77 @@ def test_idempotent_partition_overwrite(spark, tmp_path):
         (str(r["date"]), r["conso"]) for r in spark.read.parquet(out).collect()
     }
     assert rows == {("2024-01-01", 100.0), ("2024-01-02", 250.0), ("2024-01-03", 300.0)}
+
+
+def test_frame_sample_shape_and_content(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 200), (2, "short")], "doc_id long, text string"
+    )
+    frames = frame_sample(
+        attach_binary_payload(docs), frame_bytes=64, max_frames=8
+    ).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 200 bytes // 64 = 3 frames; short docs yield exactly one frame
+    assert len(by_doc[1]) == 3
+    assert len(by_doc[2]) == 1
+    f0 = sorted(by_doc[1], key=lambda r: r.frame_idx)[0]
+    assert bytes(f0.frame_bytes) == b"x" * 64
+    assert bytes(by_doc[2][0].frame_bytes) == b"short"
+
+
+def test_byte_histogram_features_match_numpy_model(spark):
+    import numpy as np
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.multimodal import (
+        attach_binary_payload,
+        byte_histogram_features,
+    )
+
+    texts = [(1, "hello world"), (2, "aaaa"), (3, "")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.features)
+        for r in byte_histogram_features(
+            attach_binary_payload(docs), n_bins=64
+        ).collect()
+    }
+    for did, text in texts:
+        arr = np.frombuffer(text.encode(), dtype=np.uint8)
+        exp = np.bincount(arr // 4, minlength=64).astype(int).tolist()
+        assert got[did] == exp
+        assert sum(got[did]) == len(text.encode())
+
+
+def test_backfill_daily_idempotent_range(spark, tmp_path):
+    """Backfilling a sub-range twice must not duplicate rows and must
+    not touch partitions outside the range."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.ingest import (
+        backfill_daily,
+    )
+
+    daily = spark.createDataFrame(
+        [("A", f"2024-01-{d:02d}", float(d)) for d in range(1, 11)],
+        "libelle_region string, date string, conso_mwh double",
+    ).withColumn("date", F.to_date("date"))
+    out = str(tmp_path / "daily_pq")
+    daily.write.partitionBy("date").parquet(out)
+
+    # corrupt one in-range day's data, then backfill the range to repair
+    changed = daily.withColumn(
+        "conso_mwh", F.when(F.col("date") == "2024-01-05", 99.0).otherwise(F.col("conso_mwh"))
+    )
+    backfill_daily(changed, out, "2024-01-03", "2024-01-07")
+    backfill_daily(changed, out, "2024-01-03", "2024-01-07")  # idempotent re-run
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10  # no duplicate rows
+    assert back.filter((F.col("date") == "2024-01-05") & (F.col("conso_mwh") == 99.0)).count() == 1
+    # out-of-range day untouched
+    assert back.filter((F.col("date") == "2024-01-01") & (F.col("conso_mwh") == 1.0)).count() == 1
