@@ -582,6 +582,47 @@ def q33_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti joins (absent from the reference, SURVEY.md §2.3):
+    customers WITH an order in 1999 but WITHOUT one in 2000 — existence
+    tests that never materialize the matching rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o99 = orders.filter(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
+    ).select("o_custkey")
+    o00 = orders.filter(
+        (F.col("o_orderdate") >= "2000-01-01") & (F.col("o_orderdate") < "2001-01-01")
+    ).select("o_custkey")
+    return (
+        customer.join(o99, customer.c_custkey == o99.o_custkey, "left_semi")
+        .join(o00, F.col("c_custkey") == o00.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q35_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed moving average with an explicit frame: per event_type,
+    7-day trailing mean over the daily series (frame specs are absent
+    from the reference, SURVEY.md §2.5)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("date"))
+        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "date",
+        "day_avg",
+        F.round(F.avg("day_avg").over(w), 4).alias("ma7"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -821,6 +862,31 @@ ORACLE_SQL: dict[str, str] = {
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
     """,
+    "q34_semi_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00')
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00')
+    """,
+    "q35_moving_average": """
+        WITH daily AS (
+          SELECT event_type, cast(ts AS DATE) AS date,
+                 round(avg(value), 4) AS day_avg
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, date, day_avg,
+               round(avg(day_avg) OVER (
+                 PARTITION BY event_type ORDER BY date
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        FROM daily
+    """,
     "q33_sql_text": """
         SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
         FROM events GROUP BY event_type
@@ -966,6 +1032,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_percentiles": q31_percentiles,
     "q32_json_extract": q32_json_extract,
     "q33_sql_text": q33_sql_text,
+    "q34_semi_anti_join": q34_semi_anti_join,
+    "q35_moving_average": q35_moving_average,
 }
 
 
