@@ -147,12 +147,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard similarity for candidate pairs.
 
     Blocking: pairs are generated only via the shared-shingle join, so
     disjoint documents are never compared. |∪| = |A|+|B|−|∩| avoids a
     second pass. Output: (id_a, id_b, jaccard ≥ threshold).
+
+    ``max_df`` caps the document frequency of shingles admitted to the
+    blocking/scoring universe: a shingle shared by d documents creates
+    O(d²) candidate pairs, so one boilerplate phrase in 1% of a 100 TB
+    corpus would dominate the join (measured 22× cost for 10× data on
+    a near-dup-heavy corpus without the cap, ~linear with it). Jaccard
+    is then computed exactly over the capped shingle universe — the
+    standard df-cap semantics of production dedup pipelines; pairs
+    whose ONLY overlap is ultra-common shingles are deliberately not
+    near-dups under this metric.
     """
     # The shingle table is consumed three times (sizes + both join sides):
     # compute it once, in parallel (a small documents file arrives as ONE
@@ -163,6 +174,14 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
     ).localCheckpoint(eager=True)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, on="sh")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")

@@ -373,7 +373,7 @@ def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.2, max_df=100)
 
 
 def q18_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,11 +815,14 @@ ORACLE_SQL: dict[str, str] = {
                                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
                  ELSE [array_to_string(t, ' ')] END) AS sh
           FROM toks
+        ), capped AS (
+          SELECT s.* FROM sh s JOIN (
+            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
         ), sizes AS (
-          SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+          SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
         ), inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT id_a, id_b,
