@@ -201,3 +201,40 @@ def test_salted_join_equals_plain_join(spark):
         F.count("*"), F.round(F.sum("l_quantity"), 2), F.round(F.sum("o_totalprice"), 2)
     ).collect()[0]
     assert tuple(plain) == tuple(salted)
+
+
+def test_asof_join_matches_python_model_random(spark):
+    """Randomized cross-check of the union+window as-of against a naive
+    Python model (unique timestamps per user/side → unambiguous)."""
+    import random
+
+    rng = random.Random(7)
+    users = [1, 2, 3]
+    left_rows, right_rows = [], []
+    lid = 0
+    for u in users:
+        lts = rng.sample(range(0, 100_000), 40)
+        rts = rng.sample(range(0, 100_000), 25)
+        for t in lts:
+            lid += 1
+            left_rows.append((lid, u, t))
+        for t in rts:
+            right_rows.append((100_000 + len(right_rows), u, t, float(t % 97)))
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        right_rows, "event_id long, user_id long, ts long, value double"
+    )
+    got = {
+        r.event_id: (r.asof_event_id, r.asof_value)
+        for r in asof_join(
+            left, right, on=("user_id",), left_ts="ts", right_ts="ts",
+            right_cols=("event_id", "value"),
+        ).collect()
+    }
+    by_user: dict[int, list] = {}
+    for eid, u, t, v in right_rows:
+        by_user.setdefault(u, []).append((t, eid, v))
+    for eid, u, t in left_rows:
+        cands = [(rt, rid, rv) for rt, rid, rv in by_user.get(u, []) if rt <= t]
+        exp = max(cands)[1:] if cands else (None, None)
+        assert got[eid] == (exp[0], exp[1]), (eid, u, t)

@@ -132,3 +132,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE bkt.li")
     spark.sql("DROP TABLE bkt.ord")
     spark.sql("DROP DATABASE bkt")
+
+
+def test_materialize_once_skips_recompute(spark, tmp_path):
+    from public_projet_data_engineering_tarification_electrique_spark.sources.writers import (
+        materialize_once,
+    )
+
+    calls = []
+
+    def expensive():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    path = str(tmp_path / "cache_pq")
+    first = materialize_once(expensive(), path)
+    assert first.count() == 2
+    # second run: the frame passed in is NOT recomputed (plan is lazy, the
+    # cache hit never triggers its job) and the artifact is served
+    lazy = expensive()  # builds a plan; count only if cache misses
+    second = materialize_once(lazy, path)
+    assert second.count() == 2
+    assert sorted(r.v for r in second.collect()) == ["a", "b"]
