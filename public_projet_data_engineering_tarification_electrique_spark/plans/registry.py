@@ -623,6 +623,36 @@ def q35_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (stddev/variance/correlation/
+    covariance) per group — the moments the OLS forecast (U1) builds
+    on, exposed as first-class aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.count("*").alias("n"),
+    )
+
+
+def q37_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (absent from the reference, SURVEY.md
+    §2.8): case/substr/trim/replace/concat/conditional — all inside
+    one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring(t, 1, 12)).alias("head_upper"),
+        F.length(F.regexp_replace(F.lower(t), r"[aeiou]", "")).alias("len_novowels"),
+        F.concat_ws("|", F.col("lang"), F.col("source")).alias("lang_source"),
+        F.when(F.length(t) > 200, "long").otherwise("short").alias("size_class"),
+        F.trim(F.substring(t, 1, 5)).alias("head_trim"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -865,6 +895,26 @@ ORACLE_SQL: dict[str, str] = {
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
     """,
+    "q36_stats_aggregates": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_pop(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    """,
+    "q37_string_funcs": """
+        SELECT doc_id,
+               upper(substr(text, 1, 12)) AS head_upper,
+               cast(length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+                    AS INTEGER) AS len_novowels,
+               concat_ws('|', lang, source) AS lang_source,
+               CASE WHEN length(text) > 200 THEN 'long' ELSE 'short' END
+                 AS size_class,
+               trim(substr(text, 1, 5)) AS head_trim
+        FROM documents
+    """,
     "q34_semi_anti_join": """
         SELECT c_custkey, c_name FROM customer
         WHERE EXISTS (
@@ -1037,6 +1087,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_sql_text": q33_sql_text,
     "q34_semi_anti_join": q34_semi_anti_join,
     "q35_moving_average": q35_moving_average,
+    "q36_stats_aggregates": q36_stats_aggregates,
+    "q37_string_funcs": q37_string_funcs,
 }
 
 
