@@ -653,6 +653,57 @@ def q37_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary via explode (lateral view): token → document
+    frequency, HAVING floor, global top-20. The partial-agg runs on the
+    exploded stream before the shuffle, so the exchange carries the
+    vocabulary, not the token stream."""
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 10)
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q39_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond union (SURVEY.md §2.7 absent): customers
+    ordering in BOTH 1999 and 2000 (INTERSECT) vs 1999-only (EXCEPT),
+    tagged in one result."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= f"{year}-01-01")
+            & (F.col("o_orderdate") < f"{year + 1}-01-01")
+        ).select("o_custkey")
+
+    both = keys(1999).intersect(keys(2000)).select(
+        F.lit("both").alias("tag"), "o_custkey"
+    )
+    only99 = keys(1999).subtract(keys(2000)).select(
+        F.lit("only_1999").alias("tag"), "o_custkey"
+    )
+    return both.unionByName(only99)
+
+
+def q40_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg-max aggregate: each user's most recent event —
+    the point-lookup shape a serving layer asks of an event store."""
+    events = load_table(spark, sf_dir, "events", raw=True)
+    return events.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.count("*").alias("n_events"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -895,6 +946,38 @@ ORACLE_SQL: dict[str, str] = {
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
     """,
+    "q38_token_frequencies": """
+        SELECT token, freq FROM (
+          SELECT token, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents) t
+          WHERE token <> ''
+          GROUP BY token HAVING count(*) >= 10) g
+        ORDER BY freq DESC, token ASC LIMIT 20
+    """,
+    "q39_intersect_except": """
+        WITH k99 AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+        ), k00 AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+        )
+        SELECT 'both' AS tag, o_custkey FROM (
+          SELECT o_custkey FROM k99 INTERSECT SELECT o_custkey FROM k00)
+        UNION ALL
+        SELECT 'only_1999' AS tag, o_custkey FROM (
+          SELECT o_custkey FROM k99 EXCEPT SELECT o_custkey FROM k00)
+    """,
+    "q40_latest_event": """
+        SELECT user_id,
+               arg_max(event_id, ts) AS last_event_id,
+               arg_max(event_type, ts) AS last_event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    """,
     "q36_stats_aggregates": """
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -1089,6 +1172,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_moving_average": q35_moving_average,
     "q36_stats_aggregates": q36_stats_aggregates,
     "q37_string_funcs": q37_string_funcs,
+    "q38_token_frequencies": q38_token_frequencies,
+    "q39_intersect_except": q39_intersect_except,
+    "q40_latest_event": q40_latest_event,
 }
 
 
