@@ -949,7 +949,7 @@ ORACLE_SQL: dict[str, str] = {
     "q38_token_frequencies": """
         SELECT token, freq FROM (
           SELECT token, count(*) AS freq FROM (
-            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
             FROM documents) t
           WHERE token <> ''
           GROUP BY token HAVING count(*) >= 10) g

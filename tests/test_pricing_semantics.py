@@ -164,3 +164,25 @@ def test_ols_closed_form_matches_pandas_grouped_map(spark):
     # slope of (100, 110, 126) over (2020..2022) is 13; ybar=112 at
     # xbar=2021 → pred(2023) = 112 + 13·2 = 138
     assert abs(sql_out[("a", 2023)] - 138.0) < 1e-6
+
+
+def test_validate_requests_drops_null_required_fields(spark):
+    """P7 — required-field validation (reference:api.py:24-33,107): rows
+    missing any required field are dropped (the batch analogue of the
+    400 response), complete rows pass through untouched."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.pricing import (
+        validate_requests,
+    )
+
+    rows = [
+        ("R", "C", "1", 2, 100),      # complete
+        (None, "C", "1", 2, 100),     # missing region
+        ("R", "C", "1", None, 100),   # missing nb_personne
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "libelle_region string, nom_commune string, code_commune string, "
+        "nb_personne int, nb_m2 int",
+    )
+    out = validate_requests(df).collect()
+    assert len(out) == 1 and out[0].libelle_region == "R"
