@@ -186,3 +186,19 @@ def test_validate_requests_drops_null_required_fields(spark):
     )
     out = validate_requests(df).collect()
     assert len(out) == 1 and out[0].libelle_region == "R"
+
+
+def test_monthly_price_notice_worked_example(spark):
+    """Notice worked example (docs/Notice technique.htm:96):
+    (0.1558 + 1.1×0.012)×8200/12 + 6 = 121.5 €/month."""
+    from pyspark.sql import functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.functions.pricing import (
+        monthly_price,
+    )
+
+    df = spark.createDataFrame([(1.1, 0.012, 8200.0)], "alpha double, m double, x double")
+    [row] = df.select(
+        monthly_price(F.col("alpha"), F.col("m"), F.col("x"), rounded=True).alias("p")
+    ).collect()
+    assert row.p == 121.5
