@@ -80,3 +80,53 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
     )
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    max_delta: int,
+    right_cols: Sequence[str],
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Range (interval) join: pair rows within ``±max_delta`` time units
+    per key — WITHOUT the quadratic per-key blow-up of a naive
+    inequality join.
+
+    Banding: bucket both sides by ``ts DIV max_delta``; a pair within
+    max_delta differs by at most one bucket, so the left side probes
+    only buckets {b-1, b, b+1} (a 3× fan-out) and the join is a plain
+    equi-join on (keys, bucket) — shuffle-friendly, AQE-splittable.
+    Each qualifying pair matches exactly one probe bucket, so no dedup
+    pass is needed. The exact |Δt| ≤ max_delta filter runs after the
+    equi-join.
+    """
+    on = list(on)
+    b_r = F.col(right_ts).cast("long") - (F.col(right_ts).cast("long") % max_delta)
+    r = right.select(
+        *[F.col(c) for c in on],
+        (b_r / max_delta).cast("long").alias("_bkt"),
+        F.col(right_ts).cast("long").alias("_rts"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_cols],
+    )
+    b_l = F.col(left_ts).cast("long") - (F.col(left_ts).cast("long") % max_delta)
+    l = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.array(
+                (b_l / max_delta).cast("long") - 1,
+                (b_l / max_delta).cast("long"),
+                (b_l / max_delta).cast("long") + 1,
+            )
+        ),
+    )
+    return (
+        l.join(r, on=on + ["_bkt"])
+        .filter(
+            F.abs(F.col(left_ts).cast("long") - F.col("_rts")) <= max_delta
+        )
+        .drop("_bkt", "_rts")
+    )

@@ -704,6 +704,48 @@ def q40_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (event_type, date) in one
+    pass — completes the grouping-sets family next to q23's ROLLUP."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", F.to_date("ts").alias("date"), "value")
+        .cube("event_type", "date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def q42_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: click→error pairs of the same user within
+    ±60 s, via bucket blocking (O(n·k) equi-join, not the quadratic
+    inequality join the oracle runs)."""
+    from ..operators.asof import banded_range_join
+
+    e = load_table(spark, sf_dir, "events", raw=True).select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts DIV 1000000000").alias("ts_s"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_s"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_s"
+    )
+    return banded_range_join(
+        clicks,
+        errors,
+        on=("user_id",),
+        left_ts="ts_s",
+        right_ts="ts_s",
+        max_delta=60,
+        right_cols=("event_id",),
+        right_prefix="error_",
+    ).select("click_id", "user_id", "error_event_id")
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -946,6 +988,27 @@ ORACLE_SQL: dict[str, str] = {
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
     """,
+    "q41_cube_daily": """
+        SELECT event_type, cast(ts AS DATE) AS date,
+               count(*) AS n_events, round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY CUBE (event_type, cast(ts AS DATE))
+    """,
+    "q42_range_join": """
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS ts_s
+          FROM events
+        ), clicks AS (
+          SELECT event_id AS click_id, user_id, ts_s FROM e
+          WHERE event_type = 'click'
+        ), errors AS (
+          SELECT event_id, user_id, ts_s FROM e WHERE event_type = 'error'
+        )
+        SELECT c.click_id, c.user_id, er.event_id AS error_event_id
+        FROM clicks c JOIN errors er
+          ON c.user_id = er.user_id AND abs(c.ts_s - er.ts_s) <= 60
+    """,
     "q38_token_frequencies": """
         SELECT token, freq FROM (
           SELECT token, count(*) AS freq FROM (
@@ -1175,6 +1238,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_token_frequencies": q38_token_frequencies,
     "q39_intersect_except": q39_intersect_except,
     "q40_latest_event": q40_latest_event,
+    "q41_cube_daily": q41_cube_daily,
+    "q42_range_join": q42_range_join,
 }
 
 
