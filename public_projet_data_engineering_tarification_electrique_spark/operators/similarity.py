@@ -242,3 +242,88 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane LSH blocking +
+    exact cosine verification.
+
+    Answers the quadratic-within-block cost of ``embedding_neardup``
+    (PLANS.md §2): each vector gets an ``n_planes``-bit sign signature
+    (bit i = sign⟨v, rᵢ⟩, rᵢ from a seeded Gaussian — plan-literal, so
+    the operator is deterministic); signatures band into ``n_bands``
+    groups and only band-colliding vectors are cosine-scored. Cosine-
+    similar vectors agree on most sign bits, so recall per band is
+    high while candidate pairs drop ~2^(bits/band)-fold.
+    Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
+    """
+    import numpy as np
+
+    assert n_planes % n_bands == 0 and n_planes <= 63
+    width = n_planes // n_bands
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+
+    v = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        lit = F.array(*[F.lit(float(x)) for x in planes[i]])
+        d = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig.bitwiseOR(
+            F.shiftleft(F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i)
+        )
+
+    signed = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        sig.alias("_sig"),
+    ).localCheckpoint(eager=True)
+    banded = signed.select(
+        "_id", "_v", "_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("_sig"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_v", "_n", "_b.band", "_b.key")
+    a = banded.select(
+        "band", "key", F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = banded.select(
+        "band", "key", F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

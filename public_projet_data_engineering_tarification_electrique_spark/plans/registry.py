@@ -746,6 +746,28 @@ def q42_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "user_id", "error_event_id")
 
 
+def q43_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup scale path: hyperplane-LSH banding + exact
+    cosine verify (rows-only: the seeded hyperplanes are not
+    SQL-expressible; tests pin agreement with the exact scorer)."""
+    from ..operators.similarity import embedding_neardup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(emb, threshold=0.35)
+
+
+def q44_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state
+    (dropDuplicatesWithinWatermark). On the single-delivery testdata
+    every event_id is unique, so the oracle is the plain projection —
+    the stream must pass each row through exactly once."""
+    from ..streaming.dedup import stream_dedup_events
+
+    return stream_dedup_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -987,6 +1009,9 @@ ORACLE_SQL: dict[str, str] = {
                  AS height,
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
+    """,
+    "q44_stream_dedup": """
+        SELECT event_id, user_id, event_type, value FROM events
     """,
     "q41_cube_daily": """
         SELECT event_type, cast(ts AS DATE) AS date,
@@ -1240,6 +1265,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_latest_event": q40_latest_event,
     "q41_cube_daily": q41_cube_daily,
     "q42_range_join": q42_range_join,
+    "q43_embedding_lsh_neardup": q43_embedding_lsh_neardup,
+    "q44_stream_dedup": q44_stream_dedup,
 }
 
 

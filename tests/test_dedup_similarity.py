@@ -144,3 +144,38 @@ def test_pandas_udf_cosine_matches_jvm_fold(spark):
         ).alias("d")
     ).agg(F.max("d")).collect()[0][0]
     assert diff < 1e-9
+
+
+def test_embedding_lsh_neardup_finds_exact_pairs(spark):
+    """Hyperplane-LSH blocking must recover every pair the exact
+    label-blocked scorer finds ABOVE a high threshold (identical or
+    near-identical vectors agree on all sign bits, so recall at
+    sim→1 is certain), and report identical sim values on shared pairs."""
+    from pyspark.sql import functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # plant an exact duplicate pair
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    full = emb.unionByName(dup)
+    lsh_pairs = embedding_neardup_lsh(full, threshold=0.9)
+    got = {(r.id_a, r.id_b): r.sim for r in lsh_pairs.collect()}
+    assert (0, 1_000_000) in got
+    assert got[(0, 1_000_000)] == 1.0
+    # agreement with the exact scorer on any shared pair
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_neardup(full, threshold=0.9).collect()
+    }
+    for pair, sim in got.items():
+        if pair in exact:
+            assert exact[pair] == sim

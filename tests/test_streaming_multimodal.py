@@ -162,3 +162,24 @@ def test_backfill_daily_idempotent_range(spark, tmp_path):
     assert back.filter((F.col("date") == "2024-01-05") & (F.col("conso_mwh") == 99.0)).count() == 1
     # out-of-range day untouched
     assert back.filter((F.col("date") == "2024-01-01") & (F.col("conso_mwh") == 1.0)).count() == 1
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """A landing zone containing the same file content twice (re-delivery)
+    must stream out each event_id exactly once."""
+    import shutil
+
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.dedup import (
+        stream_dedup_events,
+    )
+
+    src_file = "/root/testdata/sf0.001/events.parquet"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(src_file, landing / "delivery1.parquet")
+    shutil.copy(src_file, landing / "delivery2.parquet")  # re-delivery
+
+    out = stream_dedup_events(spark, str(landing))
+    n_distinct = spark.read.parquet(src_file).select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
