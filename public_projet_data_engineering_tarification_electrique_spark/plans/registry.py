@@ -768,6 +768,29 @@ def q44_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session window (F.session_window) next to the
+    hand-rolled q22: same 30-min gap rule (verified: delta == gap
+    merges on both), streaming-capable out of the box."""
+    e = load_table(spark, sf_dir, "events", raw=True).select(
+        "user_id", "value", F.expr("ts DIV 1000000000").alias("ts_s")
+    )
+    return (
+        e.withColumn("_ts", F.timestamp_seconds("ts_s"))
+        .groupBy("user_id", F.session_window("_ts", "1800 seconds").alias("_w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("_w.start").alias("start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1009,6 +1032,25 @@ ORACLE_SQL: dict[str, str] = {
                  AS height,
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
+    """,
+    "q45_session_window": """
+        WITH e AS (
+          SELECT user_id, value, epoch_ns(ts) // 1000000000 AS ts_s FROM events
+        ), flagged AS (
+          SELECT user_id, value, ts_s,
+                 CASE WHEN lag(ts_s) OVER w IS NULL
+                           OR ts_s - lag(ts_s) OVER w > 1800
+                      THEN 1 ELSE 0 END AS b
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+        ), sess AS (
+          SELECT user_id, value, ts_s,
+                 sum(b) OVER (PARTITION BY user_id ORDER BY ts_s
+                              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(ts_s) AS start_s, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM sess GROUP BY user_id, sid
     """,
     "q44_stream_dedup": """
         SELECT event_id, user_id, event_type, value FROM events
@@ -1267,6 +1309,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_range_join": q42_range_join,
     "q43_embedding_lsh_neardup": q43_embedding_lsh_neardup,
     "q44_stream_dedup": q44_stream_dedup,
+    "q45_session_window": q45_session_window,
 }
 
 
