@@ -791,6 +791,32 @@ def q45_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): split each document into
+    sentence rows with a word count — the 1→N row-generating UDF shape
+    (SURVEY.md §2.10 lists no UDTF in the reference; this completes the
+    UDF/UDAF/UDTF surface). Applied via LATERAL join so the doc_id
+    rides along."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence string, n_words int")
+    class SplitSentences:
+        def eval(self, text: str):
+            for raw in (text or "").split("."):
+                s = raw.strip()
+                if s:
+                    yield s, len(s.split())
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence, s.n_words
+        FROM docs_v d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1032,6 +1058,14 @@ ORACLE_SQL: dict[str, str] = {
                  AS height,
                ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
         FROM documents
+    """,
+    "q46_sentence_udtf": """
+        SELECT doc_id, trim(s) AS sentence,
+               cast(len(string_split_regex(trim(s), '\\s+')) AS INTEGER)
+                 AS n_words
+        FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s
+              FROM documents)
+        WHERE trim(s) <> ''
     """,
     "q45_session_window": """
         WITH e AS (
@@ -1310,6 +1344,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_embedding_lsh_neardup": q43_embedding_lsh_neardup,
     "q44_stream_dedup": q44_stream_dedup,
     "q45_session_window": q45_session_window,
+    "q46_sentence_udtf": q46_sentence_udtf,
 }
 
 
