@@ -246,8 +246,8 @@ def ivf_topk(
 
 def embedding_neardup_lsh(
     embeddings: DataFrame,
-    threshold: float = 0.35,
-    n_planes: int = 16,
+    threshold: float = 0.9,
+    n_planes: int = 48,
     n_bands: int = 4,
     dim: int | None = None,
     id_col: str = "vec_id",
@@ -264,6 +264,16 @@ def embedding_neardup_lsh(
     groups and only band-colliding vectors are cosine-scored. Cosine-
     similar vectors agree on most sign bits, so recall per band is
     high while candidate pairs drop ~2^(bits/band)-fold.
+
+    Recall math (sets the threshold regime): two vectors at cosine θ
+    agree on a sign bit with p = 1 − arccos(cos θ)/π, so a 12-bit band
+    collides with p¹², OR-amplified over 4 bands. At sim 0.95 that is
+    ~73 % recall, at sim 1.0 it is 100 %, at sim 0.35 it is ~1 % — this
+    operator is for NEAR-DUPLICATES (threshold ≥ 0.9), not broad
+    similarity search (use ivf_topk/lsh_topk there). Narrow bands would
+    raise recall but collapse the bucket space: measured 16 buckets/band
+    (n_planes=16) made the candidate join quadratic again, while 12-bit
+    bands hold runtime FLAT from 2k to 20k vectors (PLANS.md §2).
     Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
     """
     import numpy as np

@@ -748,12 +748,21 @@ def q42_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q43_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup scale path: hyperplane-LSH banding + exact
-    cosine verify (rows-only: the seeded hyperplanes are not
-    SQL-expressible; tests pin agreement with the exact scorer)."""
+    cosine verify. The testdata has no natural near-dups (max pairwise
+    cosine ≈ 0.48), so the query PLANTS exact duplicates — every 10th
+    vector re-enters with vec_id + 1_000_000 — and the detector must
+    recover exactly those pairs. Exact copies share all sign bits, so
+    every band collides and LSH recall on them is 100 % deterministic;
+    that makes the brute-force cosine join a true DuckDB oracle."""
     from ..operators.similarity import embedding_neardup_lsh
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_lsh(emb, threshold=0.35)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return embedding_neardup_lsh(emb.unionByName(planted), threshold=0.9).select(
+        "id_a", "id_b", F.round("sim", 3).alias("sim")
+    )
 
 
 def q44_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,6 +1097,18 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q44_stream_dedup": """
         SELECT event_id, user_id, event_type, value FROM events
+    """,
+    "q43_embedding_lsh_neardup": """
+        WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+          WHERE vec_id % 10 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 3) AS sim
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
     """,
     "q41_cube_daily": """
         SELECT event_type, cast(ts AS DATE) AS date,
