@@ -238,3 +238,36 @@ def test_asof_join_matches_python_model_random(spark):
         cands = [(rt, rid, rv) for rt, rid, rv in by_user.get(u, []) if rt <= t]
         exp = max(cands)[1:] if cands else (None, None)
         assert got[eid] == (exp[0], exp[1]), (eid, u, t)
+
+
+def test_banded_range_join_boundaries(spark):
+    """Banding must be invisible: Δt == max_delta matches (inclusive),
+    Δt == max_delta+1 does not, cross-bucket pairs are found, and no
+    pair is emitted twice despite the 3-bucket probe fan-out."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.asof import (
+        banded_range_join,
+    )
+
+    #                 id, user, ts
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 2, 100)],
+        "click_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, 0),    # Δ=100 from click 1 → match (== max_delta)
+            (11, 1, 201),  # Δ=101 from click 1 → NO; Δ=49 from click 2 → match
+            (12, 1, 350),  # Δ=100 from click 2 → match, crosses bucket 2→3
+            (13, 2, 201),  # other user, Δ=101 → NO
+            (14, 3, 100),  # key never on the left
+        ],
+        "event_id long, user_id long, ts long",
+    )
+    got = sorted(
+        (r.click_id, r.r_event_id)
+        for r in banded_range_join(
+            left, right, on=("user_id",), left_ts="ts", right_ts="ts",
+            max_delta=100, right_cols=("event_id",),
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 11), (2, 12)]
