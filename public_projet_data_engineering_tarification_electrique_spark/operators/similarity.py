@@ -13,6 +13,8 @@ BASELINE.json north star).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -276,30 +278,38 @@ def embedding_neardup_lsh(
     bands hold runtime FLAT from 2k to 20k vectors (PLANS.md §2).
     Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
     """
-    import numpy as np
-
     assert n_planes % n_bands == 0 and n_planes <= 63
     width = n_planes // n_bands
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = np.random.RandomState(seed).randn(n_planes, dim)
 
-    v = F.col(vec_col).cast("array<double>")
-    sig = F.lit(0).cast("long")
-    for i in range(n_planes):
-        lit = F.array(*[F.lit(float(x)) for x in planes[i]])
-        d = F.aggregate(
-            F.zip_with(v, lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
-        sig = sig.bitwiseOR(
-            F.shiftleft(F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i)
-        )
+    # Signature = packed sign bits of 48 hyperplane dot products. Spark
+    # does NOT codegen higher-order functions — a per-plane
+    # F.aggregate(F.zip_with(...)) chain is interpreted per element
+    # (n_planes × dim interpreted ops/row; measured ~2× slower at
+    # sf0.1). One Arrow batch → BLAS matmul computes every plane at
+    # once and returns the packed long. Sign choice (d >= 0 → 1)
+    # matches the former expression path bit-for-bit up to float
+    # summation order; pairs at sim→1 are unaffected (identical rows
+    # produce identical dots either way).
+    planes_t = planes.T.copy()
 
+    @F.pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.values).astype(np.float64)
+        bits = (mat @ planes_t) >= 0.0
+        sig = np.zeros(len(mat), dtype=np.uint64)
+        for i in range(bits.shape[1]):
+            sig |= bits[:, i].astype(np.uint64) << np.uint64(i)
+        return pd.Series(sig.astype(np.int64))
+
+    v = F.col(vec_col).cast("array<double>")
     signed = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
-        sig.alias("_sig"),
+        _sig(v).alias("_sig"),
     ).localCheckpoint(eager=True)
     banded = signed.select(
         "_id", "_v", "_n",
