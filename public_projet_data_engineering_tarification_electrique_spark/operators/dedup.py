@@ -18,7 +18,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
@@ -199,6 +199,115 @@ def ngram_jaccard_pairs(
         .join(F.broadcast(sb), on="id_b")
         .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list.
+
+    Min-label propagation: every node starts as its own component and
+    repeatedly adopts the minimum label among itself and its neighbors
+    until a fixpoint. Iterations needed = graph diameter, which for
+    dedup-cluster graphs (the intended workload) is small: near-dup
+    clusters are dense blobs of mutually-similar documents, not long
+    chains. Each iteration is one shuffle join + one hash aggregation,
+    both on the node key, and the frontier shrinks as labels converge;
+    ``localCheckpoint`` truncates lineage so the plan does not grow
+    with the iteration count (a lineage chain of joins would otherwise
+    re-execute from scratch each round and overwhelm the optimizer).
+
+    For adversarial graphs with large diameter at 100 TB scale, swap
+    the loop body for the large-star/small-star alternation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) which
+    converges in O(log² n) rounds regardless of diameter — same
+    join+agg primitives, so the surrounding contract is unchanged.
+
+    Output: (node, component) where component = min node id reachable.
+    Raises if not converged within ``max_iter`` (diameter guard).
+    """
+    sym = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .union(edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        sym.select(F.col("_a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                comp.select(
+                    F.col("node").alias("_b"), F.col("component").alias("_nc")
+                ),
+                on="_b",
+            )
+            .groupBy(F.col("_a").alias("node"))
+            .agg(F.min("_nc").alias("_min_nbr"))
+        )
+        new = (
+            comp.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_min_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            return comp
+    raise RuntimeError(
+        f"connected_components: no fixpoint within {max_iter} iterations "
+        "(graph diameter too large — use the large-star/small-star variant)"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup pipeline tail: near-dup pairs → transitive clusters.
+
+    Pairwise similarity alone cannot drive deletion — if A≈B and B≈C,
+    keeping "one of each pair" can drop A and C but keep B twice over.
+    Production pipelines therefore cluster the pair graph transitively
+    and keep ONE canonical document per cluster (the min id here).
+    Composes ngram_jaccard_pairs (exact, df-capped blocking) with
+    connected_components. Documents with no near-dup are not emitted
+    (they are trivially their own cluster).
+
+    Output: (doc_id, cluster_id, cluster_size) — cluster_id = min doc
+    id in the cluster, i.e. the canonical survivor.
+    """
+    pairs = ngram_jaccard_pairs(
+        docs, k=k, threshold=threshold, max_df=max_df, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    w_size = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w_size).cast("int").alias("cluster_size"),
     )
 
 

@@ -1,0 +1,72 @@
+"""Deterministic sampling / splitting for training-data pipelines
+(extension surface, BASELINE.json north star).
+
+A training corpus needs train/val/test membership that is (a) stable
+across re-runs and cluster re-partitioning, (b) a pure function of
+document identity — never of row order, partition id, or RNG state —
+so late-arriving shards land in the same split, and (c) computable
+engine-side with no shuffle. The standard construction is a content
+hash bucketed mod N: here md5 of the id (portable: every engine
+produces the identical digest, unlike murmur3/xxhash whose seeds
+differ across systems), first 8 hex digits as a 32-bit integer,
+mod 100.
+
+Everything is a narrow projection over built-in JVM expressions —
+zero shuffle, zero UDF, fully codegen'd; at 100 TB the split costs
+exactly one extra projected column on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets) from a portable md5 hash.
+
+    ``salt`` derives independent bucketings from the same ids (e.g. a
+    fresh holdout after a leak) — different salt, uncorrelated buckets.
+    """
+    key = F.concat(F.lit(salt), id_col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign a stable train/val/test split label per row.
+
+    ``weights`` maps label → percent (must sum to 100); default the
+    conventional 80/10/10. Buckets are contiguous ranges of the hash
+    bucket, so enlarging a split later keeps all previously-assigned
+    members in place (monotone re-splitting).
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100, "split weights must sum to 100"
+    bucket = hash_bucket(F.col(id_col), 100, salt=salt)
+    expr = None
+    lo = 0
+    for label, pct in weights.items():
+        lo += pct
+        cond = bucket < lo
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Stable ~fraction sample: keep rows whose hash bucket (of 10 000)
+    falls below fraction·10 000. Unlike ``df.sample`` this is a pure
+    function of the id — re-runs, retries, and repartitions select the
+    SAME rows, which is what makes downstream caches and joins over a
+    sampled corpus reproducible."""
+    assert 0.0 <= fraction <= 1.0
+    return df.filter(hash_bucket(F.col(id_col), 10_000, salt=salt) < int(fraction * 10_000))

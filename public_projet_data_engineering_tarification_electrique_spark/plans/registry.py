@@ -829,6 +829,56 @@ def q46_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: ngram-Jaccard near-dup pairs →
+    connected components (iterative min-label propagation) → one
+    canonical survivor (min doc_id) per cluster. The pipeline tail that
+    pairwise dedup alone cannot provide (A≈B≈C must collapse to ONE
+    kept doc, not two). Oracle: the same pair SQL + a recursive CTE."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, k=3, threshold=0.2, max_df=100)
+
+
+def q48_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split via portable content hash
+    (md5 → 32-bit bucket mod 100), the standard stable-split
+    construction for training corpora: membership is a pure function
+    of doc identity — survives re-runs, repartitioning, late shards.
+    Output: per (split, lang) doc counts + mean length."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def q49_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: top-3 users by total event value within each
+    event_type, via row_number over a partitioned window — the ranked
+    retrieval shape (rank/row_number) absent from q06's global top-k.
+    One shuffle on the group key; the window runs per-partition."""
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "total_value", "rank")
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1320,6 +1370,78 @@ ORACLE_SQL: dict[str, str] = {
                md5(lower(trim(text))) AS fingerprint
         FROM documents
     """,
+    # Same pair pipeline as q17 (k=3, threshold 0.2, max_df 100), then
+    # transitive closure via a recursive CTE: every node reaches the
+    # minimum id of its component, matching min-label propagation.
+    "q47_dedup_clusters": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END) AS sh
+          FROM toks
+        ), capped AS (
+          SELECT s.* FROM sh s JOIN (
+            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ), reach(node, comp) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+        ), comp AS (
+          SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
+        )
+        SELECT node AS doc_id, cluster_id,
+               cast(count(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+                 AS cluster_size
+        FROM comp
+    """,
+    "q48_hash_split": """
+        WITH b AS (
+          SELECT lang, n_chars,
+                 ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+          FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM b GROUP BY 1, 2
+    """,
+    "q49_topk_per_group": """
+        WITH totals AS (
+          SELECT event_type, user_id, round(sum(value), 4) AS total_value
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT event_type, user_id, total_value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY total_value DESC, user_id ASC)
+                   AS rank
+          FROM totals
+        )
+        SELECT event_type, user_id, total_value, cast(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1369,6 +1491,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_stream_dedup": q44_stream_dedup,
     "q45_session_window": q45_session_window,
     "q46_sentence_udtf": q46_sentence_udtf,
+    "q47_dedup_clusters": q47_dedup_clusters,
+    "q48_hash_split": q48_hash_split,
+    "q49_topk_per_group": q49_topk_per_group,
 }
 
 

@@ -179,3 +179,67 @@ def test_embedding_lsh_neardup_finds_exact_pairs(spark):
     for pair, sim in got.items():
         if pair in exact:
             assert exact[pair] == sim
+
+
+def test_connected_components_chain_and_islands(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter > 1 forces iteration), pair {10,11},
+    # and 20-21-22 joined through a hub
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_dedup_clusters_transitive(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    # A≈B and B≈C but A,C still share most shingles → one cluster of 3;
+    # OTHER stays out entirely (no near-dup ⇒ not emitted)
+    far = NEAR.replace("birds", "crows")
+    docs = _docs(spark, [(1, BASE), (2, NEAR), (3, far), (9, OTHER)])
+    rows = dedup_clusters(docs, threshold=0.2).collect()
+    assert {(r.doc_id, r.cluster_id, r.cluster_size) for r in rows} == {
+        (1, 1, 3), (2, 1, 3), (3, 1, 3)
+    }
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # pure function of id, not of layout
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 < frac < 0.85  # ~80% within hash noise
+    # different salt ⇒ a different (uncorrelated) assignment
+    c = {r.doc_id: r.split for r in hash_split(docs, "doc_id", salt="v2").collect()}
+    assert a != c
+    # deterministic sample: stable subset, ~fraction sized
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    assert s1 == s2 and 100 < len(s1) < 300
+    # monotone: enlarging the fraction only ADDS rows
+    s3 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    assert s1 <= s3
