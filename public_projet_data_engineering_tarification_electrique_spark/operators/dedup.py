@@ -215,8 +215,10 @@ def connected_components(
     until a fixpoint. Iterations needed = graph diameter, which for
     dedup-cluster graphs (the intended workload) is small: near-dup
     clusters are dense blobs of mutually-similar documents, not long
-    chains. Each iteration is one shuffle join + one hash aggregation,
-    both on the node key, and the frontier shrinks as labels converge;
+    chains. Each iteration is ONE shuffle join + one hash aggregation,
+    both on the node key; the old label rides along through the
+    propagation step so convergence detection is a narrow filter-count
+    over the just-materialized frame, not an extra node-keyed join.
     ``localCheckpoint`` truncates lineage so the plan does not grow
     with the iteration count (a lineage chain of joins would otherwise
     re-execute from scratch each round and overwhelm the optimizer).
@@ -257,19 +259,15 @@ def connected_components(
             comp.join(nbr_min, on="node", how="left")
             .select(
                 "node",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("_min_nbr"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(comp.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        comp = new
+        changed = new.filter(F.col("component") != F.col("_old")).count()
+        comp = new.drop("_old")
         if changed == 0:
             return comp
     raise RuntimeError(
