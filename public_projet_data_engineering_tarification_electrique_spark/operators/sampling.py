@@ -60,6 +60,38 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    per_myriad: dict[str, int],
+    default: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ``per_myriad[stratum] /
+    10000`` of each stratum's rows, selected by the id's hash bucket.
+
+    The corpus-rebalancing primitive (e.g. downsample the dominant
+    language, keep the long tail whole): unlike ``df.sampleBy`` the
+    selection is a pure function of the id — stable across re-runs and
+    repartitioning, and a row kept at rate r stays kept at any rate
+    ≥ r (nested samples). Rates are integer per-myriad (parts per
+    10 000), so the threshold compare is exact integer arithmetic —
+    no float-cast divergence between engines. Strata not listed get
+    ``default``. One codegen'd filter over the scan; zero shuffle.
+    """
+    assert all(0 <= v <= 10_000 for v in per_myriad.values())
+    bucket = hash_bucket(F.col(id_col), 10_000, salt=salt)
+    thresh = None
+    for val, rate in per_myriad.items():
+        cond = F.col(stratum_col) == val
+        thresh = (
+            F.when(cond, rate) if thresh is None else thresh.when(cond, rate)
+        )
+    thresh = F.lit(default) if thresh is None else thresh.otherwise(default)
+    return df.filter(bucket < thresh)
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:

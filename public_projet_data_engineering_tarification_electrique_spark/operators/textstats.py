@@ -5,11 +5,60 @@ these are a single codegen'd projection over the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import punct_ratio, stopword_ratio, token_count
+from ..functions.text import punct_ratio, stopword_ratio, token_count, tokens
 from .util import ensure_parallelism
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    tfidf = tf · (ln((N+1)/(df+1)) + 1) — the sklearn-style smooth idf,
+    so a term in every document still scores > 0. Ranking is over the
+    ROUNDED score (4 dp) with a lexicographic tie-break, which makes
+    the top-k deterministic and engine-portable (two engines' ``ln``
+    may differ in the last ulp; at 4 dp they agree).
+
+    Shape at scale: one shuffle to (doc, term) counts, from which both
+    the document-frequency table (vocabulary-sized — broadcast by AQE)
+    and the scores derive (Catalyst reuses the exchange); N is a 1-row
+    broadcast; the final row_number shuffles by doc only.
+    """
+    tf = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        tf.join(dfreq, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", F.col("tf").cast("int").alias("tf"), "tfidf", "rank")
+    )
 
 
 def quality_scores(

@@ -879,6 +879,32 @@ def q49_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: deterministic per-language sampling (keep 10 %
+    of dominant 'en', 50 % of every other language) via the id's md5
+    bucket — stable across re-runs/repartitioning, nested across rates,
+    exact integer thresholds (no float casts). One codegen'd filter."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 1000, "zh": 5000, "es": 5000, "de": 5000, "fr": 5000}
+    return stratified_sample(docs, "doc_id", "lang", rates).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q51_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF (tf·(ln((N+1)/(df+1))+1)),
+    ranked on the rounded score with lexicographic tie-break. The
+    classic corpus-weighting operator: (doc,term) counts → vocabulary
+    document-frequency (exchange reused) → broadcast N → windowed
+    top-k per doc."""
+    from ..operators.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1442,6 +1468,45 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type, user_id, total_value, cast(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
     """,
+    "q50_stratified_sample": """
+        WITH b AS (
+          SELECT doc_id, lang, source,
+                 ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, source FROM b
+        WHERE bucket < (CASE lang WHEN 'en' THEN 1000
+                                  WHEN 'zh' THEN 5000
+                                  WHEN 'es' THEN 5000
+                                  WHEN 'de' THEN 5000
+                                  WHEN 'fr' THEN 5000
+                                  ELSE 0 END)
+    """,
+    "q51_tfidf_topterms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM toks WHERE token <> '' GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT token, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf,
+                 round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0),
+                       4) AS tfidf
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, cast(tf AS INTEGER) AS tf, tfidf,
+               cast(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token ASC)
+                    AS INTEGER) AS rank
+        FROM scored QUALIFY rank <= 3
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1494,6 +1559,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_dedup_clusters": q47_dedup_clusters,
     "q48_hash_split": q48_hash_split,
     "q49_topk_per_group": q49_topk_per_group,
+    "q50_stratified_sample": q50_stratified_sample,
+    "q51_tfidf_topterms": q51_tfidf_topterms,
 }
 
 

@@ -243,3 +243,62 @@ def test_hash_split_deterministic_and_partition_invariant(spark):
     # monotone: enlarging the fraction only ADDS rows
     s3 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
     assert s1 <= s3
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from pyspark.sql import functions as F
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "fr")
+            .otherwise("xx"),
+        )
+    )
+    got = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1000, "fr": 5000}
+    ).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert "xx" not in by_lang  # unlisted stratum → default rate 0
+    assert 60 < len(by_lang["en"]) < 140  # ~10% of 1000
+    assert 400 < len(by_lang["fr"]) < 600  # ~50% of 1000
+    # nested: raising en's rate to fr's keeps every previously-kept row
+    wider = {
+        r.doc_id
+        for r in stratified_sample(
+            docs, "doc_id", "lang", {"en": 5000}
+        ).collect()
+    }
+    assert by_lang["en"] <= wider
+
+
+def test_tfidf_top_terms_known_values(spark):
+    import math
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    docs = _docs(
+        spark, [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")]
+    )
+    rows = {
+        (r.doc_id, r.rank): (r.token, r.tf, r.tfidf)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    def score(tf, df, n=3):
+        return round(tf * (math.log((n + 1) / (df + 1)) + 1), 4)
+
+    assert rows[(1, 1)] == ("apple", 2, score(2, 1))
+    assert rows[(1, 2)] == ("banana", 1, score(1, 2))
+    assert rows[(2, 1)] == ("cherry", 1, score(1, 1))
+    assert rows[(2, 2)] == ("banana", 1, score(1, 2))  # rarer term outranks
+    assert rows[(3, 1)] == ("durian", 1, score(1, 1))
