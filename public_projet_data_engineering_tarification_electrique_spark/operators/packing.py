@@ -1,0 +1,81 @@
+"""Sequence packing for training-data pipelines: lay documents end to
+end (per shard, in stable id order) and cut fixed-capacity token
+chunks — the concatenate-and-chunk construction of GPT-style
+pretraining corpora, where every context window is exactly full and
+documents may straddle chunk boundaries.
+
+Spark shape: one windowed running sum per shard (the exclusive-prefix
+token offset), pure arithmetic for the chunk span, explode over the
+covered chunk ids, then a hash aggregation to chunk stats. The window
+is PARTITIONED by the shard key — a single global ordering would
+serialize the scan through one task at 100 TB, whereas per-shard
+packing is how sharded training data is actually laid out (each shard
+is packed independently; shard boundaries are chunk boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def nonempty_token_count(text: Column) -> Column:
+    """Whitespace token count, excluding empty strings (a blank doc has
+    0 tokens, not 1 — ``split('')`` yields ``['']``)."""
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t != ""))
+
+
+def pack_chunks(
+    docs: DataFrame,
+    capacity: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk statistics for concatenate-and-chunk packing.
+
+    Within each shard, documents are concatenated in ``id_col`` order;
+    chunk k covers token offsets [k·C, (k+1)·C). A document whose span
+    crosses a boundary contributes to every chunk it overlaps. Output:
+    one row per (shard, chunk_id) with the number of contributing
+    documents and the token fill — every chunk except each shard's
+    last is exactly full (the invariant the tests pin).
+
+    All integer arithmetic end to end: offsets are exact, so the same
+    construction in any engine produces identical chunk assignment.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cap = F.lit(capacity)
+    n_tok = nonempty_token_count(F.col(text_col))
+    spans = (
+        docs.select(shard_col, id_col, n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("end", F.col("start") + F.col("n_tok"))
+    )
+    covered = spans.withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / cap),
+                F.floor((F.col("end") - 1) / cap),
+            )
+        ),
+    ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
+    fill = F.least(F.col("end"), (F.col("chunk_id") + 1) * cap) - F.greatest(
+        F.col("start"), F.col("chunk_id") * cap
+    )
+    return (
+        covered.withColumn("fill", fill)
+        .groupBy(shard_col, "chunk_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("fill").cast("int").alias("n_tokens"),
+        )
+    )

@@ -905,6 +905,18 @@ def q51_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3)
 
 
+def q52_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate each shard's documents in
+    id order and cut 512-token context windows (docs may straddle
+    boundaries — GPT-style concatenate-and-chunk). Per-shard windowed
+    prefix sums + explode over covered chunks; integer-exact. Every
+    chunk but each shard's last is exactly full."""
+    from ..operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_chunks(docs, capacity=512)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1507,6 +1519,33 @@ ORACLE_SQL: dict[str, str] = {
                     AS INTEGER) AS rank
         FROM scored QUALIFY rank <= 3
     """,
+    "q52_pack_chunks": """
+        WITH toks AS (
+          SELECT source, doc_id,
+                 len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 x -> x <> '')) AS n_tok
+          FROM documents
+        ), spans AS (
+          SELECT source, doc_id, n_tok,
+                 cast(coalesce(sum(n_tok) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS s
+          FROM toks WHERE n_tok > 0
+        ), covered AS (
+          SELECT source,
+                 unnest(range(s // 512, (s + n_tok - 1) // 512 + 1))
+                   AS chunk_id,
+                 s, n_tok
+          FROM spans
+        )
+        SELECT source, cast(chunk_id AS INTEGER) AS chunk_id,
+               cast(count(*) AS INTEGER) AS n_docs,
+               cast(sum(least(s + n_tok, (chunk_id + 1) * 512)
+                        - greatest(s, chunk_id * 512)) AS INTEGER)
+                 AS n_tokens
+        FROM covered GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1561,6 +1600,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_topk_per_group": q49_topk_per_group,
     "q50_stratified_sample": q50_stratified_sample,
     "q51_tfidf_topterms": q51_tfidf_topterms,
+    "q52_pack_chunks": q52_pack_chunks,
 }
 
 

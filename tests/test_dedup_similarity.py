@@ -302,3 +302,36 @@ def test_tfidf_top_terms_known_values(spark):
     assert rows[(2, 1)] == ("cherry", 1, score(1, 1))
     assert rows[(2, 2)] == ("banana", 1, score(1, 2))  # rarer term outranks
     assert rows[(3, 1)] == ("durian", 1, score(1, 1))
+
+
+def test_pack_chunks_invariants(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.packing import (
+        pack_chunks,
+    )
+
+    # shard A: 3+4+5 = 12 tokens at capacity 8 → chunk0 full (8),
+    # chunk1 has 4; doc 3 (5 tokens) straddles the boundary so it
+    # appears in BOTH chunks. shard B: one 20-token doc spans 3 chunks.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "A"),
+            (2, "d e f g", "A"),
+            (3, "h i j k l", "A"),
+            (4, " ".join(f"t{i}" for i in range(20)), "B"),
+            (5, "   ", "B"),  # blank → 0 tokens, dropped
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r.source, r.chunk_id): (r.n_docs, r.n_tokens)
+        for r in pack_chunks(docs, capacity=8).collect()
+    }
+    assert rows == {
+        ("A", 0): (3, 8),  # docs 1, 2 and the head of doc 3
+        ("A", 1): (1, 4),  # tail of doc 3
+        ("B", 0): (1, 8),
+        ("B", 1): (1, 8),
+        ("B", 2): (1, 4),
+    }
+    # token conservation: chunk fills sum to the corpus token count
+    assert sum(v[1] for v in rows.values()) == 12 + 20
