@@ -917,6 +917,58 @@ def q52_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs, capacity=512)
 
 
+def q53_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-promotion data-quality gate: six named constraint rules
+    (null keys, non-positive measures, duplicate primary keys,
+    referential orphans across three tables) evaluated as one report —
+    each rule a column-pruned count over its own pushed-down scan."""
+    from ..operators.audit import constraint_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    return constraint_report(
+        {
+            "orders_null_custkey": orders.filter(F.col("o_custkey").isNull()),
+            "orders_nonpositive_total": orders.filter(
+                F.col("o_totalprice") <= 0
+            ),
+            "orders_duplicate_orderkey": orders.groupBy("o_orderkey")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1),
+            "lineitem_orphan_orderkey": lineitem.join(
+                orders,
+                lineitem["l_orderkey"] == orders["o_orderkey"],
+                "left_anti",
+            ),
+            "orders_orphan_custkey": orders.join(
+                customer,
+                orders["o_custkey"] == customer["c_custkey"],
+                "left_anti",
+            ),
+            "lineitem_discount_range": lineitem.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+            ),
+            # a rule that FIRES on this data (TPC-H allows negative
+            # balances) — proves the report distinguishes dirty rules
+            "customer_negative_acctbal": customer.filter(
+                F.col("c_acctbal") < 0
+            ),
+        }
+    )
+
+
+def q54_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag val/test documents sharing any
+    5-word shingle with the train split (hash-split q48 buckets). The
+    n-gram-overlap check run before training; train side reduces to
+    distinct shingles, detection is one semi-join on the shingle."""
+    from ..operators.decontam import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_report(docs, k=5)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1546,6 +1598,65 @@ ORACLE_SQL: dict[str, str] = {
                  AS n_tokens
         FROM covered GROUP BY 1, 2
     """,
+    "q53_constraint_audit": """
+        SELECT 'orders_null_custkey' AS rule, count(*) AS n_violations
+        FROM orders WHERE o_custkey IS NULL
+        UNION ALL
+        SELECT 'orders_nonpositive_total', count(*)
+        FROM orders WHERE o_totalprice <= 0
+        UNION ALL
+        SELECT 'orders_duplicate_orderkey', count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders_orphan_custkey', count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'lineitem_discount_range', count(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 0.5
+        UNION ALL
+        SELECT 'customer_negative_acctbal', count(*) FROM customer
+        WHERE c_acctbal < 0
+    """,
+    "q54_decontamination": """
+        WITH b AS (
+          SELECT doc_id, text,
+                 ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+          FROM documents
+        ), split AS (
+          SELECT doc_id, text,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b
+        ), toks AS (
+          SELECT doc_id, split,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM split
+        ), sh AS (
+          SELECT DISTINCT doc_id, split, unnest(
+            CASE WHEN len(t) >= 5
+                 THEN list_transform(range(1, len(t) - 3),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2],
+                                       t[i+3], t[i+4]))
+                 ELSE [array_to_string(t, ' ')] END) AS sh
+          FROM toks
+        ), contaminated AS (
+          SELECT split, count(DISTINCT doc_id) AS n_contaminated
+          FROM sh s
+          WHERE split <> 'train' AND EXISTS (
+            SELECT 1 FROM sh tr WHERE tr.split = 'train' AND tr.sh = s.sh)
+          GROUP BY 1
+        ), totals AS (
+          SELECT split, count(*) AS n_docs FROM split
+          WHERE split <> 'train' GROUP BY 1
+        )
+        SELECT t.split, t.n_docs, coalesce(c.n_contaminated, 0) AS n_contaminated
+        FROM totals t LEFT JOIN contaminated c USING (split)
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1601,6 +1712,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_stratified_sample": q50_stratified_sample,
     "q51_tfidf_topterms": q51_tfidf_topterms,
     "q52_pack_chunks": q52_pack_chunks,
+    "q53_constraint_audit": q53_constraint_audit,
+    "q54_decontamination": q54_decontamination,
 }
 
 

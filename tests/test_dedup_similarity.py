@@ -335,3 +335,63 @@ def test_pack_chunks_invariants(spark):
     }
     # token conservation: chunk fills sum to the corpus token count
     assert sum(v[1] for v in rows.values()) == 12 + 20
+
+
+def test_constraint_report_counts_violations(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (3, 2.0)], "k long, v double"
+    )
+    report = {
+        r.rule: r.n_violations
+        for r in constraint_report(
+            {
+                "negative_v": df.filter(F.col("v") < 0),
+                "null_v": df.filter(F.col("v").isNull()),
+                "duplicate_k": df.groupBy("k")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1),
+                "clean_rule": df.filter(F.col("k") < 0),
+            }
+        ).collect()
+    }
+    assert report == {
+        "negative_v": 1,
+        "null_v": 1,
+        "duplicate_k": 1,
+        "clean_rule": 0,  # checked-and-clean still reports a row
+    }
+
+
+def test_contamination_detects_planted_leak(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.decontam import (
+        contamination_report,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+        hash_split,
+    )
+
+    # find ids that hash into each split, then plant a leaked 5-gram
+    base = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    splits = {r.doc_id: r.split for r in hash_split(base, "doc_id").collect()}
+    train_id = next(i for i, s in splits.items() if s == "train")
+    test_id = next(i for i, s in splits.items() if s == "test")
+    val_id = next(i for i, s in splits.items() if s == "val")
+    leak = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (train_id, f"preamble text {leak} trailing words here"),
+            (test_id, f"totally different framing yet {leak} appears"),
+            (val_id, "no overlap with anything else in this corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.split: (r.n_docs, r.n_contaminated)
+        for r in contamination_report(docs, k=5).collect()
+    }
+    assert got["test"] == (1, 1)  # shares the leaked 5-gram
+    assert got["val"] == (1, 0)
