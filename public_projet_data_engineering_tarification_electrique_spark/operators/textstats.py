@@ -61,6 +61,51 @@ def tfidf_top_terms(
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    max_dup_bigram_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/C4-style repetition filters: per-document duplicate-token
+    and duplicate-bigram fractions, mean word length, and a keep flag.
+
+    Boilerplate and degenerate generations repeat themselves; the
+    published corpus filters (Gopher's repetition rules, C4's heuristics)
+    drop documents whose duplicate-n-gram mass exceeds a threshold.
+    Everything is higher-order array functions over the token array —
+    one codegen'd projection on the scan, zero shuffle, zero Python.
+    Fractions are round(1 − distinct/total, 4) on exact integer counts,
+    so the oracle comparison is bit-stable.
+    """
+    t = F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "")
+    n = F.size(t)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    n_big = n - 1
+    dup_tok = F.round(1.0 - F.size(F.array_distinct(t)) / n, 4)
+    dup_big = F.round(1.0 - F.size(F.array_distinct(bigrams)) / n_big, 4)
+    mean_len = F.round(
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        * 1.0
+        / n,
+        4,
+    )
+    return ensure_parallelism(docs).select(
+        id_col,
+        n.cast("int").alias("n_tokens"),
+        F.when(n > 0, dup_tok).otherwise(0.0).alias("frac_dup_tokens"),
+        F.when(n_big > 0, dup_big).otherwise(0.0).alias("frac_dup_bigrams"),
+        F.when(n > 0, mean_len).otherwise(0.0).alias("mean_word_len"),
+        (
+            (F.when(n_big > 0, dup_big).otherwise(0.0) <= max_dup_bigram_frac)
+            & (F.when(n > 0, mean_len).otherwise(0.0).between(3.0, 10.0))
+        ).alias("keep"),
+    )
+
+
 def quality_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -969,6 +969,16 @@ def q54_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(docs, k=5)
 
 
+def q55_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality filters: per-doc duplicate
+    token/bigram fractions + mean word length + keep decision, as one
+    codegen'd array-function projection over the scan (no shuffle)."""
+    from ..operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1657,6 +1667,44 @@ ORACLE_SQL: dict[str, str] = {
         SELECT t.split, t.n_docs, coalesce(c.n_contaminated, 0) AS n_contaminated
         FROM totals t LEFT JOIN contaminated c USING (split)
     """,
+    "q55_repetition_filters": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), big AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                             i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE [] END AS bigrams
+          FROM t
+        )
+        SELECT doc_id, cast(n AS INTEGER) AS n_tokens,
+               CASE WHEN n > 0
+                    THEN round(1.0 - len(list_distinct(toks)) * 1.0 / n, 4)
+                    ELSE 0.0 END AS frac_dup_tokens,
+               CASE WHEN n - 1 > 0
+                    THEN round(1.0 - len(list_distinct(bigrams)) * 1.0
+                               / (n - 1), 4)
+                    ELSE 0.0 END AS frac_dup_bigrams,
+               CASE WHEN n > 0
+                    THEN round(list_aggregate(
+                           list_transform(toks, x -> len(x)), 'sum')
+                           * 1.0 / n, 4)
+                    ELSE 0.0 END AS mean_word_len,
+               (CASE WHEN n - 1 > 0
+                     THEN round(1.0 - len(list_distinct(bigrams)) * 1.0
+                                / (n - 1), 4)
+                     ELSE 0.0 END) <= 0.05
+               AND (CASE WHEN n > 0
+                         THEN round(list_aggregate(
+                                list_transform(toks, x -> len(x)), 'sum')
+                                * 1.0 / n, 4)
+                         ELSE 0.0 END) BETWEEN 3.0 AND 10.0 AS keep
+        FROM big
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1714,6 +1762,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_pack_chunks": q52_pack_chunks,
     "q53_constraint_audit": q53_constraint_audit,
     "q54_decontamination": q54_decontamination,
+    "q55_repetition_filters": q55_repetition_filters,
 }
 
 

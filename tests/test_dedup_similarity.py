@@ -395,3 +395,31 @@ def test_contamination_detects_planted_leak(spark):
     }
     assert got["test"] == (1, 1)  # shares the leaked 5-gram
     assert got["val"] == (1, 0)
+
+
+def test_repetition_stats_known_values(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),     # all dup tokens AND bigrams
+            (2, "alpha beta gamma delta"),  # no repetition
+            (3, "hi"),                      # single token → no bigrams
+        ],
+    )
+    rows = {
+        r.doc_id: (
+            r.n_tokens,
+            r.frac_dup_tokens,
+            r.frac_dup_bigrams,
+            r.mean_word_len,
+            r.keep,
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert rows[1] == (4, 0.75, round(1 - 1 / 3, 4), 4.0, False)
+    assert rows[2] == (4, 0.0, 0.0, 4.75, True)
+    assert rows[3] == (1, 0.0, 0.0, 2.0, False)  # mean_word_len < 3
