@@ -18,7 +18,9 @@ exactly one extra projected column on the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,6 +92,48 @@ def stratified_sample(
         )
     thresh = F.lit(default) if thresh is None else thresh.otherwise(default)
     return df.filter(bucket < thresh)
+
+
+def mixture_plan(
+    docs: DataFrame,
+    stratum_col: str,
+    weight_of: Callable[[Column], Column],
+) -> DataFrame:
+    """Data-mixing plan: per-stratum sampling quotas that realize a
+    target mixture at the largest achievable corpus size.
+
+    Training corpora are mixed to target proportions (code:web:books …).
+    Given integer target weights w_s, the largest total T every stratum
+    can supply is T = min_s ⌊n_s·Σw / w_s⌋; each stratum contributes
+    take_s = ⌊w_s·T / Σw⌋ docs. All quota arithmetic is INTEGER
+    (exact, engine-portable); only the reported share/rate columns are
+    rounded doubles.
+
+    The global window runs over the per-stratum AGGREGATE (one row per
+    stratum — dozens, not documents), so the single-partition window is
+    a few hundred bytes at any corpus scale; the heavy lifting is the
+    one count-by-stratum shuffle. Feed ``take_s / n_s`` into
+    ``stratified_sample`` rates to materialize the mixture.
+
+    Output: (stratum, n_docs, target_share, take_n, rate).
+    """
+    g = Window.partitionBy()
+    counts = (
+        docs.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("w", weight_of(F.col(stratum_col)).cast("long"))
+        .withColumn("sumw", F.sum("w").over(g))
+        .withColumn("t_cap", F.expr("n_docs * sumw div w"))
+        .withColumn("t", F.min("t_cap").over(g))
+        .withColumn("take_n", F.expr("w * t div sumw"))
+    )
+    return counts.select(
+        stratum_col,
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.round(F.col("w") * 1.0 / F.col("sumw"), 4).alias("target_share"),
+        F.col("take_n").cast("int").alias("take_n"),
+        F.round(F.col("take_n") * 1.0 / F.col("n_docs"), 4).alias("rate"),
+    )
 
 
 def deterministic_sample(

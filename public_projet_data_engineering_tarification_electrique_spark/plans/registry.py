@@ -979,6 +979,23 @@ def q55_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def q56_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planning: per-source sampling quotas realizing a
+    3:1 odd:even target mixture at the largest achievable corpus size.
+    Integer quota arithmetic (exact across engines); the global window
+    runs over the per-source aggregate, not documents."""
+    from ..operators.sampling import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs,
+        "source",
+        lambda s: F.when(
+            F.regexp_extract(s, r"src(\d+)", 1).cast("int") % 2 == 1, 3
+        ).otherwise(1),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1705,6 +1722,26 @@ ORACLE_SQL: dict[str, str] = {
                          ELSE 0.0 END) BETWEEN 3.0 AND 10.0 AS keep
         FROM big
     """,
+    "q56_mixture_plan": """
+        WITH counts AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+        ), w AS (
+          SELECT source, n_docs,
+                 CASE WHEN regexp_extract(source, 'src(\\d+)', 1)::INT % 2 = 1
+                      THEN 3 ELSE 1 END AS w
+          FROM counts
+        ), g AS (
+          SELECT *, cast(sum(w) OVER () AS BIGINT) AS sumw FROM w
+        ), t AS (
+          SELECT *, cast(min(n_docs * sumw // w) OVER () AS BIGINT) AS t
+          FROM g
+        )
+        SELECT source, cast(n_docs AS INTEGER) AS n_docs,
+               round(w * 1.0 / sumw, 4) AS target_share,
+               cast(w * t // sumw AS INTEGER) AS take_n,
+               round((w * t // sumw) * 1.0 / n_docs, 4) AS rate
+        FROM t
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1763,6 +1800,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_constraint_audit": q53_constraint_audit,
     "q54_decontamination": q54_decontamination,
     "q55_repetition_filters": q55_repetition_filters,
+    "q56_mixture_plan": q56_mixture_plan,
 }
 
 

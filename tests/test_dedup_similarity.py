@@ -423,3 +423,20 @@ def test_repetition_stats_known_values(spark):
     assert rows[1] == (4, 0.75, round(1 - 1 / 3, 4), 4.0, False)
     assert rows[2] == (4, 0.0, 0.0, 4.75, True)
     assert rows[3] == (1, 0.0, 0.0, 2.0, False)  # mean_word_len < 3
+
+
+def test_mixture_plan_exact_quotas(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    # availability: a=100, b=10; target 1:1 → b is the bottleneck:
+    # T = min(100*2/1, 10*2/1) = 20, each takes 10
+    rows = [("a", i) for i in range(100)] + [("b", i) for i in range(10)]
+    docs = spark.createDataFrame(rows, "src string, doc_id long")
+    plan = {
+        r.src: (r.n_docs, r.target_share, r.take_n, r.rate)
+        for r in mixture_plan(docs, "src", lambda s: F.lit(1)).collect()
+    }
+    assert plan["a"] == (100, 0.5, 10, 0.1)
+    assert plan["b"] == (10, 0.5, 10, 1.0)  # bottleneck used in full
