@@ -136,6 +136,44 @@ def mixture_plan(
     )
 
 
+def keep_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    num: int,
+    den: int,
+) -> DataFrame:
+    """Keep the rows whose score is in the top num/den of the corpus,
+    by EXACT threshold, without a global sort.
+
+    "Keep the top 30 % by quality" is the standard curation step after
+    scoring. A global rank needs a total order (one partition at scale);
+    instead we histogram the (already-rounded) score — at 4 dp the
+    histogram has ≤ ~10⁴ rows regardless of corpus size — take the
+    cumulative count from the top, and pick the highest score value
+    that still captures ≥ ⌈num·N/den⌉ rows. Ties at the threshold are
+    kept (may slightly exceed the fraction; documented top-k-with-ties
+    semantics). The target count uses integer ceiling arithmetic, so
+    engines agree exactly; the final pass is a broadcast-threshold
+    filter on the scan.
+    """
+    hist = df.groupBy(score_col).agg(F.count("*").alias("_n"))
+    w = (
+        Window.orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = hist.agg(F.sum("_n").alias("_total"))
+    thr = (
+        hist.withColumn("_cum", F.sum("_n").over(w))
+        .crossJoin(F.broadcast(total))
+        # cum >= ceil(num*N/den)  ⟺  cum*den >= num*N  (pure integers)
+        .filter(F.col("_cum") * den >= F.lit(num) * F.col("_total"))
+        .agg(F.max(score_col).alias("_thr"))
+    )
+    return df.crossJoin(F.broadcast(thr)).filter(
+        F.col(score_col) >= F.col("_thr")
+    ).withColumnRenamed("_thr", "threshold")
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:

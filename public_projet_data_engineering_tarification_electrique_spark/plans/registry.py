@@ -996,6 +996,18 @@ def q56_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation cut: keep the top 30 % of documents by quality score
+    using an EXACT histogram threshold (no global sort — the rounded
+    score's histogram is tiny at any corpus size; ties kept). The
+    scale-correct form of "keep top X% by score"."""
+    from ..operators.sampling import keep_top_fraction
+    from ..operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keep_top_fraction(quality_scores(docs), "quality", 3, 10)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1742,6 +1754,42 @@ ORACLE_SQL: dict[str, str] = {
                round((w * t // sumw) * 1.0 / n_docs, 4) AS rate
         FROM t
     """,
+    "q57_top_quality": f"""
+        WITH feats AS (
+          SELECT doc_id, lang,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                 length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   * 1.0 / length(text) AS punct_ratio
+          FROM documents
+        ), ratios AS (
+          SELECT doc_id, lang, punct_ratio, len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                   * 1.0 / len(toks) AS stop_ratio
+          FROM feats
+        ), scored AS (
+          SELECT doc_id, lang,
+                 CASE WHEN stop_ratio > 0.04 THEN 'en' ELSE 'unk' END
+                   AS pred_lang,
+                 round(least(1.0, n_tokens / 120.0) * (1.0 - punct_ratio), 4)
+                   AS quality
+          FROM ratios
+        ), hist AS (
+          SELECT quality, count(*) AS n FROM scored GROUP BY 1
+        ), cum AS (
+          SELECT quality,
+                 cast(sum(n) OVER (ORDER BY quality DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+          FROM hist
+        ), tot AS (
+          SELECT count(*) AS total FROM scored
+        ), thr AS (
+          SELECT max(quality) AS threshold FROM cum, tot
+          WHERE c * 10 >= 3 * total
+        )
+        SELECT s.doc_id, s.lang, s.pred_lang, s.quality, t.threshold
+        FROM scored s, thr t WHERE s.quality >= t.threshold
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1801,6 +1849,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_decontamination": q54_decontamination,
     "q55_repetition_filters": q55_repetition_filters,
     "q56_mixture_plan": q56_mixture_plan,
+    "q57_top_quality": q57_top_quality,
 }
 
 

@@ -440,3 +440,22 @@ def test_mixture_plan_exact_quotas(spark):
     }
     assert plan["a"] == (100, 0.5, 10, 0.1)
     assert plan["b"] == (10, 0.5, 10, 1.0)  # bottleneck used in full
+
+
+def test_keep_top_fraction_exact_threshold_with_ties(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+        keep_top_fraction,
+    )
+
+    # scores: 9,8,8,7,6,5,4,3,2,1 — top 3/10 → target 3; score 8 ties
+    # already inside, threshold = 8, kept = {9,8,8}
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([9.0, 8.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0])],
+        "id long, score double",
+    )
+    kept = keep_top_fraction(df, "score", 3, 10).collect()
+    assert sorted(r.score for r in kept) == [8.0, 8.0, 9.0]
+    assert all(r.threshold == 8.0 for r in kept)
+    # ties CROSSING the target are kept: top 2/10 → {9, 8, 8} too
+    kept2 = keep_top_fraction(df, "score", 2, 10).collect()
+    assert sorted(r.score for r in kept2) == [8.0, 8.0, 9.0]
