@@ -1008,6 +1008,33 @@ def q57_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_top_fraction(quality_scores(docs), "quality", 3, 10)
 
 
+def q58_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: repetition-filter the corpus (q55 keep
+    flag), assign deterministic train/val/test splits (q48), and report
+    each split's doc count and token budget — the numbers a training
+    run is provisioned from. Composes three operators in ONE lazy plan:
+    the keep filter and token count share the scan's token array, the
+    split is a zero-shuffle projection, and the only exchange is the
+    final 3-group aggregate."""
+    from ..operators.packing import nonempty_token_count
+    from ..operators.sampling import hash_split
+    from ..operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = repetition_stats(docs).filter("keep").select("doc_id")
+    kept = docs.join(keepers, on="doc_id", how="left_semi")
+    return (
+        hash_split(kept, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(nonempty_token_count(F.col("text")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1790,6 +1817,43 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s.doc_id, s.lang, s.pred_lang, s.quality, t.threshold
         FROM scored s, thr t WHERE s.quality >= t.threshold
     """,
+    "q58_curation_pipeline": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), big AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                             i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE [] END AS bigrams
+          FROM t
+        ), kept AS (
+          SELECT doc_id, n FROM big
+          WHERE (CASE WHEN n - 1 > 0
+                      THEN round(1.0 - len(list_distinct(bigrams)) * 1.0
+                                 / (n - 1), 4)
+                      ELSE 0.0 END) <= 0.05
+            AND (CASE WHEN n > 0
+                      THEN round(list_aggregate(
+                             list_transform(toks, x -> len(x)), 'sum')
+                             * 1.0 / n, 4)
+                      ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        ), b AS (
+          SELECT n,
+                 ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+          FROM kept
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               cast(count(*) AS INTEGER) AS n_docs,
+               cast(sum(n) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1850,6 +1914,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_repetition_filters": q55_repetition_filters,
     "q56_mixture_plan": q56_mixture_plan,
     "q57_top_quality": q57_top_quality,
+    "q58_curation_pipeline": q58_curation_pipeline,
 }
 
 
