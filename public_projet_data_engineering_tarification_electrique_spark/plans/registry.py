@@ -1013,25 +1013,28 @@ def q58_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag), assign deterministic train/val/test splits (q48), and report
     each split's doc count and token budget — the numbers a training
     run is provisioned from. Composes three operators in ONE lazy plan:
-    the keep filter and token count share the scan's token array, the
-    split is a zero-shuffle projection, and the only exchange is the
-    final 3-group aggregate."""
-    from ..operators.packing import nonempty_token_count
+    ``repetition_stats`` already emits the nonempty token count, so the
+    keep decision, token budget, and split label all ride one scan's
+    token array. The keep decision is folded into the aggregate as
+    conditional sums rather than a ``.filter``: a filter on the computed
+    column would be pushed below the parallelism repartition, forcing
+    the tokenizer to run ~10x per row at the scan's (possibly single-
+    file) parallelism — conditional aggregation keeps ONE projection
+    computing each stat once, post-exchange, fully parallel. Only
+    exchange beyond the parallelism fix: the final 3-group aggregate."""
     from ..operators.sampling import hash_split
     from ..operators.textstats import repetition_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    keepers = repetition_stats(docs).filter("keep").select("doc_id")
-    kept = docs.join(keepers, on="doc_id", how="left_semi")
+    stats = hash_split(repetition_stats(docs), "doc_id")
+    kept_tokens = F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0))
     return (
-        hash_split(kept, "doc_id")
-        .groupBy("split")
+        stats.groupBy("split")
         .agg(
-            F.count("*").cast("int").alias("n_docs"),
-            F.sum(nonempty_token_count(F.col("text")))
-            .cast("long")
-            .alias("n_tokens"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_docs"),
+            F.sum(kept_tokens).cast("long").alias("n_tokens"),
         )
+        .filter(F.col("n_docs") > 0)
     )
 
 
