@@ -1038,6 +1038,105 @@ def q58_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join — lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region — revenue per nation for one region-year,
+    with the local-supplier constraint (supplier and customer share a
+    nation). The reference has no table-to-table joins (SURVEY §2.3);
+    this is the canonical multi-way shape its warehouse would need.
+
+    Scale posture: region⋈nation is fixed-cardinality (5×25 rows) —
+    explicitly broadcast; the lineitem⋈orders shuffle is the one
+    unavoidable exchange and carries only 4 pruned columns; the
+    o_orderdate year filter is pushed to the orders scan (PushedFilters)
+    so the fact shuffle is ~1/7th of the table before it starts. AQE
+    picks broadcast for customer/supplier when they fit (they scale
+    with SF, so no hard-coded hint)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    nations = F.broadcast(
+        nation.join(
+            region, F.col("n_regionkey") == F.col("r_regionkey")
+        ).select("n_nationkey", "n_name")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q60_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: shipping-priority top-10 — customer ⋈ orders ⋈
+    lineitem with segment + date predicates, revenue per order, global
+    top-k. Extends SURVEY §2.6 (the reference has no LIMIT/top-k at
+    all) to the join-then-rank pattern.
+
+    The global top-10 is a TakeOrderedAndProject — per-partition heaps
+    then a 10-row merge at the driver, never a full sort. Ties at the
+    k-boundary are broken by (rounded revenue, l_orderkey) so the
+    result is deterministic across engines and partitionings."""
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1997-06-30")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1997-06-30")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1857,6 +1956,36 @@ ORACLE_SQL: dict[str, str] = {
                cast(sum(n) AS BIGINT) AS n_tokens
         FROM b GROUP BY 1
     """,
+    "q59_tpch_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q60_tpch_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30'
+          AND l_shipdate > TIMESTAMP '1997-06-30'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1918,6 +2047,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_mixture_plan": q56_mixture_plan,
     "q57_top_quality": q57_top_quality,
     "q58_curation_pipeline": q58_curation_pipeline,
+    "q59_tpch_local_supplier_volume": q59_tpch_local_supplier_volume,
+    "q60_tpch_shipping_priority": q60_tpch_shipping_priority,
 }
 
 
