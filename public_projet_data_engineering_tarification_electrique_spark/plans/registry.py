@@ -1137,6 +1137,34 @@ def q60_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_change_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-by-exception compaction: keep a reading only when the
+    quantized (floored) signal changes per user — the standard meter-
+    feed compression. One window shuffle on the series key, lag +
+    filter, no other exchange. ts stays LONG nanos end-to-end
+    (precision-safe) and is emitted as epoch micros for the oracle."""
+    from ..operators.timeseries import change_compaction
+
+    events = load_table(spark, sf_dir, "events", raw=True)
+    return change_compaction(events).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "v"
+    )
+
+
+def q62_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the sparse per-user 'error' series onto a daily grid
+    and forward-fill missing days (2351 of 3963 user-days are gaps at
+    sf0.01). Grid is generated from each key's own span — sequence()
+    per key, no global calendar cross-join; fill is last(ignorenulls)
+    over a running frame, not a self-join."""
+    from ..operators.timeseries import gap_fill_daily
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    return gap_fill_daily(events)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1986,6 +2014,40 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
     """,
+    "q61_change_compaction": """
+        WITH w AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CAST(floor(value) AS INTEGER) AS v,
+                 lag(CAST(floor(value) AS INTEGER)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS pv
+          FROM events
+        )
+        SELECT user_id, ts_us, v FROM w WHERE pv IS NULL OR v <> pv
+    """,
+    "q62_gap_fill_ffill": """
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 round(avg(value), 4) AS obs
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, min(day) AS lo, max(day) AS hi
+          FROM daily GROUP BY 1
+        ), grid AS (
+          SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM span
+        ), j AS (
+          SELECT g.user_id, g.day, d.obs
+          FROM grid g LEFT JOIN daily d
+            ON g.user_id = d.user_id AND g.day = d.day
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               last_value(obs IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+               (obs IS NULL) AS was_gap
+        FROM j
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2049,6 +2111,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_curation_pipeline": q58_curation_pipeline,
     "q59_tpch_local_supplier_volume": q59_tpch_local_supplier_volume,
     "q60_tpch_shipping_priority": q60_tpch_shipping_priority,
+    "q61_change_compaction": q61_change_compaction,
+    "q62_gap_fill_ffill": q62_gap_fill_ffill,
 }
 
 
