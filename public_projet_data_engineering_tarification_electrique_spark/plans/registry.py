@@ -1165,6 +1165,70 @@ def q62_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_daily(events)
 
 
+def q63_reaggregatable_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level re-aggregation: daily (sum, count) partials per user —
+    the state an incremental pipeline materializes — merged into exact
+    monthly means without rescanning raw events. The algebraic-state
+    pattern behind every incremental rollup: store SUM and COUNT
+    (re-aggregatable), never AVG (not). Extends the reference's daily
+    mean (reference:airflow/dags/insert_conso_jour_region_in_bq.py:80-82)
+    to the monthly tier its dashboard would need. Both levels are
+    partial+final hash aggregates; the second level reads the ~150×30-row
+    partial table, not the fact."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("psum"), F.count("*").alias("pcnt")
+    )
+    return daily.groupBy(
+        "user_id", F.date_format("day", "yyyy-MM").alias("month")
+    ).agg(
+        F.round(F.sum("psum") / F.sum("pcnt"), 4).alias("mean_value"),
+        F.sum("pcnt").cast("long").alias("n_events"),
+    )
+
+
+def q64_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: of users who ever signed up, how many
+    made a purchase strictly after their first signup. One conditional
+    aggregate per user (min-when per stage), then a single summary row
+    — no self-join of the event stream, no per-stage scans. Timestamps
+    compared at epoch-µs (the cross-engine-safe precision for the
+    NANOS-physical events table)."""
+    events = load_table(spark, sf_dir, "events", raw=True)
+    us = F.expr("ts div 1000")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    signed = F.col("s").isNotNull()
+    converted = signed & (F.col("p") > F.col("s"))
+    return per_user.agg(
+        F.count("*").cast("int").alias("n_users"),
+        F.sum(signed.cast("int")).cast("int").alias("n_signup"),
+        F.sum(converted.cast("int")).cast("int").alias("n_converted"),
+        F.round(
+            100.0 * F.sum(converted.cast("int")) / F.sum(signed.cast("int")), 2
+        ).alias("conv_pct"),
+    )
+
+
+def q65_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users bucketed by first-seen day (cohort),
+    counted as active at each day offset since. The cohort day is a
+    min-over-user window — no self-join back onto the stream — and the
+    window's user-key shuffle is the only exchange before the final
+    (cohort, offset) aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = events.select("user_id", F.to_date("ts").alias("day")).withColumn(
+        "cday", F.min("day").over(w)
+    )
+    return e.groupBy(
+        F.date_format("cday", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("day", "cday").cast("int").alias("day_offset"),
+    ).agg(F.countDistinct("user_id").cast("int").alias("n_users"))
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2048,6 +2112,45 @@ ORACLE_SQL: dict[str, str] = {
                (obs IS NULL) AS was_gap
         FROM j
     """,
+    "q63_reaggregatable_partials": """
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 sum(value) AS psum, count(*) AS pcnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, strftime(day, '%Y-%m') AS month,
+               round(sum(psum) / sum(pcnt), 4) AS mean_value,
+               CAST(sum(pcnt) AS BIGINT) AS n_events
+        FROM daily GROUP BY 1, 2
+    """,
+    "q64_funnel_conversion": """
+        WITH u AS (
+          SELECT user_id,
+                 min(epoch_us(ts)) FILTER (event_type = 'signup') AS s,
+                 min(epoch_us(ts)) FILTER (event_type = 'purchase') AS p
+          FROM events GROUP BY 1
+        )
+        SELECT CAST(count(*) AS INTEGER) AS n_users,
+               CAST(count(*) FILTER (s IS NOT NULL) AS INTEGER) AS n_signup,
+               CAST(count(*) FILTER (s IS NOT NULL AND p > s)
+                    AS INTEGER) AS n_converted,
+               round(100.0 * count(*) FILTER (s IS NOT NULL AND p > s)
+                     / count(*) FILTER (s IS NOT NULL), 2) AS conv_pct
+        FROM u
+    """,
+    "q65_retention_cohorts": """
+        WITH e AS (
+          SELECT user_id, date_trunc('day', ts) AS day FROM events
+        ), c AS (
+          SELECT user_id, day,
+                 min(day) OVER (PARTITION BY user_id) AS cday
+          FROM e
+        )
+        SELECT strftime(cday, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', cday, day) AS INTEGER) AS day_offset,
+               CAST(count(DISTINCT user_id) AS INTEGER) AS n_users
+        FROM c GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2113,6 +2216,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_tpch_shipping_priority": q60_tpch_shipping_priority,
     "q61_change_compaction": q61_change_compaction,
     "q62_gap_fill_ffill": q62_gap_fill_ffill,
+    "q63_reaggregatable_partials": q63_reaggregatable_partials,
+    "q64_funnel_conversion": q64_funnel_conversion,
+    "q65_retention_cohorts": q65_retention_cohorts,
 }
 
 
