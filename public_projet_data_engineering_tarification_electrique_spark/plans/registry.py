@@ -1229,6 +1229,83 @@ def q65_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.countDistinct("user_id").cast("int").alias("n_users"))
 
 
+def q66_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day windows hopping by 1 day per event type — the
+    `F.window(ts, '7 days', '1 day')` operator Structured Streaming
+    shares with batch. Each event replicates into 7 windows at the
+    aggregate's map side (explode-free, built-in), so the exchange
+    carries partial aggregates, never 7× the events. Window starts are
+    epoch-aligned day boundaries; emitted as date strings."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "7 days", "1 day")
+    return (
+        events.groupBy(win, "event_type")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q67_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week deltas: daily totals per event type, each compared
+    to the same weekday one week earlier via lag(7) — the standard
+    dashboard comparison. The daily total is rounded BEFORE the delta in
+    both engines so the percentage is computed on identical inputs. One
+    agg exchange + one window shuffle on the (25-row-per-key) daily
+    series."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("v", 7).over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "v",
+        F.round(100.0 * (F.col("v") - prev) / prev, 2).alias("wow_pct"),
+    )
+
+
+def q68_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags: each user-day mean scored against
+    the user's previous 7 observed days (frame excludes the current
+    row — no self-leak), emitting days with |z| > 2. Everything rides
+    one user-key window shuffle; the daily means are rounded before
+    scoring so both engines score identical inputs."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("m"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    mu = F.avg("m").over(w)
+    sd = F.stddev_samp("m").over(w)
+    z = F.round((F.col("m") - mu) / sd, 2)
+    return (
+        daily.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "m",
+            "z",
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2151,6 +2228,48 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(DISTINCT user_id) AS INTEGER) AS n_users
         FROM c GROUP BY 1, 2
     """,
+    "q66_hopping_window": """
+        WITH e AS (
+          SELECT date_trunc('day', ts) AS day, event_type, value
+          FROM events
+        ), x AS (
+          SELECT day - unnest(generate_series(0, 6)) * INTERVAL 1 DAY
+                   AS win_start,
+                 event_type, value
+          FROM e
+        )
+        SELECT strftime(win_start, '%Y-%m-%d') AS win_start, event_type,
+               CAST(count(*) AS INTEGER) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM x GROUP BY 1, 2
+    """,
+    "q67_period_over_period": """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 round(sum(value), 2) AS v
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v,
+               round(100.0 * (v - lag(v, 7) OVER w) / lag(v, 7) OVER w, 2)
+                 AS wow_pct
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    "q68_zscore_anomaly": """
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 round(avg(value), 4) AS m
+          FROM events GROUP BY 1, 2
+        ), scored AS (
+          SELECT user_id, day, m,
+                 round((m - avg(m) OVER w) / stddev_samp(m) OVER w, 2) AS z
+          FROM daily
+          WINDOW w AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day, m, z
+        FROM scored WHERE abs(z) > 2.0
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2219,6 +2338,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_reaggregatable_partials": q63_reaggregatable_partials,
     "q64_funnel_conversion": q64_funnel_conversion,
     "q65_retention_cohorts": q65_retention_cohorts,
+    "q66_hopping_window": q66_hopping_window,
+    "q67_period_over_period": q67_period_over_period,
+    "q68_zscore_anomaly": q68_zscore_anomaly,
 }
 
 
