@@ -62,12 +62,13 @@ def gap_fill_daily(
 
     The grid spans each key's own [min day, max day]; emitted rows are
     (key, day string, v, was_gap) where ``was_gap`` marks days with no
-    observation. Daily means are rounded to 4 dp before the fill so the
-    carried value is bit-stable across engines.
+    observation. Daily means are rounded to 4 dp (after the repo's
+    standard +1e-9 half-way nudge) before the fill so the carried value
+    is bit-stable across engines and summation orders.
     """
     daily = events.groupBy(
         key_col, F.to_date(ts_col).alias("day")
-    ).agg(F.round(F.avg(value_col), 4).alias("obs"))
+    ).agg(F.round(F.avg(value_col) + 1e-9, 4).alias("obs"))
     spans = daily.groupBy(key_col).agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )

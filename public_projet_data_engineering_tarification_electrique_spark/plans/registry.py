@@ -1174,7 +1174,10 @@ def q63_reaggregatable_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean (reference:airflow/dags/insert_conso_jour_region_in_bq.py:80-82)
     to the monthly tier its dashboard would need. Both levels are
     partial+final hash aggregates; the second level reads the ~150×30-row
-    partial table, not the fact."""
+    partial table, not the fact. The mean gets the repo's standard +1e-9
+    nudge before rounding: one monthly quotient lands exactly on the
+    4 dp half-way boundary, where summation order would otherwise flip
+    the rounded value run to run."""
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.sum("value").alias("psum"), F.count("*").alias("pcnt")
@@ -1182,7 +1185,7 @@ def q63_reaggregatable_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy(
         "user_id", F.date_format("day", "yyyy-MM").alias("month")
     ).agg(
-        F.round(F.sum("psum") / F.sum("pcnt"), 4).alias("mean_value"),
+        F.round(F.sum("psum") / F.sum("pcnt") + 1e-9, 4).alias("mean_value"),
         F.sum("pcnt").cast("long").alias("n_events"),
     )
 
@@ -1280,12 +1283,14 @@ def q68_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score anomaly flags: each user-day mean scored against
     the user's previous 7 observed days (frame excludes the current
     row — no self-leak), emitting days with |z| > 2. Everything rides
-    one user-key window shuffle; the daily means are rounded before
-    scoring so both engines score identical inputs."""
+    one user-key window shuffle; the daily means are nudged (+1e-9,
+    four user-days sit exactly on the 4 dp half-way boundary at sf0.01)
+    and rounded before scoring so both engines score identical inputs
+    regardless of summation order."""
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "user_id", F.to_date("ts").alias("day")
-    ).agg(F.round(F.avg("value"), 4).alias("m"))
+    ).agg(F.round(F.avg("value") + 1e-9, 4).alias("m"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -2168,7 +2173,7 @@ ORACLE_SQL: dict[str, str] = {
     "q62_gap_fill_ffill": """
         WITH daily AS (
           SELECT user_id, date_trunc('day', ts) AS day,
-                 round(avg(value), 4) AS obs
+                 round(avg(value) + 1e-9, 4) AS obs
           FROM events WHERE event_type = 'error' GROUP BY 1, 2
         ), span AS (
           SELECT user_id, min(day) AS lo, max(day) AS hi
@@ -2196,7 +2201,7 @@ ORACLE_SQL: dict[str, str] = {
           FROM events GROUP BY 1, 2
         )
         SELECT user_id, strftime(day, '%Y-%m') AS month,
-               round(sum(psum) / sum(pcnt), 4) AS mean_value,
+               round(sum(psum) / sum(pcnt) + 1e-9, 4) AS mean_value,
                CAST(sum(pcnt) AS BIGINT) AS n_events
         FROM daily GROUP BY 1, 2
     """,
@@ -2258,7 +2263,7 @@ ORACLE_SQL: dict[str, str] = {
     "q68_zscore_anomaly": """
         WITH daily AS (
           SELECT user_id, date_trunc('day', ts) AS day,
-                 round(avg(value), 4) AS m
+                 round(avg(value) + 1e-9, 4) AS m
           FROM events GROUP BY 1, 2
         ), scored AS (
           SELECT user_id, day, m,
