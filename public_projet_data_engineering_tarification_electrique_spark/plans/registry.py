@@ -1311,6 +1311,25 @@ def q68_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: posexplode the vector column to
+    (label, dim, x) and hash-aggregate the mean per (label, dim) —
+    partial aggregation collapses each scan partition to ≤ labels×dims
+    rows before the exchange, so the shuffle carries centroids-in-
+    progress, never vectors. (At 100 TB the same plan holds; the
+    Pandas-UDF alternative — numpy sum per partition — only wins when
+    dims are huge and labels few.) Float32 inputs promote exactly to
+    double; the mean gets the standard +1e-9 half-way nudge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return e.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.round(F.avg("x") + 1e-9, 4).alias("c"),
+        F.count("*").cast("int").alias("n_vecs"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2275,6 +2294,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, strftime(day, '%Y-%m-%d') AS day, m, z
         FROM scored WHERE abs(z) > 2.0
     """,
+    "q69_label_centroids": """
+        SELECT label, CAST(i AS INTEGER) AS dim,
+               round(avg(embedding[i + 1]) + 1e-9, 4) AS c,
+               CAST(count(*) AS INTEGER) AS n_vecs
+        FROM embeddings, range(64) t(i)
+        GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2346,6 +2372,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_hopping_window": q66_hopping_window,
     "q67_period_over_period": q67_period_over_period,
     "q68_zscore_anomaly": q68_zscore_anomaly,
+    "q69_label_centroids": q69_label_centroids,
 }
 
 
