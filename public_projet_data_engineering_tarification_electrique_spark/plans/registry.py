@@ -1330,6 +1330,56 @@ def q69_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: distinct daily actives vs distinct
+    7-day-window actives, joined on day. The WAU side replicates each
+    (user, day) fact into the 7 windows it serves *after* the stream is
+    reduced to distinct user-days — the explode multiplies a ~users×days
+    table, never raw events. Counts are exact distincts; the ratio is
+    int/int (identical doubles both engines) with the standard nudge."""
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("int").alias("dau")
+    )
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+        )
+        .select("user_id", F.date_add("day", F.col("off")).alias("day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("int").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau") + 1e-9, 4).alias("stickiness"),
+    )
+
+
+def q71_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the Markov matrix behind funnel and
+    next-action models): lag the type over each user's time-ordered
+    stream, then count (from, to) pairs. One user-key window shuffle +
+    one 25-row aggregate; ordering ties are impossible (event_id is the
+    unique tiebreak) so counts are exact integers."""
+    events = load_table(spark, sf_dir, "events", raw=True)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    )
+    return (
+        s.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("int").alias("n"))
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2301,6 +2351,35 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings, range(64) t(i)
         GROUP BY 1, 2
     """,
+    "q70_dau_wau_stickiness": """
+        WITH ud AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ), dau AS (
+          SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+        ), wx AS (
+          SELECT user_id,
+                 day + unnest(generate_series(0, 6)) * INTERVAL 1 DAY AS day
+          FROM ud
+        ), wau AS (
+          SELECT day, count(DISTINCT user_id) AS wau FROM wx GROUP BY 1
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(d.dau AS INTEGER) AS dau,
+               CAST(w.wau AS INTEGER) AS wau,
+               round(CAST(d.dau AS DOUBLE) / w.wau + 1e-9, 4) AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    "q71_transition_matrix": """
+        WITH s AS (
+          SELECT event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+          FROM events
+        )
+        SELECT from_type, event_type AS to_type,
+               CAST(count(*) AS INTEGER) AS n
+        FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2373,6 +2452,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_period_over_period": q67_period_over_period,
     "q68_zscore_anomaly": q68_zscore_anomaly,
     "q69_label_centroids": q69_label_centroids,
+    "q70_dau_wau_stickiness": q70_dau_wau_stickiness,
+    "q71_transition_matrix": q71_transition_matrix,
 }
 
 
