@@ -1380,6 +1380,52 @@ def q71_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-value quartiles: ntile(4) over per-user lifetime value, then
+    per-band stats — the segmentation every monetization dashboard
+    starts from. The global ntile window runs on the AGGREGATED user
+    table (|users| rows, already reduced by a partial+final agg), never
+    on raw events — a global sort of users is cheap at any event scale;
+    ties are broken by user_id so band assignment is deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("user_id").agg(
+        F.round(F.sum("value") + 1e-9, 2).alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("user_id"))
+    banded = totals.withColumn("band", F.ntile(4).over(w))
+    return banded.groupBy("band").agg(
+        F.count("*").cast("int").alias("n_users"),
+        F.round(F.avg("total") + 1e-9, 4).alias("avg_total"),
+        F.min("total").alias("min_total"),
+        F.max("total").alias("max_total"),
+    )
+
+
+def q73_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram: hours between first signup and first
+    subsequent purchase, capped at 24+ — the funnel's (q64) latency
+    distribution. Pure integer µs arithmetic on the min-when aggregates
+    (one user-key exchange, then a ≤25-row histogram agg); no floats
+    anywhere, so cross-engine parity is exact by construction."""
+    events = load_table(spark, sf_dir, "events", raw=True)
+    us = F.expr("ts div 1000")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    converted = per_user.filter(
+        F.col("s").isNotNull() & (F.col("p") > F.col("s"))
+    )
+    hours = F.expr("(p - s) div 3600000000")
+    return (
+        converted.select(
+            F.least(hours, F.lit(24)).cast("int").alias("hours_to_convert")
+        )
+        .groupBy("hours_to_convert")
+        .agg(F.count("*").cast("int").alias("n_users"))
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2380,6 +2426,32 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS INTEGER) AS n
         FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
     """,
+    "q72_value_quartile_bands": """
+        WITH totals AS (
+          SELECT user_id, round(sum(value) + 1e-9, 2) AS total
+          FROM events GROUP BY 1
+        ), banded AS (
+          SELECT total,
+                 ntile(4) OVER (ORDER BY total DESC, user_id) AS band
+          FROM totals
+        )
+        SELECT band, CAST(count(*) AS INTEGER) AS n_users,
+               round(avg(total) + 1e-9, 4) AS avg_total,
+               min(total) AS min_total, max(total) AS max_total
+        FROM banded GROUP BY 1
+    """,
+    "q73_time_to_convert": """
+        WITH u AS (
+          SELECT user_id,
+                 min(epoch_us(ts)) FILTER (event_type = 'signup') AS s,
+                 min(epoch_us(ts)) FILTER (event_type = 'purchase') AS p
+          FROM events GROUP BY 1
+        )
+        SELECT CAST(least((p - s) // 3600000000, 24) AS INTEGER)
+                 AS hours_to_convert,
+               CAST(count(*) AS INTEGER) AS n_users
+        FROM u WHERE s IS NOT NULL AND p > s GROUP BY 1
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2454,6 +2526,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_label_centroids": q69_label_centroids,
     "q70_dau_wau_stickiness": q70_dau_wau_stickiness,
     "q71_transition_matrix": q71_transition_matrix,
+    "q72_value_quartile_bands": q72_value_quartile_bands,
+    "q73_time_to_convert": q73_time_to_convert,
 }
 
 
