@@ -42,9 +42,20 @@ def load_table(
     """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if raw:
+    if name != "events":
         return df
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if raw:
+        # Contract: raw events.ts is LONG epoch nanoseconds. Testdata may
+        # ship ts as TIMESTAMP(NANOS)->LONG (nanosAsLong) or TIMESTAMP(US);
+        # normalize the timestamp flavor back to integer ns (session tz is
+        # pinned UTC, so NTZ->TIMESTAMP is an identity relabel).
+        if ts_type in ("timestamp", "timestamp_ntz"):
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        return df
+    if ts_type == "bigint":
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )

@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 
 from ..session import configure
 
-#: events landing schema — ts as LONG nanoseconds (see sources.tables).
+#: events landing schema — ts is TIMESTAMP(US) without zone in the
+#: testdata parquet; session tz is pinned UTC so NTZ→TIMESTAMP is an
+#: identity relabel (see sources.tables).
 EVENTS_LANDING_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -61,7 +63,7 @@ def stream_daily_event_avg(
         spark.readStream.schema(EVENTS_LANDING_SCHEMA)
         .format("parquet")
         .load(events_path)
-        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+        .withColumn("ts", F.expr("cast(ts as timestamp)"))
     )
     agg = (
         src.withWatermark("ts", watermark)
@@ -103,7 +105,7 @@ def stream_daily_ingest(
         spark.readStream.schema(EVENTS_LANDING_SCHEMA)
         .format("parquet")
         .load(landing_path)
-        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+        .withColumn("ts", F.expr("cast(ts as timestamp)"))
     )
     agg = (
         src.withWatermark("ts", watermark)

@@ -48,7 +48,7 @@ def stream_dedup_events(
             "user_id",
             "event_type",
             "value",
-            F.expr("cast(timestamp_micros(ts div 1000) as timestamp)").alias("_et"),
+            F.expr("cast(ts as timestamp)").alias("_et"),
         )
         .withWatermark("_et", watermark)
     )

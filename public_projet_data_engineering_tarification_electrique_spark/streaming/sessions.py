@@ -142,8 +142,8 @@ def stream_sessionize(
             "event_id",
             "user_id",
             "value",
-            F.expr("ts DIV 1000000000").alias("ts_s"),
-            F.expr("cast(timestamp_micros(ts div 1000) as timestamp)").alias("_et"),
+            F.expr("unix_micros(cast(ts as timestamp)) DIV 1000000").alias("ts_s"),
+            F.expr("cast(ts as timestamp)").alias("_et"),
         )
         .withWatermark("_et", watermark)
     )
