@@ -1426,6 +1426,101 @@ def q73_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical full-scan pricing summary report —
+    4 sums, 3 means, a count over ~99% of lineitem, grouped by the
+    2×2 (returnflag, linestatus) key. Extends SURVEY §2.4 (the
+    reference's aggregates are all single-measure means) to the
+    multi-measure report every warehouse runs.
+
+    Scale posture: the scan reads exactly 7 columns (ReadSchema) with
+    the shipdate predicate pushed to parquet row groups; the hash
+    aggregate is partial→final over ≤6 groups, so the exchange carries
+    one row per (partition, group) — the plan is scan-bound and
+    embarrassingly parallel at any SF. Means are derived sum/count at
+    the end, keeping the shuffled state algebraic (PLANS.md 2e rule)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q75_tpch_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the forecast-revenue-change scalar — one
+    SUM(extendedprice * discount) under three tight range predicates
+    (ship year, discount band, quantity cap). The pure
+    filter-and-reduce pattern: no join, no group key, no window.
+
+    Scale posture: all three predicates reach the parquet scan
+    (PushedFilters min/max row-group pruning); the aggregate is a
+    partial-per-partition → single final row, so the exchange carries
+    one double per partition. At 100 TB this is the shape where
+    column pruning + predicate pushdown do ~all the work."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q76_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) aggregation: per-event_type count /
+    sum / mean, computed as groupBy(key, salt) partials then a merge
+    aggregate — the standard defense when a handful of hot keys would
+    otherwise hammer single reducers (event_type has ~5 values, the
+    worst-case skew shape at 100 TB: 20 TB per reducer un-salted).
+
+    The salt is pmod(hash(event_id), 16) — deterministic, uniform, and
+    dropped before the final merge, so semantics are identical to the
+    plain GROUP BY the oracle runs. State stays algebraic ((sum, count)
+    partials, mean derived at the end), which is what makes the
+    two-phase split lossless. Phase-1 fan-out is 16× the key count —
+    still tiny — while phase-2 input is ≤ keys×16 rows total.
+    Complementary to AQE skew-join splitting (session.py), which only
+    covers joins, not aggregations."""
+    events = load_table(spark, sf_dir, "events", raw=True).select(
+        "event_type", "event_id", "value"
+    )
+    partial = events.groupBy(
+        "event_type", F.pmod(F.hash("event_id"), F.lit(16)).alias("_salt")
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum("value").alias("_sum"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("_n").alias("n_events"), F.sum("_sum").alias("_sum"))
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("_sum"), 2).alias("sum_value"),
+            F.round(F.col("_sum") / F.col("n_events"), 4).alias("avg_value"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2452,6 +2547,38 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS INTEGER) AS n_users
         FROM u WHERE s IS NOT NULL AND p > s GROUP BY 1
     """,
+    "q74_tpch_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                 AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q75_tpch_revenue_change": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q76_skew_salted_agg": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(sum(value) / count(*), 4) AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2528,6 +2655,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_transition_matrix": q71_transition_matrix,
     "q72_value_quartile_bands": q72_value_quartile_bands,
     "q73_time_to_convert": q73_time_to_convert,
+    "q74_tpch_pricing_summary": q74_tpch_pricing_summary,
+    "q75_tpch_revenue_change": q75_tpch_revenue_change,
+    "q76_skew_salted_agg": q76_skew_salted_agg,
 }
 
 
