@@ -1521,6 +1521,129 @@ def q76_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build: turn each user's compacted change
+    stream (q61) into validity intervals — valid_from/valid_to epoch µs
+    with NULL valid_to marking the current row. The standard
+    warehouse-history shape the reference's WRITE_APPEND tables would
+    need for point-in-time pricing lookups.
+
+    One window shuffle on the series key does both the compaction lag
+    and the interval lead (same partitioning, same sort — Catalyst
+    reuses the exchange and the sort). Integer µs end-to-end, so
+    cross-engine parity is exact by construction."""
+    from ..operators.timeseries import change_compaction
+
+    events = load_table(spark, sf_dir, "events", raw=True)
+    changes = change_compaction(events)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return changes.withColumn("_next", F.lead("ts").over(w)).select(
+        "user_id",
+        F.expr("ts div 1000").alias("valid_from_us"),
+        F.expr("_next div 1000").alias("valid_to_us"),
+        "v",
+        F.col("_next").isNull().alias("is_current"),
+    )
+
+
+def q78_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: align the daily click series with the
+    daily purchase series, keeping days present on either side —
+    the audit/backfill join (§2.9 late-data note: which days did one
+    feed deliver and the other miss?). Completes the join surface
+    (inner/left/semi/anti/asof/range exist; this is the FULL OUTER).
+
+    Both sides are aggregated to ~date cardinality BEFORE the join, so
+    the full-outer shuffle moves two day-grain tables, never events;
+    AQE coalesces the three exchanges' partitions at runtime."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("date"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    clicks = daily.filter(F.col("event_type") == "click").select(
+        "date", F.col("n").alias("n_clicks"), F.col("v").alias("click_value")
+    )
+    purchases = daily.filter(F.col("event_type") == "purchase").select(
+        "date", F.col("n").alias("n_purchases"), F.col("v").alias("purchase_value")
+    )
+    joined = clicks.join(purchases, on="date", how="full_outer")
+    return joined.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.when(F.col("n_clicks").isNull(), "purchases_only")
+        .when(F.col("n_purchases").isNull(), "clicks_only")
+        .otherwise("both")
+        .alias("status"),
+    )
+
+
+def q79_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((type, day), (type), (day)) — the
+    à-la-carte multi-grain aggregate between ROLLUP (q23) and CUBE
+    (q41), with grouping() flags disambiguating NULL-as-total from a
+    NULL key. One Expand node replicates each row 3× map-side INSIDE
+    the partial aggregate, so the exchange carries per-grain partials,
+    never 3× events."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(to_date(ts), 'yyyy-MM-dd') AS day,
+               cast(grouping(event_type) AS INT) * 2
+                 + cast(grouping(to_date(ts)) AS INT) AS gid,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type, to_date(ts)), (event_type),
+                                (to_date(ts)))
+        """
+    )
+
+
+def q80_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 symmetric quantization — the storage-side
+    compression step a 100 TB embedding corpus runs before ANN
+    indexing (4× smaller than float32, dot products in integer SIMD).
+    scale = max|x| / 127; emitted as the per-vector scale plus integer
+    checksums (L1 mass, signed sum) of the quantized codes, which pin
+    every element's value cross-engine without shipping the codes.
+
+    Pure array-expression projection over the scan — zero shuffle,
+    zero Python; both engines promote float32→float64 exactly, and the
+    guarded all-zero path avoids inf/NaN casts under ANSI."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    s = F.lit(127.0) / F.col("_m")
+    q = F.transform("embedding", lambda x: F.round(x * s, 0))
+    staged = emb.select(
+        "vec_id", "embedding", F.explode(F.array(m)).alias("_m")
+    )
+    quantized = staged.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.when(F.col("_m") > 0, F.round(s, 6)).otherwise(0.0).alias("scale_inv"),
+        F.when(F.col("_m") > 0, q)
+        .otherwise(F.transform("embedding", lambda x: x * 0.0))
+        .alias("_q"),
+    )
+    return quantized.select(
+        "vec_id",
+        "n_dims",
+        "scale_inv",
+        F.aggregate(
+            "_q",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(x.cast("long")),
+        ).alias("q_l1"),
+        F.aggregate(
+            "_q", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("q_sum"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2579,6 +2702,81 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q77_scd2_intervals": """
+        WITH w AS (
+          SELECT user_id, ts, event_id, CAST(floor(value) AS INTEGER) AS v,
+                 lag(CAST(floor(value) AS INTEGER)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS pv
+          FROM events
+        ), c AS (
+          SELECT user_id, ts, v FROM w WHERE pv IS NULL OR v <> pv
+        )
+        SELECT user_id,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                 AS valid_to_us,
+               v,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 AS is_current
+        FROM c
+    """,
+    "q78_full_outer_reconcile": """
+        WITH daily AS (
+          SELECT cast(ts AS DATE) AS date, event_type, count(*) AS n
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2
+        ), c AS (
+          SELECT date, n AS n_clicks FROM daily WHERE event_type = 'click'
+        ), p AS (
+          SELECT date, n AS n_purchases FROM daily
+          WHERE event_type = 'purchase'
+        )
+        SELECT strftime(coalesce(c.date, p.date), '%Y-%m-%d') AS date,
+               coalesce(n_clicks, 0) AS n_clicks,
+               coalesce(n_purchases, 0) AS n_purchases,
+               CASE WHEN n_clicks IS NULL THEN 'purchases_only'
+                    WHEN n_purchases IS NULL THEN 'clicks_only'
+                    ELSE 'both' END AS status
+        FROM c FULL OUTER JOIN p ON c.date = p.date
+    """,
+    "q79_grouping_sets": """
+        SELECT event_type,
+               strftime(cast(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(grouping(event_type) * 2 + grouping(cast(ts AS DATE))
+                    AS INTEGER) AS gid,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, cast(ts AS DATE)), (event_type),
+                                (cast(ts AS DATE)))
+    """,
+    "q80_embedding_quantize": """
+        WITH m AS (
+          -- cast to DOUBLE: Spark promotes float32→float64 in arithmetic;
+          -- DuckDB would otherwise stay in float32 and round() is a no-op
+          SELECT vec_id, embedding,
+                 CAST(list_max(list_transform(embedding, x -> abs(x)))
+                      AS DOUBLE) AS m
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id, len(embedding) AS n_dims,
+                 CASE WHEN m > 0 THEN round(127.0 / m, 6)
+                      ELSE 0.0 END AS scale_inv,
+                 CASE WHEN m > 0
+                      THEN list_transform(embedding,
+                             x -> round(CAST(x AS DOUBLE) * (127.0 / m), 0))
+                      ELSE list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * 0.0)
+                 END AS qv
+          FROM m
+        )
+        SELECT vec_id, n_dims, scale_inv,
+               list_aggregate(list_transform(qv,
+                 x -> abs(CAST(x AS BIGINT))), 'sum') AS q_l1,
+               list_aggregate(list_transform(qv,
+                 x -> CAST(x AS BIGINT)), 'sum') AS q_sum
+        FROM q
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2658,6 +2856,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_tpch_pricing_summary": q74_tpch_pricing_summary,
     "q75_tpch_revenue_change": q75_tpch_revenue_change,
     "q76_skew_salted_agg": q76_skew_salted_agg,
+    "q77_scd2_intervals": q77_scd2_intervals,
+    "q78_full_outer_reconcile": q78_full_outer_reconcile,
+    "q79_grouping_sets": q79_grouping_sets,
+    "q80_embedding_quantize": q80_embedding_quantize,
 }
 
 
