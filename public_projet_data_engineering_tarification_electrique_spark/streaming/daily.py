@@ -17,6 +17,7 @@ the exact semantics of the reference's nightly 02:30 batch.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -25,6 +26,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import configure
+
+
+@contextlib.contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` for a stream start.
+
+    A stateful streaming query materializes one state store PER shuffle
+    partition, and the partition count is frozen into the checkpoint at
+    first start — so it must be sized to the stream's state volume, not
+    inherited from the batch-tuned session default (32 state stores for
+    a single availableNow micro-batch is ~3× pure setup overhead at
+    test scale; a production cluster sizes this to executor cores ×
+    target state-per-store). Restores the session value afterwards —
+    only the stream started inside the block is pinned.
+    """
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 #: events landing schema — ts is TIMESTAMP(US) without zone in the
 #: testdata parquet; session tz is pinned UTC so NTZ→TIMESTAMP is an
@@ -40,6 +65,7 @@ def stream_daily_event_avg(
     events_path: str,
     checkpoint_dir: str | None = None,
     watermark: str = "2 days",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the daily-downsample aggregation as an availableNow stream and
     return the materialized result (one row per (date, event_type)).
@@ -78,15 +104,16 @@ def stream_daily_event_avg(
             "avg_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import configure
-from .daily import EVENTS_LANDING_SCHEMA
+from .daily import EVENTS_LANDING_SCHEMA, stream_shuffle_partitions
 
 
 def stream_dedup_events(
@@ -28,6 +28,7 @@ def stream_dedup_events(
     events_path: str,
     watermark: str = "2 days",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """availableNow stream over the landing path, emitting each event_id
     at most once per watermark window; returns the deduped rows."""
@@ -53,13 +54,14 @@ def stream_dedup_events(
         .withWatermark("_et", watermark)
     )
     deduped = src.dropDuplicatesWithinWatermark(["event_id"]).drop("_et")
-    (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with stream_shuffle_partitions(spark, state_partitions):
+        (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(table)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..session import configure
-from .daily import EVENTS_LANDING_SCHEMA
+from .daily import EVENTS_LANDING_SCHEMA, stream_shuffle_partitions
 
 OUTPUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
@@ -117,6 +117,7 @@ def stream_sessionize(
     gap_seconds: int = 1800,
     watermark: str = "0 seconds",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run gap-sessionization as an availableNow stateful stream over a
     parquet landing path; returns the emitted (closed) sessions.
@@ -154,13 +155,14 @@ def stream_sessionize(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
-    (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with stream_shuffle_partitions(spark, state_partitions):
+        (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(table)
