@@ -79,3 +79,46 @@ def pack_chunks(
             F.sum("fill").cast("int").alias("n_tokens"),
         )
     )
+
+
+def chunk_with_overlap(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the
+    RAG/long-context alternative to cross-document packing
+    (``pack_chunks``): windows of ``size`` tokens starting every
+    ``stride`` tokens (overlap = size − stride), final window
+    truncated at the document end.
+
+    Chunk identity is pure arithmetic — chunk k starts at 1 + k·stride
+    — so the same construction in any engine yields identical chunk
+    assignment; each chunk carries an md5 fingerprint of its joined
+    tokens to pin content equality cross-engine, not just boundaries.
+
+    Spark shape: tokenize once behind a Generate barrier (see
+    textstats.repetition_stats — interpreted HOFs re-evaluate through
+    ProjectCollapse), posexplode the start grid, slice per chunk. Zero
+    shuffle; emitted rows are ~n_tokens/stride per document.
+    """
+    assert 0 < stride <= size, "stride must be in (0, size]"
+    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "")
+    staged = (
+        docs.select(id_col, F.explode(F.array(toks)).alias("_t"))
+        .filter(F.size("_t") > 0)
+    )
+    starts = F.sequence(F.lit(1), F.size("_t"), F.lit(stride))
+    chunks = staged.select(
+        id_col, "_t", F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    piece = F.slice("_t", F.col("start_tok"), size)
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "start_tok",
+        F.size(piece).alias("chunk_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", piece)), 1, 8).alias("chunk_fp"),
+    )

@@ -1644,6 +1644,45 @@ def q80_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (64-token windows every 48
+    tokens) — the RAG/long-context chunker, complementing q52's
+    cross-document packing. Chunk boundaries are pure arithmetic and
+    each chunk carries an md5 content fingerprint, so the oracle pins
+    content, not just counts. Zero shuffle."""
+    from ..operators.packing import chunk_with_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_with_overlap(docs, size=64, stride=48)
+
+
+def q82_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization: replace user_id with a salted
+    md5 token at the aggregation boundary — the PII-safe handoff shape
+    for sharing engagement aggregates with downstream training
+    pipelines (raw ids never leave the trusted zone; the same salt
+    reproduces the same token for joinability).
+
+    md5 (not xxhash64) so any engine derives the identical token; the
+    token projection happens AFTER the user-key aggregate, so the
+    exchange hashes compact longs, not 32-byte strings."""
+    events = load_table(spark, sf_dir, "events", raw=True)
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.md5(
+                F.concat(F.lit("pepper1:"), F.col("user_id").cast("string"))
+            ).alias("user_token"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2777,6 +2816,35 @@ ORACLE_SQL: dict[str, str] = {
                  x -> CAST(x AS BIGINT)), 'sum') AS q_sum
         FROM q
     """,
+    "q81_chunk_overlap": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), c AS (
+          SELECT doc_id, toks, n,
+                 unnest(range(1, n + 1, 48)) AS start_tok
+          FROM s
+        )
+        SELECT doc_id,
+               CAST((start_tok - 1) // 48 AS INTEGER) AS chunk_id,
+               CAST(start_tok AS INTEGER) AS start_tok,
+               CAST(least(64, n - start_tok + 1) AS INTEGER) AS chunk_tokens,
+               substr(md5(array_to_string(
+                 list_slice(toks, start_tok, least(start_tok + 63, n)), ' ')),
+                 1, 8) AS chunk_fp
+        FROM c
+    """,
+    "q82_pseudonymize": """
+        SELECT md5('pepper1:' || CAST(user_id AS VARCHAR)) AS user_token,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY user_id
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2860,6 +2928,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_full_outer_reconcile": q78_full_outer_reconcile,
     "q79_grouping_sets": q79_grouping_sets,
     "q80_embedding_quantize": q80_embedding_quantize,
+    "q81_chunk_overlap": q81_chunk_overlap,
+    "q82_pseudonymize": q82_pseudonymize,
 }
 
 
