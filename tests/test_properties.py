@@ -144,3 +144,91 @@ def test_word_shingles_count(spark, texts, k):
         # Spark split on \s+ of a trimmed empty string yields [""] → 1 token
         n_tokens = max(n_tokens, 1)
         assert got[i] == max(1, n_tokens - k + 1), repr(t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(ascii_text, min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+def test_chunk_with_overlap_invariants(spark, texts, size, stride):
+    """Chunks tile the document: starts advance by exactly stride, every
+    chunk is non-empty and ≤ size tokens, the last chunk reaches the
+    document end, and per-doc chunk ids are dense from 0."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.packing import (
+        chunk_with_overlap,
+    )
+
+    if stride > size:
+        stride, size = size, stride
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_with_overlap(df, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(texts):
+        n = len([t for t in text.strip().lower().split() if t])
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if n == 0:
+            assert not got
+            continue
+        expected_starts = list(range(1, n + 1, stride))
+        assert [r.start_tok for r in got] == expected_starts
+        assert [r.chunk_id for r in got] == list(range(len(expected_starts)))
+        for r in got:
+            assert 1 <= r.chunk_tokens <= size
+            assert r.chunk_tokens == min(size, n - r.start_tok + 1)
+        assert got[-1].start_tok + got[-1].chunk_tokens - 1 == n
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    """The two-phase salted aggregate is a pure physical rewrite: its
+    output must equal the plain single-exchange GROUP BY bit-for-bit."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        q76_skew_salted_agg,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    salted = {r.event_type: r for r in q76_skew_salted_agg(spark, sf_dir).collect()}
+    plain = (
+        load_table(spark, sf_dir, "events", raw=True)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum("value") / F.count("*"), 4).alias("avg_value"),
+        )
+        .collect()
+    )
+    assert len(salted) == len(plain) > 0
+    for r in plain:
+        s = salted[r.event_type]
+        assert s.n_events == r.n_events
+        assert s.sum_value == r.sum_value
+        assert s.avg_value == r.avg_value
+
+
+def test_scd2_intervals_partition_time(spark):
+    """Per user: intervals are disjoint, contiguous (valid_to == next
+    valid_from), exactly one open (current) interval, and the value
+    changes at every boundary."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        q77_scd2_intervals,
+    )
+
+    rows = q77_scd2_intervals(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from_us)
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to_us is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to_us == b.valid_from_us, user
+            assert a.v != b.v, user
