@@ -1683,6 +1683,48 @@ def q82_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation tail: embedding-cosine near-dup pairs (q14)
+    → transitive clusters (q47's connected components) → keep the
+    HIGHEST-QUALITY document (q18's score) per cluster, not the min id
+    — semantic dedup the way a training pipeline actually applies it
+    (drop near-duplicates, keep the best-written copy).
+
+    Joins the embeddings-derived cluster table back to the documents
+    table on the shared id — the multimodal-columns contract (one id,
+    many representations). The quality join input is cluster members
+    only (≤ pairs-touched docs), never the corpus; the per-cluster
+    argmax is a window over that small table, deterministic via the
+    (quality DESC, doc_id ASC) tie-break."""
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import embedding_neardup
+    from ..operators.textstats import quality_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = embedding_neardup(emb, threshold=0.35, bucket_col="label")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    quality = quality_scores(docs).select(
+        F.col("doc_id").alias("node"), "quality"
+    )
+    members = comp.join(quality, on="node")
+    w = Window.partitionBy("component")
+    w_rank = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("node")
+    )
+    return (
+        members.withColumn("cluster_size", F.count("*").over(w).cast("int"))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            "cluster_size",
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2845,6 +2887,49 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY user_id
     """,
+    "q83_semantic_curation": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[])
+                      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                               a.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]))),
+                      6) >= 0.35
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ), reach(node, comp) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+        ), comp AS (
+          SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
+        ), quality AS (
+          SELECT doc_id,
+                 round(least(1.0, len(string_split_regex(trim(lower(text)),
+                                                         '\\s+')) / 120.0)
+                       * (1.0 - length(regexp_replace(lower(text),
+                                                      '[a-z0-9 ]', '', 'g'))
+                              * 1.0 / length(text)), 4) AS quality
+          FROM documents
+        ), members AS (
+          SELECT c.cluster_id, c.node, q.quality,
+                 cast(count(*) OVER (PARTITION BY c.cluster_id) AS INTEGER)
+                   AS cluster_size,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality DESC, c.node ASC)
+                   AS rk
+          FROM comp c JOIN quality q ON c.node = q.doc_id
+        )
+        SELECT cluster_id, node AS kept_doc_id, quality AS kept_quality,
+               cluster_size
+        FROM members WHERE rk = 1
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2930,6 +3015,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_embedding_quantize": q80_embedding_quantize,
     "q81_chunk_overlap": q81_chunk_overlap,
     "q82_pseudonymize": q82_pseudonymize,
+    "q83_semantic_curation": q83_semantic_curation,
 }
 
 
