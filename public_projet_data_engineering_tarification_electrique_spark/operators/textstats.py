@@ -92,10 +92,18 @@ def repetition_stats(
     )
     t = F.col("_t")
     n = F.size(t)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
+    # n < 2 guard: sequence(1, 0) counts DOWN ([1, 0]) and the struct
+    # below evaluates unconditionally — without it a 1-token doc probes
+    # element_at(t, 2) and ANSI mode throws.
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # Barrier 2: each O(n) reduction once; downstream is scalar math.
     scalars = staged.select(
         id_col,
