@@ -1725,6 +1725,80 @@ def q83_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → sorted posting list + document
+    frequency, for tokens appearing in ≥ 20 documents — the
+    search-side materialization of the corpus (q38 counts the
+    vocabulary; this emits the postings a retrieval system serves).
+
+    One explode → distinct (doc, token) → one token-key exchange where
+    collect_set runs as a partial aggregate; postings are sorted
+    post-agg so the array is deterministic cross-engine. At 100 TB the
+    df floor (stopword-scale tokens) is the skew guard: the hottest
+    token's posting list is the biggest single aggregate state, so
+    production shards postings by (token, bucket) — same plan with a
+    salt column (q76's pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+        .groupBy("token")
+        .agg(F.collect_set("doc_id").alias("_postings"))
+        .select(
+            "token",
+            # joined string, not array: engines render array cells
+            # differently in the driver's pandas-level compare
+            F.array_join(
+                F.transform(
+                    F.array_sort("_postings"), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings"),
+            F.size("_postings").alias("df"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+    return postings
+
+
+def q85_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization: clip event values at their
+    event-type's [p05, p99] and report per-type clipped-tail counts
+    and the before/after means — the standard outlier treatment before
+    a numeric column feeds a model.
+
+    Two passes over the fact: one to the per-type percentile table
+    (exact percentile_cont — tiny output), which then BROADCASTS back
+    onto the scan for the clip (no second fact shuffle; the final
+    per-type aggregate reuses the partial-agg shape). At 100 TB the
+    exact percentile swaps for approx_percentile with the same
+    contract."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("_lo"),
+        F.percentile("value", F.lit(0.99)).alias("_hi"),
+    )
+    clipped = events.join(F.broadcast(bounds), on="event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")).alias(
+            "_w"
+        ),
+        (F.col("value") < F.col("_lo")).alias("_lo_clip"),
+        (F.col("value") > F.col("_hi")).alias("_hi_clip"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_lo_clip").cast("int")).alias("n_clipped_low"),
+        F.sum(F.col("_hi_clip").cast("int")).alias("n_clipped_high"),
+        F.round(F.avg("value"), 4).alias("mean_raw"),
+        F.round(F.avg("_w"), 4).alias("mean_winsorized"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2930,6 +3004,36 @@ ORACLE_SQL: dict[str, str] = {
                cluster_size
         FROM members WHERE rk = 1
     """,
+    "q84_inverted_index": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS token
+          FROM documents
+        )
+        SELECT token,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings,
+               CAST(count(*) AS INTEGER) AS df
+        FROM toks GROUP BY token HAVING count(*) >= 20
+    """,
+    "q85_winsorize": """
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.99) AS hi
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               count(*) FILTER (value < lo) AS n_clipped_low,
+               count(*) FILTER (value > hi) AS n_clipped_high,
+               round(avg(value), 4) AS mean_raw,
+               round(avg(least(greatest(value, lo), hi)), 4)
+                 AS mean_winsorized
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3016,6 +3120,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_chunk_overlap": q81_chunk_overlap,
     "q82_pseudonymize": q82_pseudonymize,
     "q83_semantic_curation": q83_semantic_curation,
+    "q84_inverted_index": q84_inverted_index,
+    "q85_winsorize": q85_winsorize,
 }
 
 
