@@ -207,6 +207,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    loop_partitions: int | None = 8,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -232,44 +233,54 @@ def connected_components(
     Output: (node, component) where component = min node id reachable.
     Raises if not converged within ``max_iter`` (diameter guard).
     """
+    from .util import pinned_shuffle_partitions
+
+    # The edge list materializes under the SESSION partitioning (its
+    # upstream — shingling, similarity scoring — is corpus-sized work);
+    # the fixpoint loop below shuffles only the graph, which for dedup
+    # workloads is orders of magnitude smaller, so its rounds run under
+    # a pinned low partition count (each round is join+agg+checkpoint:
+    # at 32 partitions that is mostly empty-task scheduling).
     sym = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .union(edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    comp = (
-        sym.select(F.col("_a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                comp.select(
-                    F.col("node").alias("_b"), F.col("component").alias("_nc")
-                ),
-                on="_b",
-            )
-            .groupBy(F.col("_a").alias("node"))
-            .agg(F.min("_nc").alias("_min_nbr"))
-        )
-        new = (
-            comp.join(nbr_min, on="node", how="left")
-            .select(
-                "node",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_min_nbr"), F.col("component"))
-                ).alias("component"),
-            )
+    with pinned_shuffle_partitions(edges.sparkSession, loop_partitions):
+        comp = (
+            sym.select(F.col("_a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        changed = new.filter(F.col("component") != F.col("_old")).count()
-        comp = new.drop("_old")
-        if changed == 0:
-            return comp
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(
+                    comp.select(
+                        F.col("node").alias("_b"), F.col("component").alias("_nc")
+                    ),
+                    on="_b",
+                )
+                .groupBy(F.col("_a").alias("node"))
+                .agg(F.min("_nc").alias("_min_nbr"))
+            )
+            new = (
+                comp.join(nbr_min, on="node", how="left")
+                .select(
+                    "node",
+                    F.col("component").alias("_old"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_min_nbr"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new.filter(F.col("component") != F.col("_old")).count()
+            comp = new.drop("_old")
+            if changed == 0:
+                return comp
     raise RuntimeError(
         f"connected_components: no fixpoint within {max_iter} iterations "
         "(graph diameter too large — use the large-star/small-star variant)"

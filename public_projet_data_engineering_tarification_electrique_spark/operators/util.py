@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import contextlib
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -57,3 +59,26 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return big_s.join(small_s, on=on + ["_salt"], how=how).drop("_salt")
+
+
+@contextlib.contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin ``spark.sql.shuffle.partitions``.
+
+    For plan fragments whose shuffled data is orders of magnitude
+    smaller than the session default was sized for (an iterative
+    fixpoint over a pair graph, a stateful stream's per-partition state
+    stores), the default partition count is pure scheduling overhead —
+    each extra partition is a task plus, for checkpointed loops, a
+    materialized empty file per round. No-op when ``n`` is None.
+    Restores the previous value on exit.
+    """
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
