@@ -1799,6 +1799,83 @@ def q85_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert apply — MERGE INTO semantics as a pure batch plan:
+    apply a change batch (UPDATE / DELETE / INSERT ops) onto the orders
+    snapshot. The engine-level primitive behind the reference's
+    WRITE_APPEND-with-backfill wish (SURVEY §2.9: appends should be
+    keyed and idempotent, not blind).
+
+    The change batch is derived deterministically from the snapshot
+    (keys ≡ 0 mod 10 → +10% reprice, ≡ 1 mod 10 → delete, and a
+    shifted key range → inserts), so both engines construct the
+    identical batch. Apply = ONE left anti-ish outer join keyed on
+    o_orderkey: rows with no change pass through, updates override,
+    deletes drop, inserts arrive from the change side. One key
+    exchange; at 100 TB the snapshot is bucketed by key so the merge
+    is shuffle-free on the snapshot side (Delta/Iceberg MERGE runs
+    this exact plan)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # +1e-9 nudge: 2-dp prices × 1.1 land exactly on .005 boundaries,
+    # where Spark and DuckDB half-rules diverge (PLANS.md 2e rule).
+    changes = orders.filter(F.col("o_orderkey") % 10 < 2).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("_op"),
+        F.round(F.col("o_totalprice") * 1.1 + 1e-9, 2).alias("_new_price"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 2).select(
+        (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+        F.lit("I").alias("_op"),
+        F.round(F.col("o_totalprice"), 2).alias("_new_price"),
+    )
+    all_changes = changes.unionByName(inserts)
+    merged = orders.join(all_changes, on="o_orderkey", how="full_outer")
+    return (
+        merged.filter(F.coalesce(F.col("_op"), F.lit("keep")) != "D")
+        .select(
+            "o_orderkey",
+            F.when(F.col("_op").isin("U", "I"), F.col("_new_price"))
+            .otherwise(F.round(F.col("o_totalprice"), 2))
+            .alias("o_totalprice"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("N")).alias(
+                "o_orderstatus"
+            ),
+        )
+    )
+
+
+def q87_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions — percent_rank and cume_dist of
+    each nation's mean customer account balance, plus dense_rank —
+    the analytic-ranking family q49 (row_number) and q72 (ntile)
+    don't cover. The window runs over the 25-row nation aggregate,
+    never customers: aggregate first, rank the aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_nation = (
+        customer.groupBy("c_nationkey")
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    w = Window.orderBy(F.desc("avg_acctbal"))
+    return per_nation.select(
+        "n_name",
+        "avg_acctbal",
+        F.dense_rank().over(w).alias("rk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -3034,6 +3111,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN b USING (event_type)
         GROUP BY e.event_type
     """,
+    "q86_cdc_upsert_apply": """
+        WITH o AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        ), changes AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE 'D' END AS op,
+                 round(o_totalprice * 1.1 + 1e-9, 2) AS new_price
+          FROM o WHERE o_orderkey % 10 < 2
+          UNION ALL
+          SELECT o_orderkey + 1000000, 'I', round(o_totalprice, 2)
+          FROM o WHERE o_orderkey % 1000 = 2
+        )
+        SELECT coalesce(o.o_orderkey, c.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+                    ELSE round(o.o_totalprice, 2) END AS o_totalprice,
+               coalesce(o.o_orderstatus, 'N') AS o_orderstatus
+        FROM o FULL OUTER JOIN changes c ON o.o_orderkey = c.o_orderkey
+        WHERE coalesce(c.op, 'keep') <> 'D'
+    """,
+    "q87_distribution_windows": """
+        WITH per_nation AS (
+          SELECT c_nationkey, round(avg(c_acctbal), 4) AS avg_acctbal
+          FROM customer GROUP BY 1
+        )
+        SELECT n_name, avg_acctbal,
+               CAST(dense_rank() OVER w AS INTEGER) AS rk,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM per_nation JOIN nation ON c_nationkey = n_nationkey
+        WINDOW w AS (ORDER BY avg_acctbal DESC)
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3122,6 +3230,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_semantic_curation": q83_semantic_curation,
     "q84_inverted_index": q84_inverted_index,
     "q85_winsorize": q85_winsorize,
+    "q86_cdc_upsert_apply": q86_cdc_upsert_apply,
+    "q87_distribution_windows": q87_distribution_windows,
 }
 
 
