@@ -1876,6 +1876,44 @@ def q87_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing as a registered query: explode each
+    binary payload into ≤8 fixed 64-byte windows via Arrow-batched
+    mapInPandas (the video-keyframe fan-out shape; a real decoder
+    swaps window slicing for codec frame boundaries). Frames are
+    emitted as md5 digests — the payloads are ASCII text bytes, so
+    DuckDB reproduces the digest from substr, making the 1→N binary
+    fan-out value-checkable, not rows-only."""
+    from ..operators.multimodal import attach_binary_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_binary_payload(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
+
+
+def q89_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction (the real, non-stub multimodal
+    feature path): 64-bin byte-value histogram per payload via numpy
+    bincount inside mapInPandas, posexploded to sparse (doc, bin, n)
+    rows for the oracle. The Arrow batch→bincount shape is exactly how
+    a learned extractor would run; only fixed-width features leave the
+    scan partitions."""
+    from ..operators.multimodal import attach_binary_payload, byte_histogram_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = byte_histogram_features(attach_binary_payload(docs), n_bins=64)
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("bin", "n"))
+        .filter(F.col("n") > 0)
+        .select("doc_id", F.col("bin").cast("int").alias("bin"), "n")
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -3142,6 +3180,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM per_nation JOIN nation ON c_nationkey = n_nationkey
         WINDOW w AS (ORDER BY avg_acctbal DESC)
     """,
+    "q88_frame_sample": """
+        -- documents.text is pure printable ASCII (verified both SFs),
+        -- so utf-8 payload bytes == characters and substr == slicing
+        WITH f AS (
+          SELECT doc_id, text,
+                 least(greatest(1, length(text) // 64), 8) AS n
+          FROM documents
+        ), e AS (
+          SELECT doc_id, text, unnest(range(0, n)) AS frame_idx FROM f
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
+                 AS frame_md5,
+               CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER),
+                                  64)) AS INTEGER) AS frame_len
+        FROM e
+    """,
+    "q89_byte_histogram": """
+        WITH chars AS (
+          SELECT doc_id, text,
+                 unnest(range(1, length(text) + 1)) AS i
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(ord(substr(text, CAST(i AS INTEGER), 1)) // 4
+                    AS INTEGER) AS bin,
+               count(*) AS n
+        FROM chars
+        GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3232,6 +3301,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_winsorize": q85_winsorize,
     "q86_cdc_upsert_apply": q86_cdc_upsert_apply,
     "q87_distribution_windows": q87_distribution_windows,
+    "q88_frame_sample": q88_frame_sample,
+    "q89_byte_histogram": q89_byte_histogram,
 }
 
 
