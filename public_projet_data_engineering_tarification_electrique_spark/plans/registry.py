@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1914,6 +1915,34 @@ def q89_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar Pandas UDF — the remaining UDF flavor (q46
+    UDTF, U1 applyInPandas, q28 applyInPandasWithState, q20/q88/q89
+    mapInPandas): a numpy kernel over Arrow batches computing
+    sqrt(|value|), aggregated per event_type.
+
+    sqrt is IEEE-754 correctly rounded, so numpy and DuckDB produce
+    bit-identical doubles — the UDF boundary adds no float drift and
+    the oracle check is exact (ln/exp kernels would differ in the last
+    ulp between libm implementations). In production this slot holds
+    the model-scoring / feature-transform kernel; the plan shape —
+    Arrow batch in, partial agg after, one key exchange — is what
+    matters at 100 TB, and the partial aggregation runs AFTER the UDF
+    on the scan partitions, so the exchange carries per-type partials
+    only."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _sqrt_abs(v: pd.Series) -> pd.Series:
+        return np.sqrt(v.abs())
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.avg(_sqrt_abs("value")), 4).alias("mean_sqrt_value"),
+        F.count("*").alias("n"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -3211,6 +3240,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM chars
         GROUP BY 1, 2
     """,
+    "q90_pandas_udf_scalar": """
+        SELECT event_type,
+               round(avg(sqrt(abs(value))), 4) AS mean_sqrt_value,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3303,6 +3339,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_distribution_windows": q87_distribution_windows,
     "q88_frame_sample": q88_frame_sample,
     "q89_byte_histogram": q89_byte_histogram,
+    "q90_pandas_udf_scalar": q90_pandas_udf_scalar,
 }
 
 
