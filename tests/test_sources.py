@@ -154,3 +154,46 @@ def test_materialize_once_skips_recompute(spark, tmp_path):
     second = materialize_once(lazy, path)
     assert second.count() == 2
     assert sorted(r.v for r in second.collect()) == ["a", "b"]
+
+
+def test_date_partition_overwrite_idempotent_and_pruned(spark, tmp_path):
+    """overwrite_date_partition: (a) re-running a day replaces that day
+    (no duplicate rows — the reference's WRITE_APPEND flaw, SURVEY
+    §2.9); (b) untouched partitions survive; (c) a date-equality read
+    prunes to one partition directory (PartitionFilters in the scan)."""
+    import pyspark.sql.functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.sources.writers import (
+        overwrite_date_partition,
+    )
+
+    path = str(tmp_path / "daily")
+    day1 = spark.createDataFrame(
+        [("2024-01-01", "r1", 10.0), ("2024-01-01", "r2", 20.0)],
+        "date string, region string, conso double",
+    )
+    day2 = spark.createDataFrame(
+        [("2024-01-02", "r1", 30.0)], "date string, region string, conso double"
+    )
+    overwrite_date_partition(day1, path)
+    overwrite_date_partition(day2, path)
+    # backfill re-run of day1 with corrected values: replaces, not appends
+    day1_fixed = spark.createDataFrame(
+        [("2024-01-01", "r1", 11.0), ("2024-01-01", "r2", 21.0)],
+        "date string, region string, conso double",
+    )
+    overwrite_date_partition(day1_fixed, path)
+
+    out = spark.read.parquet(path)
+    assert out.count() == 3
+    assert out.filter(F.col("date") == "2024-01-01").count() == 2
+    got = {
+        (r.region): r.conso for r in out.filter(F.col("date") == "2024-01-01").collect()
+    }
+    assert got == {"r1": 11.0, "r2": 21.0}
+    # day2 untouched by the day1 re-run
+    assert out.filter(F.col("date") == "2024-01-02").count() == 1
+
+    pruned = out.filter(F.col("date") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
