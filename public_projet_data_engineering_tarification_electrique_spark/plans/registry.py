@@ -1943,6 +1943,18 @@ def q90_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (the remaining Structured
+    Streaming shape: q19 windowed agg, q28 custom state, q44 dedup):
+    the event stream broadcast-joins a static funnel-stage dimension
+    before its 1-day windowed aggregate. Stateless join — only the
+    window aggregate holds state — and the batch equivalent SQL is the
+    oracle, so streamed == batch is value-checked."""
+    from ..streaming.daily import stream_enriched_daily
+
+    return stream_enriched_daily(spark, f"{sf_dir}/events.parquet")
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -3247,6 +3259,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q91_stream_static_join": """
+        WITH dim(event_type, stage) AS (
+          VALUES ('view', 'awareness'), ('click', 'engagement'),
+                 ('signup', 'conversion'), ('purchase', 'conversion'),
+                 ('error', 'ops')
+        )
+        SELECT cast(date_trunc('day', ts) AS DATE) AS date, stage,
+               count(*) AS n, round(avg(value) + 1e-9, 4) AS avg_value
+        FROM events JOIN dim USING (event_type)
+        GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3340,6 +3363,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_frame_sample": q88_frame_sample,
     "q89_byte_histogram": q89_byte_histogram,
     "q90_pandas_udf_scalar": q90_pandas_udf_scalar,
+    "q91_stream_static_join": q91_stream_static_join,
 }
 
 

@@ -151,3 +151,74 @@ def stream_daily_ingest(
         .start()
         .awaitTermination()
     )
+
+
+#: Static event-type → funnel-stage dimension (the stream-static join's
+#: small side; in production this is a warehouse dimension table).
+EVENT_STAGE_DIM = (
+    ("view", "awareness"),
+    ("click", "engagement"),
+    ("signup", "conversion"),
+    ("purchase", "conversion"),
+    ("error", "ops"),
+)
+
+
+def stream_enriched_daily(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "2 days",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (event_type → funnel stage) BEFORE the windowed
+    aggregate — the canonical Structured Streaming enrichment shape.
+    The static side re-resolves per micro-batch and broadcasts; the
+    stream side carries no extra state for the join (only the
+    downstream window aggregate is stateful).
+    """
+    configure(spark)
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_enrich_")
+    table = f"enriched_daily_{uuid.uuid4().hex[:8]}"
+    if os.path.isfile(events_path):
+        landing = tempfile.mkdtemp(prefix="landing_enrich_")
+        os.symlink(events_path, os.path.join(landing, os.path.basename(events_path)))
+        events_path = landing
+
+    stage_dim = F.broadcast(
+        spark.createDataFrame(
+            list(EVENT_STAGE_DIM), "event_type string, stage string"
+        )
+    )
+    src = (
+        spark.readStream.schema(EVENTS_LANDING_SCHEMA)
+        .format("parquet")
+        .load(events_path)
+        .withColumn("ts", F.expr("cast(ts as timestamp)"))
+        .join(stage_dim, on="event_type", how="inner")
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("_w"), F.col("stage"))
+        .agg(
+            F.count("*").alias("n"),
+            # +1e-9 nudge: one (day, conversion) mean sits 2e-14 from a
+            # 4-dp half-way boundary at sf0.01 (PLANS.md 2e rule)
+            F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+        )
+        .select(
+            F.col("_w.start").cast("date").alias("date"), "stage", "n", "avg_value"
+        )
+    )
+    with stream_shuffle_partitions(spark, state_partitions):
+        (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(table)
