@@ -497,9 +497,15 @@ def q26_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q28_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState +
-    event-time timeout). Emits sessions the watermark has sealed;
-    rows-only check — incremental emission is not SQL-expressible
-    (tests pin exact agreement with the batch twin q22)."""
+    event-time timeout), value-checked against a closed-form oracle:
+    the stream emits exactly (a) every non-final session (closed by a
+    later same-user event) and (b) each user's final session iff the
+    end-of-input watermark — max event time, ms-truncated — passed its
+    end + gap. Both sets are SQL-expressible over the batch session
+    table (q22) + one scalar watermark subquery, so the incremental
+    operator gets a full value-hash gate, not a rows-only count.
+    Per-session float sums are audited on-grid at 4 dp (values carry
+    ≤4 decimals), so incremental vs aggregate summation agree."""
     from ..streaming.sessions import stream_sessionize
 
     return stream_sessionize(spark, f"{sf_dir}/events.parquet", gap_seconds=1800)
@@ -3269,6 +3275,37 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n, round(avg(value) + 1e-9, 4) AS avg_value
         FROM events JOIN dim USING (event_type)
         GROUP BY 1, 2
+    """,
+    "q28_stream_sessionize": """
+        WITH e AS (
+          SELECT event_id, user_id, value,
+                 epoch_ns(ts) // 1000000000 AS ts_s
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, value, ts_s,
+                 CASE WHEN lag(ts_s) OVER w IS NULL
+                           OR ts_s - lag(ts_s) OVER w > 1800
+                      THEN 1 ELSE 0 END AS b
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        ), sess AS (
+          SELECT user_id, value, ts_s,
+                 sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ), s AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 min(ts_s) AS start_s, max(ts_s) AS end_s,
+                 round(sum(value), 4) AS sum_value,
+                 max(session_id) OVER (PARTITION BY user_id) AS last_sid
+          FROM sess GROUP BY 1, 2
+        ), wm AS (
+          -- final watermark: max event time, truncated to ms (0s delay)
+          SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events
+        )
+        SELECT user_id, session_id, n_events, start_s, end_s, sum_value
+        FROM s, wm
+        WHERE session_id < last_sid
+           OR (end_s + 1800) * 1000 < wm_ms
     """,
 }
 
