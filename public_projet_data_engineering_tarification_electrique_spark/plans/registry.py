@@ -1961,6 +1961,21 @@ def q91_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enriched_daily(spark, f"{sf_dir}/events.parquet")
 
 
+def q92_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join: clicks ⋈ same-user
+    errors within [click, click+1h], both sides watermarked — state is
+    bounded by the range predicate (a buffered click drops once the
+    error watermark passes click+1h). Completes the streaming surface:
+    windowed agg (q19), custom state (q28), dedup (q44), stream-static
+    (q91), and now stream-stream. Over a finite availableNow input
+    every true pair is emitted (watermarks bound state, not inner-join
+    completeness), so the batch interval-join SQL is an exact oracle;
+    delta is integer µs — parity exact by construction."""
+    from ..streaming.daily import stream_stream_click_error_join
+
+    return stream_stream_click_error_join(spark, f"{sf_dir}/events.parquet")
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -3307,6 +3322,20 @@ ORACLE_SQL: dict[str, str] = {
         WHERE session_id < last_sid
            OR (end_s + 1800) * 1000 < wm_ms
     """,
+    "q92_stream_stream_join": """
+        WITH c AS (
+          SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click'
+        ), e AS (
+          SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
+          FROM events WHERE event_type = 'error'
+        )
+        SELECT c.click_id, e.error_id, c.user_id,
+               e.e_us - c.c_us AS delta_us
+        FROM c JOIN e ON c.user_id = e.user_id
+                     AND e.e_us >= c.c_us
+                     AND e.e_us <= c.c_us + CAST(3600000000 AS BIGINT)
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3401,6 +3430,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_byte_histogram": q89_byte_histogram,
     "q90_pandas_udf_scalar": q90_pandas_udf_scalar,
     "q91_stream_static_join": q91_stream_static_join,
+    "q92_stream_stream_join": q92_stream_stream_join,
 }
 
 

@@ -222,3 +222,72 @@ def stream_enriched_daily(
             .awaitTermination()
         )
     return spark.table(table)
+
+
+def stream_stream_click_error_join(
+    spark: SparkSession,
+    events_path: str,
+    window_seconds: int = 3600,
+    checkpoint_dir: str | None = None,
+    watermark: str = "1 hour",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-stream event-time interval join: each click joins the
+    same user's errors within [click, click + window] — two watermarked
+    streams, state bounded by the time-range predicate (Spark drops a
+    buffered row once the other side's watermark passes its join
+    window). The streaming twin of the batch range join (q42).
+
+    With availableNow over a finite landing directory every true pair
+    is emitted (watermarks bound STATE, not inner-join completeness),
+    so the batch interval-join SQL is an exact oracle.
+    """
+    configure(spark)
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ssj_")
+    table = f"ssj_{uuid.uuid4().hex[:8]}"
+    if os.path.isfile(events_path):
+        landing = tempfile.mkdtemp(prefix="landing_ssj_")
+        os.symlink(events_path, os.path.join(landing, os.path.basename(events_path)))
+        events_path = landing
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(EVENTS_LANDING_SCHEMA)
+            .format("parquet")
+            .load(events_path)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.expr("cast(ts as timestamp)").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    clicks = side("click", "c")
+    errors = side("error", "e")
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")),
+        "inner",
+    ).select(
+        F.col("c_id").alias("click_id"),
+        F.col("e_id").alias("error_id"),
+        F.col("c_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))
+        ).alias("delta_us"),
+    )
+    with stream_shuffle_partitions(spark, state_partitions):
+        (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(table)
