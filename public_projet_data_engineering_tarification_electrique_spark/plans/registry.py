@@ -1976,6 +1976,38 @@ def q92_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_click_error_join(spark, f"{sf_dir}/events.parquet")
 
 
+def q93_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share — lineitem ⋈ part over
+    one ship-month, conditional revenue ratio. Exercises the
+    fact-to-mid-size-dimension join (part scales with SF — join
+    strategy left to AQE, which broadcasts while it fits) with the
+    month predicate pushed to the lineitem scan, and the
+    conditional-aggregate-ratio pattern (one pass, no self-join).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-09-01")
+            & (F.col("l_shipdate") < "1997-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
@@ -3336,6 +3368,17 @@ ORACLE_SQL: dict[str, str] = {
                      AND e.e_us >= c.c_us
                      AND e.e_us <= c.c_us + CAST(3600000000 AS BIGINT)
     """,
+    "q93_tpch_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS promo_revenue_pct,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3431,6 +3474,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_pandas_udf_scalar": q90_pandas_udf_scalar,
     "q91_stream_static_join": q91_stream_static_join,
     "q92_stream_stream_join": q92_stream_stream_join,
+    "q93_tpch_promo_revenue": q93_tpch_promo_revenue,
 }
 
 
