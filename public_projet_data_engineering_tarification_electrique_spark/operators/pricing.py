@@ -111,8 +111,10 @@ def city_alpha(
         )
         .select(
             *key_cols,
+            # +1e-9 nudge: year-over-year ratios land on 6-dp half-way
+            # boundaries at sf0.1 (PLANS.md 2e rule; oracle matches)
             F.round(
-                alpha_clamped(F.col("_next_val") / F.col(value_col)), 6
+                alpha_clamped(F.col("_next_val") / F.col(value_col)) + 1e-9, 6
             ).alias("alpha"),
         )
     )

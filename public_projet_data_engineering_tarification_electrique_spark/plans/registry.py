@@ -105,7 +105,7 @@ def _annual_city(
     customer = load_table(spark, sf_dir, "customer")
     yearly = orders.groupBy(
         F.col("o_custkey"), F.year("o_orderdate").alias("annee")
-    ).agg(F.round(F.avg("o_totalprice") / 1000, 4).alias("conso_moyenne_mwh"))
+    ).agg(F.round(F.avg("o_totalprice") / 1000 + 1e-9, 4).alias("conso_moyenne_mwh"))
     return yearly.join(
         F.broadcast(customer), yearly.o_custkey == customer.c_custkey
     ).select(
@@ -135,7 +135,7 @@ daily AS (
 annual AS (
   SELECT c_name AS nom_commune, cast(o_custkey AS VARCHAR) AS code_commune,
          cast(year(o_orderdate) AS INTEGER) AS annee,
-         round(avg(o_totalprice) / 1000, 4) AS conso_moyenne_mwh
+         round(avg(o_totalprice) / 1000 + 1e-9, 4) AS conso_moyenne_mwh
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2, 3
 )
@@ -167,7 +167,7 @@ def q02_groupby_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(
         "l_suppkey", F.year("l_shipdate").alias("annee")
-    ).agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+    ).agg(F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"))
 
 
 def q03_daily_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +239,7 @@ def q07_alpha_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("o_custkey"), F.year("o_orderdate").alias("annee")
         )
-        .agg(F.round(F.avg("o_totalprice"), 4).alias("conso"))
+        .agg(F.round(F.avg("o_totalprice") + 1e-9, 4).alias("conso"))
     )
     return city_alpha(
         yearly,
@@ -2020,7 +2020,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q02_groupby_mean": """
         SELECT l_suppkey, cast(year(l_shipdate) AS INTEGER) AS annee,
-               round(avg(l_extendedprice), 4) AS avg_price
+               round(avg(l_extendedprice) + 1e-9, 4) AS avg_price
         FROM lineitem GROUP BY 1, 2
     """,
     "q03_daily_downsample": """
@@ -2050,7 +2050,7 @@ ORACLE_SQL: dict[str, str] = {
     "q07_alpha_lead": f"""
         WITH yearly AS (
           SELECT o_custkey, cast(year(o_orderdate) AS INTEGER) AS annee,
-                 round(avg(o_totalprice), 4) AS conso
+                 round(avg(o_totalprice) + 1e-9, 4) AS conso
           FROM orders GROUP BY 1, 2
         ), led AS (
           SELECT o_custkey, annee, conso,
@@ -2061,7 +2061,7 @@ ORACLE_SQL: dict[str, str] = {
           WINDOW w AS (PARTITION BY o_custkey ORDER BY annee)
         )
         SELECT o_custkey,
-               round(least(greatest(next_conso / conso, 1.0), 1.3), 6) AS alpha
+               round(least(greatest(next_conso / conso, 1.0), 1.3) + 1e-9, 6) AS alpha
         FROM led
         WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
           AND conso IS NOT NULL AND conso <> 0 AND next_conso IS NOT NULL
@@ -2098,7 +2098,7 @@ ORACLE_SQL: dict[str, str] = {
           WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
         ), alpha AS (
           SELECT nom_commune, code_commune,
-                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0), 1.3), 6)
+                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0), 1.3) + 1e-9, 6)
                    AS alpha
           FROM led
           WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
@@ -3043,7 +3043,7 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
                  AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
                round(avg(l_discount), 4) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
