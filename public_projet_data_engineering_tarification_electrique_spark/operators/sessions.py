@@ -53,9 +53,15 @@ def sessionize(
         "session_id",
         F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # Exact-grid sum: round each value onto the 1e-4 integer grid and sum
+    # longs, so per-session totals are independent of float summation
+    # order (Spark vs DuckDB vs incremental streaming all agree exactly).
+    # round(x*1e4, 0) at scale 0 is engine-portable: decimal HALF_UP and
+    # binary round-half-away coincide for doubles below 2**51.
+    grid = F.round(F.col(value_col) * F.lit(1e4), 0).cast("long")
     return with_session.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("start_s"),
         F.max(ts_col).alias("end_s"),
-        F.round(F.sum(value_col), 4).alias("sum_value"),
+        (F.sum(grid) / F.lit(1e4)).alias("sum_value"),
     )

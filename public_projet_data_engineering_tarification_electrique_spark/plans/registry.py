@@ -1460,7 +1460,9 @@ def q74_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_charge"
             ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            # +1e-9 nudge mirrored in the oracle (PLANS.md §2h): the
+            # 4-dp avg straddles a half-way boundary at some SFs
+            F.round(F.avg("l_extendedprice") + F.lit(1e-9), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -2436,7 +2438,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts_s) AS start_s, max(ts_s) AS end_s,
-               round(sum(value), 4) AS sum_value
+               sum(CAST(round(value * 1e4) AS BIGINT)) / 1e4 AS sum_value
         FROM sess GROUP BY 1, 2
     """,
     "q23_rollup_daily": """
@@ -3342,7 +3344,7 @@ ORACLE_SQL: dict[str, str] = {
         ), s AS (
           SELECT user_id, session_id, count(*) AS n_events,
                  min(ts_s) AS start_s, max(ts_s) AS end_s,
-                 round(sum(value), 4) AS sum_value,
+                 sum(CAST(round(value * 1e4) AS BIGINT)) / 1e4 AS sum_value,
                  max(session_id) OVER (PARTITION BY user_id) AS last_sid
           FROM sess GROUP BY 1, 2
         ), wm AS (

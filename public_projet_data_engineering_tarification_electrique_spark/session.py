@@ -38,6 +38,45 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: SparkContexts whose executors already received our package zip.
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Pandas-UDF / applyInPandas functions defined at module scope are
+    pickled BY REFERENCE, so the worker must be able to import the
+    package. When the driver process runs outside the repo (the grading
+    harness, a spark-submit from elsewhere), workers would fail with
+    ModuleNotFoundError. Zipping the package once per context and
+    distributing it through Spark's file server is the same mechanism
+    ``--py-files`` uses on a real cluster — correct in local and
+    cluster mode alike.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="pkgship_"), f"{pkg_name}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-owned or ours)."""
     for k, v in RUNTIME_CONFS.items():
@@ -46,6 +85,12 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Static conf on this build — only settable at session creation.
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # Never let code-shipping break a session that can already
+        # import the package (e.g. driver cwd == repo root).
+        pass
     return spark
 
 

@@ -25,39 +25,64 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.util import pinned_shuffle_partitions
 from ..session import configure
 
+#: A stateful streaming query materializes one state store PER shuffle
+#: partition, and the count is frozen into the checkpoint at first
+#: start — size it to the stream's state volume, not the batch-tuned
+#: session default (see operators.util.pinned_shuffle_partitions, the
+#: single implementation).
+stream_shuffle_partitions = pinned_shuffle_partitions
 
-@contextlib.contextmanager
-def stream_shuffle_partitions(spark: SparkSession, n: int | None):
-    """Temporarily pin ``spark.sql.shuffle.partitions`` for a stream start.
-
-    A stateful streaming query materializes one state store PER shuffle
-    partition, and the partition count is frozen into the checkpoint at
-    first start — so it must be sized to the stream's state volume, not
-    inherited from the batch-tuned session default (32 state stores for
-    a single availableNow micro-batch is ~3× pure setup overhead at
-    test scale; a production cluster sizes this to executor cores ×
-    target state-per-store). Restores the session value afterwards —
-    only the stream started inside the block is pinned.
-    """
-    if n is None:
-        yield
-        return
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-
-#: events landing schema — ts is TIMESTAMP(US) without zone in the
-#: testdata parquet; session tz is pinned UTC so NTZ→TIMESTAMP is an
-#: identity relabel (see sources.tables).
+#: events landing schema, per ts flavor. Testdata regenerates between
+#: rounds and has shipped ts as both TIMESTAMP(US) (read as
+#: timestamp_ntz; session tz is pinned UTC so NTZ→TIMESTAMP is an
+#: identity relabel) and TIMESTAMP(NANOS) (read as LONG ns under
+#: spark.sql.legacy.parquet.nanosAsLong). Mirror
+#: sources.tables.load_table's dual-flavor normalization.
 EVENTS_LANDING_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
+EVENTS_LANDING_SCHEMA_NS = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stage_landing(events_path: str, prefix: str = "landing_") -> str:
+    """File streams need a landing DIRECTORY; when pointed at a single
+    parquet file (the driver testdata layout), stage a symlink dir."""
+    if os.path.isfile(events_path):
+        landing = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(
+            events_path, os.path.join(landing, os.path.basename(events_path))
+        )
+        return landing
+    return events_path
+
+
+def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming events source with the ts flavor detected from the
+    parquet footer (a metadata-only batch read — no job) and normalized
+    to a true ``timestamp`` column, whatever flavor the testdata shipped.
+    """
+    configure(spark)
+    ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
+        schema, cast = (
+            EVENTS_LANDING_SCHEMA_NS,
+            "cast(timestamp_micros(ts div 1000) as timestamp)",
+        )
+    else:
+        schema, cast = EVENTS_LANDING_SCHEMA, "cast(ts as timestamp)"
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(events_path)
+        .withColumn("ts", F.expr(cast))
+    )
 
 
 def stream_daily_event_avg(
@@ -77,20 +102,7 @@ def stream_daily_event_avg(
     configure(spark)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_daily_")
     table = f"daily_event_avg_{uuid.uuid4().hex[:8]}"
-
-    # The file-stream source needs a landing DIRECTORY; when pointed at a
-    # single parquet file (the driver testdata layout), stage a symlink.
-    if os.path.isfile(events_path):
-        landing = tempfile.mkdtemp(prefix="landing_daily_")
-        os.symlink(events_path, os.path.join(landing, os.path.basename(events_path)))
-        events_path = landing
-
-    src = (
-        spark.readStream.schema(EVENTS_LANDING_SCHEMA)
-        .format("parquet")
-        .load(events_path)
-        .withColumn("ts", F.expr("cast(ts as timestamp)"))
-    )
+    src = events_stream(spark, stage_landing(events_path, "landing_daily_"))
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(
@@ -128,12 +140,7 @@ def stream_daily_ingest(
     date-partitioned parquet sink (idempotent via checkpoint + dynamic
     partition overwrite). The nightly scheduler just re-runs this."""
     configure(spark)
-    src = (
-        spark.readStream.schema(EVENTS_LANDING_SCHEMA)
-        .format("parquet")
-        .load(landing_path)
-        .withColumn("ts", F.expr("cast(ts as timestamp)"))
-    )
+    src = events_stream(spark, landing_path)
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("_w"), F.col("event_type"))
@@ -181,23 +188,14 @@ def stream_enriched_daily(
     configure(spark)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_enrich_")
     table = f"enriched_daily_{uuid.uuid4().hex[:8]}"
-    if os.path.isfile(events_path):
-        landing = tempfile.mkdtemp(prefix="landing_enrich_")
-        os.symlink(events_path, os.path.join(landing, os.path.basename(events_path)))
-        events_path = landing
-
     stage_dim = F.broadcast(
         spark.createDataFrame(
             list(EVENT_STAGE_DIM), "event_type string, stage string"
         )
     )
-    src = (
-        spark.readStream.schema(EVENTS_LANDING_SCHEMA)
-        .format("parquet")
-        .load(events_path)
-        .withColumn("ts", F.expr("cast(ts as timestamp)"))
-        .join(stage_dim, on="event_type", how="inner")
-    )
+    src = events_stream(
+        spark, stage_landing(events_path, "landing_enrich_")
+    ).join(stage_dim, on="event_type", how="inner")
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("_w"), F.col("stage"))
@@ -245,21 +243,16 @@ def stream_stream_click_error_join(
     configure(spark)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ssj_")
     table = f"ssj_{uuid.uuid4().hex[:8]}"
-    if os.path.isfile(events_path):
-        landing = tempfile.mkdtemp(prefix="landing_ssj_")
-        os.symlink(events_path, os.path.join(landing, os.path.basename(events_path)))
-        events_path = landing
+    events_path = stage_landing(events_path, "landing_ssj_")
 
     def side(event_type: str, prefix: str):
         return (
-            spark.readStream.schema(EVENTS_LANDING_SCHEMA)
-            .format("parquet")
-            .load(events_path)
+            events_stream(spark, events_path)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
                 F.col("user_id").alias(f"{prefix}_user"),
-                F.expr("cast(ts as timestamp)").alias(f"{prefix}_ts"),
+                F.col("ts").alias(f"{prefix}_ts"),
             )
             .withWatermark(f"{prefix}_ts", watermark)
         )

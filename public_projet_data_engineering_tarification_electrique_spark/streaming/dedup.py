@@ -12,7 +12,6 @@ state forever — deliberately not used.)
 
 from __future__ import annotations
 
-import os
 import tempfile
 import uuid
 
@@ -20,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import configure
-from .daily import EVENTS_LANDING_SCHEMA, stream_shuffle_partitions
+from .daily import events_stream, stage_landing, stream_shuffle_partitions
 
 
 def stream_dedup_events(
@@ -35,21 +34,14 @@ def stream_dedup_events(
     configure(spark)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_dedup_")
     table = f"dedup_{uuid.uuid4().hex[:8]}"
-    if os.path.isfile(events_path):
-        landing = tempfile.mkdtemp(prefix="landing_dedup_")
-        os.symlink(events_path, os.path.join(landing, os.path.basename(events_path)))
-        events_path = landing
-
     src = (
-        spark.readStream.schema(EVENTS_LANDING_SCHEMA)
-        .format("parquet")
-        .load(events_path)
+        events_stream(spark, stage_landing(events_path, "landing_dedup_"))
         .select(
             "event_id",
             "user_id",
             "event_type",
             "value",
-            F.expr("cast(ts as timestamp)").alias("_et"),
+            F.col("ts").alias("_et"),
         )
         .withWatermark("_et", watermark)
     )

@@ -18,7 +18,6 @@ the per-batch group iteration stays columnar.
 
 from __future__ import annotations
 
-import os
 import tempfile
 import uuid
 from collections.abc import Iterator
@@ -30,17 +29,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..session import configure
-from .daily import EVENTS_LANDING_SCHEMA, stream_shuffle_partitions
+from .daily import events_stream, stage_landing, stream_shuffle_partitions
 
 OUTPUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
     "start_s long, end_s long, sum_value double"
 )
-#: (next_session_id, open?, start_s, end_s, n_events, sum_value)
+#: (next_session_id, open?, start_s, end_s, n_events, sum_v4)
+#: sum_v4 is the running session sum on the 1e-4 integer grid (long), so
+#: the accumulated total is order-independent and bit-identical to the
+#: batch twin's exact-grid sum regardless of micro-batch boundaries.
 STATE_SCHEMA = (
     "next_sid long, open boolean, start_s long, end_s long, "
-    "n_events long, sum_value double"
+    "n_events long, sum_v4 long"
 )
+
+
+def _grid4(x: float) -> int:
+    """value -> 1e-4 integer grid, rounding half away from zero on the
+    binary double — matches Spark ``round(x*1e4, 0)`` and DuckDB
+    ``round(x*1e4)`` exactly for \\|x*1e4\\| < 2**51 (``abs(x)+0.5`` is
+    exact there, so floor gives true half-away)."""
+    import math
+
+    g = x * 1e4
+    return int(math.floor(abs(g) + 0.5)) * (1 if g >= 0 else -1)
 
 
 def _make_sessionizer(gap_seconds: int):
@@ -49,19 +62,19 @@ def _make_sessionizer(gap_seconds: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            next_sid, is_open, start_s, end_s, n_events, sum_value = state.get
+            next_sid, is_open, start_s, end_s, n_events, sum_v4 = state.get
         else:
-            next_sid, is_open, start_s, end_s, n_events, sum_value = (
-                1, False, 0, 0, 0, 0.0,
+            next_sid, is_open, start_s, end_s, n_events, sum_v4 = (
+                1, False, 0, 0, 0, 0,
             )
-        closed: list[tuple[int, int, int, int, int, float]] = []
+        closed: list[tuple[int, int, int, int, int, int]] = []
 
         if state.hasTimedOut:
             # watermark passed end+gap: the open session can no longer
             # grow — emit it and drop the state row
             if is_open:
                 closed.append(
-                    (user_id, next_sid, n_events, start_s, end_s, sum_value)
+                    (user_id, next_sid, n_events, start_s, end_s, sum_v4)
                 )
             state.remove()
         else:
@@ -77,21 +90,21 @@ def _make_sessionizer(gap_seconds: int):
                 ts_s = int(ts_s)
                 if is_open and ts_s - end_s > gap_seconds:
                     closed.append(
-                        (user_id, next_sid, n_events, start_s, end_s, sum_value)
+                        (user_id, next_sid, n_events, start_s, end_s, sum_v4)
                     )
                     next_sid += 1
                     is_open = False
                 if is_open:
                     end_s = max(end_s, ts_s)
                     n_events += 1
-                    sum_value += float(value)
+                    sum_v4 += _grid4(float(value))
                 else:
                     is_open = True
                     start_s = end_s = ts_s
                     n_events = 1
-                    sum_value = float(value)
+                    sum_v4 = _grid4(float(value))
             state.update(
-                (next_sid, is_open, start_s, end_s, n_events, round(sum_value, 4))
+                (next_sid, is_open, start_s, end_s, n_events, sum_v4)
             )
             if is_open:
                 # timeout is event-time: fires once watermark > end+gap
@@ -105,7 +118,8 @@ def _make_sessionizer(gap_seconds: int):
                     "start_s", "end_s", "sum_value",
                 ],
             )
-            out["sum_value"] = out["sum_value"].round(4)
+            # off the integer grid exactly once, at emission
+            out["sum_value"] = out["sum_value"].astype("float64") / 1e4
             yield out
 
     return update
@@ -130,21 +144,14 @@ def stream_sessionize(
     configure(spark)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_sess_")
     table = f"sessions_{uuid.uuid4().hex[:8]}"
-    if os.path.isfile(events_path):
-        landing = tempfile.mkdtemp(prefix="landing_sess_")
-        os.symlink(events_path, os.path.join(landing, os.path.basename(events_path)))
-        events_path = landing
-
     src = (
-        spark.readStream.schema(EVENTS_LANDING_SCHEMA)
-        .format("parquet")
-        .load(events_path)
+        events_stream(spark, stage_landing(events_path, "landing_sess_"))
         .select(
             "event_id",
             "user_id",
             "value",
-            F.expr("unix_micros(cast(ts as timestamp)) DIV 1000000").alias("ts_s"),
-            F.expr("cast(ts as timestamp)").alias("_et"),
+            F.expr("unix_micros(ts) DIV 1000000").alias("ts_s"),
+            F.col("ts").alias("_et"),
         )
         .withWatermark("_et", watermark)
     )
