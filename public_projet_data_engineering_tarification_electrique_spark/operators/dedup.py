@@ -281,10 +281,108 @@ def connected_components(
             comp = new.drop("_old")
             if changed == 0:
                 return comp
-    raise RuntimeError(
-        f"connected_components: no fixpoint within {max_iter} iterations "
-        "(graph diameter too large — use the large-star/small-star variant)"
+    # Diameter exceeded the propagation budget (a long-chain graph):
+    # switch to the O(log² n) large-star/small-star alternation instead
+    # of degrading round-by-round. Same output contract.
+    return connected_components_star(
+        edges, src=src, dst=dst, loop_partitions=loop_partitions
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 40,
+    loop_partitions: int | None = 8,
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log² n) rounds REGARDLESS of graph
+    diameter — the adversarial-graph path behind the same contract as
+    ``connected_components`` (which handles the small-diameter dedup
+    common case in diameter rounds).
+
+    Per round, both phases are one join + one grouped min over the
+    CURRENT edge set (which only shrinks toward a star forest), with
+    ``localCheckpoint`` lineage truncation:
+    - large-star: every node's strictly-larger neighbors re-attach to
+      its smallest neighbor-or-self;
+    - small-star: with edges oriented high→low, the smaller neighbors
+      (and the node) attach to the minimum.
+    At fixpoint edges form stars centered at each component's minimum
+    node. Convergence check: (count, xor-of-hashes) signature of the
+    edge set — order-insensitive and one agg pass per round.
+
+    Output: (node, component) where component = min node id reachable.
+    """
+    from .util import pinned_shuffle_partitions
+
+    def _canon(e: DataFrame) -> DataFrame:
+        # undirected edge as (hi, lo), self-loops dropped
+        return (
+            e.filter(F.col("_u") != F.col("_v"))
+            .select(
+                F.greatest("_u", "_v").alias("_u"),
+                F.least("_u", "_v").alias("_v"),
+            )
+            .distinct()
+        )
+
+    raw = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    # node universe from the RAW edges (before self-loop dropping), so a
+    # node appearing only as (x, x) still emits (x, x) like the
+    # min-label twin
+    nodes = (
+        raw.select(F.col("_u").alias("node"))
+        .union(raw.select(F.col("_v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = _canon(raw).localCheckpoint(eager=True)
+    with pinned_shuffle_partitions(edges.sparkSession, loop_partitions):
+        prev_sig: tuple[int, int] | None = None
+        for _ in range(max_iter):
+            # -- large-star --------------------------------------------
+            sym = cur.union(
+                cur.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+            )
+            mins = sym.groupBy("_u").agg(
+                F.least(F.min("_v"), F.first("_u")).alias("_m")
+            )
+            cur = _canon(
+                sym.join(mins, on="_u")
+                .filter(F.col("_v") > F.col("_u"))
+                .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+            ).localCheckpoint(eager=True)
+            # -- small-star (edges already oriented _u > _v) -----------
+            mins = cur.groupBy("_u").agg(F.min("_v").alias("_m"))
+            attached = cur.join(mins, on="_u")
+            cur = _canon(
+                attached.select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+                .union(attached.select("_u", F.col("_m").alias("_v")))
+            ).localCheckpoint(eager=True)
+            sig_row = cur.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    # order-insensitive (xor), overflow-free signature
+                    F.expr("bit_xor(xxhash64(_u, _v))"), F.lit(0)
+                ).alias("h"),
+            ).head()
+            sig = (sig_row.n, sig_row.h)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components_star: no fixpoint in {max_iter} rounds"
+            )
+    # stars: every non-center node has exactly one edge to its center
+    return nodes.join(
+        cur.select(F.col("_u").alias("node"), F.col("_v").alias("_root")),
+        on="node",
+        how="left",
+    ).select("node", F.coalesce("_root", "node").alias("component"))
 
 
 def dedup_clusters(

@@ -31,6 +31,7 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.pricing import (
     alpha_clamped,
@@ -118,6 +119,99 @@ def city_alpha(
             ).alias("alpha"),
         )
     )
+
+
+#: Serving status taxonomy (reference error envelope: 400 missing-field
+#: at api.py:24-33,107; the two 500 lookup failures at api.py:131-132,
+#: split by which lookup came back empty).
+STATUS_OK = "ok"
+STATUS_MISSING_FIELD = "missing_field"
+STATUS_UNKNOWN_REGION = "unknown_region"
+STATUS_UNKNOWN_CITY = "unknown_city"
+
+
+def score_requests_with_status(
+    requests: DataFrame,
+    daily: DataFrame,
+    annual: DataFrame,
+    run_date: dt.date | str,
+    year_n: int,
+    region_col: str = "libelle_region",
+) -> DataFrame:
+    """Batch scoring with the reference's full error envelope.
+
+    Where ``score_requests`` drops invalid rows (validate_requests) and
+    NULLs failed lookups, this emits every input row with an explicit
+    ``status``: ``missing_field`` (the 400, reference:api.py:24-33,107),
+    ``unknown_region`` / ``unknown_city`` (the two 500 lookup failures,
+    reference:api.py:131-132, split by which dimension had no row), or
+    ``ok``. ``price`` is non-NULL iff ``status = 'ok'``. Check order
+    mirrors the reference: field validation precedes lookups.
+
+    Same plan shape as ``score_requests`` — two broadcast dimension
+    joins, no extra shuffle for the status column (pure projection).
+    """
+    region_avg = F.broadcast(
+        region_trailing_avg(daily, run_date, region_col=region_col)
+    )
+    alpha = F.broadcast(city_alpha(annual, year_n))
+    missing = F.lit(False)
+    for c in sorted(PRICING_REQUEST_REQUIRED):
+        missing = missing | F.col(c).isNull()
+    return (
+        requests.join(region_avg, on=region_col, how="left")
+        .join(alpha, on=["nom_commune", "code_commune"], how="left")
+        .withColumn(
+            "status",
+            F.when(missing, F.lit(STATUS_MISSING_FIELD))
+            .when(F.col("conso30").isNull(), F.lit(STATUS_UNKNOWN_REGION))
+            .when(F.col("alpha").isNull(), F.lit(STATUS_UNKNOWN_CITY))
+            .otherwise(F.lit(STATUS_OK)),
+        )
+        .withColumn(
+            "conso_foyer",
+            household_consumption_kwh(F.col("nb_m2"), F.col("nb_personne")),
+        )
+        .withColumn("m_factor", F.round(m_factor(F.col("conso30")), 6))
+        .withColumn(
+            "price",
+            F.when(
+                F.col("status") == STATUS_OK,
+                annual_price(
+                    F.col("alpha"), F.col("m_factor"), F.col("conso_foyer")
+                ),
+            ),
+        )
+    )
+
+
+def score_one(
+    spark,
+    request: dict,
+    daily: DataFrame,
+    annual: DataFrame,
+    run_date: dt.date | str,
+    year_n: int,
+):
+    """``GET /price`` twin: score ONE request through the same envelope.
+
+    Returns the single result Row — fields include ``price`` and
+    ``status`` (see ``score_requests_with_status``). Absent request keys
+    become NULLs, so a missing field yields ``status='missing_field'``
+    exactly like the reference's 400 (reference:api.py:95-132).
+    """
+    from ..schemas import PRICING_REQUEST
+
+    values = tuple(
+        request.get(f.name) for f in PRICING_REQUEST.fields
+    )
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in PRICING_REQUEST.fields]
+    )
+    one = spark.createDataFrame([values], nullable)
+    return score_requests_with_status(
+        one, daily, annual, run_date, year_n
+    ).head()
 
 
 def score_requests(

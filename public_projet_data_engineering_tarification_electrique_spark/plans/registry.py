@@ -1693,11 +1693,17 @@ def q82_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q83_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-modal curation tail: embedding-cosine near-dup pairs (q14)
-    → transitive clusters (q47's connected components) → keep the
-    HIGHEST-QUALITY document (q18's score) per cluster, not the min id
-    — semantic dedup the way a training pipeline actually applies it
-    (drop near-duplicates, keep the best-written copy).
+    """Cross-modal curation tail: anchored near-dup pairs → transitive
+    clusters (q47's connected components) → keep the HIGHEST-QUALITY
+    document (q18's score) per cluster, not the min id — semantic dedup
+    the way a training pipeline actually applies it (drop
+    near-duplicates, keep the best-written copy).
+
+    Pair generation uses ``anchored_neardup`` (√n deterministic IVF
+    anchors, multi-probe) instead of within-label all-pairs: candidate
+    work grows n^1.5, not n², and the oracle reproduces the identical
+    blocking in SQL so parity is exact by construction at every SF
+    (recall vs exhaustive measured in the operator docstring).
 
     Joins the embeddings-derived cluster table back to the documents
     table on the shared id — the multimodal-columns contract (one id,
@@ -1706,12 +1712,12 @@ def q83_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is a window over that small table, deterministic via the
     (quality DESC, doc_id ASC) tie-break."""
     from ..operators.dedup import connected_components
-    from ..operators.similarity import embedding_neardup
+    from ..operators.similarity import anchored_neardup
     from ..operators.textstats import quality_scores
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    pairs = embedding_neardup(emb, threshold=0.35, bucket_col="label")
+    pairs = anchored_neardup(emb, threshold=0.35, bucket_col="label")
     comp = connected_components(pairs, src="id_a", dst="id_b")
     quality = quality_scores(docs).select(
         F.col("doc_id").alias("node"), "quality"
@@ -2008,6 +2014,47 @@ def q93_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+def q94_price_batch_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path error envelope: the requests table salted with
+    deterministic invalid rows — a NULL required field (the
+    reference's 400, api.py:24-33,107), an unknown region and an
+    unknown city (the two 500 lookup failures, api.py:131-132) — scored
+    through ``score_requests_with_status``, which emits an explicit
+    per-request status instead of dropping/NULLing. Salting key:
+    ``custkey % 41`` ∈ {0,1,2} → {missing_field, unknown_region,
+    unknown_city}; cities naturally lacking an (n, n+1) α pair also
+    surface as unknown_city, as in serving."""
+    from ..operators.pricing import score_requests_with_status
+
+    req = _requests(spark, sf_dir)
+    k = F.col("code_commune").cast("long") % 41
+    salted = (
+        req.withColumn(
+            "nb_m2",
+            F.when(k == 0, F.lit(None).cast("int")).otherwise(F.col("nb_m2")),
+        )
+        .withColumn(
+            "libelle_region",
+            F.when(k == 1, F.lit("ATLANTIS")).otherwise(
+                F.col("libelle_region")
+            ),
+        )
+        .withColumn(
+            "nom_commune",
+            F.when(
+                k == 2, F.concat(F.lit("UNKNOWN-"), F.col("nom_commune"))
+            ).otherwise(F.col("nom_commune")),
+        )
+    )
+    return score_requests_with_status(
+        salted,
+        _daily_region(spark, sf_dir),
+        _annual_city(spark, sf_dir, year_range=(ALPHA_YEAR, ALPHA_YEAR + 1)),
+        run_date=RUN_DATE,
+        year_n=ALPHA_YEAR,
+    ).select("code_commune", "status", "price")
 
 
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
@@ -3173,17 +3220,34 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
     """,
     "q83_semantic_curation": """
-        WITH RECURSIVE pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE round(list_dot_product(a.embedding::DOUBLE[],
-                                       b.embedding::DOUBLE[])
-                      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
-                                               a.embedding::DOUBLE[]))
-                         * sqrt(list_dot_product(b.embedding::DOUBLE[],
-                                                 b.embedding::DOUBLE[]))),
-                      6) >= 0.35
+        WITH RECURSIVE base AS (
+          SELECT vec_id AS id, label AS bk, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS n
+          FROM embeddings
+        ), stride AS (
+          SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM embeddings
+        ), anchors AS (
+          SELECT id AS aid, v AS av, n AS an
+          FROM base, stride WHERE id % s = 0
+        ), probes AS (
+          SELECT id, bk, aid, v, n FROM (
+            SELECT b.id, b.bk, a.aid, b.v, b.n,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY round(list_dot_product(b.v, a.av)
+                                    / (b.n * a.an) + 1e-9, 4) DESC,
+                              a.aid ASC) AS p
+            FROM base b CROSS JOIN anchors a)
+          WHERE p <= 6
+        ), pairs AS (
+          SELECT DISTINCT pa.id AS id_a, pb.id AS id_b,
+                 round(list_dot_product(pa.v, pb.v) / (pa.n * pb.n), 6)
+                   AS sim
+          FROM probes pa JOIN probes pb
+            ON pa.bk = pb.bk AND pa.aid = pb.aid AND pa.id < pb.id
+          WHERE round(list_dot_product(pa.v, pb.v) / (pa.n * pb.n), 6)
+                  >= 0.35
         ), edges AS (
           SELECT id_a AS s, id_b AS d FROM pairs
           UNION
@@ -3381,6 +3445,63 @@ ORACLE_SQL: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
           AND l_shipdate < TIMESTAMP '1997-10-01'
     """,
+    "q94_price_batch_status": f"""
+        WITH {_DOMAIN_CTES},
+        salted AS (
+          SELECT CASE WHEN cast(code_commune AS BIGINT) % 41 = 1
+                      THEN 'ATLANTIS' ELSE libelle_region END
+                   AS libelle_region,
+                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 2
+                      THEN 'UNKNOWN-' || nom_commune ELSE nom_commune END
+                   AS nom_commune,
+                 code_commune, nb_personne,
+                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 0
+                      THEN NULL ELSE nb_m2 END AS nb_m2
+          FROM requests
+        ), region_avg AS (
+          SELECT libelle_region, round(avg(conso_mwh), 4) AS conso30
+          FROM daily
+          WHERE date >= DATE '{RUN_DATE}' - 30 AND date <= DATE '{RUN_DATE}'
+          GROUP BY 1
+        ), led AS (
+          SELECT nom_commune, code_commune, annee, conso_moyenne_mwh,
+                 lead(conso_moyenne_mwh) OVER w AS next_conso,
+                 lead(annee) OVER w AS next_annee
+          FROM annual
+          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
+          WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
+        ), alpha AS (
+          SELECT nom_commune, code_commune,
+                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0),
+                             1.3) + 1e-9, 6) AS alpha
+          FROM led
+          WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
+            AND conso_moyenne_mwh IS NOT NULL AND conso_moyenne_mwh <> 0
+            AND next_conso IS NOT NULL
+        ), scored AS (
+          SELECT q.code_commune,
+                 CASE WHEN q.libelle_region IS NULL OR q.nom_commune IS NULL
+                           OR q.code_commune IS NULL
+                           OR q.nb_personne IS NULL OR q.nb_m2 IS NULL
+                      THEN 'missing_field'
+                      WHEN r.conso30 IS NULL THEN 'unknown_region'
+                      WHEN a.alpha IS NULL THEN 'unknown_city'
+                      ELSE 'ok' END AS status,
+                 a.alpha,
+                 round(least(0.05, 0.01 * r.conso30 / 4000.0), 6) AS m_factor,
+                 110.0 * q.nb_m2 + 1000.0 * q.nb_personne + 1100.0
+                   AS conso_foyer
+          FROM salted q
+          LEFT JOIN region_avg r USING (libelle_region)
+          LEFT JOIN alpha a USING (nom_commune, code_commune)
+        )
+        SELECT code_commune, status,
+               CASE WHEN status = 'ok'
+                    THEN round((0.1558 + alpha * m_factor) * conso_foyer
+                               + 72.0)
+               END AS price
+        FROM scored
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3477,6 +3598,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_stream_static_join": q91_stream_static_join,
     "q92_stream_stream_join": q92_stream_stream_join,
     "q93_tpch_promo_revenue": q93_tpch_promo_revenue,
+    "q94_price_batch_status": q94_price_batch_status,
 }
 
 

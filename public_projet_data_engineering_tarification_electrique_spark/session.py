@@ -118,6 +118,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Retry-on-failure (reference DAG retries=1,
+        # reference:airflow/dags/insert_conso_jour_region_in_bq.py):
+        # Spark retries at TASK granularity instead of whole-DAG-task —
+        # 4 attempts per task before failing the stage. Static conf, so
+        # it is pinned here at session build; on a driver-owned session
+        # the cluster default (also 4 in any real deployment) applies.
+        .config("spark.task.maxFailures", "4")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

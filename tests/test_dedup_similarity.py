@@ -459,3 +459,106 @@ def test_keep_top_fraction_exact_threshold_with_ties(spark):
     # ties CROSSING the target are kept: top 2/10 → {9, 8, 8} too
     kept2 = keep_top_fraction(df, "score", 2, 10).collect()
     assert sorted(r.score for r in kept2) == [8.0, 8.0, 9.0]
+
+
+def test_task_retry_conf_pinned(spark):
+    # T4 (SURVEY §2.9): retry-on-failure delegated to Spark task retries,
+    # pinned explicitly at session build.
+    assert spark.conf.get("spark.task.maxFailures") == "4"
+
+
+def test_lsh_plan_construction_launches_no_job(spark):
+    # Building the near-dup plan must not run a Spark job (the dim probe
+    # used to .first() the embeddings); jobs may only start at action time.
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    emb.count()  # materialize the source outside the measured window
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    df = embedding_neardup_lsh(emb, threshold=0.9)
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before), "plan construction launched a job"
+    assert df.columns == ["id_a", "id_b", "sim"]
+
+
+def test_anchored_neardup_subset_and_planted_pair(spark):
+    # Anchored blocking returns a SUBSET of in-bucket exhaustive pairs
+    # (same exact-cosine filter, candidate set restricted to shared
+    # probed anchors), and a planted identical pair is always recovered
+    # (identical vectors share every probed anchor).
+    import pyspark.sql.functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        anchored_neardup,
+        embedding_neardup,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    clone = emb.filter(F.col("vec_id") == 1).withColumn(
+        "vec_id", F.lit(100001).cast("long")
+    )
+    planted = emb.unionByName(clone)
+    anchored = {
+        (r.id_a, r.id_b)
+        for r in anchored_neardup(planted, threshold=0.35).collect()
+    }
+    exhaustive = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(planted, threshold=0.35).collect()
+    }
+    assert anchored <= exhaustive
+    assert (1, 100001) in anchored
+
+
+def test_star_cc_equals_min_label_on_random_graphs(spark):
+    """large-star/small-star (Kiveris et al.) must produce exactly the
+    min-label components on random graphs."""
+    import random
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n, m = 40, 45
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = {
+            (r.node, r.component)
+            for r in connected_components(df).collect()
+        }
+        b = {
+            (r.node, r.component)
+            for r in connected_components_star(df).collect()
+        }
+        assert a == b, f"trial {trial}: star != min-label"
+
+
+def test_cc_long_chain_falls_back_to_star(spark):
+    """A path graph with diameter >> max_iter: min-label alone cannot
+    converge, the star fallback must — components still exact."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 60
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = connected_components(df, max_iter=3).collect()
+    assert len(out) == n
+    assert all(r.component == 0 for r in out)

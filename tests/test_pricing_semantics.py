@@ -202,3 +202,57 @@ def test_monthly_price_notice_worked_example(spark):
         monthly_price(F.col("alpha"), F.col("m"), F.col("x"), rounded=True).alias("p")
     ).collect()
     assert row.p == 121.5
+
+
+def test_score_one_status_taxonomy(spark):
+    """Error envelope (reference:api.py:24-33,107,131-132): one call per
+    status — missing field, unknown region, unknown city, ok."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.pricing import (
+        score_one,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        ALPHA_YEAR,
+        RUN_DATE,
+        _annual_city,
+        _daily_region,
+        _requests,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    daily = _daily_region(spark, sf).cache()
+    annual = _annual_city(spark, sf, year_range=(ALPHA_YEAR, ALPHA_YEAR + 1)).cache()
+    # a request whose city is guaranteed an alpha row: take one from the
+    # annual table holding both years
+    good = (
+        annual.groupBy("nom_commune", "code_commune")
+        .count()
+        .filter(F.col("count") >= 2)
+        .head()
+    )
+    region = _daily_region(spark, sf).head().libelle_region
+    base = {
+        "libelle_region": region,
+        "nom_commune": good.nom_commune,
+        "code_commune": good.code_commune,
+        "nb_personne": 3,
+        "nb_m2": 95,
+    }
+    ok = score_one(spark, base, daily, annual, RUN_DATE, ALPHA_YEAR)
+    assert ok.status == "ok" and ok.price is not None and ok.price > 0
+
+    missing = dict(base)
+    del missing["nb_m2"]
+    r = score_one(spark, missing, daily, annual, RUN_DATE, ALPHA_YEAR)
+    assert r.status == "missing_field" and r.price is None
+
+    r = score_one(
+        spark, {**base, "libelle_region": "ATLANTIS"}, daily, annual, RUN_DATE, ALPHA_YEAR
+    )
+    assert r.status == "unknown_region" and r.price is None
+
+    r = score_one(
+        spark, {**base, "nom_commune": "NOWHERE-VILLE"}, daily, annual, RUN_DATE, ALPHA_YEAR
+    )
+    assert r.status == "unknown_city" and r.price is None
+    daily.unpersist()
+    annual.unpersist()

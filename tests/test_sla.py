@@ -22,3 +22,52 @@ def test_flagship_batch_scoring_under_single_request_sla(spark):
     elapsed = time.perf_counter() - start
     assert n > 0
     assert elapsed < 6.0, f"batch scoring took {elapsed:.2f}s (> 6s SLA)"
+
+
+def test_concurrent_load_latency_stable(spark):
+    """Sustained concurrent-load analog of reference:tests/test_api.py:35-78
+    (20 iterations x 10 simultaneous requests): N threads x M iterations
+    of the 1-row scoring plan on the shared session; every request inside
+    the 6 s SLA and the mean stays near the median (stability)."""
+    import statistics
+    from concurrent.futures import ThreadPoolExecutor
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.pricing import (
+        score_one,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        ALPHA_YEAR,
+        RUN_DATE,
+        _annual_city,
+        _daily_region,
+        _requests,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    daily = _daily_region(spark, sf).cache()
+    annual = _annual_city(spark, sf, year_range=(ALPHA_YEAR, ALPHA_YEAR + 1)).cache()
+    req = _requests(spark, sf).head()
+    request = {
+        "libelle_region": req.libelle_region,
+        "nom_commune": req.nom_commune,
+        "code_commune": req.code_commune,
+        "nb_personne": req.nb_personne,
+        "nb_m2": req.nb_m2,
+    }
+
+    def one(_):
+        t0 = time.perf_counter()
+        row = score_one(spark, request, daily, annual, RUN_DATE, ALPHA_YEAR)
+        assert row.status in ("ok", "unknown_region", "unknown_city")
+        return time.perf_counter() - t0
+
+    one(0)  # warm-up
+    lats = []
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        for _ in range(4):  # 4 iterations x 5 simultaneous requests
+            lats.extend(pool.map(one, range(5)))
+    daily.unpersist()
+    annual.unpersist()
+    assert max(lats) < 6.0, f"p100 {max(lats):.2f}s breaks the 6s SLA"
+    mean, median = statistics.mean(lats), statistics.median(lats)
+    assert mean < 3 * median + 0.5, f"unstable: mean {mean:.2f}s vs median {median:.2f}s"
