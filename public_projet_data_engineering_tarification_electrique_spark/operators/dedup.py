@@ -40,8 +40,15 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """64-bit SimHash per document.
 
     Classic bit-voting: each token votes +1/−1 on each signature bit
-    according to its xxhash64; the sign of each bit-sum is the
+    according to its token hash; the sign of each bit-sum is the
     signature bit (ties → 0, i.e. bit set iff 2·ones > n_tokens).
+
+    Token hash: two md5 halves parsed as 60-bit ints (bits 0-59 from
+    hex chars 1-15, bits 60-63 from the low bits of chars 17-31). md5
+    — not xxhash64 — so the DuckDB oracle recomputes the IDENTICAL
+    signatures from SQL (q21's value-level gate); both engines agree on
+    md5 bytes, and 15 hex chars stay under 2^60, safely inside a signed
+    BIGINT in both dialects.
 
     Packed-counter layout: the naive form is 64 conditional-sum
     aggregate columns, whose generated code blows past the codegen
@@ -50,19 +57,30 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     65535 tokens/doc), so the hash agg has 16 sums + 1 count; the 64
     sign tests become one cheap post-agg projection over one row/doc.
     """
-    toks = ensure_parallelism(docs).select(
-        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok")
-    ).select(id_col, F.xxhash64("_tok").alias("_h"))
+    md5 = F.md5(F.col("_tok"))
+    toks = (
+        ensure_parallelism(docs)
+        .select(
+            id_col,
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("_tok"),
+        )
+        .select(
+            id_col,
+            F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("_ha"),
+            F.conv(F.substring(md5, 17, 15), 16, 10).cast("long").alias("_hb"),
+        )
+    )
+
+    def _bit(i: int):
+        if i < 60:
+            return F.shiftrightunsigned(F.col("_ha"), i).bitwiseAND(F.lit(1))
+        return F.shiftrightunsigned(F.col("_hb"), i - 60).bitwiseAND(F.lit(1))
 
     def packed_contrib(g: int):
         # bits 4g..4g+3 land in 16-bit fields 0..3 of accumulator g
-        terms = [
-            F.shiftleft(
-                F.shiftrightunsigned(F.col("_h"), 4 * g + j).bitwiseAND(F.lit(1)),
-                16 * j,
-            )
-            for j in range(4)
-        ]
+        terms = [F.shiftleft(_bit(4 * g + j), 16 * j) for j in range(4)]
         e = terms[0]
         for t in terms[1:]:
             e = e + t
@@ -383,6 +401,57 @@ def connected_components_star(
         on="node",
         how="left",
     ).select("node", F.coalesce("_root", "node").alias("component"))
+
+
+def minhash_dedup_verified(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    k: int = 3,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates re-verified with the EXACT shingle Jaccard.
+
+    The standard two-stage fuzzy-dedup shape at scale: cheap banded
+    candidate generation (MinHashLSH — sub-quadratic), then exact
+    verification of only the candidates. The emitted jaccard is the
+    exact word-k-shingle Jaccard (not the HashingTF-bucket estimate),
+    so a SQL oracle recomputing exhaustive exact pairs ≥ ``min_jaccard``
+    matches VALUE-level as long as LSH recall holds — P(miss) per pair
+    is (1−j)^num_hash_tables ≤ 2.6e-6 at the near-dup regime (j ≥ 0.8)
+    this operator targets.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ min_jaccard.
+    """
+    cand = minhash_dedup(
+        docs,
+        jaccard_distance_threshold=1.0 - min_jaccard,
+        k=k,
+        num_hash_tables=num_hash_tables,
+        text_col=text_col,
+        id_col=id_col,
+        seed=seed,
+    ).select("id_a", "id_b")
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+    jac = inter * 1.0 / union
+    return (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
+            on="id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
+            on="id_b",
+        )
+        .filter(jac >= min_jaccard)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 def dedup_clusters(

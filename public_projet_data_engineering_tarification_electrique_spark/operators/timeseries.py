@@ -46,9 +46,12 @@ def change_compaction(
     quantized = events.select(
         key_col, ts_col, tiebreak_col, v.alias("v")
     ).withColumn("prev_v", F.lag("v").over(w))
+    # tiebreak_col rides along so downstream windows (e.g. the SCD2
+    # interval lead) can order by (ts, tiebreak) — a TOTAL order even if
+    # two surviving changes share a timestamp.
     return quantized.filter(
         F.col("prev_v").isNull() | (F.col("v") != F.col("prev_v"))
-    ).select(key_col, ts_col, "v")
+    ).select(key_col, ts_col, tiebreak_col, "v")
 
 
 def gap_fill_daily(
