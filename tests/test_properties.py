@@ -232,3 +232,43 @@ def test_scd2_intervals_partition_time(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to_us == b.valid_from_us, user
             assert a.v != b.v, user
+
+
+@given(
+    st.lists(
+        st.one_of(
+            # adversarial: values ON and NEAR the 1e-4 half-way grid
+            st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+                lambda n: n / 2e4  # exact multiples of 0.00005
+            ),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_grid4_three_way_engine_agreement(spark, duck, values):
+    """The 1e-4 exact-grid kernel must agree bit-for-bit across the
+    Python streaming state (_grid4), Spark round(x*1e4, 0), and DuckDB
+    round(x*1e4) — including ON half-way points, where engine rounding
+    rules usually diverge. This is what makes q22/q28 sessionize sums
+    order- and engine-independent."""
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.sessions import (
+        _grid4,
+    )
+
+    py = [_grid4(v) for v in values]
+    sp = (
+        spark.createDataFrame([(v,) for v in values], "v double")
+        .selectExpr("cast(round(v * 1e4, 0) as long) AS g")
+        .collect()
+    )
+    dk = duck.execute(
+        "SELECT CAST(round(v * 1e4) AS BIGINT) FROM (SELECT unnest(?) AS v)",
+        [values],
+    ).fetchall()
+    assert py == [r.g for r in sp] == [r[0] for r in dk]
