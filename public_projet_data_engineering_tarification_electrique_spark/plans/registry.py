@@ -2083,21 +2083,13 @@ def q93_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q94_price_batch_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serving-path error envelope: the requests table salted with
-    deterministic invalid rows — a NULL required field (the
-    reference's 400, api.py:24-33,107), an unknown region and an
-    unknown city (the two 500 lookup failures, api.py:131-132) — scored
-    through ``score_requests_with_status``, which emits an explicit
-    per-request status instead of dropping/NULLing. Salting key:
-    ``custkey % 41`` ∈ {0,1,2} → {missing_field, unknown_region,
-    unknown_city}; cities naturally lacking an (n, n+1) α pair also
-    surface as unknown_city, as in serving."""
-    from ..operators.pricing import score_requests_with_status
-
+def _salted_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q94/q98 shared fixture: requests salted with deterministic invalid
+    rows — custkey % 41 ∈ {0,1,2} → {missing_field, unknown_region,
+    unknown_city}."""
     req = _requests(spark, sf_dir)
     k = F.col("code_commune").cast("long") % 41
-    salted = (
+    return (
         req.withColumn(
             "nb_m2",
             F.when(k == 0, F.lit(None).cast("int")).otherwise(F.col("nb_m2")),
@@ -2115,6 +2107,21 @@ def q94_price_batch_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("nom_commune")),
         )
     )
+
+
+def q94_price_batch_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path error envelope: the requests table salted with
+    deterministic invalid rows — a NULL required field (the
+    reference's 400, api.py:24-33,107), an unknown region and an
+    unknown city (the two 500 lookup failures, api.py:131-132) — scored
+    through ``score_requests_with_status``, which emits an explicit
+    per-request status instead of dropping/NULLing. Salting key:
+    ``custkey % 41`` ∈ {0,1,2} → {missing_field, unknown_region,
+    unknown_city}; cities naturally lacking an (n, n+1) α pair also
+    surface as unknown_city, as in serving."""
+    from ..operators.pricing import score_requests_with_status
+
+    salted = _salted_requests(spark, sf_dir)
     return score_requests_with_status(
         salted,
         _daily_region(spark, sf_dir),
@@ -2207,6 +2214,30 @@ def q97_materialize_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached.groupBy("event_type").agg(
         F.sum("n").alias("n_events"),
         F.count("*").alias("n_days"),
+    )
+
+
+def q98_stream_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming serving path: the q94 salted-requests table lands as
+    parquet, streams through the SAME error-envelope scorer
+    (stream-static broadcast joins, stateless — no watermark, no state
+    store), and emits (code_commune, status, price) continuously. With
+    availableNow over the finite landing dir the emission equals the
+    batch scorer row-for-row, so q94's oracle is exact."""
+    import tempfile
+
+    from ..streaming.serving import stream_score_requests
+
+    salted = _salted_requests(spark, sf_dir)
+    landing = tempfile.mkdtemp(prefix="req_landing_")
+    salted.write.mode("overwrite").parquet(landing)
+    return stream_score_requests(
+        spark,
+        landing,
+        _daily_region(spark, sf_dir),
+        _annual_city(spark, sf_dir, year_range=(ALPHA_YEAR, ALPHA_YEAR + 1)),
+        run_date=RUN_DATE,
+        year_n=ALPHA_YEAR,
     )
 
 
@@ -3753,6 +3784,65 @@ ORACLE_SQL: dict[str, str] = {
                END AS price
         FROM scored
     """,
+    # q98: stream-static serving — availableNow emission over a finite
+    # landing dir equals the batch scorer exactly; same oracle as q94.
+    "q98_stream_price_status": f"""
+        WITH {_DOMAIN_CTES},
+        salted AS (
+          SELECT CASE WHEN cast(code_commune AS BIGINT) % 41 = 1
+                      THEN 'ATLANTIS' ELSE libelle_region END
+                   AS libelle_region,
+                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 2
+                      THEN 'UNKNOWN-' || nom_commune ELSE nom_commune END
+                   AS nom_commune,
+                 code_commune, nb_personne,
+                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 0
+                      THEN NULL ELSE nb_m2 END AS nb_m2
+          FROM requests
+        ), region_avg AS (
+          SELECT libelle_region, round(avg(conso_mwh), 4) AS conso30
+          FROM daily
+          WHERE date >= DATE '{RUN_DATE}' - 30 AND date <= DATE '{RUN_DATE}'
+          GROUP BY 1
+        ), led AS (
+          SELECT nom_commune, code_commune, annee, conso_moyenne_mwh,
+                 lead(conso_moyenne_mwh) OVER w AS next_conso,
+                 lead(annee) OVER w AS next_annee
+          FROM annual
+          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
+          WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
+        ), alpha AS (
+          SELECT nom_commune, code_commune,
+                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0),
+                             1.3) + 1e-9, 6) AS alpha
+          FROM led
+          WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
+            AND conso_moyenne_mwh IS NOT NULL AND conso_moyenne_mwh <> 0
+            AND next_conso IS NOT NULL
+        ), scored AS (
+          SELECT q.code_commune,
+                 CASE WHEN q.libelle_region IS NULL OR q.nom_commune IS NULL
+                           OR q.code_commune IS NULL
+                           OR q.nb_personne IS NULL OR q.nb_m2 IS NULL
+                      THEN 'missing_field'
+                      WHEN r.conso30 IS NULL THEN 'unknown_region'
+                      WHEN a.alpha IS NULL THEN 'unknown_city'
+                      ELSE 'ok' END AS status,
+                 a.alpha,
+                 round(least(0.05, 0.01 * r.conso30 / 4000.0), 6) AS m_factor,
+                 110.0 * q.nb_m2 + 1000.0 * q.nb_personne + 1100.0
+                   AS conso_foyer
+          FROM salted q
+          LEFT JOIN region_avg r USING (libelle_region)
+          LEFT JOIN alpha a USING (nom_commune, code_commune)
+        )
+        SELECT code_commune, status,
+               CASE WHEN status = 'ok'
+                    THEN round((0.1558 + alpha * m_factor) * conso_foyer
+                               + 72.0)
+               END AS price
+        FROM scored
+    """,
     # q95/q97: the Spark side routes through a real sink+source
     # roundtrip (CSV / materialized parquet artifact); the oracle
     # computes the same aggregate straight from the source tables —
@@ -3882,6 +3972,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_csv_roundtrip": q95_csv_roundtrip,
     "q96_json_relational": q96_json_relational,
     "q97_materialize_cache": q97_materialize_cache,
+    "q98_stream_price_status": q98_stream_price_status,
 }
 
 
