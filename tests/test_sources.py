@@ -197,3 +197,38 @@ def test_date_partition_overwrite_idempotent_and_pruned(spark, tmp_path):
     pruned = out.filter(F.col("date") == "2024-01-02")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-01-02" in plan
+
+
+def test_serving_plans_broadcast_never_sortmerge(spark):
+    """q94/q98 claim (PLANS.md 1b): the serving path is scan → broadcast
+    joins → project; a SortMergeJoin would mean a fact-side shuffle."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans import (
+        registry,
+    )
+    from .conftest import SF_SMOKE
+
+    df = registry.q94_price_batch_status(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_anchored_neardup_plan_construction_launches_no_job(spark):
+    """Anchored blocking derives its stride/anchors lazily (broadcast
+    scalar subquery) — building the plan must not run a job."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        anchored_neardup,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    emb.count()
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    df = anchored_neardup(emb, threshold=0.35)
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before), "plan construction launched a job"
+    assert df.columns == ["id_a", "id_b", "sim"]
