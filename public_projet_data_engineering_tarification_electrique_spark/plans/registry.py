@@ -2241,6 +2241,36 @@ def q98_stream_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing, driver-verified: orders and
+    customer are written ONCE as bucketed tables on the join key (8
+    buckets — the one shuffle, paid at write time), then the fact-dim
+    join runs exchange-free (tests/test_sources.py pins `Exchange not
+    in plan` for this shape). The oracle computes the identical
+    join+aggregate straight from parquet — value parity proves the
+    bucketed layout preserves the data; the plan shape is the 100 TB
+    lever for repeated joins on a stable key."""
+    from ..sources.writers import write_bucketed
+
+    sfx = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    t_orders, t_cust = f"orders_b_{sfx}", f"customer_b_{sfx}"
+    for name, df, key in (
+        (t_orders, load_table(spark, sf_dir, "orders"), "o_custkey"),
+        (t_cust, load_table(spark, sf_dir, "customer"), "c_custkey"),
+    ):
+        write_bucketed(df, name, (key,), num_buckets=8, sort_cols=(key,))
+    orders_b = spark.table(t_orders)
+    cust_b = spark.table(t_cust)
+    return (
+        orders_b.join(cust_b, orders_b.o_custkey == cust_b.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -3872,6 +3902,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type, sum(n) AS n_events, count(*) AS n_days
         FROM daily GROUP BY 1
     """,
+    "q99_bucketed_join": """
+        SELECT c_nationkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3973,6 +4009,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_json_relational": q96_json_relational,
     "q97_materialize_cache": q97_materialize_cache,
     "q98_stream_price_status": q98_stream_price_status,
+    "q99_bucketed_join": q99_bucketed_join,
 }
 
 
