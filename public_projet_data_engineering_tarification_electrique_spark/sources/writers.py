@@ -56,6 +56,24 @@ def write_bucketed(
     additionally pre-sorts within buckets, removing the join's sort
     step. Costs one shuffle at write time, amortized over every read.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A fresh session's in-memory catalog does not know tables whose
+        # warehouse directories survived an earlier session, and
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS instead of
+        # overwriting. Drop the catalog entry AND the stale location.
+        # (With a persistent metastore, DROP TABLE alone removes the
+        # managed location; the rmtree is the in-memory-catalog fallback.)
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        root = urlparse(warehouse).path or warehouse
+        loc = os.path.join(root, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     w = (
         df.write.mode(mode)
         .format("parquet")
