@@ -424,16 +424,33 @@ def minhash_dedup_verified(
     this operator targets.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ min_jaccard.
     """
-    cand = minhash_dedup(
-        docs,
-        jaccard_distance_threshold=1.0 - min_jaccard,
-        k=k,
-        num_hash_tables=num_hash_tables,
-        text_col=text_col,
-        id_col=id_col,
-        seed=seed,
-    ).select("id_a", "id_b")
-    sh = docs.select(
+    cand = (
+        minhash_dedup(
+            docs,
+            jaccard_distance_threshold=1.0 - min_jaccard,
+            k=k,
+            num_hash_tables=num_hash_tables,
+            text_col=text_col,
+            id_col=id_col,
+            seed=seed,
+        )
+        .select("id_a", "id_b")
+        # consumed three times (id universe + both verify joins): compute
+        # the LSH pipeline once
+        .persist()
+    )
+    # Shingle ONLY candidate documents: word_shingles is an interpreted
+    # higher-order function, so a corpus-wide shingle pass costs more
+    # than the whole LSH stage (measured 2.6 s vs 1.3 s at sf0.1).
+    # Semi-joining docs to the candidate id universe first makes verify
+    # cost proportional to candidates, not corpus — the property that
+    # holds this plan together at 100 TB.
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(F.broadcast(ids), on=id_col).select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
     )
