@@ -2271,6 +2271,98 @@ def q99_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q100_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join, driver-verified result-identity: the
+    events fact (user_id is the skew axis in clickstream data) joins a
+    per-user dimension through ``salted_join`` — the big side salts,
+    the small side replicates across salts, the join key becomes
+    (key, salt). The oracle computes the PLAIN join: value parity
+    proves salting is result-identical, which is the whole point of
+    the rewrite (AQE skew-split handles sort-merge skew; salting is
+    for the cases AQE cannot see, e.g. post-UDF skew)."""
+    from ..operators.util import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    user_dim = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+        .withColumn(
+            "tier",
+            F.when(F.col("n_total") >= 100, "heavy").otherwise("light"),
+        )
+        .select("user_id", "tier")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "value"
+    )
+    joined = salted_join(clicks, user_dim, on=["user_id"], n_salts=8)
+    # exact-grid sum (q22's discipline): engine- and order-independent
+    grid = F.round(F.col("value") * F.lit(1e4), 0).cast("long")
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_clicks"),
+        (F.sum(grid) / F.lit(1e4)).alias("sum_value"),
+    )
+
+
+def q101_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal — the C4/CCNet pretraining step
+    the document-level dedups cannot express: a LINE (here: sentence-
+    ish segment split on '.') occurring in many documents is
+    boilerplate (headers, navigation, legal footers) and is dropped
+    from every document; documents are then rebuilt from their
+    surviving lines in original order.
+
+    Plan: explode → distinct (doc, line) → line-df agg → broadcast
+    semi-join of frequent lines back onto the exploded view →
+    order-preserving reassembly via sort-within-group collect. One
+    exchange on line for the df count, one on doc_id for reassembly;
+    line strings shuffle once each. Output: per-doc kept/dropped line
+    counts + md5 of the rebuilt text (pins CONTENT, not just counts).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\.")).alias("pos", "line"),
+    ).withColumn("line", F.trim(F.col("line"))).filter(F.col("line") != "")
+    # document frequency per distinct line
+    boilerplate = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= 10)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boilerplate), on="line", how="left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                ". ",
+            ).alias("_text"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.md5(F.col("_text")).alias("text_md5"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return totals.join(rebuilt, on="doc_id", how="left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "text_md5",
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -3908,6 +4000,46 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
     """,
+    "q100_salted_join": """
+        WITH user_dim AS (
+          SELECT user_id,
+                 CASE WHEN count(*) >= 100 THEN 'heavy' ELSE 'light' END
+                   AS tier
+          FROM events GROUP BY 1
+        )
+        SELECT tier, count(*) AS n_clicks,
+               sum(CAST(round(value * 1e4) AS BIGINT)) / 1e4 AS sum_value
+        FROM events e JOIN user_dim USING (user_id)
+        WHERE event_type = 'click'
+        GROUP BY tier
+    """,
+    "q101_line_dedup": """
+        WITH src AS (
+          SELECT doc_id, string_split(text, '.') AS parts FROM documents
+        ), exploded AS (
+          SELECT doc_id,
+                 unnest(range(len(parts))) AS pos,
+                 unnest(parts) AS rawline
+          FROM src
+        ), lines AS (
+          SELECT doc_id, pos, trim(rawline) AS line
+          FROM exploded WHERE trim(rawline) <> ''
+        ), bp AS (
+          SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+          GROUP BY line HAVING count(*) >= 10
+        ), kept AS (
+          SELECT l.* FROM lines l ANTI JOIN bp USING (line)
+        ), rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 md5(string_agg(line, '. ' ORDER BY pos)) AS text_md5
+          FROM kept GROUP BY doc_id
+        ), totals AS (
+          SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+               r.text_md5
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4010,6 +4142,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_materialize_cache": q97_materialize_cache,
     "q98_stream_price_status": q98_stream_price_status,
     "q99_bucketed_join": q99_bucketed_join,
+    "q100_salted_join": q100_salted_join,
+    "q101_line_dedup": q101_line_dedup,
 }
 
 
@@ -4026,8 +4160,13 @@ _DRIVER_VERIFIED_R01: frozenset[str] = frozenset(
 
 
 def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    def rank(name: str) -> tuple[int, str]:
-        return (1 if name[:3] in _DRIVER_VERIFIED_R01 else 0, name)
+    def rank(name: str) -> tuple[int, int, str]:
+        qid = name.split("_", 1)[0]  # "q07", "q101"
+        return (
+            1 if qid in _DRIVER_VERIFIED_R01 else 0,
+            int(qid[1:]),
+            name,
+        )
 
     return {
         name: QUERIES_IMPL[name]
