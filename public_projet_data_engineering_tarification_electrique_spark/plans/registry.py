@@ -2261,12 +2261,14 @@ def q99_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed(df, name, (key,), num_buckets=8, sort_cols=(key,))
     orders_b = spark.table(t_orders)
     cust_b = spark.table(t_cust)
+    # exact cent-grid sum (q22's discipline): order/engine-independent
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
     return (
         orders_b.join(cust_b, orders_b.o_custkey == cust_b.c_custkey)
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (F.sum(cents) / F.lit(100.0)).alias("sum_price"),
         )
     )
 
@@ -3996,7 +3998,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q99_bucketed_join": """
         SELECT c_nationkey, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS sum_price
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0
+                 AS sum_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
     """,
