@@ -2365,6 +2365,70 @@ def q101_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest — the pipeline's last mile: every document is
+    deterministically assigned to one of 16 content-addressed shards
+    (md5 of the id, so assignment is reproducible anywhere and stable
+    under repartition), and each shard row carries its doc count, total
+    chars, and a content fingerprint (md5 over the shard's sorted
+    per-doc md5s). A consumer can verify a delivered shard against this
+    manifest without re-reading the corpus. Every value is
+    deterministic — no float, no ordering dependence (the fingerprint
+    sorts doc digests lexicographically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 16
+    ).cast("int")
+    per_doc = docs.select(
+        shard.alias("shard"),
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("_doc_md5"),
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("_doc_md5")), "")
+        ).alias("content_md5"),
+    )
+
+
+def q103_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the one-row corpus summary a data release ships:
+    document/char/token totals, language histogram (as a canonical
+    sorted string so two engines agree on representation), exact-dup
+    rate on the 1e-4 integer grid, and source cardinality. One
+    aggregation pass plus a tiny lang rollup; every output is integer
+    or canonical-string, so parity is exact by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang_hist = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(F.col("lang"), F.lit(":"), F.col("n").cast("string")).alias(
+                "_e"
+            )
+        )
+        .agg(F.array_join(F.array_sort(F.collect_list("_e")), ",").alias("langs"))
+    )
+    dup = docs.groupBy("text").agg(F.count("*").alias("_n"))
+    summary = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(X.token_count(F.col("text"))).alias("total_tokens"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+    dup_rate = (
+        dup.agg(F.sum("_n").alias("_s"), F.count("*").alias("_c"))
+        # integer division end-to-end (permyriad of non-first dup rows):
+        # float-cast would diverge (DuckDB casts round, Spark truncates)
+        .select(F.expr("((_s - _c) * 10000) div _s").alias("dup_permyriad"))
+    )
+    return summary.crossJoin(dup_rate).crossJoin(lang_hist)
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4043,6 +4107,38 @@ ORACLE_SQL: dict[str, str] = {
                r.text_md5
         FROM totals t LEFT JOIN rebuilt r USING (doc_id)
     """,
+    "q102_export_manifest": """
+        WITH per_doc AS (
+          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                        ::BIGINT % 16 AS INTEGER) AS shard,
+                 length(text) AS n_chars,
+                 md5(text) AS doc_md5
+          FROM documents
+        )
+        SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+               md5(string_agg(doc_md5, '' ORDER BY doc_md5)) AS content_md5
+        FROM per_doc GROUP BY shard
+    """,
+    "q103_dataset_card": """
+        WITH dup AS (
+          SELECT text, count(*) AS n FROM documents GROUP BY text
+        ), langs AS (
+          SELECT string_agg(e, ',' ORDER BY e) AS langs FROM (
+            SELECT lang || ':' || CAST(count(*) AS VARCHAR) AS e
+            FROM documents GROUP BY lang)
+        ), s AS (
+          SELECT count(*) AS n_docs,
+                 sum(length(text)) AS total_chars,
+                 sum(len(string_split_regex(trim(text), '\\s+')))
+                   AS total_tokens,
+                 count(DISTINCT source) AS n_sources
+          FROM documents
+        ), d AS (
+          SELECT ((sum(n) - count(*)) * 10000) // sum(n) AS dup_permyriad
+          FROM dup
+        )
+        SELECT * FROM s, d, langs
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4147,6 +4243,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_bucketed_join": q99_bucketed_join,
     "q100_salted_join": q100_salted_join,
     "q101_line_dedup": q101_line_dedup,
+    "q102_export_manifest": q102_export_manifest,
+    "q103_dataset_card": q103_dataset_card,
 }
 
 
