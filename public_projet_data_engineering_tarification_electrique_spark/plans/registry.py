@@ -2429,6 +2429,105 @@ def q103_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.crossJoin(dup_rate).crossJoin(lang_hist)
 
 
+def q104_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event_type: median/MAD z-score (the
+    quality-filter shape that survives heavy tails where mean/stddev
+    break). Two exact percentile passes (median, then median of
+    absolute deviations — q31 pinned percentile_cont parity), then a
+    broadcast of the ≤5-row stats table back onto the scan for the
+    flag count. Outputs integer counts plus 4-dp-rounded med/mad; the
+    z threshold (0.6745·|x−med|/mad > 3.5) compares identical doubles
+    in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    mad = (
+        events.join(F.broadcast(med), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("_med")), F.lit(0.5)
+            ).alias("_mad"),
+            F.first("_med").alias("_med"),
+        )
+    )
+    flagged = (
+        events.join(F.broadcast(mad), on="event_type")
+        .withColumn(
+            "_is_out",
+            (
+                F.lit(0.6745)
+                * F.abs(F.col("value") - F.col("_med"))
+                / F.col("_mad")
+                > 3.5
+            ).cast("int"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_is_out").alias("n_outliers"),
+            F.round(F.first("_med"), 4).alias("median"),
+            F.round(F.first("_mad"), 4).alias("mad"),
+        )
+    )
+    return flagged
+
+
+def q105_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel conversion: within each gap-session (q22's
+    operator), did a click lead to a purchase LATER in the same
+    session? One extra per-(user, session) aggregate over the
+    sessionized events — the composition product analytics actually
+    runs (sessionize → funnel), all integer outputs."""
+    from ..operators.sessions import sessionize
+
+    events = load_table(spark, sf_dir, "events", raw=True).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("ts_s"),
+        F.col("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_s"), F.asc("event_id"))
+    boundary = (
+        F.when(
+            F.lag("ts_s").over(w).isNull()
+            | ((F.col("ts_s") - F.lag("ts_s").over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    sess = events.withColumn(
+        "session_id",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts_s"))
+        ).alias("_first_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts_s"))
+        ).alias("_last_purchase"),
+        F.count("*").alias("_n"),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(
+            F.when(F.col("_first_click").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_click"),
+        F.sum(
+            F.when(
+                F.col("_first_click").isNotNull()
+                & F.col("_last_purchase").isNotNull()
+                & (F.col("_last_purchase") >= F.col("_first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4139,6 +4238,56 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT * FROM s, d, langs
     """,
+    "q104_robust_outliers": """
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS m
+          FROM events GROUP BY 1
+        ), mad AS (
+          SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d,
+                 any_value(m) AS m
+          FROM events JOIN med USING (event_type) GROUP BY event_type
+        )
+        SELECT event_type, count(*) AS n,
+               sum(CASE WHEN 0.6745 * abs(value - m) / d > 3.5
+                        THEN 1 ELSE 0 END) AS n_outliers,
+               round(any_value(m), 4) AS median,
+               round(any_value(d), 4) AS mad
+        FROM events JOIN mad USING (event_type)
+        GROUP BY event_type
+    """,
+    "q105_session_funnel": """
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS ts_s
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, event_type, ts_s,
+                 CASE WHEN lag(ts_s) OVER w IS NULL
+                           OR ts_s - lag(ts_s) OVER w > 1800
+                      THEN 1 ELSE 0 END AS b
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        ), sess AS (
+          SELECT user_id, event_type, ts_s,
+                 sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ), per_session AS (
+          SELECT user_id, session_id,
+                 min(CASE WHEN event_type = 'click' THEN ts_s END)
+                   AS first_click,
+                 max(CASE WHEN event_type = 'purchase' THEN ts_s END)
+                   AS last_purchase
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT count(*) AS n_sessions,
+               sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_with_click,
+               sum(CASE WHEN first_click IS NOT NULL
+                         AND last_purchase IS NOT NULL
+                         AND last_purchase >= first_click
+                        THEN 1 ELSE 0 END) AS n_converted
+        FROM per_session
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4245,6 +4394,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_line_dedup": q101_line_dedup,
     "q102_export_manifest": q102_export_manifest,
     "q103_dataset_card": q103_dataset_card,
+    "q104_robust_outliers": q104_robust_outliers,
+    "q105_session_funnel": q105_session_funnel,
 }
 
 
