@@ -2528,6 +2528,44 @@ def q105_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII email pattern — explicit classes only (no shorthand that could
+#: differ between Java regex and RE2); used by q106 in both dialects.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+
+def q106_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — a core curation step: detect and mask email
+    addresses before release. The synthetic corpus carries no PII, so
+    (as with q94's invalid rows) documents with ``doc_id % 13 == 0``
+    are salted with a deterministic address both engines construct
+    identically; the query counts detections and emits the md5 of the
+    MASKED text, so the oracle verifies the scrubbed content itself,
+    not just the counts. One projection pass — no shuffle until the
+    (tiny) summary the caller might add."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return salted.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)
+        ).alias("n_emails"),
+        F.md5(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
+        ).alias("masked_md5"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4288,6 +4326,24 @@ ORACLE_SQL: dict[str, str] = {
                         THEN 1 ELSE 0 END) AS n_converted
         FROM per_session
     """,
+    "q106_pii_scrub": """
+        WITH salted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN text || ' contact user' ||
+                           CAST(doc_id AS VARCHAR) || '@example.com now'
+                      ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                 AS INTEGER) AS n_emails,
+               md5(regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                 '<EMAIL>', 'g')) AS masked_md5
+        FROM salted
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4396,6 +4452,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_dataset_card": q103_dataset_card,
     "q104_robust_outliers": q104_robust_outliers,
     "q105_session_funnel": q105_session_funnel,
+    "q106_pii_scrub": q106_pii_scrub,
 }
 
 
