@@ -2566,6 +2566,40 @@ def q106_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth value histogram per event_type — the distribution
+    summary a dataset card ships: deciles from the exact percentile
+    aggregate (q31 pinned its cross-engine parity), then per-bin counts
+    by comparing against the SAME broadcast edge doubles in both
+    engines. Counts are integers; edges are rounded for display only.
+    Two passes: one percentile agg (≤5 rows, broadcast), one scan with
+    a codegen'd CASE ladder — no wide shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    edges = events.groupBy("event_type").agg(
+        *[
+            F.percentile("value", F.lit(q / 10.0)).alias(f"_p{q}")
+            for q in (2, 4, 6, 8)
+        ]
+    )
+    bin_expr = (
+        F.when(F.col("value") < F.col("_p2"), 0)
+        .when(F.col("value") < F.col("_p4"), 1)
+        .when(F.col("value") < F.col("_p6"), 2)
+        .when(F.col("value") < F.col("_p8"), 3)
+        .otherwise(4)
+    )
+    return (
+        events.join(F.broadcast(edges), on="event_type")
+        .withColumn("bin", bin_expr.cast("int"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(F.col("_p2")), 4).alias("p20"),
+            F.round(F.min(F.col("_p8")), 4).alias("p80"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4344,6 +4378,27 @@ ORACLE_SQL: dict[str, str] = {
                  '<EMAIL>', 'g')) AS masked_md5
         FROM salted
     """,
+    "q107_equidepth_histogram": """
+        WITH edges AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.2) AS p2,
+                 quantile_cont(value, 0.4) AS p4,
+                 quantile_cont(value, 0.6) AS p6,
+                 quantile_cont(value, 0.8) AS p8
+          FROM events GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(CASE WHEN value < p2 THEN 0
+                         WHEN value < p4 THEN 1
+                         WHEN value < p6 THEN 2
+                         WHEN value < p8 THEN 3
+                         ELSE 4 END AS INTEGER) AS bin,
+               count(*) AS n,
+               round(min(p2), 4) AS p20,
+               round(min(p8), 4) AS p80
+        FROM events JOIN edges USING (event_type)
+        GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4453,6 +4508,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_robust_outliers": q104_robust_outliers,
     "q105_session_funnel": q105_session_funnel,
     "q106_pii_scrub": q106_pii_scrub,
+    "q107_equidepth_histogram": q107_equidepth_histogram,
 }
 
 
