@@ -47,6 +47,9 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # a few operators persist() intermediates for intra-query reuse;
+        # drop them so caches never accumulate across the 100+-query loop
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -21,6 +21,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assign_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Attach the gap-rule ``session_id`` column (1..k per user in time
+    order) — the session-ASSIGNMENT step shared by the rollup
+    (``sessionize``) and downstream per-session analyses (the funnel):
+    one user-key window shuffle, (ts, id)-ordered for a total order."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    boundary = (
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | ((F.col(ts_col) - F.lag(ts_col).over(w)) > gap_seconds),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    return events.withColumn(
+        "session_id",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -39,19 +66,12 @@ def sessionize(
     Output: (user_id, session_id, n_events, start_s, end_s, sum_value)
     with session_id numbered 1..k per user in time order.
     """
-    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
-    boundary = (
-        F.when(
-            F.lag(ts_col).over(w).isNull()
-            | ((F.col(ts_col) - F.lag(ts_col).over(w)) > gap_seconds),
-            1,
-        )
-        .otherwise(0)
-        .cast("long")
-    )
-    with_session = events.withColumn(
-        "session_id",
-        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    with_session = assign_sessions(
+        events,
+        gap_seconds=gap_seconds,
+        user_col=user_col,
+        ts_col=ts_col,
+        id_col=id_col,
     )
     # Exact-grid sum: round each value onto the 1e-4 integer grid and sum
     # longs, so per-session totals are independent of float summation

@@ -123,8 +123,9 @@ def anchored_neardup(
     blocking — the sub-quadratic replacement for ``embedding_neardup``
     when buckets grow with the corpus (SemDeDup-style curation).
 
-    Blocking: anchors are every ``ceil(sqrt(n))``-th vector by id (a
-    random-sample codebook of k ≈ √n centroids — data-derived and
+    Blocking: anchors are the vectors whose md5-hashed id falls on the
+    ``ceil(sqrt(n))`` residue grid (a random-sample codebook of
+    k ≈ √n centroids for ANY id distribution — data-derived and
     SQL-expressible, so the DuckDB oracle reproduces the EXACT same
     blocking; no k-means fit, no driver-side action: the stride is a
     broadcast scalar subquery). Each vector is multi-assigned to its
@@ -161,9 +162,18 @@ def anchored_neardup(
     stride = base.agg(
         F.ceil(F.sqrt(F.count("*"))).cast("long").alias("_stride")
     )
+    # Anchor selection hashes the id (md5 prefix — reproducible in the
+    # SQL oracle) before the modulus: a raw `id % stride` sample would
+    # silently collapse to ZERO anchors for id spaces that never hit
+    # the residue (all-odd ids with an even stride, hash-derived ids),
+    # where the hash keeps the expected k ≈ n/stride ≈ √n codebook for
+    # ANY id distribution.
+    id_hash = F.conv(
+        F.substring(F.md5(F.col("_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
     anchors = (
         base.crossJoin(F.broadcast(stride))
-        .filter(F.col("_id") % F.col("_stride") == 0)
+        .filter(id_hash % F.col("_stride") == 0)
         .select(
             F.col("_id").alias("_aid"),
             F.col("_v").alias("_av"),

@@ -382,12 +382,15 @@ def q15_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup scale path: MinHashLSH banded candidates re-verified
     IN-PLAN with the exact word-3-shingle Jaccard — value-level gate
-    (the oracle recomputes exhaustive exact pairs ≥ 0.5; see
-    minhash_dedup_verified for the recall argument)."""
+    (the oracle recomputes exhaustive exact pairs ≥ 0.5).
+    num_hash_tables=16 so the miss probability holds at the gate's OWN
+    threshold, not just the planted near-dup regime: a borderline pair
+    at exactly j = 0.5 is missed with (1-j)^16 ≈ 1.5e-5 (vs 0.39 % at
+    8 tables — a real flake risk when testdata regenerates)."""
     from ..operators.dedup import minhash_dedup_verified
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_verified(docs, min_jaccard=0.5)
+    return minhash_dedup_verified(docs, min_jaccard=0.5, num_hash_tables=16)
 
 
 def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2475,34 +2478,20 @@ def q104_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q105_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionized funnel conversion: within each gap-session (q22's
-    operator), did a click lead to a purchase LATER in the same
-    session? One extra per-(user, session) aggregate over the
-    sessionized events — the composition product analytics actually
-    runs (sessionize → funnel), all integer outputs."""
-    from ..operators.sessions import sessionize
+    """Sessionized funnel conversion: within each gap-session (the same
+    ``assign_sessions`` step q22's rollup uses), did a click lead to a
+    purchase LATER in the same session? One extra per-(user, session)
+    aggregate over the sessionized events — the composition product
+    analytics actually runs (sessionize → funnel), integer outputs."""
+    from ..operators.sessions import assign_sessions
 
     events = load_table(spark, sf_dir, "events", raw=True).select(
         "event_id",
         "user_id",
         "event_type",
         F.expr("ts div 1000000000").alias("ts_s"),
-        F.col("value"),
     )
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts_s"), F.asc("event_id"))
-    boundary = (
-        F.when(
-            F.lag("ts_s").over(w).isNull()
-            | ((F.col("ts_s") - F.lag("ts_s").over(w)) > 1800),
-            1,
-        )
-        .otherwise(0)
-        .cast("long")
-    )
-    sess = events.withColumn(
-        "session_id",
-        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = assign_sessions(events, gap_seconds=1800)
     per_session = sess.groupBy("user_id", "session_id").agg(
         F.min(
             F.when(F.col("event_type") == "click", F.col("ts_s"))
@@ -2510,7 +2499,6 @@ def q105_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(F.col("event_type") == "purchase", F.col("ts_s"))
         ).alias("_last_purchase"),
-        F.count("*").alias("_n"),
     )
     return per_session.agg(
         F.count("*").alias("n_sessions"),
@@ -2650,6 +2638,66 @@ def _simhash_oracle_sql() -> str:
          AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
         WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
               + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3
+    """
+
+#: q94 (batch) and q98 (streaming) score the SAME salted requests and
+#: must stay in lockstep — one oracle text serves both keys.
+_SALTED_SERVING_ORACLE = f"""
+        WITH {_DOMAIN_CTES},
+        salted AS (
+          SELECT CASE WHEN cast(code_commune AS BIGINT) % 41 = 1
+                      THEN 'ATLANTIS' ELSE libelle_region END
+                   AS libelle_region,
+                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 2
+                      THEN 'UNKNOWN-' || nom_commune ELSE nom_commune END
+                   AS nom_commune,
+                 code_commune, nb_personne,
+                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 0
+                      THEN NULL ELSE nb_m2 END AS nb_m2
+          FROM requests
+        ), region_avg AS (
+          SELECT libelle_region, round(avg(conso_mwh), 4) AS conso30
+          FROM daily
+          WHERE date >= DATE '{RUN_DATE}' - 30 AND date <= DATE '{RUN_DATE}'
+          GROUP BY 1
+        ), led AS (
+          SELECT nom_commune, code_commune, annee, conso_moyenne_mwh,
+                 lead(conso_moyenne_mwh) OVER w AS next_conso,
+                 lead(annee) OVER w AS next_annee
+          FROM annual
+          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
+          WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
+        ), alpha AS (
+          SELECT nom_commune, code_commune,
+                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0),
+                             1.3) + 1e-9, 6) AS alpha
+          FROM led
+          WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
+            AND conso_moyenne_mwh IS NOT NULL AND conso_moyenne_mwh <> 0
+            AND next_conso IS NOT NULL
+        ), scored AS (
+          SELECT q.code_commune,
+                 CASE WHEN q.libelle_region IS NULL OR q.nom_commune IS NULL
+                           OR q.code_commune IS NULL
+                           OR q.nb_personne IS NULL OR q.nb_m2 IS NULL
+                      THEN 'missing_field'
+                      WHEN r.conso30 IS NULL THEN 'unknown_region'
+                      WHEN a.alpha IS NULL THEN 'unknown_city'
+                      ELSE 'ok' END AS status,
+                 a.alpha,
+                 round(least(0.05, 0.01 * r.conso30 / 4000.0), 6) AS m_factor,
+                 110.0 * q.nb_m2 + 1000.0 * q.nb_personne + 1100.0
+                   AS conso_foyer
+          FROM salted q
+          LEFT JOIN region_avg r USING (libelle_region)
+          LEFT JOIN alpha a USING (nom_commune, code_commune)
+        )
+        SELECT code_commune, status,
+               CASE WHEN status = 'ok'
+                    THEN round((0.1558 + alpha * m_factor) * conso_foyer
+                               + 72.0)
+               END AS price
+        FROM scored
     """
 
 ORACLE_SQL: dict[str, str] = {
@@ -3870,7 +3918,9 @@ ORACLE_SQL: dict[str, str] = {
           SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM embeddings
         ), anchors AS (
           SELECT id AS aid, v AS av, n AS an
-          FROM base, stride WHERE id % s = 0
+          FROM base, stride
+          WHERE ('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 6))::BIGINT
+                  % s = 0
         ), probes AS (
           SELECT id, bk, aid, v, n FROM (
             SELECT b.id, b.bk, a.aid, b.v, b.n,
@@ -4086,122 +4136,10 @@ ORACLE_SQL: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
           AND l_shipdate < TIMESTAMP '1997-10-01'
     """,
-    "q94_price_batch_status": f"""
-        WITH {_DOMAIN_CTES},
-        salted AS (
-          SELECT CASE WHEN cast(code_commune AS BIGINT) % 41 = 1
-                      THEN 'ATLANTIS' ELSE libelle_region END
-                   AS libelle_region,
-                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 2
-                      THEN 'UNKNOWN-' || nom_commune ELSE nom_commune END
-                   AS nom_commune,
-                 code_commune, nb_personne,
-                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 0
-                      THEN NULL ELSE nb_m2 END AS nb_m2
-          FROM requests
-        ), region_avg AS (
-          SELECT libelle_region, round(avg(conso_mwh), 4) AS conso30
-          FROM daily
-          WHERE date >= DATE '{RUN_DATE}' - 30 AND date <= DATE '{RUN_DATE}'
-          GROUP BY 1
-        ), led AS (
-          SELECT nom_commune, code_commune, annee, conso_moyenne_mwh,
-                 lead(conso_moyenne_mwh) OVER w AS next_conso,
-                 lead(annee) OVER w AS next_annee
-          FROM annual
-          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
-          WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
-        ), alpha AS (
-          SELECT nom_commune, code_commune,
-                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0),
-                             1.3) + 1e-9, 6) AS alpha
-          FROM led
-          WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
-            AND conso_moyenne_mwh IS NOT NULL AND conso_moyenne_mwh <> 0
-            AND next_conso IS NOT NULL
-        ), scored AS (
-          SELECT q.code_commune,
-                 CASE WHEN q.libelle_region IS NULL OR q.nom_commune IS NULL
-                           OR q.code_commune IS NULL
-                           OR q.nb_personne IS NULL OR q.nb_m2 IS NULL
-                      THEN 'missing_field'
-                      WHEN r.conso30 IS NULL THEN 'unknown_region'
-                      WHEN a.alpha IS NULL THEN 'unknown_city'
-                      ELSE 'ok' END AS status,
-                 a.alpha,
-                 round(least(0.05, 0.01 * r.conso30 / 4000.0), 6) AS m_factor,
-                 110.0 * q.nb_m2 + 1000.0 * q.nb_personne + 1100.0
-                   AS conso_foyer
-          FROM salted q
-          LEFT JOIN region_avg r USING (libelle_region)
-          LEFT JOIN alpha a USING (nom_commune, code_commune)
-        )
-        SELECT code_commune, status,
-               CASE WHEN status = 'ok'
-                    THEN round((0.1558 + alpha * m_factor) * conso_foyer
-                               + 72.0)
-               END AS price
-        FROM scored
-    """,
+    "q94_price_batch_status": _SALTED_SERVING_ORACLE,
     # q98: stream-static serving — availableNow emission over a finite
-    # landing dir equals the batch scorer exactly; same oracle as q94.
-    "q98_stream_price_status": f"""
-        WITH {_DOMAIN_CTES},
-        salted AS (
-          SELECT CASE WHEN cast(code_commune AS BIGINT) % 41 = 1
-                      THEN 'ATLANTIS' ELSE libelle_region END
-                   AS libelle_region,
-                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 2
-                      THEN 'UNKNOWN-' || nom_commune ELSE nom_commune END
-                   AS nom_commune,
-                 code_commune, nb_personne,
-                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 0
-                      THEN NULL ELSE nb_m2 END AS nb_m2
-          FROM requests
-        ), region_avg AS (
-          SELECT libelle_region, round(avg(conso_mwh), 4) AS conso30
-          FROM daily
-          WHERE date >= DATE '{RUN_DATE}' - 30 AND date <= DATE '{RUN_DATE}'
-          GROUP BY 1
-        ), led AS (
-          SELECT nom_commune, code_commune, annee, conso_moyenne_mwh,
-                 lead(conso_moyenne_mwh) OVER w AS next_conso,
-                 lead(annee) OVER w AS next_annee
-          FROM annual
-          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
-          WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
-        ), alpha AS (
-          SELECT nom_commune, code_commune,
-                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0),
-                             1.3) + 1e-9, 6) AS alpha
-          FROM led
-          WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
-            AND conso_moyenne_mwh IS NOT NULL AND conso_moyenne_mwh <> 0
-            AND next_conso IS NOT NULL
-        ), scored AS (
-          SELECT q.code_commune,
-                 CASE WHEN q.libelle_region IS NULL OR q.nom_commune IS NULL
-                           OR q.code_commune IS NULL
-                           OR q.nb_personne IS NULL OR q.nb_m2 IS NULL
-                      THEN 'missing_field'
-                      WHEN r.conso30 IS NULL THEN 'unknown_region'
-                      WHEN a.alpha IS NULL THEN 'unknown_city'
-                      ELSE 'ok' END AS status,
-                 a.alpha,
-                 round(least(0.05, 0.01 * r.conso30 / 4000.0), 6) AS m_factor,
-                 110.0 * q.nb_m2 + 1000.0 * q.nb_personne + 1100.0
-                   AS conso_foyer
-          FROM salted q
-          LEFT JOIN region_avg r USING (libelle_region)
-          LEFT JOIN alpha a USING (nom_commune, code_commune)
-        )
-        SELECT code_commune, status,
-               CASE WHEN status = 'ok'
-                    THEN round((0.1558 + alpha * m_factor) * conso_foyer
-                               + 72.0)
-               END AS price
-        FROM scored
-    """,
+    # landing dir equals the batch scorer exactly; ONE shared oracle.
+    "q98_stream_price_status": _SALTED_SERVING_ORACLE,
     # q95/q97: the Spark side routes through a real sink+source
     # roundtrip (CSV / materialized parquet artifact); the oracle
     # computes the same aggregate straight from the source tables —

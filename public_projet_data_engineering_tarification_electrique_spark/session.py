@@ -38,8 +38,9 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-#: SparkContexts whose executors already received our package zip.
-_SHIPPED: set[int] = set()
+#: applicationIds whose executors already received our package zip
+#: (id(sc) would collide when a stopped context's address is reused).
+_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -55,7 +56,7 @@ def _ship_package(spark: SparkSession) -> None:
     cluster mode alike.
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    if sc.applicationId in _SHIPPED:
         return
     import tempfile
     import zipfile
@@ -74,7 +75,7 @@ def _ship_package(spark: SparkSession) -> None:
                 rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
                 zf.write(full, rel)
     sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(sc.applicationId)
 
 
 def configure(spark: SparkSession) -> SparkSession:
@@ -107,7 +108,11 @@ def get_spark(
     ``spark-submit --master yarn/k8s``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or f"local[{cpus}]"
+    # local[N, 4]: the local scheduler IGNORES spark.task.maxFailures
+    # (hardcoded single attempt) and only honors a retry count embedded
+    # in the master string — without it the T4 retry contract would not
+    # exist where this code actually runs.
+    master = master or f"local[{cpus},4]"
     if shuffle_partitions is None:
         shuffle_partitions = os.cpu_count() or 8
 
@@ -120,10 +125,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Retry-on-failure (reference DAG retries=1,
         # reference:airflow/dags/insert_conso_jour_region_in_bq.py):
-        # Spark retries at TASK granularity instead of whole-DAG-task —
-        # 4 attempts per task before failing the stage. Static conf, so
-        # it is pinned here at session build; on a driver-owned session
-        # the cluster default (also 4 in any real deployment) applies.
+        # Spark retries at TASK granularity instead of whole-DAG-task.
+        # The conf governs CLUSTER schedulers; the local master embeds
+        # its own retry count in the master string above (the local
+        # scheduler ignores this conf).
         .config("spark.task.maxFailures", "4")
     )
     for k, v in RUNTIME_CONFS.items():

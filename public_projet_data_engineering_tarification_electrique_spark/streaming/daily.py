@@ -67,9 +67,19 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """Streaming events source with the ts flavor detected from the
     parquet footer (a metadata-only batch read — no job) and normalized
     to a true ``timestamp`` column, whatever flavor the testdata shipped.
+
+    An EMPTY landing directory (the production shape: the stream starts
+    before the first nightly file lands) cannot be probed — fall back to
+    the declared TIMESTAMP(US) schema, the flavor every normal parquet
+    writer (including our own sinks) produces; the NANOS-as-long probe
+    only matters for pre-existing files, which are by definition
+    probeable.
     """
     configure(spark)
-    ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
+    try:
+        ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
+    except Exception:  # no files yet — schema cannot be inferred
+        ts_type = None
     if ts_type == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
         schema, cast = (
             EVENTS_LANDING_SCHEMA_NS,

@@ -48,12 +48,19 @@ STATE_SCHEMA = (
 def _grid4(x: float) -> int:
     """value -> 1e-4 integer grid, rounding half away from zero on the
     binary double — matches Spark ``round(x*1e4, 0)`` and DuckDB
-    ``round(x*1e4)`` exactly for \\|x*1e4\\| < 2**51 (``abs(x)+0.5`` is
-    exact there, so floor gives true half-away)."""
+    ``round(x*1e4)`` exactly. The comparison uses the EXACT fractional
+    part (``a - floor(a)`` is exact for doubles: floor shares the
+    exponent for a >= 1, and equals 0 below 1), never ``a + 0.5`` —
+    adding 0.5 rounds UP for doubles one ulp below a half boundary
+    (e.g. a = 0.49999999999999994 -> a+0.5 == 1.0) where both engines
+    correctly round DOWN."""
     import math
 
     g = x * 1e4
-    return int(math.floor(abs(g) + 0.5)) * (1 if g >= 0 else -1)
+    a = abs(g)
+    f = math.floor(a)
+    r = f + 1 if (a - f) >= 0.5 else f
+    return int(r) if g >= 0 else -int(r)
 
 
 def _make_sessionizer(gap_seconds: int):

@@ -462,9 +462,13 @@ def test_keep_top_fraction_exact_threshold_with_ties(spark):
 
 
 def test_task_retry_conf_pinned(spark):
-    # T4 (SURVEY §2.9): retry-on-failure delegated to Spark task retries,
-    # pinned explicitly at session build.
+    # T4 (SURVEY §2.9): retry-on-failure delegated to Spark task retries.
+    # The local scheduler ignores spark.task.maxFailures and only honors
+    # a retry count embedded in the master string — assert BOTH: the
+    # conf (cluster path) and the local[N,4] master (where we run).
     assert spark.conf.get("spark.task.maxFailures") == "4"
+    master = spark.conf.get("spark.master")
+    assert master.startswith("local[") and master.rstrip("]").endswith(",4")
 
 
 def test_lsh_plan_construction_launches_no_job(spark):

@@ -234,6 +234,17 @@ def test_scd2_intervals_partition_time(spark):
             assert a.v != b.v, user
 
 
+def _ulp_near_half(n: int) -> float:
+    """One ulp below/above/on a half-way grid point — the class where a
+    naive +0.5 rounding kernel diverges from engine round()."""
+    import math
+
+    h = (2 * (n // 3) + 1) / 2e4
+    return [h, math.nextafter(h, -math.inf), math.nextafter(h, math.inf)][
+        n % 3
+    ]
+
+
 @given(
     st.lists(
         st.one_of(
@@ -241,6 +252,7 @@ def test_scd2_intervals_partition_time(spark):
             st.integers(min_value=-10_000_000, max_value=10_000_000).map(
                 lambda n: n / 2e4  # exact multiples of 0.00005
             ),
+            st.integers(min_value=0, max_value=3_000_000).map(_ulp_near_half),
             st.floats(
                 min_value=-1e6, max_value=1e6,
                 allow_nan=False, allow_infinity=False,
