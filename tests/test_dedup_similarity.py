@@ -566,3 +566,33 @@ def test_cc_long_chain_falls_back_to_star(spark):
     out = connected_components(df, max_iter=3).collect()
     assert len(out) == n
     assert all(r.component == 0 for r in out)
+
+
+def test_anchored_neardup_survives_sparse_id_space(spark):
+    """Anchor selection hashes the id first: an all-odd id space (which
+    a raw `id % stride == 0` rule can never sample when the stride is
+    even) must still produce a ~sqrt(n) codebook and recover a planted
+    identical pair."""
+    import pyspark.sql.functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        anchored_neardup,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "vec_id", (F.col("vec_id") * 2 + 1).cast("long")
+    )
+    clone = emb.filter(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.lit(200_001).cast("long")
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in anchored_neardup(
+            emb.unionByName(clone), threshold=0.35
+        ).collect()
+    }
+    assert (3, 200_001) in pairs

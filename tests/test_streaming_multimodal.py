@@ -183,3 +183,16 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     n_distinct = spark.read.parquet(src_file).select("event_id").distinct().count()
     assert out.count() == n_distinct
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_events_stream_starts_on_empty_landing_dir(spark, tmp_path):
+    """Production shape: the stream builder must not raise when the
+    landing directory exists but no file has landed yet (the schema
+    probe falls back to the declared TIMESTAMP(US) landing schema)."""
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.daily import (
+        events_stream,
+    )
+
+    df = events_stream(spark, str(tmp_path))
+    assert df.isStreaming
+    assert "ts" in df.columns
