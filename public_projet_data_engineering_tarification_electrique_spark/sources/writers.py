@@ -84,6 +84,38 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a directory of many small parquet
+    files into ~``target_file_bytes`` files; returns the file count.
+
+    The standard table-maintenance job: streaming sinks and incremental
+    appends accumulate files far below the HDFS/S3-efficient size, and
+    every later scan pays per-file open/footer costs (and loses row-
+    group parallelism). Sizing uses the SOURCE byte size as the proxy
+    for output size (same codec in ≈ same codec out), computed from the
+    file listing — no data pass; the rewrite itself is one
+    coalesce(n) write, shuffle-free (coalesce only narrows
+    partitioning; compaction does not need a data redistribution).
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, fname))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def materialize_once(df: DataFrame, path: str) -> DataFrame:
     """S8 — write-once materialization cache: compute+write the frame the
     first time, read the artifact on every later call.
