@@ -596,3 +596,30 @@ def test_anchored_neardup_survives_sparse_id_space(spark):
         ).collect()
     }
     assert (3, 200_001) in pairs
+
+
+def test_native_minhash_candidates_full_recall(spark):
+    """The MLlib-free MinHash candidate generator must contain every
+    exact-Jaccard pair at the gate threshold (r=1 banding: per-table
+    collision prob = j, OR-amplified over 16 tables)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        minhash_candidates_native,
+        ngram_jaccard_pairs,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    native = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates_native(docs, num_hash_tables=16).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert exact <= native
