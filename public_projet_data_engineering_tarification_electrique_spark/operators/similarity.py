@@ -160,20 +160,26 @@ def anchored_neardup(
         l2_norm(F.col(vec_col)).alias("_n"),
     )
     stride = base.agg(
-        F.ceil(F.sqrt(F.count("*"))).cast("long").alias("_stride")
+        F.ceil(F.sqrt(F.count("*"))).cast("long").alias("_stride"),
+        F.min("_id").alias("_mid"),
     )
     # Anchor selection hashes the id (md5 prefix — reproducible in the
     # SQL oracle) before the modulus: a raw `id % stride` sample would
     # silently collapse to ZERO anchors for id spaces that never hit
     # the residue (all-odd ids with an even stride, hash-derived ids),
     # where the hash keeps the expected k ≈ n/stride ≈ √n codebook for
-    # ANY id distribution.
+    # ANY id distribution. The min-id row is ALWAYS an anchor: for tiny
+    # inputs the residue sample is empty with probability (1-1/s)^n,
+    # and an empty codebook would silently return zero pairs.
     id_hash = F.conv(
         F.substring(F.md5(F.col("_id").cast("string")), 1, 6), 16, 10
     ).cast("long")
     anchors = (
         base.crossJoin(F.broadcast(stride))
-        .filter(id_hash % F.col("_stride") == 0)
+        .filter(
+            (id_hash % F.col("_stride") == 0)
+            | (F.col("_id") == F.col("_mid"))
+        )
         .select(
             F.col("_id").alias("_aid"),
             F.col("_v").alias("_av"),

@@ -3915,12 +3915,15 @@ ORACLE_SQL: dict[str, str] = {
                                        embedding::DOUBLE[])) AS n
           FROM embeddings
         ), stride AS (
-          SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM embeddings
+          SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s,
+                 min(vec_id) AS mid
+          FROM embeddings
         ), anchors AS (
           SELECT id AS aid, v AS av, n AS an
           FROM base, stride
           WHERE ('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 6))::BIGINT
                   % s = 0
+             OR id = mid
         ), probes AS (
           SELECT id, bk, aid, v, n FROM (
             SELECT b.id, b.bk, a.aid, b.v, b.n,

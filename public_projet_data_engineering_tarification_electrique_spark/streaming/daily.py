@@ -76,10 +76,15 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     probeable.
     """
     configure(spark)
+    from pyspark.errors import AnalysisException
+
     try:
         ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
-    except Exception:  # no files yet — schema cannot be inferred
+    except AnalysisException:  # no files yet — schema cannot be inferred
         ts_type = None
+    # any other probe failure (permissions, corrupt footer) propagates:
+    # silently guessing a schema would surface as a conversion error far
+    # from the root cause
     if ts_type == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
         schema, cast = (
             EVENTS_LANDING_SCHEMA_NS,

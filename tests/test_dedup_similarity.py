@@ -623,3 +623,24 @@ def test_native_minhash_candidates_full_recall(spark):
         ).collect()
     }
     assert exact <= native
+
+
+def test_anchored_neardup_tiny_input_never_empty_codebook(spark):
+    """n=4 identical-direction vectors with ids chosen freely: the
+    min-id row is always an anchor, so the planted duplicate pair is
+    found even when the hash-residue sample would be empty."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        anchored_neardup,
+    )
+
+    rows = [
+        (7, [1.0, 0.0, 0.0], 0),
+        (11, [1.0, 0.0, 0.0], 0),
+        (13, [0.0, 1.0, 0.0], 0),
+        (17, [0.0, 0.0, 1.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pairs = {(r.id_a, r.id_b) for r in anchored_neardup(df, threshold=0.9).collect()}
+    assert (7, 11) in pairs
