@@ -2588,6 +2588,55 @@ def q107_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S5 driver-verified hermetically: the opendatasoft-style
+    REST reader runs its FULL path — pushdown URL construction
+    (select/where params on the wire), fetch via the injectable client
+    (here serving the nation dimension as the API payload — no
+    network), JSON→schema-declared relational — and the oracle
+    aggregates the same table directly, so value parity proves the
+    reader is lossless end-to-end. The fetch is driver-side by design
+    (a bounded dimension-scale call, the reference's own shape,
+    reference:0_insert_conso_an_ville_in_bq.py:20-34); the distributed
+    plan starts at the returned DataFrame."""
+    import duckdb
+
+    from ..sources.rest import build_export_url, read_rest_json
+
+    url = build_export_url(
+        "https://api.example.test",
+        "nations",
+        select="n_nationkey,n_name,n_regionkey",
+        where="n_nationkey >= 0",
+    )
+
+    def fetcher(u: str) -> list[dict]:
+        # hermetic HTTP stand-in; the pushdown params must reach the wire
+        assert "select=" in u and "where=" in u
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT n_nationkey, n_name, n_regionkey FROM "
+            f"read_parquet('{sf_dir}/nation.parquet') ORDER BY n_nationkey"
+        ).fetchall()
+        return [
+            {"n_nationkey": k, "n_name": n, "n_regionkey": r}
+            for k, n, r in rows
+        ]
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    df = read_rest_json(spark, url, schema, fetcher=fetcher)
+    return df.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4319,6 +4368,10 @@ ORACLE_SQL: dict[str, str] = {
                  '<EMAIL>', 'g')) AS masked_md5
         FROM salted
     """,
+    "q108_rest_ingest": """
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+        FROM nation GROUP BY 1
+    """,
     "q107_equidepth_histogram": """
         WITH edges AS (
           SELECT event_type,
@@ -4450,6 +4503,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_session_funnel": q105_session_funnel,
     "q106_pii_scrub": q106_pii_scrub,
     "q107_equidepth_histogram": q107_equidepth_histogram,
+    "q108_rest_ingest": q108_rest_ingest,
 }
 
 
