@@ -608,7 +608,7 @@ def q30_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(F.to_date("ts").alias("date"), "event_type", "value")
         .groupBy("date")
         .pivot("event_type", ["click", "view", "purchase", "error"])
-        .agg(F.round(F.avg("value"), 4))
+        .agg(F.round(F.avg("value") + 1e-9, 4))
     )
 
 
@@ -680,7 +680,7 @@ def q35_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = (
         events.groupBy("event_type", F.to_date("ts").alias("date"))
-        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+        .agg(F.round(F.avg("value") + 1e-9, 4).alias("day_avg"))
     )
     w = (
         Window.partitionBy("event_type")
@@ -785,7 +785,7 @@ def q41_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "date")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
         )
     )
 
@@ -3017,7 +3017,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q19_streaming_daily": """
         SELECT cast(date_trunc('day', ts) AS DATE) AS date, event_type,
-               round(avg(value), 4) AS avg_value
+               round(avg(value) + 1e-9, 4) AS avg_value
         FROM events GROUP BY 1, 2
     """,
     "q20_multimodal_meta": """
@@ -3073,7 +3073,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q41_cube_daily": """
         SELECT event_type, cast(ts AS DATE) AS date,
-               count(*) AS n_events, round(avg(value), 4) AS avg_value
+               count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_value
         FROM events
         GROUP BY CUBE (event_type, cast(ts AS DATE))
     """,
@@ -3160,7 +3160,7 @@ ORACLE_SQL: dict[str, str] = {
     "q35_moving_average": """
         WITH daily AS (
           SELECT event_type, cast(ts AS DATE) AS date,
-                 round(avg(value), 4) AS day_avg
+                 round(avg(value) + 1e-9, 4) AS day_avg
           FROM events GROUP BY 1, 2
         )
         SELECT event_type, date, day_avg,
@@ -3181,10 +3181,14 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q30_pivot_daily": """
         SELECT cast(ts AS DATE) AS date,
-               round(avg(value) FILTER (event_type = 'click'), 4) AS click,
-               round(avg(value) FILTER (event_type = 'view'), 4) AS view,
-               round(avg(value) FILTER (event_type = 'purchase'), 4) AS purchase,
-               round(avg(value) FILTER (event_type = 'error'), 4) AS error
+               round(avg(value) FILTER (event_type = 'click') + 1e-9, 4)
+                 AS click,
+               round(avg(value) FILTER (event_type = 'view') + 1e-9, 4)
+                 AS view,
+               round(avg(value) FILTER (event_type = 'purchase') + 1e-9, 4)
+                 AS purchase,
+               round(avg(value) FILTER (event_type = 'error') + 1e-9, 4)
+                 AS error
         FROM events GROUP BY 1
     """,
     "q31_percentiles": """

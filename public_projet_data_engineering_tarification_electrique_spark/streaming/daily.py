@@ -124,7 +124,7 @@ def stream_daily_event_avg(
             F.window("ts", "1 day").alias("_w"),
             F.col("event_type"),
         )
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.round(F.avg("value") + 1e-9, 4).alias("avg_value"))
         .select(
             F.col("_w.start").cast("date").alias("date"),
             "event_type",
@@ -159,7 +159,7 @@ def stream_daily_ingest(
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("_w"), F.col("event_type"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.round(F.avg("value") + 1e-9, 4).alias("avg_value"))
         .select(
             F.col("_w.start").cast("date").alias("date"), "event_type", "avg_value"
         )
