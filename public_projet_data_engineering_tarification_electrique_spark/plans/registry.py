@@ -825,7 +825,9 @@ def q43_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup scale path: hyperplane-LSH banding + exact
     cosine verify. The testdata has no natural near-dups (max pairwise
     cosine ≈ 0.48), so the query PLANTS exact duplicates — every 10th
-    vector re-enters with vec_id + 1_000_000 — and the detector must
+    vector re-enters with vec_id + 1e10 (vec_id is BIGINT; 1e10 is far
+    above any plausible corpus cardinality, so planted ids never
+    collide with real ones at any SF) — and the detector must
     recover exactly those pairs. Exact copies share all sign bits, so
     every band collides and LSH recall on them is 100 % deterministic;
     that makes the brute-force cosine join a true DuckDB oracle."""
@@ -833,7 +835,7 @@ def q43_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        "vec_id", F.col("vec_id") + F.lit(10_000_000_000)
     )
     return embedding_neardup_lsh(emb.unionByName(planted), threshold=0.9).select(
         "id_a", "id_b", F.round("sim", 3).alias("sim")
@@ -3063,7 +3065,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH aug AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+          SELECT vec_id + 10000000000 AS vec_id, embedding FROM embeddings
           WHERE vec_id % 10 = 0
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -34,7 +34,10 @@ def test_streaming_matches_batch(spark):
         (r["date"], r["event_type"]): r["avg_value"]
         for r in load_table(spark, SF, "events")
         .groupBy(F.to_date("ts").alias("date"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        # same +1e-9 boundary nudge as the streaming agg (PLANS.md §2h):
+        # the twin must round identically or a mean sitting on a 4-dp
+        # half-way boundary flips only one side.
+        .agg(F.round(F.avg("value") + 1e-9, 4).alias("avg_value"))
         .collect()
     }
     assert streamed == batch
