@@ -162,3 +162,84 @@ def quality_scores(
             4,
         ).alias("quality"),
     )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    nll_scale: int = 1_000_000,
+) -> DataFrame:
+    """Unigram language-model quality scoring (the KenLM-shaped filter
+    of CCNet-style pipelines, reduced to its SQL-expressible core).
+
+    Train an add-one-smoothed unigram LM on the deterministic hash-split
+    train partition (md5 bucket < ``train_pct`` — same construction as
+    ``sampling.hash_split``), then score EVERY document by its mean
+    token negative log-likelihood; unseen tokens get the smoothed OOV
+    mass 1/(N+V). High avg_nll = improbable text under the corpus model
+    — the standard cheap perplexity proxy for filtering gibberish.
+
+    Plan shape: one explode → (token) hash agg builds the LM (vocab-
+    sized, broadcast back), one explode → (doc, token) hash agg for the
+    scoring join — both linear, partial-agg before each exchange. The
+    N/V scalars ride a broadcast 1-row cross join, never an action.
+
+    Cross-engine parity: each distinct token's NLL is snapped to an
+    integer grid (round(-ln(p)·nll_scale) as long) so per-doc sums are
+    order-independent integer arithmetic; only the final mean divides —
+    an identical double in both engines. ln() itself agrees to the last
+    ulp between the JVM and libm for these magnitudes; a grid-boundary
+    collision would need |ln(p)·1e6 − k − ½| < 1e-10 for some token
+    (audited: min distance ≥ 1e-6 at both test SFs).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    exploded = (
+        ensure_parallelism(docs)
+        .select(id_col, F.explode(toks).alias("_tok"))
+        .filter(F.col("_tok") != "")
+    )
+    train_bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    lm_counts = (
+        exploded.filter(train_bucket < train_pct)
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_c"))
+    )
+    consts = lm_counts.agg(
+        F.sum("_c").alias("_n"), F.count("*").alias("_v")
+    )
+    scaled_nll = lambda p: F.round(-F.log(p) * nll_scale, 0).cast("long")  # noqa: E731
+    lm = lm_counts.crossJoin(F.broadcast(consts)).select(
+        "_tok",
+        scaled_nll((F.col("_c") + 1) / (F.col("_n") + F.col("_v"))).alias(
+            "_nll_s"
+        ),
+    )
+    doc_toks = exploded.groupBy(id_col, "_tok").agg(
+        F.count("*").alias("_cnt")
+    )
+    oov = consts.select(
+        scaled_nll(F.lit(1.0) / (F.col("_n") + F.col("_v"))).alias("_oov_s")
+    )
+    return (
+        doc_toks.join(F.broadcast(lm), on="_tok", how="left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_cnt") * F.coalesce("_nll_s", "_oov_s")).cast(
+                    "double"
+                )
+                / F.sum("_cnt")
+                / nll_scale,
+                4,
+            ).alias("avg_nll"),
+        )
+    )

@@ -2639,6 +2639,60 @@ def q108_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q109_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet/KenLM-style perplexity filter,
+    SQL-expressible core): train an add-one-smoothed unigram LM on the
+    hash-split train partition, score every document's mean token NLL
+    with smoothed OOV mass for unseen tokens. Per-token NLLs snap to a
+    1e-6 integer grid so per-doc sums are order-independent; only the
+    final mean divides (identical double both engines)."""
+    from ..operators.textstats import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs)
+
+
+def q110_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents must
+    land in the SAME split or eval contaminates — so the split key is
+    the n-gram-Jaccard dedup CLUSTER (connected component min-id), not
+    the document id; singletons key on themselves. Same md5-bucket
+    assignment as q48, applied to the group key: by construction zero
+    near-dup pairs straddle splits. Threshold 0.5 (the near-dup regime)
+    keeps pair generation df-cap-blocked and the component graph
+    shallow."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=100)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    keyed = (
+        docs.select("doc_id")
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_id"),
+            ),
+            on="doc_id",
+            how="left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("group_key"),
+        )
+    )
+    bucket = hash_bucket(F.col("group_key"))
+    return keyed.select(
+        "doc_id",
+        "group_key",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4399,6 +4453,87 @@ ORACLE_SQL: dict[str, str] = {
         FROM events JOIN edges USING (event_type)
         GROUP BY 1, 2
     """,
+    "q109_unigram_lm_score": """
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents) t
+          WHERE tok <> ''
+        ), lm_counts AS (
+          SELECT tok, count(*) AS c
+          FROM toks
+          WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < 80
+          GROUP BY 1
+        ), consts AS (
+          SELECT sum(c) AS n, count(*) AS v FROM lm_counts
+        ), lm AS (
+          SELECT tok,
+                 cast(round(-ln((c + 1.0) / (n + v)) * 1000000) AS BIGINT)
+                   AS nll_s
+          FROM lm_counts CROSS JOIN consts
+        ), oov AS (
+          SELECT cast(round(-ln(1.0 / (n + v)) * 1000000) AS BIGINT)
+                   AS oov_s
+          FROM consts
+        ), doc_toks AS (
+          SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id, cast(sum(cnt) AS BIGINT) AS n_tokens,
+               round(cast(sum(cnt * coalesce(nll_s, oov_s)) AS DOUBLE)
+                     / sum(cnt) / 1000000, 4) AS avg_nll
+        FROM doc_toks LEFT JOIN lm USING (tok) CROSS JOIN oov
+        GROUP BY doc_id
+    """,
+    "q110_leakage_safe_split": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END) AS sh
+          FROM toks
+        ), capped AS (
+          SELECT s.* FROM sh s JOIN (
+            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ), reach(node, comp) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+        ), comp AS (
+          SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
+        ), keyed AS (
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        )
+        SELECT doc_id, group_key,
+               CASE WHEN ('0x' || substr(md5(cast(group_key AS VARCHAR)),
+                          1, 8))::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x' || substr(md5(cast(group_key AS VARCHAR)),
+                          1, 8))::BIGINT % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4510,6 +4645,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_pii_scrub": q106_pii_scrub,
     "q107_equidepth_histogram": q107_equidepth_histogram,
     "q108_rest_ingest": q108_rest_ingest,
+    "q109_unigram_lm_score": q109_unigram_lm_score,
+    "q110_leakage_safe_split": q110_leakage_safe_split,
 }
 
 

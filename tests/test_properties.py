@@ -284,3 +284,53 @@ def test_grid4_three_way_engine_agreement(spark, duck, values):
         [values],
     ).fetchall()
     assert py == [r.g for r in sp] == [r[0] for r in dk]
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Every near-dup pair lands in ONE split (the invariant the split
+    exists for), every doc is assigned, and members of a cluster share
+    the cluster's group key."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.plans import (
+        registry,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = registry.QUERIES()["q110_leakage_safe_split"](spark, sf)
+    docs = load_table(spark, sf, "documents")
+    assert out.count() == docs.count()
+
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    pairs = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_df=100
+    ).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    straddling = [
+        (p["id_a"], p["id_b"])
+        for p in pairs
+        if split_of[p["id_a"]] != split_of[p["id_b"]]
+    ]
+    assert straddling == []
+
+
+def test_unigram_lm_score_semantics(spark):
+    """Docs of common tokens score low NLL; a doc of rare tokens scores
+    strictly higher; n_tokens matches the whitespace token count."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        unigram_lm_scores,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(40)]
+    rows.append((1000, "zyx qwv jjk"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[1000]["n_tokens"] == 3
+    common_nll = got[0]["avg_nll"]
+    rare_nll = got[1000]["avg_nll"]
+    assert rare_nll > common_nll > 0
