@@ -1,0 +1,127 @@
+"""Portable Bloom-filter semi-join pruning.
+
+The explicit form of Spark's runtime row-level filtering
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``): when the build
+side of a semi-join is too large to broadcast as an exact key set but
+its *bit signature* is not, ship a Bloom bitmap to the probe side and
+filter map-side BEFORE the join's exchange. At 100 TB this is the
+difference between shuffling the full fact table and shuffling only
+the ~selectivity fraction that can possibly match; false positives are
+removed by the real join afterwards, so results are exact regardless
+of FP rate.
+
+Hashing is md5-derived (not xxhash64) so an external engine — or the
+DuckDB oracle — can reproduce the bitmap bit-for-bit.
+
+Plan shape:
+- build: k bit positions per key (a codegen'd projection), partial
+  ``bit_or`` per map task collapses to ≤ n_words rows before the one
+  tiny exchange, then one row carrying ``array<long>``.
+- probe: the 1-row bitmap cross-joins (broadcast) onto the fact scan;
+  the membership test is k ``element_at``/bitwise-AND expressions —
+  map-side, whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_positions(
+    df: DataFrame, key_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """Add k independent 60-bit md5 hash positions (mod m_bits) as
+    columns _p0.._p{k-1}."""
+    for i in range(k):
+        df = df.withColumn(
+            f"_p{i}",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"bloom{i}:"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits,
+        )
+    return df
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 32768, k: int = 4
+) -> DataFrame:
+    """Aggregate a key set into a 1-row Bloom bitmap (array<long>).
+
+    ``m_bits`` must be a multiple of 64. Size it from the expected key
+    count: FP ≈ (1 − e^(−k·n/m))^k; m = 16·n bits with k = 4 gives
+    ~0.2 %. The bitmap is m/64 longs — 1 MB covers 8M bits / ~500k
+    keys, comfortably broadcastable.
+    """
+    assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    n_words = m_bits // 64
+    pos = _with_positions(keys.select(key_col), key_col, m_bits, k)
+    pos_structs = F.array(
+        *[
+            F.struct(
+                F.expr(f"cast(_p{i} div 64 as int)").alias("word"),
+                F.expr(f"shiftleft(1L, cast(_p{i} % 64 as int))").alias(
+                    "mask"
+                ),
+            )
+            for i in range(k)
+        ]
+    )
+    words = (
+        pos.select(F.explode(pos_structs).alias("pm"))
+        .select(F.col("pm.word").alias("word"), F.col("pm.mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("word"), F.col("bits")))
+    )
+    return words.agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.coalesce(
+                F.try_element_at(entries, w), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_bits")
+    )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    m_bits: int = 32768,
+    k: int = 4,
+) -> DataFrame:
+    """Keep only fact rows whose key passes the Bloom membership test.
+
+    ``bitmap`` is the 1-row output of :func:`bloom_build` with the SAME
+    (m_bits, k). Map-side only: the bitmap broadcasts, the test stays
+    in codegen, nothing shuffles. Passing rows are a superset of true
+    matches — follow with the exact join.
+    """
+    probed = _with_positions(
+        fact.crossJoin(F.broadcast(bitmap)), key_col, m_bits, k
+    )
+    test = None
+    for i in range(k):
+        hit = F.expr(
+            f"(element_at(bloom_bits, cast(_p{i} div 64 as int) + 1)"
+            f" & shiftleft(1L, cast(_p{i} % 64 as int)))"
+            f" = shiftleft(1L, cast(_p{i} % 64 as int))"
+        )
+        test = hit if test is None else (test & hit)
+    return probed.filter(test).drop(
+        "bloom_bits", *[f"_p{i}" for i in range(k)]
+    )

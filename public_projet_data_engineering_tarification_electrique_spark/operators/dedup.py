@@ -57,6 +57,13 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     65535 tokens/doc), so the hash agg has 16 sums + 1 count; the 64
     sign tests become one cheap post-agg projection over one row/doc.
     """
+    # Hash each DISTINCT (doc, token) once and weight its vote by the
+    # occurrence count: md5 + two conv() base conversions are the
+    # expensive part, and per-occurrence hashing paid them ~4-7× more
+    # often than needed (measured 9.6 s → ~4 s at sf0.1). The extra
+    # (doc, token) pre-aggregation is a standard map-side-combining
+    # shuffle whose rows are bounded by per-doc vocabulary, not corpus
+    # token count — strictly smaller traffic at any scale.
     md5 = F.md5(F.col("_tok"))
     toks = (
         ensure_parallelism(docs)
@@ -66,8 +73,11 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
             ).alias("_tok"),
         )
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").alias("_cnt"))
         .select(
             id_col,
+            "_cnt",
             F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("_ha"),
             F.conv(F.substring(md5, 17, 15), 16, 10).cast("long").alias("_hb"),
         )
@@ -79,15 +89,20 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         return F.shiftrightunsigned(F.col("_hb"), i - 60).bitwiseAND(F.lit(1))
 
     def packed_contrib(g: int):
-        # bits 4g..4g+3 land in 16-bit fields 0..3 of accumulator g
-        terms = [F.shiftleft(_bit(4 * g + j), 16 * j) for j in range(4)]
+        # bits 4g..4g+3 land in 16-bit fields 0..3 of accumulator g;
+        # each field's total stays = doc token count ≤ 65535, because
+        # the vote weight is the occurrence count
+        terms = [
+            F.shiftleft(_bit(4 * g + j), 16 * j) * F.col("_cnt")
+            for j in range(4)
+        ]
         e = terms[0]
         for t in terms[1:]:
             e = e + t
         return e
 
     aggs = [F.sum(packed_contrib(g)).alias(f"_p{g}") for g in range(16)] + [
-        F.count("*").alias("_n")
+        F.sum("_cnt").alias("_n")
     ]
     agg = toks.groupBy(id_col).agg(*aggs)
     sig = None

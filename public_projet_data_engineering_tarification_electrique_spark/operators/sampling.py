@@ -184,3 +184,47 @@ def deterministic_sample(
     sampled corpus reproducible."""
     assert 0.0 <= fraction <= 1.0
     return df.filter(hash_bucket(F.col(id_col), 10_000, salt=salt) < int(fraction * 10_000))
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    stratum_col: str,
+    epochs_of: Callable[[Column], Column],
+    id_col: str = "doc_id",
+    salt: str = "ep",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Fractional-epoch domain UPSAMPLING — the other half of data
+    mixing (``mixture_plan`` downsamples to quotas; this repeats
+    under-represented domains): a stratum with target epochs e
+    contributes ⌊e⌋ copies of every doc plus one extra copy for the
+    deterministic hash-fraction (e − ⌊e⌋) of its docs, so the realized
+    corpus hits e× per stratum in expectation with EXACT per-doc
+    reproducibility (the extra-copy set is a pure md5 function of id —
+    re-runs and repartitions replicate the same docs).
+
+    Plan shape: a projection computing n_copies, then one
+    ``explode(sequence(1, n_copies))`` — no shuffle at any scale; the
+    output inherits the scan's partitioning with rows amplified
+    in place. Guard: sequence(1, 0) counts DOWN in Spark, so
+    zero-copy rows are filtered BEFORE the explode.
+
+    Output: input columns + ``copy_idx`` (1-based int).
+    """
+    e = epochs_of(F.col(stratum_col)).cast("double")
+    n_copies = (
+        F.floor(e).cast("int")
+        + (
+            hash_bucket(F.col(id_col), 100, salt=salt)
+            < F.round((e - F.floor(e)) * 100, 0).cast("int")
+        ).cast("int")
+    )
+    return (
+        docs.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(1), F.col("_n_copies"))),
+        )
+        .drop("_n_copies")
+    )

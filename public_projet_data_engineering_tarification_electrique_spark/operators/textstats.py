@@ -170,6 +170,7 @@ def unigram_lm_scores(
     id_col: str = "doc_id",
     train_pct: int = 80,
     nll_scale: int = 1_000_000,
+    min_count: int = 1,
 ) -> DataFrame:
     """Unigram language-model quality scoring (the KenLM-shaped filter
     of CCNet-style pipelines, reduced to its SQL-expressible core).
@@ -193,6 +194,12 @@ def unigram_lm_scores(
     ulp between the JVM and libm for these magnitudes; a grid-boundary
     collision would need |ln(p)·1e6 − k − ½| < 1e-10 for some token
     (audited: min distance ≥ 1e-6 at both test SFs).
+
+    ``min_count`` bounds the vocabulary (and so the broadcast LM) at
+    web scale: tokens seen fewer than ``min_count`` times in the train
+    split fold into the smoothed OOV mass — on a 100 TB corpus the
+    hapax tail is most of the distinct tokens but none of the mass.
+    Default 1 keeps every token (small-corpus behavior).
     """
     toks = tokens(F.lower(F.col(text_col)))
     exploded = (
@@ -210,6 +217,7 @@ def unigram_lm_scores(
         exploded.filter(train_bucket < train_pct)
         .groupBy("_tok")
         .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
     )
     consts = lm_counts.agg(
         F.sum("_c").alias("_n"), F.count("*").alias("_v")

@@ -2693,6 +2693,62 @@ def q110_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join: urgent high-value orders select their
+    lineitems. The order-key set (too large to broadcast exactly at
+    100 TB) is collapsed to a 32k-bit md5 Bloom bitmap; lineitem rows
+    are pre-filtered MAP-SIDE against the broadcast bitmap before the
+    exact semi-join removes false positives — the explicit, portable
+    form of Spark's runtime bloomFilter rewrite. Results are exact
+    regardless of FP rate, so the oracle is the plain semi-join."""
+    from ..operators.bloom import bloom_build, bloom_prefilter
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000)
+    ).select("o_orderkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    bitmap = bloom_build(keys, "o_orderkey")
+    pruned = bloom_prefilter(lineitem, "l_orderkey", bitmap)
+    exact = pruned.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+        how="leftsemi",
+    )
+    # cent-grid integer sum (PLANS.md 2e): order-independent, exact
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            / 100.0
+        ).alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+def q112_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch domain upsampling (Llama-style mixtures repeat
+    scarce domains): en×1.0, fr×2.5, de×3.2, es×0.5, zh×1.0. Every doc
+    of a stratum appears ⌊e⌋ times plus once more for the md5-bucket
+    fraction (e−⌊e⌋) of ids — deterministic replication, no RNG. One
+    explode, no shuffle; per-copy rows carry copy_idx."""
+    from ..operators.sampling import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = epoch_upsample(
+        docs,
+        "lang",
+        lambda lang: F.when(lang == "fr", 2.5)
+        .when(lang == "de", 3.2)
+        .when(lang == "es", 0.5)
+        .otherwise(1.0),
+    )
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("int"))
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4534,6 +4590,38 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE 'test' END AS split
         FROM keyed
     """,
+    "q111_bloom_semi_join": """
+        WITH keys AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+        )
+        SELECT l_returnflag, count(*) AS n_items,
+               cast(sum(cast(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS sum_price,
+               cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM keys)
+        GROUP BY 1
+    """,
+    "q112_epoch_upsample": """
+        WITH c AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'fr' THEN 2.5 WHEN 'de' THEN 3.2
+                           WHEN 'es' THEN 0.5 ELSE 1.0 END AS e
+          FROM documents
+        ), n AS (
+          SELECT doc_id, lang,
+                 cast(floor(e) AS INT) +
+                 CASE WHEN ('0x' || substr(md5('ep' ||
+                            cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                        < cast(round((e - floor(e)) * 100) AS INT)
+                      THEN 1 ELSE 0 END AS n_copies
+          FROM c
+        )
+        SELECT doc_id, lang,
+               cast(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
+        FROM n WHERE n_copies > 0
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4647,6 +4735,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_rest_ingest": q108_rest_ingest,
     "q109_unigram_lm_score": q109_unigram_lm_score,
     "q110_leakage_safe_split": q110_leakage_safe_split,
+    "q111_bloom_semi_join": q111_bloom_semi_join,
+    "q112_epoch_upsample": q112_epoch_upsample,
 }
 
 

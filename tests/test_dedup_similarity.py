@@ -644,3 +644,63 @@ def test_anchored_neardup_tiny_input_never_empty_codebook(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in anchored_neardup(df, threshold=0.9).collect()}
     assert (7, 11) in pairs
+
+
+def test_bloom_prefilter_superset_and_selective(spark):
+    """The Bloom prefilter passes every true match (no false negatives
+    — the correctness contract) while pruning most non-matching rows
+    (the reason it exists); partitioning never changes membership."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    keys = spark.range(0, 200).selectExpr("id * 7 as k")  # 0,7,...,1393
+    fact = spark.range(0, 5000).selectExpr("id as k")
+    bitmap = bloom_build(keys, "k", m_bits=4096, k=4)
+    passed = {r["k"] for r in bloom_prefilter(fact, "k", bitmap, m_bits=4096, k=4).collect()}
+    true_keys = {i * 7 for i in range(200)}
+    assert true_keys <= passed, "bloom must never drop a true match"
+    fp = passed - true_keys
+    # 4096 bits / 200 keys / k=4 → theoretical FP ~0.1%; allow 10x slack
+    assert len(fp) < 0.01 * 5000
+    repart = {
+        r["k"]
+        for r in bloom_prefilter(
+            fact.repartition(13), "k", bitmap, m_bits=4096, k=4
+        ).collect()
+    }
+    assert repart == passed
+
+
+def test_epoch_upsample_realized_epochs(spark):
+    """Realized copies per stratum ≈ target epochs; copy multiplicity
+    is a pure function of id (repartition-invariant); copy_idx is
+    dense 1..n per doc."""
+    from collections import Counter
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+        epoch_upsample,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 1000).selectExpr(
+        "id as doc_id", "case when id % 2 = 0 then 'a' else 'b' end as s"
+    )
+    weights = lambda s: F.when(s == "a", 2.5).otherwise(0.4)  # noqa: E731
+    out = epoch_upsample(docs, "s", weights, id_col="doc_id").collect()
+    per_doc = Counter((r["doc_id"]) for r in out)
+    for doc_id, n in per_doc.items():
+        idxs = sorted(r["copy_idx"] for r in out if r["doc_id"] == doc_id)
+        assert idxs == list(range(1, n + 1))
+    n_a = sum(n for d, n in per_doc.items() if d % 2 == 0)
+    n_b = sum(n for d, n in per_doc.items() if d % 2 == 1)
+    assert abs(n_a / 500 - 2.5) < 0.15
+    assert abs(n_b / 500 - 0.4) < 0.15
+    again = Counter(
+        r["doc_id"]
+        for r in epoch_upsample(
+            docs.repartition(17), "s", weights, id_col="doc_id"
+        ).collect()
+    )
+    assert again == per_doc
