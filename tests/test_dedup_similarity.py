@@ -704,3 +704,37 @@ def test_epoch_upsample_realized_epochs(spark):
         ).collect()
     )
     assert again == per_doc
+
+
+def test_nearest_centroid_matches_numpy_argmin(spark):
+    """The codegen'd fold assignment must agree with np.argmin on the
+    same codebook, including the lowest-index tie-break."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        nearest_centroid,
+    )
+
+    rng = np.random.RandomState(7)
+    codebook = rng.randn(6, 8)
+    codebook[3] = codebook[1]  # duplicate centroid → exercises ties
+    vecs = rng.randn(50, 8)
+    vecs[10] = codebook[1]  # exactly on the duplicated centroid
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vid int, v array<double>",
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
+    )
+    got = {
+        r["vid"]: r["c"]
+        for r in df.select(
+            "vid", nearest_centroid(F.col("v"), cent_lit, 6).alias("c")
+        ).collect()
+    }
+    d2 = ((vecs[:, None, :] - codebook[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    assert got == {i: int(want[i]) for i in range(50)}
+    assert got[10] == 1  # tie between centroid 1 and 3 → lowest index
