@@ -2749,6 +2749,79 @@ def q112_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.col("copy_idx").cast("int"))
 
 
+def q113_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact table
+    FIRST (sum quantity per order, HAVING > 250 — ~1% of orders), then
+    join the small surviving key set back to orders and customer. The
+    agg-before-join order is the scale point: the having filter
+    collapses the fact side to a broadcastable key list, so the
+    orders/customer joins are broadcast-hash, never a fact-sized
+    shuffle. Quantity sums are integer (l_quantity is integral in this
+    data) — exact parity."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def q114_tpch_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-accounting anti-join): customers whose
+    balance exceeds the global average of positive balances AND who
+    placed no order since 1998 — churned high-value accounts. Two
+    classic decorrelations in one plan: the scalar subquery becomes a
+    1-row broadcast cross join; NOT EXISTS becomes a left-anti join
+    against the date-filtered orders scan (the date predicate pushes
+    into parquet, so the anti-join's build side is the recent slice,
+    not the full history). The avg threshold is compared UNROUNDED in
+    both engines — a single identical double — and only reported
+    rounded."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-01-01"
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            recent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            how="left_anti",
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4622,6 +4695,29 @@ ORACLE_SQL: dict[str, str] = {
                cast(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
         FROM n WHERE n_copies > 0
     """,
+    "q113_tpch_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_qty
+          FROM lineitem GROUP BY 1 HAVING total_qty > 250
+        )
+        SELECT c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q114_tpch_churned_customers": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= date '1998-01-01')
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4737,6 +4833,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_leakage_safe_split": q110_leakage_safe_split,
     "q111_bloom_semi_join": q111_bloom_semi_join,
     "q112_epoch_upsample": q112_epoch_upsample,
+    "q113_tpch_large_orders": q113_tpch_large_orders,
+    "q114_tpch_churned_customers": q114_tpch_churned_customers,
 }
 
 
