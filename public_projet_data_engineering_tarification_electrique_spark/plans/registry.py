@@ -2822,6 +2822,38 @@ def q114_tpch_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS-style PQ codes + ADC shortlist +
+    exact rerank), gated at VALUE level like q27: in-plan recall@10 vs
+    the exact top-k, one hashable row. m=8 subspaces × 16 centroids on
+    64-dim unit vectors; ADC shortlist 12·k reranked exactly. Bound 0.5
+    vs measured 0.72–0.88 across the three test SFs — near-isotropic
+    synthetic vectors are PQ's worst case (no cluster structure), real
+    embedding corpora sit far above this bound."""
+    from ..operators.similarity import cosine_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = pq_topk(emb, queries, k=10, rerank_factor=12).select(
+        "query_id", "vec_id"
+    )
+    hits = approx.join(exact, on=["query_id", "vec_id"], how="inner")
+    return (
+        exact.agg(F.count("*").alias("_n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+        .select(
+            F.lit(5).alias("n_queries"),
+            F.lit(10).alias("k"),
+            (F.col("_n_hit") >= F.col("_n_exact") * 0.5).alias(
+                "recall_ge_50pct"
+            ),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4718,6 +4750,10 @@ ORACLE_SQL: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= date '1998-01-01')
     """,
+    "q115_pq_topk": """
+        SELECT CAST(5 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
+               true AS recall_ge_50pct
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4835,6 +4871,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_epoch_upsample": q112_epoch_upsample,
     "q113_tpch_large_orders": q113_tpch_large_orders,
     "q114_tpch_churned_customers": q114_tpch_churned_customers,
+    "q115_pq_topk": q115_pq_topk,
 }
 
 
