@@ -334,3 +334,42 @@ def test_unigram_lm_score_semantics(spark):
     common_nll = got[0]["avg_nll"]
     rare_nll = got[1000]["avg_nll"]
     assert rare_nll > common_nll > 0
+
+
+def test_q109_nll_grid_margins(duck):
+    """q109 snaps per-token NLLs to a 1e-6 integer grid; parity needs
+    every vocab token's ln(p)·1e6 to sit away from a .5 boundary by
+    more than cross-engine ln() ulp divergence (~2e-9 grid units).
+    Guard at 1e-4 so a pathological testdata regen fails HERE with a
+    readable message, not as a driver hash mismatch."""
+    from .conftest import SF_ORACLE
+
+    (min_dist, vocab) = duck.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM read_parquet('{SF_ORACLE}/documents.parquet')) t
+          WHERE tok <> ''
+        ), lm_counts AS (
+          SELECT tok, count(*) AS c FROM toks
+          WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < 80
+          GROUP BY 1
+        ), consts AS (SELECT sum(c) AS n, count(*) AS v FROM lm_counts),
+        g AS (
+          SELECT -ln((c + 1.0) / (n + v)) * 1000000 AS x
+          FROM lm_counts CROSS JOIN consts
+          UNION ALL
+          SELECT -ln(1.0 / (n + v)) * 1000000 FROM consts
+        )
+        SELECT min(abs(x - floor(x) - 0.5)), count(*) FROM g
+        """
+    ).fetchone()
+    assert vocab > 0
+    assert min_dist > 1e-4, (
+        f"a vocab token's scaled NLL sits {min_dist} grid units from a "
+        "rounding boundary — inside cross-engine ln() divergence risk; "
+        "nudge q109's grid or rescale nll_scale"
+    )
