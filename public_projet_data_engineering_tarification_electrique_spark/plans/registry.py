@@ -2854,6 +2854,20 @@ def q115_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q116_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert (MERGE INTO for a stream): update-mode
+    per-user argmax aggregation → foreachBatch keyed MERGE into a
+    bucket-partitioned parquet state table (anti-join + union per
+    affected bucket, dynamic partition overwrite — the Delta/Iceberg
+    MERGE plan on plain parquet). With availableNow over the finite
+    landing dir, final state ≡ the batch per-user latest — exact SQL
+    oracle. (ts, event_id) is a total order, so the pick is
+    deterministic."""
+    from ..streaming.upsert import stream_upsert_latest
+
+    return stream_upsert_latest(spark, f"{sf_dir}/events.parquet")
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4754,6 +4768,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(5 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
                true AS recall_ge_50pct
     """,
+    "q116_stream_upsert": """
+        SELECT user_id, last_event_id, last_value, last_ts_us FROM (
+          SELECT user_id, event_id AS last_event_id, value AS last_value,
+                 epoch_ns(ts) // 1000 AS last_ts_us,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4872,6 +4895,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_tpch_large_orders": q113_tpch_large_orders,
     "q114_tpch_churned_customers": q114_tpch_churned_customers,
     "q115_pq_topk": q115_pq_topk,
+    "q116_stream_upsert": q116_stream_upsert,
 }
 
 

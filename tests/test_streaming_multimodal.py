@@ -199,3 +199,29 @@ def test_events_stream_starts_on_empty_landing_dir(spark, tmp_path):
     df = events_stream(spark, str(tmp_path))
     assert df.isStreaming
     assert "ts" in df.columns
+
+
+def test_merge_batch_upsert_semantics(spark, tmp_path):
+    """The foreachBatch MERGE: second batch replaces existing keys,
+    inserts new ones, leaves untouched keys intact — and only affected
+    buckets are rewritten."""
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.upsert import (
+        STATE_SCHEMA,
+        _merge_batch,
+    )
+
+    state = str(tmp_path / "state")
+    cols = "user_id long, last_event_id long, last_value double, last_ts_us long"
+    b1 = spark.createDataFrame([(1, 10, 1.0, 100), (2, 20, 2.0, 200)], cols)
+    _merge_batch(spark, b1, state, n_buckets=4)
+    b2 = spark.createDataFrame([(2, 21, 2.5, 300), (7, 70, 7.0, 400)], cols)
+    _merge_batch(spark, b2, state, n_buckets=4)
+    got = {
+        r["user_id"]: (r["last_event_id"], r["last_value"], r["last_ts_us"])
+        for r in spark.read.schema(STATE_SCHEMA).parquet(state).collect()
+    }
+    assert got == {
+        1: (10, 1.0, 100),   # untouched key survives (bucket 1 not rewritten)
+        2: (21, 2.5, 300),   # updated in place
+        7: (70, 7.0, 400),   # inserted
+    }
