@@ -2868,6 +2868,69 @@ def q116_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_upsert_latest(spark, f"{sf_dir}/events.parquet")
 
 
+def q117_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension embedding standardization (feature
+    scaling before clustering/ANN): z = (x − μ)/σ with μ, σ computed
+    per (label, dim). Plan: posexplode → (label, dim) hash agg (partial
+    agg collapses each map task to labels×64 rows before the tiny
+    exchange) → broadcast stats back onto the scan → renormalize inside
+    an array zip. μ and σ are snapped to a 1e-6 grid BEFORE the
+    normalize on both sides, so downstream arithmetic sees identical
+    doubles in both engines; each z_d then snaps to a 1e-4 integer grid
+    and the per-vector checksum is an INTEGER sum — order-independent,
+    exact by construction at any scale (PLANS.md 2e family).
+    Output: (vec_id, label, zsum) — Σ_d round(z_d·1e4)/1e4."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    dims = emb.select(
+        "label", F.posexplode(F.col("_v")).alias("_pos", "_x")
+    )
+    grid = lambda c: (F.round(c * 1e6, 0) / 1e6)  # noqa: E731
+    stats = (
+        dims.groupBy("label", "_pos")
+        .agg(
+            grid(F.avg("_x")).alias("_mu"),
+            grid(F.coalesce(F.stddev("_x"), F.lit(0.0))).alias("_sigma"),
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_mu", "_sigma"))
+            ).alias("_stats")
+        )
+        .select(
+            "label",
+            F.transform(F.col("_stats"), lambda s: s["_mu"]).alias("_mus"),
+            F.transform(F.col("_stats"), lambda s: s["_sigma"]).alias(
+                "_sigmas"
+            ),
+        )
+    )
+    z = F.zip_with(
+        F.zip_with(
+            F.col("_v"), F.col("_mus"), lambda x, mu: x - mu
+        ),
+        F.col("_sigmas"),
+        lambda d, s: F.when(s > 0, d / s).otherwise(F.lit(0.0)),
+    )
+    return (
+        emb.join(F.broadcast(stats), on="label")
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.aggregate(
+                    z,
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + F.round(v * 1e4, 0).cast("long"),
+                )
+                / 1e4
+            ).alias("zsum"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4777,6 +4840,28 @@ ORACLE_SQL: dict[str, str] = {
           FROM events) t
         WHERE rn = 1
     """,
+    "q117_embedding_standardize": """
+        WITH dims AS (
+          SELECT label, vec_id,
+                 unnest(range(1, len(embedding) + 1)) AS pos,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ), stats AS (
+          SELECT label, pos,
+                 round(avg(x) * 1000000) / 1000000 AS mu,
+                 round(coalesce(stddev(x), 0) * 1000000) / 1000000 AS sigma
+          FROM dims GROUP BY 1, 2
+        ), z AS (
+          SELECT d.vec_id, d.label,
+                 CASE WHEN s.sigma > 0 THEN (d.x - s.mu) / s.sigma
+                      ELSE 0.0 END AS zd
+          FROM dims d JOIN stats s ON d.label = s.label AND d.pos = s.pos
+        )
+        SELECT vec_id, label,
+               cast(sum(cast(round(zd * 10000) AS BIGINT)) AS BIGINT)
+                 / 10000.0 AS zsum
+        FROM z GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4896,6 +4981,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_tpch_churned_customers": q114_tpch_churned_customers,
     "q115_pq_topk": q115_pq_topk,
     "q116_stream_upsert": q116_stream_upsert,
+    "q117_embedding_standardize": q117_embedding_standardize,
 }
 
 

@@ -373,3 +373,29 @@ def test_q109_nll_grid_margins(duck):
         "rounding boundary — inside cross-engine ln() divergence risk; "
         "nudge q109's grid or rescale nll_scale"
     )
+
+
+def test_q117_stat_grid_margins(duck):
+    """q117 snaps per-(label, dim) mean/stddev to a 1e-6 grid before
+    normalizing; cross-engine (and within-Spark partial-order) float
+    divergence is ~1e-9 grid units, so demand >= 1e-6 margin from every
+    .5 boundary at the oracle SF — fails readably on a bad regen."""
+    from .conftest import SF_ORACLE
+
+    (min_dist,) = duck.execute(
+        f"""
+        WITH dims AS (
+          SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+                 unnest(embedding) AS x
+          FROM read_parquet('{SF_ORACLE}/embeddings.parquet')
+        ), g AS (
+          SELECT avg(x) * 1000000 AS v FROM dims GROUP BY label, pos
+          UNION ALL
+          SELECT coalesce(stddev(x), 0) * 1000000 FROM dims GROUP BY label, pos
+        )
+        SELECT min(abs(v - floor(v) - 0.5)) FROM g
+        """
+    ).fetchone()
+    assert min_dist > 1e-6, (
+        f"a q117 stat sits {min_dist} grid units from a rounding boundary"
+    )
