@@ -2931,6 +2931,43 @@ def q117_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_backfill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 backfill, driver-verified (closes the last local-only SURVEY
+    §2 row): load the daily table's first 60% of days, then backfill
+    days 40%–80% as ONE dynamic-partition-overwrite job — run TWICE to
+    prove idempotence (the reference's per-day DAG re-runs append
+    duplicates; SURVEY §2.9). Final state ≡ days < split ∪ backfill
+    range, with overlap days rewritten identically, out-of-range days
+    untouched, and NO duplicate rows. Split dates derive from the data
+    (ordinal picks over the sorted distinct days) so the fixture
+    survives testdata regeneration; this is a pipeline query (it writes
+    a warehouse dir), so the tiny date-pick collect is inherent, like
+    q19/q97."""
+    import tempfile
+
+    from ..operators.ingest import backfill_daily
+
+    daily = _daily_region(spark, sf_dir)
+    dates = [
+        r["date"]
+        for r in daily.select("date").distinct().orderBy("date").collect()
+    ]
+    n = len(dates)
+    split = dates[n * 6 // 10]
+    bf_start, bf_end = dates[n * 4 // 10], dates[min(n - 1, n * 8 // 10)]
+    out = tempfile.mkdtemp(prefix="backfill_q118_")
+    daily.filter(F.col("date") < F.lit(split)).write.mode(
+        "overwrite"
+    ).partitionBy("date").parquet(out)
+    backfill_daily(daily, out, str(bf_start), str(bf_end))
+    backfill_daily(daily, out, str(bf_start), str(bf_end))  # idempotent
+    return spark.read.parquet(out).select(
+        "libelle_region",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "conso_mwh",
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4862,6 +4899,27 @@ ORACLE_SQL: dict[str, str] = {
                  / 10000.0 AS zsum
         FROM z GROUP BY 1, 2
     """,
+    "q118_backfill_range": """
+        WITH daily AS (
+          SELECT r_name AS libelle_region, cast(ts AS DATE) AS date,
+                 round(avg(value) * 100, 4) AS conso_mwh
+          FROM events JOIN region ON cast(user_id % 5 AS INTEGER) = r_regionkey
+          GROUP BY 1, 2
+        ), idx AS (
+          SELECT date, row_number() OVER (ORDER BY date) - 1 AS rn,
+                 count(*) OVER () AS n
+          FROM (SELECT DISTINCT date FROM daily)
+        ), picks AS (
+          SELECT max(CASE WHEN rn = (n * 6) // 10 THEN date END) AS split_d,
+                 max(CASE WHEN rn = (n * 4) // 10 THEN date END) AS bf_start,
+                 max(CASE WHEN rn = least(n - 1, (n * 8) // 10) THEN date END)
+                   AS bf_end
+          FROM idx
+        )
+        SELECT libelle_region, strftime(date, '%Y-%m-%d') AS date, conso_mwh
+        FROM daily, picks
+        WHERE date < split_d OR date BETWEEN bf_start AND bf_end
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4982,6 +5040,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_pq_topk": q115_pq_topk,
     "q116_stream_upsert": q116_stream_upsert,
     "q117_embedding_standardize": q117_embedding_standardize,
+    "q118_backfill_range": q118_backfill_range,
 }
 
 
