@@ -44,11 +44,20 @@ def _merge_batch(
             os.listdir(state_dir) if os.path.isdir(state_dir) else []
         )
     ):
-        old = spark.read.schema(STATE_SCHEMA).parquet(state_dir)
-        affected = new.select("_bucket").distinct()
-        keep = old.join(F.broadcast(affected), on="_bucket").join(
-            new.select("user_id"), on="user_id", how="left_anti"
+        # Affected buckets as a driver-side literal list (≤ n_buckets
+        # ints, and foreachBatch is already a driver callback): the
+        # isin filter prunes state partitions STATICALLY — at 100 TB
+        # the merge scans only the buckets it will rewrite, without
+        # depending on runtime DPP kicking in.
+        affected = [
+            r["_bucket"] for r in new.select("_bucket").distinct().collect()
+        ]
+        old = (
+            spark.read.schema(STATE_SCHEMA)
+            .parquet(state_dir)
+            .filter(F.col("_bucket").isin(affected))
         )
+        keep = old.join(new.select("user_id"), on="user_id", how="left_anti")
         merged = keep.unionByName(new)
     else:
         merged = new

@@ -65,7 +65,7 @@ def main() -> None:
     print(f"\nTOTAL {total:.1f}s over {len(rows)} queries")
     cum = 0.0
     marks = {60, 120, 180, 300, 600}
-    for i, (name, ts, td) in enumerate(registry.QUERIES().keys() and rows, 1):
+    for i, (name, ts, td) in enumerate(rows, 1):
         cum += ts + td
         for m in sorted(marks):
             if cum >= m:
