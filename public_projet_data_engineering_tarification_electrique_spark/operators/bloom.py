@@ -66,7 +66,15 @@ def bloom_build(
     """
     assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
     n_words = m_bits // 64
-    pos = _with_positions(keys.select(key_col), key_col, m_bits, k)
+    # Null build keys can never equi-join anyway, and a null position
+    # would abort the build as a NULL_MAP_KEY — drop them, mirroring
+    # the probe side where null keys simply fail the membership test.
+    pos = _with_positions(
+        keys.select(key_col).filter(F.col(key_col).isNotNull()),
+        key_col,
+        m_bits,
+        k,
+    )
     pos_structs = F.array(
         *[
             F.struct(
@@ -93,7 +101,11 @@ def bloom_build(
             lambda w: F.coalesce(
                 F.try_element_at(entries, w), F.lit(0).cast("long")
             ),
-        ).alias("bloom_bits")
+        ).alias("bloom_bits"),
+        # carried so bloom_prefilter can FAIL LOUDLY on a parameter
+        # mismatch instead of silently dropping true matches
+        F.lit(m_bits).alias("bloom_m"),
+        F.lit(k).alias("bloom_k"),
     )
 
 
@@ -107,21 +119,33 @@ def bloom_prefilter(
     """Keep only fact rows whose key passes the Bloom membership test.
 
     ``bitmap`` is the 1-row output of :func:`bloom_build` with the SAME
-    (m_bits, k). Map-side only: the bitmap broadcasts, the test stays
-    in codegen, nothing shuffles. Passing rows are a superset of true
-    matches — follow with the exact join.
+    (m_bits, k) — validated at runtime against the bloom_m/bloom_k the
+    bitmap carries, because positions are computed mod m_bits and a
+    mismatch would silently drop TRUE matches (breaking the exactness
+    contract) rather than merely admitting false positives. Map-side
+    only: the bitmap broadcasts, the test stays in codegen, nothing
+    shuffles. Passing rows are a superset of true matches — follow
+    with the exact join.
     """
     probed = _with_positions(
         fact.crossJoin(F.broadcast(bitmap)), key_col, m_bits, k
     )
-    test = None
+    params_ok = F.assert_true(
+        (F.col("bloom_m") == F.lit(m_bits))
+        & (F.col("bloom_k") == F.lit(k)),
+        F.lit(
+            f"bloom_prefilter(m_bits={m_bits}, k={k}) does not match the "
+            "bitmap's build parameters — true matches would be dropped"
+        ),
+    )
+    test = params_ok.isNull()  # assert_true: null when ok, raises when not
     for i in range(k):
         hit = F.expr(
             f"(element_at(bloom_bits, cast(_p{i} div 64 as int) + 1)"
             f" & shiftleft(1L, cast(_p{i} % 64 as int)))"
             f" = shiftleft(1L, cast(_p{i} % 64 as int))"
         )
-        test = hit if test is None else (test & hit)
+        test = test & hit
     return probed.filter(test).drop(
-        "bloom_bits", *[f"_p{i}" for i in range(k)]
+        "bloom_bits", "bloom_m", "bloom_k", *[f"_p{i}" for i in range(k)]
     )

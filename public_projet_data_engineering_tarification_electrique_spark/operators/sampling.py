@@ -212,11 +212,25 @@ def epoch_upsample(
     Output: input columns + ``copy_idx`` (1-based int).
     """
     e = epochs_of(F.col(stratum_col)).cast("double")
+    # A null weight (e.g. a F.when chain missing .otherwise) would make
+    # n_copies null and the >0 filter would silently DELETE the whole
+    # stratum — indistinguishable from intentional downsampling. Raise
+    # instead; an explicit 0.0 weight is the way to drop a stratum.
+    e_checked = F.when(
+        F.assert_true(
+            e.isNotNull(),
+            F.lit(
+                "epochs_of returned NULL for a stratum — add .otherwise() "
+                "(use an explicit 0.0 to drop a stratum)"
+            ),
+        ).isNull(),
+        e,
+    )
     n_copies = (
-        F.floor(e).cast("int")
+        F.floor(e_checked).cast("int")
         + (
             hash_bucket(F.col(id_col), 100, salt=salt)
-            < F.round((e - F.floor(e)) * 100, 0).cast("int")
+            < F.round((e_checked - F.floor(e_checked)) * 100, 0).cast("int")
         ).cast("int")
     )
     return (

@@ -22,6 +22,18 @@ from ..functions.vectors import dot_product, l2_norm
 from .util import ensure_parallelism
 
 
+def _md5_prefix24(col):
+    """24-bit integer from the md5 hex prefix of a column's string form.
+
+    The ONE id-hash used for anchor selection and quantizer-training
+    sampling — md5 (not xxhash64) so SQL oracles reproduce it
+    bit-for-bit. Keep a single definition: three call sites must stay
+    identical or oracle parity silently diverges."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 6), 16, 10
+    ).cast("long")
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -171,9 +183,7 @@ def anchored_neardup(
     # ANY id distribution. The min-id row is ALWAYS an anchor: for tiny
     # inputs the residue sample is empty with probability (1-1/s)^n,
     # and an empty codebook would silently return zero pairs.
-    id_hash = F.conv(
-        F.substring(F.md5(F.col("_id").cast("string")), 1, 6), 16, 10
-    ).cast("long")
+    id_hash = _md5_prefix24(F.col("_id"))
     anchors = (
         base.crossJoin(F.broadcast(stride))
         .filter(
@@ -360,6 +370,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     train_mod: int = 1,
+    train_cap: int = 100_000,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer + probed-cluster search.
 
@@ -394,13 +405,17 @@ def ivf_topk(
     # seeded init and every Lloyd step — is reproducible.
     sample_rows = (
         cand.filter(
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
-            ).cast("long")
+            _md5_prefix24(F.col(id_col))
             % F.greatest(F.lit(1), F.lit(train_mod))
             == 0
         )
         .orderBy(id_col)
+        # hard guard on driver memory: train_mod controls sample
+        # REPRESENTATIVENESS (set =~ n/100k for uniform coverage); the
+        # limit bounds the collect even when a caller leaves the
+        # default train_mod=1 on a large corpus — deterministic
+        # (lowest-id prefix of the hash sample).
+        .limit(train_cap)
         .select("_cvec")
         .collect()
     )
@@ -533,7 +548,11 @@ def embedding_neardup_lsh(
         # persist (lazy): signatures compute once at first action and
         # both self-join sides reuse the cache; localCheckpoint would
         # convert to RDD and — under AQE — materialize the upstream
-        # shuffle DURING plan construction (a job before any action)
+        # shuffle DURING plan construction (a job before any action).
+        # Lifecycle: the cache entry lives until spark.catalog
+        # .clearCache() or app end — fine for the one-call-per-job
+        # production shape; loops over many corpora should clear the
+        # cache between calls (bench.py does).
     ).persist()
     banded = signed.select(
         "_id", "_v", "_n",
@@ -585,6 +604,7 @@ def pq_topk(
     seed: int = 42,
     train_mod: int = 1,
     rerank_factor: int = 5,
+    train_cap: int = 100_000,
 ) -> DataFrame:
     """Product-quantization ANN (FAISS-style PQ with ADC scoring).
 
@@ -631,13 +651,17 @@ def pq_topk(
     )
     sample_rows = (
         cand.filter(
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
-            ).cast("long")
+            _md5_prefix24(F.col(id_col))
             % F.greatest(F.lit(1), F.lit(train_mod))
             == 0
         )
         .orderBy(id_col)
+        # hard guard on driver memory: train_mod controls sample
+        # REPRESENTATIVENESS (set =~ n/100k for uniform coverage); the
+        # limit bounds the collect even when a caller leaves the
+        # default train_mod=1 on a large corpus — deterministic
+        # (lowest-id prefix of the hash sample).
+        .limit(train_cap)
         .select("_v")
         .collect()
     )

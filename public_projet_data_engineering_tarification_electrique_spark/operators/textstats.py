@@ -177,9 +177,10 @@ def unigram_lm_scores(
 
     Train an add-one-smoothed unigram LM on the deterministic hash-split
     train partition (md5 bucket < ``train_pct`` — same construction as
-    ``sampling.hash_split``), then score EVERY document by its mean
-    token negative log-likelihood; unseen tokens get the smoothed OOV
-    mass 1/(N+V). High avg_nll = improbable text under the corpus model
+    ``sampling.hash_split``), then score every document WITH AT LEAST
+    ONE TOKEN by its mean token negative log-likelihood (token-less
+    docs have no defined mean and are absent from the output); unseen
+    tokens get the smoothed OOV mass 1/(N+V). High avg_nll = improbable text under the corpus model
     — the standard cheap perplexity proxy for filtering gibberish.
 
     Plan shape: one explode → (token) hash agg builds the LM (vocab-
@@ -201,18 +202,18 @@ def unigram_lm_scores(
     hapax tail is most of the distinct tokens but none of the mass.
     Default 1 keeps every token (small-corpus behavior).
     """
+    from .sampling import hash_bucket
+
     toks = tokens(F.lower(F.col(text_col)))
     exploded = (
         ensure_parallelism(docs)
         .select(id_col, F.explode(toks).alias("_tok"))
         .filter(F.col("_tok") != "")
     )
-    train_bucket = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
+    # the SAME bucket construction as sampling.hash_split — imported,
+    # not re-derived, so the LM train split can never silently de-align
+    # from the corpus train split
+    train_bucket = hash_bucket(F.col(id_col), 100)
     lm_counts = (
         exploded.filter(train_bucket < train_pct)
         .groupBy("_tok")
@@ -232,8 +233,21 @@ def unigram_lm_scores(
     doc_toks = exploded.groupBy(id_col, "_tok").agg(
         F.count("*").alias("_cnt")
     )
+    # fail LOUDLY on an empty LM (every doc hashed out of the train
+    # split, or min_count emptied the vocab): _n would be NULL and every
+    # avg_nll would silently come back NULL otherwise
+    lm_nonempty = F.assert_true(
+        F.col("_n").isNotNull(),
+        F.lit(
+            "unigram LM train split is empty — check train_pct/min_count "
+            "against the corpus"
+        ),
+    )
     oov = consts.select(
-        scaled_nll(F.lit(1.0) / (F.col("_n") + F.col("_v"))).alias("_oov_s")
+        F.when(
+            lm_nonempty.isNull(),
+            scaled_nll(F.lit(1.0) / (F.col("_n") + F.col("_v"))),
+        ).alias("_oov_s")
     )
     return (
         doc_toks.join(F.broadcast(lm), on="_tok", how="left")

@@ -32,6 +32,24 @@ STATE_SCHEMA = (
 )
 
 
+def _state_exists(spark: SparkSession, state_dir: str) -> bool:
+    """Detect existing state via the Hadoop FileSystem API — correct
+    for ANY filesystem the path's scheme resolves to (file://, hdfs://,
+    s3a://, …). An os.path check would silently report distributed
+    state as absent and the merge would overwrite affected buckets with
+    only the batch's keys."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name == "_SUCCESS" or name.startswith("_bucket="):
+            return True
+    return False
+
+
 def _merge_batch(
     spark: SparkSession, batch: DataFrame, state_dir: str, n_buckets: int
 ) -> None:
@@ -39,11 +57,7 @@ def _merge_batch(
     new = batch.withColumn(
         "_bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
     )
-    if os.path.exists(os.path.join(state_dir, "_SUCCESS")) or any(
-        e.startswith("_bucket=") for e in (
-            os.listdir(state_dir) if os.path.isdir(state_dir) else []
-        )
-    ):
+    if _state_exists(spark, state_dir):
         # Affected buckets as a driver-side literal list (≤ n_buckets
         # ints, and foreachBatch is already a driver callback): the
         # isin filter prunes state partitions STATICALLY — at 100 TB
@@ -87,13 +101,41 @@ def stream_upsert_latest(
     dir the final state equals the batch per-user argmax — an exact
     SQL oracle (q116).
 
+    The checkpoint and the state table travel TOGETHER: update mode
+    re-emits only keys changed since the checkpoint, so resuming an
+    existing checkpoint against a fresh state dir would silently drop
+    every key untouched since — the default state dir therefore lives
+    UNDER the checkpoint dir, and passing one without the other is an
+    error.
+
     Returns the merged state (user_id, last_event_id, last_value,
     last_ts_us).
     """
     configure(spark)
+    if (checkpoint_dir is None) != (state_dir is None):
+        raise ValueError(
+            "checkpoint_dir and state_dir must be passed together: the "
+            "checkpoint's incremental key emissions are only complete "
+            "relative to the state table built alongside it"
+        )
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_upsert_")
-    state = state_dir or tempfile.mkdtemp(prefix="state_upsert_")
-    src = events_stream(spark, stage_landing(events_path, "landing_upsert_"))
+    # NOT "<checkpoint>/state": the streaming engine owns that exact
+    # subdirectory for its state store, and parquet partition discovery
+    # over a mixed dir fails with CONFLICTING_DIRECTORY_STRUCTURES
+    state = state_dir or os.path.join(checkpoint, "merge_state")
+    # The checkpoint pins the source path, so a resumed run must stage
+    # the SAME landing dir — a fresh tempdir per call would fail the
+    # restart with "Wrong basePath". Single-file inputs stage under the
+    # checkpoint; directories stream as-is.
+    if os.path.isfile(events_path) and checkpoint_dir is not None:
+        landing = os.path.join(checkpoint, "landing")
+        os.makedirs(landing, exist_ok=True)
+        link = os.path.join(landing, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(events_path, link)
+    else:
+        landing = stage_landing(events_path, "landing_upsert_")
+    src = events_stream(spark, landing)
     latest = (
         src.groupBy("user_id")
         .agg(

@@ -738,3 +738,54 @@ def test_nearest_centroid_matches_numpy_argmin(spark):
     want = d2.argmin(axis=1)
     assert got == {i: int(want[i]) for i in range(50)}
     assert got[10] == 1  # tie between centroid 1 and 3 → lowest index
+
+
+def test_bloom_guards(spark):
+    """Parameter mismatch raises (never silently drops true matches);
+    null build keys are dropped instead of aborting the build."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    keys = spark.createDataFrame([(7,), (None,), (21,)], "k long")
+    bitmap = bloom_build(keys, "k", m_bits=4096, k=4)
+    fact = spark.range(0, 50).selectExpr("id as k")
+    passed = {
+        r["k"]
+        for r in bloom_prefilter(fact, "k", bitmap, m_bits=4096, k=4).collect()
+    }
+    assert {7, 21} <= passed  # null key ignored, real keys present
+    with pytest.raises(Exception, match="does not match"):
+        bloom_prefilter(fact, "k", bitmap, m_bits=8192, k=4).collect()
+
+
+def test_epoch_upsample_null_weight_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, s string"
+    )
+    incomplete = lambda s: F.when(s == "a", 2.0)  # noqa: E731  missing otherwise
+    with pytest.raises(Exception, match="epochs_of returned NULL"):
+        epoch_upsample(docs, "s", incomplete, id_col="doc_id").collect()
+
+
+def test_unigram_lm_empty_train_split_raises(spark):
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        unigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(Exception, match="train split is empty"):
+        unigram_lm_scores(docs, train_pct=0).collect()

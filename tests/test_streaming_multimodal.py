@@ -225,3 +225,33 @@ def test_merge_batch_upsert_semantics(spark, tmp_path):
         2: (21, 2.5, 300),   # updated in place
         7: (70, 7.0, 400),   # inserted
     }
+
+
+def test_stream_upsert_resume_keeps_full_state(spark, tmp_path):
+    """Re-running with the same checkpoint+state (no new files) fires no
+    batch and must still return the FULL merged state — the
+    checkpoint/state pairing contract. Passing only one of the pair is
+    an error."""
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.upsert import (
+        stream_upsert_latest,
+    )
+
+    ckpt, state = str(tmp_path / "ckpt"), str(tmp_path / "state")
+    first = {
+        r["user_id"]: r["last_event_id"]
+        for r in stream_upsert_latest(
+            spark, f"{SF}/events.parquet", state_dir=state, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert first
+    second = {
+        r["user_id"]: r["last_event_id"]
+        for r in stream_upsert_latest(
+            spark, f"{SF}/events.parquet", state_dir=state, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert second == first
+    with pytest.raises(ValueError, match="together"):
+        stream_upsert_latest(spark, f"{SF}/events.parquet", checkpoint_dir=ckpt)
