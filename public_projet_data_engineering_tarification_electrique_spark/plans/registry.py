@@ -2968,6 +2968,57 @@ def q118_backfill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join view: V = orders ⋈
+    customer. Deltas arrive on BOTH sides (a deterministic reprice on
+    ~1/7 of orders, a segment change on ~1/11 of customers); the
+    incremental path rewrites only AFFECTED view rows — anti-join the
+    old view on the affected-key set, union the re-joined delta slice —
+    instead of recomputing the join. The oracle recomputes the view
+    from the post-delta inputs wholesale, so parity IS the IVM
+    correctness contract: incremental ≡ full recompute. At 100 TB the
+    anti-join+union touches O(Δ) rows (both sides' delta slices and
+    their join partners), never O(V). Cent-grid integer sums keep the
+    per-segment checksum order-independent."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # deterministic deltas (both engines construct the identical batch)
+    new_orders = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 3,
+            F.round(F.col("o_totalprice") * 1.05 + 1e-9, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new_customer = customer.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 == 2, F.lit("CHURNED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    old_view = orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    affected = (F.col("o_orderkey") % 7 == 3) | (F.col("o_custkey") % 11 == 2)
+    delta_view = (
+        new_orders.filter(affected)
+        .join(new_customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    )
+    incremental = old_view.filter(~affected).unionByName(delta_view)
+    return incremental.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0
+        ).alias("sum_price"),
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4920,6 +4971,25 @@ ORACLE_SQL: dict[str, str] = {
         FROM daily, picks
         WHERE date < split_d OR date BETWEEN bf_start AND bf_end
     """,
+    "q119_incremental_view": """
+        WITH new_orders AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 7 = 3
+                      THEN round(o_totalprice * 1.05 + 1e-9, 2)
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders
+        ), new_customer AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 11 = 2 THEN 'CHURNED'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer
+        )
+        SELECT c_mktsegment, count(*) AS n_orders,
+               cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS sum_price
+        FROM new_orders JOIN new_customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5041,6 +5111,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_stream_upsert": q116_stream_upsert,
     "q117_embedding_standardize": q117_embedding_standardize,
     "q118_backfill_range": q118_backfill_range,
+    "q119_incremental_view": q119_incremental_view,
 }
 
 
