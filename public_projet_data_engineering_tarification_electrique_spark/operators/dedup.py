@@ -264,7 +264,10 @@ def connected_components(
     join+agg primitives, so the surrounding contract is unchanged.
 
     Output: (node, component) where component = min node id reachable.
-    Raises if not converged within ``max_iter`` (diameter guard).
+    If min-label propagation has not converged within ``max_iter``
+    rounds (a long-chain graph whose diameter exceeds the budget), the
+    computation FALLS BACK to the large-star/small-star alternation
+    rather than raising — same output contract, O(log² n) rounds.
     """
     from .util import pinned_shuffle_partitions
 
@@ -505,7 +508,10 @@ def minhash_dedup_verified(
         )
         .select("id_a", "id_b")
         # consumed three times (id universe + both verify joins): compute
-        # the LSH pipeline once
+        # the LSH pipeline once. Lifecycle: the cache entry lives until
+        # spark.catalog.clearCache() or app end — fine for the
+        # one-call-per-job production shape; loops over many corpora
+        # should clear the cache between calls (bench.py does).
         .persist()
     )
     # Shingle ONLY candidate documents: word_shingles is an interpreted

@@ -64,16 +64,23 @@ def write_bucketed(
         # overwriting. Drop the catalog entry AND the stale location.
         # (With a persistent metastore, DROP TABLE alone removes the
         # managed location; the rmtree is the in-memory-catalog fallback.)
-        import os
-        import shutil
-        from urllib.parse import urlparse
-
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        # Resolve the managed location the way the catalog will
+        # (current database suffix, any warehouse scheme) and delete it
+        # through the Hadoop FileSystem API — a local os.path check
+        # misses non-default databases and hdfs://-s3a:// warehouses,
+        # leaving the stale dir and the LOCATION_ALREADY_EXISTS failure
+        # this cleanup exists to prevent.
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        root = urlparse(warehouse).path or warehouse
-        loc = os.path.join(root, table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        db = spark.catalog.currentDatabase()
+        suffix = "" if db == "default" else f"{db}.db/"
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(
+            f"{warehouse.rstrip('/')}/{suffix}{table.lower()}"
+        )
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     w = (
         df.write.mode(mode)
         .format("parquet")

@@ -17,7 +17,6 @@ the exact semantics of the reference's nightly 02:30 batch.
 
 from __future__ import annotations
 
-import contextlib
 import os
 import tempfile
 import uuid

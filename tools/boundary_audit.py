@@ -104,8 +104,19 @@ def audit(sf_dir: str) -> list[tuple[str, str, int, float]]:
             print(f"{name}: unrounded twin failed to run (skipped)")
             continue
         float_cols = [c for c in df.columns if df[c].dtype.kind == "f"]
-        # pair float columns with the rewritten scales in order,
-        # best-effort (most queries round every float output exactly once)
+        # Pair float columns with the rewritten scales positionally —
+        # ONLY valid when the counts line up (every float output rounded
+        # exactly once, no CTE-internal rounds). A mismatch means some
+        # round sites are internal to CTEs and this twin cannot
+        # attribute them; flag the query LOUDLY instead of silently
+        # auditing the wrong (col, scale) pairs and reporting SAFE.
+        if len(float_cols) != len(ks):
+            print(
+                f"{name}: UNAUDITABLE here — {len(ks)} round() sites vs "
+                f"{len(float_cols)} float output columns (CTE-internal "
+                "rounding); needs a manual margin check"
+            )
+            continue
         for col, k in zip(float_cols, ks):
             vals = df[col].dropna()
             if not len(vals):

@@ -69,7 +69,8 @@ def main() -> None:
                 results.append((name, "PASS", "rows+schema+value-hash"))
                 n_pass += 1
         except Exception as exc:  # record, keep sweeping
-            results.append((name, "FAIL", str(exc).splitlines()[0][:120]))
+            msg = str(exc).splitlines()[0][:120] if str(exc) else repr(exc)
+            results.append((name, "FAIL", msg.replace("|", "\\|")))
 
     out = os.path.join(REPO, "PARITY_LOCAL.md")
     with open(out, "w") as f:
@@ -81,7 +82,8 @@ def main() -> None:
             "applied to EVERY registered query — the committed record for "
             "any query a truncated driver correctness file misses.\n\n"
             f"**{n_pass}/{len(results)} PASS** "
-            "(every query has a value-level oracle; zero rows-only).\n\n"
+            f"({sum(1 for r in results if r[1] == 'rows-only')} rows-only, "
+            f"{sum(1 for r in results if r[1] == 'FAIL')} FAIL).\n\n"
             "| query | verdict | detail |\n|---|---|---|\n"
         )
         for name, verdict, detail in results:
