@@ -129,6 +129,92 @@ def audit(sf_dir: str) -> list[tuple[str, str, int, float]]:
     return risky
 
 
+def perturb_rounds(sql: str, sign: int) -> str:
+    """Rewrite every ``round(expr[, k])`` to
+    ``round((expr)*(1 + sign*1e-12) + sign*1e-13[, k])`` — a relative +
+    absolute ε far above cross-engine float divergence (~1e-16
+    relative) and far below every deliberate +1e-9 nudge. Nested
+    rounds are perturbed at the outermost site only."""
+    out: list[str] = []
+    i = 0
+    low = sql.lower()
+    eps = f"*(1 + ({sign})*1e-12) + ({sign})*1e-13"
+    while True:
+        j = low.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 0
+        comma = -1
+        close = -1
+        for p in range(j + 5, len(sql)):
+            c = sql[p]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    close = p
+                    break
+            elif c == "," and depth == 1:
+                comma = p
+        if close < 0:  # pragma: no cover - malformed SQL
+            out.append(sql[j:])
+            break
+        if comma < 0:
+            expr = sql[j + 6 : close]
+            out.append(f"round(({expr}){eps})")
+        else:
+            expr = sql[j + 6 : comma]
+            k_txt = sql[comma + 1 : close]
+            out.append(f"round(({expr}){eps},{k_txt})")
+        i = close + 1
+    return "".join(out)
+
+
+def certificate(sf_dir: str) -> list[tuple[str, str]]:
+    """End-to-end boundary certificate covering EVERY round site —
+    including the CTE-internal ones the column audit cannot attribute:
+    if the oracle's full result is hash-stable under a ±ε perturbation
+    of every rounded expression, then no value of any rounded
+    expression sits within ~ε of a half-way boundary (except exact
+    ties, which flip the −ε twin by construction and are engine-safe —
+    identical rationals round identically in both engines).
+
+    Returns (query, flip-direction) advisories: ``+ε`` flips mean some
+    value sits just BELOW a boundary (the risky class); ``−ε only``
+    flips are an exact tie or a just-above value — cross-check against
+    the attributable column audit. Advisory, not a gate."""
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    def canon(sql: str):
+        rows = con.execute(sql).fetchall()
+        return sorted(tuple(repr(v) for v in row) for row in rows)
+
+    flips: list[tuple[str, str]] = []
+    for name, sql in registry.ORACLE_SQL.items():
+        if "round(" not in sql.lower():
+            continue
+        try:
+            base = canon(sql)
+            plus = canon(perturb_rounds(sql, +1))
+            minus = canon(perturb_rounds(sql, -1))
+        except Exception as exc:
+            flips.append((name, f"certificate twin failed: {exc!r}"[:100]))
+            continue
+        if plus != base:
+            flips.append((name, "+eps flip (value just below a boundary)"))
+        elif minus != base:
+            flips.append((name, "-eps only (exact tie or just above)"))
+    return flips
+
+
 def classify(dist: float) -> str:
     """Three classes:
     - ``EXACT-TIE`` (dist == 0): the pre-round value IS x.5 — an exact
@@ -161,6 +247,9 @@ def main() -> None:
                 f"{sf_dir}: {name}.{col} pre-round @ {k}dp "
                 f"dist {dist:.2e}  [{cls}]"
             )
+    for sf_dir in sf_dirs:
+        for name, note in certificate(sf_dir):
+            print(f"{sf_dir}: {name} [certificate: {note}]")
     print(f"ACTIONABLE SITES: {actionable}")
     sys.exit(1 if actionable else 0)
 
