@@ -3019,6 +3019,58 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas UDF — the last UDF flavor (scalar q90,
+    grouped-map U1/q08, mapInPandas q20, UDTF q46,
+    applyInPandasWithState q28): per-user cogroup of clicks and
+    purchases, joined INSIDE the Arrow batch to compute
+    first-click→first-purchase conversion. The cogroup machinery
+    shuffles both sides once on the user key and hands each key's two
+    pandas frames to Python together — the shape for algorithms that
+    need both sides of a key in memory (sequence alignment, per-entity
+    reconciliation) without a SQL join.
+
+    All outputs are integers (counts and a µs delta — min/count over
+    int64 ns inputs), so the Arrow crossing adds no float drift and
+    parity is exact."""
+    events = load_table(spark, sf_dir, "events", raw=True).select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us"
+    )
+
+    def _conv(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        n_clicks = len(left)
+        n_purch = len(right)
+        first_click = left["ts_us"].min() if n_clicks else None
+        conv = None
+        if n_clicks and n_purch:
+            after = right[right["ts_us"] >= first_click]
+            if len(after):
+                conv = int(after["ts_us"].min() - first_click)
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [n_clicks],
+                "n_purchases": [n_purch],
+                "convert_us": [conv],
+            }
+        )
+
+    out_schema = (
+        "user_id long, n_clicks long, n_purchases long, convert_us long"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(_conv, schema=out_schema)
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -4990,6 +5042,30 @@ ORACLE_SQL: dict[str, str] = {
         FROM new_orders JOIN new_customer ON o_custkey = c_custkey
         GROUP BY 1
     """,
+    "q120_cogroup_conversion": """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+          FROM events
+        ), c AS (
+          SELECT user_id, count(*) AS n_clicks, min(ts_us) AS first_click
+          FROM e WHERE event_type = 'click' GROUP BY 1
+        ), p AS (
+          SELECT user_id, count(*) AS n_purchases
+          FROM e WHERE event_type = 'purchase' GROUP BY 1
+        ), conv AS (
+          SELECT e.user_id,
+                 min(e.ts_us) - c.first_click AS convert_us
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts_us >= c.first_click
+          GROUP BY e.user_id, c.first_click
+        )
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               coalesce(n_clicks, 0) AS n_clicks,
+               coalesce(n_purchases, 0) AS n_purchases,
+               conv.convert_us
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        LEFT JOIN conv ON coalesce(c.user_id, p.user_id) = conv.user_id
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5112,6 +5188,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q117_embedding_standardize": q117_embedding_standardize,
     "q118_backfill_range": q118_backfill_range,
     "q119_incremental_view": q119_incremental_view,
+    "q120_cogroup_conversion": q120_cogroup_conversion,
 }
 
 
