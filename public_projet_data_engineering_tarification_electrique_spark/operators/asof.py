@@ -54,7 +54,11 @@ def asof_join(
         F.col(left_ts).cast("long").alias("_ats"),
         *[F.col(c) for c in left.columns],
     )
-    r = right.select(
+    # A NULL-timestamp right row would sort before every real row
+    # (asc = nulls first) and its non-null payload struct would become
+    # a spurious universal backward match — it can never legitimately
+    # be "nearest", so drop it.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.lit(0).alias("_side"),
         F.col(right_ts).cast("long").alias("_ats"),
         *[F.col(c) for c in on],
@@ -70,6 +74,11 @@ def asof_join(
     )
     matched = u.withColumn("_m", F.last("_asof", ignorenulls=True).over(w)).filter(
         F.col("_side") == 1
+    )
+    # a NULL-timestamp LEFT row has no defined "as of" point; whatever
+    # the window happened to accumulate before it is not a match
+    matched = matched.withColumn(
+        "_m", F.when(F.col("_ats").isNotNull(), F.col("_m"))
     )
     if tolerance is not None:
         gap = F.abs(F.col("_ats") - F.col("_m._rts"))
@@ -105,23 +114,22 @@ def banded_range_join(
     equi-join.
     """
     on = list(on)
-    b_r = F.col(right_ts).cast("long") - (F.col(right_ts).cast("long") % max_delta)
+    # INTEGER division (`div`), not `/`: double division silently loses
+    # precision above 2^53 — epoch-nanosecond timestamps land in
+    # adjacent-but-wrong buckets and in-range pairs vanish. `div`
+    # truncates toward zero, exact at any magnitude for the nonnegative
+    # epoch domain these operators document.
+    b_r = F.expr(f"cast(`{right_ts}` as long) div {max_delta}")
     r = right.select(
         *[F.col(c) for c in on],
-        (b_r / max_delta).cast("long").alias("_bkt"),
+        b_r.alias("_bkt"),
         F.col(right_ts).cast("long").alias("_rts"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in right_cols],
     )
-    b_l = F.col(left_ts).cast("long") - (F.col(left_ts).cast("long") % max_delta)
+    b_l = F.expr(f"cast(`{left_ts}` as long) div {max_delta}")
     l = left.withColumn(
         "_bkt",
-        F.explode(
-            F.array(
-                (b_l / max_delta).cast("long") - 1,
-                (b_l / max_delta).cast("long"),
-                (b_l / max_delta).cast("long") + 1,
-            )
-        ),
+        F.explode(F.array(b_l - 1, b_l, b_l + 1)),
     )
     return (
         l.join(r, on=on + ["_bkt"])

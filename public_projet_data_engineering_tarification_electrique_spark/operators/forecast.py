@@ -46,7 +46,9 @@ def ols_forecast(
     """Per-group OLS fit of y ~ x, predicting at ``target_xs``.
 
     Output: one row per (group × target_x):
-    (*group_cols, x_col, pred_col). NULL prediction when var_pop(x)=0.
+    (*group_cols, x_col, pred_col). NULL prediction when var_pop(x)=0
+    or when any y in the group is NULL (matching the pandas twin's
+    sklearn-like NaN fallback).
     """
     var_x = F.var_pop(F.col(x_col).cast("double"))
     fitted = df.groupBy(*group_cols).agg(
@@ -56,6 +58,11 @@ def ols_forecast(
         ).alias("_slope"),
         F.avg(y_col).alias("_ybar"),
         F.avg(F.col(x_col).cast("double")).alias("_xbar"),
+        # NULL-y rows poison the fit inconsistently (covar_pop/avg(y)
+        # skip them, var_pop/avg(x) do not — slope and intercept would
+        # come from DIFFERENT row sets). Mirror the pandas twin's
+        # sklearn-like contract instead: any NULL y → NULL predictions.
+        F.max(F.col(y_col).isNull().cast("int")).alias("_nully"),
     )
     targets = F.explode(
         F.array(*[F.lit(int(t)) for t in target_xs])
@@ -64,14 +71,19 @@ def ols_forecast(
     # already-rounded inputs and can land exactly on a rounding boundary,
     # where ulp-level float noise would flip the digit; the nudge moves all
     # boundary cases deterministically up (mirrored in the SQL oracles).
-    return fitted.select(*group_cols, "_slope", "_ybar", "_xbar", targets).select(
+    return fitted.select(
+        *group_cols, "_slope", "_ybar", "_xbar", "_nully", targets
+    ).select(
         *group_cols,
         F.col(x_col),
-        F.round(
-            F.col("_ybar")
-            + F.col("_slope") * (F.col(x_col) - F.col("_xbar"))
-            + F.lit(1e-9),
-            round_digits,
+        F.when(
+            F.col("_nully") == 0,
+            F.round(
+                F.col("_ybar")
+                + F.col("_slope") * (F.col(x_col) - F.col("_xbar"))
+                + F.lit(1e-9),
+                round_digits,
+            ),
         ).alias(pred_col),
     )
 

@@ -99,6 +99,15 @@ def city_alpha(
     Returns one row per city holding both years: (*key_cols, alpha).
     """
     filtered = annual.filter(F.col(year_col).isin(year_n, year_n + 1))
+    # One row per (city, year) BEFORE the lead window: duplicate
+    # city-year rows (re-ingestion, multi-sector sources) would make
+    # lead() tie-break on physical row order — alpha nondeterministic,
+    # the exact order-dependence this operator exists to fix. avg() is
+    # the identity on the clean one-row case, so the canonical fixture
+    # is unchanged.
+    filtered = filtered.groupBy(*key_cols, year_col).agg(
+        F.avg(value_col).alias(value_col)
+    )
     w = Window.partitionBy(*key_cols).orderBy(year_col)
     return (
         filtered.withColumn("_next_val", F.lead(value_col).over(w))
@@ -150,6 +159,13 @@ def score_requests_with_status(
 
     Same plan shape as ``score_requests`` — two broadcast dimension
     joins, no extra shuffle for the status column (pure projection).
+
+    Deliberate deviation: a region whose trailing window exists but
+    averages NULL (every reading NULL) also reports
+    ``unknown_region`` — the reference would compute a NaN mean and
+    emit a NaN price with HTTP 200 (api.py:121-129), which downstream
+    JSON cannot even represent; treating an undefined lookup as a
+    failed lookup is the honest envelope.
     """
     region_avg = F.broadcast(
         region_trailing_avg(daily, run_date, region_col=region_col)
@@ -231,22 +247,20 @@ def score_requests(
     LEFT joins keep requests with unknown region/city as NULL-price rows
     (batch-robust replacement for the reference's 500s). Both right
     sides are region-/commune-sized aggregates → broadcast hash joins.
-    """
-    region_avg = F.broadcast(region_trailing_avg(daily, run_date, region_col=region_col))
-    alpha = F.broadcast(city_alpha(annual, year_n))
 
-    scored = (
-        validate_requests(requests)
-        .join(region_avg, on=region_col, how="left")
-        .join(alpha, on=["nom_commune", "code_commune"], how="left")
-        .withColumn(
-            "conso_foyer",
-            household_consumption_kwh(F.col("nb_m2"), F.col("nb_personne")),
-        )
-        .withColumn("m_factor", F.round(m_factor(F.col("conso30")), 6))
-        .withColumn(
-            "price",
-            annual_price(F.col("alpha"), F.col("m_factor"), F.col("conso_foyer")),
-        )
-    )
-    return scored
+    One plan, two faces: this IS ``score_requests_with_status`` over
+    the validated rows, minus the status column — deriving one from the
+    other keeps the join keys, rounding rules, and price projection
+    from ever diverging between the batch and envelope paths. (For
+    status≠ok rows the envelope gates price to NULL; here the same rows
+    get NULL via the price formula's NULL propagation — identical
+    outcome.)
+    """
+    return score_requests_with_status(
+        validate_requests(requests),
+        daily,
+        annual,
+        run_date,
+        year_n,
+        region_col=region_col,
+    ).drop("status")

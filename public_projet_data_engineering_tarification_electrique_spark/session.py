@@ -114,7 +114,13 @@ def get_spark(
     # exist where this code actually runs.
     master = master or f"local[{cpus},4]"
     if shuffle_partitions is None:
-        shuffle_partitions = os.cpu_count() or 8
+        # size from the SAME source as the local master's core count —
+        # a SPARK_GRAFT_CPUS-capped run must not inherit machine-wide
+        # partition counts (48× cores of near-empty shuffle tasks)
+        if cpus != "*" and cpus.isdigit():
+            shuffle_partitions = int(cpus)
+        else:
+            shuffle_partitions = os.cpu_count() or 8
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -59,6 +59,13 @@ def load_table(
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    elif ts_type == "timestamp":
+        # TIMESTAMP(US) flavor: normalize the tz-aware read to the same
+        # timestamp_ntz contract the bigint branch produces (session tz
+        # is pinned UTC, so this is an identity relabel) — otherwise
+        # unionByName/comparisons against ntz frames break and a
+        # non-UTC session would silently shift values.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -271,3 +271,98 @@ def test_banded_range_join_boundaries(spark):
         ).collect()
     )
     assert got == [(1, 10), (2, 11), (2, 12)]
+
+
+def test_asof_join_ignores_null_timestamps(spark):
+    """NULL-ts right rows must never match; NULL-ts left rows must get
+    no match (not whatever the window accumulated)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [("k", 100), ("k", None)], "key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", None, 9.9), ("k", 50, 1.5)], "key string, rts long, v double"
+    )
+    rows = {
+        (r["ts"]): r["asof_v"]
+        for r in asof_join(
+            left, right, on=("key",), left_ts="ts", right_ts="rts",
+            right_cols=("v",),
+        ).collect()
+    }
+    assert rows[100] == 1.5  # real match, not the NULL-ts row's 9.9
+    assert rows[None] is None
+
+
+def test_banded_range_join_epoch_ns_precision(spark):
+    """Buckets must be computed with integer division: epoch-ns values
+    above 2^53 land in wrong buckets under double division and in-range
+    pairs silently vanish."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.asof import (
+        banded_range_join,
+    )
+
+    base = 1_700_000_000_000_016_000  # > 2^53
+    left = spark.createDataFrame([("k", 1, base)], "key string, lid int, ts long")
+    right = spark.createDataFrame(
+        [("k", 2, base + 1000)], "key string, rid int, ts long"
+    )
+    got = banded_range_join(
+        left, right, on=("key",), left_ts="ts", right_ts="ts",
+        max_delta=1000, right_cols=("rid",),
+    ).collect()
+    assert len(got) == 1 and got[0]["r_rid"] == 2
+
+
+def test_ols_forecast_null_y_matches_pandas_twin(spark):
+    """A group containing a NULL y must predict NULL (closed form) /
+    NaN (pandas twin) — not a fit over inconsistent row sets."""
+    import math
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.forecast import (
+        ols_forecast,
+        ols_forecast_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 2020, 10.0), ("g", 2021, 20.0), ("g", 2022, None),
+         ("h", 2020, 1.0), ("h", 2021, 2.0)],
+        "grp string, annee int, y double",
+    )
+    closed = {
+        (r["grp"], r["annee"]): r["prediction"]
+        for r in ols_forecast(df, ["grp"], "annee", "y", [2023]).collect()
+    }
+    pand = {
+        (r["grp"], r["annee"]): r["prediction"]
+        for r in ols_forecast_pandas(df, ["grp"], "annee", "y", [2023]).collect()
+    }
+    assert closed[("g", 2023)] is None
+    # the twin's NaN may surface as None after the Arrow crossing
+    g_twin = pand[("g", 2023)]
+    assert g_twin is None or math.isnan(g_twin)
+    assert closed[("h", 2023)] == pand[("h", 2023)] == 4.0
+
+
+def test_city_alpha_deterministic_under_duplicate_year_rows(spark):
+    """Duplicate (city, year) rows aggregate (mean) before the lead
+    window — alpha must not depend on physical row order."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.pricing import (
+        city_alpha,
+    )
+
+    rows = [
+        ("A", "1", 2021, 100.0),
+        ("A", "1", 2021, 200.0),  # duplicate year row
+        ("A", "1", 2022, 165.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "nom_commune string, code_commune string, annee int, conso_moyenne_mwh double"
+    )
+    for seed in (1, 13):
+        got = city_alpha(df.repartition(seed), year_n=2021).collect()
+        assert len(got) == 1
+        assert got[0]["alpha"] == 1.1  # 165 / mean(100, 200)
