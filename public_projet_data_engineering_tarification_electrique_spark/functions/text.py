@@ -15,12 +15,24 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization; trims and collapses runs of whitespace."""
+    """Whitespace tokenization; trims and collapses runs of whitespace.
+
+    NOTE: ``split('')`` yields ``['']`` — use :func:`nonempty_tokens`
+    wherever a blank document must contribute ZERO tokens."""
     return F.split(F.trim(text), r"\s+")
 
 
+def nonempty_tokens(text: Column) -> Column:
+    """Whitespace tokens excluding empty strings — the ONE shared
+    definition for every counting/chunking site, so the blank-doc
+    subtlety lives in one place."""
+    return F.filter(tokens(text), lambda t: t != "")
+
+
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    """Token count; a blank/whitespace-only document counts 0 (not the
+    1 that raw split-of-empty would give)."""
+    return F.size(nonempty_tokens(text))
 
 
 def punct_ratio(text: Column) -> Column:

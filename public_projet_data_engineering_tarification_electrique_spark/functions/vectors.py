@@ -56,10 +56,19 @@ def cosine_similarity_pandas():
     # (stringified, PEP 563) type hints against this module's globals.
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack(a.to_numpy())
-        mb = np.stack(b.to_numpy())
-        dots = np.einsum("ij,ij->i", ma, mb)
-        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(dots / norms)
+        # Twin contract with the JVM variant: NULL inputs and zero-norm
+        # vectors yield NULL — a raw np.stack would crash the whole
+        # batch on a null/ragged row, and 0/0 would surface as NaN
+        # where the JVM's F.when(denom != 0) returns NULL.
+        valid = a.notna() & b.notna()
+        out = pd.Series([None] * len(a), dtype="float64")
+        if valid.any():
+            ma = np.stack(a[valid].to_numpy())
+            mb = np.stack(b[valid].to_numpy())
+            dots = np.einsum("ij,ij->i", ma, mb)
+            norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            vals = np.where(norms != 0.0, dots / np.where(norms == 0, 1, norms), np.nan)
+            out[valid] = vals
+        return out.where(out.notna(), None)
 
     return _cos

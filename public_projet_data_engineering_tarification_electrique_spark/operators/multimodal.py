@@ -38,9 +38,18 @@ def attach_binary_payload(
     In a real pipeline this column comes straight from parquet/tar
     shards of images/audio; binary stays opaque to Catalyst and is
     never shuffled except where the plan requires the payload itself.
+
+    NULL-text rows are dropped here: a NULL payload has no media
+    semantics, and letting it through would crash the Arrow batch
+    functions downstream (len(None)/bytes(None)) instead of the
+    explicit decision this filter records.
     """
-    return ensure_parallelism(docs).select(
-        F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload")
+    return (
+        ensure_parallelism(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload")
+        )
     )
 
 

@@ -18,13 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import nonempty_tokens, tokens  # noqa: F401
 
 
 def nonempty_token_count(text: Column) -> Column:
     """Whitespace token count, excluding empty strings (a blank doc has
-    0 tokens, not 1 — ``split('')`` yields ``['']``)."""
-    return F.size(F.filter(tokens(F.lower(text)), lambda t: t != ""))
+    0 tokens, not 1) — delegates to the one shared
+    ``functions.text.nonempty_tokens`` definition."""
+    return F.size(nonempty_tokens(F.lower(text)))
 
 
 def pack_chunks(
@@ -67,13 +68,20 @@ def pack_chunks(
                 F.floor((F.col("end") - 1) / cap),
             )
         ),
-    ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
+    )
+    # chunk_id stays LONG through the fill arithmetic: casting to int
+    # first made (chunk_id + 1) * cap int32 math, which overflows (ANSI:
+    # hard job failure; legacy: silent negative fills) once a shard
+    # passes 2^31 cumulative tokens (~4M chunks × 512) — exactly the
+    # scale this operator exists for. The int cast happens only on the
+    # OUTPUT column, whose 2^31-chunk bound (a terabyte-scale shard) is
+    # the documented output-type trade-off.
     fill = F.least(F.col("end"), (F.col("chunk_id") + 1) * cap) - F.greatest(
         F.col("start"), F.col("chunk_id") * cap
     )
     return (
         covered.withColumn("fill", fill)
-        .groupBy(shard_col, "chunk_id")
+        .groupBy(shard_col, F.col("chunk_id").cast("int").alias("chunk_id"))
         .agg(
             F.count("*").cast("int").alias("n_docs"),
             F.sum("fill").cast("int").alias("n_tokens"),
@@ -105,12 +113,23 @@ def chunk_with_overlap(
     shuffle; emitted rows are ~n_tokens/stride per document.
     """
     assert 0 < stride <= size, "stride must be in (0, size]"
-    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "")
+    toks = nonempty_tokens(F.lower(F.col(text_col)))
     staged = (
         docs.select(id_col, F.explode(F.array(toks)).alias("_t"))
         .filter(F.size("_t") > 0)
     )
-    starts = F.sequence(F.lit(1), F.size("_t"), F.lit(stride))
+    # Stop the start grid once a window reaches the document end:
+    # sequence up to n would emit a final window fully CONTAINED in the
+    # previous one whenever the tail is shorter than the overlap —
+    # pure-duplicate suffix chunks inflating the index. Bound
+    # n − size + stride keeps coverage complete (last start L satisfies
+    # L ≥ n − size + 1, so its window reaches token n) with no
+    # subset windows.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size("_t") - size + stride),
+        F.lit(stride),
+    )
     chunks = staged.select(
         id_col, "_t", F.posexplode(starts).alias("chunk_id", "start_tok")
     )

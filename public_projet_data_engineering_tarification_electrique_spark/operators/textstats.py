@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import punct_ratio, stopword_ratio, token_count, tokens
+from ..functions.text import (
+    nonempty_tokens,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
 from .util import ensure_parallelism
 
 
@@ -85,7 +91,7 @@ def repetition_stats(
     and the distinct/length reductions are each evaluated exactly once
     per document (~3× wall-clock at sf0.1).
     """
-    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "")
+    toks = nonempty_tokens(F.lower(F.col(text_col)))
     # Barrier 1: tokenize once.
     staged = ensure_parallelism(docs).select(
         id_col, F.explode(F.array(toks)).alias("_t")
@@ -205,17 +211,23 @@ def unigram_lm_scores(
     from .sampling import hash_bucket
 
     toks = tokens(F.lower(F.col(text_col)))
-    exploded = (
-        ensure_parallelism(docs)
-        .select(id_col, F.explode(toks).alias("_tok"))
-        .filter(F.col("_tok") != "")
-    )
     # the SAME bucket construction as sampling.hash_split — imported,
     # not re-derived, so the LM train split can never silently de-align
-    # from the corpus train split
-    train_bucket = hash_bucket(F.col(id_col), 100)
+    # from the corpus train split. Computed BEFORE the explode: one md5
+    # digest per DOCUMENT rides the exploded rows as a plain column —
+    # filtering after the explode would recompute it per token
+    # occurrence (billions of spare digests at corpus scale).
+    exploded = (
+        ensure_parallelism(docs)
+        .select(
+            id_col,
+            (hash_bucket(F.col(id_col), 100) < train_pct).alias("_train"),
+            F.explode(toks).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+    )
     lm_counts = (
-        exploded.filter(train_bucket < train_pct)
+        exploded.filter(F.col("_train"))
         .groupBy("_tok")
         .agg(F.count("*").alias("_c"))
         .filter(F.col("_c") >= min_count)

@@ -3438,7 +3438,8 @@ ORACLE_SQL: dict[str, str] = {
                    * 1.0 / length(text) AS punct_ratio
           FROM documents
         ), ratios AS (
-          SELECT doc_id, lang, punct_ratio, len(toks) AS n_tokens,
+          SELECT doc_id, lang, punct_ratio,
+                 len(list_filter(toks, x -> x <> '')) AS n_tokens,
                  len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
                    * 1.0 / len(toks) AS stop_ratio
           FROM feats
@@ -3704,13 +3705,15 @@ ORACLE_SQL: dict[str, str] = {
                cast(len(regexp_extract_all(lower(text),
                     ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS INTEGER)
                  AS n_bpe_tokens,
-               cast(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+               cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS INTEGER)
                  AS n_ws_tokens
         FROM documents
     """,
     "q12_text_stats": f"""
         SELECT doc_id,
-               cast(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+               cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS INTEGER)
                  AS n_tokens,
                cast(length(text) AS INTEGER) AS len_chars,
                round(
@@ -3986,7 +3989,8 @@ ORACLE_SQL: dict[str, str] = {
                    * 1.0 / length(text) AS punct_ratio
           FROM documents
         ), ratios AS (
-          SELECT doc_id, lang, punct_ratio, len(toks) AS n_tokens,
+          SELECT doc_id, lang, punct_ratio,
+                 len(list_filter(toks, x -> x <> '')) AS n_tokens,
                  len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
                    * 1.0 / len(toks) AS stop_ratio
           FROM feats
@@ -4376,7 +4380,8 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
         ), c AS (
           SELECT doc_id, toks, n,
-                 unnest(range(1, n + 1, 48)) AS start_tok
+                 unnest(range(1, greatest(1, n - 64 + 48) + 1, 48))
+                   AS start_tok
           FROM s
         )
         SELECT doc_id,
@@ -4441,8 +4446,9 @@ ORACLE_SQL: dict[str, str] = {
           SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
         ), quality AS (
           SELECT doc_id,
-                 round(least(1.0, len(string_split_regex(trim(lower(text)),
-                                                         '\\s+')) / 120.0)
+                 round(least(1.0, len(list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '')) / 120.0)
                        * (1.0 - length(regexp_replace(lower(text),
                                                       '[a-z0-9 ]', '', 'g'))
                               * 1.0 / length(text)), 4) AS quality

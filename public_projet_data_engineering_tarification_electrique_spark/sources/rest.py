@@ -8,10 +8,12 @@ Reference parity:
 
 Design: the fetch itself is a driver-side, bounded metadata-scale call
 (the reference pulls ≤ a few hundred thousand rows); the distributed
-part starts at ``to_dataframe``. For genuinely large feeds the right
-Spark shape is *land to object storage, then scan* — not a driver
-fetch — so ``fetch_to_json_lines`` writes a JSONL landing file that
-``spark.read.json`` splits across tasks.
+part starts at the returned DataFrame. For genuinely large feeds the
+right Spark shape is *land to object storage, then scan* — not a
+driver fetch: write the fetched records to a JSONL/parquet landing
+path and read it with ``spark.read.json``/``spark.read.parquet``,
+which split the landing files across tasks (the streaming ingest in
+``streaming.daily`` is exactly that shape).
 
 The HTTP client is injectable (``fetcher``) so tests run hermetically;
 the default uses ``urllib`` from the standard library (no extra deps).

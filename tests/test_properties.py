@@ -399,3 +399,60 @@ def test_q117_stat_grid_margins(duck):
     assert min_dist > 1e-6, (
         f"a q117 stat sits {min_dist} grid units from a rounding boundary"
     )
+
+
+def test_blank_docs_count_zero_tokens(spark):
+    """token_count/quality must treat blank and whitespace-only docs as
+    0 tokens (split-of-empty yields ['']) so they can never outrank
+    real text in quality-based curation."""
+    from public_projet_data_engineering_tarification_electrique_spark.functions.text import (
+        token_count,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "   ", "en"), (3, "real text here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert counts == {1: 0, 2: 0, 3: 3}
+    quality = {
+        r["doc_id"]: r["quality"] for r in quality_scores(docs).collect()
+    }
+    assert quality[1] == 0.0 and quality[2] == 0.0
+    assert quality[3] > 0.0
+
+
+def test_chunk_overlap_no_subset_windows(spark):
+    """The start grid must stop once a window reaches the document end:
+    no chunk may be fully contained in the previous one, and coverage
+    must still reach the last token."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.packing import (
+        chunk_with_overlap,
+    )
+
+    n = 64  # doc of exactly `size` tokens — the old grid emitted [1, 49]
+    text = " ".join(f"t{i}" for i in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_with_overlap(docs, size=64, stride=48).collect(),
+        key=lambda r: r["start_tok"],
+    )
+    assert [r["start_tok"] for r in rows] == [1]
+    assert rows[-1]["start_tok"] + rows[-1]["chunk_tokens"] - 1 == n
+    # a 100-token doc still gets a truncated tail window covering token 100
+    text2 = " ".join(f"t{i}" for i in range(100))
+    docs2 = spark.createDataFrame([(1, text2)], "doc_id long, text string")
+    rows2 = sorted(
+        chunk_with_overlap(docs2, size=64, stride=48).collect(),
+        key=lambda r: r["start_tok"],
+    )
+    assert [r["start_tok"] for r in rows2] == [1, 49]
+    assert rows2[-1]["start_tok"] + rows2[-1]["chunk_tokens"] - 1 == 100
