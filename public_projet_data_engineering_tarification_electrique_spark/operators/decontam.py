@@ -37,11 +37,16 @@ def contamination_report(
     n_contaminated) for the eval splits.
     """
     split = hash_split(ensure_parallelism(docs), id_col, split_col=split_col)
+    # No distinct here: both consumers re-reduce anyway (train side
+    # distincts on sh, eval side distincts on (split, id) after the
+    # semi-join), so a 3-column distinct at this width would add a
+    # full corpus-shingle exchange executed TWICE (once per consumer)
+    # for zero semantic effect — the dominant cost at scale.
     shingled = split.select(
         id_col,
         split_col,
         F.explode(word_shingles(F.col(text_col), k=k)).alias("sh"),
-    ).distinct()
+    )
     train_sh = (
         shingled.filter(F.col(split_col) == "train").select("sh").distinct()
     )

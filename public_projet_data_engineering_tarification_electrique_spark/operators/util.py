@@ -52,6 +52,15 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     on = list(on)
+    # withColumn REPLACES an existing column: a caller's '_salt' would
+    # be silently overwritten, joined on, and dropped — corrupting
+    # their data. Refuse instead.
+    for side, name in ((big, "big"), (small, "small")):
+        if "_salt" in side.columns:
+            raise ValueError(
+                f"salted_join: {name} side already has a '_salt' column; "
+                "rename it before salting"
+            )
     big_s = big.withColumn(
         "_salt", F.floor(F.rand(seed=42) * n_salts).cast("int")
     )

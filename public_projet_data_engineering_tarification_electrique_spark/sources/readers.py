@@ -17,9 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    """CSV with declared schema + header, mirroring pandas read_csv(dtype=...)."""
-    return spark.read.schema(schema).option("header", True).csv(path)
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV with declared schema + header, mirroring pandas
+    read_csv(dtype=...) — including its failure discipline: a malformed
+    cell RAISES (FAILFAST) instead of silently becoming NULL, which is
+    what the default PERMISSIVE mode would do. Pass mode="PERMISSIVE"
+    to deliberately tolerate corrupt rows."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", mode)
+        .csv(path)
+    )
 
 
 def read_json_records(

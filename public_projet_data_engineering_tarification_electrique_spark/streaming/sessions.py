@@ -10,16 +10,23 @@ declares "no earlier event can still arrive", so results equal the
 batch operator on the closed prefix).
 
 Scale design: state per key is ONE fixed-width row (open-session
-aggregate + next session number), not buffered events — memory is
-O(active users), and the shuffle is the same single user-key exchange
-the batch twin pays. Arrow batches move groups into pandas; at 100 TB
-the per-batch group iteration stays columnar.
+aggregate + next session number) — after a timeout the row shrinks to
+a numbering tombstone rather than being removed, so session ids stay
+globally 1..k per user across incremental runs (the price is one tiny
+row per user EVER seen, the same footprint as any per-user aggregate).
+Memory is O(users), and the shuffle is the same single user-key
+exchange the batch twin pays. Arrow moves each group into pandas in
+one batch; WITHIN a group the gap scan is a per-event Python loop
+(sessions are inherently sequential per user; vectorizing the
+boundary detection via diff/cumsum is the known optimization if hot
+keys ever dominate).
 """
 
 from __future__ import annotations
 
+import math
+import os
 import tempfile
-import uuid
 from collections.abc import Iterator
 from typing import Any
 
@@ -54,8 +61,6 @@ def _grid4(x: float) -> int:
     adding 0.5 rounds UP for doubles one ulp below a half boundary
     (e.g. a = 0.49999999999999994 -> a+0.5 == 1.0) where both engines
     correctly round DOWN."""
-    import math
-
     g = x * 1e4
     a = abs(g)
     f = math.floor(a)
@@ -78,12 +83,18 @@ def _make_sessionizer(gap_seconds: int):
 
         if state.hasTimedOut:
             # watermark passed end+gap: the open session can no longer
-            # grow — emit it and drop the state row
+            # grow — emit it, and keep a NUMBERING TOMBSTONE instead of
+            # removing state: dropping it would restart the user's
+            # session ids at 1 on their next event (duplicate
+            # (user, session_id) keys, divergence from the batch twin's
+            # 1..k numbering). No timeout is re-armed on the tombstone.
             if is_open:
                 closed.append(
                     (user_id, next_sid, n_events, start_s, end_s, sum_v4)
                 )
-            state.remove()
+                state.update((next_sid + 1, False, 0, 0, 0, 0))
+            else:
+                state.update((next_sid, False, 0, 0, 0, 0))
         else:
             frames = [p for p in pdfs if len(p)]
             rows = (
@@ -95,6 +106,14 @@ def _make_sessionizer(gap_seconds: int):
             )
             for ts_s, value in zip(rows["ts_s"], rows["value"]):
                 ts_s = int(ts_s)
+                # NULL values arrive as NaN: the batch twin's
+                # sum(round(value·1e4)) skips nulls while count(*)
+                # still counts the row — mirror that, instead of
+                # letting math.floor(nan) kill the worker. (Known
+                # edge: an ALL-null session emits 0.0 here vs the
+                # batch twin's NULL sum.)
+                v = float(value)
+                v4 = 0 if math.isnan(v) else _grid4(v)
                 if is_open and ts_s - end_s > gap_seconds:
                     closed.append(
                         (user_id, next_sid, n_events, start_s, end_s, sum_v4)
@@ -104,12 +123,12 @@ def _make_sessionizer(gap_seconds: int):
                 if is_open:
                     end_s = max(end_s, ts_s)
                     n_events += 1
-                    sum_v4 += _grid4(float(value))
+                    sum_v4 += v4
                 else:
                     is_open = True
                     start_s = end_s = ts_s
                     n_events = 1
-                    sum_v4 = _grid4(float(value))
+                    sum_v4 = v4
             state.update(
                 (next_sid, is_open, start_s, end_s, n_events, sum_v4)
             )
@@ -150,9 +169,26 @@ def stream_sessionize(
     """
     configure(spark)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_sess_")
-    table = f"sessions_{uuid.uuid4().hex[:8]}"
+    # Durable emission sink UNDER the checkpoint: the memory sink
+    # cannot recover from a checkpoint ("This query does not support
+    # recovering..."), so the advertised incremental resume only works
+    # with a restartable sink. foreachBatch appends each batch's closed
+    # sessions to a parquet dir; the return value reads ALL sessions
+    # emitted so far for this checkpoint (cumulative — identical to the
+    # single-run view for a fresh checkpoint).
+    emitted_dir = os.path.join(checkpoint, "emitted")
+    # resumable runs must stage the SAME landing dir (the checkpoint
+    # pins the source path — see streaming.upsert for the same guard)
+    if os.path.isfile(events_path) and checkpoint_dir is not None:
+        landing = os.path.join(checkpoint, "landing")
+        os.makedirs(landing, exist_ok=True)
+        link = os.path.join(landing, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(events_path, link)
+    else:
+        landing = stage_landing(events_path, "landing_sess_")
     src = (
-        events_stream(spark, stage_landing(events_path, "landing_sess_"))
+        events_stream(spark, landing)
         .select(
             "event_id",
             "user_id",
@@ -172,11 +208,16 @@ def stream_sessionize(
     with stream_shuffle_partitions(spark, state_partitions):
         (
             sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(table)
+            .foreachBatch(
+                lambda batch, _bid: batch.write.mode("append").parquet(
+                    emitted_dir
+                )
+            )
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
             .awaitTermination()
         )
-    return spark.table(table)
+    if not os.path.isdir(emitted_dir):
+        return spark.createDataFrame([], OUTPUT_SCHEMA)
+    return spark.read.schema(OUTPUT_SCHEMA).parquet(emitted_dir)

@@ -255,3 +255,69 @@ def test_stream_upsert_resume_keeps_full_state(spark, tmp_path):
     assert second == first
     with pytest.raises(ValueError, match="together"):
         stream_upsert_latest(spark, f"{SF}/events.parquet", checkpoint_dir=ckpt)
+
+
+def test_stream_sessionize_numbering_survives_timeout(spark, tmp_path):
+    """A timeout-closed session must leave a numbering tombstone: the
+    user's next session continues 1..k (batch-twin numbering), it does
+    not restart at 1 with a duplicate (user, session_id) key."""
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.sessions import (
+        stream_sessionize,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cols = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+
+    def land(name, rows):
+        # one flat parquet FILE per delivery (the file stream does not
+        # descend into non-partition subdirectories)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        eid, ts, uid, etype, value, props = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(eid, pa.int64()),
+                    "ts": pa.array(list(ts), pa.timestamp("us")),
+                    "user_id": pa.array(uid, pa.int64()),
+                    "event_type": pa.array(etype, pa.string()),
+                    "value": pa.array(value, pa.float64()),
+                    "props": pa.array(props, pa.string()),
+                }
+            ),
+            str(landing / f"{name}.parquet"),
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def emitted(run_rows):
+        return [
+            (r["user_id"], r["session_id"])
+            for r in run_rows
+            if r["user_id"] == 7
+        ]
+
+    land("f1", [(1, t0, 7, "click", 1.0, "{}")])
+    stream_sessionize(spark, str(landing), gap_seconds=1800, checkpoint_dir=ckpt)
+    # another user's event pushes the watermark past user 7's end+gap →
+    # user 7's open session closes via TIMEOUT (the tombstone path)
+    land("f2", [(2, t0 + dt.timedelta(seconds=10000), 8, "click", 1.0, "{}")])
+    stream_sessionize(spark, str(landing), gap_seconds=1800, checkpoint_dir=ckpt)
+    # user 7 returns → second session opens; a later watermark push
+    # closes it via timeout as well
+    land("f3", [(3, t0 + dt.timedelta(seconds=20000), 7, "click", 2.0, "{}")])
+    stream_sessionize(spark, str(landing), gap_seconds=1800, checkpoint_dir=ckpt)
+    land("f4", [(4, t0 + dt.timedelta(seconds=40000), 9, "click", 1.0, "{}")])
+    final = stream_sessionize(
+        spark, str(landing), gap_seconds=1800, checkpoint_dir=ckpt
+    ).collect()  # cumulative: every session emitted under this checkpoint
+
+    user7 = sorted(
+        (r["session_id"], r["start_s"]) for r in final if r["user_id"] == 7
+    )
+    assert [sid for sid, _ in user7] == [1, 2], user7
