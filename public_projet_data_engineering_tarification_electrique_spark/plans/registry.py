@@ -3044,6 +3044,15 @@ def q120_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _conv(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # a key present on only one side arrives with the other frame
+        # EMPTY — and an empty cogroup frame may carry no columns at
+        # all, so normalize before any column access
+        def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+            if "ts_us" not in pdf.columns:
+                return pd.DataFrame({"user_id": [], "ts_us": []})
+            return pdf
+
+        left, right = _norm(left), _norm(right)
         n_clicks = len(left)
         n_purch = len(right)
         first_click = left["ts_us"].min() if n_clicks else None
