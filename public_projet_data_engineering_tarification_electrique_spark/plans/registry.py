@@ -3080,6 +3080,413 @@ def q120_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → semi-join + priority count): orders in
+    one quarter that have at least one returned line, counted by
+    priority. The correlated EXISTS decorrelates to a LEFT SEMI join —
+    the canonical plan: the lineitem side is pruned to (l_orderkey)
+    only and pre-filtered on l_returnflag before the shuffle, so the
+    semi-join probe side carries one bigint column. The quarter
+    predicate pushes into the orders parquet scan. (The reference's
+    data has no commitdate/receiptdate, so the EXISTS condition is
+    returnflag='R' — the plan shape, not the constant, is the point.)
+    Counts are integers — exact parity."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-07-01")
+            & (F.col("o_orderdate") < "1996-10-01")
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            how="left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q122_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (two-nation trade volume by year): revenue
+    shipped between NATION_3 suppliers and NATION_7 customers (either
+    direction) per ship-year. Two roles of the same 25-row nation dim →
+    two broadcast joins with disjunctive pair predicate applied AFTER
+    both (matches the spec's n1/n2 OR form). Volume sums ride the exact
+    1e-4 integer grid (l_extendedprice·(1−l_discount) is a 4-dp value),
+    so the per-(pair, year) sum is an exact long in both engines —
+    immune to float summation order at any scale."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    ))
+    vol_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4, 0
+    ).cast("long")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("_sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg((F.sum(vol_e4) / 1e4).alias("revenue"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.round("revenue", 2).alias("revenue"),
+        )
+    )
+
+
+def q123_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): NATION_5's share of ASIA-region
+    order revenue per order-year for one part type. The share is a
+    ratio of two conditional sums over the SAME joined row set —
+    expressed as sum(CASE)/sum(all) inside one aggregate, not two
+    plans. Both numerator and denominator ride the exact 1e-4 long
+    grid, so the division sees identical integers in both engines and
+    the rounded share is deterministic. Region/nation dims broadcast;
+    the part filter prunes the fact join upstream."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust_nations = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("_cn_key"))
+    )
+    supp_nation = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("_supp_nation"),
+    ))
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    vol_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4, 0
+    ).cast("long")
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_nations, F.col("c_nationkey") == F.col("_cn_key"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("_sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("_supp_nation") == "NATION_5", vol_e4)
+                .otherwise(F.lit(0))
+            ).alias("_nat"),
+            F.sum(vol_e4).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_nat") / F.col("_all"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q124_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). The
+    reference data has no partsupp, so supply cost is modeled as
+    10% of p_retailprice per unit — the plan keeps Q9's essentials:
+    a fact-side expression combining columns from two joined dims,
+    a LIKE-style part filter, and a (nation, year) rollup. Profit
+    amounts ride the exact 1e-4 long grid (retailprice is 2-dp,
+    quantity integral, so every term is a 4-dp value) — exact sums.
+    Brand filter prunes part before the broadcast join."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_retailprice")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount_e4 = (
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4, 0
+        ).cast("long")
+        - F.round(
+            F.col("p_retailprice") * F.col("l_quantity") * 1e3, 0
+        ).cast("long")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(amount_e4) / 1e4).alias("profit"))
+        .select(
+            "nation", "o_year", F.round("profit", 2).alias("profit")
+        )
+    )
+
+
+def q125_tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (count-of-counts histogram over a LEFT OUTER
+    join): orders per customer — including zero-order customers, the
+    part an inner join silently drops — then the distribution of those
+    counts. Two hash aggs; the left join preserves customer rows and
+    count(o_orderkey) (not count(*)) yields 0 for the null-extended
+    rows. The join-side filter (exclude URGENT) lives in the JOIN
+    condition, not WHERE — semantically different for outer joins and
+    the classic Q13 trap. Integers — exact parity."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), how="left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def q126_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (argmax against an aggregate-of-aggregate):
+    supplier(s) whose one-quarter revenue equals the global maximum.
+    Per-supplier revenue is summed on the exact 1e-4 long grid, so the
+    max and the equality compare are integer-exact in both engines —
+    the float-tie hazard in the spec's HAVING total = (SELECT max(...))
+    decorrelation is gone by construction. The max is a 1-row broadcast
+    cross join (the decorrelated scalar subquery)."""
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    vol_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4, 0
+    ).cast("long")
+    revenue = lineitem.groupBy("l_suppkey").agg(
+        F.sum(vol_e4).alias("_rev_e4")
+    )
+    top = revenue.agg(F.max("_rev_e4").alias("_max_e4"))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev_e4") == F.col("_max_e4"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev_e4") / 1e4, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q127_tpch_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery per group): average
+    yearly revenue lost if small-quantity lines (below 20% of the
+    part's mean quantity) moved to bulk. The per-part correlated
+    AVG decorrelates to a per-part aggregate re-joined to the fact —
+    Spark broadcasts the (partkey, threshold) side. The 0.2·avg
+    threshold is snapped to the 1e-6 grid on both sides so the strict
+    < compare sees identical doubles (quantities are integral, so no
+    boundary sits within 1e-6 of a snapped threshold). Revenue sums
+    ride the exact 1e-2 long grid."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = branded.groupBy("l_partkey").agg(
+        (F.round(F.avg("l_quantity") * 0.2 * 1e6, 0) / 1e6).alias("_thr")
+    ).select(F.col("l_partkey").alias("_t_key"), "_thr")
+    return (
+        branded.join(
+            F.broadcast(thresholds),
+            F.col("l_partkey") == F.col("_t_key"),
+        )
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 1e2, 0).cast("long")
+            ).alias("_sum_e2")
+        )
+        .select(
+            F.round(F.col("_sum_e2") / 1e2 / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q128_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (OR-of-ANDs join predicate): revenue from three
+    disjoint (brand, size-range, quantity-range) channels. The
+    disjunction references both join sides, so it cannot fully push
+    down — but each side's envelope CAN: Catalyst pushes the derived
+    p_size ∈ [1,15] ∪ brand envelope to the part scan and quantity
+    bounds to the lineitem scan, then applies the residual OR after
+    the broadcast join. Revenue on the exact 1e-4 long grid."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    ch1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    ch2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    ch3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    vol_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4, 0
+    ).cast("long")
+    return (
+        joined.filter(ch1 | ch2 | ch3)
+        .agg(F.sum(vol_e4).alias("_rev_e4"))
+        .select(
+            F.round(
+                F.coalesce(F.col("_rev_e4"), F.lit(0)) / 1e4, 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q129_tpch_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (semi + anti correlation on the same fact):
+    suppliers who were the ONLY supplier with returned lines in a
+    multi-supplier order, counted per supplier. The spec's
+    EXISTS(other supplier) / NOT EXISTS(other late supplier) pair
+    decorrelates to per-order distinct-supplier counts: n_supp > 1
+    (the EXISTS) and n_returning = 1 (the NOT EXISTS), computed in one
+    pass each and joined back to the distinct returning pairs. All
+    counts integer — exact parity. (No receipt/commit dates in this
+    data; returnflag='R' stands in for 'kept orders waiting'.)"""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    n_supp = lineitem.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp")
+    )
+    returning = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_ret = returning.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_ret")
+    ).select(F.col("l_orderkey").alias("_r_key"), "_n_ret")
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        returning.join(n_supp, "l_orderkey")
+        .join(n_ret, F.col("l_orderkey") == F.col("_r_key"))
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_ret") == 1))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -5081,6 +5488,141 @@ ORACLE_SQL: dict[str, str] = {
         FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
         LEFT JOIN conv ON coalesce(c.user_id, p.user_id) = conv.user_id
     """,
+    "q121_tpch_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY 1
+    """,
+    "q122_tpch_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               cast(year(l_shipdate) AS INTEGER) AS l_year,
+               round(cast(sum(cast(round(l_extendedprice
+                       * (1 - l_discount) * 1e4) AS BIGINT)) AS BIGINT)
+                     / 1e4, 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """,
+    "q123_tpch_market_share": """
+        SELECT cast(year(o_orderdate) AS INTEGER) AS o_year,
+               round(
+                 cast(sum(CASE WHEN sn.n_name = 'NATION_5'
+                        THEN cast(round(l_extendedprice
+                               * (1 - l_discount) * 1e4) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE)
+                 / cast(sum(cast(round(l_extendedprice
+                        * (1 - l_discount) * 1e4) AS BIGINT)) AS DOUBLE),
+                 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        GROUP BY 1
+    """,
+    "q124_tpch_product_profit": """
+        SELECT n_name AS nation,
+               cast(year(o_orderdate) AS INTEGER) AS o_year,
+               round(cast(sum(
+                   cast(round(l_extendedprice * (1 - l_discount) * 1e4)
+                        AS BIGINT)
+                 - cast(round(p_retailprice * l_quantity * 1e3)
+                        AS BIGINT)) AS BIGINT) / 1e4, 2) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        GROUP BY 1, 2
+    """,
+    "q125_tpch_customer_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY 1
+    """,
+    "q126_tpch_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                     * 1e4) AS BIGINT)) AS BIGINT)
+                   AS rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, round(rev_e4 / 1e4, 2) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
+    """,
+    "q127_tpch_small_quantity_revenue": """
+        WITH branded AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'
+        ), thr AS (
+          SELECT l_partkey,
+                 round(avg(l_quantity) * 0.2 * 1e6) / 1e6 AS thr
+          FROM branded GROUP BY 1
+        )
+        SELECT round(cast(sum(cast(round(l_extendedprice * 1e2) AS BIGINT))
+                          AS BIGINT) / 1e2 / 7.0, 2) AS avg_yearly
+        FROM branded JOIN thr USING (l_partkey)
+        WHERE l_quantity < thr
+    """,
+    "q128_tpch_disjunctive_revenue": """
+        SELECT round(coalesce(cast(sum(cast(round(l_extendedprice
+                 * (1 - l_discount) * 1e4) AS BIGINT)) AS BIGINT), 0)
+               / 1e4, 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q129_tpch_sole_returning_supplier": """
+        WITH n_supp AS (
+          SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+          FROM lineitem GROUP BY 1
+        ), ret AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem WHERE l_returnflag = 'R'
+        ), n_ret AS (
+          SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_ret
+          FROM ret GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM ret
+        JOIN n_supp USING (l_orderkey)
+        JOIN n_ret USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp > 1 AND n_ret = 1
+        GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5204,6 +5746,15 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_backfill_range": q118_backfill_range,
     "q119_incremental_view": q119_incremental_view,
     "q120_cogroup_conversion": q120_cogroup_conversion,
+    "q121_tpch_order_priority": q121_tpch_order_priority,
+    "q122_tpch_volume_shipping": q122_tpch_volume_shipping,
+    "q123_tpch_market_share": q123_tpch_market_share,
+    "q124_tpch_product_profit": q124_tpch_product_profit,
+    "q125_tpch_customer_distribution": q125_tpch_customer_distribution,
+    "q126_tpch_top_supplier": q126_tpch_top_supplier,
+    "q127_tpch_small_quantity_revenue": q127_tpch_small_quantity_revenue,
+    "q128_tpch_disjunctive_revenue": q128_tpch_disjunctive_revenue,
+    "q129_tpch_sole_returning_supplier": q129_tpch_sole_returning_supplier,
 }
 
 
