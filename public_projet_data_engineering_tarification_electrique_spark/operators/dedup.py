@@ -235,6 +235,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs: C(A→B) =
+    |S(A)∩S(B)| / |S(A)| — the fraction of A's k-gram shingles that
+    also appear in B. Containment catches near-SUBSET duplication
+    (a short doc embedded in a longer one, boilerplate wrappers around
+    a shared core) that symmetric Jaccard under-scores: for A ⊂ B with
+    |B| = 10·|A|, Jaccard ≈ 0.1 but C(A→B) = 1.0.
+
+    Same blocking family as :func:`ngram_jaccard_pairs`: candidates
+    come only from the shared-shingle self-join, ``max_df`` caps the
+    blocking universe so boilerplate shingles cannot create O(d²)
+    pairs at scale. A pair is emitted when EITHER direction's
+    containment clears ``threshold``; both directions are reported.
+    All counts are integers — the ratios are single exact divisions,
+    deterministic cross-engine."""
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("sh"),
+    ).localCheckpoint(eager=True)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, on="sh")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    c_ab = F.col("inter") * 1.0 / F.col("na")
+    c_ba = F.col("inter") * 1.0 / F.col("nb")
+    return (
+        inter.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .filter((c_ab >= threshold) | (c_ba >= threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 4).alias("containment_a"),
+            F.round(c_ba, 4).alias("containment_b"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -3487,6 +3487,146 @@ def q129_tpch_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+#: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
+#: and the standard Okapi constants.
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q130_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the documents table for a fixed
+    3-term query — the ranked-search counterpart to q84's inverted
+    index. Cross-engine determinism by construction: the classic
+    log-idf is replaced by its rational core idf = (N − df + ½)/(df + ½)
+    (log is monotone, so rankings are preserved; libm log differs by
+    ulps across engines, rational ops are IEEE-exact), per-term scores
+    are combined in FIXED textual order (float + is not associative),
+    and the final score snaps to the 1e-4 grid before the
+    (score desc, doc_id) row_number — integer-deterministic top-k.
+
+    Plan: one explode filtered to the 3 terms (a pushed-down isin —
+    the token exchange carries only matching rows), conditional-agg
+    pivot to per-doc tf columns, 1-row global stats broadcast. At
+    100 TB the per-term df/N stats come from the same scan, and the
+    only shuffle is the (doc_id) tf aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("_t")
+    )
+    lens = docs.select(
+        "doc_id", X.token_count(F.col("_t")).cast("long").alias("_dl")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(X.nonempty_tokens(F.col("_t"))).alias("_tok")
+    ).filter(F.col("_tok").isin(*_BM25_TERMS))
+    tf = (
+        toks.groupBy("doc_id")
+        .agg(*[
+            F.sum(F.when(F.col("_tok") == t, 1).otherwise(0))
+            .cast("long").alias(f"_tf_{t}")
+            for t in _BM25_TERMS
+        ])
+    )
+    stats = (
+        lens.agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_dl").cast("long").alias("_sumdl"),
+        )
+    )
+    dfs = toks.distinct().agg(*[
+        F.sum(F.when(F.col("_tok") == t, 1).otherwise(0))
+        .cast("long").alias(f"_df_{t}")
+        for t in _BM25_TERMS
+    ])
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    norm = 1 - _BM25_B + _BM25_B * (F.col("_dl").cast("double") / avgdl)
+
+    def term_score(t: str):
+        tf_c = F.coalesce(F.col(f"_tf_{t}"), F.lit(0)).cast("double")
+        idf = (
+            F.col("_n").cast("double") - F.col(f"_df_{t}").cast("double")
+            + F.lit(0.5)
+        ) / (F.col(f"_df_{t}").cast("double") + F.lit(0.5))
+        return idf * (tf_c * (_BM25_K1 + 1)) / (tf_c + _BM25_K1 * norm)
+
+    score = (
+        term_score(_BM25_TERMS[0])
+        + term_score(_BM25_TERMS[1])
+        + term_score(_BM25_TERMS[2])
+    )
+    scored = (
+        tf.join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            "doc_id",
+            F.round(score * 1e4, 0).cast("long").alias("_s_e4"),
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-20 then a 20-row driver merge — no global sort); the rank
+    # window then runs over 20 rows, not the corpus.
+    top = scored.orderBy(F.col("_s_e4").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("_s_e4").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "rank",
+            F.round(F.col("_s_e4") / 1e4, 4).alias("score"),
+        )
+    )
+
+
+def q131_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs (C(A→B) =
+    |S(A)∩S(B)|/|S(A)|): catches near-subset duplication — a short doc
+    embedded in a longer one — that symmetric Jaccard (q17)
+    under-scores by design. Same shared-shingle blocking + df-cap
+    family as q17; integer counts, two exact divisions. See
+    operators/dedup.containment_pairs for the scale posture."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, k=3, threshold=0.6, max_df=100)
+
+
+def q132_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (multilingual-corpus
+    sampling à la T5/mT5): group weights ∝ n_g^α with α = 0.5 —
+    up-samples small (lang, source) groups relative to proportional
+    sampling. α = 0.5 is computed as sqrt, the ONE power IEEE
+    guarantees correctly rounded (libm pow is not cross-engine
+    stable); each sqrt snaps to a 1e-6 long grid so the total and the
+    shares divide exact integers. target_docs redistributes the
+    corpus size N over the groups by weight. One tiny two-level agg —
+    at 100 TB this is a metadata query over the group histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    s_e6 = F.round(
+        F.sqrt(F.col("n_docs").cast("double")) * 1e6, 0
+    ).cast("long")
+    weighted = groups.select("lang", "source", "n_docs", s_e6.alias("_s"))
+    totals = weighted.agg(
+        F.sum("_s").alias("_tot_s"),
+        F.sum("n_docs").alias("_tot_n"),
+    )
+    share = F.col("_s").cast("double") / F.col("_tot_s").cast("double")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.round(share, 6).alias("weight"),
+            F.round(share * F.col("_tot_n").cast("double"), 0)
+            .cast("long").alias("target_docs"),
+        )
+    )
+
+
 _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
@@ -5623,6 +5763,127 @@ ORACLE_SQL: dict[str, str] = {
         WHERE n_supp > 1 AND n_ret = 1
         GROUP BY 1, 2
     """,
+    "q130_bm25_topk": """
+        WITH docs AS (
+          SELECT doc_id, trim(lower(text)) AS t FROM documents
+        ), lens AS (
+          SELECT doc_id,
+                 cast(len(list_filter(string_split_regex(t, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS dl
+          FROM docs
+        ), qt AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(t, '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM docs
+        ), hits AS (
+          SELECT doc_id, tok FROM qt
+          WHERE tok IN ('spark', 'hash', 'window')
+        ), tf AS (
+          SELECT doc_id,
+            cast(sum(CASE WHEN tok='spark' THEN 1 ELSE 0 END) AS BIGINT)
+              AS tf_spark,
+            cast(sum(CASE WHEN tok='hash' THEN 1 ELSE 0 END) AS BIGINT)
+              AS tf_hash,
+            cast(sum(CASE WHEN tok='window' THEN 1 ELSE 0 END) AS BIGINT)
+              AS tf_window
+          FROM hits GROUP BY 1
+        ), stats AS (
+          SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(dl) AS BIGINT) AS sumdl
+          FROM lens
+        ), dfs AS (
+          SELECT
+            cast(sum(CASE WHEN tok='spark' THEN 1 ELSE 0 END) AS BIGINT)
+              AS df_spark,
+            cast(sum(CASE WHEN tok='hash' THEN 1 ELSE 0 END) AS BIGINT)
+              AS df_hash,
+            cast(sum(CASE WHEN tok='window' THEN 1 ELSE 0 END) AS BIGINT)
+              AS df_window
+          FROM (SELECT DISTINCT doc_id, tok FROM hits)
+        ), scored AS (
+          SELECT tf.doc_id,
+            cast(round((
+              ((cast(n AS DOUBLE) - cast(df_spark AS DOUBLE) + 0.5)
+                 / (cast(df_spark AS DOUBLE) + 0.5))
+                * (cast(tf_spark AS DOUBLE) * (1.2 + 1))
+                / (cast(tf_spark AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (cast(dl AS DOUBLE)
+                       / (cast(sumdl AS DOUBLE) / cast(n AS DOUBLE)))))
+              + ((cast(n AS DOUBLE) - cast(df_hash AS DOUBLE) + 0.5)
+                 / (cast(df_hash AS DOUBLE) + 0.5))
+                * (cast(tf_hash AS DOUBLE) * (1.2 + 1))
+                / (cast(tf_hash AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (cast(dl AS DOUBLE)
+                       / (cast(sumdl AS DOUBLE) / cast(n AS DOUBLE)))))
+              + ((cast(n AS DOUBLE) - cast(df_window AS DOUBLE) + 0.5)
+                 / (cast(df_window AS DOUBLE) + 0.5))
+                * (cast(tf_window AS DOUBLE) * (1.2 + 1))
+                / (cast(tf_window AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (cast(dl AS DOUBLE)
+                       / (cast(sumdl AS DOUBLE) / cast(n AS DOUBLE)))))
+            ) * 1e4) AS BIGINT) AS s_e4
+          FROM tf JOIN lens ON tf.doc_id = lens.doc_id, stats, dfs
+        )
+        SELECT doc_id, cast(rank AS INTEGER) AS rank,
+               round(s_e4 / 1e4, 4) AS score
+        FROM (SELECT doc_id, s_e4,
+                     row_number() OVER (ORDER BY s_e4 DESC, doc_id)
+                       AS rank
+              FROM scored) r
+        WHERE rank <= 20
+    """,
+    "q131_containment_dedup": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END) AS sh
+          FROM toks
+        ), capped AS (
+          SELECT s.* FROM sh s JOIN (
+            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter * 1.0 / sa.n, 4) AS containment_a,
+               round(inter * 1.0 / sb.n, 4) AS containment_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE inter * 1.0 / sa.n >= 0.6 OR inter * 1.0 / sb.n >= 0.6
+    """,
+    "q132_mixture_temperature": """
+        WITH g AS (
+          SELECT lang, source, cast(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1, 2
+        ), w AS (
+          SELECT lang, source, n_docs,
+                 cast(round(sqrt(cast(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS s
+          FROM g
+        ), t AS (
+          SELECT cast(sum(s) AS BIGINT) AS tot_s,
+                 cast(sum(n_docs) AS BIGINT) AS tot_n
+          FROM w
+        )
+        SELECT lang, source, n_docs,
+               round(cast(s AS DOUBLE) / cast(tot_s AS DOUBLE), 6)
+                 AS weight,
+               cast(round(cast(s AS DOUBLE) / cast(tot_s AS DOUBLE)
+                          * cast(tot_n AS DOUBLE)) AS BIGINT)
+                 AS target_docs
+        FROM w, t
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5755,6 +6016,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_tpch_small_quantity_revenue": q127_tpch_small_quantity_revenue,
     "q128_tpch_disjunctive_revenue": q128_tpch_disjunctive_revenue,
     "q129_tpch_sole_returning_supplier": q129_tpch_sole_returning_supplier,
+    "q130_bm25_topk": q130_bm25_topk,
+    "q131_containment_dedup": q131_containment_dedup,
+    "q132_mixture_temperature": q132_mixture_temperature,
 }
 
 

@@ -789,3 +789,50 @@ def test_unigram_lm_empty_train_split_raises(spark):
     docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     with pytest.raises(Exception, match="train split is empty"):
         unigram_lm_scores(docs, train_pct=0).collect()
+
+
+def test_containment_finds_subset_doc(spark):
+    """A short doc fully contained in a longer one: containment ≈ 1 in
+    the A→B direction even though symmetric Jaccard is low."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = (
+        short
+        + " while the cat watches from the warm windowsill and the birds"
+        " sing in the garden as rain falls on the quiet rooftops beyond"
+        " the hedge and the kettle hums in the kitchen downstairs"
+    )
+    docs = _docs(spark, [(1, short), (2, long), (3, OTHER)])
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(docs, k=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs
+    c_ab, c_ba = pairs[(1, 2)]
+    assert c_ab == 1.0  # every shingle of the short doc is in the long one
+    assert c_ba < 0.5  # asymmetry: the long doc is NOT contained in the short
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # symmetric Jaccard under-scores the same pair — the reason this
+    # operator exists
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.5
+
+
+def test_containment_blank_and_identical_docs(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _docs(spark, [(1, BASE), (2, BASE), (3, "")])
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2): (1.0, 1.0)}
