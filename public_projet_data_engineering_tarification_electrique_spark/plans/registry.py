@@ -3487,6 +3487,137 @@ def q129_tpch_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def q133_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the final Python-crossing flavor (scalar pandas_udf
+    q90, grouped-map q08, mapInPandas q20, cogrouped-map q120, UDTF
+    q46, applyInPandasWithState q28): the UDF receives raw
+    ``pyarrow.RecordBatch``es and answers with RecordBatches, no pandas
+    materialization at all — the lowest-overhead crossing for
+    columnar-native libraries (tokenizers, compression scanners,
+    Arrow-compute kernels). Computes per-doc byte length and space
+    count with ``pyarrow.compute`` kernels (zero-copy on the batch).
+    Integers only — exact parity; the oracle is the plain SQL
+    equivalent (octet length + space count)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _stats(batches):
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return docs.mapInArrow(
+        _stats, schema="doc_id long, n_bytes long, n_spaces long"
+    )
+
+
+#: Fixed-iteration PageRank constants: damping 0.85, 3 iterations,
+#: ranks carried as 1e-9-grid longs so every per-node sum is an exact
+#: integer in both engines (float summation order never matters).
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def q134_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer↔supplier trade graph
+    (distinct (c_custkey, s_suppkey) pairs from orders⋈lineitem, made
+    symmetric, so there are no dangling nodes) — the iterative-graph
+    representative of the engine, with a FULL value-level oracle:
+    because ranks live on a 1e-9 integer grid (per-iteration snap),
+    the neighbor-sum is a sum of longs — order-independent — and three
+    unrolled iterations in DuckDB CTEs reproduce Spark's loop
+    bit-for-bit. Spark side: the edge list and degrees materialize
+    once (localCheckpoint — the loop must not re-derive the join each
+    round), each iteration is one join + one hash agg on node id.
+
+    At 100 TB the edge shuffle dominates; this plan partitions the
+    loop's join and agg on the SAME node key so AQE reuses the
+    exchange, and the rank table (|V| rows, 2 columns) stays orders
+    smaller than the edges. Node ids are disambiguated as
+    2·custkey / 2·suppkey+1 (both sides share a key space)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = degrees.agg(F.count("*").alias("_n"))
+
+    # r0 = round(1e9 / N) — one long per node
+    ranks = degrees.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1e9) / F.col("_n").cast("double"), 0)
+        .cast("long").alias("r_e9"),
+        F.col("deg"),
+        F.col("_n"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                # share = round(r / deg) — double divide of exact
+                # integers, snapped back to the grid
+                F.round(
+                    F.col("r_e9").cast("double")
+                    / F.col("deg").cast("double"),
+                    0,
+                ).cast("long").alias("_share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = (
+            degrees.join(
+                contrib, degrees.src == contrib.node, how="left"
+            )
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("src").alias("node"),
+                (
+                    F.round(
+                        F.lit((1 - _PR_DAMP) * 1e9)
+                        / F.col("_n").cast("double"),
+                        0,
+                    ).cast("long")
+                    + F.round(
+                        F.lit(_PR_DAMP)
+                        * F.coalesce(F.col("_in"), F.lit(0))
+                        .cast("double"),
+                        0,
+                    ).cast("long")
+                ).alias("r_e9"),
+                F.col("deg"),
+                F.col("_n"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.round(F.col("r_e9") / 1e9, 9).alias("rank"),
+    )
+
+
 #: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
 #: and the standard Okapi constants.
 _BM25_TERMS = ("spark", "hash", "window")
@@ -5884,6 +6015,69 @@ ORACLE_SQL: dict[str, str] = {
                  AS target_docs
         FROM w, t
     """,
+    "q133_arrow_byte_stats": """
+        SELECT doc_id,
+               cast(strlen(text) AS BIGINT) AS n_bytes,
+               cast(len(text) - len(replace(text, ' ', '')) AS BIGINT)
+                 AS n_spaces
+        FROM documents
+    """,
+    "q134_pagerank_fixed": """
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), edges AS (
+          SELECT src, dst FROM pairs
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM pairs
+        ), deg AS (
+          SELECT src AS node, cast(count(*) AS BIGINT) AS deg
+          FROM edges GROUP BY 1
+        ), nn AS (
+          SELECT cast(count(*) AS BIGINT) AS n FROM deg
+        ), r0 AS (
+          SELECT node, deg,
+                 cast(round(1e9 / cast(n AS DOUBLE)) AS BIGINT) AS r
+          FROM deg, nn
+        ), c1 AS (
+          SELECT e.dst AS node,
+                 cast(sum(cast(round(cast(r AS DOUBLE)
+                       / cast(deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS i
+          FROM r0 JOIN edges e ON r0.node = e.src GROUP BY 1
+        ), r1 AS (
+          SELECT d.node, d.deg,
+                 cast(round(((1 - 0.85) * 1e9) / cast(n AS DOUBLE))
+                      AS BIGINT)
+                 + cast(round(0.85 * cast(coalesce(i, 0) AS DOUBLE))
+                        AS BIGINT) AS r
+          FROM deg d LEFT JOIN c1 ON d.node = c1.node, nn
+        ), c2 AS (
+          SELECT e.dst AS node,
+                 cast(sum(cast(round(cast(r AS DOUBLE)
+                       / cast(deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS i
+          FROM r1 JOIN edges e ON r1.node = e.src GROUP BY 1
+        ), r2 AS (
+          SELECT d.node, d.deg,
+                 cast(round(((1 - 0.85) * 1e9) / cast(n AS DOUBLE))
+                      AS BIGINT)
+                 + cast(round(0.85 * cast(coalesce(i, 0) AS DOUBLE))
+                        AS BIGINT) AS r
+          FROM deg d LEFT JOIN c2 ON d.node = c2.node, nn
+        ), c3 AS (
+          SELECT e.dst AS node,
+                 cast(sum(cast(round(cast(r AS DOUBLE)
+                       / cast(deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS i
+          FROM r2 JOIN edges e ON r2.node = e.src GROUP BY 1
+        ), r3 AS (
+          SELECT d.node, d.deg,
+                 cast(round(((1 - 0.85) * 1e9) / cast(n AS DOUBLE))
+                      AS BIGINT)
+                 + cast(round(0.85 * cast(coalesce(i, 0) AS DOUBLE))
+                        AS BIGINT) AS r
+          FROM deg d LEFT JOIN c3 ON d.node = c3.node, nn
+        )
+        SELECT node, round(r / 1e9, 9) AS rank FROM r3
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6019,6 +6213,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_bm25_topk": q130_bm25_topk,
     "q131_containment_dedup": q131_containment_dedup,
     "q132_mixture_temperature": q132_mixture_temperature,
+    "q133_arrow_byte_stats": q133_arrow_byte_stats,
+    "q134_pagerank_fixed": q134_pagerank_fixed,
 }
 
 

@@ -456,3 +456,37 @@ def test_chunk_overlap_no_subset_windows(spark):
     )
     assert [r["start_tok"] for r in rows2] == [1, 49]
     assert rows2[-1]["start_tok"] + rows2[-1]["chunk_tokens"] - 1 == 100
+
+
+def test_pagerank_ranks_sum_to_one(spark):
+    """Fixed-iteration PageRank: ranks stay a probability-ish vector
+    (positive, summing to ~1 — grid snapping loses at most 1e-9 per
+    node per iteration)."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        q134_pagerank_fixed,
+    )
+
+    rows = q134_pagerank_fixed(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["rank"] > 0 for r in rows)
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+
+
+def test_arrow_byte_stats_multibyte(spark):
+    """mapInArrow byte stats: n_bytes is BYTES (utf-8), not characters."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        q133_arrow_byte_stats,
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "héllo wörld"), (2, "a b")],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: (r["n_bytes"], r["n_spaces"])
+            for r in q133_arrow_byte_stats(spark, d).collect()
+        }
+    assert out[1] == (13, 1)  # 11 chars, 2 two-byte
+    assert out[2] == (3, 1)
