@@ -3618,6 +3618,134 @@ def q134_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q135_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: `df.observe`
+    attaches named aggregate metrics (row count, value sum, null
+    count) to a TRANSFORMATION, collected as a side-effect of the one
+    job that runs the real query — the Spark-native way to audit a
+    production pipeline without a second scan (vs q53's
+    audit-as-a-query). The observed metrics themselves are returned as
+    the result (1 row), so the driver hash pins both the mechanism and
+    the values. All integer-grid (counts + a 1e-2 value sum as long).
+
+    At 100 TB observe is free: metrics ride the existing task
+    completion events; no extra shuffle, no extra scan."""
+    from pyspark.sql import Observation
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    obs = Observation("audit")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 1e2, 0).cast("long")).alias(
+            "value_sum_e2"
+        ),
+        F.sum(
+            F.when(F.col("value").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_null_value"),
+    )
+    # run the real query; the metrics are a side-effect of this job
+    observed.filter(F.col("event_type") == "purchase").groupBy().agg(
+        F.count("*")
+    ).write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["value_sum_e2"]),
+                int(got["n_null_value"]),
+            )
+        ],
+        "n_rows long, value_sum_e2 long, n_null_value long",
+    )
+
+
+def q136_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): two parquet generations of
+    the same table — v1 without a column, v2 with an added `score`
+    column — unified by the reader; v1 rows surface NULL score, and an
+    aggregate distinguishes the generations. This is the
+    schema-on-read contract every long-lived warehouse table needs
+    (columns appended over time, old files never rewritten). The
+    oracle recomputes the same union semantics from the base table.
+
+    At 100 TB mergeSchema costs one footer read per file on planning —
+    the data path is unchanged; partition pruning still applies to the
+    generation directories."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0)
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "score", (F.col("n_chars") % 100).cast("long")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("score").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_v1_rows"),
+        F.sum(F.coalesce(F.col("score"), F.lit(0))).alias("score_sum"),
+    )
+
+
+def q137_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (dedup-aware curation signal): for each
+    document, the fraction of its distinct 3-gram shingles whose FIRST
+    appearance (minimum doc_id across the corpus) is this document —
+    1.0 for fully novel docs, → 0 for docs assembled from seen text.
+    The standard corpus-freshness metric behind 'novel tokens per
+    document' curves in dataset curation.
+
+    One explode → per-shingle min(doc_id) hash agg → rejoin on shingle
+    → per-doc ratio of integer counts. Both aggs are partial-agg
+    friendly; nothing is quadratic (no pair join at all — unlike
+    Jaccard/containment this is a per-doc statistic). Exact integer
+    counts; one division, rounded on the 1e-4 grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import word_shingles
+
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), 3))
+            ).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first_seen, on="sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") * 1.0 / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
 #: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
 #: and the standard Okapi constants.
 _BM25_TERMS = ("spark", "hash", "window")
@@ -6078,6 +6206,44 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT node, round(r / 1e9, 9) AS rank FROM r3
     """,
+    "q135_observed_metrics": """
+        SELECT cast(count(*) AS BIGINT) AS n_rows,
+               cast(sum(cast(round(value * 1e2) AS BIGINT)) AS BIGINT)
+                 AS value_sum_e2,
+               cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_value
+        FROM events
+    """,
+    "q136_schema_evolution": """
+        SELECT lang, count(*) AS n_docs,
+               cast(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v1_rows,
+               cast(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100
+                             ELSE 0 END) AS BIGINT) AS score_sum
+        FROM documents GROUP BY 1
+    """,
+    "q137_ngram_novelty": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END) AS sh
+          FROM toks
+        ), first_seen AS (
+          SELECT sh, min(doc_id) AS first FROM sh GROUP BY 1
+        )
+        SELECT doc_id, count(*) AS n_shingles,
+               cast(sum(CASE WHEN first = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN first = doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS novelty
+        FROM sh JOIN first_seen USING (sh)
+        GROUP BY doc_id
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6215,6 +6381,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_mixture_temperature": q132_mixture_temperature,
     "q133_arrow_byte_stats": q133_arrow_byte_stats,
     "q134_pagerank_fixed": q134_pagerank_fixed,
+    "q135_observed_metrics": q135_observed_metrics,
+    "q136_schema_evolution": q136_schema_evolution,
+    "q137_ngram_novelty": q137_ngram_novelty,
 }
 
 
