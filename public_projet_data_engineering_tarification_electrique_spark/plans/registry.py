@@ -3746,6 +3746,71 @@ def q137_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native `DataFrame.unpivot` (melt):
+    per-day conditional-sum counts for three event types (the wide
+    form q30's pivot produces), melted back to (day, event_type, n)
+    rows. Pivot (q30) and unpivot are the two halves of the reshaping
+    surface; unpivot is a zero-shuffle projection (each input row
+    emits V rows map-side — no exchange), so the only shuffle here is
+    the daily aggregate itself."""
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy(F.to_date("ts").alias("_day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long").alias("click"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long").alias("view"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("purchase"),
+        )
+    )
+    return (
+        wide.unpivot(
+            "_day", ["click", "view", "purchase"], "event_type", "n"
+        )
+        .select(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def q139_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint for replica reconciliation
+    (anti-entropy): per (returnflag, linestatus) stripe, a row count
+    plus two commutative digests of md5 row-hashes — a modular sum and
+    a bit_xor — over a canonical '|'-joined rendering of the integer
+    and flag columns. Two replicas agree iff every stripe row matches;
+    a mismatch localizes the divergent stripe without shipping data.
+    Commutative aggregates ⇒ partition- and order-insensitive at any
+    parallelism; md5 (not xxhash64) so the oracle reproduces digests
+    exactly. The 48-bit hash prefix is summed mod 1e9+7, so the sum
+    stays far inside int64 at any row count."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    d48 = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("long")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(d48 % F.lit(1000000007)).alias("sum_mod"),
+            F.bit_xor(d48).alias("xor48"),
+        )
+    )
+
+
 #: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
 #: and the standard Okapi constants.
 _BM25_TERMS = ("spark", "hash", "window")
@@ -6244,6 +6309,38 @@ ORACLE_SQL: dict[str, str] = {
         FROM sh JOIN first_seen USING (sh)
         GROUP BY doc_id
     """,
+    "q138_unpivot_daily": """
+        WITH wide AS (
+          SELECT cast(ts AS DATE) AS d,
+                 cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS click,
+                 cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS view,
+                 cast(sum(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END) AS BIGINT) AS purchase
+          FROM events GROUP BY 1
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n
+        FROM wide
+        UNPIVOT (n FOR event_type IN (click, view, purchase))
+    """,
+    "q139_table_checksum": """
+        WITH h AS (
+          SELECT l_returnflag, l_linestatus,
+                 ('0x' || substring(md5(concat_ws('|',
+                     cast(l_orderkey AS VARCHAR),
+                     cast(l_partkey AS VARCHAR),
+                     cast(l_suppkey AS VARCHAR),
+                     cast(l_linenumber AS VARCHAR),
+                     l_returnflag, l_linestatus)), 1, 12))::BIGINT AS d48
+          FROM lineitem
+        )
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               cast(sum(d48 % 1000000007) AS BIGINT) AS sum_mod,
+               bit_xor(d48) AS xor48
+        FROM h GROUP BY 1, 2
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6384,6 +6481,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_observed_metrics": q135_observed_metrics,
     "q136_schema_evolution": q136_schema_evolution,
     "q137_ngram_novelty": q137_ngram_novelty,
+    "q138_unpivot_daily": q138_unpivot_daily,
+    "q139_table_checksum": q139_table_checksum,
 }
 
 
