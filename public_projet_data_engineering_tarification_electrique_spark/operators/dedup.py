@@ -198,6 +198,25 @@ def ngram_jaccard_pairs(
     whose ONLY overlap is ultra-common shingles are deliberately not
     near-dups under this metric.
     """
+    pairs = _shingle_pair_counts(docs, k, text_col, id_col, max_df)
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _shingle_pair_counts(
+    docs: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared candidate-pair machinery for every shingle-overlap metric
+    (Jaccard, containment): blocked self-join on shared shingles with
+    the df cap, returning (id_a, id_b, inter, na, nb) — the metric is
+    a cheap projection on top."""
     # The shingle table is consumed three times (sizes + both join sides):
     # compute it once, in parallel (a small documents file arrives as ONE
     # parquet split — without repartition the whole shingling stage would
@@ -226,12 +245,8 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(F.broadcast(sa), on="id_a")
-        .join(F.broadcast(sb), on="id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    return inter.join(F.broadcast(sa), on="id_a").join(
+        F.broadcast(sb), on="id_b"
     )
 
 
@@ -257,37 +272,11 @@ def containment_pairs(
     containment clears ``threshold``; both directions are reported.
     All counts are integers — the ratios are single exact divisions,
     deterministic cross-engine."""
-    sh = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), k))
-        ).alias("sh"),
-    ).localCheckpoint(eager=True)
-    if max_df is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("sh")
-        )
-        sh = sh.join(rare, on="sh")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, on="sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    pairs = _shingle_pair_counts(docs, k, text_col, id_col, max_df)
     c_ab = F.col("inter") * 1.0 / F.col("na")
     c_ba = F.col("inter") * 1.0 / F.col("nb")
     return (
-        inter.join(F.broadcast(sa), on="id_a")
-        .join(F.broadcast(sb), on="id_b")
-        .filter((c_ab >= threshold) | (c_ba >= threshold))
+        pairs.filter((c_ab >= threshold) | (c_ba >= threshold))
         .select(
             "id_a",
             "id_b",

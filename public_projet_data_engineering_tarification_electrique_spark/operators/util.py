@@ -2,9 +2,29 @@
 
 from __future__ import annotations
 
+import atexit
 import contextlib
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp directory under ONE session-scoped root that is removed
+    at interpreter exit — the shared allocator for every query/stream
+    that needs a sink, landing zone, or checkpoint location. Plain
+    ``tempfile.mkdtemp`` leaks a directory per invocation (a
+    parity-gate + bench loop runs every query several times per
+    round); routing them through a single atexit-cleaned root bounds
+    /tmp growth to one tree per process."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_engine_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

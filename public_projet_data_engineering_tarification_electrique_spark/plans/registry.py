@@ -32,6 +32,7 @@ from ..functions import text as X
 from ..operators.forecast import ols_forecast
 from ..operators.ingest import bootstrap_annual_pipeline, daily_downsample
 from ..operators.pricing import score_requests
+from ..operators.util import scratch_dir
 from ..sources.tables import load_table
 
 RUN_DATE = "2024-01-30"
@@ -2142,7 +2143,6 @@ def q95_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declared schema (inference banned), join region and aggregate.
     The oracle computes the same aggregate from the parquet directly —
     value parity proves the CSV roundtrip is lossless."""
-    import tempfile
 
     from ..sources.readers import read_csv
     from ..sources.writers import write_csv
@@ -2150,7 +2150,7 @@ def q95_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    out = tempfile.mkdtemp(prefix="csv_rt_")
+    out = scratch_dir("csv_rt_")
     write_csv(nation, out)
     back = read_csv(
         spark,
@@ -2205,7 +2205,6 @@ def q97_materialize_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     second call must hit the _SUCCESS-guarded artifact), then aggregate
     the REREAD frame. Oracle recomputes from source parquet — parity
     proves the cached artifact equals the computation it replaced."""
-    import tempfile
 
     from ..sources.writers import materialize_once
 
@@ -2213,7 +2212,7 @@ def q97_materialize_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.to_date("ts").alias("date"), "event_type"
     ).agg(F.count("*").alias("n"))
-    path = tempfile.mkdtemp(prefix="mat_once_") + "/daily"
+    path = scratch_dir("mat_once_") + "/daily"
     materialize_once(daily, path)  # first call: computes and writes
     cached = materialize_once(daily, path)  # second call: reads artifact
     return cached.groupBy("event_type").agg(
@@ -2229,12 +2228,11 @@ def q98_stream_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     store), and emits (code_commune, status, price) continuously. With
     availableNow over the finite landing dir the emission equals the
     batch scorer row-for-row, so q94's oracle is exact."""
-    import tempfile
 
     from ..streaming.serving import stream_score_requests
 
     salted = _salted_requests(spark, sf_dir)
-    landing = tempfile.mkdtemp(prefix="req_landing_")
+    landing = scratch_dir("req_landing_")
     salted.write.mode("overwrite").parquet(landing)
     return stream_score_requests(
         spark,
@@ -2943,7 +2941,6 @@ def q118_backfill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives testdata regeneration; this is a pipeline query (it writes
     a warehouse dir), so the tiny date-pick collect is inherent, like
     q19/q97."""
-    import tempfile
 
     from ..operators.ingest import backfill_daily
 
@@ -2955,7 +2952,7 @@ def q118_backfill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(dates)
     split = dates[n * 6 // 10]
     bf_start, bf_end = dates[n * 4 // 10], dates[min(n - 1, n * 8 // 10)]
-    out = tempfile.mkdtemp(prefix="backfill_q118_")
+    out = scratch_dir("backfill_q118_")
     daily.filter(F.col("date") < F.lit(split)).write.mode(
         "overwrite"
     ).partitionBy("date").parquet(out)
@@ -3570,7 +3567,6 @@ def q134_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1e9) / F.col("_n").cast("double"), 0)
         .cast("long").alias("r_e9"),
         F.col("deg"),
-        F.col("_n"),
     )
     for _ in range(_PR_ITERS):
         contrib = (
@@ -3609,7 +3605,6 @@ def q134_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long")
                 ).alias("r_e9"),
                 F.col("deg"),
-                F.col("_n"),
             )
         )
     return ranks.select(
@@ -3676,12 +3671,11 @@ def q136_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data path is unchanged; partition pruning still applies to the
     generation directories."""
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    root = tempfile.mkdtemp(prefix="schema_evo_")
+    root = scratch_dir("schema_evo_")
     v1 = docs.filter(F.col("doc_id") % 2 == 0)
     v2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
         "score", (F.col("n_chars") % 100).cast("long")
@@ -3713,9 +3707,13 @@ def q137_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     friendly; nothing is quadratic (no pair join at all — unlike
     Jaccard/containment this is a per-doc statistic). Exact integer
     counts; one division, rounded on the 1e-4 grid."""
-    docs = load_table(spark, sf_dir, "documents")
     from ..functions.text import word_shingles
+    from ..operators.util import ensure_parallelism
 
+    # ensure_parallelism: a small documents file arrives as ONE parquet
+    # split — without it the shingling stage and BOTH consumers of the
+    # checkpoint would run on a single core (dedup.py:201 hazard)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sh = (
         docs.select(
             "doc_id",
@@ -3788,8 +3786,10 @@ def q139_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     a mismatch localizes the divergent stripe without shipping data.
     Commutative aggregates ⇒ partition- and order-insensitive at any
     parallelism; md5 (not xxhash64) so the oracle reproduces digests
-    exactly. The 48-bit hash prefix is summed mod 1e9+7, so the sum
-    stays far inside int64 at any row count."""
+    exactly. The per-row mod-1e9+7 terms accumulate in a
+    decimal(38,0) (int128 in DuckDB) and the FINAL sum is reduced mod
+    p again — overflow-free to ~1e28 rows per stripe, and the
+    reported digest stays a plain long."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     row_str = F.concat_ws(
         "|",
@@ -3805,7 +3805,10 @@ def q139_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(d48 % F.lit(1000000007)).alias("sum_mod"),
+            (
+                F.sum((d48 % F.lit(1000000007)).cast("decimal(38,0)"))
+                % F.lit(1000000007)
+            ).cast("long").alias("sum_mod"),
             F.bit_xor(d48).alias("xor48"),
         )
     )
@@ -6337,7 +6340,8 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_rows,
-               cast(sum(d48 % 1000000007) AS BIGINT) AS sum_mod,
+               cast(sum(d48 % 1000000007) % 1000000007 AS BIGINT)
+                 AS sum_mod,
                bit_xor(d48) AS xor48
         FROM h GROUP BY 1, 2
     """,

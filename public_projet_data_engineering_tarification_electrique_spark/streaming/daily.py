@@ -18,13 +18,12 @@ the exact semantics of the reference's nightly 02:30 batch.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.util import pinned_shuffle_partitions
+from ..operators.util import pinned_shuffle_partitions, scratch_dir
 from ..session import configure
 
 #: A stateful streaming query materializes one state store PER shuffle
@@ -54,7 +53,7 @@ def stage_landing(events_path: str, prefix: str = "landing_") -> str:
     """File streams need a landing DIRECTORY; when pointed at a single
     parquet file (the driver testdata layout), stage a symlink dir."""
     if os.path.isfile(events_path):
-        landing = tempfile.mkdtemp(prefix=prefix)
+        landing = scratch_dir(prefix)
         os.symlink(
             events_path, os.path.join(landing, os.path.basename(events_path))
         )
@@ -114,7 +113,7 @@ def stream_daily_event_avg(
     a streaming windowed aggregation with a late-data watermark.
     """
     configure(spark)
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_daily_")
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_daily_")
     table = f"daily_event_avg_{uuid.uuid4().hex[:8]}"
     src = events_stream(spark, stage_landing(events_path, "landing_daily_"))
     agg = (
@@ -200,7 +199,7 @@ def stream_enriched_daily(
     downstream window aggregate is stateful).
     """
     configure(spark)
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_enrich_")
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_enrich_")
     table = f"enriched_daily_{uuid.uuid4().hex[:8]}"
     stage_dim = F.broadcast(
         spark.createDataFrame(
@@ -255,7 +254,7 @@ def stream_stream_click_error_join(
     so the batch interval-join SQL is an exact oracle.
     """
     configure(spark)
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ssj_")
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_ssj_")
     table = f"ssj_{uuid.uuid4().hex[:8]}"
     events_path = stage_landing(events_path, "landing_ssj_")
 

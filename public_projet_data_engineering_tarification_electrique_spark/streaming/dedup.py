@@ -12,7 +12,6 @@ state forever — deliberately not used.)
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..session import configure
 from .daily import events_stream, stage_landing, stream_shuffle_partitions
+from ..operators.util import scratch_dir
 
 
 def stream_dedup_events(
@@ -32,7 +32,7 @@ def stream_dedup_events(
     """availableNow stream over the landing path, emitting each event_id
     at most once per watermark window; returns the deduped rows."""
     configure(spark)
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_dedup_")
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_dedup_")
     table = f"dedup_{uuid.uuid4().hex[:8]}"
     src = (
         events_stream(spark, stage_landing(events_path, "landing_dedup_"))

@@ -15,7 +15,6 @@ EXACT oracle for the stream.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.pricing import score_requests_with_status
 from ..session import configure
 from .daily import stream_shuffle_partitions
+from ..operators.util import scratch_dir
 
 #: declared landing schema for request files (schema inference on a
 #: stream source is banned — same discipline as sources.readers)
@@ -53,7 +53,7 @@ def stream_score_requests(
     identical to the batch scorer's shape.
     """
     configure(spark)
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_serve_")
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_serve_")
     table = f"served_{uuid.uuid4().hex[:8]}"
     src = (
         spark.readStream.schema(REQUESTS_LANDING_SCHEMA)

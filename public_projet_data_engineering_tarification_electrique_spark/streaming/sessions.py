@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import math
 import os
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -37,6 +36,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..session import configure
 from .daily import events_stream, stage_landing, stream_shuffle_partitions
+from ..operators.util import scratch_dir
 
 OUTPUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
@@ -168,7 +168,7 @@ def stream_sessionize(
     comparing against the batch twin should compare the closed prefix.
     """
     configure(spark)
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_sess_")
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_sess_")
     # Durable emission sink UNDER the checkpoint: the memory sink
     # cannot recover from a checkpoint ("This query does not support
     # recovering..."), so the advertised incremental resume only works

@@ -18,13 +18,13 @@ O(affected buckets), not O(table).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import configure
 from .daily import events_stream, stage_landing, stream_shuffle_partitions
+from ..operators.util import scratch_dir
 
 STATE_SCHEMA = (
     "user_id long, last_event_id long, last_value double, last_ts_us long, "
@@ -118,7 +118,7 @@ def stream_upsert_latest(
             "checkpoint's incremental key emissions are only complete "
             "relative to the state table built alongside it"
         )
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_upsert_")
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_upsert_")
     # NOT "<checkpoint>/state": the streaming engine owns that exact
     # subdirectory for its state store, and parquet partition discovery
     # over a mixed dir fails with CONFLICTING_DIRECTORY_STRUCTURES

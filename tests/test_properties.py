@@ -173,7 +173,11 @@ def test_chunk_with_overlap_invariants(spark, texts, size, stride):
         if n == 0:
             assert not got
             continue
-        expected_starts = list(range(1, n + 1, stride))
+        # mirror the operator's subset-window rule: the start grid stops
+        # once a window reaches the document end (bound n − size +
+        # stride), so no trailing window fully contained in the previous
+        # one is emitted (operators/packing.py chunk_with_overlap)
+        expected_starts = list(range(1, max(1, n - size + stride) + 1, stride))
         assert [r.start_tok for r in got] == expected_starts
         assert [r.chunk_id for r in got] == list(range(len(expected_starts)))
         for r in got:
