@@ -3814,6 +3814,132 @@ def q139_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q140_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — EXCEPT ALL / INTERSECT ALL (q39 covers
+    the DISTINCT variants): per-(user, event_type) activity multisets
+    of the first vs second half of the month, where duplicate
+    occurrences MUST survive (a user with 3 clicks early and 1 late
+    has 2 surviving early clicks — the bag difference). Spark compiles
+    both to a counted-aggregate + generate plan (no distinct
+    collapse); the counts are what the driver hash pins."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("_d")
+    )
+    early = events.filter(F.col("_d") < "2024-01-16").select(
+        "user_id", "event_type"
+    )
+    late = events.filter(F.col("_d") >= "2024-01-16").select(
+        "user_id", "event_type"
+    )
+    surviving = early.exceptAll(late)
+    common = early.intersectAll(late)
+    return (
+        surviving.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_survive"))
+        .join(
+            common.groupBy("user_id", "event_type").agg(
+                F.count("*").alias("n_common")
+            ),
+            on=["user_id", "event_type"],
+            how="outer",
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce("n_survive", F.lit(0)).alias("n_survive"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        )
+    )
+
+
+def q141_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-text surface): each region's 3
+    highest-balance customers via `, LATERAL (SELECT … WHERE correlated
+    ORDER BY … LIMIT 3)` — the per-row-subquery formulation of top-k
+    per group (q49 is the window formulation). Catalyst decorrelates
+    the lateral into a ranked join, so both formulations share the
+    same physical shape; ties broken by c_custkey for a total order."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_v"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_v"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_custkey, top.c_name,
+               round(top.c_acctbal, 2) AS c_acctbal
+        FROM nation_v n,
+        LATERAL (
+          SELECT c_custkey, c_name, c_acctbal
+          FROM customer_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) AS top
+        """
+    )
+
+
+def q142_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window over event time (q35's moving average is
+    ROWS-framed): per user, the count and 1e-2-grid sum of events in
+    the trailing 1-hour interval ENDING at each event — frame bounds
+    defined by value distance (seconds), not row offsets, so ties and
+    gaps behave correctly. Spark: `rangeBetween(-3599, 0)` over epoch
+    seconds; oracle: `RANGE BETWEEN INTERVAL 59 MINUTES 59 SECONDS
+    PRECEDING AND CURRENT ROW`. Output keyed by (user, event) —
+    integer counts and grid sums only."""
+    events = load_table(spark, sf_dir, "events", raw=True).select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000000000").alias("_sec"),
+        F.round(F.col("value") * 1e2, 0).cast("long").alias("_v_e2"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum("_v_e2").over(w).alias("sum_e2_trailing_1h"),
+    )
+
+
+def q143_window_funcs_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function completeness sweep in ONE pass (q07 lead, q35
+    moving avg, q49 row_number, q72 ntile are the scattered uses):
+    lag, lead, first_value, last_value, nth_value, percent_rank,
+    cume_dist and rank over a per-user event timeline, all sharing one
+    (user, ts, event_id) sort — one Exchange + one Sort feeds all
+    eight functions. Rank functions are over the deterministic
+    (ts, event_id) total order; percent_rank/cume_dist are exact
+    rationals of integer ranks — grid-rounded identically."""
+    events = load_table(spark, sf_dir, "events", raw=True).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("_ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_ts_us", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.first("event_id").over(wf).alias("first_event"),
+        F.last("event_id").over(wf).alias("last_event"),
+        F.nth_value("event_id", 2).over(wf).alias("second_event"),
+        F.rank().over(w).alias("rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 #: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
 #: and the standard Okapi constants.
 _BM25_TERMS = ("spark", "hash", "window")
@@ -6345,6 +6471,73 @@ ORACLE_SQL: dict[str, str] = {
                bit_xor(d48) AS xor48
         FROM h GROUP BY 1, 2
     """,
+    "q140_set_ops_all": """
+        WITH e AS (
+          SELECT user_id, event_type, cast(ts AS DATE) AS d FROM events
+        ), early AS (
+          SELECT user_id, event_type FROM e WHERE d < DATE '2024-01-16'
+        ), late AS (
+          SELECT user_id, event_type FROM e WHERE d >= DATE '2024-01-16'
+        ), surv AS (
+          SELECT * FROM early EXCEPT ALL SELECT * FROM late
+        ), comm AS (
+          SELECT * FROM early INTERSECT ALL SELECT * FROM late
+        ), s AS (
+          SELECT user_id, event_type, count(*) AS n_survive
+          FROM surv GROUP BY 1, 2
+        ), c AS (
+          SELECT user_id, event_type, count(*) AS n_common
+          FROM comm GROUP BY 1, 2
+        )
+        SELECT coalesce(s.user_id, c.user_id) AS user_id,
+               coalesce(s.event_type, c.event_type) AS event_type,
+               coalesce(n_survive, 0) AS n_survive,
+               coalesce(n_common, 0) AS n_common
+        FROM s FULL OUTER JOIN c
+          ON s.user_id = c.user_id AND s.event_type = c.event_type
+    """,
+    "q141_lateral_topk": """
+        SELECT n.n_name, top.c_custkey, top.c_name,
+               round(top.c_acctbal, 2) AS c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, c_name, c_acctbal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) AS top
+    """,
+    "q142_time_range_frame": """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 epoch_ns(ts) // 1000000000 AS sec,
+                 cast(round(value * 1e2) AS BIGINT) AS v_e2
+          FROM events
+        )
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_trailing_1h,
+               cast(sum(v_e2) OVER w AS BIGINT) AS sum_e2_trailing_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    "q143_window_funcs_complete": """
+        SELECT event_id, user_id,
+               lag(event_type, 1) OVER w AS prev_type,
+               lead(event_type, 1) OVER w AS next_type,
+               first_value(event_id) OVER wf AS first_event,
+               last_value(event_id) OVER wf AS last_event,
+               nth_value(event_id, 2) OVER wf AS second_event,
+               cast(rank() OVER w AS BIGINT) AS rnk,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6487,6 +6680,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q137_ngram_novelty": q137_ngram_novelty,
     "q138_unpivot_daily": q138_unpivot_daily,
     "q139_table_checksum": q139_table_checksum,
+    "q140_set_ops_all": q140_set_ops_all,
+    "q141_lateral_topk": q141_lateral_topk,
+    "q142_time_range_frame": q142_time_range_frame,
+    "q143_window_funcs_complete": q143_window_funcs_complete,
 }
 
 
