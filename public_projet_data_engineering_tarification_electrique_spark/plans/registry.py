@@ -3946,6 +3946,73 @@ def q143_window_funcs_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two
+    per-bucket aggregates joined on a NULLABLE bucket key where the
+    NULL bucket ('unknown') must match the NULL bucket — the dimension
+    join every warehouse needs for rows whose key is legitimately
+    unknown (a plain `=` silently drops them; the classic silent-loss
+    bug). The key is derived deterministically (user_id % 7, with
+    bucket 0 mapped to NULL); the driver hash pins that exactly one
+    NULL row survives the join with both sides' counts."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.when(
+        F.col("user_id") % 7 == 0, F.lit(None).cast("long")
+    ).otherwise(F.col("user_id") % 7)
+    all_ev = events.select(k.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_all")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(k.alias("_pb"))
+        .groupBy("_pb")
+        .agg(F.count("*").alias("n_purchase"))
+    )
+    return (
+        all_ev.join(
+            purchases, all_ev.bucket.eqNullSafe(purchases._pb)
+        )
+        .select("bucket", "n_all", "n_purchase")
+    )
+
+
+def q145_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive — one round of BPE merge
+    statistics: adjacent character-pair frequencies across the corpus
+    vocabulary, weighted by token occurrence counts; the top pair is
+    exactly the first BPE merge. Two-level aggregation keeps the
+    scan's explode bounded by VOCABULARY (distinct tokens), not corpus
+    token count — the same map-side-combining trick as SimHash's
+    distinct-(doc,token) stage; at 100 TB the pair table is tiny
+    (vocab × token length) regardless of corpus size. Top-20 via
+    TakeOrdered on the exact integer count with a total-order
+    tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(X.nonempty_tokens(F.lower(F.col("text")))).alias("_tok")
+        )
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.length("_tok") >= 2)
+    )
+    pairs = vocab.select(
+        "_cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(_tok) - 1),"
+                " i -> substring(_tok, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("_cnt").alias("n"))
+    top = counted.orderBy(F.col("n").desc(), F.col("pair")).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.withColumn("merge_rank", F.row_number().over(w)).select(
+        "merge_rank", "pair", "n"
+    )
+
+
 #: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
 #: and the standard Okapi constants.
 _BM25_TERMS = ("spark", "hash", "window")
@@ -6544,6 +6611,45 @@ ORACLE_SQL: dict[str, str] = {
                       ROWS BETWEEN UNBOUNDED PRECEDING
                       AND UNBOUNDED FOLLOWING)
     """,
+    "q144_nullsafe_join": """
+        WITH k AS (
+          SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+                      ELSE user_id % 7 END AS bucket,
+                 event_type
+          FROM events
+        ), a AS (
+          SELECT bucket, count(*) AS n_all FROM k GROUP BY 1
+        ), p AS (
+          SELECT bucket AS pb, count(*) AS n_purchase
+          FROM k WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT bucket, n_all, n_purchase
+        FROM a JOIN p ON a.bucket IS NOT DISTINCT FROM p.pb
+    """,
+    "q145_bpe_pair_counts": """
+        WITH vocab AS (
+          SELECT tok, cast(count(*) AS BIGINT) AS cnt
+          FROM (
+            SELECT unnest(list_filter(
+              string_split_regex(trim(lower(text)), '\\s+'),
+              x -> x <> '')) AS tok
+            FROM documents)
+          GROUP BY 1 HAVING length(tok) >= 2
+        ), pairs AS (
+          SELECT unnest(list_transform(range(1, length(tok)),
+                        i -> tok[i : i + 1])) AS pair,
+                 cnt
+          FROM vocab
+        ), counted AS (
+          SELECT pair, cast(sum(cnt) AS BIGINT) AS n
+          FROM pairs GROUP BY 1
+        )
+        SELECT cast(row_number() OVER (ORDER BY n DESC, pair)
+                    AS INTEGER) AS merge_rank,
+               pair, n
+        FROM counted
+        ORDER BY n DESC, pair LIMIT 20
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6690,6 +6796,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q141_lateral_topk": q141_lateral_topk,
     "q142_time_range_frame": q142_time_range_frame,
     "q143_window_funcs_complete": q143_window_funcs_complete,
+    "q144_nullsafe_join": q144_nullsafe_join,
+    "q145_bpe_pair_counts": q145_bpe_pair_counts,
 }
 
 
