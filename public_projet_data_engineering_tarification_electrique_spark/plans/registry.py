@@ -4013,6 +4013,71 @@ def q145_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over per-user behavior baskets:
+    support, directional confidence, and lift for every unordered
+    event-type pair — the A-priori statistics at the 2-itemset level.
+    The basket is the distinct per-user type set, so the self-join is
+    bounded by |types|² per user (≤ 25 rows), NOT event count — the
+    join input collapses 100 TB of events to |users|·|types| rows
+    first. Lift is computed as (n_ab·N)/(n_a·n_b): integer products
+    first, ONE double division last — deterministic cross-engine;
+    support/confidence are single divisions of exact longs."""
+    baskets = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_users = baskets.select("user_id").distinct().agg(
+        F.count("*").alias("_n")
+    )
+    type_counts = baskets.groupBy("event_type").agg(
+        F.count("*").alias("_n_t")
+    )
+    a = baskets.select(
+        "user_id", F.col("event_type").alias("type_a")
+    )
+    b = baskets.select(
+        "user_id", F.col("event_type").alias("type_b")
+    )
+    pair_counts = (
+        a.join(b, on="user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("_n_ab"))
+    )
+    na = type_counts.select(
+        F.col("event_type").alias("type_a"), F.col("_n_t").alias("_n_a")
+    )
+    nb = type_counts.select(
+        F.col("event_type").alias("type_b"), F.col("_n_t").alias("_n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(na), on="type_a")
+        .join(F.broadcast(nb), on="type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("_n_ab").alias("n_both"),
+            F.round(F.col("_n_ab") * 1.0 / F.col("_n"), 6).alias("support"),
+            F.round(F.col("_n_ab") * 1.0 / F.col("_n_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("_n_ab") * 1.0 / F.col("_n_b"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                (F.col("_n_ab") * F.col("_n"))
+                * 1.0
+                / (F.col("_n_a") * F.col("_n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 #: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
 #: and the standard Okapi constants.
 _BM25_TERMS = ("spark", "hash", "window")
@@ -6650,6 +6715,30 @@ ORACLE_SQL: dict[str, str] = {
         FROM counted
         ORDER BY n DESC, pair LIMIT 20
     """,
+    "q146_market_basket": """
+        WITH baskets AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ), nu AS (
+          SELECT cast(count(DISTINCT user_id) AS BIGINT) AS n FROM baskets
+        ), tc AS (
+          SELECT event_type, cast(count(*) AS BIGINT) AS n_t
+          FROM baskets GROUP BY 1
+        ), pc AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 cast(count(*) AS BIGINT) AS n_ab
+          FROM baskets a JOIN baskets b ON a.user_id = b.user_id
+          WHERE a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_ab AS n_both,
+               round(n_ab * 1.0 / n, 6) AS support,
+               round(n_ab * 1.0 / ta.n_t, 6) AS conf_a_to_b,
+               round(n_ab * 1.0 / tb.n_t, 6) AS conf_b_to_a,
+               round((n_ab * n) * 1.0 / (ta.n_t * tb.n_t), 6) AS lift
+        FROM pc
+        JOIN tc ta ON pc.type_a = ta.event_type
+        JOIN tc tb ON pc.type_b = tb.event_type, nu
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6798,6 +6887,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_window_funcs_complete": q143_window_funcs_complete,
     "q144_nullsafe_join": q144_nullsafe_join,
     "q145_bpe_pair_counts": q145_bpe_pair_counts,
+    "q146_market_basket": q146_market_basket,
 }
 
 
