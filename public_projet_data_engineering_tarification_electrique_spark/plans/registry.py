@@ -4078,6 +4078,63 @@ def q146_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API — executor-side paginated ingest
+    (sources/pyds.py): `partitions()` declares one input split per API
+    page, each TASK pulls its own page (the distributed upgrade of the
+    reference's driver-side REST fetch, reference:
+    0_insert_conso_an_ville_in_bq.py:20-34). The page payload is the
+    deterministic synthetic generator (hermetic — no network in the
+    gate); amounts are exact quarters so the per-category aggregate is
+    float-order-independent and the oracle regenerates it exactly
+    from `range()`. 8 pages × 100 rows; the physical plan shows 8
+    input partitions — fetch parallelism == pagination."""
+    from ..sources.pyds import PagedApiDataSource
+
+    # idempotent per session: re-registering the same name is an error
+    if not getattr(spark, "_paged_api_registered", False):
+        spark.dataSource.register(PagedApiDataSource)
+        spark._paged_api_registered = True
+    df = (
+        spark.read.format("paged_api")
+        .option("pages", "8")
+        .option("page_size", "100")
+        .load()
+    )
+    return df.groupBy("category").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("page").alias("n_pages"),
+        F.sum("amount").alias("total_amount"),
+    )
+
+
+def q148_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType semi-structured path: `parse_json` the
+    events props payload ONCE into a Variant (binary, typed,
+    predicate-friendly — the modern engine answer to string-JSON
+    re-parsing, vs q32's per-access get_json_object), then
+    `variant_get` typed fields out of it. Per event-type stats over
+    the extracted int: exact integer min/max/sum and a 6-dp mean
+    (sum/count of exact longs — deterministic division)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("_v")
+    )
+    k = F.variant_get(F.col("_v"), "$.k", "int").cast("long")
+    return (
+        events.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+            F.sum("_k").alias("k_sum"),
+            F.round(
+                F.sum("_k").cast("double") / F.count("*").cast("double"), 6
+            ).alias("k_mean"),
+        )
+    )
+
+
 #: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
 #: and the standard Okapi constants.
 _BM25_TERMS = ("spark", "hash", "window")
@@ -6739,6 +6796,29 @@ ORACLE_SQL: dict[str, str] = {
         JOIN tc ta ON pc.type_a = ta.event_type
         JOIN tc tb ON pc.type_b = tb.event_type, nu
     """,
+    "q147_python_datasource": """
+        WITH r AS (
+          SELECT unnest(range(0, 800)) AS rid
+        )
+        SELECT 'cat' || cast(rid % 5 AS VARCHAR) AS category,
+               count(*) AS n,
+               cast(count(DISTINCT rid // 100) AS BIGINT) AS n_pages,
+               sum((rid % 997) * 0.25) AS total_amount
+        FROM r GROUP BY 1
+    """,
+    "q148_variant_json": """
+        WITH k AS (
+          SELECT event_type,
+                 cast(json_extract(props, '$.k') AS BIGINT) AS kk
+          FROM events
+        )
+        SELECT event_type, count(*) AS n,
+               min(kk) AS k_min, max(kk) AS k_max,
+               cast(sum(kk) AS BIGINT) AS k_sum,
+               round(cast(sum(kk) AS DOUBLE) / cast(count(*) AS DOUBLE), 6)
+                 AS k_mean
+        FROM k GROUP BY 1
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6888,6 +6968,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q144_nullsafe_join": q144_nullsafe_join,
     "q145_bpe_pair_counts": q145_bpe_pair_counts,
     "q146_market_basket": q146_market_basket,
+    "q147_python_datasource": q147_python_datasource,
+    "q148_variant_json": q148_variant_json,
 }
 
 

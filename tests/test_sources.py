@@ -253,3 +253,32 @@ def test_compact_parquet_reduces_files_losslessly(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 4000
     assert back.agg(F.sum("v")).head()[0] == df.agg(F.sum("v")).head()[0]
+
+
+def test_python_datasource_partition_parallel(spark):
+    """Spark 4 Python DataSource (sources/pyds.py): one input split per
+    API page — the scan's partition count equals the page count, and
+    each page's rows carry its page id (executor-side fetch, not a
+    driver loop)."""
+    from public_projet_data_engineering_tarification_electrique_spark.sources.pyds import (
+        PagedApiDataSource,
+    )
+
+    if not getattr(spark, "_paged_api_registered", False):
+        spark.dataSource.register(PagedApiDataSource)
+        spark._paged_api_registered = True
+    df = (
+        spark.read.format("paged_api")
+        .option("pages", "4")
+        .option("page_size", "10")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 40
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r.page, []).append(r.row_id)
+    assert set(by_page) == {0, 1, 2, 3}
+    for p, ids in by_page.items():
+        assert sorted(ids) == list(range(p * 10, p * 10 + 10))
