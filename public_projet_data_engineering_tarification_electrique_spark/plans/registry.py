@@ -3828,8 +3828,12 @@ def q140_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     has 2 surviving early clicks — the bag difference). Spark compiles
     both to a counted-aggregate + generate plan (no distinct
     collapse); the counts are what the driver hash pins."""
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.to_date("ts").alias("_d")
+    # project once and checkpoint: early/late are each consumed by BOTH
+    # set operations — without this the events scan runs four times
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.to_date("ts").alias("_d"))
+        .localCheckpoint(eager=True)
     )
     early = events.filter(F.col("_d") < "2024-01-16").select(
         "user_id", "event_type"
@@ -3892,10 +3896,10 @@ def q142_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS-framed): per user, the count and 1e-2-grid sum of events in
     the trailing 1-hour interval ENDING at each event — frame bounds
     defined by value distance (seconds), not row offsets, so ties and
-    gaps behave correctly. Spark: `rangeBetween(-3599, 0)` over epoch
-    seconds; oracle: `RANGE BETWEEN INTERVAL 59 MINUTES 59 SECONDS
-    PRECEDING AND CURRENT ROW`. Output keyed by (user, event) —
-    integer counts and grid sums only."""
+    gaps behave correctly. Both sides frame over INTEGER epoch seconds
+    (`rangeBetween(-3599, 0)`; oracle `RANGE BETWEEN 3599 PRECEDING
+    AND CURRENT ROW` on epoch_ns//1e9) — 3599 s ≡ 59 m 59 s. Output
+    keyed by (user, event) — integer counts and grid sums only."""
     events = load_table(spark, sf_dir, "events", raw=True).select(
         "event_id",
         "user_id",
@@ -4089,12 +4093,9 @@ def q147_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-order-independent and the oracle regenerates it exactly
     from `range()`. 8 pages × 100 rows; the physical plan shows 8
     input partitions — fetch parallelism == pagination."""
-    from ..sources.pyds import PagedApiDataSource
+    from ..sources.pyds import register_paged_api
 
-    # idempotent per session: re-registering the same name is an error
-    if not getattr(spark, "_paged_api_registered", False):
-        spark.dataSource.register(PagedApiDataSource)
-        spark._paged_api_registered = True
+    register_paged_api(spark)
     df = (
         spark.read.format("paged_api")
         .option("pages", "8")
@@ -6728,8 +6729,10 @@ ORACLE_SQL: dict[str, str] = {
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist() OVER w, 6) AS cume
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_ns(ts) // 1000, event_id),
+               wf AS (PARTITION BY user_id
+                      ORDER BY epoch_ns(ts) // 1000, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING
                       AND UNBOUNDED FOLLOWING)
     """,

@@ -66,3 +66,12 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema) -> PagedApiReader:
         return PagedApiReader(self.options)
+
+
+def register_paged_api(spark) -> None:
+    """Idempotent per-session registration — re-registering the same
+    format name raises, so every consumer goes through this ONE
+    guard (session-attribute flag) instead of rolling its own."""
+    if not getattr(spark, "_paged_api_registered", False):
+        spark.dataSource.register(PagedApiDataSource)
+        spark._paged_api_registered = True

@@ -261,12 +261,10 @@ def test_python_datasource_partition_parallel(spark):
     each page's rows carry its page id (executor-side fetch, not a
     driver loop)."""
     from public_projet_data_engineering_tarification_electrique_spark.sources.pyds import (
-        PagedApiDataSource,
+        register_paged_api,
     )
 
-    if not getattr(spark, "_paged_api_registered", False):
-        spark.dataSource.register(PagedApiDataSource)
-        spark._paged_api_registered = True
+    register_paged_api(spark)
     df = (
         spark.read.format("paged_api")
         .option("pages", "4")
