@@ -4136,6 +4136,89 @@ def q148_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
+#: expressions — libm exp differs by ulps across engines; a literal
+#: parses to the identical double everywhere). P(X=0)..P(X≤5).
+_POISSON_CUTS = (
+    0.367879441,
+    0.735758882,
+    0.919698603,
+    0.981011843,
+    0.996340153,
+    0.999405815,
+)
+_BOOT_B = 50
+
+
+def q149_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for the
+    per-type mean event value — the distributed-bootstrap standard: a
+    row joins replicate b with multiplicity ~ Poisson(1), drawn by
+    inverting fixed pmf cutoffs at a uniform derived from
+    md5(b ':' event_id) — fully reproducible, engine-independent, no
+    RNG state. B = 50 replicates materialize as one map-side explode
+    (×B rows but only 3 small columns), one (type, b) hash agg of
+    exact integer sums, then percentile over the B means per type.
+
+    Replicate means are single divisions of exact longs; the 5%/95%
+    interpolated percentiles run over the SAME 50 doubles in both
+    engines, so the interpolation arithmetic is identical. At 100 TB
+    the explode is the cost knob: B scales the map output linearly,
+    nothing else grows."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1e2, 0).cast("long").alias("_v_e2"),
+    )
+    rep = events.select(
+        "event_type",
+        "_v_e2",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("_b"),
+        "event_id",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("_b").cast("string"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    mult = F.when(u < _POISSON_CUTS[0], 0)
+    for m, cut in enumerate(_POISSON_CUTS[1:], start=1):
+        mult = mult.when(u < cut, m)
+    mult = mult.otherwise(6).cast("long")
+    means = (
+        rep.select("event_type", "_b", "_v_e2", mult.alias("_m"))
+        .groupBy("event_type", "_b")
+        .agg(
+            F.sum(F.col("_v_e2") * F.col("_m")).alias("_s"),
+            F.sum("_m").alias("_n"),
+        )
+        .select(
+            "event_type",
+            (
+                F.col("_s").cast("double") / F.col("_n").cast("double")
+                / F.lit(100.0)
+            ).alias("_mean"),
+        )
+    )
+    return means.groupBy("event_type").agg(
+        F.count("*").alias("n_replicates"),
+        F.round(F.expr("percentile(_mean, 0.05)"), 6).alias("mean_lo"),
+        F.round(F.expr("percentile(_mean, 0.95)"), 6).alias("mean_hi"),
+    )
+
+
 #: BM25 query terms (fixed, present in the synthetic corpus vocabulary)
 #: and the standard Okapi constants.
 _BM25_TERMS = ("spark", "hash", "window")
@@ -6822,6 +6905,40 @@ ORACLE_SQL: dict[str, str] = {
                  AS k_mean
         FROM k GROUP BY 1
     """,
+    "q149_bootstrap_ci": """
+        WITH rep AS (
+          SELECT event_type,
+                 cast(round(value * 1e2) AS BIGINT) AS v_e2,
+                 event_id,
+                 unnest(range(0, 50)) AS b
+          FROM events
+        ), withu AS (
+          SELECT event_type, v_e2, b,
+                 ('0x' || substring(md5(cast(b AS VARCHAR) || ':' ||
+                      cast(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+          FROM rep
+        ), mults AS (
+          SELECT event_type, v_e2, b,
+                 cast(CASE WHEN u < 0.367879441 THEN 0
+                           WHEN u < 0.735758882 THEN 1
+                           WHEN u < 0.919698603 THEN 2
+                           WHEN u < 0.981011843 THEN 3
+                           WHEN u < 0.996340153 THEN 4
+                           WHEN u < 0.999405815 THEN 5
+                           ELSE 6 END AS BIGINT) AS m
+          FROM withu
+        ), means AS (
+          SELECT event_type, b,
+                 cast(sum(v_e2 * m) AS DOUBLE)
+                   / cast(sum(m) AS DOUBLE) / 100.0 AS mean
+          FROM mults GROUP BY 1, 2
+        )
+        SELECT event_type, count(*) AS n_replicates,
+               round(quantile_cont(mean, 0.05), 6) AS mean_lo,
+               round(quantile_cont(mean, 0.95), 6) AS mean_hi
+        FROM means GROUP BY 1
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6973,6 +7090,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_market_basket": q146_market_basket,
     "q147_python_datasource": q147_python_datasource,
     "q148_variant_json": q148_variant_json,
+    "q149_bootstrap_ci": q149_bootstrap_ci,
 }
 
 
