@@ -4136,6 +4136,40 @@ def q148_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the operational pre-flight for every
+    shuffle in this registry: the per-key row-count distribution of a
+    fact-table join key, summarized as count-of-count buckets (how
+    many keys occur 1×, 2×, …) plus the max and the share of rows
+    owned by the single hottest key. Two cheap hash aggs (key → count,
+    count → n_keys); the hot-key share is exactly the number q76's
+    salted aggregate and q100's salted join exist to defuse — at
+    100 TB you run THIS first, then pick the plain or salted plan.
+    All integers + one exact division."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_key = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n")
+    ).localCheckpoint(eager=True)
+    buckets = per_key.groupBy(F.col("_n").alias("rows_per_key")).agg(
+        F.count("*").alias("n_keys")
+    )
+    tot = per_key.agg(
+        F.sum("_n").alias("_total"),
+        F.max("_n").alias("_max"),
+    )
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            "rows_per_key",
+            "n_keys",
+            F.col("_max").alias("max_rows_per_key"),
+            F.round(F.col("_max") * 1.0 / F.col("_total"), 6).alias(
+                "hot_key_share"
+            ),
+        )
+    )
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -6939,6 +6973,20 @@ ORACLE_SQL: dict[str, str] = {
                round(quantile_cont(mean, 0.95), 6) AS mean_hi
         FROM means GROUP BY 1
     """,
+    "q150_skew_diagnostics": """
+        WITH pk AS (
+          SELECT l_orderkey, cast(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1
+        ), tot AS (
+          SELECT cast(sum(n) AS BIGINT) AS total,
+                 cast(max(n) AS BIGINT) AS mx
+          FROM pk
+        )
+        SELECT n AS rows_per_key, count(*) AS n_keys,
+               mx AS max_rows_per_key,
+               round(mx * 1.0 / total, 6) AS hot_key_share
+        FROM pk, tot GROUP BY 1, 3, 4
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7091,6 +7139,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_python_datasource": q147_python_datasource,
     "q148_variant_json": q148_variant_json,
     "q149_bootstrap_ci": q149_bootstrap_ci,
+    "q150_skew_diagnostics": q150_skew_diagnostics,
 }
 
 
