@@ -6,3 +6,10 @@ from .pricing import (  # noqa: F401
 )
 from .forecast import ols_forecast, ols_forecast_pandas  # noqa: F401
 from .ingest import bootstrap_annual_pipeline, daily_downsample  # noqa: F401
+from .dedup import (  # noqa: F401
+    containment_pairs,
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_neardup,
+)
