@@ -494,3 +494,56 @@ def test_arrow_byte_stats_multibyte(spark):
         }
     assert out[1] == (13, 1)  # 11 chars, 2 two-byte
     assert out[2] == (3, 1)
+
+
+def test_bm25_ranking_invariants(spark):
+    """BM25 top-k: ranks dense 1..k, scores non-increasing with rank,
+    and every score non-negative (rational idf is positive)."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        q130_bm25_topk,
+    )
+
+    rows = sorted(
+        q130_bm25_topk(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert all(s >= 0 for s in scores)
+
+
+def test_bootstrap_ci_invariants(spark):
+    """Poisson bootstrap: exactly B replicates per type and lo ≤ hi."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        q149_bootstrap_ci,
+    )
+
+    rows = q149_bootstrap_ci(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_replicates"] == 50
+        assert r["mean_lo"] <= r["mean_hi"]
+
+
+def test_skew_diagnostics_invariants(spark):
+    """Skew report: bucket histogram accounts for every key, and the
+    hot-key share is a valid fraction matching max/total."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        q150_skew_diagnostics,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q150_skew_diagnostics(spark, sf).collect()
+    li = load_table(spark, sf, "lineitem")
+    total_rows = li.count()
+    n_keys = li.select("l_orderkey").distinct().count()
+    assert sum(r["n_keys"] for r in rows) == n_keys
+    assert sum(r["rows_per_key"] * r["n_keys"] for r in rows) == total_rows
+    share = rows[0]["hot_key_share"]
+    mx = rows[0]["max_rows_per_key"]
+    assert 0 < share <= 1
+    assert share == round(mx / total_rows, 6)
