@@ -3564,15 +3564,24 @@ def q134_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n_nodes = degrees.agg(F.count("*").alias("_n"))
+    # degrees is consumed by every iteration (the teleport re-join) —
+    # checkpoint it once instead of re-aggregating edges 4×, and fetch
+    # |V| as ONE driver-side long (the same inherent-to-the-algorithm
+    # driver action as the CC fixpoint's convergence count; it runs on
+    # the materialized checkpoint, not the source scan). The 1e9/N
+    # division stays IN the plan as a literal expression so both
+    # engines round the identical double — no Python rounding.
+    degrees = edges.groupBy("src").agg(
+        F.count("*").alias("deg")
+    ).localCheckpoint(eager=True)
+    n = degrees.count()
+    r0 = F.round(F.lit(1e9) / F.lit(float(n)), 0).cast("long")
+    teleport = F.round(
+        F.lit((1 - _PR_DAMP) * 1e9) / F.lit(float(n)), 0
+    ).cast("long")
 
-    # r0 = round(1e9 / N) — one long per node
-    ranks = degrees.crossJoin(F.broadcast(n_nodes)).select(
-        F.col("src").alias("node"),
-        F.round(F.lit(1e9) / F.col("_n").cast("double"), 0)
-        .cast("long").alias("r_e9"),
-        F.col("deg"),
+    ranks = degrees.select(
+        F.col("src").alias("node"), r0.alias("r_e9"), F.col("deg")
     )
     for _ in range(_PR_ITERS):
         contrib = (
@@ -3594,15 +3603,10 @@ def q134_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             degrees.join(
                 contrib, degrees.src == contrib.node, how="left"
             )
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 F.col("src").alias("node"),
                 (
-                    F.round(
-                        F.lit((1 - _PR_DAMP) * 1e9)
-                        / F.col("_n").cast("double"),
-                        0,
-                    ).cast("long")
+                    teleport
                     + F.round(
                         F.lit(_PR_DAMP)
                         * F.coalesce(F.col("_in"), F.lit(0))
