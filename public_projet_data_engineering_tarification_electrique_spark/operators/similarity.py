@@ -78,6 +78,55 @@ def cosine_topk(
     )
 
 
+def cosine_topk_filtered(
+    candidates: DataFrame,
+    queries: DataFrame,
+    filter_col: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Metadata-filtered exact cosine top-k: each query only searches
+    candidates whose ``filter_col`` equals the query's own — the
+    partition-restricted vector search every production vector store
+    exposes (tenant / language / shard constraints). The filter is an
+    EQUI-JOIN key, so the plan is a broadcast hash join on the
+    attribute instead of a cross join — candidates outside the
+    query's partition are never scored, which is both the semantics
+    AND the scale win (scored pairs shrink from |Q|·|C| to
+    Σ |Q_p|·|C_p|)."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(filter_col).alias("_qf"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    c = ensure_parallelism(candidates).select(
+        id_col,
+        F.col(filter_col),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    sims = c.join(
+        F.broadcast(q), F.col(filter_col) == F.col("_qf")
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(
+            dot_product(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qnorm") * F.col("_cnorm")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     threshold: float = 0.8,

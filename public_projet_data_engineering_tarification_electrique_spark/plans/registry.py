@@ -4174,6 +4174,70 @@ def q150_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (tenant/label-restricted ANN):
+    each of 5 query vectors searches ONLY candidates sharing its
+    label — the filter is an equi-join key, so the plan is a broadcast
+    hash join on label instead of q13's cross join; candidates outside
+    the query's partition are never scored (semantics AND the scale
+    win). See operators/similarity.cosine_topk_filtered."""
+    from ..operators.similarity import cosine_topk_filtered
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return cosine_topk_filtered(emb, queries, filter_col="label", k=5)
+
+
+def q152_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: fuse the BM25
+    lexical top-20 (q130) with the cosine dense top-20 for the vec_id 0
+    embedding (documents and embeddings share the id space) —
+    score = Σ 1/(60 + rank) over the lists containing the doc, the
+    parameter-free fusion modern search stacks default to. Both
+    reciprocal terms are exact double divisions added in fixed order;
+    missing-list docs contribute 0 via coalesce. Top-10 by rounded
+    score with id tie-break."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=20,
+    ).select(F.col("vec_id").alias("_d_id"), F.col("rank").alias("_d_rank"))
+    lexical = q130_bm25_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("_l_id"), F.col("rank").alias("_l_rank")
+    )
+    fused = (
+        lexical.join(
+            dense, F.col("_l_id") == F.col("_d_id"), how="full_outer"
+        )
+        .select(
+            F.coalesce("_l_id", "_d_id").alias("doc_id"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("_l_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("_d_rank")), F.lit(0.0)
+                )
+            ).alias("_s"),
+        )
+        .select("doc_id", F.round(F.col("_s") * 1e6, 0).cast("long").alias("_s_e6"))
+    )
+    top = fused.orderBy(F.col("_s_e6").desc(), F.col("doc_id")).limit(10)
+    w = Window.orderBy(F.col("_s_e6").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        "rank",
+        F.round(F.col("_s_e6") / 1e6, 6).alias("rrf_score"),
+    )
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -6991,6 +7055,28 @@ ORACLE_SQL: dict[str, str] = {
                round(mx * 1.0 / total, 6) AS hot_key_share
         FROM pk, tot GROUP BY 1, 3, 4
     """,
+    "q151_filtered_ann": """
+        WITH q AS (
+          SELECT vec_id AS query_id, label AS q_label,
+                 embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < 5
+        ), c AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+        ), sims AS (
+          SELECT q.query_id, c.vec_id,
+                 round(list_dot_product(qe, ce)
+                       / (sqrt(list_dot_product(qe, qe))
+                          * sqrt(list_dot_product(ce, ce))), 6) AS sim
+          FROM q JOIN c ON c.label = q.q_label
+        ), ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, vec_id, sim, cast(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7144,6 +7230,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_variant_json": q148_variant_json,
     "q149_bootstrap_ci": q149_bootstrap_ci,
     "q150_skew_diagnostics": q150_skew_diagnostics,
+    "q151_filtered_ann": q151_filtered_ann,
+    "q152_rrf_hybrid": q152_rrf_hybrid,
 }
 
 
@@ -7176,3 +7264,40 @@ def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q09_price_batch(spark, sf_dir)
+
+
+ORACLE_SQL["q152_rrf_hybrid"] = f"""
+    WITH bm AS (
+      SELECT doc_id AS l_id, rank AS l_rank
+      FROM ({ORACLE_SQL["q130_bm25_topk"]}) b
+    ), dn AS (
+      WITH q AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+      ), c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+      ), sims AS (
+        SELECT c.vec_id,
+               round(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6) AS sim
+        FROM q CROSS JOIN c
+      ), ranked AS (
+        SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+                 AS rank
+        FROM sims
+      )
+      SELECT vec_id AS d_id, rank AS d_rank FROM ranked WHERE rank <= 20
+    ), fused AS (
+      SELECT coalesce(l_id, d_id) AS doc_id,
+             cast(round((coalesce(1.0 / (60 + l_rank), 0.0)
+                         + coalesce(1.0 / (60 + d_rank), 0.0)) * 1e6)
+                  AS BIGINT) AS s_e6
+      FROM bm FULL OUTER JOIN dn ON l_id = d_id
+    )
+    SELECT doc_id, cast(rank AS INTEGER) AS rank,
+           round(s_e6 / 1e6, 6) AS rrf_score
+    FROM (SELECT doc_id, s_e6,
+                 row_number() OVER (ORDER BY s_e6 DESC, doc_id) AS rank
+          FROM fused) r
+    WHERE rank <= 10
+"""
