@@ -4238,6 +4238,50 @@ def q152_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    declared FK edge, the referencing row count and the orphan count
+    (left-anti against the referenced key set) — the
+    constraint-that-scales complement to q53's single-table audit
+    (warehouses can't enforce FKs; they MEASURE them). Each edge is
+    one anti-join whose build side is the pruned key column; counts
+    union into one small report. All integers — exact parity."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    reports = []
+    for edge, child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(ck)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(
+            p, F.col(ck) == F.col(pk), how="left_anti"
+        ).agg(F.count("*").alias("_orphans"))
+        totals = c.agg(F.count("*").alias("_rows"))
+        reports.append(
+            totals.crossJoin(orphans).select(
+                F.lit(edge).alias("fk_edge"),
+                F.col("_rows").alias("n_rows"),
+                F.col("_orphans").alias("n_orphans"),
+                (F.col("_orphans") == 0).alias("intact"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.union(r)
+    return out
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7077,6 +7121,53 @@ ORACLE_SQL: dict[str, str] = {
         SELECT query_id, vec_id, sim, cast(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
     """,
+    "q153_fk_integrity": """
+        SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+               (SELECT count(*) FROM lineitem) AS n_rows,
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                 AS n_orphans,
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                 = 0 AS intact
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+               (SELECT count(*) FROM lineitem
+                WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) = 0
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+               (SELECT count(*) FROM lineitem
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) = 0
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer
+                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+               (SELECT count(*) FROM customer
+                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                 = 0
+        UNION ALL
+        SELECT 'nation.n_regionkey->region',
+               (SELECT count(*) FROM nation),
+               (SELECT count(*) FROM nation
+                WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)),
+               (SELECT count(*) FROM nation
+                WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+                 = 0
+    """,
 }
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7232,6 +7323,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_skew_diagnostics": q150_skew_diagnostics,
     "q151_filtered_ann": q151_filtered_ann,
     "q152_rrf_hybrid": q152_rrf_hybrid,
+    "q153_fk_integrity": q153_fk_integrity,
 }
 
 
