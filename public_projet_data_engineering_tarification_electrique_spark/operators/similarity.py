@@ -49,19 +49,47 @@ def cosine_topk(
     desc then vec_id (the rounded value is the ranking key so ordering
     is reproducible across engines).
     """
+    return _cosine_rank(
+        candidates, queries, k, id_col, vec_col, query_id_col,
+        filter_col=None,
+    )
+
+
+def _cosine_rank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    filter_col: str | None,
+) -> DataFrame:
+    """Shared scoring/tie-break core for cosine_topk (cross join) and
+    cosine_topk_filtered (equi-join on ``filter_col``) — ONE copy of
+    the rounded-sim ranking contract so oracle parity cannot drift
+    between the two entry points."""
     # Precompute each side's norm ONCE per row (not per pair): the pair
     # scoring then does a single dot-product fold instead of three.
-    q = queries.select(
+    q_cols = [
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
         l2_norm(F.col(vec_col)).alias("_qnorm"),
-    )
-    c = ensure_parallelism(candidates).select(
-        id_col,
+    ]
+    c_cols = [
+        F.col(id_col),
         F.col(vec_col).alias("_cvec"),
         l2_norm(F.col(vec_col)).alias("_cnorm"),
-    )
-    sims = c.crossJoin(F.broadcast(q)).select(
+    ]
+    if filter_col is not None:
+        q_cols.insert(1, F.col(filter_col).alias("_qf"))
+        c_cols.insert(1, F.col(filter_col))
+    q = queries.select(*q_cols)
+    c = ensure_parallelism(candidates).select(*c_cols)
+    if filter_col is None:
+        pairs = c.crossJoin(F.broadcast(q))
+    else:
+        pairs = c.join(F.broadcast(q), F.col(filter_col) == F.col("_qf"))
+    sims = pairs.select(
         query_id_col,
         id_col,
         F.round(
@@ -96,34 +124,9 @@ def cosine_topk_filtered(
     query's partition are never scored, which is both the semantics
     AND the scale win (scored pairs shrink from |Q|·|C| to
     Σ |Q_p|·|C_p|)."""
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(filter_col).alias("_qf"),
-        F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qnorm"),
-    )
-    c = ensure_parallelism(candidates).select(
-        id_col,
-        F.col(filter_col),
-        F.col(vec_col).alias("_cvec"),
-        l2_norm(F.col(vec_col)).alias("_cnorm"),
-    )
-    sims = c.join(
-        F.broadcast(q), F.col(filter_col) == F.col("_qf")
-    ).select(
-        query_id_col,
-        id_col,
-        F.round(
-            dot_product(F.col("_qvec"), F.col("_cvec"))
-            / (F.col("_qnorm") * F.col("_cnorm")),
-            6,
-        ).alias("sim"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
+    return _cosine_rank(
+        candidates, queries, k, id_col, vec_col, query_id_col,
+        filter_col=filter_col,
     )
 
 

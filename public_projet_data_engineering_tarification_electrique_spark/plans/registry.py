@@ -4240,12 +4240,15 @@ def q152_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q153_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: for each
-    declared FK edge, the referencing row count and the orphan count
-    (left-anti against the referenced key set) — the
-    constraint-that-scales complement to q53's single-table audit
-    (warehouses can't enforce FKs; they MEASURE them). Each edge is
-    one anti-join whose build side is the pruned key column; counts
-    union into one small report. All integers — exact parity."""
+    declared FK edge, the referencing row count and the orphan count —
+    the constraint-that-scales complement to q53's single-table audit
+    (warehouses can't enforce FKs; they MEASURE them). ONE scan per
+    edge: child left-joins the distinct parent key column and a
+    conditional sum counts non-null FKs with no parent — standard
+    MATCH SIMPLE semantics (a NULL FK is NOT an orphan), written
+    null-explicitly on BOTH sides so the audit itself can't diverge
+    on nullable keys (NOT IN's three-valued-logic trap). All
+    integers — exact parity."""
     edges = [
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
          "orders", "o_orderkey"),
@@ -4260,26 +4263,29 @@ def q153_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nation.n_regionkey->region", "nation", "n_regionkey",
          "region", "r_regionkey"),
     ]
+    from functools import reduce
+
     reports = []
     for edge, child, ck, parent, pk in edges:
         c = load_table(spark, sf_dir, child).select(ck)
-        p = load_table(spark, sf_dir, parent).select(pk)
-        orphans = c.join(
-            p, F.col(ck) == F.col(pk), how="left_anti"
-        ).agg(F.count("*").alias("_orphans"))
-        totals = c.agg(F.count("*").alias("_rows"))
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        joined = c.join(F.broadcast(p), F.col(ck) == F.col(pk), how="left")
         reports.append(
-            totals.crossJoin(orphans).select(
+            joined.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col(ck).isNotNull() & F.col(pk).isNull(), 1
+                    ).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            ).select(
                 F.lit(edge).alias("fk_edge"),
-                F.col("_rows").alias("n_rows"),
-                F.col("_orphans").alias("n_orphans"),
-                (F.col("_orphans") == 0).alias("intact"),
+                "n_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
             )
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.union(r)
-    return out
+    return reduce(DataFrame.unionByName, reports)
 
 
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
@@ -4350,6 +4356,12 @@ def q149_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("_v_e2") * F.col("_m")).alias("_s"),
             F.sum("_m").alias("_n"),
         )
+        # a replicate can draw multiplicity 0 for EVERY row of a sparse
+        # type (probability e^-k per replicate) — its mean is undefined
+        # (0/0: NULL in Spark, NaN in DuckDB, which quantile_cont sorts
+        # ABOVE all reals). Drop empty replicates identically on both
+        # sides; n_replicates reports the surviving count.
+        .filter(F.col("_n") > 0)
         .select(
             "event_type",
             (
@@ -7079,6 +7091,7 @@ ORACLE_SQL: dict[str, str] = {
                  cast(sum(v_e2 * m) AS DOUBLE)
                    / cast(sum(m) AS DOUBLE) / 100.0 AS mean
           FROM mults GROUP BY 1, 2
+          HAVING sum(m) > 0
         )
         SELECT event_type, count(*) AS n_replicates,
                round(quantile_cont(mean, 0.05), 6) AS mean_lo,
@@ -7123,50 +7136,58 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q153_fk_integrity": """
         SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
-               (SELECT count(*) FROM lineitem) AS n_rows,
-               (SELECT count(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
-                 AS n_orphans,
-               (SELECT count(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
-                 = 0 AS intact
+               count(*) AS n_rows,
+               cast(sum(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               cast(sum(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
+        FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+          ON c.l_orderkey = p.o_orderkey
         UNION ALL
-        SELECT 'lineitem.l_partkey->part',
-               (SELECT count(*) FROM lineitem),
-               (SELECT count(*) FROM lineitem
-                WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
-               (SELECT count(*) FROM lineitem
-                WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) = 0
+        SELECT 'lineitem.l_partkey->part' AS fk_edge,
+               count(*) AS n_rows,
+               cast(sum(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               cast(sum(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
+        FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+          ON c.l_partkey = p.p_partkey
         UNION ALL
-        SELECT 'lineitem.l_suppkey->supplier',
-               (SELECT count(*) FROM lineitem),
-               (SELECT count(*) FROM lineitem
-                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
-               (SELECT count(*) FROM lineitem
-                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) = 0
+        SELECT 'lineitem.l_suppkey->supplier' AS fk_edge,
+               count(*) AS n_rows,
+               cast(sum(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               cast(sum(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
+        FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+          ON c.l_suppkey = p.s_suppkey
         UNION ALL
-        SELECT 'orders.o_custkey->customer',
-               (SELECT count(*) FROM orders),
-               (SELECT count(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
-               (SELECT count(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+        SELECT 'orders.o_custkey->customer' AS fk_edge,
+               count(*) AS n_rows,
+               cast(sum(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               cast(sum(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
+        FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+          ON c.o_custkey = p.c_custkey
         UNION ALL
-        SELECT 'customer.c_nationkey->nation',
-               (SELECT count(*) FROM customer),
-               (SELECT count(*) FROM customer
-                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
-               (SELECT count(*) FROM customer
-                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
-                 = 0
+        SELECT 'customer.c_nationkey->nation' AS fk_edge,
+               count(*) AS n_rows,
+               cast(sum(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               cast(sum(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
+        FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+          ON c.c_nationkey = p.n_nationkey
         UNION ALL
-        SELECT 'nation.n_regionkey->region',
-               (SELECT count(*) FROM nation),
-               (SELECT count(*) FROM nation
-                WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)),
-               (SELECT count(*) FROM nation
-                WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
-                 = 0
+        SELECT 'nation.n_regionkey->region' AS fk_edge,
+               count(*) AS n_rows,
+               cast(sum(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               cast(sum(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
+        FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) p
+          ON c.n_regionkey = p.r_regionkey
     """,
 }
 
