@@ -4559,9 +4559,9 @@ def _simhash_oracle_sql() -> str:
           FROM votes
         )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
-               + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
-                 AS hamming
+               CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
+                    + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
+                    AS INTEGER) AS hamming
         FROM sig a JOIN sig b
           ON a.doc_id < b.doc_id
          AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
@@ -5100,9 +5100,14 @@ ORACLE_SQL: dict[str, str] = {
                       THEN 1 ELSE 0 END AS b
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
         ), sess AS (
+          -- CAST: DuckDB sums integers into HUGEINT, which fetchdf()
+          -- materializes as float64 (9549.0) while Spark emits int64 —
+          -- value-identical but hash-different to the driver's gate.
           SELECT user_id, value, ts_s,
-                 sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(b) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
           FROM flagged
         )
         SELECT user_id, session_id, count(*) AS n_events,
@@ -5688,7 +5693,8 @@ ORACLE_SQL: dict[str, str] = {
           FROM events GROUP BY 1
         ), banded AS (
           SELECT total,
-                 ntile(4) OVER (ORDER BY total DESC, user_id) AS band
+                 CAST(ntile(4) OVER (ORDER BY total DESC, user_id)
+                      AS INTEGER) AS band
           FROM totals
         )
         SELECT band, CAST(count(*) AS INTEGER) AS n_users,
@@ -5809,11 +5815,14 @@ ORACLE_SQL: dict[str, str] = {
                  END AS qv
           FROM m
         )
-        SELECT vec_id, n_dims, scale_inv,
-               list_aggregate(list_transform(qv,
-                 x -> abs(CAST(x AS BIGINT))), 'sum') AS q_l1,
-               list_aggregate(list_transform(qv,
-                 x -> CAST(x AS BIGINT)), 'sum') AS q_sum
+        -- CASTs: list_aggregate('sum') over BIGINT yields HUGEINT →
+        -- float64 via fetchdf(); len() yields BIGINT where Spark's
+        -- size() is int32. Width/kind-match what Spark emits.
+        SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, scale_inv,
+               CAST(list_aggregate(list_transform(qv,
+                 x -> abs(CAST(x AS BIGINT))), 'sum') AS BIGINT) AS q_l1,
+               CAST(list_aggregate(list_transform(qv,
+                 x -> CAST(x AS BIGINT)), 'sum') AS BIGINT) AS q_sum
         FROM q
     """,
     "q81_chunk_overlap": """
@@ -6034,9 +6043,12 @@ ORACLE_SQL: dict[str, str] = {
                       THEN 1 ELSE 0 END AS b
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
         ), sess AS (
+          -- CAST: HUGEINT sum would fetch as float64 (driver hash bomb)
           SELECT user_id, value, ts_s,
-                 sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(b) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
           FROM flagged
         ), s AS (
           SELECT user_id, session_id, count(*) AS n_events,
@@ -6095,8 +6107,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type,
                count(cast(json_extract_string(props, '$.k') AS INTEGER))
                  AS n_parsed,
-               sum(cast(json_extract_string(props, '$.k') AS INTEGER))
-                 AS sum_k,
+               CAST(sum(cast(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
                min(cast(json_extract_string(props, '$.k') AS INTEGER))
                  AS min_k,
                max(cast(json_extract_string(props, '$.k') AS INTEGER))
@@ -6108,7 +6120,8 @@ ORACLE_SQL: dict[str, str] = {
           SELECT cast(ts AS DATE) AS date, event_type, count(*) AS n
           FROM events GROUP BY 1, 2
         )
-        SELECT event_type, sum(n) AS n_events, count(*) AS n_days
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+               count(*) AS n_days
         FROM daily GROUP BY 1
     """,
     "q99_bucketed_join": """
@@ -6166,7 +6179,8 @@ ORACLE_SQL: dict[str, str] = {
                  md5(text) AS doc_md5
           FROM documents
         )
-        SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                md5(string_agg(doc_md5, '' ORDER BY doc_md5)) AS content_md5
         FROM per_doc GROUP BY shard
     """,
@@ -6179,13 +6193,14 @@ ORACLE_SQL: dict[str, str] = {
             FROM documents GROUP BY lang)
         ), s AS (
           SELECT count(*) AS n_docs,
-                 sum(length(text)) AS total_chars,
-                 sum(len(string_split_regex(trim(text), '\\s+')))
-                   AS total_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                 CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                      AS BIGINT) AS total_tokens,
                  count(DISTINCT source) AS n_sources
           FROM documents
         ), d AS (
-          SELECT ((sum(n) - count(*)) * 10000) // sum(n) AS dup_permyriad
+          SELECT CAST(((sum(n) - count(*)) * 10000) // sum(n) AS BIGINT)
+                   AS dup_permyriad
           FROM dup
         )
         SELECT * FROM s, d, langs
@@ -6200,8 +6215,8 @@ ORACLE_SQL: dict[str, str] = {
           FROM events JOIN med USING (event_type) GROUP BY event_type
         )
         SELECT event_type, count(*) AS n,
-               sum(CASE WHEN 0.6745 * abs(value - m) / d > 3.5
-                        THEN 1 ELSE 0 END) AS n_outliers,
+               CAST(sum(CASE WHEN 0.6745 * abs(value - m) / d > 3.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                round(any_value(m), 4) AS median,
                round(any_value(d), 4) AS mad
         FROM events JOIN mad USING (event_type)
@@ -6232,12 +6247,12 @@ ORACLE_SQL: dict[str, str] = {
           FROM sess GROUP BY 1, 2
         )
         SELECT count(*) AS n_sessions,
-               sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
-                 AS n_with_click,
-               sum(CASE WHEN first_click IS NOT NULL
-                         AND last_purchase IS NOT NULL
-                         AND last_purchase >= first_click
-                        THEN 1 ELSE 0 END) AS n_converted
+               CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_click,
+               CAST(sum(CASE WHEN first_click IS NOT NULL
+                              AND last_purchase IS NOT NULL
+                              AND last_purchase >= first_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         FROM per_session
     """,
     "q106_pii_scrub": """
@@ -6259,7 +6274,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM salted
     """,
     "q108_rest_ingest": """
-        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               count(*) AS n_nations, min(n_name) AS first_nation
         FROM nation GROUP BY 1
     """,
     "q107_equidepth_histogram": """
@@ -6966,7 +6982,7 @@ ORACLE_SQL: dict[str, str] = {
                first_value(event_id) OVER wf AS first_event,
                last_value(event_id) OVER wf AS last_event,
                nth_value(event_id, 2) OVER wf AS second_event,
-               cast(rank() OVER w AS BIGINT) AS rnk,
+               cast(rank() OVER w AS INTEGER) AS rnk,
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist() OVER w, 6) AS cume
         FROM events

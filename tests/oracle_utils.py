@@ -37,6 +37,24 @@ def compare(spark_df, duck_con, sql: str, name: str = "query") -> None:
     )
     for c in left.columns:
         lcol, rcol = left[c], right[c]
+        # Driver-faithful dtype gate (VERDICT r2): the driver's value hash
+        # is representation-sensitive — int64 9549 vs float64 9549.0 fail
+        # even when equal (DuckDB HUGEINT sums fetch as float64). A kind
+        # mismatch between numeric families must FAIL here, never be
+        # coerced away, or the local gate diverges from the driver's.
+        # Width differences (int32 vs int64, float32 vs float64) and
+        # date-object-vs-datetime64 are driver-proven hash-safe
+        # (q72/q43/q03 all green in CORRECTNESS_r01/r02).
+        lk, rk = lcol.dtype.kind, rcol.dtype.kind
+        num_kinds = {"i", "u", "f"}
+        if lk in num_kinds and rk in num_kinds:
+            lk_fam = "f" if lk == "f" else "i"
+            rk_fam = "f" if rk == "f" else "i"
+            assert lk_fam == rk_fam, (
+                f"{name}.{c}: dtype kind mismatch spark={lcol.dtype} "
+                f"oracle={rcol.dtype} — the driver hash WILL reject this "
+                f"even if values are equal; CAST the oracle aggregate"
+            )
         if lcol.dtype.kind == "f" or rcol.dtype.kind == "f":
             lv = lcol.astype("float64").to_numpy()
             rv = rcol.astype("float64").to_numpy()
