@@ -3712,43 +3712,52 @@ def q137_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     The standard corpus-freshness metric behind 'novel tokens per
     document' curves in dataset curation.
 
-    One explode → per-shingle min(doc_id) hash agg → rejoin on shingle
-    → per-doc ratio of integer counts. Both aggs are partial-agg
-    friendly; nothing is quadratic (no pair join at all — unlike
-    Jaccard/containment this is a per-doc statistic). Exact integer
-    counts; one division, rounded on the 1e-4 grid."""
+    Two map-side-combined aggs over the (recomputed, map-only) explode
+    — per-doc shingle count keyed by doc_id, and per-shingle
+    min(doc_id) re-counted to doc grain — joined once at |docs| grain.
+    Nothing full-corpus is ever materialized or checkpointed: each
+    shuffle carries only partial-agg rows (≤|docs| resp. ≤|vocab| per
+    map task), and the rejoin of the exploded shingle stream that a
+    naive first-seen plan needs (and that an eager localCheckpoint
+    would pin in block-manager memory at 100 TB) is gone entirely.
+    Nothing is quadratic (no pair join at all — unlike Jaccard/
+    containment this is a per-doc statistic). Exact integer counts;
+    one division, rounded on the 1e-4 grid."""
     from ..functions.text import word_shingles
     from ..operators.util import ensure_parallelism
 
     # ensure_parallelism: a small documents file arrives as ONE parquet
-    # split — without it the shingling stage and BOTH consumers of the
-    # checkpoint would run on a single core (dedup.py:201 hazard)
+    # split — without it the shingling stage and both agg consumers
+    # would run on a single core (dedup.py:201 hazard)
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(word_shingles(F.col("text"), 3))
-            ).alias("sh"),
-        )
-        .localCheckpoint(eager=True)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("sh"),
     )
-    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("_first"))
-    return (
-        sh.join(first_seen, on="sh")
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # a shingle's first appearance is min(doc_id); counting those mins
+    # per doc gives n_novel at vocabulary grain — no rejoin to sh.
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
-        )
+        .agg(F.count("*").alias("_n_novel"))
+    )
+    return (
+        per_doc.join(novel, on="doc_id", how="left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_novel",
+            F.coalesce(F.col("_n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
             F.round(
-                F.col("n_novel") * 1.0 / F.col("n_shingles"), 4
+                F.coalesce(F.col("_n_novel"), F.lit(0).cast("long"))
+                * 1.0
+                / F.col("n_shingles"),
+                4,
             ).alias("novelty"),
         )
     )
@@ -4025,33 +4034,42 @@ def q146_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining over per-user behavior baskets:
     support, directional confidence, and lift for every unordered
     event-type pair — the A-priori statistics at the 2-itemset level.
-    The basket is the distinct per-user type set, so the self-join is
-    bounded by |types|² per user (≤ 25 rows), NOT event count — the
-    join input collapses 100 TB of events to |users|·|types| rows
-    first. Lift is computed as (n_ab·N)/(n_a·n_b): integer products
-    first, ONE double division last — deterministic cross-engine;
-    support/confidence are single divisions of exact longs."""
-    baskets = (
+    The basket is the per-user sorted distinct type set built by ONE
+    shuffle (groupBy user_id + collect_set, map-side combined); the
+    2-itemset enumeration is a map-side `transform`/`flatten` over the
+    sorted array — no self-join, no second shuffle of the basket
+    table, and no lineage checkpoint. 100 TB of events collapses to
+    |users| rows before any pair is materialized, and the pair agg
+    shuffles only |types|² keys. Lift is computed as (n_ab·N)/
+    (n_a·n_b): integer products first, ONE double division last —
+    deterministic cross-engine; support/confidence are single
+    divisions of exact longs."""
+    sets = (
         load_table(spark, sf_dir, "events")
         .select("user_id", "event_type")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("_types"))
+        .persist()
     )
-    n_users = baskets.select("user_id").distinct().agg(
-        F.count("*").alias("_n")
+    n_users = sets.agg(F.count("*").alias("_n"))
+    type_counts = (
+        sets.select(F.explode("_types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("_n_t"))
     )
-    type_counts = baskets.groupBy("event_type").agg(
-        F.count("*").alias("_n_t")
-    )
-    a = baskets.select(
-        "user_id", F.col("event_type").alias("type_a")
-    )
-    b = baskets.select(
-        "user_id", F.col("event_type").alias("type_b")
-    )
+    # enumerate unordered pairs (a < b) of the sorted set, map-side:
+    # for each element x at index i, pair it with every later element.
     pair_counts = (
-        a.join(b, on="user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_types, (x, i) -> "
+                    "transform(slice(_types, i + 2, size(_types)), "
+                    "y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.type_a", "_p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("_n_ab"))
     )

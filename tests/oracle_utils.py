@@ -46,10 +46,15 @@ def compare(spark_df, duck_con, sql: str, name: str = "query") -> None:
         # date-object-vs-datetime64 are driver-proven hash-safe
         # (q72/q43/q03 all green in CORRECTNESS_r01/r02).
         lk, rk = lcol.dtype.kind, rcol.dtype.kind
-        num_kinds = {"i", "u", "f"}
+        num_kinds = {"i", "u", "f", "b"}
         if lk in num_kinds and rk in num_kinds:
-            lk_fam = "f" if lk == "f" else "i"
-            rk_fam = "f" if rk == "f" else "i"
+            # bool is its own family: True==1 would pass a coerced value
+            # compare while the driver hash distinguishes bool from int.
+            def _fam(k: str) -> str:
+                return k if k in ("f", "b") else "i"
+
+            lk_fam = _fam(lk)
+            rk_fam = _fam(rk)
             assert lk_fam == rk_fam, (
                 f"{name}.{c}: dtype kind mismatch spark={lcol.dtype} "
                 f"oracle={rcol.dtype} — the driver hash WILL reject this "
