@@ -31,27 +31,28 @@ from pyspark.sql import functions as F
 def _with_positions(
     df: DataFrame, key_col: str, m_bits: int, k: int
 ) -> DataFrame:
-    """Add k independent 60-bit md5 hash positions (mod m_bits) as
-    columns _p0.._p{k-1}."""
+    """Add k hash positions (mod m_bits) as columns _p0.._p{k-1}.
+
+    All k positions come from ONE md5 digest per row: the 128-bit hex
+    digest is split into k disjoint slices (classic digest-slicing; the
+    slices are independent for Bloom purposes). One digest instead of k
+    matters on the PROBE side, where this expression runs over the full
+    fact scan — md5 dominates the per-row cost, `conv` on an ≤ 8-char
+    slice is noise. k ≤ 4 keeps every slice ≥ 32 bits (m_bits is far
+    below 2³² in any broadcastable bitmap, so modulo bias is nil).
+    """
+    assert k <= 4, "digest slicing supports k <= 4 (32 hex chars / 8)"
+    width = 32 // k
+    df = df.withColumn("_digest", F.md5(F.col(key_col).cast("string")))
     for i in range(k):
         df = df.withColumn(
             f"_p{i}",
             F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"bloom{i}:"), F.col(key_col).cast("string")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
+                F.substring(F.col("_digest"), 1 + i * width, width), 16, 10
             ).cast("long")
             % m_bits,
         )
-    return df
+    return df.drop("_digest")
 
 
 def bloom_build(

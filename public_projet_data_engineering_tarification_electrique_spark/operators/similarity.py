@@ -13,6 +13,8 @@ BASELINE.json north star).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -312,12 +314,23 @@ def lsh_topk(
     bucket_length: float = 0.5,
     num_hash_tables: int = 4,
     seed: int = 42,
+    min_cosine: float = 0.0,
 ) -> DataFrame:
     """Approximate top-k via BucketedRandomProjectionLSH (MLlib).
 
     Unit-norm embeddings ⇒ euclidean distance is monotone in cosine
     (d² = 2 − 2·cos), so ranking by LSH euclidean distance matches the
     cosine ranking. Not SQL-expressible → rows-only correctness check.
+
+    ``min_cosine`` bounds the candidate join: the approxSimilarityJoin
+    threshold is the equivalent euclidean distance √(2 − 2·min_cosine),
+    NOT the vacuous 2.0 maximum, so bucket-collision pairs below the
+    bound are dropped map-side before the per-query top-k shuffle. The
+    default 0.0 (distance √2) prunes every anti-correlated pair — safe
+    whenever ≥ k non-negative neighbors exist per query (always, for
+    label-clustered corpora). At 100 TB, set it from a sampled k-th
+    neighbor bound (or prefer ``ivf_topk``/``pq_topk``, the designed
+    scale paths; this operator is the MLlib-compat surface).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -337,8 +350,9 @@ def lsh_topk(
         seed=seed,
     )
     model = lsh.fit(cand)
+    dist_bound = float(math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0)))
     joined = model.approxSimilarityJoin(
-        model.transform(qs), model.transform(cand), 2.0, distCol="_dist"
+        model.transform(qs), model.transform(cand), dist_bound, distCol="_dist"
     ).select(
         F.col(f"datasetA.{query_id_col}").alias(query_id_col),
         F.col(f"datasetB.{id_col}").alias(id_col),

@@ -4,6 +4,8 @@ values)."""
 
 from __future__ import annotations
 
+import gc
+
 import pytest
 
 from public_projet_data_engineering_tarification_electrique_spark.plans import (
@@ -14,6 +16,16 @@ from .conftest import SF_ORACLE
 from .oracle_utils import compare
 
 NAMES = sorted(registry.QUERIES().keys())
+
+
+@pytest.fixture(autouse=True)
+def _release_blocks(spark):
+    """Release per-query cached/persisted blocks (q97 materialize, q146
+    basket persist) and localCheckpoint lineage so a 153-query session
+    doesn't accumulate block-manager state (same hygiene as bench.py)."""
+    yield
+    spark.catalog.clearCache()
+    gc.collect()
 
 
 @pytest.mark.parametrize("name", NAMES)

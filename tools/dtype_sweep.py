@@ -56,6 +56,7 @@ def main() -> int:
     oracles = registry.ORACLE_SQL
     kind_bad: list[str] = []
     width_bad: list[str] = []
+    skipped: list[str] = []
     errors: list[str] = []
     for name, fn in registry.QUERIES().items():
         sql = oracles.get(name)
@@ -68,6 +69,10 @@ def main() -> int:
             errors.append(f"{name}: {type(exc).__name__}: {exc}")
             print(f"ERROR  {name}: {exc}", flush=True)
             continue
+        finally:
+            # per-query block hygiene (q97 materialize cache, q146
+            # basket persist) — same as bench.py / test_oracle_parity
+            spark.catalog.clearCache()
         lcols, rcols = sorted(left.columns), sorted(right.columns)
         if lcols != rcols:
             kind_bad.append(name)
@@ -90,8 +95,10 @@ def main() -> int:
                 ):
                     continue
                 if not len(head):
-                    # all-null object vs datetime64: no sample to classify,
-                    # inconclusive — report without failing the sweep.
+                    # all-null object vs datetime64: no sample to
+                    # classify. Inconclusive — tracked, and a FAILURE
+                    # under --strict so it can't hide indefinitely.
+                    skipped.append(f"{name}.{c}")
                     print(
                         f"SKIP   {name}.{c}: all-null object vs {rd} — "
                         "inconclusive",
@@ -108,10 +115,12 @@ def main() -> int:
     print(
         f"\nswept {len(oracles)} pairs: "
         f"{len(kind_bad)} kind mismatches, {len(width_bad)} width mismatches, "
-        f"{len(errors)} errors"
+        f"{len(skipped)} inconclusive skips, {len(errors)} errors"
     )
     spark.stop()
-    return 1 if (kind_bad or errors or (strict and width_bad)) else 0
+    return 1 if (
+        kind_bad or errors or (strict and (width_bad or skipped))
+    ) else 0
 
 
 if __name__ == "__main__":
