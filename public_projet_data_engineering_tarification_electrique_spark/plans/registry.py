@@ -575,7 +575,11 @@ def q29_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-PLAN ε-assertion: exact aggregates ride in the same pass, and the
     sketches must land within 5 % of them (booleans the oracle pins,
     plus the exact values it recomputes)."""
-    events = load_table(spark, sf_dir, "events")
+    from ..operators.util import ensure_parallelism
+
+    # sketch building (HLL registers, KLL buffers) happens in the
+    # partial-agg stage — spread it instead of one parquet split's task
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
     return (
         events.groupBy("event_type")
         .agg(
