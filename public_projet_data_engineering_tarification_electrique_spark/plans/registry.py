@@ -4999,16 +4999,26 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_id, user_id, event_type, value FROM events
     """,
     "q43_embedding_lsh_neardup": """
+        -- DOUBLE[] arithmetic mirroring the Spark side's
+        -- array<double> cast (list_cosine_similarity on the raw
+        -- FLOAT[] computes — and returns — float32, a latent 3-dp
+        -- boundary risk and a dtype-width mismatch); the round(·,6)
+        -- then round(·,3) chain matches the operator's sim grid.
         WITH aug AS (
-          SELECT vec_id, embedding FROM embeddings
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
           UNION ALL
-          SELECT vec_id + 10000000000 AS vec_id, embedding FROM embeddings
+          SELECT vec_id + 10000000000 AS vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings
           WHERE vec_id % 10 = 0
+        ), pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.e, b.e)
+                       / (sqrt(list_dot_product(a.e, a.e))
+                          * sqrt(list_dot_product(b.e, b.e))), 6) AS sim6
+          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 3) AS sim
-        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        SELECT id_a, id_b, round(sim6, 3) AS sim
+        FROM pairs WHERE sim6 >= 0.9
     """,
     "q41_cube_daily": """
         SELECT event_type, cast(ts AS DATE) AS date,
