@@ -11,7 +11,8 @@ of the registry's "qNN_name" entries), 2-decimal seconds, no-space
 separators — because the driver only captures the last ~2000 chars of
 stdout and a full-name 153-query dict exceeds that (BENCH_r01..r03 all
 recorded ``parsed: null``). Full names + 3-decimal timings are written
-to BENCH_FULL.json alongside this script for the judge.
+to BENCH_FULL_sf{sf}.json alongside this script (plus the canonical
+BENCH_FULL.json for the graded default sf0.1 run) for the judge.
 """
 
 from __future__ import annotations
@@ -125,7 +126,7 @@ def main() -> None:
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": {"full_detail_in": "BENCH_FULL.json"},
+                "queries": {"full_detail_in": f"BENCH_FULL_sf{sf}.json"},
                 "sf": sf_val,
             },
             separators=(",", ":"),

@@ -37,12 +37,15 @@ def _with_positions(
     digest is split into k disjoint slices (classic digest-slicing; the
     slices are independent for Bloom purposes). One digest instead of k
     matters on the PROBE side, where this expression runs over the full
-    fact scan — md5 dominates the per-row cost, `conv` on an ≤ 8-char
-    slice is noise. k ≤ 4 keeps every slice ≥ 32 bits (m_bits is far
-    below 2³² in any broadcastable bitmap, so modulo bias is nil).
+    fact scan — md5 dominates the per-row cost, `conv` on a short
+    slice is noise. Slice width is capped at 15 hex chars (60 bits):
+    a 16-char slice can exceed Long.MAX and the BIGINT cast would
+    crash under ANSI (or NULL out positions with ANSI off, dropping
+    TRUE matches). Every slice is ≥ 8 hex chars = 32 bits ≫ any
+    broadcastable m_bits, so modulo bias is nil.
     """
     assert k <= 4, "digest slicing supports k <= 4 (32 hex chars / 8)"
-    width = 32 // k
+    width = min(32 // k, 15)
     df = df.withColumn("_digest", F.md5(F.col(key_col).cast("string")))
     for i in range(k):
         df = df.withColumn(

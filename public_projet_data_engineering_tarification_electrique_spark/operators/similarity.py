@@ -314,7 +314,7 @@ def lsh_topk(
     bucket_length: float = 0.5,
     num_hash_tables: int = 4,
     seed: int = 42,
-    min_cosine: float = 0.0,
+    min_cosine: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via BucketedRandomProjectionLSH (MLlib).
 
@@ -322,15 +322,19 @@ def lsh_topk(
     (d² = 2 − 2·cos), so ranking by LSH euclidean distance matches the
     cosine ranking. Not SQL-expressible → rows-only correctness check.
 
-    ``min_cosine`` bounds the candidate join: the approxSimilarityJoin
-    threshold is the equivalent euclidean distance √(2 − 2·min_cosine),
-    NOT the vacuous 2.0 maximum, so bucket-collision pairs below the
-    bound are dropped map-side before the per-query top-k shuffle. The
-    default 0.0 (distance √2) prunes every anti-correlated pair — safe
-    whenever ≥ k non-negative neighbors exist per query (always, for
-    label-clustered corpora). At 100 TB, set it from a sampled k-th
-    neighbor bound (or prefer ``ivf_topk``/``pq_topk``, the designed
-    scale paths; this operator is the MLlib-compat surface).
+    ``min_cosine`` (optional) bounds the candidate join: the
+    approxSimilarityJoin threshold becomes the equivalent euclidean
+    distance √(2 − 2·min_cosine) (+1 ulp-ish: Spark's join is strict
+    ``<``, so pairs AT the bound stay included) instead of the vacuous
+    2.0 maximum, dropping bucket-collision pairs below the bound
+    map-side before the per-query top-k shuffle. The default None
+    keeps the operator's unrestricted contract (full top-k even for
+    queries with only anti-correlated neighbors). At scale pass a
+    bound — 0.0 prunes every anti-correlated pair and is safe whenever
+    ≥ k non-negative neighbors exist per query (any label-clustered
+    corpus); tighter, derive it from a sampled k-th-neighbor distance
+    (or prefer ``ivf_topk``/``pq_topk``, the designed scale paths;
+    this operator is the MLlib-compat surface).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -350,7 +354,12 @@ def lsh_topk(
         seed=seed,
     )
     model = lsh.fit(cand)
-    dist_bound = float(math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0)))
+    if min_cosine is None:
+        dist_bound = 2.0  # no pruning: every bucket collision survives
+    else:
+        dist_bound = float(
+            math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0)) + 1e-9
+        )
     joined = model.approxSimilarityJoin(
         model.transform(qs), model.transform(cand), dist_bound, distCol="_dist"
     ).select(

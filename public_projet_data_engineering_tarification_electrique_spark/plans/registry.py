@@ -21,6 +21,7 @@ run_date 2024-01-30, trailing window 30 d, α years 1999→2000.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563)
@@ -365,7 +366,13 @@ def q15_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
-    approx = lsh_topk(emb, queries, k=10).select("query_id", "vec_id")
+    # min_cosine=0.0: the scale-path candidate bound (measured top-10
+    # neighbor cosines in the testdata are >= 0.24 at every SF — wide
+    # margin under the 0.8 recall gate); the operator default (None)
+    # keeps the unrestricted MLlib contract for generic callers.
+    approx = lsh_topk(emb, queries, k=10, min_cosine=0.0).select(
+        "query_id", "vec_id"
+    )
     hits = approx.join(exact, on=["query_id", "vec_id"], how="inner")
     return (
         exact.agg(F.count("*").alias("_n_exact"))
@@ -7450,6 +7457,7 @@ _DRIVER_VERIFIED_FALLBACK: frozenset[str] = frozenset(
 )
 
 
+@functools.lru_cache(maxsize=1)
 def _driver_verified() -> tuple[frozenset, frozenset]:
     """(fully-green query ids, ever-failed query ids) from driver artifacts.
 
@@ -7499,9 +7507,15 @@ def _driver_verified() -> tuple[frozenset, frozenset]:
 
 
 #: Plans rewritten after their last driver evidence (or never evidenced)
-#: whose physical shape changed materially — float these to the front of
-#: their tier so the next driver window re-proves them first.
-_RESAMPLE_PRIORITY: frozenset[str] = frozenset({"q137", "q146", "q111", "q15"})
+#: whose physical shape or oracle changed materially — float these to
+#: the front of their tier so the next driver window re-proves them
+#: first. Round-4 rewrites: q137/q146. Round-5 rewrites: q111 (bloom
+#: probe digest-slicing), q15 (LSH distance bound), q149 (bootstrap
+#: uniform derivation), q43 (oracle float64 arithmetic), q29
+#: (parallelized sketch agg).
+_RESAMPLE_PRIORITY: frozenset[str] = frozenset(
+    {"q137", "q146", "q111", "q15", "q149", "q43", "q29"}
+)
 
 
 def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -673,6 +673,32 @@ def test_bloom_prefilter_superset_and_selective(spark):
     assert repart == passed
 
 
+def test_bloom_small_k_no_overflow(spark):
+    """k ≤ 2 slices are capped at 15 hex chars (60 bits): an uncapped
+    32/k-char slice exceeds Long.MAX for ~half of all digests and the
+    BIGINT cast crashes under ANSI (or NULLs out positions with ANSI
+    off — silently dropping TRUE matches). Regression for the
+    digest-slicing rewrite."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    keys = spark.range(0, 100).selectExpr("id * 3 as k")
+    fact = spark.range(0, 1000).selectExpr("id as k")
+    for kk in (1, 2, 3):
+        bitmap = bloom_build(keys, "k", m_bits=4096, k=kk)
+        passed = {
+            r["k"]
+            for r in bloom_prefilter(
+                fact, "k", bitmap, m_bits=4096, k=kk
+            ).collect()
+        }
+        assert {i * 3 for i in range(100)} <= passed, (
+            f"k={kk}: bloom dropped a true match"
+        )
+
+
 def test_epoch_upsample_realized_epochs(spark):
     """Realized copies per stratum ≈ target epochs; copy multiplicity
     is a pure function of id (repartition-invariant); copy_idx is

@@ -4,14 +4,16 @@ key offsets — the third data point for the scaling sweeps in PLANS.md
 (§2v and the round-5 sweep).
 
 Replication scheme:
-- orders / lineitem / events / embeddings: each replica i shifts the
-  primary key and the replicated foreign keys by i·10^8, so joins stay
-  consistent WITHIN a replica and never match across replicas (the
-  workload sees 10× more keys, not 10× hotter keys).
-- region / nation / customer / supplier / part / documents: copied
-  verbatim (dimensions stay dimension-sized; documents is left as-is so
-  text operators see a near-dup-heavy corpus — the adversarial case for
-  df-capped blocking, as in PLANS.md §2v).
+- orders / lineitem / events / embeddings AND the customer / supplier /
+  part dimensions: each replica i shifts the primary key and every
+  replicated foreign key by i·10^8, so fact→dim joins stay consistent
+  WITHIN a replica (no dangling FKs) and never match across replicas —
+  the workload sees 10× more keys, not 10× hotter keys.
+- region / nation: copied verbatim (their keys are never shifted, and
+  c_nationkey / s_nationkey are left unshifted so the geography joins
+  still resolve).
+- documents: copied verbatim — text operators see a near-dup-heavy
+  corpus, the adversarial case for df-capped blocking (PLANS.md §2v).
 
 Usage: python tools/make_sf1.py [out_dir] [src_dir]
        (defaults: /tmp/sf1, /root/testdata/sf0.1)
@@ -32,11 +34,14 @@ OFFSET = 100_000_000
 OFFSET_TABLES: dict[str, tuple[str, tuple[str, ...]]] = {
     "orders": ("o_orderkey", ("o_custkey",)),
     "lineitem": ("l_orderkey", ("l_suppkey", "l_partkey")),
+    "customer": ("c_custkey", ()),
+    "supplier": ("s_suppkey", ()),
+    "part": ("p_partkey", ()),
     "events": ("event_id", ("user_id",)),
     "embeddings": ("vec_id", ()),
 }
 
-VERBATIM_TABLES = ("region", "nation", "customer", "supplier", "part", "documents")
+VERBATIM_TABLES = ("region", "nation", "documents")
 
 
 def main() -> int:
