@@ -108,6 +108,39 @@ def test_lsh_topk_recovers_exact_top1(spark):
     assert rank1 == {0: 0, 1: 1, 2: 2}
 
 
+def test_lsh_topk_min_cosine_contract(spark):
+    """min_cosine semantics: None imposes no distance filter on the
+    bucket-colliding candidates (the original MLlib contract); a bound
+    is INCLUSIVE at exactly cos == min_cosine (Spark's
+    approxSimilarityJoin filters strictly '<', so distance √2 would be
+    dropped at min_cosine=0.0 without the +1e-9 pad — the ortho vector
+    here sits at exactly that boundary); a tighter bound prunes. Fixed
+    seed + oversized bucket_length make the candidate set
+    deterministic."""
+    dim = 8
+    q = [1.0] + [0.0] * (dim - 1)
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)  # cos == 0.0 exactly
+    rows = [(0, q, 0), (99, ortho, 0)]
+    emb = _emb(spark, rows)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def ids(**kw):
+        return {
+            r["vec_id"]
+            for r in lsh_topk(
+                emb, queries, k=5, bucket_length=100.0, **kw
+            ).collect()
+        }
+
+    assert ids() == {0, 99}  # default: no distance filter
+    # inclusive boundary: cos exactly 0.0 survives min_cosine=0.0
+    assert ids(min_cosine=0.0) == {0, 99}
+    # tighter bound prunes the ortho vector, keeps the exact self-match
+    assert ids(min_cosine=0.5) == {0}
+
+
 def test_embedding_neardup_planted(spark):
     v = [1.0] + [0.0] * 15
     near = [0.999] + [0.04] + [0.0] * 14
