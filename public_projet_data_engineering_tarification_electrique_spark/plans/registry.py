@@ -7458,14 +7458,17 @@ _DRIVER_VERIFIED_FALLBACK: frozenset[str] = frozenset(
 
 
 @functools.lru_cache(maxsize=1)
-def _driver_verified() -> tuple[frozenset, frozenset]:
-    """(fully-green query ids, ever-failed query ids) from driver artifacts.
+def _driver_verified() -> tuple[frozenset, frozenset, dict]:
+    """(green ids, stale-FAIL ids, latest round per id) from artifacts.
 
     Reads every ``CORRECTNESS_r*.json`` at the repo root. A query id
     (``"q07"``) is *verified* iff its most recent driver row is fully
     green (rows+schema+hash match, no err); it is *failed* iff it has a
     non-green row and no later green row — those need re-sampling most
-    urgently, so QUERIES() floats them first.
+    urgently, so QUERIES() floats them first. The third element maps
+    each id to the round of its most recent row, so rewrite-priority
+    entries can expire once the driver re-proves them (see
+    ``_RESAMPLE_PRIORITY``).
     """
     import glob
     import json
@@ -7500,36 +7503,46 @@ def _driver_verified() -> tuple[frozenset, frozenset]:
             if prev is None or rnd >= prev[0]:
                 latest[qid] = (rnd, green)
     if not latest:
-        return _DRIVER_VERIFIED_FALLBACK, frozenset()
+        return _DRIVER_VERIFIED_FALLBACK, frozenset(), {}
     verified = frozenset(q for q, (_, g) in latest.items() if g)
     failed = frozenset(q for q, (_, g) in latest.items() if not g)
-    return verified, failed
+    rounds = {q: r for q, (r, _) in latest.items()}
+    return verified, failed, rounds
 
 
-#: Plans rewritten after their last driver evidence (or never evidenced)
-#: whose physical shape or oracle changed materially — float these to
-#: the front of their tier so the next driver window re-proves them
-#: first. Round-4 rewrites: q137/q146. Round-5 rewrites: q111 (bloom
-#: probe digest-slicing), q15 (LSH distance bound), q149 (bootstrap
-#: uniform derivation), q43 (oracle float64 arithmetic), q29
-#: (parallelized sketch agg).
-_RESAMPLE_PRIORITY: frozenset[str] = frozenset(
-    {"q137", "q146", "q111", "q15", "q149", "q43", "q29"}
-)
+#: Plans rewritten after their last driver evidence whose physical shape
+#: or oracle changed materially, mapped to the round the rewrite
+#: happened in. The driver's round-N correctness run executes the
+#: round-N final code, so a row from round >= the rewrite round proves
+#: the rewrite and the priority expires on its own — no slot is spent
+#: re-proving an already re-proven rewrite.
+#: Round-4 rewrites: q137/q146. Round-5: q111 (bloom probe
+#: digest-slicing), q15 (LSH distance bound), q149 (bootstrap uniform
+#: derivation), q43 (oracle float64 arithmetic), q29 (parallelized
+#: sketch agg).
+_RESAMPLE_PRIORITY: dict[str, int] = {
+    "q137": 4, "q146": 4,
+    "q111": 5, "q15": 5, "q149": 5, "q43": 5, "q29": 5,
+}
 
 
 def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    verified, failed = _driver_verified()
+    verified, failed, rounds = _driver_verified()
+
+    def needs_resample(qid: str) -> bool:
+        rewritten_in = _RESAMPLE_PRIORITY.get(qid)
+        return rewritten_in is not None and rounds.get(qid, 0) < rewritten_in
 
     def rank(name: str) -> tuple[int, int, int, str]:
         qid = name.split("_", 1)[0]  # "q07", "q101"
+        resample = needs_resample(qid)
         if qid in failed:
             tier = 0  # stale driver FAIL, fixed locally — re-verify first
-        elif qid not in verified or qid in _RESAMPLE_PRIORITY:
+        elif qid not in verified or resample:
             tier = 1  # never driver-sampled, or rewritten since evidence
         else:
             tier = 2  # already has a green driver row
-        return (tier, 0 if qid in _RESAMPLE_PRIORITY else 1, int(qid[1:]), name)
+        return (tier, 0 if resample else 1, int(qid[1:]), name)
 
     return {
         name: QUERIES_IMPL[name]

@@ -32,3 +32,34 @@ def test_each_query_runs_on_smoke_sf(spark):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_rotation_floats_unproven_queries_first():
+    """The driver's correctness window replays queries() in iteration
+    order and truncates at ~50 entries; the rotation must place every
+    query lacking current driver evidence (stale FAIL, never sampled,
+    or rewritten since its last row) inside that window."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        _RESAMPLE_PRIORITY,
+        _driver_verified,
+    )
+
+    verified, failed, rounds = _driver_verified()
+    names = list(entry_mod.queries())
+    window = {n.split("_", 1)[0] for n in names[:50]}
+    all_ids = {n.split("_", 1)[0] for n in names}
+    unproven = (
+        set(failed)
+        | (all_ids - set(verified))
+        | {
+            q
+            for q, rewritten_in in _RESAMPLE_PRIORITY.items()
+            if rounds.get(q, 0) < rewritten_in
+        }
+    )
+    missing = (unproven & all_ids) - window
+    # the window holds 50; if more than 50 queries lack evidence the
+    # overflow is expected to wait for the NEXT round's rotation
+    assert len(missing) == max(0, len(unproven & all_ids) - 50), (
+        f"unproven queries left outside the driver window: {sorted(missing)}"
+    )
