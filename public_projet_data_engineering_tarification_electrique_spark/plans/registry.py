@@ -5727,10 +5727,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM scored WHERE abs(z) > 2.0
     """,
     "q69_label_centroids": """
+        -- dims derived from the data via zipped unnests (q117's
+        -- convention), matching the Spark side's posexplode — never a
+        -- hardcoded embedding width
+        WITH dims AS (
+          SELECT label,
+                 unnest(range(0, len(embedding))) AS i,
+                 unnest(embedding) AS x
+          FROM embeddings
+        )
         SELECT label, CAST(i AS INTEGER) AS dim,
-               round(avg(embedding[i + 1]) + 1e-9, 4) AS c,
+               round(avg(x) + 1e-9, 4) AS c,
                CAST(count(*) AS INTEGER) AS n_vecs
-        FROM embeddings, range(64) t(i)
+        FROM dims
         GROUP BY 1, 2
     """,
     "q70_dau_wau_stickiness": """
@@ -6267,10 +6276,13 @@ ORACLE_SQL: dict[str, str] = {
             SELECT lang || ':' || CAST(count(*) AS VARCHAR) AS e
             FROM documents GROUP BY lang)
         ), s AS (
+          -- list_filter(x <> ''): a blank/whitespace-only doc splits to
+          -- [''] (1 token) in DuckDB where Spark's token_count yields 0
           SELECT count(*) AS n_docs,
                  CAST(sum(length(text)) AS BIGINT) AS total_chars,
-                 CAST(sum(len(string_split_regex(trim(text), '\\s+')))
-                      AS BIGINT) AS total_tokens,
+                 CAST(sum(len(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        x -> x <> ''))) AS BIGINT) AS total_tokens,
                  count(DISTINCT source) AS n_sources
           FROM documents
         ), d AS (
