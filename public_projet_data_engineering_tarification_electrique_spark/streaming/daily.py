@@ -10,9 +10,14 @@ any scheduler (cron replaces Airflow; state/checkpoint replaces the
 merged instead of appended twice — fixing the reference's duplicate
 (region, date) tolerance).
 
-A watermark bounds state for continuous runs; with availableNow the
-query drains whatever landed since the last checkpoint and stops —
-the exact semantics of the reference's nightly 02:30 batch.
+A watermark bounds state for continuous runs of the APPEND-mode sinks
+(``stream_daily_ingest``; Spark evicts closed windows past the
+watermark). The complete-output-mode memory-sink variants
+(``stream_daily_event_avg``, ``stream_enriched_daily``) are bounded
+availableNow demos: complete mode never evicts, so for a long-running
+deployment use the append-mode ingest. With availableNow the query
+drains whatever landed since the last checkpoint and stops — the
+exact semantics of the reference's nightly 02:30 batch.
 """
 
 from __future__ import annotations
@@ -51,14 +56,43 @@ EVENTS_LANDING_SCHEMA_NS = (
 
 def stage_landing(events_path: str, prefix: str = "landing_") -> str:
     """File streams need a landing DIRECTORY; when pointed at a single
-    parquet file (the driver testdata layout), stage a symlink dir."""
+    parquet file (the driver testdata layout), stage a symlink dir.
+    The target is absolutized: a relative symlink target would resolve
+    against the scratch dir and dangle."""
     if os.path.isfile(events_path):
         landing = scratch_dir(prefix)
         os.symlink(
-            events_path, os.path.join(landing, os.path.basename(events_path))
+            os.path.abspath(events_path),
+            os.path.join(landing, os.path.basename(events_path)),
         )
         return landing
     return events_path
+
+
+def stage_landing_under_checkpoint(
+    events_path: str, checkpoint: str, prefix: str
+) -> str:
+    """Resume-aware variant of :func:`stage_landing`: the checkpoint
+    pins the source path, so a resumed run must stage the SAME landing
+    dir — a fresh tempdir per call would fail the restart with "Wrong
+    basePath". Single-file inputs stage a stable symlink dir UNDER the
+    checkpoint; directories stream as-is. Shared by the stateful
+    streams (sessions, upsert) — one implementation, one fix site."""
+    if not os.path.isfile(events_path):
+        return events_path
+    landing = os.path.join(checkpoint, "landing")
+    os.makedirs(landing, exist_ok=True)
+    link = os.path.join(landing, os.path.basename(events_path))
+    target = os.path.abspath(events_path)
+    # lexists: a dangling symlink (staged file since moved) must be
+    # replaced, not trip FileExistsError
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.readlink(link) != target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
+    return landing
 
 
 def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
@@ -149,9 +183,19 @@ def stream_daily_ingest(
     checkpoint_dir: str,
     watermark: str = "2 days",
 ) -> None:
-    """Production shape: availableNow stream from the landing zone into a
-    date-partitioned parquet sink (idempotent via checkpoint + dynamic
-    partition overwrite). The nightly scheduler just re-runs this."""
+    """Production shape: availableNow stream from the landing zone into
+    a date-partitioned parquet sink. The nightly scheduler just re-runs
+    this.
+
+    Idempotence contract, precisely: the streaming file sink is
+    exactly-once WITH its checkpoint (committed batches are recorded in
+    the sink's ``_spark_metadata`` log and never re-emitted on resume
+    or re-run). It does NOT survive losing the checkpoint — the sink
+    only appends, so a fresh checkpoint over the same out_path would
+    duplicate windows. For re-runs outside the checkpoint's history
+    (reprocessing a date range), use the batch backfill path
+    (operators.ingest.backfill_days), which overwrites the touched
+    date partitions dynamically."""
     configure(spark)
     src = events_stream(spark, landing_path)
     agg = (
@@ -165,6 +209,8 @@ def stream_daily_ingest(
     (
         agg.writeStream.outputMode("append")
         .format("parquet")
+        # date-partitioned so downstream date-range scans prune files
+        .partitionBy("date")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

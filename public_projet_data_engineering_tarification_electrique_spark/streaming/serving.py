@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.pricing import score_requests_with_status
 from ..session import configure
-from .daily import stream_shuffle_partitions
 from ..operators.util import scratch_dir
 
 #: declared landing schema for request files (schema inference on a
@@ -40,7 +39,6 @@ def stream_score_requests(
     run_date,
     year_n: int,
     checkpoint_dir: str | None = None,
-    state_partitions: int | None = 8,
 ) -> DataFrame:
     """availableNow stream over a requests landing directory, scored
     through ``score_requests_with_status`` (the error-envelope scorer);
@@ -50,7 +48,10 @@ def stream_score_requests(
     dimensions): ``score_requests_with_status`` aggregates them to
     region-/commune-grain and broadcasts, so the stream side never
     shuffles — per micro-batch the plan is scan → BHJ ×2 → project,
-    identical to the batch scorer's shape.
+    identical to the batch scorer's shape. Because there is no shuffle
+    and no state store, this query takes no state_partitions knob (the
+    stateful siblings' pinned-partition machinery has nothing to size
+    here).
     """
     configure(spark)
     checkpoint = checkpoint_dir or scratch_dir("ckpt_serve_")
@@ -63,14 +64,13 @@ def stream_score_requests(
     scored = score_requests_with_status(
         src, daily, annual, run_date, year_n
     ).select("code_commune", "status", "price")
-    with stream_shuffle_partitions(spark, state_partitions):
-        (
-            scored.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(table)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+    (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
     return spark.table(table)

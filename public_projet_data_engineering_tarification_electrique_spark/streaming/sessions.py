@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..session import configure
-from .daily import events_stream, stage_landing, stream_shuffle_partitions
+from .daily import (
+    events_stream,
+    stage_landing,
+    stage_landing_under_checkpoint,
+    stream_shuffle_partitions,
+)
 from ..operators.util import scratch_dir
 
 OUTPUT_SCHEMA = (
@@ -172,19 +177,16 @@ def stream_sessionize(
     # Durable emission sink UNDER the checkpoint: the memory sink
     # cannot recover from a checkpoint ("This query does not support
     # recovering..."), so the advertised incremental resume only works
-    # with a restartable sink. foreachBatch appends each batch's closed
-    # sessions to a parquet dir; the return value reads ALL sessions
+    # with a restartable sink. foreachBatch overwrites each batch's
+    # closed sessions into its own batch=<bid> subdir (idempotent under
+    # at-least-once replay); the return value reads ALL sessions
     # emitted so far for this checkpoint (cumulative — identical to the
     # single-run view for a fresh checkpoint).
     emitted_dir = os.path.join(checkpoint, "emitted")
-    # resumable runs must stage the SAME landing dir (the checkpoint
-    # pins the source path — see streaming.upsert for the same guard)
-    if os.path.isfile(events_path) and checkpoint_dir is not None:
-        landing = os.path.join(checkpoint, "landing")
-        os.makedirs(landing, exist_ok=True)
-        link = os.path.join(landing, os.path.basename(events_path))
-        if not os.path.exists(link):
-            os.symlink(events_path, link)
+    if checkpoint_dir is not None:
+        landing = stage_landing_under_checkpoint(
+            events_path, checkpoint, "landing_sess_"
+        )
     else:
         landing = stage_landing(events_path, "landing_sess_")
     src = (
@@ -205,14 +207,22 @@ def stream_sessionize(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+    # Per-batch OVERWRITE into emitted/batch=<bid>: foreachBatch is
+    # at-least-once on crash replay (the batch can re-run after its
+    # output landed but before the commit log recorded it) — a plain
+    # mode("append") would duplicate that batch's closed sessions on
+    # resume. Overwriting the batch's own directory makes the replay
+    # idempotent; committed batches are never re-executed, so earlier
+    # directories are untouched.
+    def _emit(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(emitted_dir, f"batch={bid}")
+        )
+
     with stream_shuffle_partitions(spark, state_partitions):
         (
             sessions.writeStream.outputMode("append")
-            .foreachBatch(
-                lambda batch, _bid: batch.write.mode("append").parquet(
-                    emitted_dir
-                )
-            )
+            .foreachBatch(_emit)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
@@ -220,4 +230,6 @@ def stream_sessionize(
         )
     if not os.path.isdir(emitted_dir):
         return spark.createDataFrame([], OUTPUT_SCHEMA)
-    return spark.read.schema(OUTPUT_SCHEMA).parquet(emitted_dir)
+    # partition discovery appends the batch=<bid> dir as a column even
+    # under an explicit schema — drop it, it's sink bookkeeping
+    return spark.read.schema(OUTPUT_SCHEMA).parquet(emitted_dir).drop("batch")

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import configure
-from .daily import events_stream, stage_landing, stream_shuffle_partitions
+from .daily import (
+    events_stream,
+    stage_landing,
+    stage_landing_under_checkpoint,
+    stream_shuffle_partitions,
+)
 from ..operators.util import scratch_dir
 
 STATE_SCHEMA = (
@@ -54,34 +59,44 @@ def _merge_batch(
     spark: SparkSession, batch: DataFrame, state_dir: str, n_buckets: int
 ) -> None:
     """Keyed MERGE of one micro-batch into the bucket-partitioned state."""
+    # The batch plan feeds three consumers (affected-bucket collect,
+    # anti-join probe, union into the write) — persist it once per
+    # trigger instead of recomputing the update-mode agg three times.
     new = batch.withColumn(
         "_bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
-    )
-    if _state_exists(spark, state_dir):
-        # Affected buckets as a driver-side literal list (≤ n_buckets
-        # ints, and foreachBatch is already a driver callback): the
-        # isin filter prunes state partitions STATICALLY — at 100 TB
-        # the merge scans only the buckets it will rewrite, without
-        # depending on runtime DPP kicking in.
-        affected = [
-            r["_bucket"] for r in new.select("_bucket").distinct().collect()
-        ]
-        old = (
-            spark.read.schema(STATE_SCHEMA)
-            .parquet(state_dir)
-            .filter(F.col("_bucket").isin(affected))
-        )
-        keep = old.join(new.select("user_id"), on="user_id", how="left_anti")
-        merged = keep.unionByName(new)
-    else:
-        merged = new
-    # Dynamic partition overwrite (session conf): only the buckets
-    # present in `merged` are replaced. The merge must be materialized
-    # before the overwrite starts reading-while-writing; localCheckpoint
-    # cuts the self-referencing lineage.
-    merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-        "_bucket"
-    ).parquet(state_dir)
+    ).persist()
+    try:
+        if _state_exists(spark, state_dir):
+            # Affected buckets as a driver-side literal list (≤ n_buckets
+            # ints, and foreachBatch is already a driver callback): the
+            # isin filter prunes state partitions STATICALLY — at 100 TB
+            # the merge scans only the buckets it will rewrite, without
+            # depending on runtime DPP kicking in.
+            affected = [
+                r["_bucket"]
+                for r in new.select("_bucket").distinct().collect()
+            ]
+            old = (
+                spark.read.schema(STATE_SCHEMA)
+                .parquet(state_dir)
+                .filter(F.col("_bucket").isin(affected))
+            )
+            keep = old.join(
+                new.select("user_id"), on="user_id", how="left_anti"
+            )
+            merged = keep.unionByName(new)
+        else:
+            merged = new
+        # Dynamic partition overwrite (session conf): only the buckets
+        # present in `merged` are replaced. The merge must be
+        # materialized before the overwrite starts
+        # reading-while-writing; localCheckpoint cuts the
+        # self-referencing lineage.
+        merged.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(state_dir)
+    finally:
+        new.unpersist()
 
 
 def stream_upsert_latest(
@@ -123,16 +138,10 @@ def stream_upsert_latest(
     # subdirectory for its state store, and parquet partition discovery
     # over a mixed dir fails with CONFLICTING_DIRECTORY_STRUCTURES
     state = state_dir or os.path.join(checkpoint, "merge_state")
-    # The checkpoint pins the source path, so a resumed run must stage
-    # the SAME landing dir — a fresh tempdir per call would fail the
-    # restart with "Wrong basePath". Single-file inputs stage under the
-    # checkpoint; directories stream as-is.
-    if os.path.isfile(events_path) and checkpoint_dir is not None:
-        landing = os.path.join(checkpoint, "landing")
-        os.makedirs(landing, exist_ok=True)
-        link = os.path.join(landing, os.path.basename(events_path))
-        if not os.path.exists(link):
-            os.symlink(events_path, link)
+    if checkpoint_dir is not None:
+        landing = stage_landing_under_checkpoint(
+            events_path, checkpoint, "landing_upsert_"
+        )
     else:
         landing = stage_landing(events_path, "landing_upsert_")
     src = events_stream(spark, landing)
@@ -163,8 +172,11 @@ def stream_upsert_latest(
             .start()
             .awaitTermination()
         )
-    return (
-        spark.read.schema(STATE_SCHEMA)
-        .parquet(state)
-        .select("user_id", "last_event_id", "last_value", "last_ts_us")
-    )
+    # Empty landing + fresh checkpoint → no micro-batch ever fired and
+    # no state dir exists: the documented production shape (the stream
+    # starts before the first nightly file lands) must return an empty
+    # state table, not raise PATH_NOT_FOUND.
+    out_cols = ["user_id", "last_event_id", "last_value", "last_ts_us"]
+    if not _state_exists(spark, state):
+        return spark.createDataFrame([], STATE_SCHEMA).select(*out_cols)
+    return spark.read.schema(STATE_SCHEMA).parquet(state).select(*out_cols)
