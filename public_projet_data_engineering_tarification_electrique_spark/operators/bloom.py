@@ -44,7 +44,13 @@ def _with_positions(
     TRUE matches). Every slice is ≥ 8 hex chars = 32 bits ≫ any
     broadcastable m_bits, so modulo bias is nil.
     """
-    assert k <= 4, "digest slicing supports k <= 4 (32 hex chars / 8)"
+    # Real exception, not assert: this is a public-API bound and must
+    # survive `python -O` — a silent k=5+ would slice narrower than the
+    # documented >= 8 hex chars and quietly degrade hash independence.
+    if k > 4:
+        raise ValueError(
+            f"digest slicing supports k <= 4 (32 hex chars / 8), got k={k}"
+        )
     width = min(32 // k, 15)
     df = df.withColumn("_digest", F.md5(F.col(key_col).cast("string")))
     for i in range(k):
@@ -68,7 +74,8 @@ def bloom_build(
     ~0.2 %. The bitmap is m/64 longs — 1 MB covers 8M bits / ~500k
     keys, comfortably broadcastable.
     """
-    assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     n_words = m_bits // 64
     # Null build keys can never equi-join anyway, and a null position
     # would abort the build as a NULL_MAP_KEY — drop them, mirroring

@@ -7481,6 +7481,13 @@ def _driver_verified() -> tuple[frozenset, frozenset, dict]:
     each id to the round of its most recent row, so rewrite-priority
     entries can expire once the driver re-proves them (see
     ``_RESAMPLE_PRIORITY``).
+
+    Snapshot semantics: the result is ``lru_cache``'d for the process
+    lifetime, so QUERIES() ordering reflects the CORRECTNESS_r*.json
+    state at FIRST call. That is exactly right for the driver (one
+    process per round, artifacts written between rounds); a long-lived
+    harness that writes artifacts mid-process and wants the new
+    ordering must call ``_driver_verified.cache_clear()`` first.
     """
     import glob
     import json
@@ -7545,7 +7552,7 @@ def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rewritten_in = _RESAMPLE_PRIORITY.get(qid)
         return rewritten_in is not None and rounds.get(qid, 0) < rewritten_in
 
-    def rank(name: str) -> tuple[int, int, int, str]:
+    def rank(name: str) -> tuple[int, int, int, int, str]:
         qid = name.split("_", 1)[0]  # "q07", "q101"
         resample = needs_resample(qid)
         if qid in failed:
@@ -7554,7 +7561,11 @@ def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tier = 1  # never driver-sampled, or rewritten since evidence
         else:
             tier = 2  # already has a green driver row
-        return (tier, 0 if resample else 1, int(qid[1:]), name)
+        # Within tier 2, float the STALEST evidence first so the driver's
+        # fixed-size sample window refreshes the oldest green rows instead
+        # of re-burning slots on queries it just verified last round.
+        return (tier, 0 if resample else 1, rounds.get(qid, 0),
+                int(qid[1:]), name)
 
     return {
         name: QUERIES_IMPL[name]

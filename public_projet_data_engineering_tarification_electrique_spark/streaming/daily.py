@@ -69,9 +69,7 @@ def stage_landing(events_path: str, prefix: str = "landing_") -> str:
     return events_path
 
 
-def stage_landing_under_checkpoint(
-    events_path: str, checkpoint: str, prefix: str
-) -> str:
+def stage_landing_under_checkpoint(events_path: str, checkpoint: str) -> str:
     """Resume-aware variant of :func:`stage_landing`: the checkpoint
     pins the source path, so a resumed run must stage the SAME landing
     dir — a fresh tempdir per call would fail the restart with "Wrong
@@ -195,8 +193,25 @@ def stream_daily_ingest(
     duplicate windows. For re-runs outside the checkpoint's history
     (reprocessing a date range), use the batch backfill path
     (operators.ingest.backfill_days), which overwrites the touched
-    date partitions dynamically."""
+    date partitions dynamically.
+
+    Layout-compat note: the sink is ``partitionBy("date")`` — resuming
+    a checkpoint over an ``out_path`` written by a pre-partitioning
+    build (flat part files at the top level) would mix flat files with
+    ``date=`` subdirs and break read-back with
+    CONFLICTING_DIRECTORY_STRUCTURES, so a legacy flat layout is
+    detected up front and refused: migrate to a fresh out_path (plus a
+    fresh checkpoint) before resuming."""
     configure(spark)
+    if os.path.isdir(out_path) and any(
+        name.startswith("part-") for name in os.listdir(out_path)
+    ):
+        raise ValueError(
+            f"out_path {out_path!r} holds a legacy UNPARTITIONED layout "
+            "(top-level part files); this sink writes date= partitions "
+            "and mixing the two breaks parquet directory discovery. "
+            "Point out_path (and checkpoint_dir) at a fresh location."
+        )
     src = events_stream(spark, landing_path)
     agg = (
         src.withWatermark("ts", watermark)

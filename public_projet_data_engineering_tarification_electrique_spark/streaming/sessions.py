@@ -183,10 +183,29 @@ def stream_sessionize(
     # emitted so far for this checkpoint (cumulative — identical to the
     # single-run view for a fresh checkpoint).
     emitted_dir = os.path.join(checkpoint, "emitted")
+    # One-time migration of a legacy flat layout: builds before the
+    # batch=<bid> scheme appended part files directly under emitted/;
+    # resuming such a checkpoint would mix flat files with batch=
+    # subdirs and the cumulative read-back would fail with
+    # CONFLICTING_DIRECTORY_STRUCTURES. Move legacy top-level files
+    # into their own batch=legacy subdir — readable under the
+    # partitioned scheme and never touched by per-batch overwrites
+    # (real bids are integers).
+    if os.path.isdir(emitted_dir):
+        legacy = [
+            n
+            for n in os.listdir(emitted_dir)
+            if not n.startswith("batch=") and not n.startswith((".", "_"))
+        ]
+        if legacy:
+            legacy_dir = os.path.join(emitted_dir, "batch=legacy")
+            os.makedirs(legacy_dir, exist_ok=True)
+            for n in legacy:
+                os.rename(
+                    os.path.join(emitted_dir, n), os.path.join(legacy_dir, n)
+                )
     if checkpoint_dir is not None:
-        landing = stage_landing_under_checkpoint(
-            events_path, checkpoint, "landing_sess_"
-        )
+        landing = stage_landing_under_checkpoint(events_path, checkpoint)
     else:
         landing = stage_landing(events_path, "landing_sess_")
     src = (

@@ -139,9 +139,7 @@ def stream_upsert_latest(
     # over a mixed dir fails with CONFLICTING_DIRECTORY_STRUCTURES
     state = state_dir or os.path.join(checkpoint, "merge_state")
     if checkpoint_dir is not None:
-        landing = stage_landing_under_checkpoint(
-            events_path, checkpoint, "landing_upsert_"
-        )
+        landing = stage_landing_under_checkpoint(events_path, checkpoint)
     else:
         landing = stage_landing(events_path, "landing_upsert_")
     src = events_stream(spark, landing)

@@ -63,3 +63,25 @@ def test_rotation_floats_unproven_queries_first():
     assert len(missing) == max(0, len(unproven & all_ids) - 50), (
         f"unproven queries left outside the driver window: {sorted(missing)}"
     )
+
+
+def test_rotation_refreshes_stalest_green_evidence_first():
+    """Within the already-verified tier the iteration order must be
+    oldest-evidence-first, so the driver window's leftover slots
+    re-prove the stalest green rows instead of re-burning slots on
+    queries verified just last round."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        _RESAMPLE_PRIORITY,
+        _driver_verified,
+    )
+
+    verified, failed, rounds = _driver_verified()
+    green_rounds = []
+    for name in entry_mod.queries():
+        qid = name.split("_", 1)[0]
+        needs_resample = rounds.get(qid, 0) < _RESAMPLE_PRIORITY.get(qid, 0)
+        if qid in verified and qid not in failed and not needs_resample:
+            green_rounds.append(rounds.get(qid, 0))
+    assert green_rounds == sorted(green_rounds), (
+        "verified-tier iteration is not stalest-evidence-first"
+    )
