@@ -242,3 +242,62 @@ def epoch_upsample(
         )
         .drop("_n_copies")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    salt: str = "ws",
+    key_col: str = "sample_key",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows (per
+    stratum): the Efraimidis–Spirakis A-ES construction — draw
+    u ~ Uniform(0,1) per row, rank by u^(1/w), keep the top k. The
+    selection distribution is exactly probability-proportional-to-size
+    without replacement, and because u comes from the id's md5 (not an
+    RNG), membership is a pure function of identity: re-runs, retries,
+    and repartitions pick the SAME sample (the property every operator
+    in this module guarantees).
+
+    Ranking uses the monotone-equivalent key ln(u)/w (descending):
+    identical order to u^(1/w), one libm call instead of a pow. u is
+    mapped to the open interval via (v + 0.5) / 2^60 from a 15-hex-char
+    (60-bit) digest slice, so ln(0) can never occur.
+
+    Plan shape: one projected key column on the scan, then a top-k —
+    per-stratum window when ``stratum_col`` is given (one exchange on
+    the stratum key), TakeOrdered otherwise. No driver-side data, no
+    UDF; at 100 TB the cost is the scan plus a k-bounded shuffle.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    keyed = df.withColumn(key_col, key)
+    order = [F.desc(key_col), F.asc(id_col)]
+    if stratum_col is not None:
+        w = Window.partitionBy(stratum_col).orderBy(*order)
+        ranked = keyed.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        return ranked.filter(F.col(rank_col) <= k).drop(key_col)
+    # Global variant: orderBy+limit compiles to TakeOrderedAndProject
+    # (parallel per-partition partial top-k, k-bounded merge) — NEVER a
+    # single-partition window over the corpus. The rank window then
+    # runs over exactly k rows, which is the bounded case where a
+    # global window is fine.
+    topk = keyed.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (
+        topk.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        .drop(key_col)
+    )

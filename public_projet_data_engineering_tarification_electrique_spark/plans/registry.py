@@ -4323,6 +4323,58 @@ def q153_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, reports)
 
 
+def q154_sorted_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally SORTED size-capped export shards (longest-first
+    curriculum order, 100 docs per shard) — the complement of q102's
+    unordered hash shards. The global row number comes from
+    ``operators.shards.global_row_number``: range partition →
+    partition-local rank → broadcast prefix offsets, i.e. P-way
+    parallel with a driver collect bounded at P count rows — NEVER the
+    single-partition ``row_number() OVER (ORDER BY ...)`` window that a
+    literal SQL translation would produce (that plan collapses 100 TB
+    into one task). Output per shard: size, char volume, and the
+    rank-extremal doc ids (min_by/max_by on the global rank), all
+    integers — exact parity."""
+    from ..operators.shards import sorted_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = sorted_shards(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        docs_per_shard=100,
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min_by("doc_id", "global_rn").alias("first_doc_id"),
+        F.max_by("doc_id", "global_rn").alias("last_doc_id"),
+    )
+
+
+def q155_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling without replacement,
+    20 docs per language weighted by length — the corpus-subsetting
+    primitive mixture planning needs when "sample 20" should favor the
+    documents carrying the most training tokens. Efraimidis–Spirakis
+    A-ES keys (rank by ln(u)/w desc ⟺ u^(1/w) desc) with u derived
+    from the id's md5, so the sample is a pure function of identity:
+    stable across re-runs and repartitions, like every sampler in
+    ``operators.sampling``. Zero-weight rows are excluded up front
+    (ln(u)/0 diverges and its sort position is engine-specific).
+    Output columns are integers + the lang key only — the float key is
+    dropped, so parity can't hinge on libm ulps."""
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs.select("doc_id", "lang", "n_chars").filter(F.col("n_chars") > 0),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=20,
+        stratum_col="lang",
+    ).select("lang", "doc_id", "n_chars", "sample_rank")
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7453,6 +7505,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q151_filtered_ann": q151_filtered_ann,
     "q152_rrf_hybrid": q152_rrf_hybrid,
     "q153_fk_integrity": q153_fk_integrity,
+    "q154_sorted_shards": q154_sorted_shards,
+    "q155_weighted_sample": q155_weighted_sample,
 }
 
 
@@ -7611,4 +7665,37 @@ ORACLE_SQL["q152_rrf_hybrid"] = f"""
                  row_number() OVER (ORDER BY s_e6 DESC, doc_id) AS rank
           FROM fused) r
     WHERE rank <= 10
+"""
+
+
+ORACLE_SQL["q154_sorted_shards"] = """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT CAST((rn - 1) // 100 AS INTEGER) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, rn) AS first_doc_id,
+           arg_max(doc_id, rn) AS last_doc_id
+    FROM ranked GROUP BY 1
+"""
+
+ORACLE_SQL["q155_weighted_sample"] = """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ln((('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT + 0.5) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS sample_key
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sample_key DESC, doc_id ASC)
+               AS sample_rank
+      FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked WHERE sample_rank <= 20
 """

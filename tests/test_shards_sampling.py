@@ -1,0 +1,111 @@
+"""Distributed global ordering (operators.shards) and weighted
+sampling (operators.sampling.weighted_sample_topk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+    weighted_sample_topk,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+    global_row_number,
+    sorted_shards,
+)
+
+
+def _docs(spark, n=237, parts=7):
+    return spark.range(n).repartition(parts).select(
+        F.col("id").alias("doc_id"),
+        # non-monotone weights with deliberate ties on the sort value
+        ((F.col("id") * 37) % 11 + 1).alias("w"),
+    )
+
+
+def test_global_row_number_is_exact_permutation(spark):
+    df = _docs(spark)
+    ranked = global_row_number(df, [F.desc("w"), F.asc("doc_id")])
+    rows = ranked.orderBy("global_rn").collect()
+    assert [r["global_rn"] for r in rows] == list(range(1, 238))
+    # the numbering must agree with the declared total order
+    expected = df.orderBy(F.desc("w"), F.asc("doc_id")).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in expected]
+
+
+def test_global_row_number_stable_under_repartition(spark):
+    df = _docs(spark)
+    a = global_row_number(df, [F.desc("w"), F.asc("doc_id")], num_partitions=3)
+    b = global_row_number(
+        df.repartition(13), [F.desc("w"), F.asc("doc_id")], num_partitions=9
+    )
+    assert sorted(map(tuple, a.select("doc_id", "global_rn").collect())) == sorted(
+        map(tuple, b.select("doc_id", "global_rn").collect())
+    )
+
+
+def test_sorted_shards_exactly_full_except_last(spark):
+    out = sorted_shards(
+        _docs(spark), [F.desc("w"), F.asc("doc_id")], docs_per_shard=50
+    )
+    sizes = {
+        r["shard_id"]: r["n"]
+        for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {0: 50, 1: 50, 2: 50, 3: 50, 4: 37}
+
+
+def test_sorted_shards_rejects_nonpositive_cap(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sorted_shards(_docs(spark), [F.asc("doc_id")], docs_per_shard=0)
+
+
+def test_weighted_sample_stratified_counts_and_determinism(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 17 + 1).alias("w"),
+    )
+    a = weighted_sample_topk(df, "doc_id", "w", k=10, stratum_col="grp")
+    counts = {
+        r["grp"]: r["n"]
+        for r in a.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"0": 10, "1": 10, "2": 10}
+    # pure function of identity: repartitioned input picks the SAME docs
+    b = weighted_sample_topk(
+        df.repartition(11), "doc_id", "w", k=10, stratum_col="grp"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weighted_sample_global_is_takeordered_not_single_partition_window(
+    spark,
+):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("w")
+    )
+    out = weighted_sample_topk(df, "doc_id", "w", k=7)
+    assert out.count() == 7
+    assert [r["sample_rank"] for r in out.orderBy("sample_rank").collect()] == list(
+        range(1, 8)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # one row with overwhelming weight must (essentially always) be
+    # selected: P(miss) for w=10^6 vs 99 rows of w=1 is astronomically
+    # small and the construction is deterministic, so this is a stable
+    # regression pin, not a flaky statistical test.
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 42, 1_000_000).otherwise(1).alias("w"),
+    )
+    picked = {
+        r["doc_id"]
+        for r in weighted_sample_topk(df, "doc_id", "w", k=5).collect()
+    }
+    assert 42 in picked
