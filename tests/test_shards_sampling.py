@@ -109,3 +109,10 @@ def test_weighted_sample_favors_heavy_rows(spark):
         for r in weighted_sample_topk(df, "doc_id", "w", k=5).collect()
     }
     assert 42 in picked
+
+
+def test_global_row_number_empty_input(spark):
+    df = spark.range(0).select(F.col("id").alias("doc_id"))
+    out = global_row_number(df, [F.asc("doc_id")])
+    assert out.count() == 0
+    assert "global_rn" in out.columns
