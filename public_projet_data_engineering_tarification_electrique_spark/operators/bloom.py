@@ -47,9 +47,9 @@ def _with_positions(
     # Real exception, not assert: this is a public-API bound and must
     # survive `python -O` — a silent k=5+ would slice narrower than the
     # documented >= 8 hex chars and quietly degrade hash independence.
-    if k > 4:
+    if not 1 <= k <= 4:
         raise ValueError(
-            f"digest slicing supports k <= 4 (32 hex chars / 8), got k={k}"
+            f"digest slicing supports 1 <= k <= 4 (32 hex chars / 8), got k={k}"
         )
     width = min(32 // k, 15)
     df = df.withColumn("_digest", F.md5(F.col(key_col).cast("string")))

@@ -272,6 +272,12 @@ def weighted_sample_topk(
     per-stratum window when ``stratum_col`` is given (one exchange on
     the stratum key), TakeOrdered otherwise. No driver-side data, no
     UDF; at 100 TB the cost is the scan plus a k-bounded shuffle.
+
+    Weight domain: w must be non-negative and non-null — ln(u) < 0
+    divided by a NEGATIVE weight flips sign and would deterministically
+    outrank every valid row, so negative/null weights raise at runtime
+    (same in-plan guard as ``epoch_upsample``'s null check). w = 0 is
+    legitimate "zero mass": those rows are excluded, never sampled.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -283,8 +289,22 @@ def weighted_sample_topk(
         10,
     ).cast("double")
     u = (v + F.lit(0.5)) / F.lit(float(1 << 60))
-    key = F.log(u) / F.col(weight_col).cast("double")
-    keyed = df.withColumn(key_col, key)
+    w_raw = F.col(weight_col).cast("double")
+    w_ok = F.when(
+        F.assert_true(
+            w_raw.isNotNull() & (w_raw >= 0),
+            F.lit(
+                f"weighted_sample_topk: {weight_col} must be a non-negative, "
+                "non-null weight (negative weights would invert the A-ES "
+                "ranking; use 0 to exclude a row)"
+            ),
+        ).isNull(),
+        w_raw,
+    )
+    # The guard lives INSIDE the filter expression (w_ok embeds the
+    # assert), so predicate pushdown cannot reorder the validation away:
+    # every scanned row passes through it before any key math.
+    keyed = df.filter(w_ok > 0).withColumn(key_col, F.log(u) / w_raw)
     order = [F.desc(key_col), F.asc(id_col)]
     if stratum_col is not None:
         w = Window.partitionBy(stratum_col).orderBy(*order)

@@ -53,7 +53,18 @@ def global_row_number(
     the range partitioner's equi-depth sampling.
     """
     spark = df.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        # spark.sql.shuffle.partitions can be non-numeric on some
+        # platforms (e.g. "auto" under AQE-advisory configs) — fall
+        # back to the cluster's default parallelism rather than crash.
+        try:
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            p = spark.sparkContext.defaultParallelism
+    else:
+        p = num_partitions
+    if p < 1:
+        raise ValueError(f"num_partitions must be positive, got {p}")
     ranged = (
         df.repartitionByRange(p, *order_by)
         .withColumn("_pid", F.spark_partition_id())
@@ -103,7 +114,10 @@ def sorted_shards(
     if docs_per_shard <= 0:
         raise ValueError(f"docs_per_shard must be positive, got {docs_per_shard}")
     ranked = global_row_number(df, order_by, rank_col=rank_col)
+    # integer `div`, never float division: a double quotient can round
+    # across the shard boundary at extreme ranks (> ~2^47·cap) — same
+    # exact-integer-grid idiom as sampling.py / asof.py / bloom.py.
     return ranked.withColumn(
         shard_col,
-        ((F.col(rank_col) - 1) / docs_per_shard).cast("long").cast("int"),
+        F.expr(f"cast(({rank_col} - 1) div {int(docs_per_shard)} as int)"),
     )

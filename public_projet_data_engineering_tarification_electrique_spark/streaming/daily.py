@@ -203,8 +203,17 @@ def stream_daily_ingest(
     detected up front and refused: migrate to a fresh out_path (plus a
     fresh checkpoint) before resuming."""
     configure(spark)
-    if os.path.isdir(out_path) and any(
-        name.startswith("part-") for name in os.listdir(out_path)
+    # Hadoop FileSystem API, not os.path: the guard must fire for ANY
+    # scheme the path resolves to (file://, hdfs://, s3a://, …) — an
+    # os.listdir check silently fails OPEN on distributed storage,
+    # which is exactly where a production out_path lives (same
+    # rationale as upsert._state_exists).
+    jvm = spark._jvm
+    out_hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = out_hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(out_hpath) and any(
+        status.getPath().getName().startswith("part-")
+        for status in fs.listStatus(out_hpath)
     ):
         raise ValueError(
             f"out_path {out_path!r} holds a legacy UNPARTITIONED layout "

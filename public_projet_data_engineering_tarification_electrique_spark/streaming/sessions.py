@@ -190,19 +190,31 @@ def stream_sessionize(
     # CONFLICTING_DIRECTORY_STRUCTURES. Move legacy top-level files
     # into their own batch=legacy subdir — readable under the
     # partitioned scheme and never touched by per-batch overwrites
-    # (real bids are integers).
-    if os.path.isdir(emitted_dir):
+    # (real bids are integers). Hadoop FileSystem API so the migration
+    # also runs when the checkpoint lives on distributed storage — an
+    # os.listdir pass would silently no-op there and the read-back
+    # would still break (same rationale as upsert._state_exists).
+    jvm = spark._jvm
+    emitted_hpath = jvm.org.apache.hadoop.fs.Path(emitted_dir)
+    fs = emitted_hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(emitted_hpath):
         legacy = [
-            n
-            for n in os.listdir(emitted_dir)
-            if not n.startswith("batch=") and not n.startswith((".", "_"))
+            status.getPath()
+            for status in fs.listStatus(emitted_hpath)
+            if not status.getPath().getName().startswith("batch=")
+            and not status.getPath().getName().startswith((".", "_"))
         ]
         if legacy:
-            legacy_dir = os.path.join(emitted_dir, "batch=legacy")
-            os.makedirs(legacy_dir, exist_ok=True)
-            for n in legacy:
-                os.rename(
-                    os.path.join(emitted_dir, n), os.path.join(legacy_dir, n)
+            legacy_dir = jvm.org.apache.hadoop.fs.Path(
+                emitted_hpath, "batch=legacy"
+            )
+            fs.mkdirs(legacy_dir)
+            for src_path in legacy:
+                fs.rename(
+                    src_path,
+                    jvm.org.apache.hadoop.fs.Path(
+                        legacy_dir, src_path.getName()
+                    ),
                 )
     if checkpoint_dir is not None:
         landing = stage_landing_under_checkpoint(events_path, checkpoint)

@@ -116,3 +116,52 @@ def test_global_row_number_empty_input(spark):
     out = global_row_number(df, [F.asc("doc_id")])
     assert out.count() == 0
     assert "global_rn" in out.columns
+
+
+def test_weighted_sample_rejects_negative_and_null_weights(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    neg = spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") - 5).alias("w")
+    )
+    with pytest.raises(Exception) as ei:
+        weighted_sample_topk(neg, "doc_id", "w", k=3).collect()
+    assert "non-negative" in str(ei.value)
+    nul = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 3, None).otherwise(1).alias("w"),
+    )
+    with pytest.raises(Exception):
+        weighted_sample_topk(nul, "doc_id", "w", k=3).collect()
+
+
+def test_weighted_sample_zero_weight_rows_excluded(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, 0).otherwise(1).alias("w"),
+    )
+    picked = {
+        r["doc_id"]
+        for r in weighted_sample_topk(df, "doc_id", "w", k=10).collect()
+    }
+    assert picked == {5, 6, 7, 8, 9}
+
+
+def test_sorted_shards_integer_div_and_bloom_k_bounds(spark):
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.bloom import (
+        bloom_build,
+    )
+
+    out = sorted_shards(_docs(spark, n=10), [F.asc("doc_id")], docs_per_shard=3)
+    sizes = {
+        r["shard_id"]: r["n"]
+        for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {0: 3, 1: 3, 2: 3, 3: 1}
+    keys = spark.range(3).select(F.col("id").alias("k"))
+    for bad_k in (0, -1, 5):
+        with pytest.raises(ValueError):
+            bloom_build(keys, "k", k=bad_k)

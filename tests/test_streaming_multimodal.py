@@ -321,3 +321,81 @@ def test_stream_sessionize_numbering_survives_timeout(spark, tmp_path):
         (r["session_id"], r["start_s"]) for r in final if r["user_id"] == 7
     )
     assert [sid for sid, _ in user7] == [1, 2], user7
+
+
+def test_stream_sessionize_migrates_legacy_flat_emitted_layout(spark, tmp_path):
+    """A checkpoint whose emitted/ dir holds flat part files (the
+    pre-batch=<bid> layout) must be migrated into batch=legacy on the
+    next run — the cumulative read-back keeps the legacy sessions and
+    does not die on CONFLICTING_DIRECTORY_STRUCTURES."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.sessions import (
+        stream_sessionize,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    emitted = ckpt / "emitted"
+    emitted.mkdir(parents=True)
+    # legacy flat file, OUTPUT_SCHEMA shape, as the old append-mode sink
+    # would have left it
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([999], pa.int64()),
+                "session_id": pa.array([1], pa.int64()),
+                "n_events": pa.array([2], pa.int64()),
+                "start_s": pa.array([100], pa.int64()),
+                "end_s": pa.array([200], pa.int64()),
+                "sum_value": pa.array([3.5], pa.float64()),
+            }
+        ),
+        str(emitted / "part-00000-legacy.parquet"),
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([t0, t0 + dt.timedelta(seconds=10000)], pa.timestamp("us")),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "event_type": pa.array(["click", "click"], pa.string()),
+                "value": pa.array([1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ),
+        str(landing / "f1.parquet"),
+    )
+    out = stream_sessionize(
+        spark, str(landing), gap_seconds=1800, checkpoint_dir=str(ckpt)
+    )
+    rows = {(r["user_id"], r["session_id"]) for r in out.collect()}
+    assert (999, 1) in rows  # legacy session survives the migration
+    assert (emitted / "batch=legacy" / "part-00000-legacy.parquet").exists()
+    assert not (emitted / "part-00000-legacy.parquet").exists()
+
+
+def test_stream_daily_ingest_refuses_legacy_flat_out_path(spark, tmp_path):
+    """The date-partitioned sink must refuse an out_path already holding
+    a flat (unpartitioned) layout instead of mixing the two."""
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.daily import (
+        stream_daily_ingest,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "part-00000-old.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        stream_daily_ingest(
+            spark,
+            "/root/testdata/sf0.001/events.parquet",
+            str(out),
+            str(tmp_path / "ckpt"),
+        )
