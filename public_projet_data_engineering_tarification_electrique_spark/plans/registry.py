@@ -4375,6 +4375,75 @@ def q155_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "n_chars", "sample_rank")
 
 
+def q156_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release diff — closes the release-tooling family
+    (q102 manifest, q103 card, q139 checksum): classify every doc
+    across two corpus versions as added / removed / changed / unchanged
+    by CONTENT HASH, reporting per-(class, lang) counts. The simulated
+    v2 derives from v1 with deterministic md5 buckets (docs in buckets
+    0-9 of 100 removed; 10-29 edited, modeled as a content-hash salt;
+    5 % cloned under new ids as additions) so both engines rebuild the
+    identical v2 with no side files.
+
+    Scale shape: the diff joins (doc_id, md5, lang) triples only — the
+    text column never shuffles (hashes are computed scan-side); one
+    full-outer join on the id + one small hash agg. At 100 TB the
+    network moves ~50 bytes/doc regardless of doc size, the property
+    that makes content-hash diffing THE release-compare tool."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    v1 = docs.select(
+        "doc_id", "lang", F.md5("text").alias("h"), bucket.alias("_b")
+    )
+    kept = v1.filter(F.col("_b") >= 10).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("_b") < 30, F.md5(F.concat(F.lit("edit:"), F.col("h"))))
+        .otherwise(F.col("h"))
+        .alias("h"),
+    )
+    clones = v1.filter(F.col("_b") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "lang",
+        F.md5(F.concat(F.lit("clone:"), F.col("h"))).alias("h"),
+    )
+    v2 = kept.unionByName(clones)
+    # presence markers, not hash nullity: a (hypothetical) null-text doc
+    # must not masquerade as an addition/removal
+    joined = (
+        v1.select(
+            "doc_id", "lang", F.col("h").alias("h1"), F.lit(1).alias("in1")
+        )
+        .join(
+            v2.select(
+                "doc_id",
+                F.col("lang").alias("lang2"),
+                F.col("h").alias("h2"),
+                F.lit(1).alias("in2"),
+            ),
+            on="doc_id",
+            how="full_outer",
+        )
+    )
+    cls = (
+        F.when(F.col("in1").isNull(), "added")
+        .when(F.col("in2").isNull(), "removed")
+        .when(F.col("h1").eqNullSafe(F.col("h2")), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        joined.select(
+            cls.alias("change"), F.coalesce("lang", "lang2").alias("lang")
+        )
+        .groupBy("change", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7507,6 +7576,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q153_fk_integrity": q153_fk_integrity,
     "q154_sorted_shards": q154_sorted_shards,
     "q155_weighted_sample": q155_weighted_sample,
+    "q156_corpus_diff": q156_corpus_diff,
 }
 
 
@@ -7698,4 +7768,33 @@ ORACLE_SQL["q155_weighted_sample"] = """
     )
     SELECT lang, doc_id, n_chars, CAST(sample_rank AS INTEGER) AS sample_rank
     FROM ranked WHERE sample_rank <= 20
+"""
+
+
+ORACLE_SQL["q156_corpus_diff"] = """
+    WITH v1 AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS b
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, lang,
+             CASE WHEN b < 30 THEN md5('edit:' || h) ELSE h END AS h
+      FROM v1 WHERE b >= 10
+    ), clones AS (
+      SELECT doc_id + 10000000 AS doc_id, lang,
+             md5('clone:' || h) AS h
+      FROM v1 WHERE b % 20 = 0
+    ), v2 AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM clones
+    ), joined AS (
+      SELECT coalesce(v1.lang, v2.lang) AS lang,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.h IS NOT DISTINCT FROM v2.h THEN 'unchanged'
+                  ELSE 'changed' END AS change
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT change, lang, count(*) AS n_docs
+    FROM joined GROUP BY 1, 2
 """
