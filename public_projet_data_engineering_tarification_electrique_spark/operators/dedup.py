@@ -131,7 +131,11 @@ def simhash_neardup(
     candidates for n_bands ≥ max_hamming+1.
     Output: (id_a, id_b, hamming).
     """
-    assert n_bands >= max_hamming + 1, "banding would miss true pairs"
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"banding would miss true pairs: need n_bands >= max_hamming + 1, "
+            f"got n_bands={n_bands}, max_hamming={max_hamming}"
+        )
     width = 64 // n_bands
     # signature is consumed by both sides of the candidate self-join;
     # materialize it once (it is tiny: one long per doc)

@@ -146,7 +146,8 @@ def byte_histogram_features(
     schema, batching, and partition-parallelism."""
     import numpy as np
 
-    assert 256 % n_bins == 0, "n_bins must divide 256"
+    if 256 % n_bins != 0:
+        raise ValueError(f"n_bins must divide 256, got {n_bins}")
     shrink = 256 // n_bins
 
     def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -112,7 +112,8 @@ def chunk_with_overlap(
     ProjectCollapse), posexplode the start grid, slice per chunk. Zero
     shuffle; emitted rows are ~n_tokens/stride per document.
     """
-    assert 0 < stride <= size, "stride must be in (0, size]"
+    if not 0 < stride <= size:
+        raise ValueError(f"stride must be in (0, size], got stride={stride}, size={size}")
     toks = nonempty_tokens(F.lower(F.col(text_col)))
     staged = (
         docs.select(id_col, F.explode(F.array(toks)).alias("_t"))

@@ -51,7 +51,8 @@ def hash_split(
     members in place (monotone re-splitting).
     """
     weights = weights or {"train": 80, "val": 10, "test": 10}
-    assert sum(weights.values()) == 100, "split weights must sum to 100"
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
     bucket = hash_bucket(F.col(id_col), 100, salt=salt)
     expr = None
     lo = 0
@@ -82,7 +83,8 @@ def stratified_sample(
     no float-cast divergence between engines. Strata not listed get
     ``default``. One codegen'd filter over the scan; zero shuffle.
     """
-    assert all(0 <= v <= 10_000 for v in per_myriad.values())
+    if not all(0 <= v <= 10_000 for v in per_myriad.values()):
+        raise ValueError(f"per_myriad rates must lie in [0, 10000], got {per_myriad}")
     bucket = hash_bucket(F.col(id_col), 10_000, salt=salt)
     thresh = None
     for val, rate in per_myriad.items():
@@ -182,7 +184,8 @@ def deterministic_sample(
     function of the id — re-runs, retries, and repartitions select the
     SAME rows, which is what makes downstream caches and joins over a
     sampled corpus reproducible."""
-    assert 0.0 <= fraction <= 1.0
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must lie in [0, 1], got {fraction}")
     return df.filter(hash_bucket(F.col(id_col), 10_000, salt=salt) < int(fraction * 10_000))
 
 

@@ -581,7 +581,11 @@ def embedding_neardup_lsh(
     bands hold runtime FLAT from 2k to 20k vectors (PLANS.md §2).
     Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
     """
-    assert n_planes % n_bands == 0 and n_planes <= 63
+    if n_planes % n_bands != 0 or n_planes > 63:
+        raise ValueError(
+            f"need n_planes % n_bands == 0 and n_planes <= 63, "
+            f"got n_planes={n_planes}, n_bands={n_bands}"
+        )
     width = n_planes // n_bands
 
     # Signature = packed sign bits of 48 hyperplane dot products. Spark
@@ -742,7 +746,8 @@ def pq_topk(
     )
     train = np.asarray([r["_v"] for r in sample_rows], dtype=np.float64)
     d = train.shape[1]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
     codebooks = [
         _lloyd_kmeans(train[:, s * sub : (s + 1) * sub], n_clusters, seed=seed + s)

@@ -2623,7 +2623,8 @@ def q108_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fetcher(u: str) -> list[dict]:
         # hermetic HTTP stand-in; the pushdown params must reach the wire
-        assert "select=" in u and "where=" in u
+        if "select=" not in u or "where=" not in u:
+            raise ValueError(f"pushdown params missing from wire URL: {u!r}")
         con = duckdb.connect()
         rows = con.execute(
             "SELECT n_nationkey, n_name, n_regionkey FROM "
