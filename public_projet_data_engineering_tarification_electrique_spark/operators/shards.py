@@ -1,27 +1,29 @@
-"""Distributed global ordering: row numbers and size-capped sorted
-shards without a single-partition window (extension surface,
-BASELINE.json north star — the sorted-export last mile of a training
-pipeline).
+"""Distributed global ordering: row numbers, prefix sums, and
+size-capped sorted shards without a single-partition window (extension
+surface, BASELINE.json north star — the sorted-export last mile of a
+training pipeline).
 
 The naive global rank — ``row_number() OVER (ORDER BY ...)`` with no
 PARTITION BY — collapses the whole table into ONE task in Spark (the
 window needs a total order, so the exchange is SinglePartition). Fine
 at sf0.1, fatal at 100 TB. The scale-correct construction is the
-classic two-phase distributed rank:
+classic two-phase distributed scan:
 
 1. ``repartitionByRange`` on the sort key — partitions are
    range-disjoint and ordered, P-way parallel.
-2. Partition-LOCAL ``row_number`` (window partitioned by the physical
-   partition id — no further exchange; each task sorts only its
-   range).
-3. A bounded driver collect of per-partition counts (exactly P rows —
-   the only driver-side data, documented here as the bound) turns into
-   broadcast prefix offsets; local rank + offset = exact global rank.
+2. Partition-LOCAL window (partitioned by the physical partition id —
+   no further exchange of the data past one hash shuffle; each task
+   sorts only its range).
+3. A bounded driver collect of per-partition aggregates (exactly P
+   rows — the only driver-side data, documented here as the bound)
+   turns into broadcast prefix offsets; local result + offset = exact
+   global result. The same machinery yields row numbers (offset =
+   prefix COUNT) and running sums (offset = prefix SUM).
 
 The ranged exchange is ``localCheckpoint``'d before step 2: Spark's
 range partitioner SAMPLES the data to pick bounds, and a recomputed
-exchange may sample differently between the counts job and the final
-job — pinning the shuffle output makes the partition→count mapping
+exchange may sample differently between the offsets job and the final
+job — pinning the shuffle output makes the partition→offset mapping
 stable across both jobs (same reason dedup.py pins its CC iterations).
 """
 
@@ -29,6 +31,60 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _resolve_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    spark = df.sparkSession
+    if num_partitions is None:
+        # spark.sql.shuffle.partitions can be non-numeric on some
+        # platforms (e.g. "auto" under AQE-advisory configs) — fall
+        # back to the cluster's default parallelism rather than crash.
+        try:
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            p = spark.sparkContext.defaultParallelism
+    else:
+        p = num_partitions
+    if p < 1:
+        raise ValueError(f"num_partitions must be positive, got {p}")
+    return p
+
+
+def _ranged_with_offsets(
+    df: DataFrame,
+    order_by: list[Column],
+    per_partition_total: Column,
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Range-partition ``df`` on ``order_by`` (pinned), and build the
+    broadcast (pid → prefix total) table from a P-row driver collect of
+    ``per_partition_total`` per physical partition."""
+    p = _resolve_partitions(df, num_partitions)
+    ranged = (
+        df.repartitionByRange(p, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Bounded driver collect: exactly one row per partition (= p rows,
+    # thousands at cluster scale, never data-sized).
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in ranged.groupBy("_pid")
+        .agg(per_partition_total.alias("_t"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offsets_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "_pid INT, _offset LONG",
+        )
+    )
+    return ranged, offsets_df
 
 
 def global_row_number(
@@ -52,40 +108,8 @@ def global_row_number(
     beat one serial sort by ~P. The pid exchange is skew-bounded by
     the range partitioner's equi-depth sampling.
     """
-    spark = df.sparkSession
-    if num_partitions is None:
-        # spark.sql.shuffle.partitions can be non-numeric on some
-        # platforms (e.g. "auto" under AQE-advisory configs) — fall
-        # back to the cluster's default parallelism rather than crash.
-        try:
-            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except ValueError:
-            p = spark.sparkContext.defaultParallelism
-    else:
-        p = num_partitions
-    if p < 1:
-        raise ValueError(f"num_partitions must be positive, got {p}")
-    ranged = (
-        df.repartitionByRange(p, *order_by)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # Bounded driver collect: exactly one row per partition (= p rows,
-    # thousands at cluster scale, never data-sized).
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-            "_pid INT, _offset LONG",
-        )
+    ranged, offsets_df = _ranged_with_offsets(
+        df, order_by, F.count("*"), num_partitions
     )
     local_w = Window.partitionBy("_pid").orderBy(*order_by)
     return (
@@ -95,6 +119,41 @@ def global_row_number(
             (F.row_number().over(local_w) + F.coalesce("_offset", F.lit(0))).cast(
                 "long"
             ),
+        )
+        .drop("_pid", "_offset")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix sum of ``value_col`` under a total order
+    (``SUM(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)``), P-way
+    parallel — the distributed prefix-scan primitive behind byte-budget
+    sharding, curriculum token budgets, and quota cutoffs. Same
+    total-order requirement and two-shuffle cost as
+    ``global_row_number``; ``value_col`` must be integral (the prefix
+    offsets accumulate in exact long arithmetic — float prefix sums
+    would be partitioning-dependent).
+    """
+    ranged, offsets_df = _ranged_with_offsets(
+        df, order_by, F.sum(F.col(value_col).cast("long")), num_partitions
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(offsets_df, on="_pid", how="left")
+        .withColumn(
+            sum_col,
+            F.sum(F.col(value_col).cast("long")).over(local_w)
+            + F.coalesce("_offset", F.lit(0)),
         )
         .drop("_pid", "_offset")
     )
@@ -120,4 +179,33 @@ def sorted_shards(
     return ranked.withColumn(
         shard_col,
         F.expr(f"cast(({rank_col} - 1) div {int(docs_per_shard)} as int)"),
+    )
+
+
+def byte_budget_shards(
+    df: DataFrame,
+    order_by: list[Column],
+    size_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+    sum_col: str = "running_bytes",
+) -> DataFrame:
+    """Assign each row to a BYTE-budgeted shard of the globally sorted
+    order: row r (with exclusive prefix bytes c_r) lands in shard
+    ⌊c_r / budget⌋ — the export layout when shards must bound VOLUME,
+    not row count (uploader part-size limits, token budgets per
+    training chunk). A shard may overflow by at most one document
+    (standard first-fit-in-order semantics; documents are not split).
+    All arithmetic is exact integer — shard membership is engine- and
+    partitioning-independent.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    summed = global_running_sum(df, order_by, size_col, sum_col=sum_col)
+    return summed.withColumn(
+        shard_col,
+        F.expr(
+            f"cast(({sum_col} - cast({size_col} as long)) div {int(budget)} "
+            "as int)"
+        ),
     )

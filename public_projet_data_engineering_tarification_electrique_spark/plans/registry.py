@@ -4376,6 +4376,33 @@ def q155_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "n_chars", "sample_rank")
 
 
+def q157_byte_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budgeted export shards over the globally sorted corpus —
+    the volume-bounded sibling of q154's count-capped shards (uploader
+    part-size limits, per-chunk token budgets). The exclusive prefix
+    sum comes from ``operators.shards.global_running_sum``: the same
+    range-partition + pid-local window + broadcast-prefix-offset
+    machinery as the distributed row number, i.e. a distributed prefix
+    SCAN with no single-partition exchange anywhere; shard membership
+    is ⌊prefix_bytes / budget⌋ in exact long arithmetic. Output per
+    shard: doc count, char volume, boundary doc ids — all integers."""
+    from ..operators.shards import byte_budget_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = byte_budget_shards(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        size_col="n_chars",
+        budget=50_000,
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min_by("doc_id", "running_bytes").alias("first_doc_id"),
+        F.max_by("doc_id", "running_bytes").alias("last_doc_id"),
+    )
+
+
 def q156_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-release diff — closes the release-tooling family
     (q102 manifest, q103 card, q139 checksum): classify every doc
@@ -7578,6 +7605,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q154_sorted_shards": q154_sorted_shards,
     "q155_weighted_sample": q155_weighted_sample,
     "q156_corpus_diff": q156_corpus_diff,
+    "q157_byte_shards": q157_byte_shards,
 }
 
 
@@ -7798,4 +7826,20 @@ ORACLE_SQL["q156_corpus_diff"] = """
     )
     SELECT change, lang, count(*) AS n_docs
     FROM joined GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["q157_byte_shards"] = """
+    WITH summed AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS running_bytes
+      FROM documents
+    )
+    SELECT CAST((running_bytes - n_chars) // 50000 AS INTEGER) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, running_bytes) AS first_doc_id,
+           arg_max(doc_id, running_bytes) AS last_doc_id
+    FROM summed GROUP BY 1
 """

@@ -165,3 +165,35 @@ def test_sorted_shards_integer_div_and_bloom_k_bounds(spark):
     for bad_k in (0, -1, 5):
         with pytest.raises(ValueError):
             bloom_build(keys, "k", k=bad_k)
+
+
+def test_global_running_sum_matches_serial_cumsum(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+        byte_budget_shards,
+        global_running_sum,
+    )
+
+    df = _docs(spark)
+    out = global_running_sum(
+        df, [F.desc("w"), F.asc("doc_id")], "w", num_partitions=5
+    ).orderBy(F.desc("w"), F.asc("doc_id"))
+    rows = out.collect()
+    acc = 0
+    for r in rows:
+        acc += r["w"]
+        assert r["running_sum"] == acc
+    # repartition invariance: membership is a pure function of the data
+    again = global_running_sum(
+        df.repartition(13), [F.desc("w"), F.asc("doc_id")], "w", num_partitions=9
+    )
+    assert sorted(map(tuple, again.select("doc_id", "running_sum").collect())) == sorted(
+        map(tuple, out.select("doc_id", "running_sum").collect())
+    )
+    # byte-budget shards: every shard's EXCLUSIVE start offset lies in
+    # [shard*budget, (shard+1)*budget) — first-fit-in-order semantics
+    sharded = byte_budget_shards(
+        df, [F.desc("w"), F.asc("doc_id")], "w", budget=40
+    ).collect()
+    for r in sharded:
+        start = r["running_bytes"] - r["w"]
+        assert r["shard_id"] == start // 40
