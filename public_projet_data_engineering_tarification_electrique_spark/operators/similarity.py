@@ -57,6 +57,21 @@ def cosine_topk(
     )
 
 
+def _rank_topk(
+    sims: DataFrame, k: int, query_id_col: str, id_col: str
+) -> DataFrame:
+    """Shared ranking tail of every ANN entry point: (sim DESC, id ASC),
+    rank 1..k per query. One definition so the tie-break contract cannot
+    drift between cosine/lsh/ivf/pq paths (they are cross-checked
+    against each other by the in-plan recall gates)."""
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def _cosine_rank(
     candidates: DataFrame,
     queries: DataFrame,
@@ -91,6 +106,11 @@ def _cosine_rank(
         pairs = c.crossJoin(F.broadcast(q))
     else:
         pairs = c.join(F.broadcast(q), F.col(filter_col) == F.col("_qf"))
+    # zero-norm guard: cosine is undefined for a zero vector — without
+    # this, Spark's null-on-div-by-zero would rank NULL sims by id and
+    # present k arbitrary candidates as the top-k (and DuckDB, which
+    # yields inf/nan instead of NULL, would silently diverge).
+    pairs = pairs.filter((F.col("_qnorm") > 0) & (F.col("_cnorm") > 0))
     sims = pairs.select(
         query_id_col,
         id_col,
@@ -100,12 +120,7 @@ def _cosine_rank(
             6,
         ).alias("sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
-    )
+    return _rank_topk(sims, k, query_id_col, id_col)
 
 
 def cosine_topk_filtered(
@@ -164,6 +179,8 @@ def embedding_neardup(
     return (
         a.join(b, on="_bk")
         .filter(F.col("id_a") < F.col("id_b"))
+        # zero-norm guard: cosine undefined; ANSI would raise DIVIDE_BY_ZERO
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
         .select(
             "id_a",
             "id_b",
@@ -257,7 +274,8 @@ def anchored_neardup(
     # top-n_probe window WITHOUT the vectors (k× smaller exchange);
     # vectors re-attach via one id-key join after the filter.
     assignments = (
-        base.crossJoin(F.broadcast(anchors))
+        base.filter(F.col("_n") > 0)
+        .crossJoin(F.broadcast(anchors.filter(F.col("_an") > 0)))
         .select(
             "_id",
             "_bk",
@@ -287,6 +305,8 @@ def anchored_neardup(
     return (
         a.join(b, on=["_bk", "_aid"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # zero-norm guard: cosine undefined; ANSI would raise DIVIDE_BY_ZERO
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
         .select(
             "id_a",
             "id_b",
@@ -355,7 +375,11 @@ def lsh_topk(
     )
     model = lsh.fit(cand)
     if min_cosine is None:
-        dist_bound = 2.0  # no pruning: every bucket collision survives
+        # + epsilon: approxSimilarityJoin filters STRICTLY below the
+        # bound, so a bare 2.0 would drop exactly anti-parallel pairs
+        # (distance 2.0) and break the "every bucket collision
+        # survives" contract; mirrors the min_cosine branch's pad.
+        dist_bound = 2.0 + 1e-9  # no pruning
     else:
         dist_bound = float(
             math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0)) + 1e-9
@@ -367,12 +391,45 @@ def lsh_topk(
         F.col(f"datasetB.{id_col}").alias(id_col),
         F.round(F.lit(1.0) - F.col("_dist") * F.col("_dist") / 2, 6).alias("sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
+    return _rank_topk(joined, k, query_id_col, id_col)
+
+
+def _train_sample(
+    cand: DataFrame, id_col: str, vec_alias: str, train_mod: int, train_cap: int
+) -> "np.ndarray":
+    """Deterministic id-hash training sample as a numpy matrix.
+
+    Stable across partitioning (unlike .sample) and sorted by id so the
+    collect order — and therefore the seeded init and every Lloyd
+    step — is reproducible. The limit is the hard guard on driver
+    memory: train_mod controls sample REPRESENTATIVENESS (set ~ n/100k
+    for uniform coverage); the cap bounds the collect even when a
+    caller leaves train_mod=1 on a large corpus (deterministic
+    lowest-id prefix of the hash sample). Null vectors are excluded
+    (np.asarray over a None row degrades to object dtype). ONE
+    definition shared by ivf_topk and pq_topk — the md5 sampling
+    expression must stay identical between them or oracle parity
+    silently diverges (see _md5_prefix24).
+    """
+    sample_rows = (
+        cand.filter(F.col(vec_alias).isNotNull())
+        .filter(
+            _md5_prefix24(F.col(id_col))
+            % F.greatest(F.lit(1), F.lit(train_mod))
+            == 0
+        )
+        .orderBy(id_col)
+        .limit(train_cap)
+        .select(vec_alias)
+        .collect()
     )
+    train = np.asarray([r[vec_alias] for r in sample_rows], dtype=np.float64)
+    if train.shape[0] == 0:
+        raise ValueError(
+            "empty quantizer training sample - lower train_mod "
+            "(or check that the vector column is non-null)"
+        )
+    return train
 
 
 def _lloyd_kmeans(
@@ -475,26 +532,7 @@ def ivf_topk(
         id_col,
         F.col(vec_col).cast("array<double>").alias("_cvec"),
     )
-    # Deterministic id-hash sample (stable across partitioning, unlike
-    # .sample), sorted by id so the collect order — and therefore the
-    # seeded init and every Lloyd step — is reproducible.
-    sample_rows = (
-        cand.filter(
-            _md5_prefix24(F.col(id_col))
-            % F.greatest(F.lit(1), F.lit(train_mod))
-            == 0
-        )
-        .orderBy(id_col)
-        # hard guard on driver memory: train_mod controls sample
-        # REPRESENTATIVENESS (set =~ n/100k for uniform coverage); the
-        # limit bounds the collect even when a caller leaves the
-        # default train_mod=1 on a large corpus — deterministic
-        # (lowest-id prefix of the hash sample).
-        .limit(train_cap)
-        .select("_cvec")
-        .collect()
-    )
-    train = np.asarray([r["_cvec"] for r in sample_rows], dtype=np.float64)
+    train = _train_sample(cand, id_col, "_cvec", train_mod, train_cap)
     codebook = _lloyd_kmeans(train, n_clusters, seed=seed, n_iter=8)
 
     spark = candidates.sparkSession
@@ -532,21 +570,21 @@ def ivf_topk(
         .select(query_id_col, "_cluster", "_qvec", "_qnorm")
     )
 
-    sims = inverted.join(F.broadcast(probes), on="_cluster").select(
-        query_id_col,
-        id_col,
-        F.round(
-            dot_product(F.col("_qvec"), F.col("_cvec"))
-            / (F.col("_qnorm") * F.col("_cnorm")),
-            6,
-        ).alias("sim"),
+    sims = (
+        inverted.join(F.broadcast(probes), on="_cluster")
+        # zero-norm guard: cosine undefined; ANSI would raise DIVIDE_BY_ZERO
+        .filter((F.col("_qnorm") > 0) & (F.col("_cnorm") > 0))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot_product(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ).alias("sim"),
+        )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
-    )
+    return _rank_topk(sims, k, query_id_col, id_col)
 
 
 def embedding_neardup_lsh(
@@ -580,6 +618,16 @@ def embedding_neardup_lsh(
     (n_planes=16) made the candidate join quadratic again, while 12-bit
     bands hold runtime FLAT from 2k to 20k vectors (PLANS.md §2).
     Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
+
+    Shuffle-volume knob, documented for the 100 TB regime: the banded
+    self-join here carries the full vector on BOTH sides (2·n_bands
+    copies through the exchange) because with n_bands=4 and typical
+    embedding dims the simplicity wins locally. When vectors are wide
+    or n_bands grows, switch to ``anchored_neardup``'s shape — band on
+    (id, band, key) scalars only and re-attach vectors via one id-key
+    join against the persisted ``signed`` frame after the collision
+    filter; that trades one extra join for an n_bands·dim-fold smaller
+    band exchange.
     """
     if n_planes % n_bands != 0 or n_planes > 63:
         raise ValueError(
@@ -611,12 +659,23 @@ def embedding_neardup_lsh(
 
     @F.pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.values).astype(np.float64)
-        bits = (mat @ _planes_t(mat.shape[1])) >= 0.0
-        sig = np.zeros(len(mat), dtype=np.uint64)
-        for i in range(bits.shape[1]):
-            sig |= bits[:, i].astype(np.uint64) << np.uint64(i)
-        return pd.Series(sig.astype(np.int64))
+        # NULL-tolerant (twin contract with cosine_similarity_pandas):
+        # a null/missing embedding gets a NULL signature — its banded
+        # keys are null and equi-joins drop it, so it simply cannot be
+        # a near-dup candidate. A raw np.stack would crash the whole
+        # Arrow batch on one such row.
+        mask = v.notna().to_numpy()
+        values: list = [None] * len(v)
+        if mask.any():
+            mat = np.stack(v.to_numpy()[mask]).astype(np.float64)
+            bits = (mat @ _planes_t(mat.shape[1])) >= 0.0
+            sig = np.zeros(len(mat), dtype=np.uint64)
+            for i in range(bits.shape[1]):
+                sig |= bits[:, i].astype(np.uint64) << np.uint64(i)
+            signed = sig.astype(np.int64)
+            for out_i, src_i in enumerate(np.flatnonzero(mask)):
+                values[src_i] = int(signed[out_i])
+        return pd.Series(values, dtype="object")
 
     v = F.col(vec_col).cast("array<double>")
     signed = ensure_parallelism(embeddings).select(
@@ -658,6 +717,8 @@ def embedding_neardup_lsh(
     return (
         a.join(b, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # zero-norm guard: cosine undefined; ANSI would raise DIVIDE_BY_ZERO
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
         .select(
             "id_a", "id_b",
             F.round(
@@ -728,23 +789,7 @@ def pq_topk(
     cand = ensure_parallelism(candidates).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    sample_rows = (
-        cand.filter(
-            _md5_prefix24(F.col(id_col))
-            % F.greatest(F.lit(1), F.lit(train_mod))
-            == 0
-        )
-        .orderBy(id_col)
-        # hard guard on driver memory: train_mod controls sample
-        # REPRESENTATIVENESS (set =~ n/100k for uniform coverage); the
-        # limit bounds the collect even when a caller leaves the
-        # default train_mod=1 on a large corpus — deterministic
-        # (lowest-id prefix of the hash sample).
-        .limit(train_cap)
-        .select("_v")
-        .collect()
-    )
-    train = np.asarray([r["_v"] for r in sample_rows], dtype=np.float64)
+    train = _train_sample(cand, id_col, "_v", train_mod, train_cap)
     d = train.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -758,14 +803,22 @@ def pq_topk(
 
     @F.pandas_udf("array<int>")
     def _encode(vs: pd.Series) -> pd.Series:
-        X = np.stack(vs.to_numpy())
-        out = np.empty((X.shape[0], m), dtype=np.int32)
-        for s in range(m):
-            Xs = X[:, s * sub : (s + 1) * sub]
-            d2 = ((Xs[:, None, :] - cb_arr[s][None, :, :]) ** 2).sum(axis=2)
-            # np.argmin ties → lowest index, matching nearest_centroid
-            out[:, s] = d2.argmin(axis=1)
-        return pd.Series(list(out))
+        # NULL-tolerant: null embeddings get null code arrays (the
+        # downstream posexplode then emits no rows for them) instead of
+        # a batch-wide np.stack crash.
+        mask = vs.notna().to_numpy()
+        values: list = [None] * len(vs)
+        if mask.any():
+            X = np.stack(vs.to_numpy()[mask])
+            out = np.empty((X.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                d2 = ((Xs[:, None, :] - cb_arr[s][None, :, :]) ** 2).sum(axis=2)
+                # np.argmin ties → lowest index, matching nearest_centroid
+                out[:, s] = d2.argmin(axis=1)
+            for out_i, src_i in enumerate(np.flatnonzero(mask)):
+                values[src_i] = out[out_i]
+        return pd.Series(values, dtype="object")
 
     codes = (
         cand.select(id_col, F.posexplode(_encode(F.col("_v"))))
@@ -824,6 +877,8 @@ def pq_topk(
             ),
             on=query_id_col,
         )
+        # zero-norm guard: cosine undefined; ANSI would raise DIVIDE_BY_ZERO
+        .filter((F.col("_qn") > 0) & (l2_norm(F.col("_v")) > 0))
         .select(
             query_id_col,
             id_col,
@@ -834,9 +889,4 @@ def pq_topk(
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
-    )
+    return _rank_topk(exact, k, query_id_col, id_col)

@@ -895,3 +895,60 @@ def test_containment_blank_and_identical_docs(spark):
         for r in containment_pairs(docs, k=3, threshold=0.5).collect()
     }
     assert pairs == {(1, 2): (1.0, 1.0)}
+
+
+def test_similarity_null_and_zero_norm_tolerance(spark):
+    """One null embedding (or a zero-norm vector) must not crash the
+    Arrow-batched paths or surface NULL-sim rows as top-k."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        pq_topk,
+    )
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0, 2.0]) for i in range(40)]
+    rows.append((97, None))          # null embedding
+    rows.append((98, [0.0, 0.0, 0.0, 0.0]))  # zero-norm vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # cosine: zero-norm/null candidates are excluded, never ranked
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, q0, k=5, vec_col="embedding").collect()
+    ids = {r["vec_id"] for r in out}
+    assert 97 not in ids and 98 not in ids
+    assert all(r["sim"] is not None for r in out)
+
+    # hyperplane-LSH near-dup: the null row signs to NULL and drops out
+    pairs = embedding_neardup_lsh(emb, threshold=0.99, vec_col="embedding",
+                                  id_col="vec_id").collect()
+    assert all(97 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+    # PQ: null candidate encodes to null codes (posexplode drops it)
+    pq = pq_topk(
+        emb, q0, k=3, vec_col="embedding", m=2, n_clusters=4,
+    ).collect()
+    assert {r["vec_id"] for r in pq}.isdisjoint({97})
+
+
+def test_lsh_topk_none_bound_equals_full_range(spark):
+    """min_cosine=None must behave exactly like min_cosine=-1.0 (the
+    full cosine range): both bounds are 2.0 + epsilon because
+    approxSimilarityJoin filters STRICTLY below the bound — a bare 2.0
+    would make None the MORE restrictive of the two at the boundary.
+    (Exactly anti-parallel pairs can never share a random-projection
+    bucket, so the contract is observable only through this
+    equivalence, not through a collision at distance 2.0.)"""
+    rows = [
+        (i, [float((i * 7) % 5 - 2), float((i * 3) % 4 - 1), 1.0])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=10, vec_col="embedding", num_hash_tables=6, bucket_length=1.0)
+    a = lsh_topk(emb, q0, min_cosine=None, **kw).collect()
+    b = lsh_topk(emb, q0, min_cosine=-1.0, **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
