@@ -7694,7 +7694,14 @@ def _driver_verified() -> tuple[frozenset, frozenset, dict]:
 #: sketch agg).
 _RESAMPLE_PRIORITY: dict[str, int] = {
     "q137": 4, "q146": 4,
-    "q111": 5, "q15": 5, "q149": 5, "q43": 5, "q29": 5,
+    "q111": 5, "q149": 5, "q29": 5,
+    # Round-6 ANN hardening: zero-norm/null guards added to every
+    # pair-cosine plan, q15's None distance bound padded past the
+    # strict '<', q43's signature UDF made null-tolerant
+    # (value-identical on testdata, but the physical plans changed —
+    # re-prove each with a driver row).
+    "q13": 6, "q14": 6, "q15": 6, "q27": 6, "q43": 6,
+    "q83": 6, "q110": 6, "q115": 6,
 }
 
 
