@@ -57,6 +57,12 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     65535 tokens/doc), so the hash agg has 16 sums + 1 count; the 64
     sign tests become one cheap post-agg projection over one row/doc.
     """
+    # Null-text docs drop out entirely (split(NULL) → NULL, explode
+    # emits nothing) — mirrored exactly by the oracle's unnest(NULL),
+    # so parity holds; note the family asymmetry: the shingle paths
+    # give a null doc one ""-shingle and CAN pair two null docs. A
+    # signature for "no content" is meaningless either way; callers
+    # wanting null≡empty should coalesce before calling.
     # Hash each DISTINCT (doc, token) once and weight its vote by the
     # occurrence count: md5 + two conv() base conversions are the
     # expensive part, and per-occurrence hashing paid them ~4-7× more
@@ -89,26 +95,31 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         return F.shiftrightunsigned(F.col("_hb"), i - 60).bitwiseAND(F.lit(1))
 
     def packed_contrib(g: int):
-        # bits 4g..4g+3 land in 16-bit fields 0..3 of accumulator g;
-        # each field's total stays = doc token count ≤ 65535, because
-        # the vote weight is the occurrence count
+        # bits 2g, 2g+1 land in 32-bit fields 0, 1 of accumulator g.
+        # Width choice is an OVERFLOW bound, not a style choice: with
+        # the former 4×16-bit packing the field-3 term (bit<<48)·cnt
+        # summed past 2^63 once ≥32768 occurrences voted on one bit —
+        # an ARITHMETIC_OVERFLOW crash under Spark 4's default ANSI
+        # mode for any ~books-sized document. 2×32-bit fields keep the
+        # long sum safe to ~2^31 tokens/doc and field carries need
+        # 2^32 votes (unreachable). 32 agg columns instead of 16 costs
+        # some codegen width; 64 unpacked columns measured ~5× worse.
         terms = [
-            F.shiftleft(_bit(4 * g + j), 16 * j) * F.col("_cnt")
-            for j in range(4)
+            F.shiftleft(_bit(2 * g + j), 32 * j) * F.col("_cnt")
+            for j in range(2)
         ]
-        e = terms[0]
-        for t in terms[1:]:
-            e = e + t
-        return e
+        return terms[0] + terms[1]
 
-    aggs = [F.sum(packed_contrib(g)).alias(f"_p{g}") for g in range(16)] + [
+    aggs = [F.sum(packed_contrib(g)).alias(f"_p{g}") for g in range(32)] + [
         F.sum("_cnt").alias("_n")
     ]
     agg = toks.groupBy(id_col).agg(*aggs)
     sig = None
     for i in range(64):
-        g, j = divmod(i, 4)
-        ones = F.shiftrightunsigned(F.col(f"_p{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+        g, j = divmod(i, 2)
+        ones = F.shiftrightunsigned(F.col(f"_p{g}"), 32 * j).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
         bit = F.when(ones * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -131,6 +142,11 @@ def simhash_neardup(
     candidates for n_bands ≥ max_hamming+1.
     Output: (id_a, id_b, hamming).
     """
+    if 64 % n_bands != 0:
+        # a non-divisor silently changes the banding semantics: width
+        # truncates (n_bands>64 → width 0 → every key 0 → full O(N²)
+        # cross join) or leaves the high bits outside every band
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
     if n_bands < max_hamming + 1:
         raise ValueError(
             f"banding would miss true pairs: need n_bands >= max_hamming + 1, "
@@ -237,7 +253,10 @@ def _shingle_pair_counts(
             .filter(F.col("_df") <= max_df)
             .select("sh")
         )
-        sh = sh.join(rare, on="sh")
+        # re-pin after the cap: the df aggregation + semi-join would
+        # otherwise re-execute for each of the three consumers below
+        # (sizes + both join sides), defeating the checkpoint above.
+        sh = sh.join(rare, on="sh").localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -249,9 +268,12 @@ def _shingle_pair_counts(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return inter.join(F.broadcast(sa), on="id_a").join(
-        F.broadcast(sb), on="id_b"
-    )
+    # no broadcast HINT here: sizes is one row per surviving document —
+    # unbounded at corpus scale, and an explicit hint bypasses the size
+    # threshold entirely (hints are honored regardless). AQE broadcasts
+    # it anyway whenever it actually fits; above the threshold the
+    # correct plan is a shuffle join, not a driver OOM.
+    return inter.join(sa, on="id_a").join(sb, on="id_b")
 
 
 def containment_pairs(
@@ -375,8 +397,12 @@ def connected_components(
     # Diameter exceeded the propagation budget (a long-chain graph):
     # switch to the O(log² n) large-star/small-star alternation instead
     # of degrading round-by-round. Same output contract.
+    # reuse the checkpointed symmetric edge set: passing the RAW edges
+    # frame would re-execute its whole upstream lineage (shingling,
+    # blocking join, scoring) — exactly on the large inputs that
+    # exhaust the propagation budget
     return connected_components_star(
-        edges, src=src, dst=dst, loop_partitions=loop_partitions
+        sym, src="_a", dst="_b", loop_partitions=loop_partitions
     )
 
 
@@ -549,6 +575,17 @@ def minhash_dedup_verified(
     matches VALUE-level as long as LSH recall holds — P(miss) per pair
     is (1−j)^num_hash_tables ≤ 2.6e-6 at the near-dup regime (j ≥ 0.8)
     this operator targets.
+
+    Second-order recall caveat: that bound covers BANDING misses only.
+    The candidate filter runs on the Jaccard of 2^18-bucket HashingTF
+    vectors, and a bucket collision can DEFLATE the estimated
+    similarity below the exact shingle Jaccard (e.g. two of A's
+    shingles sharing a bucket shrink |A|'s estimate), so a pair whose
+    exact j clears ``min_jaccard`` can sit past the distance threshold
+    before verification ever sees it. Rare at 2^18 features (birthday
+    bound ~|shingles|²/2^19 per doc) but nonzero at corpus scale —
+    near-threshold pairs are the exposure; widen the candidate
+    threshold by a small margin if the downstream gate is exact.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ min_jaccard.
     """
     cand = (
@@ -580,7 +617,10 @@ def minhash_dedup_verified(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = docs.join(F.broadcast(ids), on=id_col).select(
+    # no broadcast HINT: the candidate-id universe approaches corpus
+    # size on near-dup-heavy corpora; let AQE pick broadcast only when
+    # the runtime size fits (same rationale as _shingle_pair_counts).
+    sh = docs.join(ids, on=id_col).select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
     )

@@ -7702,6 +7702,10 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # re-prove each with a driver row).
     "q13": 6, "q14": 6, "q15": 6, "q27": 6, "q43": 6,
     "q83": 6, "q110": 6, "q115": 6,
+    # Round-6 dedup hardening: simhash votes repacked 2×32-bit (ANSI
+    # overflow), unbounded broadcast hints dropped, df-capped shingles
+    # re-pinned — value-identical locally, plans changed.
+    "q16": 6, "q17": 6, "q21": 6, "q47": 6, "q131": 6,
 }
 
 

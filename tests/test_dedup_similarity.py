@@ -952,3 +952,36 @@ def test_lsh_topk_none_bound_equals_full_range(spark):
     b = lsh_topk(emb, q0, min_cosine=-1.0, **kw).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_simhash64_survives_long_documents_under_ansi(spark):
+    """A ~40k-occurrence token must not overflow the packed vote sums
+    (Spark 4 ANSI mode raises ARITHMETIC_OVERFLOW instead of wrapping;
+    the 2×32-bit packing is safe to ~2^31 tokens/doc)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        simhash64,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello " * 40_000), (2, "hello"), (3, "world")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert len(sigs) == 3
+    # a doc that is one token repeated must sign identically to the
+    # single-occurrence doc (majority vote per bit is scale-invariant)
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_neardup_rejects_nondivisor_bands(spark):
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        simhash_neardup,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (5, 65, 3):
+        with pytest.raises(ValueError, match="divide 64"):
+            simhash_neardup(df, n_bands=bad, max_hamming=1)
