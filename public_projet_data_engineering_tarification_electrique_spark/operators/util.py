@@ -111,3 +111,17 @@ def pinned_shuffle_partitions(spark: SparkSession, n: int | None):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
+    correct for ANY scheme the path resolves to (file://, hdfs://,
+    s3a://, …). The shared helper behind every filesystem probe in the
+    streaming stack (upsert state detection, sessionize legacy
+    migration and read-back, daily-sink layout guard): an os.path
+    check silently reports distributed storage as absent, which is the
+    fail-open bug each of those sites exists to prevent."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath

@@ -28,7 +28,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.util import pinned_shuffle_partitions, scratch_dir
+from ..operators.util import (
+    hadoop_fs,
+    pinned_shuffle_partitions,
+    scratch_dir,
+)
 from ..session import configure
 
 #: A stateful streaming query materializes one state store PER shuffle
@@ -208,9 +212,7 @@ def stream_daily_ingest(
     # os.listdir check silently fails OPEN on distributed storage,
     # which is exactly where a production out_path lives (same
     # rationale as upsert._state_exists).
-    jvm = spark._jvm
-    out_hpath = jvm.org.apache.hadoop.fs.Path(out_path)
-    fs = out_hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, out_hpath = hadoop_fs(spark, out_path)
     if fs.exists(out_hpath) and any(
         status.getPath().getName().startswith("part-")
         for status in fs.listStatus(out_hpath)

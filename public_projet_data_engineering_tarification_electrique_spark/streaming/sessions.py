@@ -41,7 +41,7 @@ from .daily import (
     stage_landing_under_checkpoint,
     stream_shuffle_partitions,
 )
-from ..operators.util import scratch_dir
+from ..operators.util import hadoop_fs, scratch_dir
 
 OUTPUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
@@ -93,13 +93,14 @@ def _make_sessionizer(gap_seconds: int):
             # session ids at 1 on their next event (duplicate
             # (user, session_id) keys, divergence from the batch twin's
             # 1..k numbering). No timeout is re-armed on the tombstone.
-            if is_open:
-                closed.append(
-                    (user_id, next_sid, n_events, start_s, end_s, sum_v4)
-                )
-                state.update((next_sid + 1, False, 0, 0, 0, 0))
-            else:
-                state.update((next_sid, False, 0, 0, 0, 0))
+            # a timeout is only ever armed while a session is OPEN and
+            # the tombstone path never re-arms one, so is_open holds
+            # here by construction (no defensive else: re-writing the
+            # tombstone would just obscure that invariant)
+            closed.append(
+                (user_id, next_sid, n_events, start_s, end_s, sum_v4)
+            )
+            state.update((next_sid + 1, False, 0, 0, 0, 0))
         else:
             frames = [p for p in pdfs if len(p)]
             rows = (
@@ -138,8 +139,17 @@ def _make_sessionizer(gap_seconds: int):
                 (next_sid, is_open, start_s, end_s, n_events, sum_v4)
             )
             if is_open:
-                # timeout is event-time: fires once watermark > end+gap
-                state.setTimeoutTimestamp((end_s + gap_seconds) * 1000)
+                # timeout is event-time: fires once watermark > end+gap.
+                # Clamped one ms past the current watermark: ts_s is
+                # second-truncated while the watermark is ms-precision,
+                # so for tiny gaps (end+gap)*1000 can land BELOW the
+                # watermark and PySpark rejects the timestamp (killing
+                # the stream). The clamp fires the timeout on the next
+                # micro-batch instead — such a session is already
+                # un-growable, so emission timing is all that shifts.
+                t_ms = (end_s + gap_seconds) * 1000
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(t_ms, wm_ms + 1))
 
         if closed:
             out = pd.DataFrame(
@@ -194,9 +204,7 @@ def stream_sessionize(
     # also runs when the checkpoint lives on distributed storage — an
     # os.listdir pass would silently no-op there and the read-back
     # would still break (same rationale as upsert._state_exists).
-    jvm = spark._jvm
-    emitted_hpath = jvm.org.apache.hadoop.fs.Path(emitted_dir)
-    fs = emitted_hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, emitted_hpath = hadoop_fs(spark, emitted_dir)
     if fs.exists(emitted_hpath):
         legacy = [
             status.getPath()
@@ -205,23 +213,37 @@ def stream_sessionize(
             and not status.getPath().getName().startswith((".", "_"))
         ]
         if legacy:
-            legacy_dir = jvm.org.apache.hadoop.fs.Path(
+            legacy_dir = spark._jvm.org.apache.hadoop.fs.Path(
                 emitted_hpath, "batch=legacy"
             )
             fs.mkdirs(legacy_dir)
             for src_path in legacy:
-                fs.rename(
+                # Hadoop rename reports failure by RETURNING FALSE, not
+                # by throwing — an unchecked failure would leave the
+                # mixed layout in place and surface later as
+                # CONFLICTING_DIRECTORY_STRUCTURES far from this site
+                if not fs.rename(
                     src_path,
-                    jvm.org.apache.hadoop.fs.Path(
+                    spark._jvm.org.apache.hadoop.fs.Path(
                         legacy_dir, src_path.getName()
                     ),
-                )
+                ):
+                    raise IOError(
+                        f"legacy-layout migration failed: could not move "
+                        f"{src_path} into {legacy_dir}"
+                    )
     if checkpoint_dir is not None:
         landing = stage_landing_under_checkpoint(events_path, checkpoint)
     else:
         landing = stage_landing(events_path, "landing_sess_")
     src = (
         events_stream(spark, landing)
+        # a NULL event time has no position in any session AND is not
+        # removed by the watermark's late-filter (null fails the
+        # older-than comparison) — inside the sessionizer int(NaN)
+        # would raise and the failed batch replays forever (a poison
+        # pill for the checkpoint); drop such rows at the source
+        .filter(F.col("ts").isNotNull())
         .select(
             "event_id",
             "user_id",
@@ -259,7 +281,10 @@ def stream_sessionize(
             .start()
             .awaitTermination()
         )
-    if not os.path.isdir(emitted_dir):
+    # Hadoop FS probe, NOT os.path: on a non-local checkpoint an
+    # os.path.isdir is always False and would silently return an empty
+    # frame, dropping every emitted session.
+    if not fs.exists(emitted_hpath):
         return spark.createDataFrame([], OUTPUT_SCHEMA)
     # partition discovery appends the batch=<bid> dir as a column even
     # under an explicit schema — drop it, it's sink bookkeeping

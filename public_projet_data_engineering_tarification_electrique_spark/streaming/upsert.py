@@ -29,7 +29,7 @@ from .daily import (
     stage_landing_under_checkpoint,
     stream_shuffle_partitions,
 )
-from ..operators.util import scratch_dir
+from ..operators.util import hadoop_fs, scratch_dir
 
 STATE_SCHEMA = (
     "user_id long, last_event_id long, last_value double, last_ts_us long, "
@@ -43,9 +43,7 @@ def _state_exists(spark: SparkSession, state_dir: str) -> bool:
     s3a://, …). An os.path check would silently report distributed
     state as absent and the merge would overwrite affected buckets with
     only the batch's keys."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, path = hadoop_fs(spark, state_dir)
     if not fs.exists(path):
         return False
     for status in fs.listStatus(path):
