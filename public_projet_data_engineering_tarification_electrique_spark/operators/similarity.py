@@ -242,9 +242,15 @@ def anchored_neardup(
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
+    # The fallback anchor is the min id among VALID (positive-norm)
+    # rows: the assignment stage drops zero-norm anchors, so a bare
+    # min(_id) landing on a null/zero vector would erase the fallback
+    # and an unlucky tiny input (residue sample empty, min-id row
+    # invalid) would silently return zero pairs — the exact failure
+    # the fallback exists to prevent.
     stride = base.agg(
         F.ceil(F.sqrt(F.count("*"))).cast("long").alias("_stride"),
-        F.min("_id").alias("_mid"),
+        F.min(F.when(F.col("_n") > 0, F.col("_id"))).alias("_mid"),
     )
     # Anchor selection hashes the id (md5 prefix — reproducible in the
     # SQL oracle) before the modulus: a raw `id % stride` sample would
@@ -359,12 +365,46 @@ def lsh_topk(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    cand = ensure_parallelism(candidates).select(
-        id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    # Same null/zero-norm tolerance as every sibling ANN path: a null
+    # (or null-element, or all-zero) embedding has no defined cosine
+    # and would crash MLlib's non-null-safe Scala UDFs — drop it at
+    # the scan, don't die. A plain .filter is NOT enough here: the
+    # similarity join infers hash-UDF constraints (isnotnull/size over
+    # UDF(UDF(embedding))) that Catalyst pushes down and merges into
+    # the same Filter node, where codegen's subexpression elimination
+    # evaluates the UDF EAGERLY — before any AND short-circuit — and
+    # NPEs on the null row. The lazy localCheckpoint cuts the lineage
+    # so those constraints cannot cross below the validity filter; it
+    # also caches the (id, vector) projection that fit + transform +
+    # join would otherwise recompute. This is the MLlib-compat path —
+    # ivf_topk/pq_topk are the designed scale paths (see docstring).
+    def _valid(col):
+        return (
+            col.isNotNull()
+            & ~F.exists(col, lambda x: x.isNull())
+            & (l2_norm(col) > 0)
+        )
+
+    cand = (
+        ensure_parallelism(candidates)
+        .filter(_valid(F.col(vec_col)))
+        .select(
+            id_col,
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "_features"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
-    qs = queries.select(
-        F.col(query_id_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    qs = (
+        queries.filter(_valid(F.col(vec_col)))
+        .select(
+            F.col(query_id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "_features"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="_features",

@@ -4395,11 +4395,18 @@ def q157_byte_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_col="n_chars",
         budget=50_000,
     )
+    # Boundary docs keyed on (running_bytes, doc_id) — NOT running_bytes
+    # alone: zero-length docs leave the inclusive prefix sum unchanged,
+    # so the tail shard's zero-char run ties on running_bytes and a
+    # bare min_by/max_by would pick a partition-order-dependent winner
+    # (and DuckDB's arg_min another). The struct key restores the total
+    # order's own tie-break (doc_id ASC), deterministic in both engines.
+    first_key = F.struct(F.col("running_bytes"), F.col("doc_id"))
     return sharded.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.min_by("doc_id", "running_bytes").alias("first_doc_id"),
-        F.max_by("doc_id", "running_bytes").alias("last_doc_id"),
+        F.min(first_key)["doc_id"].alias("first_doc_id"),
+        F.max(first_key)["doc_id"].alias("last_doc_id"),
     )
 
 
@@ -4418,12 +4425,10 @@ def q156_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer join on the id + one small hash agg. At 100 TB the
     network moves ~50 bytes/doc regardless of doc size, the property
     that makes content-hash diffing THE release-compare tool."""
+    from ..operators.sampling import hash_bucket
+
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = hash_bucket(F.col("doc_id"), 100)
     v1 = docs.select(
         "doc_id", "lang", F.md5("text").alias("h"), bucket.alias("_b")
     )
@@ -4434,8 +4439,11 @@ def q156_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("h"))
         .alias("h"),
     )
+    # +1e10, not +1e7: clone ids must stay disjoint from REAL doc ids
+    # at the 100 TB target (multi-billion-doc id spaces) — same offset
+    # convention as the other synthetic-id sites in this registry
     clones = v1.filter(F.col("_b") % 20 == 0).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(10_000_000_000)).alias("doc_id"),
         "lang",
         F.md5(F.concat(F.lit("clone:"), F.col("h"))).alias("h"),
     )
@@ -6095,9 +6103,12 @@ ORACLE_SQL: dict[str, str] = {
                                        embedding::DOUBLE[])) AS n
           FROM embeddings
         ), stride AS (
+          -- fallback anchor = min VALID id (mirrors the Spark side's
+          -- positive-norm guard; identical on any corpus with no
+          -- null/zero embeddings, such as this table)
           SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s,
-                 min(vec_id) AS mid
-          FROM embeddings
+                 min(CASE WHEN n > 0 THEN id END) AS mid
+          FROM base
         ), anchors AS (
           SELECT id AS aid, v AS av, n AS an
           FROM base, stride
@@ -7822,7 +7833,7 @@ ORACLE_SQL["q156_corpus_diff"] = """
              CASE WHEN b < 30 THEN md5('edit:' || h) ELSE h END AS h
       FROM v1 WHERE b >= 10
     ), clones AS (
-      SELECT doc_id + 10000000 AS doc_id, lang,
+      SELECT doc_id + 10000000000 AS doc_id, lang,
              md5('clone:' || h) AS h
       FROM v1 WHERE b % 20 = 0
     ), v2 AS (
@@ -7850,7 +7861,9 @@ ORACLE_SQL["q157_byte_shards"] = """
     SELECT CAST((running_bytes - n_chars) // 50000 AS INTEGER) AS shard_id,
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           arg_min(doc_id, running_bytes) AS first_doc_id,
-           arg_max(doc_id, running_bytes) AS last_doc_id
+           struct_extract(min({'rb': running_bytes, 'id': doc_id}), 'id')
+             AS first_doc_id,
+           struct_extract(max({'rb': running_bytes, 'id': doc_id}), 'id')
+             AS last_doc_id
     FROM summed GROUP BY 1
 """

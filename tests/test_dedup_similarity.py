@@ -930,6 +930,40 @@ def test_similarity_null_and_zero_norm_tolerance(spark):
     ).collect()
     assert {r["vec_id"] for r in pq}.isdisjoint({97})
 
+    # MLlib LSH: array_to_vector / the hash UDF are not null-safe —
+    # the operator must pre-filter the invalid rows, not crash
+    lsh = lsh_topk(emb, q0, k=5, vec_col="embedding").collect()
+    lsh_ids = {r["vec_id"] for r in lsh}
+    assert 97 not in lsh_ids and 98 not in lsh_ids
+    assert len(lsh) > 0
+
+
+def test_anchored_neardup_min_id_row_invalid(spark):
+    """The guaranteed fallback anchor must be the min VALID id: when the
+    min-id row itself is a null embedding, the codebook must not empty
+    out (which would silently return zero pairs)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        anchored_neardup,
+    )
+
+    # id 0 (the min id) is null; ids 1/2 are an exact duplicate pair.
+    # ids are chosen so the md5-residue anchor sample is likely empty
+    # at n=4 (stride 2) — the fallback anchor is all that remains.
+    rows = [
+        (0, "a", None),
+        (1, "a", [1.0, 2.0, 3.0]),
+        (2, "a", [1.0, 2.0, 3.0]),
+        (3, "a", [-5.0, 0.5, 0.1]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in anchored_neardup(emb, threshold=0.99).collect()
+    }
+    assert (1, 2) in pairs
+
 
 def test_lsh_topk_none_bound_equals_full_range(spark):
     """min_cosine=None must behave exactly like min_cosine=-1.0 (the
