@@ -719,3 +719,94 @@ def minhash_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-SPAN statistics — the measurement stage
+    of span-level (substring) dedup as in Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": a span is one k-word
+    shingle OCCURRENCE; it is duplicated when its shingle appears in at
+    least ``min_df`` distinct documents. Output per doc: total spans,
+    duplicated spans, and the duplicated fraction — the number span
+    removal / doc-dropping policies threshold on. Differs from the
+    novelty profile (first-seen attribution over DISTINCT shingles):
+    this counts every occurrence and charges ALL members of a duplicate
+    group, which is what "how much of this doc is boilerplate" means.
+
+    Plan shape (all linear, no self-join anywhere):
+    1. explode shingles map-side, keyed by a 60-bit md5 prefix (15 hex
+       chars — same slice idiom as the minhash lanes above; the
+       exchange moves 8-byte longs, never shingle strings),
+    2. ONE (doc, key) hash agg carrying the per-doc occurrence count —
+       this is simultaneously the per-doc DISTINCT (for document
+       frequency) and the span counter (no second pass over raw
+       occurrences),
+    3. key-level agg -> document frequency, filter >= min_df,
+    4. join the (doc, key) pairs back on key (AQE broadcasts when the
+       duplicated-key set is small) and one final per-doc agg.
+    At 100 TB the shingle explode dominates and is embarrassingly
+    map-parallel; both aggs partial-combine before their exchange. The
+    60-bit key can collide distinct shingles (~n²/2^61 expected — a few
+    per trillion shingles), slightly OVER-counting df; acceptable for a
+    dup statistic and bit-identical in the SQL oracle, which mirrors
+    the same digest slice."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    spans = ensure_parallelism(docs).select(
+        id_col,
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    # localCheckpoint: BOTH consumers below (the df agg and the final
+    # join) derive from this table, but column pruning gives the two
+    # subtrees different shapes, so Catalyst plans them separately and
+    # would tokenize + explode the whole corpus TWICE — the dominant
+    # cost at scale (measured 3.6 s → 1.3 s cold at sf0.1). The
+    # materialized table is (doc, key, count) — shingle-distinct per
+    # doc, far smaller than the occurrence stream it summarizes.
+    pairs = (
+        spans.select(
+            id_col,
+            F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_key"),
+        )
+        .groupBy(id_col, "_key")
+        .agg(F.count("*").alias("_n_occ"))
+        .localCheckpoint(eager=False)
+    )
+    dup_keys = (
+        pairs.groupBy("_key")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_key", F.lit(1).alias("_dup"))
+    )
+    # +1e-9 pre-round nudge: dup/total is an exact rational that can
+    # land ON a 1e-4 grid boundary, where Spark (HALF_UP) and another
+    # engine's tie rule would round apart (same idiom as the OLS
+    # boundary nudge; mirrored in the oracle).
+    return (
+        pairs.join(dup_keys, on="_key", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_occ").alias("n_spans"),
+            F.sum(
+                F.col("_n_occ") * F.coalesce(F.col("_dup"), F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans") / F.col("n_spans") + F.lit(1e-9), 4
+            ).alias("dup_ratio"),
+        )
+    )

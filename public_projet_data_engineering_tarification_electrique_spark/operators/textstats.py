@@ -277,3 +277,98 @@ def unigram_lm_scores(
             ).alias("avg_nll"),
         )
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 512,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed-unigram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    reduced to its SQL-expressible core): per-doc mean log-ratio of the
+    TARGET token distribution (rows where ``target_pred`` holds — the
+    small high-quality slice you want more of) to the SOURCE
+    distribution (the whole corpus), both estimated over
+    ``n_buckets`` hashed-token buckets with add-one smoothing.
+    A high weight means "distributionally like the target" — the score
+    importance-resampling selection ranks on.
+
+    Plan shape: one explode with the target flag computed per DOCUMENT
+    before the explode (one md5-free boolean riding the rows), then ONE
+    bucket-level hash agg builds BOTH distributions as conditional sums
+    (n_buckets rows, broadcast back), and one per-doc agg scores.
+    Everything partial-combines; nothing but n_buckets-row tables and
+    per-doc rows cross an exchange. At 100 TB the bucket table is a
+    few KB regardless of corpus size — that fixed memory footprint is
+    the entire point of hashing the vocabulary (the paper's trick).
+
+    Cross-engine parity: each bucket's log-ratio snaps to an integer
+    grid (round(ln(r)·scale) as long — the q109 idiom) so per-doc sums
+    are order-independent; the final mean divides exact longs and takes
+    a +1e-9 nudge before rounding (p/q rationals can land on the 1e-6
+    grid boundary where engine tie-rules differ). Token-less docs have
+    no defined mean and are absent, as in ``unigram_lm_scores``."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from .sampling import hash_bucket
+
+    exploded = (
+        ensure_parallelism(docs)
+        .select(
+            id_col,
+            target_pred.alias("_tgt"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .select(
+            id_col, "_tgt", hash_bucket(F.col("_tok"), n_buckets).alias("_bk")
+        )
+    )
+    # Aggregate to (doc, bucket) grain FIRST and localCheckpoint: both
+    # distributions and the final scoring derive from this one table —
+    # without the lineage cut Catalyst plans the two consumers as
+    # separate subtrees and tokenizes the corpus twice. Unlike the raw
+    # token stream (unboundedly large), this table is capped at
+    # n_docs × n_buckets rows, so materializing it is safe at any
+    # corpus size.
+    doc_counts = (
+        exploded.groupBy(id_col, "_tgt", "_bk")
+        .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    counts = doc_counts.groupBy("_bk").agg(
+        F.sum("_cnt").alias("_cs"),
+        F.sum(F.when(F.col("_tgt"), F.col("_cnt")).otherwise(0)).alias("_ct"),
+    )
+    consts = counts.agg(F.sum("_cs").alias("_ns"), F.sum("_ct").alias("_nt"))
+    ratio = counts.crossJoin(F.broadcast(consts)).select(
+        "_bk",
+        F.round(
+            F.log(
+                ((F.col("_ct") + 1) / (F.col("_nt") + F.lit(n_buckets)))
+                / ((F.col("_cs") + 1) / (F.col("_ns") + F.lit(n_buckets)))
+            )
+            * scale,
+            0,
+        )
+        .cast("long")
+        .alias("_r"),
+    )
+    return (
+        doc_counts.join(F.broadcast(ratio), on="_bk")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_cnt") * F.col("_r")).cast("double")
+                / F.sum("_cnt")
+                / scale
+                + F.lit(1e-9),
+                6,
+            ).alias("imp"),
+        )
+    )

@@ -4480,6 +4480,38 @@ def q156_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile (Lee et al. substring-dedup
+    measurement): per doc, how many of its 4-word spans occur in >= 2
+    distinct documents, and the duplicated fraction. Complements q137
+    (novelty = first-seen attribution over DISTINCT shingles) with the
+    occurrence-level statistic span-removal policies threshold on.
+    Scale shape: shingle explode keyed by 60-bit md5 prefix, two
+    partial-combined hash aggs and one key join — all linear, the
+    exchange carries 8-byte longs, never shingle text."""
+    from ..operators.dedup import dup_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_stats(docs, k=4)
+
+
+def q159_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection: score every
+    doc by the mean log-ratio of the hashed-unigram distribution of the
+    TARGET slice (lang = 'en' here — stand-in for "looks like the
+    high-quality reference corpus") to the full-corpus SOURCE
+    distribution. Importance resampling then keeps docs proportionally
+    to exp(weight) — this query materializes the ranking scores.
+    Scale shape: one explode, one 512-row bucket agg holding BOTH
+    distributions as conditional sums (broadcast back), one per-doc
+    agg; the bucket table is corpus-size-independent — the reason DSIR
+    hashes the vocabulary."""
+    from ..operators.textstats import importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_weights(docs, F.col("lang") == "en")
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7617,6 +7649,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q155_weighted_sample": q155_weighted_sample,
     "q156_corpus_diff": q156_corpus_diff,
     "q157_byte_shards": q157_byte_shards,
+    "q158_dup_spans": q158_dup_spans,
+    "q159_importance_weights": q159_importance_weights,
 }
 
 
@@ -7848,6 +7882,66 @@ ORACLE_SQL["q156_corpus_diff"] = """
     )
     SELECT change, lang, count(*) AS n_docs
     FROM joined GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["q158_dup_spans"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 4
+             THEN list_transform(range(1, len(t) - 2),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ), pairs AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(sh), 1, 15))::BIGINT AS key,
+             count(*) AS n_occ
+      FROM sh GROUP BY 1, 2
+    ), dup AS (
+      SELECT key FROM pairs GROUP BY key HAVING count(*) >= 2
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.n_occ) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN d.key IS NOT NULL THEN p.n_occ
+                         ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN d.key IS NOT NULL THEN p.n_occ
+                          ELSE 0 END) * 1.0 / sum(p.n_occ) + 1e-9, 4)
+             AS dup_ratio
+    FROM pairs p LEFT JOIN dup d ON p.key = d.key
+    GROUP BY 1
+"""
+
+
+ORACLE_SQL["q159_importance_weights"] = """
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id, tgt,
+             ('0x' || substring(md5(tok), 1, 8))::BIGINT % 512 AS bk
+      FROM tok WHERE tok <> ''
+    ), counts AS (
+      SELECT bk, count(*) AS cs,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      FROM bucketed GROUP BY 1
+    ), consts AS (
+      SELECT sum(cs) AS ns, sum(ct) AS nt FROM counts
+    ), ratio AS (
+      SELECT bk,
+             CAST(round(ln(((ct + 1.0) / (nt + 512))
+                          / ((cs + 1.0) / (ns + 512))) * 1000000, 0)
+                  AS BIGINT) AS r
+      FROM counts, consts
+    )
+    SELECT b.doc_id, count(*) AS n_tokens,
+           round(sum(r) * 1.0 / count(*) / 1000000 + 1e-9, 6) AS imp
+    FROM bucketed b JOIN ratio USING (bk)
+    GROUP BY 1
 """
 
 

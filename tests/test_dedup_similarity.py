@@ -1019,3 +1019,73 @@ def test_simhash_neardup_rejects_nondivisor_bands(spark):
     for bad in (5, 65, 3):
         with pytest.raises(ValueError, match="divide 64"):
             simhash_neardup(df, n_bands=bad, max_hamming=1)
+
+
+def test_dup_span_stats_planted(spark):
+    """Planted repeated 4-gram across two docs: every span of the pure
+    repeat docs is duplicated; the unique doc has zero."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        dup_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # 2 spans, both shared w/ doc 2
+            (2, "the quick brown fox jumps"),      # identical
+            (3, "entirely different words here now"),  # 2 spans, unique
+            (4, "tiny"),                            # < k tokens: 1 whole-text span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, k=4).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 2
+    assert out[1]["dup_ratio"] == 1.0
+    assert out[2]["n_dup_spans"] == 2
+    assert out[3]["n_spans"] == 2 and out[3]["n_dup_spans"] == 0
+    assert out[3]["dup_ratio"] == 0.0
+    assert out[4]["n_spans"] == 1 and out[4]["n_dup_spans"] == 0
+
+
+def test_dup_span_stats_param_guards(spark):
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        dup_span_stats,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dup_span_stats(docs, k=0)
+    with pytest.raises(ValueError):
+        dup_span_stats(docs, min_df=1)
+
+
+def test_importance_weights_direction_and_exclusions(spark):
+    """Docs made of target-heavy tokens must outscore docs of
+    source-only tokens; token-less docs are absent."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        importance_weights,
+    )
+
+    rows = []
+    # target slice: 10 docs of token 'aaa'
+    rows += [(i, "en", "aaa aaa aaa") for i in range(10)]
+    # source-only bulk: 10 docs of token 'zzz'
+    rows += [(100 + i, "de", "zzz zzz zzz") for i in range(10)]
+    rows.append((200, "de", "aaa aaa"))   # non-target doc of target-ish text
+    rows.append((201, "de", "   "))       # token-less: absent
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert 201 not in out
+    assert out[200]["n_tokens"] == 2
+    # 'zzz' never occurs in the target -> strongly negative weight,
+    # well below the target-typical 'aaa' docs (add-one smoothing over
+    # 512 buckets keeps tiny-count absolute scores near zero, so the
+    # contract is the ORDERING, not the sign)
+    assert out[0]["imp"] > out[100]["imp"]
+    assert out[100]["imp"] < -1.0
+    # same text => same score regardless of the doc's own label
+    assert out[200]["imp"] == out[0]["imp"]
