@@ -372,3 +372,110 @@ def importance_weights(
             ).alias("imp"),
         )
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    denom: int = 50,
+    capacity: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact φ-heavy-hitters (φ = 1/``denom``) over the token stream via
+    the two-pass Misra–Gries pattern (Misra & Gries 1982; merge rule
+    from Agarwal et al. 2012, "Mergeable Summaries").
+
+    Pass 1 runs a ``capacity``-counter Misra–Gries sketch per partition
+    inside ``mapInPandas`` — bounded state, NO shuffle of the token
+    stream — and emits each partition's surviving counter keys. The MG
+    undercount bound (≤ n_p/(capacity+1) per partition) plus pigeonhole
+    (a token with global count ≥ N/denom has local count ≥ n_p/denom in
+    at least one partition) guarantees the union of survivors is a
+    SUPERSET of every true heavy hitter whenever capacity + 1 > denom.
+    Pass 2 exact-counts ONLY the candidates (broadcast join prunes the
+    exploded stream map-side before the hash agg) and filters on the
+    exact integer predicate ``freq · denom ≥ N`` — so the result is
+    exact and partitioning-independent even though pass 1's candidate
+    set is not.
+
+    Why this shape at 100 TB: a naive groupBy(token) shuffles the FULL
+    vocabulary (web-scale corpora: billions of distinct tokens, heavy
+    skew); here the exchange carries ≤ capacity × n_partitions
+    candidate keys in pass 1 and only candidate-token rows in pass 2.
+    The stream total N rides along in pass 1 as one extra row per
+    partition (the sketch sees every token anyway), so the corpus is
+    scanned exactly twice — never a third time just to count. The
+    threshold is exact integer arithmetic (freq·denom vs N), never a
+    float fraction, so the DuckDB oracle agrees bit-for-bit.
+    """
+    if denom <= 1:
+        raise ValueError(f"denom must be > 1, got {denom}")
+    if capacity < denom:
+        raise ValueError(
+            f"capacity ({capacity}) must be >= denom ({denom}) for the "
+            "superset guarantee (needs capacity + 1 > denom)"
+        )
+    import pandas as pd
+
+    cap = int(capacity)
+
+    def mg_sketch(batches):
+        from collections import Counter
+
+        counters: Counter = Counter()
+        n_tokens = 0
+        for pdf in batches:
+            for txt in pdf[text_col]:
+                if not txt:
+                    continue
+                # .split() == split-on-whitespace-runs with implicit
+                # trim and no empty tokens — the Python twin of
+                # functions.text.nonempty_tokens (oracle parity).
+                toks_py = txt.lower().split()
+                n_tokens += len(toks_py)
+                counters.update(toks_py)
+            if len(counters) > cap:
+                # Mergeable-summaries prune: subtract the (cap+1)-th
+                # largest value from every counter and drop the
+                # non-positive remainder. Each prune removes ≥
+                # (cap+1)·s mass, so total undercount ≤ n_p/(cap+1).
+                kth = sorted(counters.values(), reverse=True)[cap]
+                counters = Counter(
+                    {t: c - kth for t, c in counters.items() if c > kth}
+                )
+        # Candidate rows (token, NULL) plus ONE per-partition total row
+        # (NULL, n_tokens) — always emitted so empty partitions still
+        # contribute their zero to N.
+        toks_out = sorted(counters.keys())
+        yield pd.DataFrame(
+            {
+                "token": toks_out + [None],
+                "n": [None] * len(toks_out) + [n_tokens],
+            }
+        )
+
+    # Materialize the sketch (≤ (capacity+1) × n_partitions rows):
+    # candidates AND the total derive from it, and without the lineage
+    # cut Catalyst would plan two subtrees and run pass 1 twice.
+    sketch = (
+        ensure_parallelism(docs)
+        .select(text_col)
+        .mapInPandas(mg_sketch, "token string, n long")
+        .localCheckpoint(eager=False)
+    )
+    candidates = (
+        sketch.filter(F.col("token").isNotNull()).select("token").distinct()
+    )
+    total = sketch.agg(F.sum("n").alias("_n"))
+    toks = (
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.join(F.broadcast(candidates), on="token")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * denom >= F.col("_n"))
+        .select("token", "freq")
+    )

@@ -4512,6 +4512,42 @@ def q159_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(docs, F.col("lang") == "en")
 
 
+def q160_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution (dedupe/Splink pattern —
+    absent from the reference, core to any master-data or
+    training-corpus reconciliation step): match dirty CRM-style
+    re-entries (deterministically derived in-plan: '#' dropped,
+    zeros→letter-O, lowercased) back to the customer master via
+    block → score → select: equi-join on (nationkey, last-3 of the
+    O/0-folded uppercase name), JVM-side ``levenshtein`` scoring, and
+    a partial-aggregatable ``min(struct(dist, custkey))`` argmin with
+    an acceptance threshold. No cross join, no window, no collect —
+    the candidate space is Σ per-block products, ~(n·m)/n_blocks with
+    near-uniform trailing-digit blocks; AQE skew-split covers hot
+    blocks at scale."""
+    from ..operators.linkage import best_matches
+
+    customer = load_table(spark, sf_dir, "customer")
+    return best_matches(customer)
+
+
+def q161_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy-hitters (φ = 1/50 of the token stream) via
+    two-pass Misra–Gries: pass 1 is a 128-counter MG sketch per
+    partition inside mapInPandas (bounded state, the token stream
+    never shuffles) whose survivors are a guaranteed SUPERSET of all
+    true heavy hitters; pass 2 exact-counts candidates only (broadcast
+    join prunes the exploded stream map-side) and keeps the exact
+    integer predicate freq·50 ≥ N. Result is exact and
+    partitioning-independent; the exchange carries ≤ capacity ×
+    n_partitions keys instead of a web-scale vocabulary — the sketch
+    pattern q38's full groupBy can't afford at 100 TB."""
+    from ..operators.textstats import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, denom=50, capacity=128)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7651,6 +7687,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q157_byte_shards": q157_byte_shards,
     "q158_dup_spans": q158_dup_spans,
     "q159_importance_weights": q159_importance_weights,
+    "q160_entity_resolution": q160_entity_resolution,
+    "q161_heavy_hitters": q161_heavy_hitters,
 }
 
 
@@ -7960,4 +7998,50 @@ ORACLE_SQL["q157_byte_shards"] = """
            struct_extract(max({'rb': running_bytes, 'id': doc_id}), 'id')
              AS last_doc_id
     FROM summed GROUP BY 1
+"""
+
+
+ORACLE_SQL["q160_entity_resolution"] = """
+    WITH dirty AS (
+      SELECT c_custkey AS record_id, c_nationkey AS nationkey,
+             lower(replace(translate(c_name, '0', 'O'), '#', ''))
+               AS raw_name
+      FROM customer WHERE c_custkey % 7 = 3
+    ), dn AS (
+      SELECT record_id, nationkey,
+             translate(upper(raw_name), 'O', '0') AS norm_d
+      FROM dirty
+    ), cn AS (
+      SELECT c_custkey, c_nationkey,
+             translate(upper(c_name), 'O', '0') AS norm_c
+      FROM customer
+    ), cand AS (
+      SELECT dn.record_id, cn.c_custkey,
+             levenshtein(norm_d, norm_c) AS dist
+      FROM dn JOIN cn
+        ON dn.nationkey = cn.c_nationkey
+       AND right(norm_d, 3) = right(norm_c, 3)
+    ), ranked AS (
+      SELECT record_id, c_custkey, dist,
+             row_number() OVER (PARTITION BY record_id
+                                ORDER BY dist, c_custkey) AS rn
+      FROM cand
+    )
+    SELECT record_id, c_custkey AS matched_custkey, dist AS lev_distance
+    FROM ranked WHERE rn = 1 AND dist <= 2
+"""
+
+
+ORACLE_SQL["q161_heavy_hitters"] = """
+    WITH tk AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), t AS (
+      SELECT token FROM tk WHERE token <> ''
+    ), tot AS (
+      SELECT count(*) AS n FROM t
+    ), f AS (
+      SELECT token, count(*) AS freq FROM t GROUP BY token
+    )
+    SELECT token, freq FROM f, tot WHERE freq * 50 >= n
 """

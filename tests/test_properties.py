@@ -547,3 +547,80 @@ def test_skew_diagnostics_invariants(spark):
     mx = rows[0]["max_rows_per_key"]
     assert 0 < share <= 1
     assert share == round(mx / total_rows, 6)
+
+
+def test_entity_resolution_exact_recovery(spark):
+    """Every dirty record links back to the customer it was derived
+    from, at edit distance exactly 1 (the dropped '#'), and the match
+    set covers every modulus-residue customer — the blocking key never
+    loses the true pair."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.linkage import (
+        best_matches,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    rows = best_matches(customer).collect()
+    expected = customer.filter(F.col("c_custkey") % 7 == 3).count()
+    assert len(rows) == expected
+    for r in rows:
+        assert r["matched_custkey"] == r["record_id"]
+        assert r["lev_distance"] == 1
+
+
+def test_entity_resolution_validates_modulus(spark):
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.linkage import (
+        best_matches,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    with pytest.raises(ValueError, match="modulus"):
+        best_matches(customer, modulus=1)
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    """The two-pass MG result equals the exact full-vocabulary answer
+    under an adversarial repartition (many tiny partitions stress the
+    per-partition candidate guarantee); capacity below denom is
+    rejected up front."""
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.functions.text import (
+        tokens,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        heavy_hitters,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    n = toks.count()
+    exact = {
+        (r["t"], r["freq"])
+        for r in toks.groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") * 50 >= F.lit(n))
+        .collect()
+    }
+    assert exact, "fixture corpus should have at least one 2% token"
+    for n_parts in (1, 7, 64):
+        got = {
+            (r["token"], r["freq"])
+            for r in heavy_hitters(docs.repartition(n_parts), denom=50).collect()
+        }
+        assert got == exact, f"mismatch at {n_parts} partitions"
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(docs, denom=50, capacity=10)
