@@ -810,3 +810,72 @@ def dup_span_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def dedup_candidate_eval(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate-generation quality audit: precision/recall of the
+    SimHash banded candidate pairs against the exact word-k-gram
+    Jaccard ground truth — the measurement every production dedup
+    pipeline runs before trusting an approximate blocker at corpus
+    scale (tune bands/hamming until recall clears the bar, then ship
+    the cheap path).
+
+    Both pair sets come from the existing blocked operators (no new
+    join shapes): candidates = ``simhash_neardup``, truth =
+    ``ngram_jaccard_pairs`` (df-capped). True positives are the inner
+    join on the ordered (id_a, id_b) key. Output is ONE summary row of
+    exact integer counts plus precision/recall rounded from integer
+    ratios — no float accumulation anywhere, so the gate is bit-exact.
+
+    Scale shape: the two pair generators are the scale-audited plans
+    of q17/q21 (banded join, df-capped shingle join); the eval itself
+    adds two joins on pair keys and a 1-row agg — negligible on top.
+    """
+    # Each pair set is consumed twice (its count + the TP join); pin
+    # both so the banded-join / shingle-join pipelines run ONCE — the
+    # materialized sets are near-dup pairs only, orders of magnitude
+    # smaller than the corpus.
+    cand = (
+        simhash_neardup(
+            docs, max_hamming=max_hamming, n_bands=n_bands,
+            text_col=text_col, id_col=id_col,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        ngram_jaccard_pairs(
+            docs, k=k, threshold=threshold, text_col=text_col,
+            id_col=id_col, max_df=max_df,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    tp = cand.join(truth, on=["id_a", "id_b"]).select("id_a")
+    counts = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_tp",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_tp") / F.col("n_candidates"), 4),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_tp") / F.col("n_truth"), 4),
+        ).alias("recall"),
+    )

@@ -930,3 +930,91 @@ def pq_topk(
         )
     )
     return _rank_topk(exact, k, query_id_col, id_col)
+
+
+def centroid_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid assignment + confusion matrix over an embedding
+    corpus (the evaluation half of every clustering / weak-labeling
+    pipeline: "how separable are the provided labels in embedding
+    space?").
+
+    Centroids are the per-label component-wise MEAN, computed in-plan
+    (no driver-side training, unlike ``ivf_topk``'s sampled codebook):
+    one (label, dim) hash aggregation with map-side partials over the
+    exploded components, reassembled into a k×d array table that is
+    broadcast to the assignment join. Each vector is then scored
+    against all k centroids (k is the label cardinality — tiny) and
+    assigned via a partial-aggregatable ``max(struct(sim, -label))``
+    argmax — no window, no per-vector shuffle beyond the one
+    (id, label) agg. Output is the k×k confusion matrix
+    (label, assigned_label, n).
+
+    Scale shape: explode is map-side; the (label, dim) agg carries
+    k·d groups regardless of corpus size; the centroid table is k·d
+    doubles (always broadcastable); assignment + confusion are one
+    hash agg each with partial aggregation. At 100 TB nothing in the
+    plan grows beyond the corpus scan itself.
+
+    Determinism: centroid components and cosine scores are rounded to
+    6 dp (the repo-wide oracle discipline — see functions/vectors.py);
+    ties break to the smaller label id. Zero-norm and NULL vectors are
+    excluded (cosine undefined).
+    """
+    v = (
+        ensure_parallelism(vectors)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .filter(l2_norm(F.col("_v")) > 0)
+        .localCheckpoint(eager=True)  # consumed twice: centroids + assignment
+    )
+    comp = v.select(
+        label_col, F.posexplode("_v").alias("_pos", "_val")
+    )
+    cent = (
+        comp.groupBy(label_col, "_pos")
+        .agg(F.round(F.avg("_val"), 6).alias("_cv"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_cv"))),
+                lambda s: s._cv,
+            ).alias("_cvec")
+        )
+        .select(
+            F.col(label_col).alias("_cl"),
+            "_cvec",
+            l2_norm(F.col("_cvec")).alias("_cnorm"),
+        )
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        label_col,
+        F.col("_cl"),
+        F.round(
+            dot_product(F.col("_v"), F.col("_cvec"))
+            / (l2_norm(F.col("_v")) * F.col("_cnorm")),
+            6,
+        ).alias("_sim"),
+    )
+    assigned = scored.groupBy(id_col, label_col).agg(
+        (-F.max(F.struct(F.col("_sim"), (-F.col("_cl")).alias("_negcl")))
+         ["_negcl"]).alias("assigned_label")
+    )
+    return (
+        assigned.groupBy(label_col, "assigned_label")
+        .agg(F.count("*").alias("n"))
+        .select(
+            label_col,
+            F.col("assigned_label").cast("int").alias("assigned_label"),
+            "n",
+        )
+    )

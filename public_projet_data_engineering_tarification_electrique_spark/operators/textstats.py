@@ -479,3 +479,61 @@ def heavy_hitters(
         .filter(F.col("freq") * denom >= F.col("_n"))
         .select("token", "freq")
     )
+
+
+def token_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Corpus tokenizer-fertility report per (lang, source) slice — the
+    standard pre-training diagnostic for "how expensive is this slice
+    in tokens": BPE-pretoken count vs whitespace-word count
+    (fertility: subword tokens per word), plus bytes/token and
+    chars/token.
+
+    All per-document measures are INTEGER counts from codegen'd
+    regexp/length expressions (no UDF, no float accumulation), so the
+    grouped sums are exact and engine-portable; the ratios are single
+    divisions of exact integers rounded at the end — bit-stable by
+    construction, no float-sum ordering hazard at any corpus size.
+
+    Scale shape: one projection over the scan computing 4 ints per
+    doc, one hash agg with map-side partials on a low-cardinality
+    key. Nothing else.
+    """
+    from ..functions.text import bpe_ish_tokens
+
+    per_doc = ensure_parallelism(docs).select(
+        *group_cols,
+        F.size(nonempty_tokens(F.lower(F.col(text_col))))
+        .cast("long")
+        .alias("_ws"),
+        F.size(bpe_ish_tokens(F.col(text_col))).cast("long").alias("_bpe"),
+        F.octet_length(F.col(text_col)).cast("long").alias("_bytes"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+    )
+    agg = per_doc.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ws").alias("ws_tokens"),
+        F.sum("_bpe").alias("bpe_tokens"),
+        F.sum("_bytes").alias("n_bytes"),
+        F.sum("_chars").alias("n_chars"),
+    )
+    nz = F.col("bpe_tokens") > 0
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 4),
+        ).alias("fertility"),
+        F.when(nz, F.round(F.col("n_bytes") / F.col("bpe_tokens"), 4)).alias(
+            "bytes_per_token"
+        ),
+        F.when(nz, F.round(F.col("n_chars") / F.col("bpe_tokens"), 4)).alias(
+            "chars_per_token"
+        ),
+    )

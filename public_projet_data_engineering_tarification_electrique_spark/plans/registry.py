@@ -4548,6 +4548,45 @@ def q161_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(docs, denom=50, capacity=128)
 
 
+def q162_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment + k×k confusion matrix: per-label
+    mean centroids computed in-plan ((label, dim) hash agg — k·d
+    groups regardless of corpus size), broadcast to a map-side cosine
+    scoring of all vectors, argmax via partial-aggregatable
+    max(struct) — no window, no driver-side training. The label
+    separability report every embedding-quality audit starts with."""
+    from ..operators.similarity import centroid_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_assign(emb)
+
+
+def q163_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source): BPE-pretokens per
+    whitespace word + bytes/chars per token, from exact integer
+    per-doc counts — one codegen projection + one low-cardinality hash
+    agg; the pre-training cost diagnostic for each corpus slice."""
+    from ..operators.textstats import token_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_fertility(docs)
+
+
+def q164_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the SimHash banded candidate blocker (q21
+    plan) against the exact df-capped 3-gram Jaccard ground truth (q17
+    plan): inner join of the two pair sets + one summary row of exact
+    integer counts and integer-ratio precision/recall — the audit that
+    decides whether the cheap blocker is trustworthy at corpus
+    scale."""
+    from ..operators.dedup import dedup_candidate_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_candidate_eval(
+        docs, max_hamming=3, n_bands=4, k=3, threshold=0.2, max_df=100
+    )
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7689,6 +7728,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_importance_weights": q159_importance_weights,
     "q160_entity_resolution": q160_entity_resolution,
     "q161_heavy_hitters": q161_heavy_hitters,
+    "q162_centroid_assign": q162_centroid_assign,
+    "q163_token_fertility": q163_token_fertility,
+    "q164_dedup_eval": q164_dedup_eval,
 }
 
 
@@ -8044,4 +8086,91 @@ ORACLE_SQL["q161_heavy_hitters"] = """
       SELECT token, count(*) AS freq FROM t GROUP BY token
     )
     SELECT token, freq FROM f, tot WHERE freq * 50 >= n
+"""
+
+
+ORACLE_SQL["q162_centroid_assign"] = """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ve
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND sqrt(list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[])) > 0
+    ), comp AS (
+      SELECT label, unnest(range(len(ve))) AS pos, unnest(ve) AS val
+      FROM v
+    ), cent AS (
+      SELECT label AS cl, pos, round(avg(val), 6) AS cv
+      FROM comp GROUP BY 1, 2
+    ), cvecs AS (
+      SELECT cl, list(cv ORDER BY pos) AS cvec
+      FROM cent GROUP BY 1
+    ), scored AS (
+      SELECT v.vec_id, v.label, c.cl,
+             round(list_dot_product(ve, cvec)
+                   / (sqrt(list_dot_product(ve, ve))
+                      * sqrt(list_dot_product(cvec, cvec))), 6) AS sim
+      FROM v CROSS JOIN cvecs c
+    ), assigned AS (
+      SELECT vec_id, label, cl AS assigned_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cl ASC) AS rn
+      FROM scored
+    )
+    SELECT label, cast(assigned_label AS INTEGER) AS assigned_label,
+           cast(count(*) AS BIGINT) AS n
+    FROM assigned WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["q163_token_fertility"] = """
+    WITH per_doc AS (
+      SELECT lang, source,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '')) AS ws,
+             len(regexp_extract_all(lower(text),
+                 ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS bpe,
+             octet_length(encode(text)) AS nb,
+             length(text) AS nc
+      FROM documents
+    ), agg AS (
+      SELECT lang, source,
+             cast(count(*) AS BIGINT) AS n_docs,
+             cast(sum(ws) AS BIGINT) AS ws_tokens,
+             cast(sum(bpe) AS BIGINT) AS bpe_tokens,
+             cast(sum(nb) AS BIGINT) AS n_bytes,
+             cast(sum(nc) AS BIGINT) AS n_chars
+      FROM per_doc GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, ws_tokens, bpe_tokens,
+           CASE WHEN ws_tokens > 0
+                THEN round(bpe_tokens * 1.0 / ws_tokens, 4) END AS fertility,
+           CASE WHEN bpe_tokens > 0
+                THEN round(n_bytes * 1.0 / bpe_tokens, 4) END
+             AS bytes_per_token,
+           CASE WHEN bpe_tokens > 0
+                THEN round(n_chars * 1.0 / bpe_tokens, 4) END
+             AS chars_per_token
+    FROM agg
+"""
+
+
+ORACLE_SQL["q164_dedup_eval"] = f"""
+    WITH cand AS (
+      SELECT id_a, id_b FROM ({ORACLE_SQL["q21_simhash_neardup"]})
+    ), truth AS (
+      SELECT id_a, id_b FROM ({ORACLE_SQL["q17_ngram_jaccard"]})
+    ), tp AS (
+      SELECT c.id_a FROM cand c JOIN truth t USING (id_a, id_b)
+    )
+    SELECT
+      (SELECT cast(count(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT cast(count(*) AS BIGINT) FROM truth) AS n_truth,
+      (SELECT cast(count(*) AS BIGINT) FROM tp) AS n_tp,
+      CASE WHEN (SELECT count(*) FROM cand) > 0
+           THEN round((SELECT count(*) FROM tp) * 1.0
+                      / (SELECT count(*) FROM cand), 4) END AS precision,
+      CASE WHEN (SELECT count(*) FROM truth) > 0
+           THEN round((SELECT count(*) FROM tp) * 1.0
+                      / (SELECT count(*) FROM truth), 4) END AS recall
 """

@@ -1089,3 +1089,86 @@ def test_importance_weights_direction_and_exclusions(spark):
     assert out[100]["imp"] < -1.0
     # same text => same score regardless of the doc's own label
     assert out[200]["imp"] == out[0]["imp"]
+
+
+def test_centroid_assign_separable_labels(spark):
+    """Two well-separated label clusters → perfectly diagonal confusion
+    matrix; zero-norm and NULL vectors are excluded from both centroid
+    estimation and assignment."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        centroid_assign,
+    )
+
+    rows = [
+        # label 0: near e_x
+        (0, [1.0, 0.0, 0.05], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [1.1, -0.1, 0.0], 0),
+        # label 1: near e_y
+        (3, [0.0, 1.0, 0.05], 1),
+        (4, [0.1, 0.9, 0.0], 1),
+        (5, [-0.1, 1.1, 0.0], 1),
+        # excluded rows
+        (6, [0.0, 0.0, 0.0], 0),
+        (7, None, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label"], r["assigned_label"]): r["n"]
+        for r in centroid_assign(df).collect()
+    }
+    assert got == {(0, 0): 3, (1, 1): 3}
+
+
+def test_centroid_assign_tie_breaks_to_smaller_label(spark):
+    """Identical centroids (duplicate clusters) → every vector assigns
+    to the SMALLER label id, deterministically."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        centroid_assign,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label"], r["assigned_label"]): r["n"]
+        for r in centroid_assign(df).collect()
+    }
+    assert got == {(0, 0): 1, (1, 0): 1}
+
+
+def test_dedup_eval_counts_are_consistent(spark):
+    """The audit row's counts equal the operator pair-sets it claims to
+    compare, and the ratios are the exact integer ratios."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        dedup_candidate_eval,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    row = dedup_candidate_eval(docs).collect()[0]
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup(docs, max_hamming=3, n_bands=4).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, k=3, threshold=0.2, max_df=100
+        ).collect()
+    }
+    assert row["n_candidates"] == len(cand)
+    assert row["n_truth"] == len(truth)
+    assert row["n_tp"] == len(cand & truth)
+    if row["n_candidates"]:
+        assert row["precision"] == round(row["n_tp"] / row["n_candidates"], 4)
+    if row["n_truth"]:
+        assert row["recall"] == round(row["n_tp"] / row["n_truth"], 4)

@@ -624,3 +624,33 @@ def test_heavy_hitters_partitioning_independent(spark):
         assert got == exact, f"mismatch at {n_parts} partitions"
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters(docs, denom=50, capacity=10)
+
+
+def test_token_fertility_exact_integer_arithmetic(spark):
+    """Hand-computable fixture: fertility/bytes-per-token derive from
+    exact integer sums; a blank doc contributes zero tokens (not the
+    split('')→[''] artifact); a slice with zero BPE tokens yields NULL
+    ratios instead of a divide-by-zero."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        token_fertility,
+    )
+
+    rows = [
+        (1, "ab cd", "en", "s1"),   # ws=2, bpe=2 ('ab',' cd'), bytes=5
+        (2, "x9!", "en", "s1"),     # ws=1, bpe=3 ('x','9','!'), bytes=3
+        (3, "   ", "fr", "s2"),     # blank: ws=0, bpe counts the ws run
+        (4, "", "de", "s3"),        # empty: everything 0 → NULL ratios
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        (r["lang"], r["source"]): r for r in token_fertility(df).collect()
+    }
+    en = out[("en", "s1")]
+    assert (en["n_docs"], en["ws_tokens"], en["bpe_tokens"]) == (2, 3, 5)
+    assert en["fertility"] == round(5 / 3, 4)
+    assert en["bytes_per_token"] == round(8 / 5, 4)
+    de = out[("de", "s3")]
+    assert de["ws_tokens"] == 0 and de["bpe_tokens"] == 0
+    assert de["fertility"] is None and de["bytes_per_token"] is None
