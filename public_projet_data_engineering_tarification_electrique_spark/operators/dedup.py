@@ -879,3 +879,103 @@ def dedup_candidate_eval(
             F.round(F.col("n_tp") / F.col("n_truth"), 4),
         ).alias("recall"),
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion dedup: classify each INCOMING document
+    against the EXISTING corpus as ``exact_dup`` (normalized-text
+    fingerprint already present), ``near_dup`` (word-k-gram Jaccard ≥
+    threshold with some corpus doc), or ``keep`` — the batch-arrival
+    path of a production pipeline, where the corpus is never
+    self-joined; only new × corpus work happens.
+
+    Blocking is bipartite: the boilerplate blacklist (shingles with
+    corpus-side df > ``max_df``) is anti-joined off BOTH sides, then
+    candidates come from the shared-shingle equi-join of new-side vs
+    corpus-side shingles. Jaccard uses the blacklist-filtered shingle
+    sets (the same df-cap semantics as ``ngram_jaccard_pairs``,
+    measured ~linear at 10× there). Exact dups are a fingerprint
+    left-semi join — corpus fingerprints are distinct'd first, so the
+    probe side is bounded by distinct content, not corpus rows.
+
+    Scale shape: corpus-side work is one shingle pass + one df agg
+    (reusable as a persisted index across batches); everything else is
+    proportional to the incoming batch. No self-joins anywhere.
+    Output: (doc_id, status) for every incoming doc.
+    """
+    from ..functions.text import fingerprint_md5
+
+    new_docs = ensure_parallelism(new_docs)
+    corpus = ensure_parallelism(corpus)
+    new_fp = new_docs.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("_fp")
+    )
+    corp_fp = corpus.select(
+        fingerprint_md5(F.col(text_col)).alias("_fp")
+    ).distinct()
+    exact = (
+        new_fp.join(corp_fp, on="_fp", how="leftsemi")
+        .select(F.col(id_col))
+        .withColumn("_exact", F.lit(1))
+    )
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("sh"),
+        )
+
+    # Pin the raw shingle tables FIRST: the corpus side feeds the df
+    # blacklist AND the candidate join, the new side feeds its size agg
+    # AND the join — without the pins the shingling scan re-executes
+    # once per consumer (measured 3× corpus re-tokenization).
+    sn = shingles(new_docs, "new_id").localCheckpoint(eager=True)
+    sc = shingles(corpus, "corp_id").localCheckpoint(eager=True)
+    if max_df is not None:
+        hot = (
+            sc.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("sh")
+            .localCheckpoint(eager=True)  # boilerplate set: tiny, 2 consumers
+        )
+        sn = sn.join(hot, on="sh", how="left_anti").localCheckpoint(eager=True)
+        sc = sc.join(hot, on="sh", how="left_anti").localCheckpoint(eager=True)
+    na = sn.groupBy("new_id").agg(F.count("*").alias("_na"))
+    nb = sc.groupBy("corp_id").agg(F.count("*").alias("_nb"))
+    inter = (
+        sn.join(sc, on="sh")
+        .groupBy("new_id", "corp_id")
+        .agg(F.count("*").alias("_inter"))
+    )
+    jac = F.col("_inter") * 1.0 / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    near = (
+        inter.join(na, on="new_id")
+        .join(nb, on="corp_id")
+        .filter(jac >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(exact, on=id_col, how="left")
+        .join(near, on=id_col, how="left")
+        .select(
+            id_col,
+            F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+    )

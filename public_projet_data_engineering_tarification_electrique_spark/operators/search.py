@@ -1,0 +1,148 @@
+"""Search-engine operators over the documents table (extension
+surface): positional inverted-index phrase matching and PMI-style
+collocation mining. Pure DataFrame plans — the postings table is the
+classic (token, doc, position) layout every search engine shards, so
+all joins are equi-joins on token (+ position arithmetic), never
+scans of the corpus per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .util import ensure_parallelism
+
+
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token, pos) positional postings — one posexplode, no
+    shuffle; the direct build of the layout an inverted index stores
+    (at scale: write bucketed by token so phrase joins co-locate)."""
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching via positional-postings adjacency joins:
+    word i of the phrase must appear at ``pos + i`` in the same doc —
+    the standard phrase-query plan over an inverted index (Lucene's
+    exact PhraseQuery), expressed as n−1 equi-joins on
+    (doc, adjusted position).
+
+    Scale shape: each join side is the postings of ONE phrase word
+    (|postings(wᵢ)| rows, not the corpus); joins are on (doc_id, pos)
+    after the map-side ``pos − i`` shift, so Catalyst plans hash joins
+    keyed on already-co-located data when the postings table is
+    bucketed by token. Rarest-word-first ordering would shrink
+    intermediates further; with equi-joins + AQE the join order is
+    runtime-adapted anyway.
+
+    Output: (doc_id, n_occurrences) for docs containing the phrase.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one word")
+    post = positional_postings(docs, text_col, id_col)
+    # consumed once per phrase word — pin so the corpus tokenizes once
+    post = post.localCheckpoint(eager=True)
+    hits = None
+    for i, w in enumerate(phrase):
+        side = post.filter(F.col("token") == w.lower()).select(
+            F.col(id_col),
+            (F.col("pos") - F.lit(i)).alias("_start"),
+        )
+        hits = side if hits is None else hits.join(side, on=[id_col, "_start"])
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_occurrences"))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-token collocations by PMI lift — the corpus
+    phrase-mining pass (new-terminology discovery, tokenizer merge
+    candidates). PMI = log lift where lift = P(ab)/(P(a)·P(b)) =
+    joint·N / (fa·fb); log is monotone, so ranking by the RAW RATIO is
+    PMI ranking without ever calling a transcendental — counts are
+    exact integers, the ratio is one deterministic double division,
+    and the oracle gate is bit-stable (no libm ulp drift).
+
+    Scale shape: bigram + unigram counts are two map-side-combined
+    hash aggs over one tokenization; unigram totals broadcast back
+    onto the (vocabulary²-bounded, min_count-pruned) bigram table; N
+    is a 1-row broadcast. Final top-k is a TakeOrdered, not a sort.
+
+    Output: (tok_a, tok_b, joint, lift) — rounded lift, lexicographic
+    tie-break.
+    """
+    # Adjacent pairs WITHIN a doc: zip the token array with its own
+    # shift — map-side, no self-join, no positional shuffle.
+    arr = ensure_parallelism(docs).select(
+        F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "").alias(
+            "_t"
+        )
+    )
+    uni = (
+        arr.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    n_tokens = uni.agg(F.sum("f").alias("_n"))
+    bi = (
+        arr.select(
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.zip_with(
+                        F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                        F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("tok_a"), b.alias("tok_b")
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("_p")
+        )
+        .select("_p.tok_a", "_p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("joint"))
+        .filter(F.col("joint") >= min_count)
+    )
+    fa = uni.select(F.col("tok").alias("tok_a"), F.col("f").alias("_fa"))
+    fb = uni.select(F.col("tok").alias("tok_b"), F.col("f").alias("_fb"))
+    scored = (
+        bi.join(fa, on="tok_a")
+        .join(fb, on="tok_b")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "tok_a",
+            "tok_b",
+            "joint",
+            # DOUBLE before multiplying: fa·fb as int64 overflows once
+            # per-token counts pass ~3e9 (ANSI ARITHMETIC_OVERFLOW at
+            # web scale); the double product is the same value both
+            # engines compute, and the single rounded division is
+            # deterministic.
+            F.round(
+                F.col("joint").cast("double") * F.col("_n").cast("double")
+                / (F.col("_fa").cast("double") * F.col("_fb").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("lift"), F.asc("tok_a"), F.asc("tok_b")
+        ).limit(k)
+    )

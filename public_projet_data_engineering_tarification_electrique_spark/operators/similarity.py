@@ -1018,3 +1018,79 @@ def centroid_assign(
             "n",
         )
     )
+
+
+def int8_quant_error(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: quantize each
+    embedding with scale = max|v|/127, reconstruct, and report per
+    label the reconstruction quality — the go/no-go measurement before
+    switching a 100 TB vector corpus to int8 storage (4× smaller,
+    4× faster ANN probes).
+
+    Everything is a per-row codegen'd array expression (transform /
+    zip_with / array_max — no UDF, no shuffle before the final
+    k-group agg): q = round(v/scale), recon = q·scale, per-vector
+    max-abs-error and self-cosine. array_max and max() are
+    order-insensitive, so the only float aggregation is the 6
+    dp-rounded mean cosine (repo rounding discipline). Zero-norm and
+    NULL vectors are excluded (scale undefined).
+
+    Output: (label, n_vectors, max_abs_err, mean_cos,
+    n_high_fidelity) — high fidelity = self-cosine ≥ 0.999.
+    """
+    v = (
+        ensure_parallelism(vectors)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .withColumn(
+            "_scale",
+            F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+            / F.lit(127.0),
+        )
+        .filter(F.col("_scale") > 0)
+    )
+    recon = v.withColumn(
+        "_r",
+        F.transform(
+            F.col("_v"), lambda x: F.round(x / F.col("_scale")) * F.col("_scale")
+        ),
+    )
+    per_vec = recon.select(
+        label_col,
+        F.round(
+            F.array_max(
+                F.zip_with(F.col("_v"), F.col("_r"), lambda a, b: F.abs(a - b))
+            ),
+            6,
+        ).alias("_err"),
+        F.round(
+            dot_product(F.col("_v"), F.col("_r"))
+            / (l2_norm(F.col("_v")) * l2_norm(F.col("_r"))),
+            6,
+        ).alias("_cos"),
+    )
+    # mean over 6 dp-rounded cosines sits EXACTLY on the rounding grid
+    # half the time (each addend is a multiple of 1e-6), where a 1-ulp
+    # fp-sum difference flips the 6th decimal between engines — so the
+    # mean is accumulated as EXACT integer micro-units and divided
+    # once, the same boundary-proof trick as the OLS +1e-9 nudge.
+    micro = F.round(F.col("_cos") * 1_000_000).cast("long")
+    return per_vec.groupBy(label_col).agg(
+        F.count("*").alias("n_vectors"),
+        F.max("_err").alias("max_abs_err"),
+        F.round(
+            F.sum(micro) / (F.count("*") * F.lit(1_000_000.0)), 6
+        ).alias("mean_cos"),
+        F.sum(F.when(F.col("_cos") >= 0.999, 1).otherwise(0)).alias(
+            "n_high_fidelity"
+        ),
+    )

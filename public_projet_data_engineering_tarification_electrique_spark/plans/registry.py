@@ -4587,6 +4587,66 @@ def q164_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q165_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: incoming batch (doc_id % 10 = 7)
+    classified against the existing corpus as exact_dup / near_dup /
+    keep via fingerprint semi-join + BIPARTITE df-capped shingle
+    blocking — new × corpus only, the corpus is never self-joined
+    (the arrival-path shape that keeps per-batch cost proportional to
+    the batch at any corpus size)."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return incremental_dedup(
+        incoming, corpus, k=3, threshold=0.2, max_df=100
+    )
+
+
+def q166_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit: per-vector symmetric quantize /
+    reconstruct entirely in codegen'd array expressions, per-label
+    max-abs-error + mean self-cosine + high-fidelity count — the
+    storage-shrink go/no-go before an int8 ANN index."""
+    from ..operators.similarity import int8_quant_error
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quant_error(emb)
+
+
+def q167_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-style column profiler over orders: one melt + one
+    hash agg yields nulls / exact distinct / min / max per column with
+    engine-pinned string rendering."""
+    from ..operators.audit import column_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_profile(orders)
+
+
+def q168_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ('big order scan') over positional
+    inverted-index postings: one posexplode build + n−1 equi-joins on
+    (doc, pos−i) — Lucene PhraseQuery semantics as DataFrame joins;
+    per-word postings, never corpus scans, join the phrase."""
+    from ..operators.search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, ("big", "order", "scan"))
+
+
+def q169_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations ranked by PMI lift
+    (joint·N/(fa·fb)) — ranking by the raw ratio IS PMI ranking (log
+    is monotone) with zero transcendental calls, so counts stay exact
+    integers and the single rounded division is bit-stable."""
+    from ..operators.search import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=20)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7731,6 +7791,11 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_centroid_assign": q162_centroid_assign,
     "q163_token_fertility": q163_token_fertility,
     "q164_dedup_eval": q164_dedup_eval,
+    "q165_incremental_dedup": q165_incremental_dedup,
+    "q166_int8_quant_error": q166_int8_quant_error,
+    "q167_column_profile": q167_column_profile,
+    "q168_phrase_search": q168_phrase_search,
+    "q169_pmi_collocations": q169_pmi_collocations,
 }
 
 
@@ -8173,4 +8238,198 @@ ORACLE_SQL["q164_dedup_eval"] = f"""
       CASE WHEN (SELECT count(*) FROM truth) > 0
            THEN round((SELECT count(*) FROM tp) * 1.0
                       / (SELECT count(*) FROM truth), 4) END AS recall
+"""
+
+
+ORACLE_SQL["q165_incremental_dedup"] = """
+    WITH newd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+    ), corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+    ), nfp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM newd
+    ), cfp AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fp FROM corp
+    ), exact AS (
+      SELECT doc_id FROM nfp JOIN cfp USING (fp)
+    ), ntoks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM newd
+    ), ctoks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM corp
+    ), nsh AS (
+      SELECT DISTINCT doc_id AS new_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM ntoks
+    ), csh AS (
+      SELECT DISTINCT doc_id AS corp_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM ctoks
+    ), hot AS (
+      SELECT sh FROM csh GROUP BY sh HAVING count(*) > 100
+    ), nsh2 AS (
+      SELECT * FROM nsh WHERE sh NOT IN (SELECT sh FROM hot)
+    ), csh2 AS (
+      SELECT * FROM csh WHERE sh NOT IN (SELECT sh FROM hot)
+    ), szn AS (
+      SELECT new_id, count(*) AS _na FROM nsh2 GROUP BY 1
+    ), szc AS (
+      SELECT corp_id, count(*) AS _nb FROM csh2 GROUP BY 1
+    ), inter AS (
+      SELECT new_id, corp_id, count(*) AS _i
+      FROM nsh2 JOIN csh2 USING (sh) GROUP BY 1, 2
+    ), near AS (
+      SELECT DISTINCT new_id AS doc_id
+      FROM inter JOIN szn USING (new_id) JOIN szc USING (corp_id)
+      WHERE _i * 1.0 / (_na + _nb - _i) >= 0.2
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS status
+    FROM newd d
+    LEFT JOIN exact e USING (doc_id)
+    LEFT JOIN near nr USING (doc_id)
+"""
+
+
+ORACLE_SQL["q166_int8_quant_error"] = """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ve
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), s AS (
+      SELECT vec_id, label, ve,
+             list_aggregate(list_transform(ve, x -> abs(x)), 'max')
+               / 127.0 AS scale
+      FROM v
+    ), r AS (
+      SELECT vec_id, label, ve,
+             list_transform(ve, x -> round(x / scale) * scale) AS rv
+      FROM s WHERE scale > 0
+    ), comp AS (
+      SELECT vec_id, unnest(ve) AS a, unnest(rv) AS b FROM r
+    ), err AS (
+      SELECT vec_id, round(max(abs(a - b)), 6) AS _err
+      FROM comp GROUP BY 1
+    ), cosv AS (
+      SELECT vec_id, label,
+             round(list_dot_product(ve, rv)
+                   / (sqrt(list_dot_product(ve, ve))
+                      * sqrt(list_dot_product(rv, rv))), 6) AS _cos
+      FROM r
+    )
+    SELECT label,
+           cast(count(*) AS BIGINT) AS n_vectors,
+           max(_err) AS max_abs_err,
+           round(sum(cast(round(_cos * 1000000) AS BIGINT))
+                 / (count(*) * 1000000.0), 6) AS mean_cos,
+           cast(sum(CASE WHEN _cos >= 0.999 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_fidelity
+    FROM cosv JOIN err USING (vec_id)
+    GROUP BY 1
+"""
+
+
+ORACLE_SQL["q167_column_profile"] = """
+    SELECT 'o_orderkey' AS col_name,
+           cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           cast(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           min(o_orderkey)::VARCHAR AS min_val,
+           max(o_orderkey)::VARCHAR AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           cast(count(DISTINCT o_custkey) AS BIGINT),
+           min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           cast(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           cast(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 2)::VARCHAR,
+           round(max(o_totalprice), 2)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           cast(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           cast(count(DISTINCT o_orderdate) AS BIGINT),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           cast(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           cast(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+"""
+
+
+ORACLE_SQL["q168_phrase_search"] = """
+    WITH post0 AS (
+      SELECT doc_id, unnest(t) AS token, unnest(range(len(t))) AS pos
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+    ), p AS (
+      SELECT * FROM post0 WHERE token <> ''
+    ), w0 AS (
+      SELECT doc_id, pos AS strt FROM p WHERE token = 'big'
+    ), w1 AS (
+      SELECT doc_id, pos - 1 AS strt FROM p WHERE token = 'order'
+    ), w2 AS (
+      SELECT doc_id, pos - 2 AS strt FROM p WHERE token = 'scan'
+    ), hits AS (
+      SELECT doc_id, strt
+      FROM w0 JOIN w1 USING (doc_id, strt) JOIN w2 USING (doc_id, strt)
+    )
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY 1
+"""
+
+
+ORACLE_SQL["q169_pmi_collocations"] = """
+    WITH arr AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), unic AS (
+      SELECT tok, cast(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(t) AS tok FROM arr) GROUP BY 1
+    ), tot AS (
+      SELECT cast(sum(f) AS BIGINT) AS n FROM unic
+    ), bic AS (
+      SELECT tok_a, tok_b, cast(count(*) AS BIGINT) AS joint
+      FROM (SELECT unnest(t[1:-2]) AS tok_a, unnest(t[2:-1]) AS tok_b
+            FROM arr WHERE len(t) >= 2)
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT tok_a, tok_b, joint,
+           round(joint::DOUBLE * n::DOUBLE
+                 / (fa.f::DOUBLE * fb.f::DOUBLE), 4) AS lift
+    FROM bic
+    CROSS JOIN tot
+    JOIN unic fa ON bic.tok_a = fa.tok
+    JOIN unic fb ON bic.tok_b = fb.tok
+    ORDER BY lift DESC, tok_a ASC, tok_b ASC
+    LIMIT 20
 """

@@ -1172,3 +1172,52 @@ def test_dedup_eval_counts_are_consistent(spark):
         assert row["precision"] == round(row["n_tp"] / row["n_candidates"], 4)
     if row["n_truth"]:
         assert row["recall"] == round(row["n_tp"] / row["n_truth"], 4)
+
+
+def test_incremental_dedup_statuses(spark):
+    """Planted batch: an exact copy of a corpus doc → exact_dup, a
+    near-copy → near_dup, a novel doc → keep; corpus docs never appear
+    in the output."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    corpus = _docs(spark, [(1, BASE), (2, "completely different corpus text here")])
+    new = _docs(
+        spark,
+        [
+            (10, BASE),            # exact (same normalized text)
+            (11, NEAR),            # near-dup of BASE
+            (12, "unrelated fresh content nobody has seen with many novel words"),
+        ],
+    )
+    got = {r["doc_id"]: r["status"] for r in incremental_dedup(new, corpus).collect()}
+    assert got == {10: "exact_dup", 11: "near_dup", 12: "keep"}
+
+
+def test_int8_quant_error_bounds(spark):
+    """Quantization error is bounded by scale/2 per component and the
+    self-cosine stays near 1 for well-conditioned vectors; zero and
+    NULL vectors are excluded."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        int8_quant_error,
+    )
+
+    rows = [
+        (0, [1.0, 0.5, -0.25, 0.125], 0),
+        (1, [127.0, -64.0, 32.0, 1.0], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 1),   # excluded: zero scale
+        (3, None, 1),                    # excluded: null
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in int8_quant_error(df).collect()}
+    assert set(out) == {0}
+    r0 = out[0]
+    assert r0["n_vectors"] == 2
+    # max error <= scale/2 = max|v|/254 for each vector; the larger
+    # vector has scale 1.0 so the bound is 0.5
+    assert r0["max_abs_err"] <= 0.5
+    assert r0["mean_cos"] > 0.999
+    assert r0["n_high_fidelity"] == 2

@@ -654,3 +654,64 @@ def test_token_fertility_exact_integer_arithmetic(spark):
     de = out[("de", "s3")]
     assert de["ws_tokens"] == 0 and de["bpe_tokens"] == 0
     assert de["fertility"] is None and de["bytes_per_token"] is None
+
+
+def test_column_profile_counts(spark):
+    """Hand-checkable frame: nulls / distinct / min / max per column,
+    with the pinned double and timestamp renderings."""
+    import datetime as dt
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        column_profile,
+    )
+
+    rows = [
+        (1, 10.125, dt.datetime(2024, 1, 2, 3, 4, 5), "b"),
+        (2, None, dt.datetime(2024, 1, 1, 0, 0, 0), "a"),
+        (2, 3.5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, x double, ts timestamp, s string")
+    out = {r["col_name"]: r for r in column_profile(df).collect()}
+    assert out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 2
+    assert out["x"]["n_nulls"] == 1 and out["x"]["min_val"] == "3.5"
+    assert out["x"]["max_val"] == "10.13"  # typed max, THEN 2 dp render
+    assert out["ts"]["min_val"] == "2024-01-01 00:00:00"
+    assert out["s"]["n_distinct"] == 2 and out["s"]["n_nulls"] == 1
+
+
+def test_phrase_search_counts_overlaps(spark):
+    """Hand-checkable: overlapping and repeated occurrences are each
+    counted; gapped near-misses are not; single-word phrases work."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.search import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "a b a b a"),       # 'a b' twice, overlapping 'b a' twice
+        (2, "a x b a b"),       # 'a b' once (gapped first pair misses)
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(df, ("a", "b")).collect()}
+    assert got == {1: 2, 2: 1}
+    solo = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(df, ("a",)).collect()}
+    assert solo == {1: 3, 2: 2}
+
+
+def test_pmi_collocations_ranks_exclusive_pairs_first(spark):
+    """A pair that ALWAYS co-occurs outranks frequent-but-independent
+    pairs; lift is the exact integer-ratio value."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.search import (
+        pmi_collocations,
+    )
+
+    # 'x y' appears 5 times exclusively; filler tokens are common.
+    rows = [(i, "x y the of the of") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, k=3).collect()
+    top = out[0]
+    assert (top["tok_a"], top["tok_b"]) == ("x", "y")
+    # N=30 tokens, joint=5, fx=fy=5 → lift = 5*30/25 = 6.0
+    assert top["joint"] == 5 and top["lift"] == 6.0
