@@ -142,3 +142,62 @@ def chunk_with_overlap(
         F.size(piece).alias("chunk_tokens"),
         F.substring(F.md5(F.concat_ws(" ", piece)), 1, 8).alias("chunk_fp"),
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-group corpus selection under a token budget: rank
+    each group's docs by a deterministic quality key (longest-first,
+    id tie-break), admit docs while the group's RUNNING token total
+    stays within budget — the "fill each mixture component to its
+    token quota" step every pre-training data recipe runs after
+    weighting (the quota twin of `mixture_plan`, which computes the
+    targets; this enforces them doc-by-doc).
+
+    Greedy-prefix semantics: a doc is admitted iff the cumulative
+    token count INCLUDING it is ≤ budget; the first overflowing doc
+    and everything ranked below are dropped (prefix rule, so
+    membership is reproducible — not best-fit bin packing, which is
+    order-sensitive and NP-hard).
+
+    Plan shape: token counts are one codegen'd projection
+    (`nonempty_token_count`, no UDF); ranking + running sum share ONE
+    window partitioning on the group key (one exchange, one sort); the
+    summary is a hash agg over admitted rows. At 100 TB the window is
+    per-group sequential by construction — groups parallelize, and a
+    single giant group's running sum is the irreducible sequential
+    dependency of the greedy-prefix rule itself (use range-partitioned
+    prefix sums, cf. `shards.py`, if one group outgrows an executor).
+
+    Output: (group, n_selected, n_candidates, tokens_used,
+    budget_tokens) — one row per group.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    toks = docs.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        nonempty_token_count(F.col(text_col)).alias("_tok"),
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.desc("_tok"), F.asc("_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    running = toks.withColumn("_cum", F.sum("_tok").over(w))
+    return (
+        running.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.sum(
+                F.when(F.col("_cum") <= budget_tokens, 1).otherwise(0)
+            ).cast("long").alias("n_selected"),
+            F.count("*").cast("long").alias("n_candidates"),
+            F.max(
+                F.when(F.col("_cum") <= budget_tokens, F.col("_cum"))
+            ).cast("long").alias("tokens_used"),
+            F.lit(budget_tokens).cast("long").alias("budget_tokens"),
+        )
+    )

@@ -96,6 +96,61 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def exact_stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    weights: dict[str, int] | None = None,
+    salt: str = "strat",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split with EXACT per-stratum proportions.
+
+    ``hash_split`` is O(0 shuffles) but only approximates the ratios
+    (binomial noise ~ sqrt(n) per stratum); evaluation suites and
+    small strata (a rare language with 40 docs) need the exact-count
+    guarantee: every stratum contributes floor-exact slices. The
+    standard construction: rank rows WITHIN each stratum by the id's
+    md5 (a deterministic uniform permutation), then cut at exact
+    integer boundaries computed from the stratum's own count —
+    ``rn * 100 <= n * cum_pct`` keeps everything in integer
+    arithmetic (no float thresholds to disagree across engines).
+
+    Plan shape: ONE window shuffle on the strata key computes both the
+    per-stratum rank and the per-stratum total (rank + count over the
+    same partitioning reuse one sort/exchange). Still a pure function
+    of (id, stratum): re-runs assign identical splits as long as the
+    stratum membership is unchanged — unlike hash_split, adding rows
+    to a stratum DOES reshuffle that stratum's boundary members, which
+    is the price of exactness (documented tradeoff; use hash_split for
+    open-ended corpora, this for frozen evaluation releases).
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    rank_key = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*strata_cols)
+    wo = w.orderBy(rank_key.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        *strata_cols,
+        F.col(id_col),
+        F.row_number().over(wo).alias("_rn"),
+        F.count("*").over(w).alias("_n"),
+    )
+    expr = None
+    cum = 0
+    for label, pct in weights.items():
+        cum += pct
+        # exact integer cut: row joins `label` iff rn*100 <= n*cum
+        cond = F.col("_rn") * 100 <= F.col("_n") * cum
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return ranked.select(
+        *strata_cols, id_col, expr.alias(split_col)
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     stratum_col: str,

