@@ -180,3 +180,105 @@ def multitouch_attribution(
         F.sum("_credit").cast("long").alias("credit_micro"),
     )
     return per_channel.unionByName(total)
+
+
+def path_trigrams(
+    events: DataFrame,
+    k: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k 3-step behaviour paths: the most frequent consecutive
+    (t1 → t2 → t3) event-type sequences across all user streams —
+    the sequential-pattern rollup behind "what do users do before
+    converting?" (q71's transition matrix is the order-1 version;
+    this is order 2).
+
+    Plan shape: two `lag`s over ONE (user) × (ts, id) window — same
+    partitioning and sort, one exchange; the trigram space is bounded
+    by |types|³, so the count agg is map-side combined into a tiny
+    table and the final top-k is a TakeOrdered. No per-user arrays are
+    materialized (a bot with 10M events costs window state of two
+    rows, not a 10M-element collect_list).
+
+    Output: (t1, t2, t3, n) — count-desc, lexicographic tie-break.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    tri = events.select(
+        F.lag(type_col, 2).over(w).alias("t1"),
+        F.lag(type_col, 1).over(w).alias("t2"),
+        F.col(type_col).alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+        .limit(k)
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    n_tiles: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-value grid: per user, days since last conversion,
+    conversion count, and total conversion value, each cut into
+    ``n_tiles`` quantile tiles; the segment label is the "R-F-M"
+    digit triple.
+
+    Determinism: tiles come from `ntile` over a TOTAL order (metric,
+    then user id — ntile on a tied-but-unordered column is
+    engine-dependent, with the tie-break it is exact); monetary sums
+    are accumulated as exact integer cents before any division.
+    Recency is measured against the stream's own max day (a job
+    parameter in production), so the output is a pure function of the
+    data.
+
+    Plan shape: one hash agg to the per-user grain (map-side
+    combined), three ntile windows over that BOUNDED user dimension —
+    the "aggregate first, rank the aggregate" rule; never a window
+    over raw events. Output: (segment, n_users, total_cents) per
+    occupied segment cell.
+    """
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    conv = events.filter(F.col("event_type") == conversion_type)
+    per_user = conv.groupBy(F.col(key_col).alias("_u")).agg(
+        F.max(F.to_date(ts_col)).alias("_last"),
+        F.count("*").alias("_freq"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("_cents"),
+    )
+    anchor = per_user.agg(F.max("_last").alias("_anchor"))
+    scored = per_user.crossJoin(F.broadcast(anchor)).select(
+        "_u",
+        F.datediff("_anchor", "_last").alias("_rec"),
+        "_freq",
+        "_cents",
+    )
+    # lower recency = better -> ascending; higher freq/monetary = better
+    r = F.ntile(n_tiles).over(Window.orderBy(F.asc("_rec"), F.asc("_u")))
+    f_ = F.ntile(n_tiles).over(Window.orderBy(F.desc("_freq"), F.asc("_u")))
+    m = F.ntile(n_tiles).over(Window.orderBy(F.desc("_cents"), F.asc("_u")))
+    tiled = scored.select(
+        "_u",
+        "_cents",
+        F.concat_ws(
+            "-",
+            r.cast("string"),
+            f_.cast("string"),
+            m.cast("string"),
+        ).alias("segment"),
+    )
+    return tiled.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("_cents").cast("long").alias("total_cents"),
+    )

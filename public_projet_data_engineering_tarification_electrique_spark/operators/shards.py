@@ -209,3 +209,57 @@ def byte_budget_shards(
             "as int)"
         ),
     )
+
+
+def zone_map_audit(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak_col: str,
+    docs_per_shard: int,
+    pred_lo: str,
+    pred_hi: str,
+) -> DataFrame:
+    """Zone-map audit for a sort-clustered layout: shard the table in
+    globally sorted order (`sorted_shards`), record each shard's
+    min/max of the sort key, and mark which shards a range predicate
+    [pred_lo, pred_hi] could PRUNE — the planning artifact behind
+    every 100 TB layout decision (Delta/Iceberg file skipping, parquet
+    row-group min/max, ZORDER): a predicate's I/O cost is the count of
+    overlapping zones, and sorting by the filter column is what makes
+    that count small.
+
+    On a sort-clustered layout the overlap count is the audit's
+    headline: contiguous ranks ⇒ contiguous key ranges ⇒ the predicate
+    touches O(selectivity · n_shards) zones instead of all of them.
+
+    Plan shape: one exact global ranking (range-partitioned prefix
+    counts, see `global_row_number` — no single-partition window),
+    then one hash agg per shard. Output: one row per shard
+    (shard_id, n_rows, min_key, max_key, overlaps_predicate).
+    """
+    sharded = sorted_shards(
+        df.select(
+            F.col(sort_col).cast("string").alias("_k"),
+            F.col(tiebreak_col).alias("_tb"),
+        ),
+        [F.asc("_k"), F.asc("_tb")],
+        docs_per_shard=docs_per_shard,
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("_k").alias("min_key"),
+            F.max("_k").alias("max_key"),
+        )
+        .select(
+            "shard_id",
+            "n_rows",
+            "min_key",
+            "max_key",
+            (
+                (F.col("min_key") <= F.lit(pred_hi))
+                & (F.col("max_key") >= F.lit(pred_lo))
+            ).alias("overlaps_predicate"),
+        )
+    )

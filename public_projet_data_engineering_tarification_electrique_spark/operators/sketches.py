@@ -158,3 +158,139 @@ def hll_oracle_sql(table: str, key_sql: str, group_sql: str) -> str:
                      / cast(exact_distinct AS DOUBLE), 4) AS rel_err
         FROM sk JOIN ex USING (g)
     """
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256  # 2 hex chars per slice
+
+
+def cms_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """(d, pos, c) Count-Min sketch cells — depth 4 × width 256,
+    positions from four 2-hex-char slices of ONE md5 per row (the
+    bloom.py slicing idiom: one digest, k derived positions).
+
+    Like the HLL registers, the sketch is the aggregation state: at
+    most 1024 cells regardless of input size, mergeable by cell-wise
+    SUM — a day of traffic compresses to 1024 longs, and re-totaling a
+    month is a sum over 1024-row states.
+    """
+    digest = F.md5(F.col(key_col).cast("string"))
+    rows = df.select(
+        *[
+            F.conv(F.substring(digest, 1 + 2 * d, 2), 16, 10)
+            .cast("int")
+            .alias(f"_p{d}")
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+    stacked = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), F.col(f"_p{d}").alias("pos")
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.d", "_c.pos")
+    return stacked.groupBy("d", "pos").agg(F.count("*").alias("c"))
+
+
+def cms_point_estimates(
+    df: DataFrame, key_col: str, query_keys: list[int]
+) -> DataFrame:
+    """Count-Min point-frequency estimates for ``query_keys`` next to
+    their exact counts. CMS guarantees est ≥ exact (one-sided error);
+    the output's `overestimate` audit column witnesses it per key.
+
+    The probe side computes each query key's 4 (d, pos) coordinates
+    and equi-joins the 1024-cell sketch (broadcast — the sketch is a
+    constant-size dimension); `min` over the 4 depths is the estimate.
+
+    Output: (key, est_count, exact_count, overestimate).
+    """
+    if not query_keys:
+        raise ValueError("query_keys must be non-empty")
+    cells = cms_cells(df, key_col)
+    spark = df.sparkSession
+    q = spark.createDataFrame(
+        [(int(k),) for k in query_keys], ["key"]
+    )
+    digest = F.md5(F.col("key").cast("string"))
+    probes = q.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.conv(F.substring(digest, 1 + 2 * d, 2), 16, 10)
+                        .cast("int")
+                        .alias("pos"),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("_c"),
+    ).select("key", "_c.d", "_c.pos")
+    est = (
+        probes.join(F.broadcast(cells), on=["d", "pos"], how="left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("_n")
+    )
+    return (
+        est.join(exact, on="key", how="left")
+        .select(
+            "key",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("exact_count"),
+            (F.col("est_count") >= F.coalesce(F.col("_n"), F.lit(0))).alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+def cms_oracle_sql(table: str, key_sql: str, query_keys: list[int]) -> str:
+    """DuckDB twin of cms_point_estimates — identical digests,
+    identical cells, identical min-over-depths."""
+    keys_list = ", ".join(f"({int(k)})" for k in query_keys)
+    slices = " UNION ALL ".join(
+        f"SELECT {d} AS d, ('0x' || substr(h, {1 + 2 * d}, 2))::INT AS pos,"
+        " 1 AS one FROM hashed"
+        for d in range(_CMS_DEPTH)
+    )
+    qslices = " UNION ALL ".join(
+        f"SELECT key, {d} AS d,"
+        f" ('0x' || substr(md5(cast(key AS VARCHAR)), {1 + 2 * d}, 2))::INT"
+        " AS pos FROM qk"
+        for d in range(_CMS_DEPTH)
+    )
+    return f"""
+        WITH hashed AS (
+          SELECT md5(cast({key_sql} AS VARCHAR)) AS h FROM {table}
+        ), cells AS (
+          SELECT d, pos, cast(count(*) AS BIGINT) AS c
+          FROM ({slices}) GROUP BY 1, 2
+        ), qk AS (
+          SELECT * FROM (VALUES {keys_list}) t(key)
+        ), probes AS (
+          {qslices}
+        ), est AS (
+          SELECT key, cast(min(coalesce(c, 0)) AS BIGINT) AS est_count
+          FROM probes LEFT JOIN cells USING (d, pos)
+          GROUP BY 1
+        ), ex AS (
+          SELECT {key_sql} AS key, cast(count(*) AS BIGINT) AS n
+          FROM {table} GROUP BY 1
+        )
+        SELECT cast(est.key AS BIGINT) AS key, est_count,
+               cast(coalesce(n, 0) AS BIGINT) AS exact_count,
+               est_count >= coalesce(n, 0) AS overestimate
+        FROM est LEFT JOIN ex ON est.key = ex.key
+    """

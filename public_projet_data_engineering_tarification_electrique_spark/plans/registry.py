@@ -4730,6 +4730,87 @@ def q175_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(docs, budget_tokens=20_000)
 
 
+def q176_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance (click vs purchase
+    values) on a 2-dp quantized grid: exact integer cumulative counts,
+    |c_a·n_b − c_b·n_a| maximized before the single division — the
+    distribution-drift gate with no float-sum order dependence."""
+    from ..operators.stats import ks_distance
+
+    events = load_table(spark, sf_dir, "events")
+    return ks_distance(events, "value", "event_type", "click", "purchase")
+
+
+def q177_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map audit of a sort-clustered orders layout: 1000-row
+    shards in global o_orderdate order, per-shard min/max key, and
+    which shards a 1995 date-range predicate can prune — the
+    file-skipping math behind every 100 TB layout choice."""
+    from ..operators.shards import zone_map_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return zone_map_audit(
+        orders,
+        sort_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+        docs_per_shard=1000,
+        pred_lo="1995-01-01",
+        pred_hi="1995-12-31",
+    )
+
+
+def q178_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for users 0–9 (depth 4 ×
+    width 256, four 2-hex slices of one md5) next to exact counts —
+    the mergeable 1024-cell frequency sketch with its one-sided-error
+    guarantee witnessed per key."""
+    from ..operators.sketches import cms_point_estimates
+
+    events = load_table(spark, sf_dir, "events")
+    return cms_point_estimates(events, "user_id", list(range(10)))
+
+
+def q179_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step behaviour paths (event-type trigrams) via two
+    lags over one user-keyed window — order-2 sequential patterns,
+    |types|³-bounded agg, no per-user arrays."""
+    from ..operators.sessions import path_trigrams
+
+    events = load_table(spark, sf_dir, "events")
+    return path_trigrams(events, k=10)
+
+
+def q180_chi2_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 chi-square for a synthetic A/B split (variant = even
+    user id, outcome = converted): exact cell counts, closed-form
+    statistic with one float division, rates alongside — no
+    p-value transcendentals."""
+    from ..operators.stats import chi2_2x2
+
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("_conv")
+    )
+    flags = users.select(
+        (F.col("user_id") % 2 == 0).alias("variant"),
+        (F.col("_conv") == 1).alias("outcome"),
+    )
+    return chi2_2x2(flags, "variant", "outcome")
+
+
+def q181_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency/frequency/monetary
+    from purchases, quintile ntiles over total orders (id tie-break),
+    exact integer cents — aggregate first, rank the bounded user
+    dimension."""
+    from ..operators.sessions import rfm_segments
+
+    events = load_table(spark, sf_dir, "events")
+    return rfm_segments(events)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7885,6 +7966,12 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q173_knn_graph": q173_knn_graph,
     "q174_multitouch_attribution": q174_multitouch_attribution,
     "q175_token_budget": q175_token_budget,
+    "q176_ks_test": q176_ks_test,
+    "q177_zone_map": q177_zone_map,
+    "q178_cms_sketch": q178_cms_sketch,
+    "q179_path_trigrams": q179_path_trigrams,
+    "q180_chi2_ab": q180_chi2_ab,
+    "q181_rfm_segments": q181_rfm_segments,
 }
 
 
@@ -8700,4 +8787,138 @@ ORACLE_SQL["q174_multitouch_attribution"] = """
     SELECT '_total', cast(count(DISTINCT cid) AS BIGINT),
            cast(sum(credit) AS BIGINT)
     FROM c
+"""
+
+
+ORACLE_SQL["q176_ks_test"] = """
+    WITH cells AS (
+      SELECT round(value + 1e-9, 2) AS x,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), cum AS (
+      SELECT sum(ca) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cuma,
+             sum(cb) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumb
+      FROM cells
+    ), tot AS (
+      SELECT cast(max(cuma) AS BIGINT) AS n_a,
+             cast(max(cumb) AS BIGINT) AS n_b
+      FROM cum
+    ), dnum AS (
+      SELECT cast(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_numerator
+      FROM cum, tot
+    )
+    SELECT n_a, n_b, d_numerator,
+           round(d_numerator / (n_a::DOUBLE * n_b::DOUBLE), 6) AS ks_distance
+    FROM tot, dnum
+"""
+
+
+ORACLE_SQL["q177_zone_map"] = """
+    WITH r AS (
+      SELECT cast(o_orderdate AS VARCHAR) AS k, o_orderkey AS tb,
+             row_number() OVER (ORDER BY cast(o_orderdate AS VARCHAR) ASC,
+                                         o_orderkey ASC) AS rn
+      FROM orders
+    )
+    SELECT cast((rn - 1) // 1000 AS INT) AS shard_id,
+           cast(count(*) AS BIGINT) AS n_rows,
+           min(k) AS min_key, max(k) AS max_key,
+           (min(k) <= '1995-12-31' AND max(k) >= '1995-01-01')
+             AS overlaps_predicate
+    FROM r GROUP BY 1
+"""
+
+
+def _cms_oracle() -> str:
+    from ..operators.sketches import cms_oracle_sql
+
+    return cms_oracle_sql("events", "user_id", list(range(10)))
+
+
+ORACLE_SQL["q178_cms_sketch"] = _cms_oracle()
+
+
+ORACLE_SQL["q179_path_trigrams"] = """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+    ), tri AS (
+      SELECT lag(event_type, 2) OVER w AS t1,
+             lag(event_type, 1) OVER w AS t2,
+             event_type AS t3
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT t1, t2, t3, cast(count(*) AS BIGINT) AS n
+    FROM tri WHERE t1 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
+    LIMIT 10
+"""
+
+
+ORACLE_SQL["q180_chi2_ab"] = """
+    WITH u AS (
+      SELECT user_id, (user_id % 2 = 0) AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS outcome
+      FROM events GROUP BY 1, 2
+    ), cells AS (
+      SELECT
+        cast(sum(CASE WHEN variant AND outcome THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        cast(sum(CASE WHEN variant AND NOT outcome THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        cast(sum(CASE WHEN NOT variant AND outcome THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        cast(sum(CASE WHEN NOT variant AND NOT outcome THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM u
+    )
+    SELECT a, b, c, d,
+           round(a::DOUBLE / (a::DOUBLE + b::DOUBLE), 6) AS rate_variant,
+           round(c::DOUBLE / (c::DOUBLE + d::DOUBLE), 6) AS rate_control,
+           CASE WHEN (a::DOUBLE + b::DOUBLE) * (c::DOUBLE + d::DOUBLE)
+                     * (a::DOUBLE + c::DOUBLE) * (b::DOUBLE + d::DOUBLE) > 0
+                THEN round(
+                  (a::DOUBLE + b::DOUBLE + c::DOUBLE + d::DOUBLE)
+                  * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)
+                  * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)
+                  / ((a::DOUBLE + b::DOUBLE) * (c::DOUBLE + d::DOUBLE)
+                     * (a::DOUBLE + c::DOUBLE) * (b::DOUBLE + d::DOUBLE)), 6)
+           END AS chi2
+    FROM cells
+"""
+
+
+ORACLE_SQL["q181_rfm_segments"] = """
+    WITH conv AS (
+      SELECT * FROM events WHERE event_type = 'purchase'
+    ), pu AS (
+      SELECT user_id AS u, max(cast(ts AS DATE)) AS last_d,
+             count(*) AS freq,
+             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM conv GROUP BY 1
+    ), anchor AS (
+      SELECT max(last_d) AS a FROM pu
+    ), sc AS (
+      SELECT u, date_diff('day', last_d, a) AS rec, freq, cents
+      FROM pu, anchor
+    ), tiled AS (
+      SELECT u, cents,
+             ntile(5) OVER (ORDER BY rec ASC, u ASC) AS r,
+             ntile(5) OVER (ORDER BY freq DESC, u ASC) AS f,
+             ntile(5) OVER (ORDER BY cents DESC, u ASC) AS m
+      FROM sc
+    )
+    SELECT cast(r AS VARCHAR) || '-' || cast(f AS VARCHAR) || '-'
+             || cast(m AS VARCHAR) AS segment,
+           cast(count(*) AS BIGINT) AS n_users,
+           cast(sum(cents) AS BIGINT) AS total_cents
+    FROM tiled GROUP BY 1
 """
