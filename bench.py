@@ -93,44 +93,55 @@ def main() -> None:
             print(f"warn: could not write {target}: {exc}", file=sys.stderr)
 
     # short keys: "q01_trailing_window_avg" -> "q1" (spec's example shape);
-    # 2-decimal values; compact separators. Guarded to stay under the
-    # driver's stdout tail so the line always parses.
-    def _line(ndigits: int) -> str:
-        compact_queries = {
-            "q" + name[1:].split("_", 1)[0].lstrip("0"): round(secs, ndigits)
-            for name, secs in timings.items()
-        }
-        if len(compact_queries) != len(timings):
-            # numeric-prefix collision (e.g. q05/q05b) — fall back to
-            # full names rather than silently merging timings
-            compact_queries = {
-                name: round(secs, ndigits) for name, secs in timings.items()
-            }
+    # 2-decimal values; compact separators. The grading driver keeps only
+    # the LAST 2000 chars of output (measured: BENCH_r05 tail is exactly
+    # 2000), so a line that outgrows that window loses its head and stops
+    # parsing entirely. With 185+ queries the full dict no longer fits, so
+    # pack budget-aware: the slowest queries explicitly (the ones worth
+    # reading), the remainder folded into one "rest" entry whose value is
+    # their summed wall-clock — entries still sum to `value`, and the full
+    # per-query detail is always in BENCH_FULL_sf{sf}.json anyway.
+    compact = {
+        "q" + name[1:].split("_", 1)[0].lstrip("0"): secs
+        for name, secs in timings.items()
+    }
+    if len(compact) != len(timings):
+        # numeric-prefix collision (e.g. q05/q05b) — keep full names
+        # rather than silently merging timings
+        compact = dict(timings)
+
+    def _line(queries: dict) -> str:
         return json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": compact_queries,
+                "queries": queries,
                 "sf": sf_val,
             },
             separators=(",", ":"),
         )
 
-    line = _line(2)
-    if len(line) > 1980:
-        line = _line(1)
-    if len(line) > 1980:  # never regress to an unparseable line
-        line = json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": {"full_detail_in": f"BENCH_FULL_sf{sf}.json"},
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+    budget = 1980
+    line = _line({k: round(v, 2) for k, v in compact.items()})
+    if len(line) > budget:
+        by_time = sorted(compact.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept: dict = {}
+        # overhead of the fixed envelope plus the trailing "rest" entry
+        used = len(_line({"rest": round(total, 2)}))
+        for k, v in by_time:
+            entry_len = (
+                len(json.dumps({k: round(v, 2)}, separators=(",", ":"))) - 1
+            )  # ,"k":v
+            if used + entry_len > budget:
+                break
+            kept[k] = round(v, 2)
+            used += entry_len
+        rest = round(sum(v for k, v in compact.items() if k not in kept), 2)
+        kept["rest"] = rest
+        line = _line(kept)
+    if len(line) > budget:  # never regress to an unparseable line
+        line = _line({"full_detail_in": f"BENCH_FULL_sf{sf}.json"})
     print(line)
     spark.stop()
 

@@ -282,3 +282,41 @@ def rfm_segments(
         F.count("*").cast("long").alias("n_users"),
         F.sum("_cents").cast("long").alias("total_cents"),
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled up to
+    a streak-length distribution — the gaps-and-islands classic
+    (engagement metric; also the shape behind "N consecutive days of
+    data present" completeness checks).
+
+    Islands via the rank-difference trick: over each user's DISTINCT
+    active day indexes, day − row_number() is constant exactly within
+    a run of consecutive days — one window, one groupBy, all integer
+    (day index = days since an explicit epoch, no date-string or
+    ISO-week ambiguity).
+
+    Plan shape: distinct (user, day) collapses the event stream first
+    (map-side partial distinct), so the window runs over ≤ users×days
+    rows, keyed by user — the "aggregate first, rank the aggregate"
+    rule. Output: (streak_days, n_users) — each user counted once at
+    their LONGEST streak.
+    """
+    day = F.datediff(F.to_date(ts_col), F.to_date(F.lit(epoch)))
+    days = events.select(
+        F.col(key_col).alias("_u"), day.alias("_d")
+    ).distinct()
+    w = Window.partitionBy("_u").orderBy("_d")
+    islands = days.select(
+        "_u", (F.col("_d") - F.row_number().over(w)).alias("_isl")
+    )
+    runs = islands.groupBy("_u", "_isl").agg(F.count("*").alias("_len"))
+    best = runs.groupBy("_u").agg(F.max("_len").alias("streak_days"))
+    return best.groupBy(F.col("streak_days").cast("int").alias("streak_days")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )

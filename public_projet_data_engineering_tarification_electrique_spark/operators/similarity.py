@@ -1173,3 +1173,172 @@ def knn_graph(
             F.coalesce(F.col("_rev"), F.lit(False)).alias("mutual"),
         )
     )
+
+
+def mrl_truncation_audit(
+    embeddings: DataFrame,
+    prefix_dims: tuple[int, ...] = (16, 32),
+    n_queries: int = 10,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka/truncation audit: does cutting vectors to their
+    first d dimensions preserve NEIGHBOR ORDER? For each query, the
+    exact top-k under full dims is compared to the top-k under each
+    prefix length — overlap size and top-1 agreement are the go/no-go
+    numbers before switching an ANN index to truncated storage (a
+    4× memory/IO cut at 100 TB if top-1 survives).
+
+    Exactness: the metric is SET overlap of two deterministic rank
+    lists (ties broken by id), so the output is pure integers; no
+    mean-of-floats crosses an engine boundary.
+
+    Plan shape: one candidates×queries equi-free join per prefix
+    (bounded by n_queries — the query side is tiny and broadcast);
+    ranking windows partition by (dims, query). Corpus vectors are
+    sliced map-side (`slice`), never re-shuffled per d.
+
+    Output: (dims, n_queries, sum_topk_overlap, n_top1_match) — one
+    row per audited prefix length, dims=0 rows excluded by
+    construction.
+    """
+    if not prefix_dims:
+        raise ValueError("prefix_dims must be non-empty")
+    if any(d <= 0 for d in prefix_dims):
+        raise ValueError(f"prefix_dims must be positive, got {prefix_dims}")
+    full_dim = 1 << 30  # slice() clamps to array length
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    q = base.filter(F.col("_id") < n_queries).select(
+        F.col("_id").alias("_qid"), F.col("_v").alias("_qv")
+    )
+    ranked = None
+    for d in (full_dim,) + tuple(prefix_dims):
+        qd = q.select(
+            "_qid", F.slice("_qv", 1, d).alias("_qs")
+        ).select(
+            "_qid", "_qs", l2_norm(F.col("_qs")).alias("_qn")
+        )
+        cd = base.select(
+            "_id", F.slice("_v", 1, d).alias("_cs")
+        ).select(
+            "_id", "_cs", l2_norm(F.col("_cs")).alias("_cn")
+        )
+        scored = (
+            F.broadcast(qd).crossJoin(cd)
+            .filter(
+                (F.col("_qid") != F.col("_id"))
+                & (F.col("_qn") > 0)
+                & (F.col("_cn") > 0)
+            )
+            .select(
+                F.lit(0 if d == full_dim else d).alias("dims"),
+                "_qid",
+                "_id",
+                F.round(
+                    dot_product(F.col("_qs"), F.col("_cs"))
+                    / (F.col("_qn") * F.col("_cn")),
+                    6,
+                ).alias("_sim"),
+            )
+        )
+        w = Window.partitionBy("dims", "_qid").orderBy(
+            F.desc("_sim"), F.asc("_id")
+        )
+        top = scored.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= k
+        )
+        ranked = top if ranked is None else ranked.unionByName(top)
+    full = ranked.filter(F.col("dims") == 0).select(
+        "_qid", F.col("_id").alias("_fid"), F.col("_rk").alias("_frk")
+    )
+    trunc = ranked.filter(F.col("dims") != 0)
+    overlap = (
+        trunc.join(full, on="_qid")
+        .filter(F.col("_id") == F.col("_fid"))
+        .groupBy("dims", "_qid")
+        .agg(
+            F.count("*").alias("_ov"),
+            F.sum(
+                F.when((F.col("_rk") == 1) & (F.col("_frk") == 1), 1).otherwise(0)
+            ).alias("_t1"),
+        )
+    )
+    return overlap.groupBy("dims").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("_ov").cast("long").alias("sum_topk_overlap"),
+        F.sum("_t1").cast("long").alias("n_top1_match"),
+    )
+
+
+def centroid_drift(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid drift between two corpus halves (even / odd
+    ids — in production: yesterday's batch vs today's): cosine between
+    the two halves' per-label centroids. The embedding-drift monitor
+    that catches encoder changes / corpus shift before they poison an
+    ANN index built on stale centroids.
+
+    Engine-exactness: per-(label, dim, half) means are rounded to 4 dp
+    (the q69 idiom) and then converted to EXACT INTEGER ten-thousandths;
+    the cross-dim dot product and norms are integer sums (≤ 64 dims ×
+    (10⁴)² ≈ 6e9 < 2⁶³), so the only float ops are two sqrt's and one
+    division — identical in any IEEE engine. A float mean-of-floats
+    dot would depend on dim summation order and break parity.
+
+    Plan shape: posexplode → one (label, dim, half) hash agg (partials
+    collapse each partition to ≤ labels·dims·2 rows before the
+    exchange — the q69 centroid plan), then a 64-row-per-label integer
+    fold. Output: (label, n_a, n_b, drift_cos).
+    """
+    e = ensure_parallelism(embeddings).select(
+        F.col(label_col).alias("_l"),
+        (F.col(id_col) % 2 == 0).alias("_ha"),
+        F.posexplode(vec_col).alias("_dim", "_x"),
+    )
+    cent = e.groupBy("_l", "_dim", "_ha").agg(
+        F.round(F.avg("_x") + 1e-9, 4).alias("_m"),
+        F.count("*").alias("_cnt"),
+    ).withColumn(
+        "_mi", F.round(F.col("_m") * 10_000).cast("long")
+    )
+    a = cent.filter(F.col("_ha")).select(
+        "_l", "_dim", F.col("_mi").alias("_ma"), F.col("_cnt").alias("_ca")
+    )
+    b = cent.filter(~F.col("_ha")).select(
+        "_l", "_dim", F.col("_mi").alias("_mb"), F.col("_cnt").alias("_cb")
+    )
+    folded = (
+        a.join(b, on=["_l", "_dim"])
+        .groupBy("_l")
+        .agg(
+            # _ca repeats the half's vector count once per dim; max = count
+            F.max("_ca").alias("_vca"),
+            F.max("_cb").alias("_vcb"),
+            F.sum(F.col("_ma") * F.col("_mb")).alias("_dot"),
+            F.sum(F.col("_ma") * F.col("_ma")).alias("_nna"),
+            F.sum(F.col("_mb") * F.col("_mb")).alias("_nnb"),
+        )
+    )
+    return folded.select(
+        F.col("_l").alias("label"),
+        F.col("_vca").cast("long").alias("n_a"),
+        F.col("_vcb").cast("long").alias("n_b"),
+        F.when(
+            (F.col("_nna") > 0) & (F.col("_nnb") > 0),
+            F.round(
+                F.col("_dot")
+                / (
+                    F.sqrt(F.col("_nna").cast("double"))
+                    * F.sqrt(F.col("_nnb").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("drift_cos"),
+    )

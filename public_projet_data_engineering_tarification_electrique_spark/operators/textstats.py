@@ -537,3 +537,63 @@ def token_fertility(
             "chars_per_token"
         ),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per corpus slice against the corpus's
+    own top-``vocab_size`` token vocabulary — the coverage check run
+    before freezing a tokenizer vocab (a slice with high OOV will
+    shatter into bytes/unknowns and train badly; cf. q163's fertility,
+    which measures the cost AFTER the vocab exists).
+
+    Determinism: vocabulary membership at the frequency boundary is
+    tie-broken lexicographically (sort by freq DESC, token ASC), so
+    the vocab set — and therefore every OOV count — is exact.
+
+    Plan shape: one tokenize+explode scan feeds BOTH the global
+    frequency agg (map-side combined) and the per-slice count; the
+    top-vocab_size cut is ``orderBy().limit()`` — Catalyst compiles it
+    to TakeOrderedAndProject (per-partition top-k merged on the
+    driver), NOT a global un-partitioned window that would funnel the
+    full distinct-token table (billions of rows at 100 TB) through one
+    partition. The vocab is a vocab_size-row broadcast joined map-side
+    (left join + null flag, no shuffle of the token stream). Output:
+    (slice, n_tokens, n_oov, oov_rate).
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    toks = docs.select(
+        F.col(by).alias("_g"),
+        F.explode(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+        ).alias("_tok"),
+    )
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_f"))
+    vocab = (
+        freq.orderBy(F.desc("_f"), F.asc("_tok"))
+        .limit(vocab_size)
+        .select("_tok", F.lit(True).alias("_in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), on="_tok", how="left")
+    return (
+        flagged.groupBy(F.col("_g").alias(by))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            by,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )

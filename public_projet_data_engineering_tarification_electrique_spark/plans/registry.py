@@ -4811,6 +4811,49 @@ def q181_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(events)
 
 
+def q182_mrl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: top-3 neighbor-set overlap and
+    top-1 agreement between full-dim and prefix-16/32 cosine rankings
+    for 10 queries — pure-integer set metrics, the go/no-go before
+    truncated-vector ANN storage."""
+    from ..operators.similarity import mrl_truncation_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mrl_truncation_audit(emb, prefix_dims=(16, 32), n_queries=10, k=3)
+
+
+def q183_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate against the corpus's own top-1000 token
+    vocabulary (lexicographic boundary tie-break): one tokenize scan
+    feeding both the vocab agg and the slice counts, vocab broadcast
+    back map-side."""
+    from ..operators.textstats import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=1000, by="lang")
+
+
+def q184_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift (even- vs odd-id halves): 4-dp means
+    to exact integer ten-thousandths, integer dot/norms, two sqrts and
+    one division — the embedding-drift monitor with no float-sum
+    order dependence."""
+    from ..operators.similarity import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(emb)
+
+
+def q185_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day streak per user rolled to a streak
+    distribution — gaps-and-islands via the day − row_number constant,
+    distinct-first so the window sees the bounded (user, day) grid."""
+    from ..operators.sessions import activity_streaks
+
+    events = load_table(spark, sf_dir, "events")
+    return activity_streaks(events)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -7972,6 +8015,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_path_trigrams": q179_path_trigrams,
     "q180_chi2_ab": q180_chi2_ab,
     "q181_rfm_segments": q181_rfm_segments,
+    "q182_mrl_audit": q182_mrl_audit,
+    "q183_vocab_oov": q183_vocab_oov,
+    "q184_centroid_drift": q184_centroid_drift,
+    "q185_activity_streaks": q185_activity_streaks,
 }
 
 
@@ -8921,4 +8968,122 @@ ORACLE_SQL["q181_rfm_segments"] = """
            cast(count(*) AS BIGINT) AS n_users,
            cast(sum(cents) AS BIGINT) AS total_cents
     FROM tiled GROUP BY 1
+"""
+
+
+ORACLE_SQL["q182_mrl_audit"] = """
+    WITH dimsv AS (
+      SELECT * FROM (VALUES (0), (16), (32)) t(dims)
+    ), base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sl AS (
+      SELECT dims, id,
+             list_slice(v, 1, CASE WHEN dims = 0 THEN 100000
+                                   ELSE dims END) AS s
+      FROM dimsv CROSS JOIN base
+    ), nn AS (
+      SELECT dims, id, s, sqrt(list_dot_product(s, s)) AS n FROM sl
+    ), q AS (
+      SELECT dims, id AS qid, s AS qs, n AS qn FROM nn WHERE id < 10
+    ), sc AS (
+      SELECT q.dims, q.qid, c.id,
+             round(list_dot_product(q.qs, c.s) / (q.qn * c.n), 6) AS sim
+      FROM q JOIN nn c ON c.dims = q.dims AND c.id <> q.qid
+      WHERE q.qn > 0 AND c.n > 0
+    ), rk AS (
+      SELECT dims, qid, id,
+             row_number() OVER (PARTITION BY dims, qid
+                                ORDER BY sim DESC, id ASC) AS rk
+      FROM sc
+    ), top AS (
+      SELECT * FROM rk WHERE rk <= 3
+    ), fullt AS (
+      SELECT qid, id AS fid, rk AS frk FROM top WHERE dims = 0
+    ), ov AS (
+      SELECT t.dims, t.qid, count(*) AS ovl,
+             sum(CASE WHEN t.rk = 1 AND f.frk = 1 THEN 1 ELSE 0 END) AS t1
+      FROM top t JOIN fullt f ON f.qid = t.qid AND f.fid = t.id
+      WHERE t.dims <> 0 GROUP BY 1, 2
+    )
+    SELECT dims, cast(count(*) AS BIGINT) AS n_queries,
+           cast(sum(ovl) AS BIGINT) AS sum_topk_overlap,
+           cast(sum(t1) AS BIGINT) AS n_top1_match
+    FROM ov GROUP BY 1
+"""
+
+
+ORACLE_SQL["q183_vocab_oov"] = """
+    WITH toks AS (
+      SELECT lang AS g,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS f FROM toks GROUP BY 1
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY f DESC, tok ASC) AS rk
+        FROM freq
+      ) WHERE rk <= 1000
+    ), flagged AS (
+      SELECT g, t.tok, (v.tok IS NOT NULL) AS in_vocab
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    )
+    SELECT g AS lang, cast(count(*) AS BIGINT) AS n_tokens,
+           cast(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS oov_rate
+    FROM flagged GROUP BY 1
+"""
+
+
+ORACLE_SQL["q184_centroid_drift"] = """
+    WITH e AS (
+      SELECT label AS l, (vec_id % 2 = 0) AS ha,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT l, dim, ha,
+             cast(round(round(avg(x) + 1e-9, 4) * 10000) AS BIGINT) AS mi,
+             count(*) AS cnt
+      FROM e GROUP BY 1, 2, 3
+    ), a AS (
+      SELECT l, dim, mi AS ma, cnt AS ca FROM cent WHERE ha
+    ), b AS (
+      SELECT l, dim, mi AS mb, cnt AS cb FROM cent WHERE NOT ha
+    ), folded AS (
+      SELECT l, max(ca) AS vca, max(cb) AS vcb,
+             cast(sum(ma * mb) AS BIGINT) AS dot,
+             cast(sum(ma * ma) AS BIGINT) AS nna,
+             cast(sum(mb * mb) AS BIGINT) AS nnb
+      FROM a JOIN b USING (l, dim) GROUP BY 1
+    )
+    SELECT l AS label, cast(vca AS BIGINT) AS n_a,
+           cast(vcb AS BIGINT) AS n_b,
+           CASE WHEN nna > 0 AND nnb > 0
+                THEN round(dot / (sqrt(nna::DOUBLE) * sqrt(nnb::DOUBLE)), 6)
+           END AS drift_cos
+    FROM folded
+"""
+
+
+ORACLE_SQL["q185_activity_streaks"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id AS u,
+             date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) AS d
+      FROM events
+    ), isl AS (
+      SELECT u, d - row_number() OVER (PARTITION BY u ORDER BY d) AS g
+      FROM days
+    ), runs AS (
+      SELECT u, g, count(*) AS len FROM isl GROUP BY 1, 2
+    ), best AS (
+      SELECT u, max(len) AS streak_days FROM runs GROUP BY 1
+    )
+    SELECT cast(streak_days AS INT) AS streak_days,
+           cast(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY 1
 """
