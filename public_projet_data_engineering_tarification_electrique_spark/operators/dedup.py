@@ -979,3 +979,89 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def normalized_dedup_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup-lift audit for text canonicalization: group documents by
+    their NORMALIZED form (lowercase, whitespace runs collapsed,
+    trimmed) and report the group-size × raw-variant distribution —
+    the measurement run before turning normalization on in an exact
+    dedup pass (how many groups does it merge, and how many distinct
+    raw spellings hide inside each?).
+
+    Plan shape: grouping key is md5(normalized text) so the exchange
+    carries a 32-char key instead of full documents (at 100 TB the
+    shuffle would otherwise move the corpus); md5 on both engines makes
+    the oracle bit-identical. count(distinct text) inside each group
+    still ships the raw text once — acceptable because groups are
+    tiny; a production variant at extreme scale would substitute a
+    second hash. Output: (group_size, n_raw_variants, n_groups), all
+    integers.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    groups = (
+        ensure_parallelism(docs)
+        .select(F.md5(norm).alias("_k"), F.col(text_col).alias("_t"))
+        .groupBy("_k")
+        .agg(
+            F.count("*").alias("_size"),
+            F.countDistinct("_t").alias("_variants"),
+        )
+    )
+    return groups.groupBy(
+        F.col("_size").cast("int").alias("group_size"),
+        F.col("_variants").cast("int").alias("n_raw_variants"),
+    ).agg(F.count("*").cast("long").alias("n_groups"))
+
+
+def canonical_docs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-argmax canonicalization: for each near-dup cluster
+    (transitive, via ``dedup_clusters``), keep the HIGHEST-quality
+    member instead of the min-id one — what production dedup actually
+    ships (dropping the cleanest copy because it has a bigger id wastes
+    the best training signal in the cluster).
+
+    Deterministic pick: (quality desc, doc_id asc) over the 4-dp
+    rounded quality score — rounded BEFORE ranking, so the argmax is
+    engine-exact.
+
+    Plan shape: cluster assignment (shingle-blocked pairs + CC) joins
+    the quality projection on doc_id — quality is a map-side projection
+    over the same scan, and the argmax window partitions by cluster
+    (clusters are near-dup-sized, never skewed). Output:
+    (cluster_id, kept_doc_id, kept_quality, cluster_size).
+    """
+    from .textstats import quality_scores
+
+    clusters = dedup_clusters(
+        docs, k=k, threshold=threshold, max_df=max_df,
+        text_col=text_col, id_col=id_col,
+    )
+    quality = quality_scores(docs, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    joined = clusters.join(quality, on=id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            "cluster_size",
+        )
+    )

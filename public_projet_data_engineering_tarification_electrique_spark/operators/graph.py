@@ -129,3 +129,33 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Log2-binned degree distribution of an undirected graph — the
+    one-glance skew check run BEFORE any per-node join or window: a
+    heavy tail here is the early warning that salting / df-capping
+    will be needed downstream (cf. the blocking caps in dedup and the
+    kNN bucket bounds).
+
+    The bucket is length(bin(degree)) = ⌊log2(degree)⌋ + 1, computed
+    on the INTEGER's binary-string length in both engines (Spark
+    ``bin``, DuckDB ``bin``) — no float log whose boundary rounding
+    could disagree. Bucket b holds degrees in [2^(b−1), 2^b).
+
+    Plan shape: symmetrize → one (node) hash agg for degrees → one
+    tiny (bucket) agg; both map-side combined. Output:
+    (degree_bucket, min_degree, max_degree, n_nodes).
+    """
+    sym = edges.select(F.col(src).alias("_n")).unionAll(
+        edges.select(F.col(dst).alias("_n"))
+    )
+    deg = sym.groupBy("_n").agg(F.count("*").alias("_d"))
+    bucket = F.length(F.bin(F.col("_d"))).cast("int")
+    return deg.groupBy(bucket.alias("degree_bucket")).agg(
+        F.min("_d").cast("long").alias("min_degree"),
+        F.max("_d").cast("long").alias("max_degree"),
+        F.count("*").cast("long").alias("n_nodes"),
+    )

@@ -320,3 +320,95 @@ def activity_streaks(
     return best.groupBy(F.col("streak_days").cast("int").alias("streak_days")).agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by their FIRST
+    active week (the cohort), counted distinct at each later week
+    offset — the table behind every retention curve, and, for a data
+    pipeline, the "contributor freshness" view of a crawl corpus.
+
+    Week index = days-since-epoch DIV 7 against an explicit epoch (no
+    ISO-week boundary or locale ambiguity); all outputs integers.
+
+    Plan shape: distinct (user, week) collapses the event stream first
+    (map-side partial distinct), so the per-user min-week window runs
+    over the bounded ≤ users×weeks grid, not the raw events; the final
+    count-distinct-users per (cohort, offset) is exact because
+    (user, week) is already unique upstream, so it is a plain count.
+    Output: (cohort_week, week_offset, n_users).
+    """
+    week = (
+        F.datediff(F.to_date(ts_col), F.to_date(F.lit(epoch)))
+        / F.lit(7)
+    ).cast("int")
+    weeks = events.select(
+        F.col(key_col).alias("_u"), week.alias("_w")
+    ).distinct()
+    w = Window.partitionBy("_u")
+    cohorted = weeks.select(
+        "_u", "_w", F.min("_w").over(w).alias("_cw")
+    )
+    return (
+        cohorted.groupBy(
+            F.col("_cw").cast("int").alias("cohort_week"),
+            (F.col("_w") - F.col("_cw")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def event_prefix_paths(
+    events: DataFrame,
+    n_steps: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Onboarding-path distribution: each user's FIRST ``n_steps``
+    events assembled, in time order, into one path string — the
+    record-assembly shape behind SFT conversation building (gather a
+    key's rows in order into one training example) applied to the
+    classic "what do users do first" product question.
+
+    Determinism: order is (ts, order_col) — a total order, so the
+    prefix and its concatenation are exact. Assembly sorts an array of
+    (rank, type) structs AFTER collect (array_sort on struct order),
+    never relying on collect_list's arrival order, which is
+    partition-race nondeterministic.
+
+    Plan shape: one row_number window keyed by user cuts the prefix
+    (at 100 TB this is the only full-events shuffle); the assembly agg
+    then holds ≤ n_steps tiny structs per user — bounded state, unlike
+    an unbounded collect_list over raw events. Output:
+    (path, n_users).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    prefix = (
+        events.select(
+            F.col(key_col).alias("_u"),
+            F.col(type_col).alias("_et"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= n_steps)
+    )
+    assembled = prefix.groupBy("_u").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", "_et"))),
+                lambda s: s["_et"],
+            ),
+        ).alias("path")
+    )
+    return assembled.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_users")
+    )

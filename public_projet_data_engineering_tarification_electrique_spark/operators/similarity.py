@@ -1342,3 +1342,152 @@ def centroid_drift(
             ),
         ).alias("drift_cos"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    n_anchors: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the k most-similar vectors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary and therefore
+    carry the most gradient signal. (Random negatives are trivially
+    separable; hard negatives are what make embedding fine-tunes work.)
+
+    Tie-break contract matches every other ANN path here: rank by
+    ROUNDED sim (6 dp) desc, then neighbor id asc — reproducible across
+    engines. The label inequality also excludes self-pairs for free.
+
+    Plan shape: the anchor side (n_anchors rows) is broadcast against
+    the candidate scan, so the pair generation is map-side —
+    |C|·n_anchors scored pairs streamed through one row_number window
+    partitioned by anchor. At 100 TB, mine per label-shard
+    (cosine_topk_filtered's equi-join shape) or pre-bucket with LSH;
+    this exact path is the oracle the approximate miners are recalled
+    against.
+
+    Output: (anchor_id, neighbor_id, neighbor_label, sim, rank).
+    """
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    anchors = base.filter(F.col("_id") < n_anchors).select(
+        F.col("_id").alias("anchor_id"),
+        F.col("_lbl").alias("_albl"),
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    pairs = base.crossJoin(F.broadcast(anchors)).filter(
+        (F.col("_lbl") != F.col("_albl"))
+        & (F.col("_n") > 0)
+        & (F.col("_an") > 0)
+    )
+    sims = pairs.select(
+        "anchor_id",
+        F.col("_id").alias("neighbor_id"),
+        F.col("_lbl").alias("neighbor_label"),
+        F.round(
+            dot_product(F.col("_av"), F.col("_v"))
+            / (F.col("_an") * F.col("_n")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id", "neighbor_id", "neighbor_label", "sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def knn_label_agreement(
+    embeddings: DataFrame,
+    n_anchors: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN-classifier agreement audit: for each anchor, the majority
+    label among its k nearest neighbors (self excluded), compared to
+    the anchor's own label, rolled up per true label — the standard
+    embedding-quality probe (if neighbors don't vote the right label,
+    the space won't retrieve or cluster well either).
+
+    Determinism: neighbor rank ties break by rounded sim then id (the
+    shared ANN contract); the majority vote ties break by (count desc,
+    label asc). All outputs are integers.
+
+    Plan shape: broadcast anchors × candidate scan (one window for the
+    k-cut), then a (anchor, label) count and a second tiny window over
+    ≤ n_anchors·k rows for the vote. Output:
+    (label, n_anchors, n_agree) sorted by label.
+    """
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    anchors = base.filter(F.col("_id") < n_anchors).select(
+        F.col("_id").alias("_aid"),
+        F.col("_lbl").alias("_albl"),
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    pairs = base.crossJoin(F.broadcast(anchors)).filter(
+        (F.col("_id") != F.col("_aid"))
+        & (F.col("_n") > 0)
+        & (F.col("_an") > 0)
+    )
+    sims = pairs.select(
+        "_aid",
+        "_albl",
+        F.col("_id").alias("_nid"),
+        F.col("_lbl").alias("_nlbl"),
+        F.round(
+            dot_product(F.col("_av"), F.col("_v"))
+            / (F.col("_an") * F.col("_n")),
+            6,
+        ).alias("_sim"),
+    )
+    wk = Window.partitionBy("_aid").orderBy(F.desc("_sim"), F.asc("_nid"))
+    nbrs = sims.withColumn("_rk", F.row_number().over(wk)).filter(
+        F.col("_rk") <= k
+    )
+    votes = nbrs.groupBy("_aid", "_albl", "_nlbl").agg(
+        F.count("*").alias("_votes")
+    )
+    wv = Window.partitionBy("_aid").orderBy(
+        F.desc("_votes"), F.asc("_nlbl")
+    )
+    pred = (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select(
+            "_aid",
+            "_albl",
+            (F.col("_nlbl") == F.col("_albl")).alias("_agree"),
+        )
+    )
+    return (
+        pred.groupBy(F.col("_albl").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_anchors"),
+            F.sum(F.when(F.col("_agree"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+        )
+    )

@@ -294,3 +294,37 @@ def cms_oracle_sql(table: str, key_sql: str, query_keys: list[int]) -> str:
                est_count >= coalesce(n, 0) AS overestimate
         FROM est LEFT JOIN ex ON est.key = ex.key
     """
+
+
+def bitmap_distinct_daily(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """EXACT per-day distinct keys via Spark's bitmap-index aggregate
+    family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count) — the rollup-friendly
+    alternative to count(distinct): per-(day, bucket) bitmaps OR
+    together across any re-grouping (day→week→month) WITHOUT
+    re-scanning the fact table, which count(distinct) cannot do.
+    HLL (``hll_distinct``) trades that exactness for fixed size; this
+    is the exact tier of the same architecture.
+
+    Plan shape: one (day, bucket) hash agg builds the bitmaps —
+    map-side partial bitmap_construct_agg collapses each partition to
+    one bitmap per group before the exchange; the per-day bit-count
+    sum is then a tiny second agg. Keys spread over buckets
+    (bucket = key div 32768), so one hot day never concentrates into
+    one task. Output: (date, n_distinct).
+    """
+    day = F.to_date(F.col(ts_col))
+    per_bucket = (
+        events.select(
+            day.alias("date"),
+            F.expr(f"bitmap_bucket_number({key_col})").alias("_bk"),
+            F.expr(f"bitmap_bit_position({key_col})").alias("_pos"),
+        )
+        .groupBy("date", "_bk")
+        .agg(F.expr("bitmap_construct_agg(_pos)").alias("_bm"))
+    )
+    return per_bucket.groupBy("date").agg(
+        F.sum(F.expr("bitmap_count(_bm)")).cast("long").alias("n_distinct")
+    )

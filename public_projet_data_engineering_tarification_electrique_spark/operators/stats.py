@@ -129,3 +129,112 @@ def chi2_2x2(
             F.round((a + b + c + d) * det * det / denom, 6),
         ).alias("chi2"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    outcome_col: str = "outcome",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Score-calibration audit: equal-width bins over a [0, 1] score
+    vs the observed positive rate per bin — the table behind a
+    reliability diagram / ECE, run before trusting a quality
+    classifier's scores as sampling weights (a miscalibrated filter
+    silently skews the training mixture).
+
+    Engine-exactness: scores are snapped to an integer 1/10000 grid
+    FIRST (round to nearest ten-thousandth); bin assignment and all
+    sums are then integer arithmetic, and each output rate is a single
+    terminal division rounded to 6 dp — the module's one-float-op
+    contract. Bin = grid·n_bins DIV 10000, clamped so score=1.0 lands
+    in the last bin.
+
+    Plan shape: one projection + one hash agg on the bin id (map-side
+    partials collapse each partition to ≤ n_bins rows before the
+    exchange). Output: (bin, n, mean_score, pos_rate).
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    grid = F.round(F.col(score_col) * 10_000).cast("long")
+    snapped = df.select(
+        grid.alias("_g"),
+        F.when(F.col(outcome_col), 1).otherwise(0).alias("_y"),
+    )
+    # integer floor-division on both engines (Spark `div`, DuckDB `//`)
+    # — a float quotient cast to int TRUNCATES in Spark but ROUNDS in
+    # DuckDB, so the bin id must never pass through a double.
+    bin_id = F.least(
+        F.expr(f"_g * {int(n_bins)} div 10000"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    agg = snapped.groupBy(bin_id.cast("int").alias("bin")).agg(
+        F.count("*").alias("_n"),
+        F.sum("_g").alias("_sg"),
+        F.sum("_y").alias("_sy"),
+    )
+    return agg.select(
+        "bin",
+        F.col("_n").cast("long").alias("n"),
+        F.round(
+            F.col("_sg") / (F.lit(10_000.0) * F.col("_n")), 6
+        ).alias("mean_score"),
+        F.round(F.col("_sy") / F.col("_n").cast("double"), 6).alias(
+            "pos_rate"
+        ),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str = "a",
+    col_b: str = "b",
+) -> DataFrame:
+    """Cohen's kappa for two BINARY raters (boolean columns) — the
+    chance-corrected agreement number for "does the cheap classifier
+    agree with the labels beyond luck?" (po alone flatters any
+    classifier on an imbalanced corpus; kappa is the honest version).
+
+    Engine-exactness: the 2×2 cells are exact integer counts and kappa
+    is computed as ONE terminal division of integer-derived doubles —
+      kappa = (n·(a+d) − [(a+b)(a+c) + (c+d)(b+d)])
+            / (n² − [(a+b)(a+c) + (c+d)(b+d)])
+    (the po/pe form cleared of denominators, so no intermediate
+    float divisions whose rounding could differ across engines).
+    Cell products fit long at < 3e9 rows; the division runs in double.
+    NULL in either rater drops the row (no agreement defined).
+
+    Plan shape: one projection + one 4-cell hash agg (map-side partials
+    collapse each partition to one row). Output:
+    (n, n_agree, kappa) — a single row.
+    """
+    flagged = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        F.when(F.col(col_a), 1).otherwise(0).alias("_a"),
+        F.when(F.col(col_b), 1).otherwise(0).alias("_b"),
+    )
+    cells = flagged.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.expr("_a * _b")).alias("_tt"),
+        F.sum(F.expr("_a * (1 - _b)")).alias("_tf"),
+        F.sum(F.expr("(1 - _a) * _b")).alias("_ft"),
+        F.sum(F.expr("(1 - _a) * (1 - _b)")).alias("_ff"),
+    )
+    pe_num = (F.col("_tt") + F.col("_tf")) * (
+        F.col("_tt") + F.col("_ft")
+    ) + (F.col("_ft") + F.col("_ff")) * (F.col("_tf") + F.col("_ff"))
+    agree = F.col("_tt") + F.col("_ff")
+    denom = F.col("_n") * F.col("_n") - pe_num
+    return cells.select(
+        F.col("_n").cast("long").alias("n"),
+        agree.cast("long").alias("n_agree"),
+        F.when(
+            denom != 0,
+            F.round(
+                (F.col("_n") * agree - pe_num).cast("double")
+                / denom.cast("double"),
+                6,
+            ),
+        ).alias("kappa"),
+    )

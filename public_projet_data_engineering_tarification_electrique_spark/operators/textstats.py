@@ -597,3 +597,132 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def nucleus_vocab(
+    docs: DataFrame,
+    coverage_pct: int = 90,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Nucleus (top-p) vocabulary size per corpus slice: the SMALLEST
+    number of distinct tokens, taken in frequency-descending order,
+    whose occurrences cover ≥ ``coverage_pct`` % of the slice's token
+    mass — the "how heavy is the head" number that sizes a tokenizer
+    vocab or a cache of hot embeddings per slice.
+
+    Exactness: the prefix SIZE is invariant to tie order within a
+    frequency level (any ``need`` tokens of the boundary frequency
+    complete the mass), so the computation never orders individual
+    tokens — and the whole result is integer arithmetic: the coverage
+    test is ``100·cum ≥ pct·total`` and the boundary take is an integer
+    ceil-div. No engine-float crosses the output.
+
+    Plan shape — the scale trick: the running sum is taken over
+    FREQUENCY LEVELS, not tokens. (slice, token) counts collapse to
+    (slice, freq) levels first (n_tokens_at_f, mass = f·n), so the
+    per-slice window runs over the number of DISTINCT frequencies —
+    O(√mass) by Zipf — instead of billions of token rows in one
+    partition. The crossing level is found by filtering
+    ``100·cum ≥ pct·T`` and ``100·(cum − mass) < pct·T`` (first
+    crossing), no second window. Output:
+    (slice, total_tokens, distinct_tokens, nucleus_vocab).
+    """
+    if not (0 < coverage_pct <= 100):
+        raise ValueError(
+            f"coverage_pct must be in (0, 100], got {coverage_pct}"
+        )
+    toks = docs.select(
+        F.col(by).alias("_g"),
+        F.explode(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+        ).alias("_tok"),
+    )
+    freq = toks.groupBy("_g", "_tok").agg(F.count("*").alias("_f"))
+    levels = freq.groupBy("_g", "_f").agg(
+        F.count("*").alias("_n_at_f")
+    ).withColumn("_mass", F.col("_f") * F.col("_n_at_f"))
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.desc("_f"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("_g")
+    cum = levels.select(
+        "_g",
+        "_f",
+        "_n_at_f",
+        "_mass",
+        F.sum("_mass").over(w).alias("_cum_mass"),
+        F.sum("_n_at_f").over(w).alias("_cum_toks"),
+        F.sum("_mass").over(wg).alias("_total"),
+        F.sum("_n_at_f").over(wg).alias("_distinct"),
+    )
+    pct = F.lit(int(coverage_pct))
+    crossing = cum.filter(
+        (F.lit(100) * F.col("_cum_mass") >= pct * F.col("_total"))
+        & (
+            F.lit(100) * (F.col("_cum_mass") - F.col("_mass"))
+            < pct * F.col("_total")
+        )
+    )
+    # tokens needed from the boundary level: ceil((pct·T/100 − cum_above) / f)
+    # in integers: ceil((pct·T − 100·cum_above) / (100·f))
+    need = F.expr(
+        f"cast(({int(coverage_pct)} * _total - 100 * (_cum_mass - _mass)"
+        f" + 100 * _f - 1) div (100 * _f) as bigint)"
+    )
+    return crossing.select(
+        F.col("_g").alias(by),
+        F.col("_total").cast("long").alias("total_tokens"),
+        F.col("_distinct").cast("long").alias("distinct_tokens"),
+        (F.col("_cum_toks") - F.col("_n_at_f") + need)
+        .cast("long")
+        .alias("nucleus_vocab"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy over characters (bits/char) — the
+    classic gibberish/boilerplate filter: natural prose sits ~4 bits,
+    base64 blobs and key-mash near the alphabet ceiling, repeated
+    filler near zero.
+
+    H = log2(n) − (Σ c·log2(c))/n from EXACT integer character counts;
+    the only floats are the log2 terms (libm's last-ulp differences
+    are absorbed by the +1e-9 nudge before the 4-dp round — the OLS
+    idiom). Empty documents have no defined entropy and are absent.
+
+    Plan shape: explode to characters → (doc, char) hash agg (map-side
+    partials collapse each partition to ≤ docs·|alphabet| rows) → one
+    per-doc fold over ≤ |alphabet| rows. At 100 TB the (doc, char)
+    exchange is the cost; a mapInArrow histogram (q133's crossing)
+    would cut it to one row per doc — this plan is the shuffle-only,
+    zero-Python variant. Output: (doc_id, n_chars, entropy).
+    """
+    counts = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "")).alias("_c"),
+        )
+        .filter(F.col("_c") != "")
+        .groupBy(id_col, "_c")
+        .agg(F.count("*").alias("_n"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.col("_n") * F.log2(F.col("_n"))).alias("_s"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("_tot").cast("long").alias("n_chars"),
+        F.round(
+            F.log2(F.col("_tot"))
+            - F.col("_s") / F.col("_tot")
+            + F.lit(1e-9),
+            4,
+        ).alias("entropy"),
+    )

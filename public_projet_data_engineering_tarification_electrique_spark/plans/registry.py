@@ -4854,6 +4854,103 @@ def q185_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity_streaks(events)
 
 
+def q186_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per anchor, the 5 most-similar vectors
+    with a DIFFERENT label (broadcast anchors, rounded-sim tie-break) —
+    the contrastive-training feeder; label inequality excludes self."""
+    from ..operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, n_anchors=10, k=5)
+
+
+def q187_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: first-active-week cohorts ×
+    week offsets, distinct users — distinct (user, week) first so the
+    min-week window sees the bounded grid, all-integer output."""
+    from ..operators.sessions import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events)
+
+
+def q188_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a [0,1] score vs a binary outcome:
+    integer 1/10000-grid snap, integer-div bin ids (Spark `div` ==
+    DuckDB `//`; a double cast would round in DuckDB but truncate in
+    Spark), one terminal division per rate. Score is a deterministic
+    hash-derived pseudo-probability; outcome = purchase event."""
+    from ..operators.stats import calibration_bins
+
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        (
+            F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(10001))
+            / F.lit(10_000.0)
+        ).alias("score"),
+        (F.col("event_type") == "purchase").alias("outcome"),
+    )
+    return calibration_bins(scored, n_bins=10)
+
+
+def q189_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-vote label agreement per true label: majority label among
+    the 5 nearest neighbors (self excluded; votes tie-break count desc,
+    label asc), 20 anchors — the embedding-space quality probe."""
+    from ..operators.similarity import knn_label_agreement
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_agreement(emb, n_anchors=20, k=5)
+
+
+def q190_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization dedup-lift: documents grouped by md5 of their
+    normalized form (lower, whitespace-collapsed, trimmed), reported as
+    a (group_size, n_raw_variants) distribution — the pre-flight audit
+    before enabling normalization in exact dedup."""
+    from ..operators.dedup import normalized_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalized_dedup_stats(docs)
+
+
+def q191_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (90 %) vocabulary size per language: running sums over
+    FREQUENCY LEVELS (not tokens — O(distinct freqs) window rows), the
+    crossing level found by filter, boundary take by integer ceil-div;
+    all-integer output."""
+    from ..operators.textstats import nucleus_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nucleus_vocab(docs, coverage_pct=90, by="lang")
+
+
+def q192_prefix_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3-events onboarding paths per user: row_number prefix cut,
+    assembly via array_sort over (rank, type) structs (never raw
+    collect_list order), path-string distribution."""
+    from ..operators.sessions import event_prefix_paths
+
+    events = load_table(spark, sf_dir, "events")
+    return event_prefix_paths(events, n_steps=3)
+
+
+def q193_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the truth label (lang='en')
+    and q18's stopword-heuristic language ID (pred='en'): Cohen's kappa
+    from exact 2×2 integer cells, one terminal division — the honest
+    audit of a cheap classifier on an imbalanced corpus."""
+    from ..operators.stats import cohens_kappa
+    from ..operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    rated = quality_scores(docs).select(
+        (F.col("lang") == "en").alias("a"),
+        (F.col("pred_lang") == "en").alias("b"),
+    )
+    return cohens_kappa(rated)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8019,6 +8116,14 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q183_vocab_oov": q183_vocab_oov,
     "q184_centroid_drift": q184_centroid_drift,
     "q185_activity_streaks": q185_activity_streaks,
+    "q186_hard_negatives": q186_hard_negatives,
+    "q187_cohort_retention": q187_cohort_retention,
+    "q188_calibration_bins": q188_calibration_bins,
+    "q189_knn_label_agreement": q189_knn_label_agreement,
+    "q190_normalized_dedup": q190_normalized_dedup,
+    "q191_nucleus_vocab": q191_nucleus_vocab,
+    "q192_prefix_paths": q192_prefix_paths,
+    "q193_cohens_kappa": q193_cohens_kappa,
 }
 
 
@@ -9086,4 +9191,197 @@ ORACLE_SQL["q185_activity_streaks"] = """
     SELECT cast(streak_days AS INT) AS streak_days,
            cast(count(*) AS BIGINT) AS n_users
     FROM best GROUP BY 1
+"""
+
+
+ORACLE_SQL["q186_hard_negatives"] = """
+    WITH base AS (
+      SELECT vec_id AS id, label AS lbl, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), n AS (
+      SELECT id, lbl, v, sqrt(list_dot_product(v, v)) AS nn FROM base
+    ), a AS (
+      SELECT id AS aid, lbl AS albl, v AS av, nn AS an
+      FROM n WHERE id < 10
+    ), p AS (
+      SELECT a.aid AS anchor_id, c.id AS neighbor_id,
+             c.lbl AS neighbor_label,
+             round(list_dot_product(a.av, c.v) / (a.an * c.nn), 6) AS sim
+      FROM a JOIN n c ON c.lbl <> a.albl
+      WHERE a.an > 0 AND c.nn > 0
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY sim DESC, neighbor_id ASC)
+                AS rk
+      FROM p
+    )
+    SELECT anchor_id, neighbor_id, neighbor_label, sim,
+           cast(rk AS INTEGER) AS rank
+    FROM r WHERE rk <= 5
+"""
+
+
+ORACLE_SQL["q187_cohort_retention"] = """
+    WITH weeks AS (
+      SELECT DISTINCT user_id AS u,
+             date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) // 7
+               AS w
+      FROM events
+    ), cohorted AS (
+      SELECT u, w, min(w) OVER (PARTITION BY u) AS cw FROM weeks
+    )
+    SELECT cast(cw AS INTEGER) AS cohort_week,
+           cast(w - cw AS INTEGER) AS week_offset,
+           cast(count(*) AS BIGINT) AS n_users
+    FROM cohorted GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["q188_calibration_bins"] = """
+    WITH snapped AS (
+      SELECT cast(round(((user_id * 2654435761) % 10001) / 10000.0
+                        * 10000) AS BIGINT) AS g,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), binned AS (
+      SELECT least(g * 10 // 10000, 9) AS bin, g, y FROM snapped
+    )
+    SELECT cast(bin AS INTEGER) AS bin,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(g) / (10000.0 * count(*)), 6) AS mean_score,
+           round(sum(y) / cast(count(*) AS DOUBLE), 6) AS pos_rate
+    FROM binned GROUP BY 1
+"""
+
+
+ORACLE_SQL["q189_knn_label_agreement"] = """
+    WITH base AS (
+      SELECT vec_id AS id, label AS lbl, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), n AS (
+      SELECT id, lbl, v, sqrt(list_dot_product(v, v)) AS nn FROM base
+    ), a AS (
+      SELECT id AS aid, lbl AS albl, v AS av, nn AS an
+      FROM n WHERE id < 20
+    ), sims AS (
+      SELECT a.aid, a.albl, c.id AS nid, c.lbl AS nlbl,
+             round(list_dot_product(a.av, c.v) / (a.an * c.nn), 6) AS sim
+      FROM a JOIN n c ON c.id <> a.aid
+      WHERE a.an > 0 AND c.nn > 0
+    ), nbrs AS (
+      SELECT * FROM (
+        SELECT aid, albl, nid, nlbl,
+               row_number() OVER (PARTITION BY aid
+                                  ORDER BY sim DESC, nid ASC) AS rk
+        FROM sims
+      ) WHERE rk <= 5
+    ), votes AS (
+      SELECT aid, albl, nlbl, count(*) AS nv
+      FROM nbrs GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT aid, albl, nlbl,
+             row_number() OVER (PARTITION BY aid
+                                ORDER BY nv DESC, nlbl ASC) AS vr
+      FROM votes
+    )
+    SELECT albl AS label, cast(count(*) AS BIGINT) AS n_anchors,
+           cast(sum(CASE WHEN nlbl = albl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree
+    FROM pred WHERE vr = 1 GROUP BY 1
+"""
+
+
+ORACLE_SQL["q190_normalized_dedup"] = """
+    WITH g AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS k,
+             count(*) AS size, count(DISTINCT text) AS variants
+      FROM documents GROUP BY 1
+    )
+    SELECT cast(size AS INTEGER) AS group_size,
+           cast(variants AS INTEGER) AS n_raw_variants,
+           cast(count(*) AS BIGINT) AS n_groups
+    FROM g GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["q191_nucleus_vocab"] = """
+    WITH toks AS (
+      SELECT lang AS g,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT g, tok, count(*) AS f FROM toks GROUP BY 1, 2
+    ), levels AS (
+      SELECT g, f, count(*) AS n_at_f, f * count(*) AS mass
+      FROM freq GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, f, n_at_f, mass,
+             sum(mass) OVER (PARTITION BY g ORDER BY f DESC
+                             ROWS UNBOUNDED PRECEDING) AS cum_mass,
+             sum(n_at_f) OVER (PARTITION BY g ORDER BY f DESC
+                               ROWS UNBOUNDED PRECEDING) AS cum_toks,
+             sum(mass) OVER (PARTITION BY g) AS total,
+             sum(n_at_f) OVER (PARTITION BY g) AS n_distinct
+      FROM levels
+    )
+    SELECT g AS lang, cast(total AS BIGINT) AS total_tokens,
+           cast(n_distinct AS BIGINT) AS distinct_tokens,
+           cast(cum_toks - n_at_f
+                + (90 * total - 100 * (cum_mass - mass) + 100 * f - 1)
+                  // (100 * f) AS BIGINT) AS nucleus_vocab
+    FROM cum
+    WHERE 100 * cum_mass >= 90 * total
+      AND 100 * (cum_mass - mass) < 90 * total
+"""
+
+
+ORACLE_SQL["q192_prefix_paths"] = """
+    WITH ranked AS (
+      SELECT user_id AS u, event_type AS et,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ), paths AS (
+      SELECT u, string_agg(et, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY 1
+    )
+    SELECT path, cast(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY 1
+"""
+
+
+ORACLE_SQL["q193_cohens_kappa"] = f"""
+    WITH feats AS (
+      SELECT (lang = 'en') AS ra,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), rated AS (
+      SELECT CASE WHEN ra THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(list_filter(toks,
+                       x -> list_contains({_STOP_SQL}, x)))
+                    * 1.0 / len(toks) > 0.04
+                  THEN 1 ELSE 0 END AS b
+      FROM feats
+    ), cells AS (
+      SELECT count(*) AS n,
+             sum(a * b) AS tt, sum(a * (1 - b)) AS tf,
+             sum((1 - a) * b) AS ft, sum((1 - a) * (1 - b)) AS ff
+      FROM rated
+    )
+    SELECT cast(n AS BIGINT) AS n,
+           cast(tt + ff AS BIGINT) AS n_agree,
+           CASE WHEN n * n - ((tt + tf) * (tt + ft)
+                              + (ft + ff) * (tf + ff)) <> 0
+                THEN round(
+                  cast(n * (tt + ff) - ((tt + tf) * (tt + ft)
+                                        + (ft + ff) * (tf + ff))
+                       AS DOUBLE)
+                  / cast(n * n - ((tt + tf) * (tt + ft)
+                                  + (ft + ff) * (tf + ff)) AS DOUBLE),
+                  6)
+           END AS kappa
+    FROM cells
 """
