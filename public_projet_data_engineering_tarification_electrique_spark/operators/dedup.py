@@ -1042,14 +1042,23 @@ def canonical_docs(
     (clusters are near-dup-sized, never skewed). Output:
     (cluster_id, kept_doc_id, kept_quality, cluster_size).
     """
-    from .textstats import quality_scores
+    from ..functions.text import punct_ratio, token_count
 
     clusters = dedup_clusters(
         docs, k=k, threshold=threshold, max_df=max_df,
         text_col=text_col, id_col=id_col,
     )
-    quality = quality_scores(docs, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), F.col("quality")
+    # same formula as textstats.quality_scores, computed inline so the
+    # operator does not inherit that function's `lang` column
+    # requirement (keep the two in sync)
+    t = F.col(text_col)
+    quality = docs.select(
+        F.col(id_col),
+        F.round(
+            F.least(F.lit(1.0), token_count(t) / F.lit(120.0))
+            * (F.lit(1.0) - punct_ratio(t)),
+            4,
+        ).alias("quality"),
     )
     joined = clusters.join(quality, on=id_col)
     w = Window.partitionBy("cluster_id").orderBy(

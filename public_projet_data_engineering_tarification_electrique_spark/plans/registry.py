@@ -4951,6 +4951,61 @@ def q193_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(rated)
 
 
+def q194_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy (gibberish filter):
+    exact integer char counts, log2 terms as the only floats, +1e-9
+    nudge before the 4-dp round."""
+    from ..operators.textstats import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+def q195_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax canonical doc per near-dup cluster: dedup_clusters
+    (shingle-blocked Jaccard + CC) joined to the q18 quality score,
+    pick (quality desc, doc_id asc) — keep the cleanest copy, not the
+    smallest id."""
+    from ..operators.dedup import canonical_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_docs(docs, k=3, threshold=0.2, max_df=100)
+
+
+def q196_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the customer↔supplier trade
+    graph (q134's symmetric edges): bucket = length(bin(degree)) — the
+    integer-exact ⌊log2⌋+1 — the skew early-warning before per-node
+    joins."""
+    from ..operators.graph import degree_histogram
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_histogram(pairs)
+
+
+def q197_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct users via Spark's bitmap aggregate family
+    (construct per (day, bucket), count bits, sum) — the rollup-capable
+    exact tier next to q170's HLL; oracle is plain count(distinct)."""
+    from ..operators.sketches import bitmap_distinct_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return bitmap_distinct_daily(events)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8124,6 +8179,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_nucleus_vocab": q191_nucleus_vocab,
     "q192_prefix_paths": q192_prefix_paths,
     "q193_cohens_kappa": q193_cohens_kappa,
+    "q194_char_entropy": q194_char_entropy,
+    "q195_canonical_docs": q195_canonical_docs,
+    "q196_degree_histogram": q196_degree_histogram,
+    "q197_bitmap_distinct": q197_bitmap_distinct,
 }
 
 
@@ -9384,4 +9443,109 @@ ORACLE_SQL["q193_cohens_kappa"] = f"""
                   6)
            END AS kappa
     FROM cells
+"""
+
+
+ORACLE_SQL["q194_char_entropy"] = """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), counts AS (
+      SELECT doc_id, c, count(*) AS n
+      FROM chars WHERE c <> '' GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, sum(n) AS tot, sum(n * log2(n)) AS s
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, cast(tot AS BIGINT) AS n_chars,
+           round(log2(tot) - s / tot + 1e-9, 4) AS entropy
+    FROM per_doc
+"""
+
+
+ORACLE_SQL["q196_degree_histogram"] = """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), sym AS (
+      SELECT src AS n FROM pairs UNION ALL SELECT dst FROM pairs
+    ), deg AS (
+      SELECT n, count(*) AS d FROM sym GROUP BY 1
+    )
+    SELECT cast(length(bin(d)) AS INTEGER) AS degree_bucket,
+           cast(min(d) AS BIGINT) AS min_degree,
+           cast(max(d) AS BIGINT) AS max_degree,
+           cast(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+"""
+
+
+ORACLE_SQL["q197_bitmap_distinct"] = """
+    SELECT cast(ts AS DATE) AS date,
+           cast(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+"""
+
+
+ORACLE_SQL["q195_canonical_docs"] = f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ), capped AS (
+      SELECT s.* FROM sh s JOIN (
+        SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ), comp AS (
+      SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
+    ), clustered AS (
+      SELECT node AS doc_id, cluster_id,
+             cast(count(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+               AS cluster_size
+      FROM comp
+    ), feats AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS tq,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               * 1.0 / length(text) AS punct_ratio
+      FROM documents
+    ), quality AS (
+      SELECT doc_id,
+             round(least(1.0, len(list_filter(tq, x -> x <> '')) / 120.0)
+                   * (1.0 - punct_ratio), 4) AS quality
+      FROM feats
+    ), ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality, c.cluster_size,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id ASC)
+               AS rk
+      FROM clustered c JOIN quality q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
+           cluster_size
+    FROM ranked WHERE rk = 1
 """
