@@ -90,3 +90,63 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    sample_row_expr=None,
+    sample_pct: int = 10,
+) -> DataFrame:
+    """Sampling-based join-cardinality estimation, audited against the
+    exact answer — the planner calculation ("how big will this join
+    be?") made into a first-class, checkable operator. Both numbers
+    come from per-key COUNT HISTOGRAMS, never from materializing the
+    join: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k).
+
+    The estimate samples LEFT's rows with the repo's deterministic
+    md5-bucket rule (``sample_row_expr``'s md5 bucket < sample_pct,
+    default: the key itself — callers pass a row-unique expr for
+    row-level sampling) and scales by 100/pct. Exact integers
+    throughout; the relative error is the single terminal division.
+
+    Plan shape: two (key) hash aggs (map-side combined) + one equi-join
+    on key between two count tables — each far smaller than the fact
+    tables; the sampled histogram derives from the same scan via a
+    conditional sum, so sampling costs no extra pass. Output: one row
+    (actual_rows, estimated_rows, rel_err).
+    """
+    if not (0 < sample_pct <= 100):
+        raise ValueError(f"sample_pct must be in (0, 100], got {sample_pct}")
+    expr = (
+        sample_row_expr if sample_row_expr is not None else F.col(left_key)
+    )
+    bucket = F.conv(
+        F.substring(F.md5(expr.cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    la = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count("*").alias("_ca"),
+        F.sum(F.when(bucket < sample_pct, 1).otherwise(0)).alias("_cs"),
+    )
+    rb = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count("*").alias("_cb")
+    )
+    joined = la.join(rb, on="_k")
+    totals = joined.agg(
+        F.sum(F.col("_ca") * F.col("_cb")).alias("_actual"),
+        F.sum(F.col("_cs") * F.col("_cb")).alias("_sampled"),
+    )
+    est = F.col("_sampled") * F.lit(100) / F.lit(int(sample_pct))
+    return totals.select(
+        F.col("_actual").cast("long").alias("actual_rows"),
+        est.cast("long").alias("estimated_rows"),
+        F.when(
+            F.col("_actual") > 0,
+            F.round(
+                F.abs(est - F.col("_actual")) / F.col("_actual").cast("double"),
+                6,
+            ),
+        ).alias("rel_err"),
+    )

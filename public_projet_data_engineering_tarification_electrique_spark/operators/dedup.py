@@ -1074,3 +1074,42 @@ def canonical_docs(
             "cluster_size",
         )
     )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-pair exact-duplicate overlap matrix: for every pair of
+    sources, how many distinct texts appear verbatim in BOTH — the
+    curation question "is crawl B just re-hosting crawl A?" answered
+    before paying to dedup them jointly.
+
+    Counted at (text, source) grain — a text repeated many times inside
+    one source still counts once toward each pair it bridges, so the
+    number reads as "shared distinct texts".
+
+    Plan shape: distinct (md5(text), source) collapses the corpus first
+    (32-char keys on the exchange, never full documents); the pair
+    self-join runs per hash group, whose size is bounded by the number
+    of DISTINCT SOURCES carrying that text (≤ |sources|, tiny), so the
+    join can never quadratically blow up on a popular text. Output:
+    (source_a, source_b, n_shared_texts) with source_a < source_b.
+    """
+    keyed = (
+        ensure_parallelism(docs)
+        .select(
+            F.md5(F.col(text_col)).alias("_h"),
+            F.col(source_col).alias("_s"),
+        )
+        .distinct()
+    )
+    a = keyed.select("_h", F.col("_s").alias("source_a"))
+    b = keyed.select("_h", F.col("_s").alias("source_b"))
+    pairs = a.join(b, on="_h").filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_shared_texts")
+    )

@@ -726,3 +726,55 @@ def char_entropy(
             4,
         ).alias("entropy"),
     )
+
+
+def char_trigram_profile(
+    docs: DataFrame,
+    k: int = 10,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice top-k character trigrams — the profile table a real
+    n-gram language identifier is built from (langid.py / CLD classify
+    by comparing a document's trigram distribution against exactly
+    these per-language profiles).
+
+    Trigram extraction is substring windows over the lowercased text
+    (spaces included — boundary trigrams like 'th ' carry the signal);
+    ranking is (count desc, trigram asc) per slice, deterministic.
+
+    Plan shape: transform over an index sequence generates trigrams
+    map-side (a Generate + projection, no Python); one (slice, trigram)
+    hash agg with map-side partials; the top-k cut is one row_number
+    window partitioned BY SLICE — bounded by the per-slice distinct
+    trigram count (≤ |alphabet|³, a constant), never a global sort.
+    Output: (slice, trigram, n, rank).
+    """
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    # substring with a COLUMN start index needs the SQL form (the
+    # python F.substring takes literal pos), hence expr()
+    grams = F.when(
+        n >= 3,
+        F.expr(
+            f"transform(sequence(1, length(lower({text_col})) - 2), "
+            f"i -> substr(lower({text_col}), i, 3))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        ensure_parallelism(docs)
+        .select(F.col(by).alias("_g"), F.explode(grams).alias("_tri"))
+        .groupBy("_g", "_tri")
+        .agg(F.count("*").alias("_n"))
+    )
+    w = Window.partitionBy("_g").orderBy(F.desc("_n"), F.asc("_tri"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_g").alias(by),
+            F.col("_tri").alias("trigram"),
+            F.col("_n").cast("long").alias("n"),
+            F.col("_rk").cast("int").alias("rank"),
+        )
+    )

@@ -5006,6 +5006,58 @@ def q197_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_distinct_daily(events)
 
 
+def q198_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair exact-dup overlap matrix: distinct (md5(text),
+    source) first, per-hash self-join bounded by |sources| — "is crawl
+    B re-hosting crawl A?"."""
+    from ..operators.dedup import cross_source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_source_overlap(docs)
+
+
+def q199_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 character trigrams (spaces included) — the
+    profile table an n-gram language identifier classifies against;
+    (count desc, trigram asc) deterministic ranking."""
+    from ..operators.textstats import char_trigram_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_trigram_profile(docs, k=10, by="lang")
+
+
+def q200_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled join-cardinality estimate vs exact (both from per-key
+    count histograms, never a materialized join): lineitem⋈orders on
+    orderkey, 10 % md5-row sample of lineitem scaled ×10."""
+    from ..operators.audit import join_cardinality_audit
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return join_cardinality_audit(
+        lineitem,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        sample_row_expr=F.concat_ws(
+            "-", F.col("l_orderkey"), F.col("l_linenumber")
+        ),
+        sample_pct=10,
+    )
+
+
+def q201_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical TF-IDF cosine near-dup pairs over word-3-gram shingles
+    (the weighted upgrade of ngram_jaccard): the df cap is both the
+    blocking and the feature rule; integer ten-thousandth weights, one
+    terminal division. Shingles, not unigrams — this corpus's 31-token
+    vocabulary makes every unigram ubiquitous."""
+    from ..operators.search import sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(docs, threshold=0.3, max_df=100)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8183,6 +8235,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q195_canonical_docs": q195_canonical_docs,
     "q196_degree_histogram": q196_degree_histogram,
     "q197_bitmap_distinct": q197_bitmap_distinct,
+    "q198_cross_source_overlap": q198_cross_source_overlap,
+    "q199_char_trigram_profile": q199_char_trigram_profile,
+    "q200_join_cardinality": q200_join_cardinality,
+    "q201_sparse_cosine_pairs": q201_sparse_cosine_pairs,
 }
 
 
@@ -9548,4 +9604,107 @@ ORACLE_SQL["q195_canonical_docs"] = f"""
     SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
            cluster_size
     FROM ranked WHERE rk = 1
+"""
+
+
+ORACLE_SQL["q198_cross_source_overlap"] = """
+    WITH keyed AS (
+      SELECT DISTINCT md5(text) AS h, source AS s FROM documents
+    )
+    SELECT a.s AS source_a, b.s AS source_b,
+           cast(count(*) AS BIGINT) AS n_shared_texts
+    FROM keyed a JOIN keyed b ON a.h = b.h AND a.s < b.s
+    GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["q199_char_trigram_profile"] = """
+    WITH grams AS (
+      SELECT lang AS g,
+             unnest(CASE WHEN length(lower(text)) >= 3
+                    THEN list_transform(
+                           range(1, length(lower(text)) - 1),
+                           i -> substr(lower(text), i, 3))
+                    ELSE []::VARCHAR[] END) AS tri
+      FROM documents
+    ), counts AS (
+      SELECT g, tri, count(*) AS n FROM grams GROUP BY 1, 2
+    ), ranked AS (
+      SELECT g, tri, n,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY n DESC, tri ASC) AS rk
+      FROM counts
+    )
+    SELECT g AS lang, tri AS trigram, cast(n AS BIGINT) AS n,
+           cast(rk AS INTEGER) AS rank
+    FROM ranked WHERE rk <= 10
+"""
+
+
+ORACLE_SQL["q200_join_cardinality"] = """
+    WITH la AS (
+      SELECT l_orderkey AS k, count(*) AS ca,
+             sum(CASE WHEN ('0x' || substr(md5(
+                       l_orderkey || '-' || l_linenumber), 1, 6))::BIGINT
+                       % 100 < 10
+                 THEN 1 ELSE 0 END) AS cs
+      FROM lineitem GROUP BY 1
+    ), rb AS (
+      SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1
+    ), totals AS (
+      SELECT sum(ca * cb) AS actual, sum(cs * cb) AS sampled
+      FROM la JOIN rb USING (k)
+    )
+    SELECT cast(actual AS BIGINT) AS actual_rows,
+           cast(sampled * 100 / 10 AS BIGINT) AS estimated_rows,
+           CASE WHEN actual > 0
+                THEN round(abs(sampled * 100.0 / 10 - actual)
+                           / cast(actual AS DOUBLE), 6)
+           END AS rel_err
+    FROM totals
+"""
+
+
+ORACLE_SQL["q201_sparse_cosine_pairs"] = """
+    WITH tf AS (
+      SELECT doc_id AS id, tok, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> concat_ws(' ', t[i], t[i+1],
+                                                  t[i+2]))
+               ELSE [array_to_string(t, ' ')] END) AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+      ) GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT count(*) AS n FROM documents
+    ), weighted AS (
+      SELECT id, t.tok,
+             cast(round(round(t.tf * (ln((nd.n + 1.0) / (d.df + 1.0))
+                                      + 1.0), 4) * 10000) AS BIGINT)
+               AS w
+      FROM tf t JOIN dfreq d ON t.tok = d.tok AND d.df <= 100
+      CROSS JOIN nd
+    ), norms AS (
+      SELECT id, sum(w * w) AS nn FROM weighted GROUP BY 1
+    ), dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+      FROM weighted a JOIN weighted b
+        ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(dot / (sqrt(cast(na.nn AS DOUBLE))
+                        * sqrt(cast(nb.nn AS DOUBLE))), 6) AS cos
+    FROM dots
+    JOIN norms na ON na.id = id_a
+    JOIN norms nb ON nb.id = id_b
+    WHERE na.nn > 0 AND nb.nn > 0
+      AND round(dot / (sqrt(cast(na.nn AS DOUBLE))
+                       * sqrt(cast(nb.nn AS DOUBLE))), 6) >= 0.3
 """
