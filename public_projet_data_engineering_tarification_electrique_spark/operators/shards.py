@@ -263,3 +263,90 @@ def zone_map_audit(
             ).alias("overlaps_predicate"),
         )
     )
+
+
+def consistent_hash_audit(
+    df: DataFrame, key_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Resharding-cost audit: when a shard is ADDED (n → n+1), what
+    fraction of keys move under modulo placement vs a consistent-hash
+    ring? (Mod moves ~n/(n+1) of ALL keys — a 100 TB re-layout; the
+    ring moves only the keys the new shard captures, ~1/(n+1).) The
+    table that justifies ring-based bucket layouts before the first
+    100 TB write.
+
+    Engine-exact: key and shard-point positions are 60-bit integers
+    from md5 prefixes (the repo's one id-hash rule); ring assignment is
+    "smallest point position ≥ key position, else wrap to the global
+    smallest" — pure integer comparisons, so both engines agree
+    bit-for-bit.
+
+    Plan shape: the shard-point tables are n+1 rows built IN-PLAN from
+    literals (md5 of 'shard-i' — constant-folded); keys cross-join the
+    broadcast points and one hash agg per scheme computes the argmin
+    via min(struct(pos, id)) — ≤ (n+1)·|keys| map-side rows, no
+    data-sized shuffle beyond the per-key agg. Output:
+    (scheme, n_keys, n_moved, moved_frac).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+
+    def _pos(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+
+    spark = df.sparkSession
+    keys = df.select(F.col(key_col).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    ).distinct().withColumn("_kh", _pos(F.col("_k")))
+
+    def ring_assign(n_points: int, out: str) -> DataFrame:
+        points = spark.range(n_points).select(
+            F.col("id").cast("int").alias("_sid"),
+            _pos(F.concat(F.lit("shard-"), F.col("id"))).alias("_ph"),
+        )
+        joined = keys.crossJoin(F.broadcast(points))
+        return joined.groupBy("_k").agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("_ph") >= F.col("_kh"),
+                        F.struct(F.col("_ph"), F.col("_sid")),
+                    )
+                )["_sid"],
+                F.min(F.struct(F.col("_ph"), F.col("_sid")))["_sid"],
+            ).alias(out)
+        )
+
+    ring = ring_assign(n_shards, "_r0").join(
+        ring_assign(n_shards + 1, "_r1"), on="_k"
+    )
+    ring_row = ring.agg(
+        F.lit("ring").alias("scheme"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("_r0") != F.col("_r1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+    mod_row = keys.agg(
+        F.lit("mod").alias("scheme"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(
+            F.when(
+                F.pmod(F.col("_kh"), F.lit(n_shards))
+                != F.pmod(F.col("_kh"), F.lit(n_shards + 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved"),
+    )
+    return ring_row.unionByName(mod_row).select(
+        "scheme",
+        "n_keys",
+        "n_moved",
+        F.round(F.col("n_moved") / F.col("n_keys").cast("double"), 6).alias(
+            "moved_frac"
+        ),
+    )

@@ -1491,3 +1491,51 @@ def knn_label_agreement(
             .alias("n_agree"),
         )
     )
+
+
+def dim_variance_ranking(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension variance ranking — the feature-selection table
+    read before PQ subspace splits or MRL truncation (a dimension with
+    ~zero variance carries no retrieval signal and is the first to cut;
+    cf. q182's truncation audit, which tests a PREFIX — this table says
+    whether a prefix is even the right cut).
+
+    Engine-exact variance: values snap to the integer 1/10⁴ grid, and
+    var = (n·Σx² − (Σx)²) / (n²·10⁸) keeps the numerator in EXACT long
+    arithmetic (Σx² ≤ n·10⁸, squares ≤ (n·10⁴)² — safe to ~30 M
+    vectors per long; shard the grid sums wider before that) with ONE
+    terminal division. Ranking ties break by dimension index.
+
+    Plan shape: posexplode → one (dim) hash agg (map-side partials
+    collapse each partition to ≤ dims rows) → one row_number window
+    over the ≤ dims aggregate. Output: (dim, n, variance, rank).
+    """
+    e = ensure_parallelism(embeddings).select(
+        F.posexplode(vec_col).alias("_dim", "_x")
+    ).select(
+        "_dim",
+        F.round(F.col("_x") * 10_000).cast("long").alias("_g"),
+    )
+    agg = e.groupBy("_dim").agg(
+        F.count("*").alias("_n"),
+        F.sum("_g").alias("_s"),
+        F.sum(F.col("_g") * F.col("_g")).alias("_ss"),
+    )
+    var = F.round(
+        (F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s"))
+        / (F.col("_n") * F.col("_n") * F.lit(1e8)),
+        6,
+    )
+    w = Window.orderBy(F.desc("variance"), F.asc("dim"))
+    return (
+        agg.select(
+            F.col("_dim").cast("int").alias("dim"),
+            F.col("_n").cast("long").alias("n"),
+            var.alias("variance"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -778,3 +778,57 @@ def char_trigram_profile(
             F.col("_rk").cast("int").alias("rank"),
         )
     )
+
+
+def zipf_slope(
+    docs: DataFrame, top_k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Zipf fit of the corpus token distribution: the OLS slope of
+    ln(freq) against ln(rank) over the top-``top_k`` tokens — natural
+    corpora sit near −1; a template-generated or boilerplate-flooded
+    corpus shows up immediately as a flat (near-0) or cliff-shaped
+    slope. The one-number "does this corpus look like language?" check.
+
+    Determinism: ranks come from the deterministic (freq desc, token
+    asc) top-k — an ``orderBy().limit()`` TakeOrderedAndProject, never
+    a global window over the vocabulary; the top-k rows (≤ top_k) then
+    rank in one bounded window. The OLS closed form runs over ≤ top_k
+    ln() terms with the +1e-9 nudge before the 4-dp round (the q08
+    idiom — libm last-ulp differences cannot cross the boundary).
+
+    Output: one row (n_terms, slope).
+    """
+    if top_k < 2:
+        raise ValueError(f"top_k must be >= 2, got {top_k}")
+    toks = docs.select(
+        F.explode(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+        ).alias("_tok")
+    )
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_f"))
+    top = freq.orderBy(F.desc("_f"), F.asc("_tok")).limit(top_k)
+    w = Window.orderBy(F.desc("_f"), F.asc("_tok"))
+    xy = top.withColumn("_rk", F.row_number().over(w)).select(
+        F.log(F.col("_rk").cast("double")).alias("_x"),
+        F.log(F.col("_f").cast("double")).alias("_y"),
+    )
+    agg = xy.agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    denom = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return agg.select(
+        F.col("_n").cast("long").alias("n_terms"),
+        F.when(
+            denom != 0,
+            F.round(
+                (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+                / denom
+                + F.lit(1e-9),
+                4,
+            ),
+        ).alias("slope"),
+    )

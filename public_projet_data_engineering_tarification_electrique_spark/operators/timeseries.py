@@ -88,3 +88,47 @@ def gap_fill_daily(
         F.last("obs", ignorenulls=True).over(fill).alias("v"),
         F.col("obs").isNull().alias("was_gap"),
     )
+
+
+def inter_event_gap_histogram(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Log2-binned inter-event gap distribution per user stream — the
+    table a session gap parameter is READ FROM (the bimodal valley
+    between within-session and between-session gaps is where the
+    1800 s of ``sessionize`` comes from; shipping a gap rule without
+    this table is guessing).
+
+    Bucket = length(bin(gap_s + 1)) — the integer ⌊log2⌋+1 on both
+    engines (gap 0 lands in bucket 1); no float log boundary.
+
+    Plan shape: one user-key window (lag over (ts, order) total order)
+    — the same single full-events shuffle every per-user operator here
+    pays — then one tiny hash agg on ≤ 64 buckets. Output:
+    (gap_bucket, n_gaps, min_gap_s, max_gap_s).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_us").asc(), F.col(order_col).asc()
+    )
+    gaps = (
+        events.select(
+            F.col(key_col),
+            us.alias("_us"),
+            F.col(order_col),
+        )
+        .withColumn("_prev", F.lag("_us").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.expr("(_us - _prev) div 1000000").alias("_gap_s")
+        )
+    )
+    bucket = F.length(F.bin(F.col("_gap_s") + 1)).cast("int")
+    return gaps.groupBy(bucket.alias("gap_bucket")).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("_gap_s").cast("long").alias("min_gap_s"),
+        F.max("_gap_s").cast("long").alias("max_gap_s"),
+    )

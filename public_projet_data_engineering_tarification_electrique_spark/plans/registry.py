@@ -5058,6 +5058,46 @@ def q201_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_cosine_pairs(docs, threshold=0.3, max_df=100)
 
 
+def q202_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost audit over distinct users: fraction of keys that
+    move when a 9th shard joins, modulo vs consistent-hash ring —
+    integer md5 ring positions, in-plan shard-point literals."""
+    from ..operators.shards import consistent_hash_audit
+
+    events = load_table(spark, sf_dir, "events")
+    return consistent_hash_audit(events, "user_id", n_shards=8)
+
+
+def q203_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned inter-event gap distribution per user — the table
+    the sessionize gap parameter (1800 s) is read from; one user-key
+    window + one ≤64-bucket agg."""
+    from ..operators.timeseries import inter_event_gap_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    return inter_event_gap_histogram(events)
+
+
+def q204_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding variance ranking (feature selection
+    before PQ/MRL cuts): integer 1/10⁴-grid sums, exact long numerator
+    n·Σx²−(Σx)², one terminal division."""
+    from ..operators.similarity import dim_variance_ranking
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_variance_ranking(emb)
+
+
+def q205_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit: OLS slope of ln(freq) vs ln(rank) over the top-100
+    tokens (TakeOrdered cut) — the 'does this corpus look like
+    language?' number; template corpora show a flat slope."""
+    from ..operators.textstats import zipf_slope
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_slope(docs, top_k=100)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8239,6 +8279,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q199_char_trigram_profile": q199_char_trigram_profile,
     "q200_join_cardinality": q200_join_cardinality,
     "q201_sparse_cosine_pairs": q201_sparse_cosine_pairs,
+    "q202_consistent_hash": q202_consistent_hash,
+    "q203_gap_histogram": q203_gap_histogram,
+    "q204_dim_variance": q204_dim_variance,
+    "q205_zipf_slope": q205_zipf_slope,
 }
 
 
@@ -9707,4 +9751,110 @@ ORACLE_SQL["q201_sparse_cosine_pairs"] = """
     WHERE na.nn > 0 AND nb.nn > 0
       AND round(dot / (sqrt(cast(na.nn AS DOUBLE))
                        * sqrt(cast(nb.nn AS DOUBLE))), 6) >= 0.3
+"""
+
+
+ORACLE_SQL["q202_consistent_hash"] = """
+    WITH kh AS (
+      SELECT k, ('0x' || substr(md5(cast(k AS VARCHAR)), 1, 15))::BIGINT
+               AS khash
+      FROM (SELECT DISTINCT user_id AS k FROM events
+            WHERE user_id IS NOT NULL)
+    ), p0 AS (
+      SELECT cast(i AS INTEGER) AS sid,
+             ('0x' || substr(md5('shard-' || i), 1, 15))::BIGINT AS ph
+      FROM range(8) t(i)
+    ), p1 AS (
+      SELECT cast(i AS INTEGER) AS sid,
+             ('0x' || substr(md5('shard-' || i), 1, 15))::BIGINT AS ph
+      FROM range(9) t(i)
+    ), r0 AS (
+      SELECT k, coalesce(
+               arg_min(sid, CASE WHEN ph >= khash THEN ph END),
+               arg_min(sid, ph)) AS s
+      FROM kh CROSS JOIN p0 GROUP BY k
+    ), r1 AS (
+      SELECT k, coalesce(
+               arg_min(sid, CASE WHEN ph >= khash THEN ph END),
+               arg_min(sid, ph)) AS s
+      FROM kh CROSS JOIN p1 GROUP BY k
+    ), ring AS (
+      SELECT 'ring' AS scheme, count(*) AS n_keys,
+             sum(CASE WHEN r0.s <> r1.s THEN 1 ELSE 0 END) AS n_moved
+      FROM r0 JOIN r1 USING (k)
+    ), m AS (
+      SELECT 'mod' AS scheme, count(*) AS n_keys,
+             sum(CASE WHEN khash % 8 <> khash % 9 THEN 1 ELSE 0 END)
+               AS n_moved
+      FROM kh
+    )
+    SELECT scheme, cast(n_keys AS BIGINT) AS n_keys,
+           cast(n_moved AS BIGINT) AS n_moved,
+           round(n_moved / cast(n_keys AS DOUBLE), 6) AS moved_frac
+    FROM (SELECT * FROM ring UNION ALL SELECT * FROM m)
+"""
+
+
+ORACLE_SQL["q203_gap_histogram"] = """
+    WITH gaps AS (
+      SELECT (epoch_us(ts)
+              - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id))
+             // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT cast(length(bin(gap_s + 1)) AS INTEGER) AS gap_bucket,
+           cast(count(*) AS BIGINT) AS n_gaps,
+           cast(min(gap_s) AS BIGINT) AS min_gap_s,
+           cast(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+"""
+
+
+ORACLE_SQL["q204_dim_variance"] = """
+    WITH e AS (
+      SELECT unnest(range(0, len(embedding))) AS dim,
+             cast(round(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS g
+      FROM embeddings
+    ), agg AS (
+      SELECT dim, count(*) AS n, sum(g) AS s, sum(g * g) AS ss
+      FROM e GROUP BY 1
+    ), scored AS (
+      SELECT dim, n,
+             round((n * ss - s * s) / (n * n * 1e8), 6) AS variance
+      FROM agg
+    )
+    SELECT cast(dim AS INTEGER) AS dim, cast(n AS BIGINT) AS n, variance,
+           cast(row_number() OVER (ORDER BY variance DESC, dim ASC)
+                AS INTEGER) AS rank
+    FROM scored
+"""
+
+
+ORACLE_SQL["q205_zipf_slope"] = """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS f FROM toks GROUP BY 1
+    ), top AS (
+      SELECT tok, f FROM freq ORDER BY f DESC, tok ASC LIMIT 100
+    ), xy AS (
+      SELECT ln(cast(row_number() OVER (ORDER BY f DESC, tok ASC)
+                     AS DOUBLE)) AS x,
+             ln(cast(f AS DOUBLE)) AS y
+      FROM top
+    ), agg AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy
+    )
+    SELECT cast(n AS BIGINT) AS n_terms,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                           + 1e-9, 4)
+           END AS slope
+    FROM agg
 """
