@@ -1539,3 +1539,67 @@ def dim_variance_ranking(
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def embedding_norm_audit(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mad_k: int = 5,
+) -> DataFrame:
+    """Embedding-norm health audit: the norm distribution's robust
+    summary plus the outlier ids — zero-norm, near-zero, and exploding
+    vectors are the classic symptoms of an encoder bug or a bad batch,
+    and they poison cosine indexes silently (a zero norm is undefined;
+    a 100× norm dominates any dot-product ranking it touches).
+
+    Norms snap to the integer 1/10⁴ grid; median and MAD are exact
+    percentiles OVER THE GRID (integer values, so both engines'
+    discrete medians agree — no interpolation float); a vector is an
+    outlier when |norm − median| > ``mad_k``·MAD, all in integer
+    arithmetic. Output rows: one '_summary' row (kind, n, median and
+    MAD in grid units) and one row per outlier
+    (kind='outlier', vec_id, norm_e4).
+
+    Plan shape: one projection computes each norm (map-side fold);
+    the exact grid median/MAD are two percentile aggs over the norm
+    table (one long per vector — at billions of vectors swap in
+    ``approx_percentile`` with a grid-sized accuracy, which is exact
+    ON the grid once its error is below one grid step; the exact agg
+    here is the oracle for that swap); outlier selection broadcasts
+    the two scalars back over the norm table. Output columns:
+    (kind, vec_id, norm_e4, n, median_e4, mad_e4).
+    """
+    norms = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("_id"),
+        F.round(l2_norm(F.col(vec_col)) * 10_000).cast("long").alias("_ne4"),
+    )
+    med = norms.agg(
+        F.expr("percentile(_ne4, 0.5)").alias("_med")
+    ).select(F.round(F.col("_med")).cast("long").alias("_med"))
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "_id", "_ne4", "_med", F.abs(F.col("_ne4") - F.col("_med")).alias("_ad")
+    )
+    mad = dev.agg(F.expr("percentile(_ad, 0.5)").alias("_mad")).select(
+        F.round(F.col("_mad")).cast("long").alias("_mad")
+    )
+    flagged = dev.crossJoin(F.broadcast(mad))
+    outliers = flagged.filter(
+        F.col("_ad") > F.lit(int(mad_k)) * F.col("_mad")
+    ).select(
+        F.lit("outlier").alias("kind"),
+        F.col("_id").cast("long").alias("vec_id"),
+        F.col("_ne4").alias("norm_e4"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("_med").alias("median_e4"),
+        F.col("_mad").alias("mad_e4"),
+    )
+    summary = flagged.agg(
+        F.lit("_summary").alias("kind"),
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("long").alias("norm_e4"),
+        F.count("*").cast("long").alias("n"),
+        F.max("_med").alias("median_e4"),
+        F.max("_mad").alias("mad_e4"),
+    )
+    return summary.unionByName(outliers)

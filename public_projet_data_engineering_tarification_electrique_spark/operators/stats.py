@@ -238,3 +238,70 @@ def cohens_kappa(
             ),
         ).alias("kappa"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two groups' [0, 1] score
+    distributions — the ML-ops drift number (rule of thumb: < 0.1
+    stable, > 0.25 act) that complements ``ks_distance``: KS is the
+    worst POINT gap, PSI integrates the whole reshape.
+
+    PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b), with add-one-smoothed bin
+    counts so an empty bin on one side stays finite. Bin ids come from
+    the integer 1/10⁴-grid snap and integer `div` (the q188 rule — a
+    double cast would round in DuckDB but truncate in Spark); counts
+    are exact integers; each bin contributes ONE ln and one product,
+    summed over ≤ n_bins terms and rounded to 6 dp with the +1e-9
+    nudge.
+
+    Plan shape: one (bin, group) hash agg (map-side combined) → an
+    n_bins-row reshape → a 1-row fold. Output: one row
+    (n_a, n_b, psi).
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    base = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.least(
+            F.expr(
+                f"cast(round({value_col} * 10000) as bigint)"
+                f" * {int(n_bins)} div 10000"
+            ),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("_bin"),
+        (F.col(group_col) == group_a).alias("_is_a"),
+    )
+    cells = base.groupBy("_bin").agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("_cb"),
+    )
+    totals = cells.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    terms = cells.crossJoin(F.broadcast(totals)).select(
+        "_na",
+        "_nb",
+        (
+            (
+                (F.col("_ca") + 1.0) / (F.col("_na") + F.lit(float(n_bins)))
+                - (F.col("_cb") + 1.0) / (F.col("_nb") + F.lit(float(n_bins)))
+            )
+            * F.log(
+                (F.col("_ca") + 1.0)
+                / (F.col("_na") + F.lit(float(n_bins)))
+                * (F.col("_nb") + F.lit(float(n_bins)))
+                / (F.col("_cb") + 1.0)
+            )
+        ).alias("_term"),
+    )
+    return terms.groupBy().agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.round(F.sum("_term") + F.lit(1e-9), 6).alias("psi"),
+    )

@@ -832,3 +832,80 @@ def zipf_slope(
             ),
         ).alias("slope"),
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 5,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice distinctive terms: tokens whose in-slice rate most
+    exceeds their corpus rate (smoothed log-ratio) — the "what makes
+    source A different" table read when deciding mixture weights or
+    spotting a contaminated crawl (one slice suddenly distinctive for
+    'click', 'subscribe' → boilerplate inflow).
+
+    Score = ln( (c_s + 1)/(n_s + V) · (n + V)/(c + 1) ) — add-one
+    smoothed in-slice rate over corpus rate, so zero-elsewhere tokens
+    don't divide by zero and the score is defined for every (slice,
+    token). Integer counts throughout; ONE ln per row, rounded to 4 dp
+    with the +1e-9 nudge before the per-slice top-k
+    (score desc, token asc).
+
+    Plan shape: one (slice, token) hash agg feeds both the corpus
+    totals (re-agg of the slice table — vocabulary-sized, never a
+    second corpus scan) and the scores; corpus totals broadcast back;
+    top-k is a per-slice row_number over the slice's vocabulary.
+    Output: (slice, token, n_in_slice, score, rank).
+    """
+    toks = docs.select(
+        F.col(by).alias("_g"),
+        F.explode(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+        ).alias("_tok"),
+    )
+    slice_counts = toks.groupBy("_g", "_tok").agg(
+        F.count("*").alias("_c")
+    )
+    corpus_counts = slice_counts.groupBy("_tok").agg(
+        F.sum("_c").alias("_ct")
+    )
+    slice_totals = slice_counts.groupBy("_g").agg(
+        F.sum("_c").alias("_ns")
+    )
+    vocab = corpus_counts.agg(
+        F.count("*").alias("_v"), F.sum("_ct").alias("_n")
+    )
+    scored = (
+        slice_counts.join(F.broadcast(corpus_counts), on="_tok")
+        .join(F.broadcast(slice_totals), on="_g")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_g",
+            "_tok",
+            "_c",
+            F.round(
+                F.log(
+                    (F.col("_c") + 1.0)
+                    / (F.col("_ns") + F.col("_v"))
+                    * (F.col("_n") + F.col("_v"))
+                    / (F.col("_ct") + 1.0)
+                )
+                + F.lit(1e-9),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy(F.desc("score"), F.asc("_tok"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_g").alias(by),
+            F.col("_tok").alias("token"),
+            F.col("_c").cast("long").alias("n_in_slice"),
+            "score",
+            F.col("_rk").cast("int").alias("rank"),
+        )
+    )

@@ -5098,6 +5098,43 @@ def q205_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(docs, top_k=100)
 
 
+def q206_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive terms: add-one-smoothed log-ratio of
+    in-slice vs corpus token rate, top-5 per source — the mixture-
+    weighting / contamination-spotting table."""
+    from ..operators.textstats import distinctive_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distinctive_terms(docs, k=5, by="source")
+
+
+def q207_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between click and view value-score
+    distributions: integer-grid bins (q188 rule), add-one smoothing,
+    one ln per bin — the drift number next to q176's KS."""
+    from ..operators.stats import psi_drift
+
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        F.least(
+            F.greatest(F.col("value") / 100.0, F.lit(0.0)), F.lit(1.0)
+        ).alias("score"),
+        F.col("event_type").alias("grp"),
+    )
+    return psi_drift(scored, "score", "grp", "click", "view", n_bins=10)
+
+
+def q208_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm health audit: exact grid median/MAD + outlier ids
+    (|norm − med| > 5·MAD) — the pre-indexing check for zero/exploding
+    vectors; exact percentiles are the documented oracle for the
+    approx_percentile swap at billions of vectors."""
+    from ..operators.similarity import embedding_norm_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_norm_audit(emb, mad_k=5)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8283,6 +8320,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q203_gap_histogram": q203_gap_histogram,
     "q204_dim_variance": q204_dim_variance,
     "q205_zipf_slope": q205_zipf_slope,
+    "q206_distinctive_terms": q206_distinctive_terms,
+    "q207_psi_drift": q207_psi_drift,
+    "q208_norm_audit": q208_norm_audit,
 }
 
 
@@ -9857,4 +9897,91 @@ ORACLE_SQL["q205_zipf_slope"] = """
                            + 1e-9, 4)
            END AS slope
     FROM agg
+"""
+
+
+ORACLE_SQL["q206_distinctive_terms"] = """
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), sc AS (
+      SELECT g, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ), cc AS (
+      SELECT tok, sum(c) AS ct FROM sc GROUP BY 1
+    ), st AS (
+      SELECT g, sum(c) AS ns FROM sc GROUP BY 1
+    ), v AS (
+      SELECT count(*) AS v, sum(ct) AS n FROM cc
+    ), scored AS (
+      SELECT g, tok, c,
+             round(ln((c + 1.0) / (ns + v) * (n + v) / (ct + 1.0))
+                   + 1e-9, 4) AS score
+      FROM sc JOIN cc USING (tok) JOIN st USING (g) CROSS JOIN v
+    ), ranked AS (
+      SELECT g, tok, c, score,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY score DESC, tok ASC) AS rk
+      FROM scored
+    )
+    SELECT g AS source, tok AS token, cast(c AS BIGINT) AS n_in_slice,
+           score, cast(rk AS INTEGER) AS rank
+    FROM ranked WHERE rk <= 5
+"""
+
+
+ORACLE_SQL["q207_psi_drift"] = """
+    WITH base AS (
+      SELECT least(cast(round(least(greatest(value / 100.0, 0.0), 1.0)
+                              * 10000) AS BIGINT) * 10 // 10000,
+                   9) AS bin,
+             (event_type = 'click') AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ), cells AS (
+      SELECT bin,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+      FROM base GROUP BY 1
+    ), totals AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb FROM cells
+    ), terms AS (
+      SELECT na, nb,
+             ((ca + 1.0) / (na + 10.0) - (cb + 1.0) / (nb + 10.0))
+               * ln((ca + 1.0) / (na + 10.0)
+                    * (nb + 10.0) / (cb + 1.0)) AS term
+      FROM cells CROSS JOIN totals
+    )
+    SELECT cast(max(na) AS BIGINT) AS n_a,
+           cast(max(nb) AS BIGINT) AS n_b,
+           round(sum(term) + 1e-9, 6) AS psi
+    FROM terms
+"""
+
+
+ORACLE_SQL["q208_norm_audit"] = """
+    WITH norms AS (
+      SELECT vec_id AS id,
+             cast(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * 10000) AS BIGINT) AS ne4
+      FROM embeddings
+    ), med AS (
+      SELECT cast(round(median(ne4)) AS BIGINT) AS m FROM norms
+    ), dev AS (
+      SELECT id, ne4, m, abs(ne4 - m) AS ad FROM norms CROSS JOIN med
+    ), mad AS (
+      SELECT cast(round(median(ad)) AS BIGINT) AS md FROM dev
+    ), fl AS (
+      SELECT * FROM dev CROSS JOIN mad
+    )
+    SELECT '_summary' AS kind, cast(NULL AS BIGINT) AS vec_id,
+           cast(NULL AS BIGINT) AS norm_e4,
+           cast(count(*) AS BIGINT) AS n,
+           max(m) AS median_e4, max(md) AS mad_e4
+    FROM fl
+    UNION ALL
+    SELECT 'outlier', id, ne4, cast(NULL AS BIGINT), m, md
+    FROM fl WHERE ad > 5 * md
 """
