@@ -156,7 +156,17 @@ def calibration_bins(
     """
     if n_bins <= 0:
         raise ValueError(f"n_bins must be positive, got {n_bins}")
-    grid = F.round(F.col(score_col) * 10_000).cast("long")
+    # clamp the grid into [0, 10000] BEFORE the integer division: for a
+    # (contract-violating) negative score, Spark `div` truncates toward
+    # zero while DuckDB `//` floors — clamping makes the operator total
+    # and keeps the two engines' bin ids identical for any input.
+    grid = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(10_000).cast("long"),
+            F.round(F.col(score_col) * 10_000).cast("long"),
+        ),
+    )
     snapped = df.select(
         grid.alias("_g"),
         F.when(F.col(outcome_col), 1).otherwise(0).alias("_y"),
@@ -267,10 +277,14 @@ def psi_drift(
     """
     if n_bins <= 0:
         raise ValueError(f"n_bins must be positive, got {n_bins}")
+    # same clamp-before-div rule as calibration_bins: keeps Spark `div`
+    # (truncates) and DuckDB `//` (floors) identical even for
+    # contract-violating out-of-range scores
     base = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         F.least(
             F.expr(
-                f"cast(round({value_col} * 10000) as bigint)"
+                f"greatest(0L, least(10000L,"
+                f" cast(round({value_col} * 10000) as bigint)))"
                 f" * {int(n_bins)} div 10000"
             ),
             F.lit(n_bins - 1).cast("long"),

@@ -75,3 +75,12 @@ def test_norm_audit_uniform_norms_no_outliers(spark):
     out = embedding_norm_audit(df).collect()
     assert len(out) == 1 and out[0]["kind"] == "_summary"
     assert out[0]["median_e4"] == 50_000 and out[0]["mad_e4"] == 0
+
+
+def test_psi_out_of_range_scores_clamp(spark):
+    # contract-violating scores clamp into the edge bins instead of
+    # producing engine-dependent negative bin ids
+    rows = [(-0.5, "a"), (1.7, "a"), (0.5, "b")]
+    df = spark.createDataFrame(rows, ["score", "grp"])
+    r = psi_drift(df, "score", "grp", "a", "b").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 1

@@ -95,3 +95,16 @@ def test_calibration_bins_rejects_bad_bins(spark):
     df = spark.createDataFrame([(0.5, True)], ["score", "outcome"])
     with pytest.raises(ValueError, match="positive"):
         calibration_bins(df, n_bins=0)
+
+
+def test_calibration_bins_out_of_range_clamps(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        calibration_bins,
+    )
+
+    rows = [(-0.3, True), (2.5, False)]
+    df = spark.createDataFrame(rows, ["score", "outcome"])
+    out = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["mean_score"] == 0.0  # clamped to the grid floor
+    assert out[9]["mean_score"] == 1.0  # clamped to the grid ceiling
