@@ -412,3 +412,39 @@ def event_prefix_paths(
     return assembled.groupBy("path").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+def session_duration_histogram(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Log2-binned session-duration distribution — the downstream twin
+    of q203's gap histogram: gaps tune the session RULE, durations
+    audit its OUTPUT (a spike of marathon sessions means the gap is
+    too wide / a bot slipped through; a mass at zero means most
+    "sessions" are single events and the gap is too tight).
+
+    Bucket = length(bin(duration_s + 1)) — the engine-exact integer
+    ⌊log2⌋+1 (duration 0 = single-event sessions land in bucket 1).
+
+    Plan shape: reuses ``sessionize``'s one user-key window + session
+    rollup (the session table is bounded by sessions, not events),
+    then one ≤64-bucket hash agg. Output:
+    (duration_bucket, n_sessions, min_s, max_s).
+    """
+    sessions = sessionize(
+        events,
+        gap_seconds=gap_seconds,
+        user_col=user_col,
+        ts_col=ts_col,
+        id_col=id_col,
+    ).select((F.col("end_s") - F.col("start_s")).alias("_dur"))
+    bucket = F.length(F.bin(F.col("_dur") + 1)).cast("int")
+    return sessions.groupBy(bucket.alias("duration_bucket")).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.min("_dur").cast("long").alias("min_s"),
+        F.max("_dur").cast("long").alias("max_s"),
+    )

@@ -5135,6 +5135,21 @@ def q208_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_audit(emb, mad_k=5)
 
 
+def q209_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned session-duration distribution (30-min gap rule) —
+    q203's gap histogram tunes the rule, this audits its output;
+    reuses the q22 sessionizer, one ≤64-bucket agg on top."""
+    from ..operators.sessions import session_duration_histogram
+
+    events = load_table(spark, sf_dir, "events", raw=True).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr("ts DIV 1000000000").alias("ts_s"),
+    )
+    return session_duration_histogram(events, gap_seconds=1800)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8323,6 +8338,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q206_distinctive_terms": q206_distinctive_terms,
     "q207_psi_drift": q207_psi_drift,
     "q208_norm_audit": q208_norm_audit,
+    "q209_session_durations": q209_session_durations,
 }
 
 
@@ -9984,4 +10000,31 @@ ORACLE_SQL["q208_norm_audit"] = """
     UNION ALL
     SELECT 'outlier', id, ne4, cast(NULL AS BIGINT), m, md
     FROM fl WHERE ad > 5 * md
+"""
+
+
+ORACLE_SQL["q209_session_durations"] = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                       OR ts_s - lag(ts_s) OVER w > 1800
+                  THEN 1 ELSE 0 END AS b
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), sess AS (
+      SELECT user_id, ts_s,
+             sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), durs AS (
+      SELECT max(ts_s) - min(ts_s) AS dur
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT cast(length(bin(dur + 1)) AS INTEGER) AS duration_bucket,
+           cast(count(*) AS BIGINT) AS n_sessions,
+           cast(min(dur) AS BIGINT) AS min_s,
+           cast(max(dur) AS BIGINT) AS max_s
+    FROM durs GROUP BY 1
 """

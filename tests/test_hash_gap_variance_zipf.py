@@ -79,3 +79,24 @@ def test_zipf_slope_rejects_bad_k(spark):
     df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="top_k"):
         zipf_slope(df, top_k=1)
+
+
+def test_session_duration_histogram_buckets(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sessions import (
+        session_duration_histogram,
+    )
+
+    # user 1: one 62s session (events 0s apart then 62s within gap) and
+    # one single-event session (duration 0); 2000s gap splits them
+    rows = [
+        (1, 1, 0.0, 1000),
+        (2, 1, 0.0, 1062),
+        (3, 1, 0.0, 5000),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value", "ts_s"])
+    out = {r["duration_bucket"]: r for r in
+           session_duration_histogram(df, gap_seconds=1800).collect()}
+    # 62s session -> bin(63) len 6; 0s session -> bin(1) len 1
+    assert set(out) == {1, 6}
+    assert out[6]["max_s"] == 62
+    assert out[1]["n_sessions"] == 1
