@@ -150,3 +150,65 @@ def join_cardinality_audit(
             ),
         ).alias("rel_err"),
     )
+
+
+#: One partitioned materialization per (sf_dir) per process — the
+#: write is setup, not the measured query; re-running the query (bench
+#: loops, parity gates) must not rewrite the fact table every call.
+_DPP_FACT_CACHE: dict[str, str] = {}
+
+
+def partition_pruned_revenue(spark, sf_dir: str) -> DataFrame:
+    """Dynamic-partition-pruning audit: lineitem materialized
+    partitioned by ship YEAR, then joined to a dimension of years
+    derived from the data (orders ordered in 1997+) — the join's
+    partition filter is only knowable at RUNTIME, which is exactly the
+    case static pruning cannot help and Spark's DPP
+    (`spark.sql.optimizer.dynamicPartitionPruning`, on by default)
+    exists for: the dim side is broadcast first and its year set is
+    pushed into the fact scan as a partition filter, so the scan reads
+    ONLY the surviving year directories.
+
+    At 100 TB the fact table is date-partitioned as a matter of course
+    and virtually every BI join is this shape; without DPP the scan
+    reads every partition and the join discards 80% of it. The plan is
+    asserted in tests (`dynamicpruning#` subquery in the fact scan's
+    PartitionFilters) — this query exists so the engine's
+    partitioned-layout + runtime-pruning path has a value-gated,
+    plan-audited exemplar.
+
+    Output: (ship_year, n_items, revenue) for the dim-surviving years.
+    """
+    from ..sources.tables import load_table
+
+    fact_path = _DPP_FACT_CACHE.get(sf_dir)
+    if fact_path is None:
+        from .util import scratch_dir
+
+        fact_path = scratch_dir("dpp_fact_")
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .withColumn("ship_year", F.year("l_shipdate"))
+            .write.mode("overwrite")
+            .partitionBy("ship_year")
+            .parquet(fact_path)
+        )
+        _DPP_FACT_CACHE[sf_dir] = fact_path
+    fact = spark.read.parquet(fact_path)
+    years = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("ship_year"))
+        .filter(F.col("ship_year") >= 1997)
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(years), on="ship_year")
+        .groupBy("ship_year")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )

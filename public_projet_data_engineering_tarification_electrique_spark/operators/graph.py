@@ -159,3 +159,85 @@ def degree_histogram(
         F.max("_d").cast("long").alias("max_degree"),
         F.count("*").cast("long").alias("n_nodes"),
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 2,
+    id_col: str = "id",
+    label_col: str = "label",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Semi-supervised label propagation with clamped seeds (the
+    classic Zhu–Ghahramani iteration, majority-vote variant): nodes
+    whose ``label_col`` is non-NULL are seeds and never change; each
+    synchronous round, every still-unlabeled node adopts the majority
+    label among its already-labeled neighbors (tie → lowest label, so
+    the update is a total deterministic function of the graph).
+
+    This is the cheap way to extend a small set of human labels
+    (quality ratings, topic tags) over a 100 TB corpus: the expensive
+    part — the kNN graph — is already built (``knn_graph``), and each
+    propagation round is ONE equi-join of the k-bounded edge list
+    against the current assignment plus one (node, label) hash agg —
+    O(m) per round, map-side combined, no all-pairs anything. The
+    frontier is monotone (labeled stays labeled), so `rounds` bounds
+    both cost and the propagation radius; assignments are
+    localCheckpoint'd per round to keep the plan from growing
+    superlinearly with rounds (same discipline as
+    ``dedup.connected_components``).
+
+    Output: (id, label, round) — round 0 = seed, r ≥ 1 = assigned in
+    round r; nodes never reached are absent (callers LEFT-join to
+    count them).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    assign = (
+        nodes.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label"),
+            F.lit(0).cast("int").alias("round"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    unlabeled = nodes.filter(F.col(label_col).isNull()).select(
+        F.col(id_col).alias("id")
+    )
+    adj = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    for r in range(1, rounds + 1):
+        votes = (
+            adj.join(unlabeled, adj["_s"] == unlabeled["id"], "leftsemi")
+            .join(
+                assign.select(
+                    F.col("id").alias("_d"), F.col("label").alias("_lab")
+                ),
+                on="_d",
+            )
+            .groupBy("_s", "_lab")
+            .agg(F.count("*").alias("_n"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_s").orderBy(
+            F.desc("_n"), F.asc("_lab")
+        )
+        picked = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                F.col("_s").alias("id"),
+                F.col("_lab").alias("label"),
+                F.lit(r).cast("int").alias("round"),
+            )
+        )
+        assign = assign.unionByName(picked).localCheckpoint(eager=True)
+        unlabeled = unlabeled.join(
+            picked.select("id"), on="id", how="left_anti"
+        )
+    return assign

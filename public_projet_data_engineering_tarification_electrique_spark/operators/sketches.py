@@ -328,3 +328,168 @@ def bitmap_distinct_daily(
     return per_bucket.groupBy("date").agg(
         F.sum(F.expr("bitmap_count(_bm)")).cast("long").alias("n_distinct")
     )
+
+
+#: Source-similarity MinHash parameters (shared by the Spark plan and
+#: the DuckDB twin below — one definition site).
+_MH_HASHES = 16
+_MH_HEX = 15  # 60-bit hash values: collision-free in practice, BIGINT-safe
+
+
+def source_minhash_similarity(
+    docs: DataFrame,
+    k: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-grain MinHash: one 16-slot signature PER SOURCE over its
+    distinct word-k-gram shingles, pairwise signature agreement as the
+    Jaccard estimate, with the exact Jaccard alongside as the audit
+    column.
+
+    This is the sketch at a different grain than document dedup: "how
+    much do two crawl snapshots / two vendors / two dumps overlap?" is
+    a pre-purchase / pre-mixing question asked of whole corpora. The
+    signature is a MERGEABLE aggregate (min per (source, seed)) — at
+    100 TB each ingestion batch computes its own 16 mins map-side, and
+    corpus signatures are a `min` over batch signatures, never a
+    re-scan; the pairwise comparison touches |sources|² signatures of
+    16 longs, independent of corpus size. The exact-Jaccard column is
+    the sf-scale audit that would be DROPPED at 100 TB (it joins the
+    distinct-shingle sets); the estimate column is the product.
+
+    Hash j of shingle s = first 15 hex chars of md5(j || ':' || s) as
+    a 60-bit BIGINT — the repo-wide portable hash, so DuckDB computes
+    the identical signature, match count, and estimates.
+
+    Output: (src_a, src_b, sig_matches, est_jaccard, exact_jaccard)
+    for every unordered source pair, both estimates 4 dp.
+    """
+    from ..functions.text import word_shingles
+    from .util import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeded = sh.select(
+        "g",
+        "sh",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_MH_HASHES)])
+        ).alias("seed"),
+    )
+    hval = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))),
+            1,
+            _MH_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sig = seeded.select("g", "seed", hval.alias("h")).groupBy(
+        "g", "seed"
+    ).agg(F.min("h").alias("mh"))
+    a = sig.select(
+        F.col("g").alias("src_a"), "seed", F.col("mh").alias("mh_a")
+    )
+    b = sig.select(
+        F.col("g").alias("src_b"), "seed", F.col("mh").alias("mh_b")
+    )
+    matches = (
+        a.join(b, on="seed")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                (F.col("mh_a") == F.col("mh_b")).cast("long")
+            ).alias("sig_matches")
+        )
+    )
+    sizes = sh.groupBy("g").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("g").alias("src_a"), "sh")
+        .join(sh.select(F.col("g").alias("src_b"), "sh"), on="sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        matches.join(inter, on=["src_a", "src_b"], how="left")
+        .join(
+            sizes.select(F.col("g").alias("src_a"), F.col("n").alias("na")),
+            on="src_a",
+        )
+        .join(
+            sizes.select(F.col("g").alias("src_b"), F.col("n").alias("nb")),
+            on="src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("sig_matches").cast("int").alias("sig_matches"),
+            F.round(F.col("sig_matches") / float(_MH_HASHES), 4).alias(
+                "est_jaccard"
+            ),
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+def source_minhash_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    """DuckDB twin of source_minhash_similarity — identical shingles,
+    seeds, 60-bit md5 hashes, min-signatures, and divisions."""
+    return f"""
+        WITH toks AS (
+          SELECT source AS g, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT g, unnest(
+            CASE WHEN len(t) >= {k}
+                 THEN list_transform(range(1, len(t) - {k - 2}),
+                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END) AS sh
+          FROM toks
+        ), seeded AS (
+          SELECT g, sh, unnest(range({_MH_HASHES})) AS seed FROM sh
+        ), sig AS (
+          SELECT g, seed,
+                 min(('0x' || substr(md5(seed::VARCHAR || ':' || sh),
+                                     1, {_MH_HEX}))::BIGINT) AS mh
+          FROM seeded GROUP BY 1, 2
+        ), matches AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 cast(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INT)
+                   AS sig_matches
+          FROM sig a JOIN sig b ON a.seed = b.seed AND a.g < b.g
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT g, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 cast(count(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g
+          GROUP BY 1, 2
+        )
+        SELECT m.src_a, m.src_b, m.sig_matches,
+               round(m.sig_matches / {float(_MH_HASHES)!r}, 4) AS est_jaccard,
+               round(coalesce(i.inter, 0) * 1.0
+                     / (sa.n + sb.n - coalesce(i.inter, 0)), 4)
+                 AS exact_jaccard
+        FROM matches m
+        LEFT JOIN inter i ON m.src_a = i.src_a AND m.src_b = i.src_b
+        JOIN sizes sa ON m.src_a = sa.g
+        JOIN sizes sb ON m.src_b = sb.g
+    """

@@ -22,7 +22,7 @@ run_date 2024-01-30, trailing window 30 d, α years 1999→2000.
 from __future__ import annotations
 
 import functools
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563)
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,7 +34,7 @@ from ..operators.forecast import ols_forecast
 from ..operators.ingest import bootstrap_annual_pipeline, daily_downsample
 from ..operators.pricing import score_requests
 from ..operators.util import scratch_dir
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_views
 
 RUN_DATE = "2024-01-30"
 ALPHA_YEAR = 1999
@@ -5150,6 +5150,154 @@ def q209_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_duration_histogram(events, gap_seconds=1800)
 
 
+def q210_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-n-gram linear quality scorer (CCNet/DCLM
+    quality-gate shape): unigram+bigram features hashed into a 1024-
+    bucket weight table, per-doc integer score summed INSIDE codegen
+    (split → zip_with → aggregate; no UDF, no feature explode), per-
+    source keep-rate + mean score. The entire scorer is a stateless
+    per-row expression — at 100 TB it runs inside the parquet scan
+    with zero shuffle before the per-source rollup."""
+    from ..operators.classifier import hashed_ngram_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_ngram_scores(docs, by="source")
+
+
+def q211_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (clamped seeds, majority
+    vote, 2 synchronous rounds) over the mutual-kNN graph: seeds =
+    the 30% of vectors with vec_id % 10 < 3, everything else
+    unlabeled — the cheap way to extend sparse human labels over a
+    corpus once the kNN graph exists. Each round is one equi-join of
+    the k-bounded edge list + one (node, label) agg; assignments are
+    localCheckpoint'd per round (connected-components discipline).
+    Output: per final label (−1 = never reached), node counts by the
+    round they were labeled in."""
+    from ..operators.graph import label_propagation
+    from ..operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vectors import l2_norm
+
+    nodes = (
+        emb.filter(l2_norm(F.col("embedding")) > 0)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.when(F.col("vec_id") % 10 < 3, F.col("label")).alias("label"),
+        )
+    )
+    edges = knn_graph(emb, k=5).filter(F.col("mutual")).select("src", "dst")
+    assign = label_propagation(nodes, edges, rounds=2)
+    tagged = nodes.select("id").join(assign, on="id", how="left")
+    by_round = lambda r: F.sum(  # noqa: E731
+        F.when(F.col("round") == r, 1).otherwise(0)
+    ).cast("long")
+    return tagged.groupBy(
+        F.coalesce(F.col("label"), F.lit(-1)).cast("int").alias("label")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        by_round(0).alias("n_seed"),
+        by_round(1).alias("n_round1"),
+        by_round(2).alias("n_round2"),
+    )
+
+
+def q212_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a year-partitioned lineitem
+    materialization joined to a data-derived year dimension — the scan
+    reads ONLY surviving year directories (DPP subquery asserted in
+    tests/PLANS.md). The partitioned-fact + runtime-pruned-join path
+    every date-partitioned 100 TB warehouse lives on."""
+    from ..operators.audit import partition_pruned_revenue
+
+    return partition_pruned_revenue(spark, sf_dir)
+
+
+def q213_source_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grain MinHash: a 16-slot signature per SOURCE over its
+    distinct 3-gram shingles, pairwise signature agreement as the
+    overlap estimate (exact Jaccard alongside as the sf-scale audit
+    column that would be dropped at 100 TB). The signature is a
+    mergeable min-aggregate — batch signatures combine with `min`,
+    never a re-scan; the pair comparison touches |sources|²·16 longs,
+    independent of corpus size."""
+    from ..operators.sketches import source_minhash_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_minhash_similarity(docs, k=3)
+
+
+def q214_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 `transformWithStateInPandas` (StatefulProcessor +
+    ValueState, RocksDB state store): running per-user event count +
+    exact-grid value total, emitted every micro-batch, collapsed to
+    final totals (monotone, so max over the emitted log is exact
+    regardless of batch slicing). Where the TWS Python runtime cannot
+    start (no `google.protobuf` in this container), the SAME state
+    semantics bind through applyInPandasWithState — the value gate
+    checks the semantics, the API choice is environment-probed
+    (streaming/stateful.py:tws_available)."""
+    from ..streaming.stateful import running_user_totals
+
+    return running_user_totals(spark, f"{sf_dir}/events.parquet")
+
+
+def q215_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operator chaining, SIGMOD'24
+    'Pipe Syntax in SQL' shape): orders ⋈ customer filtered to one
+    segment, aggregated per priority — same Catalyst plan as the
+    equivalent nested SQL (the syntax is sugar; pushdown/broadcast
+    decisions are unchanged, which is the point: new surface, zero
+    new execution risk)."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        FROM orders
+        |> JOIN customer ON o_custkey = c_custkey
+        |> WHERE c_mktsegment = 'BUILDING'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+def q216_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series Pandas UDF — the remaining UDF flavor (q90
+    scalar, U1 grouped-map, q120 cogrouped, q20 mapInPandas, q133
+    mapInArrow, q46 UDTF, q28/q214 stateful): the 'model table' (a
+    100-entry integer weight LUT) is built ONCE per partition stream,
+    then every Arrow batch indexes it — the load-once-score-many
+    pattern GPU/tokenizer inference needs, demonstrated with exact
+    integer arithmetic so the oracle gate is bit-level. Partial
+    aggregation runs after the UDF on the scan partitions; the
+    exchange carries per-type integer partials only."""
+    import numpy as np
+
+    lut_mult, lut_mod, lut_bias = 2654435761, 2048, 1024
+
+    # annotation names must resolve in the MODULE globals (pandas_udf
+    # evaluates the PEP-563 strings there) — hence the top-level
+    # Iterator import, not a local alias.
+    @F.pandas_udf("long")
+    def _lut_weight(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        lut = (
+            np.arange(100, dtype=np.int64) * lut_mult
+        ) % lut_mod - lut_bias  # "model load": once per stream
+        for v in it:
+            idx = np.floor(
+                np.clip(v.fillna(0.0).to_numpy(dtype=np.float64), 0.0, 99.0)
+            ).astype(np.int64)
+            yield pd.Series(lut[idx])
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_lut_weight("value")).alias("weight_sum"),
+    )
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8339,6 +8487,13 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_psi_drift": q207_psi_drift,
     "q208_norm_audit": q208_norm_audit,
     "q209_session_durations": q209_session_durations,
+    "q210_hashed_classifier": q210_hashed_classifier,
+    "q211_label_propagation": q211_label_propagation,
+    "q212_dpp_prune": q212_dpp_prune,
+    "q213_source_minhash": q213_source_minhash,
+    "q214_transform_with_state": q214_transform_with_state,
+    "q215_pipe_syntax": q215_pipe_syntax,
+    "q216_iter_pandas_udf": q216_iter_pandas_udf,
 }
 
 
@@ -10027,4 +10182,151 @@ ORACLE_SQL["q209_session_durations"] = """
            cast(min(dur) AS BIGINT) AS min_s,
            cast(max(dur) AS BIGINT) AS max_s
     FROM durs GROUP BY 1
+"""
+
+
+def _q210_oracle() -> str:
+    from ..operators.classifier import hashed_ngram_oracle_sql
+
+    return hashed_ngram_oracle_sql("documents", "source")
+
+
+ORACLE_SQL["q210_hashed_classifier"] = _q210_oracle()
+
+
+#: Shared mutual-kNN edge CTE text (the q173 oracle's core) — q211
+#: builds label propagation on the IDENTICAL edge set.
+_MUTUAL_KNN_CTE = """
+    v AS (
+      SELECT label, vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS n
+      FROM embeddings
+      WHERE sqrt(list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[])) > 0
+    ), scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY sim DESC, dst ASC) AS rank
+      FROM scored
+    ), kedges AS (
+      SELECT src, dst FROM ranked WHERE rank <= 5
+    ), medges AS (
+      SELECT e.src, e.dst
+      FROM kedges e JOIN kedges r ON r.src = e.dst AND r.dst = e.src
+    )
+"""
+
+
+ORACLE_SQL["q211_label_propagation"] = f"""
+    WITH {_MUTUAL_KNN_CTE},
+    nodes AS (
+      SELECT vec_id AS id,
+             CASE WHEN vec_id % 10 < 3 THEN label END AS lab
+      FROM v
+    ), a0 AS (
+      SELECT id, lab AS label, 0 AS rnd FROM nodes WHERE lab IS NOT NULL
+    ), u0 AS (
+      SELECT id FROM nodes WHERE lab IS NULL
+    ), votes1 AS (
+      SELECT m.src AS id, a.label, count(*) AS nv
+      FROM medges m
+      JOIN a0 a ON m.dst = a.id
+      JOIN u0 ON m.src = u0.id
+      GROUP BY 1, 2
+    ), pick1 AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY nv DESC, label ASC) AS rk
+        FROM votes1) WHERE rk = 1
+    ), a1 AS (
+      SELECT * FROM a0
+      UNION ALL SELECT id, label, 1 FROM pick1
+    ), u1 AS (
+      SELECT id FROM u0 WHERE id NOT IN (SELECT id FROM pick1)
+    ), votes2 AS (
+      SELECT m.src AS id, a.label, count(*) AS nv
+      FROM medges m
+      JOIN a1 a ON m.dst = a.id
+      JOIN u1 ON m.src = u1.id
+      GROUP BY 1, 2
+    ), pick2 AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY nv DESC, label ASC) AS rk
+        FROM votes2) WHERE rk = 1
+    ), a2 AS (
+      SELECT * FROM a1
+      UNION ALL SELECT id, label, 2 FROM pick2
+    )
+    SELECT cast(coalesce(a.label, -1) AS INTEGER) AS label,
+           cast(count(*) AS BIGINT) AS n_nodes,
+           cast(sum(CASE WHEN a.rnd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_seed,
+           cast(sum(CASE WHEN a.rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_round1,
+           cast(sum(CASE WHEN a.rnd = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_round2
+    FROM nodes n LEFT JOIN a2 a ON n.id = a.id
+    GROUP BY 1
+"""
+
+
+ORACLE_SQL["q212_dpp_prune"] = """
+    SELECT cast(year(l_shipdate) AS INTEGER) AS ship_year,
+           cast(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE year(l_shipdate) IN (
+      SELECT DISTINCT year(o_orderdate) FROM orders
+      WHERE year(o_orderdate) >= 1997
+    )
+    GROUP BY 1
+"""
+
+
+def _q213_oracle() -> str:
+    from ..operators.sketches import source_minhash_oracle_sql
+
+    return source_minhash_oracle_sql("documents", 3)
+
+
+ORACLE_SQL["q213_source_minhash"] = _q213_oracle()
+
+
+ORACLE_SQL["q214_transform_with_state"] = """
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS n_events,
+           cast(sum(coalesce(cast(round(value * 100) AS BIGINT), 0))
+                AS BIGINT) AS value_e2
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY 1
+"""
+
+
+ORACLE_SQL["q215_pipe_syntax"] = """
+    SELECT o_orderpriority,
+           cast(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+"""
+
+
+ORACLE_SQL["q216_iter_pandas_udf"] = """
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum((cast(floor(least(greatest(coalesce(value, 0.0), 0.0),
+                                      99.0)) AS BIGINT)
+                     * 2654435761) % 2048 - 1024) AS BIGINT) AS weight_sum
+    FROM events
+    GROUP BY 1
 """

