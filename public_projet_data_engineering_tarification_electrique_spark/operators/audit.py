@@ -188,6 +188,12 @@ def partition_pruned_revenue(spark, sf_dir: str) -> DataFrame:
         fact_path = scratch_dir("dpp_fact_")
         (
             load_table(spark, sf_dir, "lineitem")
+            # project to the queried columns BEFORE materializing: the
+            # audit's fact table only needs the measure columns, and a
+            # full-width copy would quadruple the one-time write (the
+            # real 100 TB fact table is of course full-width — there
+            # the write is the warehouse itself, not a query's setup)
+            .select("l_extendedprice", "l_discount", "l_shipdate")
             .withColumn("ship_year", F.year("l_shipdate"))
             .write.mode("overwrite")
             .partitionBy("ship_year")

@@ -331,9 +331,16 @@ def bitmap_distinct_daily(
 
 
 #: Source-similarity MinHash parameters (shared by the Spark plan and
-#: the DuckDB twin below — one definition site).
+#: the DuckDB twin below — one definition site). The 16 hash functions
+#: are 16 DISJOINT 32-bit slices of 4 md5 digests (seed slot 4g+j =
+#: hex chars [1+8j, 8+8j] of md5(g ':' shingle)) — md5 dominates the
+#: scan CPU, so 4 digests instead of 16 quarters the hashing cost
+#: (the q149 bootstrap trick). 32-bit values can collide at large
+#: shingle cardinalities; a collision only perturbs the ESTIMATE, and
+#: both engines compute the identical perturbed value.
 _MH_HASHES = 16
-_MH_HEX = 15  # 60-bit hash values: collision-free in practice, BIGINT-safe
+_MH_DIGESTS = 4
+_MH_SLICE_HEX = 8  # 32-bit slices
 
 
 def source_minhash_similarity(
@@ -358,9 +365,12 @@ def source_minhash_similarity(
     the sf-scale audit that would be DROPPED at 100 TB (it joins the
     distinct-shingle sets); the estimate column is the product.
 
-    Hash j of shingle s = first 15 hex chars of md5(j || ':' || s) as
-    a 60-bit BIGINT — the repo-wide portable hash, so DuckDB computes
-    the identical signature, match count, and estimates.
+    Hash 4g+j of shingle s = hex chars [1+8j, 8+8j] of
+    md5(g || ':' || s) as a 32-bit BIGINT — the repo-wide portable
+    hash, sliced so the scan pays 4 md5s per shingle, not 16; DuckDB
+    computes the identical signatures, match counts, and estimates.
+    The 16 mins are computed as 16 parallel `min` aggregates over the
+    un-exploded shingle rows (no ×16 row blow-up anywhere).
 
     Output: (src_a, src_b, sig_matches, est_jaccard, exact_jaccard)
     for every unordered source pair, both estimates 4 dp.
@@ -379,25 +389,41 @@ def source_minhash_similarity(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    seeded = sh.select(
+    # projection boundary so each digest is computed ONCE per row and
+    # the 4 slice-convs below reuse it, instead of 16 md5 calls
+    digests = sh.select(
         "g",
-        "sh",
-        F.explode(
-            F.array(*[F.lit(j) for j in range(_MH_HASHES)])
-        ).alias("seed"),
+        *[
+            F.md5(
+                F.concat(F.lit(f"{d}:"), F.col("sh"))
+            ).alias(f"_d{d}")
+            for d in range(_MH_DIGESTS)
+        ],
     )
-    hval = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))),
-            1,
-            _MH_HEX,
-        ),
-        16,
-        10,
-    ).cast("long")
-    sig = seeded.select("g", "seed", hval.alias("h")).groupBy(
-        "g", "seed"
-    ).agg(F.min("h").alias("mh"))
+
+    def _slice(d: int, j: int):
+        return F.conv(
+            F.substring(
+                F.col(f"_d{d}"), 1 + _MH_SLICE_HEX * j, _MH_SLICE_HEX
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    slots = [
+        (d * (_MH_HASHES // _MH_DIGESTS) + j, d, j)
+        for d in range(_MH_DIGESTS)
+        for j in range(_MH_HASHES // _MH_DIGESTS)
+    ]
+    sig_wide = digests.groupBy("g").agg(
+        *[F.min(_slice(d, j)).alias(f"mh{s}") for s, d, j in slots]
+    )
+    sig = sig_wide.select(
+        "g",
+        F.posexplode(
+            F.array(*[F.col(f"mh{s}") for s, _, _ in slots])
+        ).alias("seed", "mh"),
+    )
     a = sig.select(
         F.col("g").alias("src_a"), "seed", F.col("mh").alias("mh_a")
     )
@@ -450,7 +476,9 @@ def source_minhash_similarity(
 
 def source_minhash_oracle_sql(table: str = "documents", k: int = 3) -> str:
     """DuckDB twin of source_minhash_similarity — identical shingles,
-    seeds, 60-bit md5 hashes, min-signatures, and divisions."""
+    identical digest-sliced 32-bit hashes (seed 4g+j = hex chars
+    [1+8j, 8+8j] of md5(g ':' shingle)), min-signatures, divisions."""
+    per_digest = _MH_HASHES // _MH_DIGESTS
     return f"""
         WITH toks AS (
           SELECT source AS g, string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -466,8 +494,10 @@ def source_minhash_oracle_sql(table: str = "documents", k: int = 3) -> str:
           SELECT g, sh, unnest(range({_MH_HASHES})) AS seed FROM sh
         ), sig AS (
           SELECT g, seed,
-                 min(('0x' || substr(md5(seed::VARCHAR || ':' || sh),
-                                     1, {_MH_HEX}))::BIGINT) AS mh
+                 min(('0x' || substr(
+                        md5((seed // {per_digest})::VARCHAR || ':' || sh),
+                        1 + {_MH_SLICE_HEX} * (seed % {per_digest}),
+                        {_MH_SLICE_HEX}))::BIGINT) AS mh
           FROM seeded GROUP BY 1, 2
         ), matches AS (
           SELECT a.g AS src_a, b.g AS src_b,
