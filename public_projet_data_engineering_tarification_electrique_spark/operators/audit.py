@@ -218,3 +218,90 @@ def partition_pruned_revenue(spark, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+def zorder_prune_audit(
+    lineitem: DataFrame,
+    bits: int = 12,
+    n_files: int = 32,
+    box: tuple[int, int, int, int] = (1024, 1535, 1024, 1535),
+) -> DataFrame:
+    """Z-order (Morton) clustering benefit audit — the storage-layout
+    decision every 100 TB table owner makes: does interleaved-bit
+    sorting on two query columns cut the files a 2-D box predicate
+    must touch, versus the natural write order?
+
+    Model: 2-D key (x, y) = (l_partkey, l_suppkey) mod 2^bits; the
+    z-value interleaves their bits (pure shift/mask integer
+    arithmetic, codegen, bit-identical in DuckDB). 'Files' are
+    value-range buckets — natural layout buckets by l_orderkey range
+    (arrival order), z layout by z range — computed with scalar
+    max + integer division, NO global sort/window: the audit itself
+    stays shuffle-free except two 1-row broadcasts and the final
+    4-row agg, so it runs as a single scan at any scale (a real
+    OPTIMIZE ZORDER rewrite would pay the sort once at write time;
+    this query only *measures* the benefit to justify that pay).
+
+    Output: one row per layout — (layout, files_touched, n_match,
+    prune_fraction vs n_files). The z row touching far fewer files
+    than the natural row IS the measured benefit.
+    """
+    mask = (1 << bits) - 1
+    x = (F.col("l_partkey") % (mask + 1)).alias("x")
+    y = (F.col("l_suppkey") % (mask + 1)).alias("y")
+    z = None
+    for i in range(bits):
+        xb = F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i)
+        )
+        yb = F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1)
+        )
+        z = xb + yb if z is None else z + xb + yb
+    keyed = lineitem.select(
+        "l_orderkey", x, y
+    ).withColumn("z", z.cast("long"))
+    # scalar maxima as a 1-row broadcast (the repo-standard scalar
+    # attach — never a driver collect)
+    maxes = keyed.agg(
+        F.max("l_orderkey").alias("kmax"), F.max("z").alias("zmax")
+    )
+    x_lo, x_hi, y_lo, y_hi = box
+    hit = (
+        (F.col("x") >= x_lo)
+        & (F.col("x") <= x_hi)
+        & (F.col("y") >= y_lo)
+        & (F.col("y") <= y_hi)
+    )
+    tagged = (
+        keyed.join(F.broadcast(maxes))
+        .filter(hit)
+        .select(
+            F.expr(f"(l_orderkey * {n_files}) div (kmax + 1)").alias(
+                "nat_file"
+            ),
+            F.expr(f"(z * {n_files}) div (zmax + 1)").alias("z_file"),
+        )
+    )
+    per_layout = tagged.agg(
+        F.countDistinct("nat_file").alias("nat_files"),
+        F.countDistinct("z_file").alias("z_files"),
+        F.count("*").alias("n_match"),
+    )
+    nat = per_layout.select(
+        F.lit("natural").alias("layout"),
+        F.col("nat_files").cast("long").alias("files_touched"),
+        F.col("n_match").cast("long").alias("n_match"),
+        F.round(1 - F.col("nat_files") / F.lit(float(n_files)), 4).alias(
+            "prune_fraction"
+        ),
+    )
+    zo = per_layout.select(
+        F.lit("zorder").alias("layout"),
+        F.col("z_files").cast("long").alias("files_touched"),
+        F.col("n_match").cast("long").alias("n_match"),
+        F.round(1 - F.col("z_files") / F.lit(float(n_files)), 4).alias(
+            "prune_fraction"
+        ),
+    )
+    return nat.unionByName(zo)

