@@ -236,11 +236,13 @@ def zorder_prune_audit(
     arithmetic, codegen, bit-identical in DuckDB). 'Files' are
     value-range buckets — natural layout buckets by l_orderkey range
     (arrival order), z layout by z range — computed with scalar
-    max + integer division, NO global sort/window: the audit itself
-    stays shuffle-free except two 1-row broadcasts and the final
-    4-row agg, so it runs as a single scan at any scale (a real
-    OPTIMIZE ZORDER rewrite would pay the sort once at write time;
-    this query only *measures* the benefit to justify that pay).
+    max + integer division, NO global sort/window: one scan, two
+    1-row broadcasts, then count-distinct aggs whose partial phase
+    collapses to <= n_files ids per partition before any exchange
+    (the Expand runs on box-filtered rows; the shuffles carry file
+    ids, never data rows). A real OPTIMIZE ZORDER rewrite would pay
+    the sort once at write time; this query only *measures* the
+    benefit to justify that pay.
 
     Output: one row per layout — (layout, files_touched, n_match,
     prune_fraction vs n_files). The z row touching far fewer files
