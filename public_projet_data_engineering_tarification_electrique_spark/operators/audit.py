@@ -222,9 +222,13 @@ def partition_pruned_revenue(spark, sf_dir: str) -> DataFrame:
 
 def zorder_prune_audit(
     lineitem: DataFrame,
-    bits: int = 12,
+    bits: int = 8,
     n_files: int = 32,
-    box: tuple[int, int, int, int] = (1024, 1535, 1024, 1535),
+    # default key space is 8-bit and the box sits in [0, 100) on y so
+    # the predicate is non-vacuous at EVERY testdata SF (l_suppkey
+    # tops out at ~SF·10000 — a 12-bit box above 1024 matches nothing
+    # below sf1, which would make the audit trivially true)
+    box: tuple[int, int, int, int] = (64, 127, 32, 63),
 ) -> DataFrame:
     """Z-order (Morton) clustering benefit audit — the storage-layout
     decision every 100 TB table owner makes: does interleaved-bit

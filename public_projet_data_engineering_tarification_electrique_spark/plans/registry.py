@@ -5341,7 +5341,7 @@ def q217_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q218_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering benefit audit: files a 2-D box predicate on
-    (l_partkey, l_suppkey) mod 4096 must touch under arrival-order
+    (l_partkey, l_suppkey) mod 256 must touch under arrival-order
     bucketing vs Morton-order bucketing — the measurement that
     justifies (or rejects) paying an OPTIMIZE ZORDER sort on a 100 TB
     table. Bit interleaving and range bucketing are exact integer
@@ -10405,8 +10405,8 @@ ORACLE_SQL["q217_recursive_cte"] = f"""
 
 
 def _q218_oracle() -> str:
-    bits, n_files = 12, 32
-    x_lo, x_hi, y_lo, y_hi = 1024, 1535, 1024, 1535
+    bits, n_files = 8, 32
+    x_lo, x_hi, y_lo, y_hi = 64, 127, 32, 63
     z_terms = " + ".join(
         f"(((x >> {i}) & 1) * {1 << (2 * i)}"
         f" + ((y >> {i}) & 1) * {1 << (2 * i + 1)})"

@@ -202,10 +202,11 @@ def test_zorder_interleave_is_exact(spark):
         zorder_prune_audit,
     )
 
-    # x = l_partkey % 4096, y = l_suppkey % 4096; one in-box row so the
-    # audit has a match, one out-of-box row.
+    # x = l_partkey % 256, y = l_suppkey % 256; one in-box row
+    # (x=70 in [64,127], y=40 in [32,63]) so the audit has a match,
+    # one out-of-box row.
     df = spark.createDataFrame(
-        [(1, 1100, 1100), (2, 9999, 3)],
+        [(1, 70, 40), (2, 9999, 3)],
         "l_orderkey long, l_partkey long, l_suppkey long",
     )
     rows = zorder_prune_audit(df).collect()
