@@ -311,3 +311,60 @@ def zorder_prune_audit(
         ),
     )
     return nat.unionByName(zo)
+
+
+def delete_cascade_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    key_pred,
+) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) blast-radius audit: given a
+    delete predicate on the customer table, count the rows every
+    downstream table must purge through the FK cascade — the
+    compliance question asked BEFORE running a delete job on a 100 TB
+    warehouse, because the answer decides between row-level deletes
+    and partition rewrites.
+
+    The cascade is pure semi-joins: customers→orders on custkey,
+    orders→lineitem on orderkey — each a broadcast of the (small)
+    delete frontier against one fact scan, no wide join output ever
+    materialized. At real scale the frontier broadcast becomes the
+    Bloom-filter probe (operators/bloom.py, q111) with an exact
+    semi-join behind it — same plan family, same counts.
+
+    Output: (entity, n_delete, n_total, delete_fraction 6 dp) — one
+    row per cascade level.
+    """
+    targets = customer.filter(key_pred).select("c_custkey")
+    orders_hit = orders.join(
+        F.broadcast(targets),
+        orders["o_custkey"] == targets["c_custkey"],
+        "leftsemi",
+    )
+    li_hit = lineitem.join(
+        F.broadcast(orders_hit.select("o_orderkey")),
+        lineitem["l_orderkey"] == orders_hit["o_orderkey"],
+        "leftsemi",
+    )
+
+    def level(name: str, hit: DataFrame, total: DataFrame) -> DataFrame:
+        h = hit.agg(F.count("*").alias("n_delete"))
+        t = total.agg(F.count("*").alias("n_total"))
+        return (
+            h.join(F.broadcast(t))
+            .select(
+                F.lit(name).alias("entity"),
+                F.col("n_delete").cast("long").alias("n_delete"),
+                F.col("n_total").cast("long").alias("n_total"),
+                F.round(
+                    F.col("n_delete") / F.col("n_total").cast("double"), 6
+                ).alias("delete_fraction"),
+            )
+        )
+
+    return (
+        level("customer", targets, customer)
+        .unionByName(level("orders", orders_hit, orders))
+        .unionByName(level("lineitem", li_hit, lineitem))
+    )

@@ -201,3 +201,59 @@ def token_budget_select(
             F.lit(budget_tokens).cast("long").alias("budget_tokens"),
         )
     )
+
+
+def padding_waste_audit(
+    docs: DataFrame,
+    seq_lens: tuple[int, ...] = (128, 256, 512),
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding-waste economics for the naive one-doc-per-sequence
+    layout, at several candidate sequence lengths: each document is
+    split into ceil(len/B) sequences and the last one is padded to B —
+    the waste fraction this table reports is exactly the token budget
+    the `pack_chunks` concatenate-and-chunk layout recovers, so this
+    audit is the business case run BEFORE committing to packed
+    pretraining shards (at 100 TB a 30% pad fraction is 30 TB of GPU
+    time spent attending to padding).
+
+    One scan computes the per-doc token count; each candidate B is a
+    pure-arithmetic aggregate over that count (ceil via integer
+    (len+B-1) div B) — no joins, no window, the |seq_lens| aggregates
+    share the single pass and the exchange carries one partial row
+    per B. Zero-token docs contribute no sequences (skipped exactly,
+    not padded to a full empty sequence).
+
+    Output: (seq_len, n_docs, n_sequences, total_tokens,
+    padded_tokens, waste_fraction 4 dp), one row per candidate B.
+    """
+    if not seq_lens or any(b <= 0 for b in seq_lens):
+        raise ValueError(f"seq_lens must be positive, got {seq_lens!r}")
+    from ..functions.text import token_count
+
+    lens = docs.select(token_count(F.col(text_col)).alias("n"))
+    per_b = []
+    for b in seq_lens:
+        # integer ceil-division: expr-level `div` keeps it exact long
+        n_seq = F.expr(
+            f"CASE WHEN n > 0 THEN (n + {b - 1}) div {b} ELSE 0 END"
+        )
+        per_b.append(
+            lens.agg(
+                F.lit(b).cast("int").alias("seq_len"),
+                F.count("*").alias("n_docs"),
+                F.sum(n_seq).cast("long").alias("n_sequences"),
+                F.sum("n").cast("long").alias("total_tokens"),
+                (F.sum(n_seq) * b).cast("long").alias("padded_tokens"),
+                F.round(
+                    1
+                    - F.sum("n")
+                    / F.nullif((F.sum(n_seq) * b).cast("double"), F.lit(0.0)),
+                    4,
+                ).alias("waste_fraction"),
+            )
+        )
+    out = per_b[0]
+    for nxt in per_b[1:]:
+        out = out.unionByName(nxt)
+    return out

@@ -5353,6 +5353,36 @@ def q218_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_prune_audit(lineitem)
 
 
+def q219_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure blast-radius audit: rows each table must purge
+    when customers with c_custkey % 97 = 0 exercise deletion —
+    customer→orders→lineitem counted through broadcast semi-join
+    cascade, no wide join output; the compliance sizing run before a
+    delete job (row-level delete vs partition rewrite). At 100 TB the
+    frontier broadcast becomes the q111 Bloom probe with the exact
+    semi-join behind it."""
+    from ..operators.audit import delete_cascade_audit
+
+    return delete_cascade_audit(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        F.col("c_custkey") % 97 == 0,
+    )
+
+
+def q220_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste economics at candidate sequence lengths (128 /
+    256 / 512): tokens burned padding one-doc-per-sequence batches —
+    the measured business case for q52's concatenate-and-chunk packing
+    (which recovers exactly this fraction). One scan, |B| shared
+    integer aggregates, no joins."""
+    from ..operators.packing import padding_waste_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return padding_waste_audit(docs)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8551,6 +8581,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q216_iter_pandas_udf": q216_iter_pandas_udf,
     "q217_recursive_cte": q217_recursive_cte,
     "q218_zorder_audit": q218_zorder_audit,
+    "q219_delete_cascade": q219_delete_cascade,
+    "q220_padding_waste": q220_padding_waste,
 }
 
 
@@ -10446,3 +10478,58 @@ def _q218_oracle() -> str:
 
 
 ORACLE_SQL["q218_zorder_audit"] = _q218_oracle()
+
+
+ORACLE_SQL["q219_delete_cascade"] = """
+    WITH targets AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), orders_hit AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM targets)
+    ), li_hit AS (
+      SELECT 1 AS x FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders_hit)
+    )
+    SELECT 'customer' AS entity,
+           (SELECT cast(count(*) AS BIGINT) FROM targets) AS n_delete,
+           (SELECT cast(count(*) AS BIGINT) FROM customer) AS n_total,
+           round((SELECT count(*) FROM targets) * 1.0
+                 / (SELECT count(*) FROM customer), 6) AS delete_fraction
+    UNION ALL
+    SELECT 'orders',
+           (SELECT cast(count(*) AS BIGINT) FROM orders_hit),
+           (SELECT cast(count(*) AS BIGINT) FROM orders),
+           round((SELECT count(*) FROM orders_hit) * 1.0
+                 / (SELECT count(*) FROM orders), 6)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT cast(count(*) AS BIGINT) FROM li_hit),
+           (SELECT cast(count(*) AS BIGINT) FROM lineitem),
+           round((SELECT count(*) FROM li_hit) * 1.0
+                 / (SELECT count(*) FROM lineitem), 6)
+"""
+
+
+ORACLE_SQL["q220_padding_waste"] = """
+    WITH lens AS (
+      SELECT len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ), bs AS (
+      SELECT unnest([128, 256, 512]) AS b
+    ), agg AS (
+      SELECT cast(b AS INTEGER) AS seq_len,
+             cast(count(*) AS BIGINT) AS n_docs,
+             cast(sum(CASE WHEN n > 0 THEN (n + b - 1) // b ELSE 0 END)
+                  AS BIGINT) AS n_sequences,
+             cast(sum(n) AS BIGINT) AS total_tokens,
+             cast(sum(CASE WHEN n > 0 THEN (n + b - 1) // b ELSE 0 END) * b
+                  AS BIGINT) AS padded_tokens
+      FROM lens CROSS JOIN bs GROUP BY b
+    )
+    SELECT seq_len, n_docs, n_sequences, total_tokens, padded_tokens,
+           round(1 - total_tokens
+                     / nullif(padded_tokens::DOUBLE, 0.0), 4)
+             AS waste_fraction
+    FROM agg
+"""

@@ -224,3 +224,56 @@ def test_recursive_cte_reach_counts(spark):
     rows = {r["depth"]: r["n_nodes"] for r in q217_recursive_cte(spark, SF_SMOKE).collect()}
     assert rows.get(0) == 1
     assert all(n >= 0 for n in rows.values())
+
+
+def test_delete_cascade_levels_are_monotone_fractions(spark):
+    """Each level's delete count is bounded by its total, and the
+    cascade preserves referential containment (orders hit only via
+    deleted customers)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        delete_cascade_audit,
+    )
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {
+        r["entity"]: r
+        for r in delete_cascade_audit(
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "lineitem"),
+            F.col("c_custkey") % 97 == 0,
+        ).collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert 0 <= r["n_delete"] <= r["n_total"]
+
+
+def test_padding_waste_exact_arithmetic(spark):
+    """3 docs of 10/300/0 tokens at B=256: 10->1 seq, 300->2 seqs,
+    0->0 seqs; padded = 3*256 = 768; waste = 1 - 310/768."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.packing import (
+        padding_waste_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 300)), (3, "")],
+        "doc_id long, text string",
+    )
+    row = padding_waste_audit(docs, seq_lens=(256,)).collect()[0]
+    assert row["n_sequences"] == 3
+    assert row["total_tokens"] == 310
+    assert row["padded_tokens"] == 768
+    assert row["waste_fraction"] == round(1 - 310 / 768, 4)
+
+
+def test_padding_waste_rejects_bad_seq_lens(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.packing import (
+        padding_waste_audit,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seq_lens"):
+        padding_waste_audit(docs, seq_lens=())
