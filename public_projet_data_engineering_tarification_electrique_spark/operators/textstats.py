@@ -909,3 +909,165 @@ def distinctive_terms(
             F.col("_rk").cast("int").alias("rank"),
         )
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    sep: str = "|",
+) -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al., ACL'16) —
+    the first `rounds` merges learned from the corpus, exactly: each
+    round counts adjacent symbol pairs weighted by WORD FREQUENCY,
+    merges the (count desc, pair asc)-best pair greedily
+    left-to-right in every word, and recounts.
+
+    Scale design — the reason BPE training is feasible on a 100 TB
+    corpus at all: the corpus-sized work is ONE (word) hash agg
+    building the frequency table; every merge round then runs on that
+    VOCAB-BOUNDED table (pair counting, the 1-row argmax, and the
+    merge rewrite), so per-round cost is |vocab|·max_word_len
+    regardless of corpus size — the same pre-aggregation every
+    production BPE trainer (sentencepiece, HF tokenizers) performs.
+    The 1-row winning pair attaches back by crossJoin broadcast (the
+    repo's scalar-attach pattern), and the vocab table is
+    localCheckpoint'd per round so the plan stays flat.
+
+    Cross-engine exactness: symbol sequences are sep-delimited strings
+    ('|a|b|c|'); the greedy left-to-right non-overlapping merge IS
+    `replace(seq, '|L|R|', '|LR|')` — Spark's `replace` and DuckDB's
+    `replace` share that exact contract, so no fold/UDF is needed and
+    the oracle is bit-identical. Ties break on (left, right) string
+    order; counts are exact longs.
+
+    Output: (round, left, right, merged, pair_count) — one row per
+    learned merge, in training order.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if len(sep) != 1:
+        raise ValueError(f"sep must be one char, got {sep!r}")
+    chars = F.expr("transform(sequence(1, length(_w)), i -> substring(_w, i, 1))")
+    vocab = (
+        ensure_parallelism(docs)
+        .select(F.explode(nonempty_tokens(F.lower(F.col(text_col)))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.concat(F.lit(sep), F.concat_ws(sep, chars), F.lit(sep)).alias(
+                "seq"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    esc = "\\" + sep  # regex-escape for split()
+    merge_rows = []
+    for r in range(1, rounds + 1):
+        syms = F.filter(
+            F.split(F.col("seq"), esc), lambda x: x != F.lit("")
+        )
+        n = F.size(syms)
+        pairs = F.when(
+            n >= 2,
+            F.arrays_zip(
+                F.slice(syms, 1, n - 1).alias("l"),
+                F.slice(syms, 2, n - 1).alias("r"),
+            ),
+        )
+        counts = (
+            vocab.select("freq", F.explode(pairs).alias("_p"))
+            .groupBy(
+                F.col("_p.l").alias("left"), F.col("_p.r").alias("right")
+            )
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            counts.orderBy(
+                F.desc("pair_count"), F.asc("left"), F.asc("right")
+            )
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(r).cast("int").alias("round"),
+                "left",
+                "right",
+                F.concat(F.col("left"), F.col("right")).alias("merged"),
+                F.col("pair_count").cast("long").alias("pair_count"),
+            )
+        )
+        vocab = (
+            vocab.join(F.broadcast(top))
+            .select(
+                "freq",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit(sep), F.col("left"), F.lit(sep),
+                        F.col("right"), F.lit(sep),
+                    ),
+                    F.concat(
+                        F.lit(sep), F.col("left"), F.col("right"), F.lit(sep)
+                    ),
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_merges_oracle_sql(table: str = "documents", rounds: int = 3) -> str:
+    """DuckDB twin of bpe_train_merges — identical word-frequency
+    table, sep-delimited sequences, pair counts, (count desc, pair
+    asc) argmax, and `replace`-based greedy merges, unrolled per
+    round."""
+    ctes = ["""
+    tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\\s+'),
+                    x -> x <> '')) AS w
+      FROM {table}
+    ), v0 AS (
+      SELECT freq,
+             '|' || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)), '|') || '|' AS seq
+      FROM (SELECT w, cast(count(*) AS BIGINT) AS freq
+            FROM tok GROUP BY w)
+    )""".format(table=table)]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    p{r} AS (
+      SELECT l, r, cast(sum(freq) AS BIGINT) AS pair_count
+      FROM (
+        SELECT freq, unnest(s[1:-2]) AS l, unnest(s[2:-1]) AS r
+        FROM (SELECT freq,
+                     list_filter(string_split(seq, '|'), x -> x <> '') AS s
+              FROM v{r - 1})
+        WHERE len(s) >= 2
+      ) GROUP BY 1, 2
+    ), t{r} AS (
+      SELECT l, r, pair_count FROM p{r}
+      ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+    ), v{r} AS (
+      SELECT freq,
+             replace(seq, '|' || l || '|' || r || '|',
+                          '|' || l || r || '|') AS seq
+      FROM v{r - 1} CROSS JOIN t{r}
+    )""")
+    selects = [
+        f"""SELECT cast({r} AS INTEGER) AS round, l AS "left",
+               r AS "right", l || r AS merged, pair_count
+        FROM t{r}"""
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH " + ",".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )

@@ -5383,6 +5383,20 @@ def q220_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return padding_waste_audit(docs)
 
 
+def q221_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training — the first 3 merges learned
+    from the corpus (q145 is ONE round of the statistics; this is the
+    actual training loop): per round, word-frequency-weighted adjacent
+    pair counts → deterministic argmax → greedy left-to-right merge
+    via `replace` on sep-delimited symbol strings. The corpus-sized
+    work is one (word) hash agg; every round is vocab-bounded — the
+    pre-aggregation that makes BPE training feasible at 100 TB."""
+    from ..operators.textstats import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, rounds=3)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8583,6 +8597,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q218_zorder_audit": q218_zorder_audit,
     "q219_delete_cascade": q219_delete_cascade,
     "q220_padding_waste": q220_padding_waste,
+    "q221_bpe_train": q221_bpe_train,
 }
 
 
@@ -10533,3 +10548,12 @@ ORACLE_SQL["q220_padding_waste"] = """
              AS waste_fraction
     FROM agg
 """
+
+
+def _q221_oracle() -> str:
+    from ..operators.textstats import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql("documents", 3)
+
+
+ORACLE_SQL["q221_bpe_train"] = _q221_oracle()

@@ -277,3 +277,40 @@ def test_padding_waste_rejects_bad_seq_lens(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="seq_lens"):
         padding_waste_audit(docs, seq_lens=())
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Corpus {low x3, lower x2, newest x1}: round 1 ties lo/ow at 5
+    and lexicographic order picks (l,o); round 2 merges (lo,w); round
+    3 ties (e,r)/(low,e) at 2 and picks (e,r)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(docs, rounds=3)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "r", "er", 2),
+    ]
+
+
+def test_bpe_train_rejects_bad_params(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="rounds"):
+        bpe_train_merges(docs, rounds=0)
+    with pytest.raises(ValueError, match="sep"):
+        bpe_train_merges(docs, rounds=1, sep="||")
