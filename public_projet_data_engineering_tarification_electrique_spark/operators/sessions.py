@@ -448,3 +448,91 @@ def session_duration_histogram(
         F.min("_dur").cast("long").alias("min_s"),
         F.max("_dur").cast("long").alias("max_s"),
     )
+
+
+def item_cooccurrence_topk(
+    events: DataFrame,
+    k: int = 20,
+    min_cooc: int = 5,
+    max_items_per_user: int = 200,
+) -> DataFrame:
+    """Item-item co-occurrence similarity from user interaction
+    history — the collaborative-filtering primitive behind
+    'users who touched X also touched Y' (Amazon item-to-item CF,
+    IEEE Internet Computing '03): items co-engaged by the same user,
+    scored by cosine = cooc / sqrt(freq_a · freq_b) over the binary
+    user-item matrix.
+
+    Item id = props.k (the JSON payload's item key), so the operator
+    also exercises JSON extraction inside the scan. Pipeline: distinct
+    (user, item) — one hash agg; per-user item sets CAPPED at
+    ``max_items_per_user`` by (item) rank — the df-cap equivalent for
+    users: a crawler/bot account touching everything would otherwise
+    contribute |items|² pairs (same quadratic the dedup stack caps
+    with max_df); pair generation via self-join on user (bounded by
+    cap²·users); one (a, b) hash agg. Top-k by (cosine, pair) total
+    order via TakeOrdered. min_cooc prunes the noise tail BEFORE the
+    cosine projection.
+
+    Cosine here is the one terminal division (4 dp) over exact integer
+    counts — cross-engine exact. Output: (item_a, item_b, cooc,
+    freq_a, freq_b, cosine), k rows.
+    """
+    if k <= 0 or min_cooc < 1 or max_items_per_user < 2:
+        raise ValueError(
+            f"bad params k={k} min_cooc={min_cooc} "
+            f"max_items_per_user={max_items_per_user}"
+        )
+    ui = (
+        events.select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy(F.asc("item"))
+    capped = (
+        ui.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_items_per_user)
+        .drop("_rk")
+        .localCheckpoint(eager=True)
+    )
+    freqs = capped.groupBy("item").agg(F.count("*").alias("freq"))
+    pairs = (
+        capped.select("u", F.col("item").alias("item_a"))
+        .join(capped.select("u", F.col("item").alias("item_b")), on="u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+    scored = (
+        pairs.join(
+            freqs.select(
+                F.col("item").alias("item_a"), F.col("freq").alias("freq_a")
+            ),
+            on="item_a",
+        )
+        .join(
+            freqs.select(
+                F.col("item").alias("item_b"), F.col("freq").alias("freq_b")
+            ),
+            on="item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.col("cooc").cast("long").alias("cooc"),
+            F.col("freq_a").cast("long").alias("freq_a"),
+            F.col("freq_b").cast("long").alias("freq_b"),
+            F.round(
+                F.col("cooc")
+                / F.sqrt(F.col("freq_a") * F.col("freq_b")).cast("double"),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), F.asc("item_a"), F.asc("item_b")
+    ).limit(k)

@@ -5397,6 +5397,19 @@ def q221_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, rounds=3)
 
 
+def q222_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (co-occurrence cosine over
+    the binary user-item matrix, item = props.k): distinct (user,
+    item) hash agg → per-user cap (the df-cap for bot/crawler users,
+    same quadratic-kill as dedup's max_df) → user-keyed pair join →
+    one (a, b) agg → TakeOrdered top-20. Exact integer counts; the
+    cosine is one sqrt + one division, bit-identical in DuckDB."""
+    from ..operators.sessions import item_cooccurrence_topk
+
+    events = load_table(spark, sf_dir, "events")
+    return item_cooccurrence_topk(events, k=20, min_cooc=5)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8598,6 +8611,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q219_delete_cascade": q219_delete_cascade,
     "q220_padding_waste": q220_padding_waste,
     "q221_bpe_train": q221_bpe_train,
+    "q222_item_cooccurrence": q222_item_cooccurrence,
 }
 
 
@@ -10557,3 +10571,33 @@ def _q221_oracle() -> str:
 
 
 ORACLE_SQL["q221_bpe_train"] = _q221_oracle()
+
+
+ORACLE_SQL["q222_item_cooccurrence"] = """
+    WITH ui AS (
+      SELECT DISTINCT user_id AS u,
+             cast(json_extract_string(props, '$.k') AS INTEGER) AS item
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ), capped AS (
+      SELECT u, item FROM (
+        SELECT u, item,
+               row_number() OVER (PARTITION BY u ORDER BY item ASC) AS rk
+        FROM ui) WHERE rk <= 200
+    ), freqs AS (
+      SELECT item, cast(count(*) AS BIGINT) AS freq FROM capped GROUP BY 1
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             cast(count(*) AS BIGINT) AS cooc
+      FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT item_a, item_b, cooc, fa.freq AS freq_a, fb.freq AS freq_b,
+           round(cooc / sqrt((fa.freq * fb.freq)::DOUBLE), 4) AS cosine
+    FROM pairs
+    JOIN freqs fa ON pairs.item_a = fa.item
+    JOIN freqs fb ON pairs.item_b = fb.item
+    ORDER BY cosine DESC, item_a ASC, item_b ASC
+    LIMIT 20
+"""

@@ -314,3 +314,38 @@ def test_bpe_train_rejects_bad_params(spark):
         bpe_train_merges(docs, rounds=0)
     with pytest.raises(ValueError, match="sep"):
         bpe_train_merges(docs, rounds=1, sep="||")
+
+
+def test_item_cooccurrence_cap_and_symmetry(spark):
+    """Three users sharing items 1+2 -> cooc(1,2)=3 and cosine 1.0
+    when each item's freq is 3; the per-user cap drops a hub user's
+    excess items deterministically (lowest item ids kept)."""
+    import json as _json
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sessions import (
+        item_cooccurrence_topk,
+    )
+
+    rows = [
+        (u, _json.dumps({"k": item}))
+        for u in (1, 2, 3)
+        for item in (1, 2)
+    ]
+    events = spark.createDataFrame(rows, "user_id long, props string")
+    got = item_cooccurrence_topk(events, k=5, min_cooc=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["cooc"]) == (1, 2, 3)
+    assert r["cosine"] == 1.0
+
+
+def test_item_cooccurrence_rejects_bad_params(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sessions import (
+        item_cooccurrence_topk,
+    )
+
+    events = spark.createDataFrame(
+        [(1, '{"k": 1}')], "user_id long, props string"
+    )
+    with pytest.raises(ValueError, match="bad params"):
+        item_cooccurrence_topk(events, k=0)
