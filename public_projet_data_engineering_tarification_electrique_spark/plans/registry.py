@@ -5410,6 +5410,21 @@ def q222_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_cooccurrence_topk(events, k=20, min_cooc=5)
 
 
+def q223_fuzzy_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell typo-clustering: all part-name word pairs within edit
+    distance 1, found via deletion-neighborhood EQUI-join blocking
+    (never all-pairs levenshtein) + codegen levenshtein verify. The
+    DuckDB oracle scores all pairs brute-force, so the gate doubles as
+    a per-run completeness proof of the blocking."""
+    from ..operators.linkage import fuzzy_vocab_join
+
+    part = load_table(spark, sf_dir, "part")
+    vocab = part.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("w")
+    ).filter(F.col("w") != "").distinct()
+    return fuzzy_vocab_join(vocab)
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8612,6 +8627,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q220_padding_waste": q220_padding_waste,
     "q221_bpe_train": q221_bpe_train,
     "q222_item_cooccurrence": q222_item_cooccurrence,
+    "q223_fuzzy_vocab_join": q223_fuzzy_vocab_join,
 }
 
 
@@ -10600,4 +10616,17 @@ ORACLE_SQL["q222_item_cooccurrence"] = """
     JOIN freqs fb ON pairs.item_b = fb.item
     ORDER BY cosine DESC, item_a ASC, item_b ASC
     LIMIT 20
+"""
+
+
+ORACLE_SQL["q223_fuzzy_vocab_join"] = """
+    WITH v AS (
+      SELECT DISTINCT unnest(list_filter(string_split(p_name, ' '),
+                                         x -> x <> '')) AS w
+      FROM part
+    )
+    SELECT a.w AS word_a, b.w AS word_b,
+           cast(levenshtein(a.w, b.w) AS INTEGER) AS dist
+    FROM v a JOIN v b ON a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 1
 """

@@ -349,3 +349,32 @@ def test_item_cooccurrence_rejects_bad_params(spark):
     )
     with pytest.raises(ValueError, match="bad params"):
         item_cooccurrence_topk(events, k=0)
+
+
+def test_fuzzy_vocab_join_finds_all_distance1_kinds(spark):
+    """Substitution (cat/cut), deletion (cat/at), and insertion
+    (cat/cart) pairs are all found; distance-2 (cat/dug) is not."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.linkage import (
+        fuzzy_vocab_join,
+    )
+
+    vocab = spark.createDataFrame(
+        [("cat",), ("cut",), ("at",), ("cart",), ("dug",)], "w string"
+    )
+    got = {
+        (r["word_a"], r["word_b"]) for r in fuzzy_vocab_join(vocab).collect()
+    }
+    assert ("cat", "cut") in got
+    assert ("at", "cat") in got
+    assert ("cart", "cat") in got
+    assert not any("dug" in p for p in got)
+
+
+def test_fuzzy_vocab_join_rejects_unsupported_distance(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.linkage import (
+        fuzzy_vocab_join,
+    )
+
+    vocab = spark.createDataFrame([("a",)], "w string")
+    with pytest.raises(ValueError, match="max_dist=1"):
+        fuzzy_vocab_join(vocab, max_dist=2)
