@@ -379,3 +379,46 @@ def weighted_sample_topk(
         topk.withColumn(rank_col, F.row_number().over(w).cast("int"))
         .drop(key_col)
     )
+
+
+def pareto_frontier(
+    docs: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pareto frontier of a 2-objective selection space (maximize
+    both): the (x, y) points no other point weakly dominates with at
+    least one strict improvement — the skyline of the
+    quality-vs-length (or cost-vs-coverage) trade-off a data-curation
+    pass picks its operating point from.
+
+    Scale shape — LEVEL-table staircase, not the O(n²) dominance
+    join: one (x) hash agg collapses the corpus to distinct x levels
+    with each level's max y (partial-combined, corpus-sized scan, no
+    shuffle of raw rows beyond it); the frontier is then `y_max >
+    max(y_max) over strictly larger x` — a lag-of-running-max window
+    over the LEVEL table (≤ distinct-x rows, trivially small), and
+    one count-back join tallies how many rows sit ON each frontier
+    point. At 100 TB the only corpus-sized work is the first agg.
+
+    Output: (x, y, n_rows) for each frontier point, where y is the
+    level's max. Both objectives must be numeric; ties on both axes
+    are one frontier point with their row count.
+    """
+    levels = docs.groupBy(F.col(x_col).alias("x")).agg(
+        F.max(F.col(y_col)).alias("y")
+    )
+    w = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = levels.select(
+        "x", "y", F.max("y").over(w).alias("_best_above")
+    ).filter(
+        F.col("_best_above").isNull() | (F.col("y") > F.col("_best_above"))
+    )
+    counts = docs.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count("*").alias("n_rows"))
+    return frontier.select("x", "y").join(
+        counts, on=["x", "y"]
+    ).select("x", "y", F.col("n_rows").cast("long").alias("n_rows"))

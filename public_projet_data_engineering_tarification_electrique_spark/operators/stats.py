@@ -319,3 +319,87 @@ def psi_drift(
         F.max("_nb").cast("long").alias("n_b"),
         F.round(F.sum("_term") + F.lit(1e-9), 6).alias("psi"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (the microarray /
+    batch-effect-correction standard, Bolstad et al. 2003, adapted to
+    unequal group sizes): each group's values are remapped onto the
+    POOLED distribution at the same cumulative rank, so every group
+    ends up with the same marginal distribution — the score-alignment
+    step before mixing quality scores produced by different raters,
+    models, or domains.
+
+    Scale design — everything after two hash aggs runs on VALUE-LEVEL
+    tables, never rows: values land on the 1e-2 integer grid, the
+    pooled CDF and each group's CDF are running sums over ≤ |distinct
+    values| rows, and the rank-matching is a range join between those
+    two tiny level tables (target pooled rank = ceil(group-cum · N /
+    n_g), matched into the pooled level covering that rank). No
+    global sort or per-row window ever touches the corpus.
+
+    Output: one row per group — (group, n, mean_value, mean_normalized,
+    both 4 dp) — after normalization the group means collapse toward
+    the pooled mean; the residual spread is the integer-rank
+    discretization, not batch effect.
+    """
+    v = F.round(F.col(value_col) * 100, 0).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"), v.alias("v")
+    ).filter(F.col("v").isNotNull())
+    pooled = (
+        base.groupBy("v").agg(F.count("*").alias("cnt"))
+    )
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pooled_cdf = pooled.select(
+        "v",
+        (F.sum("cnt").over(wp) - F.col("cnt")).alias("lo"),
+        F.sum("cnt").over(wp).alias("hi"),
+    ).localCheckpoint(eager=True)
+    n_total = base.agg(F.count("*").alias("n_total"))
+    glevels = base.groupBy("grp", "v").agg(F.count("*").alias("cnt"))
+    wg = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gsizes = base.groupBy("grp").agg(F.count("*").alias("n_g"))
+    gcdf = (
+        glevels.select(
+            "grp", "v", "cnt", F.sum("cnt").over(wg).alias("cum")
+        )
+        .join(gsizes, on="grp")
+        .join(F.broadcast(n_total))
+        # target pooled rank for this level's upper cumulative edge:
+        # ceil(cum * N / n_g) in pure integer arithmetic
+        .withColumn(
+            "target",
+            F.expr("(cum * n_total + n_g - 1) div n_g"),
+        )
+    )
+    pooled_ranges = pooled_cdf.select(
+        F.col("v").alias("v_norm"), "lo", "hi"
+    )
+    matched = gcdf.join(
+        F.broadcast(pooled_ranges),
+        (F.col("target") > F.col("lo")) & (F.col("target") <= F.col("hi")),
+    ).select("grp", "cnt", F.col("v").alias("v_orig"), "v_norm")
+    return (
+        matched.groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("v_orig") * F.col("cnt"))
+                / (F.sum("cnt") * 100.0),
+                4,
+            ).alias("mean_value"),
+            F.round(
+                F.sum(F.col("v_norm") * F.col("cnt"))
+                / (F.sum("cnt") * 100.0),
+                4,
+            ).alias("mean_normalized"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -5425,6 +5425,45 @@ def q223_fuzzy_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_vocab_join(vocab)
 
 
+def q224_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the curation trade-off space: Pareto frontier over
+    (token count, lexical-diversity ‰₀ = distinct·10⁴ div total) —
+    the points a data-selection pass picks its operating threshold
+    from. Level-table staircase (one corpus agg, then windows over
+    ≤ distinct-x rows), never the O(n²) dominance join."""
+    from ..operators.sampling import pareto_frontier
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.nonempty_tokens(F.lower(F.col("text")))
+    scored = docs.select(
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("_d"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = scored.select(
+        "n_tokens",
+        F.expr("(_d * 10000) div n_tokens").alias("diversity_e4"),
+    )
+    return pareto_frontier(scored, "n_tokens", "diversity_e4").select(
+        F.col("x").cast("int").alias("n_tokens"),
+        F.col("y").cast("long").alias("diversity_e4"),
+        "n_rows",
+    )
+
+
+def q225_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values across event types (the
+    batch-effect-correction step before mixing scores from different
+    raters/models/domains): each group remapped onto the pooled
+    distribution at matching cumulative rank. Everything after two
+    hash aggs runs on ≤|distinct-value| LEVEL tables (running-sum
+    CDFs + one broadcast range join) — no global sort, no per-row
+    window."""
+    from ..operators.stats import quantile_normalize
+
+    events = load_table(spark, sf_dir, "events")
+    return quantile_normalize(events, "value", "event_type")
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8628,6 +8667,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q221_bpe_train": q221_bpe_train,
     "q222_item_cooccurrence": q222_item_cooccurrence,
     "q223_fuzzy_vocab_join": q223_fuzzy_vocab_join,
+    "q224_pareto_frontier": q224_pareto_frontier,
+    "q225_quantile_normalize": q225_quantile_normalize,
 }
 
 
@@ -10629,4 +10670,75 @@ ORACLE_SQL["q223_fuzzy_vocab_join"] = """
            cast(levenshtein(a.w, b.w) AS INTEGER) AS dist
     FROM v a JOIN v b ON a.w < b.w
     WHERE levenshtein(a.w, b.w) <= 1
+"""
+
+
+ORACLE_SQL["q224_pareto_frontier"] = """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sc AS (
+      SELECT len(t) AS n_tokens,
+             (len(list_distinct(t)) * 10000) // len(t) AS diversity_e4
+      FROM toks WHERE len(t) > 0
+    ), lv AS (
+      SELECT n_tokens AS x, max(diversity_e4) AS y FROM sc GROUP BY 1
+    ), fr AS (
+      SELECT x, y,
+             max(y) OVER (ORDER BY x DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS b
+      FROM lv
+    ), pts AS (
+      SELECT x, y FROM fr WHERE b IS NULL OR y > b
+    ), cnt AS (
+      SELECT n_tokens AS x, diversity_e4 AS y,
+             cast(count(*) AS BIGINT) AS n_rows
+      FROM sc GROUP BY 1, 2
+    )
+    SELECT cast(p.x AS INTEGER) AS n_tokens,
+           cast(p.y AS BIGINT) AS diversity_e4,
+           n_rows
+    FROM pts p JOIN cnt USING (x, y)
+"""
+
+
+ORACLE_SQL["q225_quantile_normalize"] = """
+    WITH base AS (
+      SELECT event_type AS grp, cast(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), pooled AS (
+      SELECT v, cast(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1
+    ), pooled_cdf AS (
+      SELECT v AS v_norm,
+             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+               AS lo,
+             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi
+      FROM pooled
+    ), nt AS (
+      SELECT cast(count(*) AS BIGINT) AS n_total FROM base
+    ), glevels AS (
+      SELECT grp, v, cast(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2
+    ), gsizes AS (
+      SELECT grp, cast(count(*) AS BIGINT) AS n_g FROM base GROUP BY 1
+    ), gcdf AS (
+      SELECT g.grp, g.v, g.cnt,
+             sum(g.cnt) OVER (PARTITION BY g.grp ORDER BY g.v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             s.n_g, nt.n_total
+      FROM glevels g JOIN gsizes s ON g.grp = s.grp CROSS JOIN nt
+    ), matched AS (
+      SELECT grp, cnt, v AS v_orig, p.v_norm
+      FROM (SELECT *, (cum * n_total + n_g - 1) // n_g AS target
+            FROM gcdf) t
+      JOIN pooled_cdf p ON t.target > p.lo AND t.target <= p.hi
+    )
+    SELECT grp AS event_type,
+           cast(sum(cnt) AS BIGINT) AS n,
+           round(sum(v_orig * cnt) / (sum(cnt) * 100.0), 4) AS mean_value,
+           round(sum(v_norm * cnt) / (sum(cnt) * 100.0), 4)
+             AS mean_normalized
+    FROM matched GROUP BY 1
 """

@@ -378,3 +378,36 @@ def test_fuzzy_vocab_join_rejects_unsupported_distance(spark):
     vocab = spark.createDataFrame([("a",)], "w string")
     with pytest.raises(ValueError, match="max_dist=1"):
         fuzzy_vocab_join(vocab, max_dist=2)
+
+
+def test_pareto_frontier_staircase(spark):
+    """Points (1,10),(2,5),(3,8),(3,2): frontier = (3,8),(1,10) —
+    (2,5) is dominated by (3,8); equal-x keeps only the max y."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+        pareto_frontier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 8), (3, 2)], "x long, y long"
+    )
+    got = {(r["x"], r["y"], r["n_rows"]) for r in pareto_frontier(df, "x", "y").collect()}
+    assert got == {(3, 8, 1), (1, 10, 1)}
+
+
+def test_quantile_normalize_aligns_group_means(spark):
+    """Two groups drawn from shifted ranges end with (near-)identical
+    normalized means — the operator's contract; the original means
+    must differ."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    rows = [("a", float(v)) for v in range(0, 50)] + [
+        ("b", float(v)) for v in range(50, 100)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r["g"]: r for r in quantile_normalize(df, "value", "g").collect()}
+    assert abs(got["a"]["mean_value"] - got["b"]["mean_value"]) > 40
+    assert (
+        abs(got["a"]["mean_normalized"] - got["b"]["mean_normalized"]) < 1.0
+    )
