@@ -56,6 +56,42 @@ def _feature_weight(feat: Column) -> Column:
     return (bucket * F.lit(KNUTH).cast("long")) % WEIGHT_MOD - WEIGHT_BIAS
 
 
+def hashed_ngram_doc_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document integer score from the hashed unigram+bigram
+    linear model (the row-level primitive `hashed_ngram_scores` rolls
+    up): (*keep_cols, n_feat, score) — one codegen expression per row,
+    no shuffle at all. This is the column downstream evaluators (AUC,
+    threshold sweeps) and filters consume directly."""
+    toks = nonempty_tokens(F.lower(F.col(text_col)))
+    n = F.size(F.col("_t"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("_t"), 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.concat_ws("_", a, b),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    feats = F.concat(F.col("_t"), bigrams)
+    return (
+        ensure_parallelism(docs)
+        .select(*keep_cols, toks.alias("_t"))
+        .select(
+            *keep_cols,
+            F.size(feats).alias("n_feat"),
+            F.aggregate(
+                feats,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + _feature_weight(x),
+            ).alias("score"),
+        )
+    )
+
+
 def hashed_ngram_scores(
     docs: DataFrame,
     by: str = "source",
@@ -162,4 +198,40 @@ def hashed_ngram_oracle_sql(table: str, by: str = "source") -> str:
                      / nullif(sum(n_feat) * {float(WEIGHT_BIAS)!r}, 0.0), 6)
                  AS mean_feat_score
         FROM per_doc GROUP BY 1
+    """
+
+
+def doc_scores_oracle_cte(table: str, extra_col: str) -> str:
+    """CTE text producing (rid, {extra_col}, n_feat, score) — the
+    DuckDB twin of :func:`hashed_ngram_doc_scores`, shared by every
+    oracle that consumes row-level scores (per-source rollup, AUC)."""
+    w = (
+        f"((('0x' || substr(md5(f), 1, 8))::BIGINT % {N_BUCKETS})"
+        f" * {KNUTH}) % {WEIGHT_MOD} - {WEIGHT_BIAS}"
+    )
+    return f"""
+        t AS (
+          SELECT {extra_col} AS extra, row_number() OVER () AS rid,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM {table}
+        ), uni AS (
+          SELECT extra, rid, unnest(t) AS f FROM t
+        ), bi AS (
+          SELECT extra, rid, a || '_' || b AS f
+          FROM (SELECT extra, rid, unnest(t[1:-2]) AS a,
+                       unnest(t[2:-1]) AS b
+                FROM t WHERE len(t) >= 2)
+        ), feats AS (
+          SELECT * FROM uni UNION ALL SELECT * FROM bi
+        ), per_doc AS (
+          SELECT t.extra, t.rid,
+                 coalesce(s.n_feat, 0) AS n_feat,
+                 coalesce(s.score, 0) AS score
+          FROM t LEFT JOIN (
+            SELECT rid, cast(count(*) AS BIGINT) AS n_feat,
+                   cast(sum({w}) AS BIGINT) AS score
+            FROM feats GROUP BY rid
+          ) s USING (rid)
+        )
     """

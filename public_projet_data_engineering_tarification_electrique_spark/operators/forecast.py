@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,3 +133,80 @@ def ols_forecast_pandas(
         return pd.DataFrame(out)
 
     return df.groupBy(*keys).applyInPandas(fit, schema=out_schema)
+
+
+def rolling_origin_backtest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    min_train: int = 2,
+) -> DataFrame:
+    """Rolling-origin (prequential) backtest of the per-group OLS
+    forecaster: for every observation, fit y ~ x on that group's
+    STRICTLY EARLIER points and score the one-step-ahead prediction —
+    the evaluation that decides whether the reference's
+    estimate-next-year regression (reference:
+    0_insert_conso_an_ville_in_bq.py:57-89) can be trusted, computed
+    WITHOUT refitting per fold: all four training sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) are exclusive running sums in ONE
+    window pass over the (group, x)-level table, so the whole backtest
+    costs one window over data the size of the series table, however
+    many folds there are.
+
+    Folds with fewer than ``min_train`` training points or a
+    degenerate x-variance are skipped (no fit exists). The absolute
+    percentage error lands on an integer 1e-6 grid (with the repo's
+    +1e-9 boundary nudge) BEFORE the cross-group mean, so the per-fold
+    MAPE is an exact-integer average — no float summation order
+    dependence across groups.
+
+    Output: one row per fold x — (x_col, n_series, mape_pct 4 dp),
+    where mape_pct averages 100·|pred−y|/|y| over the groups
+    evaluable at that fold.
+    """
+    g = [F.col(c) for c in group_cols]
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.asc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    stats = df.select(
+        *g,
+        F.col(x_col),
+        yd.alias("_y"),
+        F.count("*").over(w).alias("_n"),
+        F.sum(xd).over(w).alias("_sx"),
+        F.sum(yd).over(w).alias("_sy"),
+        F.sum(xd * yd).over(w).alias("_sxy"),
+        F.sum(xd * xd).over(w).alias("_sxx"),
+    )
+    varn = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (
+        F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / varn
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    pred = intercept + slope * F.col(x_col).cast("double")
+    ape_e6 = F.round(
+        F.abs(pred - F.col("_y")) / F.abs(F.col("_y")) * 1e6 + F.lit(1e-9),
+        0,
+    ).cast("long")
+    folds = (
+        stats.filter(
+            (F.col("_n") >= min_train)
+            & (varn != 0.0)
+            & F.col("_y").isNotNull()
+            & (F.col("_y") != 0.0)
+        )
+        .select(F.col(x_col), ape_e6.alias("_ape_e6"))
+        .groupBy(x_col)
+        .agg(
+            F.count("*").cast("long").alias("n_series"),
+            F.round(
+                F.sum("_ape_e6") / (F.count("*") * 1e4), 4
+            ).alias("mape_pct"),
+        )
+    )
+    return folds

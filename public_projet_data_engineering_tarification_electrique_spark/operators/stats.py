@@ -403,3 +403,49 @@ def quantile_normalize(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def exact_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC as the Mann–Whitney rank statistic, computed on
+    the SCORE-LEVEL table — the classifier-evaluation primitive run
+    over billions of scored rows without ever sorting them: AUC =
+    P(score⁺ > score⁻) + ½·P(tie), and on a level table that is
+    Σ_levels pos_at · (neg_below + neg_at/2) / (n_pos·n_neg).
+
+    Plan shape: one (score) hash agg with conditional counts
+    (partial-combined; the exchange carries one row per distinct
+    score), one running-sum window over the ≤|levels| table, one 1-row
+    agg. Everything stays on the ×2 integer grid (ties contribute
+    2·below + at halves without fractions) until the single terminal
+    division — bit-exact in DuckDB.
+
+    Output: one row (n_pos, n_neg, auc 6 dp); auc NULL when either
+    class is empty (undefined).
+    """
+    lv = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+        F.sum(1 - F.col(label_col).cast("long")).alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = lv.select(
+        "pos",
+        "neg",
+        (
+            F.col("pos")
+            * (2 * F.coalesce(F.sum("neg").over(w), F.lit(0)) + F.col("neg"))
+        ).alias("u2"),
+    )
+    return terms.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.when(
+            (F.sum("pos") > 0) & (F.sum("neg") > 0),
+            F.round(
+                F.sum("u2") / (2.0 * F.sum("pos") * F.sum("neg")), 6
+            ),
+        ).alias("auc"),
+    )

@@ -5464,6 +5464,43 @@ def q225_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(events, "value", "event_type")
 
 
+def q226_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the reference's yearly OLS
+    forecaster (the q08 model): every (supplier, year) is predicted
+    from that supplier's strictly earlier years, errors averaged per
+    fold year — all folds from ONE window pass of exclusive running
+    sufficient statistics over the yearly level table; no per-fold
+    refit. APEs land on the integer 1e-6 grid before the cross-series
+    mean, so fold MAPEs are exact-integer averages."""
+    from ..operators.forecast import rolling_origin_backtest
+
+    yearly = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey", F.year("l_shipdate").alias("annee"))
+        .agg(F.round(F.avg("l_quantity"), 4).alias("conso"))
+    )
+    return rolling_origin_backtest(
+        yearly, group_cols=("l_suppkey",), x_col="annee", y_col="conso"
+    ).select(F.col("annee").cast("int").alias("annee"), "n_series", "mape_pct")
+
+
+def q227_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the q210 hashed quality scorer at separating
+    English from non-English docs — the Mann–Whitney rank statistic
+    computed on the SCORE-LEVEL table (one hash agg with conditional
+    counts, one running-sum window over ≤|distinct scores| rows, one
+    1-row agg): billions of scored rows never get sorted. Ties
+    contribute half on the ×2 integer grid; one terminal division."""
+    from ..operators.classifier import hashed_ngram_doc_scores
+    from ..operators.stats import exact_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_ngram_doc_scores(docs, keep_cols=("lang",)).select(
+        "score", (F.col("lang") == "en").alias("is_en")
+    )
+    return exact_auc(scored, "score", "is_en")
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8669,6 +8706,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q223_fuzzy_vocab_join": q223_fuzzy_vocab_join,
     "q224_pareto_frontier": q224_pareto_frontier,
     "q225_quantile_normalize": q225_quantile_normalize,
+    "q226_forecast_backtest": q226_forecast_backtest,
+    "q227_exact_auc": q227_exact_auc,
 }
 
 
@@ -10742,3 +10781,71 @@ ORACLE_SQL["q225_quantile_normalize"] = """
              AS mean_normalized
     FROM matched GROUP BY 1
 """
+
+
+ORACLE_SQL["q226_forecast_backtest"] = """
+    WITH yearly AS (
+      SELECT l_suppkey AS g, year(l_shipdate) AS x,
+             round(avg(l_quantity), 4) AS y
+      FROM lineitem GROUP BY 1, 2
+    ), st AS (
+      SELECT g, x, y,
+             count(*) OVER wpre AS n,
+             sum(x::DOUBLE) OVER wpre AS sx,
+             sum(y) OVER wpre AS sy,
+             sum(x::DOUBLE * y) OVER wpre AS sxy,
+             sum(x::DOUBLE * x::DOUBLE) OVER wpre AS sxx
+      FROM yearly
+      WINDOW wpre AS (PARTITION BY g ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), fit AS (
+      SELECT x, y, n,
+             n * sxx - sx * sx AS varn,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             sx, sy
+      FROM st
+      WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+        AND y IS NOT NULL AND y <> 0
+    ), ev AS (
+      SELECT x,
+             cast(round(abs(((sy - slope * sx) / n + slope * x::DOUBLE) - y)
+                        / abs(y) * 1e6 + 1e-9) AS BIGINT) AS ape_e6
+      FROM fit
+    )
+    SELECT cast(x AS INTEGER) AS annee,
+           cast(count(*) AS BIGINT) AS n_series,
+           round(sum(ape_e6) / (count(*) * 1e4), 4) AS mape_pct
+    FROM ev GROUP BY 1
+"""
+
+
+def _q227_oracle() -> str:
+    from ..operators.classifier import doc_scores_oracle_cte
+
+    return f"""
+        WITH {doc_scores_oracle_cte("documents", "lang")},
+        lv AS (
+          SELECT score AS s,
+                 cast(sum(CASE WHEN extra = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pos,
+                 cast(sum(CASE WHEN extra = 'en' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS neg
+          FROM per_doc GROUP BY 1
+        ), terms AS (
+          SELECT pos, neg,
+                 pos * (2 * coalesce(sum(neg) OVER (
+                          ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+                        + neg) AS u2
+          FROM lv
+        )
+        SELECT cast(sum(pos) AS BIGINT) AS n_pos,
+               cast(sum(neg) AS BIGINT) AS n_neg,
+               CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                    THEN round(sum(u2) / (2.0 * sum(pos) * sum(neg)), 6)
+               END AS auc
+        FROM terms
+    """
+
+
+ORACLE_SQL["q227_exact_auc"] = _q227_oracle()

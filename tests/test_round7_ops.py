@@ -411,3 +411,46 @@ def test_quantile_normalize_aligns_group_means(spark):
     assert (
         abs(got["a"]["mean_normalized"] - got["b"]["mean_normalized"]) < 1.0
     )
+
+
+def test_exact_auc_hand_computed(spark):
+    """Perfect separation -> 1.0; all-tied scores -> 0.5; one empty
+    class -> NULL."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        exact_auc,
+    )
+
+    perfect = spark.createDataFrame(
+        [(10, True), (9, True), (2, False), (1, False)],
+        "score long, y boolean",
+    )
+    assert exact_auc(perfect, "score", "y").collect()[0]["auc"] == 1.0
+    tied = spark.createDataFrame(
+        [(5, True), (5, False), (5, True), (5, False)],
+        "score long, y boolean",
+    )
+    assert exact_auc(tied, "score", "y").collect()[0]["auc"] == 0.5
+    onesided = spark.createDataFrame(
+        [(1, True), (2, True)], "score long, y boolean"
+    )
+    assert exact_auc(onesided, "score", "y").collect()[0]["auc"] is None
+
+
+def test_rolling_backtest_exact_line(spark):
+    """A perfectly linear series backtests to MAPE 0 at every fold
+    with >= 2 training points."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.forecast import (
+        rolling_origin_backtest,
+    )
+
+    rows = [(1, 2000 + i, 10.0 + 2.0 * i) for i in range(6)]
+    df = spark.createDataFrame(rows, "g long, x int, y double")
+    got = {
+        r["x"]: r["mape_pct"]
+        for r in rolling_origin_backtest(
+            df, group_cols=("g",), x_col="x", y_col="y"
+        ).collect()
+    }
+    # folds 2002..2005 have >= 2 training points; all errors exactly 0
+    assert set(got) == {2002, 2003, 2004, 2005}
+    assert all(v == 0.0 for v in got.values())
