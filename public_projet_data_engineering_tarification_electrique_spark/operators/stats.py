@@ -449,3 +449,79 @@ def exact_auc(
             ),
         ).alias("auc"),
     )
+
+
+def pr_at_deciles(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_cuts: int = 10,
+) -> DataFrame:
+    """Precision/recall at top-d/10 flagging thresholds — the
+    operating-point table a filtering pipeline reads next to q227's
+    AUC ('if we keep the top 30% by score, what fraction is actually
+    good, and how much good do we lose?').
+
+    Same level-table discipline as exact_auc: one (score) hash agg
+    with conditional counts, one DESCENDING running-sum window over
+    ≤|distinct scores| rows (cum_ge, pos_ge per level), then each of
+    the n_cuts target ranks ⌈d·N/n_cuts⌉ picks its tightest level via
+    a broadcast non-equi join + min(struct) argmin — never a sort of
+    the scored rows. Exact integers everywhere; precision and recall
+    are the two terminal divisions.
+
+    Output: (decile 1..n_cuts, threshold_score, n_flagged,
+    n_pos_flagged, precision 6 dp, recall 6 dp).
+    """
+    if n_cuts < 1:
+        raise ValueError(f"n_cuts must be >= 1, got {n_cuts}")
+    lv = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+        F.count("*").alias("cnt"),
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = lv.select(
+        "s",
+        F.sum("cnt").over(w).alias("cum_ge"),
+        F.sum("pos").over(w).alias("pos_ge"),
+    ).localCheckpoint(eager=True)
+    totals = cum.agg(
+        F.max("cum_ge").alias("n_total"), F.max("pos_ge").alias("n_pos")
+    )
+    deciles = (
+        totals.select(
+            F.explode(
+                F.array(*[F.lit(d) for d in range(1, n_cuts + 1)])
+            ).alias("decile"),
+            "n_total",
+            "n_pos",
+        )
+        .withColumn(
+            "k", F.expr(f"(decile * n_total + {n_cuts - 1}) div {n_cuts}")
+        )
+    )
+    picked = (
+        deciles.join(F.broadcast(cum), F.col("cum_ge") >= F.col("k"))
+        .groupBy("decile", "n_pos")
+        .agg(
+            F.min(F.struct("cum_ge", "pos_ge", "s")).alias("_m"),
+        )
+        .select(
+            "decile",
+            F.col("_m.s").alias("threshold_score"),
+            F.col("_m.cum_ge").cast("long").alias("n_flagged"),
+            F.col("_m.pos_ge").cast("long").alias("n_pos_flagged"),
+            F.round(
+                F.col("_m.pos_ge") / F.col("_m.cum_ge").cast("double"), 6
+            ).alias("precision"),
+            F.when(
+                F.col("n_pos") > 0,
+                F.round(
+                    F.col("_m.pos_ge") / F.col("n_pos").cast("double"), 6
+                ),
+            ).alias("recall"),
+        )
+    )
+    return picked

@@ -5501,6 +5501,23 @@ def q227_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_auc(scored, "score", "is_en")
 
 
+def q228_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point table for the q210 scorer vs the en/non-en
+    label: precision/recall when flagging the top d/10 of docs by
+    score, for d = 1..10 — computed on the score-level table (q227
+    discipline): one conditional-count agg, one descending running
+    sum over ≤|distinct scores| rows, a broadcast argmin join for the
+    ten thresholds. The scored rows are never sorted."""
+    from ..operators.classifier import hashed_ngram_doc_scores
+    from ..operators.stats import pr_at_deciles
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_ngram_doc_scores(docs, keep_cols=("lang",)).select(
+        "score", (F.col("lang") == "en").alias("is_en")
+    )
+    return pr_at_deciles(scored, "score", "is_en")
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8708,6 +8725,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q225_quantile_normalize": q225_quantile_normalize,
     "q226_forecast_backtest": q226_forecast_backtest,
     "q227_exact_auc": q227_exact_auc,
+    "q228_pr_deciles": q228_pr_deciles,
 }
 
 
@@ -10849,3 +10867,48 @@ def _q227_oracle() -> str:
 
 
 ORACLE_SQL["q227_exact_auc"] = _q227_oracle()
+
+
+def _q228_oracle() -> str:
+    from ..operators.classifier import doc_scores_oracle_cte
+
+    return f"""
+        WITH {doc_scores_oracle_cte("documents", "lang")},
+        lv AS (
+          SELECT score AS s,
+                 cast(sum(CASE WHEN extra = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pos,
+                 cast(count(*) AS BIGINT) AS cnt
+          FROM per_doc GROUP BY 1
+        ), cum AS (
+          SELECT s,
+                 sum(cnt) OVER (ORDER BY s DESC
+                                ROWS UNBOUNDED PRECEDING) AS cum_ge,
+                 sum(pos) OVER (ORDER BY s DESC
+                                ROWS UNBOUNDED PRECEDING) AS pos_ge
+          FROM lv
+        ), tot AS (
+          SELECT max(cum_ge) AS n_total, max(pos_ge) AS n_pos FROM cum
+        ), dec AS (
+          SELECT d AS decile, n_total, n_pos,
+                 (d * n_total + 9) // 10 AS k
+          FROM (SELECT unnest(range(1, 11)) AS d) CROSS JOIN tot
+        ), picked AS (
+          SELECT decile, n_pos,
+                 min(struct_pack(cum_ge := cum_ge, pos_ge := pos_ge,
+                                 s := s)) AS m
+          FROM dec JOIN cum ON cum.cum_ge >= dec.k
+          GROUP BY 1, 2
+        )
+        SELECT cast(decile AS INTEGER) AS decile,
+               m.s AS threshold_score,
+               cast(m.cum_ge AS BIGINT) AS n_flagged,
+               cast(m.pos_ge AS BIGINT) AS n_pos_flagged,
+               round(m.pos_ge / m.cum_ge::DOUBLE, 6) AS precision,
+               CASE WHEN n_pos > 0
+                    THEN round(m.pos_ge / n_pos::DOUBLE, 6) END AS recall
+        FROM picked
+    """
+
+
+ORACLE_SQL["q228_pr_deciles"] = _q228_oracle()

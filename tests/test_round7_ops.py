@@ -454,3 +454,20 @@ def test_rolling_backtest_exact_line(spark):
     # folds 2002..2005 have >= 2 training points; all errors exactly 0
     assert set(got) == {2002, 2003, 2004, 2005}
     assert all(v == 0.0 for v in got.values())
+
+
+def test_pr_deciles_hand_computed(spark):
+    """10 rows, scores 10..1, top-5 positive: decile 5 flags exactly
+    the 5 positives (precision 1.0, recall 1.0); decile 10 flags all
+    (precision 0.5, recall 1.0)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        pr_at_deciles,
+    )
+
+    rows = [(10 - i, i < 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "score long, y boolean")
+    got = {r["decile"]: r for r in pr_at_deciles(df, "score", "y").collect()}
+    assert got[5]["n_flagged"] == 5
+    assert got[5]["precision"] == 1.0 and got[5]["recall"] == 1.0
+    assert got[10]["n_flagged"] == 10
+    assert got[10]["precision"] == 0.5 and got[10]["recall"] == 1.0
