@@ -934,12 +934,20 @@ def bpe_train_merges(
     repo's scalar-attach pattern), and the vocab table is
     localCheckpoint'd per round so the plan stays flat.
 
-    Cross-engine exactness: symbol sequences are sep-delimited strings
-    ('|a|b|c|'); the greedy left-to-right non-overlapping merge IS
-    `replace(seq, '|L|R|', '|LR|')` — Spark's `replace` and DuckDB's
-    `replace` share that exact contract, so no fold/UDF is needed and
-    the oracle is bit-identical. Ties break on (left, right) string
-    order; counts are exact longs.
+    Cross-engine exactness: every symbol is WRAPPED as '|t|' (tokens
+    joined with '||': '|a||b||c|'), so the merge pattern '|L||R|' →
+    '|LR|' consumes no character shared with the NEXT potential match
+    — with that invariant, plain non-overlapping `replace` IS the
+    greedy left-to-right merge (with single delimiters, consecutive
+    matches share the middle '|' and replace skips mergeable pairs in
+    runs: '|a|a|a|a|' merged (a,a) would give [aa,a,a], not the
+    correct [aa,aa] — caught by the hypothesis model test). Spark's
+    and DuckDB's `replace` share the contract, so no fold/UDF is
+    needed and the oracle is bit-identical; pattern matches always
+    align to token boundaries because tokens never contain the
+    delimiter and a match's interior '||' can only map to an
+    inter-token separator. Ties break on (left, right) string order;
+    counts are exact longs.
 
     Output: (round, left, right, merged, pair_count) — one row per
     learned merge, in training order.
@@ -956,9 +964,9 @@ def bpe_train_merges(
         .agg(F.count("*").alias("freq"))
         .select(
             "freq",
-            F.concat(F.lit(sep), F.concat_ws(sep, chars), F.lit(sep)).alias(
-                "seq"
-            ),
+            F.concat(
+                F.lit(sep), F.concat_ws(sep + sep, chars), F.lit(sep)
+            ).alias("seq"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1006,7 +1014,7 @@ def bpe_train_merges(
                 F.replace(
                     F.col("seq"),
                     F.concat(
-                        F.lit(sep), F.col("left"), F.lit(sep),
+                        F.lit(sep), F.col("left"), F.lit(sep + sep),
                         F.col("right"), F.lit(sep),
                     ),
                     F.concat(
@@ -1024,9 +1032,9 @@ def bpe_train_merges(
 
 def bpe_merges_oracle_sql(table: str = "documents", rounds: int = 3) -> str:
     """DuckDB twin of bpe_train_merges — identical word-frequency
-    table, sep-delimited sequences, pair counts, (count desc, pair
-    asc) argmax, and `replace`-based greedy merges, unrolled per
-    round."""
+    table, WRAPPED-token sequences ('|a||b|', see the operator's
+    delimiter invariant), pair counts, (count desc, pair asc) argmax,
+    and `replace`-based greedy merges, unrolled per round."""
     ctes = ["""
     tok AS (
       SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
@@ -1037,7 +1045,7 @@ def bpe_merges_oracle_sql(table: str = "documents", rounds: int = 3) -> str:
       SELECT freq,
              '|' || array_to_string(
                list_transform(range(1, length(w) + 1),
-                              i -> substr(w, i, 1)), '|') || '|' AS seq
+                              i -> substr(w, i, 1)), '||') || '|' AS seq
       FROM (SELECT w, cast(count(*) AS BIGINT) AS freq
             FROM tok GROUP BY w)
     )""".format(table=table)]
@@ -1057,7 +1065,7 @@ def bpe_merges_oracle_sql(table: str = "documents", rounds: int = 3) -> str:
       ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
     ), v{r} AS (
       SELECT freq,
-             replace(seq, '|' || l || '|' || r || '|',
+             replace(seq, '|' || l || '||' || r || '|',
                           '|' || l || r || '|') AS seq
       FROM v{r - 1} CROSS JOIN t{r}
     )""")

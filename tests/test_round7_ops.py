@@ -471,3 +471,20 @@ def test_pr_deciles_hand_computed(spark):
     assert got[5]["precision"] == 1.0 and got[5]["recall"] == 1.0
     assert got[10]["n_flagged"] == 10
     assert got[10]["precision"] == 0.5 and got[10]["recall"] == 1.0
+
+
+def test_bpe_merge_handles_symbol_runs(spark):
+    """Regression (hypothesis-found): with single delimiters the merge
+    replace consumed the shared '|' and 'aaaa' merged to [aa,a,a]
+    instead of greedy [aa,aa]. Wrapped tokens fix it: round 2 must
+    merge (aa,aa) with count 1."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame([(1, "a aaaa")], "doc_id long, text string")
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(docs, rounds=2).orderBy("round").collect()
+    ]
+    assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
