@@ -379,13 +379,26 @@ def quantile_normalize(
             F.expr("(cum * n_total + n_g - 1) div n_g"),
         )
     )
-    pooled_ranges = pooled_cdf.select(
-        F.col("v").alias("v_norm"), "lo", "hi"
+    # Interval lookup target∈(lo, hi] as a BACKWARD AS-OF on the
+    # interval starts (lo+1): the pooled levels partition [1..N], so
+    # the latest start <= target IS the covering level. A range join
+    # here compiles to BroadcastNestedLoopJoin — |group levels| ×
+    # |pooled levels| comparisons (measured 10.1 s at sf0.1 vs 1.5 s
+    # for the as-of union+window over the same level tables).
+    from .asof import asof_join
+
+    pooled_starts = pooled_cdf.select(
+        F.col("v").alias("v_norm"), (F.col("lo") + 1).alias("start")
     )
-    matched = gcdf.join(
-        F.broadcast(pooled_ranges),
-        (F.col("target") > F.col("lo")) & (F.col("target") <= F.col("hi")),
-    ).select("grp", "cnt", F.col("v").alias("v_orig"), "v_norm")
+    matched = asof_join(
+        gcdf.select("grp", "cnt", F.col("v").alias("v_orig"), "target"),
+        pooled_starts,
+        on=(),
+        left_ts="target",
+        right_ts="start",
+        right_cols=("v_norm",),
+        direction="backward",
+    ).select("grp", "cnt", "v_orig", F.col("asof_v_norm").alias("v_norm"))
     return (
         matched.groupBy("grp")
         .agg(
