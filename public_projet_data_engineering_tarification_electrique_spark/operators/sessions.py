@@ -235,7 +235,7 @@ def rfm_segments(
     ``n_tiles`` quantile tiles; the segment label is the "R-F-M"
     digit triple.
 
-    Determinism: tiles come from `ntile` over a TOTAL order (metric,
+    Determinism: tiles are exact NTILE over a TOTAL order (metric,
     then user id — ntile on a tied-but-unordered column is
     engine-dependent, with the tie-break it is exact); monetary sums
     are accumulated as exact integer cents before any division.
@@ -244,13 +244,20 @@ def rfm_segments(
     data.
 
     Plan shape: one hash agg to the per-user grain (map-side
-    combined), three ntile windows over that BOUNDED user dimension —
-    the "aggregate first, rank the aggregate" rule; never a window
-    over raw events. Output: (segment, n_users, total_cents) per
-    occupied segment cell.
+    combined), then three DISTRIBUTED exact ntiles over that
+    per-user table (`shards.global_ntile`: range-partitioned
+    two-phase rank + the closed-form tile expression) — NEVER the
+    naive `ntile() OVER (ORDER BY …)`, whose unpartitioned window
+    funnels every user into one task (fine at sf0.1, the classic
+    single-task bottleneck at billions of users). Each axis costs two
+    P-way-parallel shuffles and a P-row driver collect; the tile
+    values are bit-identical to the unpartitioned window's. Output:
+    (segment, n_users, total_cents) per occupied segment cell.
     """
     if n_tiles <= 0:
         raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    from .shards import global_ntile
+
     conv = events.filter(F.col("event_type") == conversion_type)
     per_user = conv.groupBy(F.col(key_col).alias("_u")).agg(
         F.max(F.to_date(ts_col)).alias("_last"),
@@ -265,17 +272,22 @@ def rfm_segments(
         "_cents",
     )
     # lower recency = better -> ascending; higher freq/monetary = better
-    r = F.ntile(n_tiles).over(Window.orderBy(F.asc("_rec"), F.asc("_u")))
-    f_ = F.ntile(n_tiles).over(Window.orderBy(F.desc("_freq"), F.asc("_u")))
-    m = F.ntile(n_tiles).over(Window.orderBy(F.desc("_cents"), F.asc("_u")))
-    tiled = scored.select(
-        "_u",
+    tiled = global_ntile(
+        scored, [F.asc("_rec"), F.asc("_u")], n_tiles, tile_col="_rt"
+    )
+    tiled = global_ntile(
+        tiled, [F.desc("_freq"), F.asc("_u")], n_tiles, tile_col="_ft"
+    )
+    tiled = global_ntile(
+        tiled, [F.desc("_cents"), F.asc("_u")], n_tiles, tile_col="_mt"
+    )
+    tiled = tiled.select(
         "_cents",
         F.concat_ws(
             "-",
-            r.cast("string"),
-            f_.cast("string"),
-            m.cast("string"),
+            F.col("_rt").cast("string"),
+            F.col("_ft").cast("string"),
+            F.col("_mt").cast("string"),
         ).alias("segment"),
     )
     return tiled.groupBy("segment").agg(

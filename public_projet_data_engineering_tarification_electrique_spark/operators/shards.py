@@ -55,10 +55,12 @@ def _ranged_with_offsets(
     order_by: list[Column],
     per_partition_total: Column,
     num_partitions: int | None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Range-partition ``df`` on ``order_by`` (pinned), and build the
     broadcast (pid → prefix total) table from a P-row driver collect of
-    ``per_partition_total`` per physical partition."""
+    ``per_partition_total`` per physical partition. Also returns the
+    grand total (the same collect already knows it — callers like
+    ``global_ntile`` need N without a second job)."""
     p = _resolve_partitions(df, num_partitions)
     ranged = (
         df.repartitionByRange(p, *order_by)
@@ -84,7 +86,7 @@ def _ranged_with_offsets(
             "_pid INT, _offset LONG",
         )
     )
-    return ranged, offsets_df
+    return ranged, offsets_df, acc
 
 
 def global_row_number(
@@ -108,7 +110,7 @@ def global_row_number(
     beat one serial sort by ~P. The pid exchange is skew-bounded by
     the range partitioner's equi-depth sampling.
     """
-    ranged, offsets_df = _ranged_with_offsets(
+    ranged, offsets_df, _ = _ranged_with_offsets(
         df, order_by, F.count("*"), num_partitions
     )
     local_w = Window.partitionBy("_pid").orderBy(*order_by)
@@ -121,6 +123,49 @@ def global_row_number(
             ),
         )
         .drop("_pid", "_offset")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: list[Column],
+    n_tiles: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY <total order>)`` without a
+    single-partition window, P-way parallel.
+
+    ntile is a closed-form function of the global rank once N is
+    known: the first ``N mod n`` tiles hold ``ceil(N/n)`` rows, the
+    rest ``floor(N/n)`` (the ANSI/Spark/DuckDB tiling). So the
+    two-phase distributed rank (``global_row_number``) plus one
+    literal case-expression reproduces the unpartitioned window
+    bit-for-bit — and N is free, the offsets collect already summed
+    it. Same total-order requirement as ``global_row_number``.
+    """
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    ranged, offsets_df, total = _ranged_with_offsets(
+        df, order_by, F.count("*"), num_partitions
+    )
+    q, r = divmod(total, n_tiles)
+    cut = r * (q + 1)  # ranks 1..cut live in the (q+1)-sized tiles
+    qs = max(q, 1)  # q == 0 ⇒ every rank ≤ cut; keep the div legal
+    local_w = Window.partitionBy("_pid").orderBy(*order_by)
+    rn = F.row_number().over(local_w) + F.coalesce("_offset", F.lit(0))
+    return (
+        ranged.join(offsets_df, on="_pid", how="left")
+        .withColumn("_grn", rn.cast("long"))
+        .withColumn(
+            tile_col,
+            F.expr(
+                f"cast(case when _grn <= {cut} "
+                f"then (_grn - 1) div {q + 1} + 1 "
+                f"else {r} + (_grn - 1 - {cut}) div {qs} + 1 end as int)"
+            ),
+        )
+        .drop("_pid", "_offset", "_grn")
     )
 
 
@@ -140,23 +185,84 @@ def global_running_sum(
     offsets accumulate in exact long arithmetic — float prefix sums
     would be partitioning-dependent).
     """
-    ranged, offsets_df = _ranged_with_offsets(
-        df, order_by, F.sum(F.col(value_col).cast("long")), num_partitions
+    return global_running_sums(
+        df, order_by, [value_col], [sum_col], num_partitions
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    value_cols: list[str],
+    sum_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix sums of SEVERAL integral columns under
+    one total order, sharing a single ranged exchange and a single
+    P-row driver collect — the multi-measure variant of
+    ``global_running_sum`` (a cumulative-distribution table wants
+    both a running count and a running positive-count; paying the
+    two-shuffle construction once per measure would double the cost
+    for no reason).
+
+    Same contract as the single-column form: ``order_by`` must be a
+    total order, values must be integral (offsets accumulate in exact
+    long arithmetic), and the cost is two P-way-parallel shuffles —
+    never a single-partition window.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    if sum_cols is None:
+        sum_cols = [f"{c}_running_sum" for c in value_cols]
+    if len(sum_cols) != len(value_cols):
+        raise ValueError(
+            f"sum_cols ({len(sum_cols)}) must match value_cols "
+            f"({len(value_cols)})"
+        )
+    p = _resolve_partitions(df, num_partitions)
+    ranged = (
+        df.repartitionByRange(p, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Bounded driver collect: one row per partition, all measures at
+    # once (p rows × k longs — never data-sized).
+    rows = (
+        ranged.groupBy("_pid")
+        .agg(
+            *[
+                F.sum(F.col(c).cast("long")).alias(f"_t{i}")
+                for i, c in enumerate(value_cols)
+            ]
+        )
+        .collect()
+    )
+    totals = {r["_pid"]: [r[f"_t{i}"] or 0 for i in range(len(value_cols))] for r in rows}
+    offset_rows = []
+    acc = [0] * len(value_cols)
+    for pid in sorted(totals):
+        offset_rows.append((pid, *acc))
+        acc = [a + t for a, t in zip(acc, totals[pid])]
+    off_names = [f"_off{i}" for i in range(len(value_cols))]
+    offsets_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offset_rows or [(0, *([0] * len(value_cols)))],
+            "_pid INT, " + ", ".join(f"{n} LONG" for n in off_names),
+        )
     )
     local_w = (
         Window.partitionBy("_pid")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ranged.join(offsets_df, on="_pid", how="left")
-        .withColumn(
-            sum_col,
-            F.sum(F.col(value_col).cast("long")).over(local_w)
-            + F.coalesce("_offset", F.lit(0)),
+    out = ranged.join(offsets_df, on="_pid", how="left")
+    for vc, sc, on in zip(value_cols, sum_cols, off_names):
+        out = out.withColumn(
+            sc,
+            F.sum(F.col(vc).cast("long")).over(local_w)
+            + F.coalesce(on, F.lit(0)),
         )
-        .drop("_pid", "_offset")
-    )
+    return out.drop("_pid", *off_names)
 
 
 def sorted_shards(

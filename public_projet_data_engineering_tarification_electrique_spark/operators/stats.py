@@ -431,25 +431,32 @@ def exact_auc(
 
     Plan shape: one (score) hash agg with conditional counts
     (partial-combined; the exchange carries one row per distinct
-    score), one running-sum window over the ≤|levels| table, one 1-row
-    agg. Everything stays on the ×2 integer grid (ties contribute
-    2·below + at halves without fractions) until the single terminal
-    division — bit-exact in DuckDB.
+    score), then a DISTRIBUTED prefix sum over the level table
+    (`shards.global_running_sums`: range-partitioned two-phase scan —
+    never the naive `SUM() OVER (ORDER BY s)`, whose unpartitioned
+    window is one task; the level count is usually small but grows
+    with the scorer's integer range, so the bound is data-shaped, not
+    structural), one 1-row agg. Everything stays on the ×2 integer
+    grid (ties contribute 2·below + at halves without fractions)
+    until the single terminal division — bit-exact in DuckDB.
 
     Output: one row (n_pos, n_neg, auc 6 dp); auc NULL when either
     class is empty (undefined).
     """
+    from .shards import global_running_sums
+
     lv = scored.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(F.col(label_col).cast("long")).alias("pos"),
         F.sum(1 - F.col(label_col).cast("long")).alias("neg"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    terms = lv.select(
+    # inclusive running neg, ascending score; below = inclusive − at.
+    summed = global_running_sums(lv, [F.asc("s")], ["neg"], ["_neg_le"])
+    terms = summed.select(
         "pos",
         "neg",
         (
             F.col("pos")
-            * (2 * F.coalesce(F.sum("neg").over(w), F.lit(0)) + F.col("neg"))
+            * (2 * (F.col("_neg_le") - F.col("neg")) + F.col("neg"))
         ).alias("u2"),
     )
     return terms.agg(
@@ -476,30 +483,33 @@ def pr_at_deciles(
     good, and how much good do we lose?').
 
     Same level-table discipline as exact_auc: one (score) hash agg
-    with conditional counts, one DESCENDING running-sum window over
-    ≤|distinct scores| rows (cum_ge, pos_ge per level), then each of
-    the n_cuts target ranks ⌈d·N/n_cuts⌉ picks its tightest level via
-    a broadcast non-equi join + min(struct) argmin — never a sort of
-    the scored rows. Exact integers everywhere; precision and recall
-    are the two terminal divisions.
+    with conditional counts, then a DISTRIBUTED descending prefix sum
+    over the level table (`shards.global_running_sums` — both
+    measures, cum_ge and pos_ge, share one ranged exchange; never the
+    naive unpartitioned `SUM() OVER (ORDER BY s DESC)` single-task
+    window), then each of the n_cuts target ranks ⌈d·N/n_cuts⌉ picks
+    its tightest level via a broadcast non-equi join + min(struct)
+    argmin — never a sort of the scored rows. Exact integers
+    everywhere; precision and recall are the two terminal divisions.
 
     Output: (decile 1..n_cuts, threshold_score, n_flagged,
     n_pos_flagged, precision 6 dp, recall 6 dp).
     """
+    from .shards import global_running_sums
+
     if n_cuts < 1:
         raise ValueError(f"n_cuts must be >= 1, got {n_cuts}")
     lv = scored.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(F.col(label_col).cast("long")).alias("pos"),
         F.count("*").alias("cnt"),
     )
-    w = Window.orderBy(F.desc("s")).rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = (
+        global_running_sums(
+            lv, [F.desc("s")], ["cnt", "pos"], ["cum_ge", "pos_ge"]
+        )
+        .select("s", "cum_ge", "pos_ge")
+        .localCheckpoint(eager=True)
     )
-    cum = lv.select(
-        "s",
-        F.sum("cnt").over(w).alias("cum_ge"),
-        F.sum("pos").over(w).alias("pos_ge"),
-    ).localCheckpoint(eager=True)
     totals = cum.agg(
         F.max("cum_ge").alias("n_total"), F.max("pos_ge").alias("n_pos")
     )

@@ -5490,13 +5490,17 @@ def q227_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed on the SCORE-LEVEL table (one hash agg with conditional
     counts, one running-sum window over ≤|distinct scores| rows, one
     1-row agg): billions of scored rows never get sorted. Ties
-    contribute half on the ×2 integer grid; one terminal division."""
+    contribute half on the ×2 integer grid; one terminal division.
+    NULL lang counts as negative (coalesce to false) — explicitly the
+    same convention as the oracle's CASE WHEN … ELSE 1, so a NULL in
+    documents.lang can never silently diverge the two sides."""
     from ..operators.classifier import hashed_ngram_doc_scores
     from ..operators.stats import exact_auc
 
     docs = load_table(spark, sf_dir, "documents")
     scored = hashed_ngram_doc_scores(docs, keep_cols=("lang",)).select(
-        "score", (F.col("lang") == "en").alias("is_en")
+        "score",
+        F.coalesce(F.col("lang") == "en", F.lit(False)).alias("is_en"),
     )
     return exact_auc(scored, "score", "is_en")
 
@@ -5507,13 +5511,16 @@ def q228_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, for d = 1..10 — computed on the score-level table (q227
     discipline): one conditional-count agg, one descending running
     sum over ≤|distinct scores| rows, a broadcast argmin join for the
-    ten thresholds. The scored rows are never sorted."""
+    ten thresholds. The scored rows are never sorted. NULL lang
+    counts as negative (coalesce to false), matching the oracle's
+    CASE WHEN … ELSE 1 explicitly."""
     from ..operators.classifier import hashed_ngram_doc_scores
     from ..operators.stats import pr_at_deciles
 
     docs = load_table(spark, sf_dir, "documents")
     scored = hashed_ngram_doc_scores(docs, keep_cols=("lang",)).select(
-        "score", (F.col("lang") == "en").alias("is_en")
+        "score",
+        F.coalesce(F.col("lang") == "en", F.lit(False)).alias("is_en"),
     )
     return pr_at_deciles(scored, "score", "is_en")
 

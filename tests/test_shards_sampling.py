@@ -197,3 +197,76 @@ def test_global_running_sum_matches_serial_cumsum(spark):
     for r in sharded:
         start = r["running_bytes"] - r["w"]
         assert r["shard_id"] == start // 40
+
+
+def test_global_ntile_matches_unpartitioned_ntile(spark):
+    from pyspark.sql import Window
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+        global_ntile,
+    )
+
+    df = _docs(spark)  # 237 rows, tied w values
+    for n in (1, 4, 5, 237, 500):  # incl. n > N (each row its own tile)
+        order = [F.desc("w"), F.asc("doc_id")]
+        got = dict(
+            global_ntile(df, order, n, tile_col="t", num_partitions=5)
+            .select("doc_id", "t")
+            .collect()
+        )
+        want = dict(
+            df.select(
+                "doc_id", F.ntile(n).over(Window.orderBy(*order)).alias("t")
+            ).collect()
+        )
+        assert got == want, f"n_tiles={n}"
+
+
+def test_global_ntile_rejects_nonpositive_and_handles_empty(spark):
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+        global_ntile,
+    )
+
+    with pytest.raises(ValueError):
+        global_ntile(_docs(spark), [F.asc("doc_id")], 0)
+    empty = _docs(spark).filter(F.lit(False))
+    assert global_ntile(empty, [F.asc("doc_id")], 5).count() == 0
+
+
+def test_global_running_sums_multi_matches_two_windows(spark):
+    from pyspark.sql import Window
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+        global_running_sums,
+    )
+
+    df = _docs(spark).withColumn("v2", (F.col("doc_id") % 7).cast("long"))
+    order = [F.desc("w"), F.asc("doc_id")]
+    got = global_running_sums(
+        df, order, ["w", "v2"], ["rs_w", "rs_v2"], num_partitions=5
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "doc_id",
+        F.sum("w").over(w).alias("rs_w"),
+        F.sum("v2").over(w).alias("rs_v2"),
+    )
+    assert sorted(
+        map(tuple, got.select("doc_id", "rs_w", "rs_v2").collect())
+    ) == sorted(map(tuple, want.collect()))
+
+
+def test_global_running_sums_validates_inputs(spark):
+    import pytest
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+        global_running_sums,
+    )
+
+    df = _docs(spark)
+    with pytest.raises(ValueError):
+        global_running_sums(df, [F.asc("doc_id")], [])
+    with pytest.raises(ValueError):
+        global_running_sums(df, [F.asc("doc_id")], ["w"], ["a", "b"])
