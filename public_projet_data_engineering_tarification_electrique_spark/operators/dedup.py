@@ -354,18 +354,23 @@ def connected_components(
     # workloads is orders of magnitude smaller, so its rounds run under
     # a pinned low partition count (each round is join+agg+checkpoint:
     # at 32 partitions that is mostly empty-task scheduling).
+    # LAZY checkpoints throughout the loop: the convergence count is
+    # the action that materializes each round's frame, so one job per
+    # iteration does both (an eager checkpoint + separate count would
+    # double the tiny-job scheduling overhead that dominates this loop
+    # at bench scale — halving it cut the q47/q195 family measurably).
     sym = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .union(edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     with pinned_shuffle_partitions(edges.sparkSession, loop_partitions):
         comp = (
             sym.select(F.col("_a").alias("node"))
             .distinct()
             .withColumn("component", F.col("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         for _ in range(max_iter):
             nbr_min = (
@@ -388,8 +393,10 @@ def connected_components(
                         F.coalesce(F.col("_min_nbr"), F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            # this count materializes `new`'s checkpoint — the lineage
+            # is still truncated per round, in the same job
             changed = new.filter(F.col("component") != F.col("_old")).count()
             comp = new.drop("_old")
             if changed == 0:
@@ -1036,10 +1043,13 @@ def canonical_docs(
     rounded quality score — rounded BEFORE ranking, so the argmax is
     engine-exact.
 
-    Plan shape: cluster assignment (shingle-blocked pairs + CC) joins
-    the quality projection on doc_id — quality is a map-side projection
-    over the same scan, and the argmax window partitions by cluster
-    (clusters are near-dup-sized, never skewed). Output:
+    Plan shape: cluster assignment (shingle-blocked pairs + CC) is
+    TINY relative to the corpus (only docs with a near-dup appear), so
+    it joins INTO the docs scan — the quality projection (tokenize +
+    punct scan, the expensive string work) runs only on cluster
+    members, never on the whole corpus; the argmax is a per-cluster
+    max(struct) hash agg (partial-combined map-side — no window sort,
+    and cluster cardinality bounds the reduce side). Output:
     (cluster_id, kept_doc_id, kept_quality, cluster_size).
     """
     from ..functions.text import punct_ratio, token_count
@@ -1052,27 +1062,31 @@ def canonical_docs(
     # operator does not inherit that function's `lang` column
     # requirement (keep the two in sync)
     t = F.col(text_col)
-    quality = docs.select(
-        F.col(id_col),
-        F.round(
-            F.least(F.lit(1.0), token_count(t) / F.lit(120.0))
-            * (F.lit(1.0) - punct_ratio(t)),
-            4,
-        ).alias("quality"),
+    quality = F.round(
+        F.least(F.lit(1.0), token_count(t) / F.lit(120.0))
+        * (F.lit(1.0) - punct_ratio(t)),
+        4,
     )
-    joined = clusters.join(quality, on=id_col)
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality"), F.asc(id_col)
+    members = docs.select(F.col(id_col), t).join(clusters, on=id_col)
+    scored = members.select(
+        "cluster_id", "cluster_size", F.col(id_col), quality.alias("quality")
     )
-    return (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(
-            "cluster_id",
-            F.col(id_col).alias("kept_doc_id"),
-            F.col("quality").alias("kept_quality"),
-            "cluster_size",
-        )
+    # argmax by (quality desc, id asc): max(struct) with the id negated
+    # makes the tuple order implement the tie-break exactly
+    picked = scored.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality"),
+                (-F.col(id_col)).alias("_nid"),
+                F.col("cluster_size"),
+            )
+        ).alias("_m")
+    )
+    return picked.select(
+        "cluster_id",
+        (-F.col("_m._nid")).alias("kept_doc_id"),
+        F.col("_m.quality").alias("kept_quality"),
+        F.col("_m.cluster_size").alias("cluster_size"),
     )
 
 

@@ -11,9 +11,11 @@ classic two-phase distributed scan:
 
 1. ``repartitionByRange`` on the sort key — partitions are
    range-disjoint and ordered, P-way parallel.
-2. Partition-LOCAL window (partitioned by the physical partition id —
-   no further exchange of the data past one hash shuffle; each task
-   sorts only its range).
+2. Partition-LOCAL ordering: ``sortWithinPartitions`` (no exchange)
+   plus the ``monotonically_increasing_id`` record-number bits for row
+   numbers — or, where a true running SUM is needed, a window
+   partitioned by the physical partition id (that one costs a second
+   hash exchange; the row-number path costs none).
 3. A bounded driver collect of per-partition aggregates (exactly P
    rows — the only driver-side data, documented here as the bound)
    turns into broadcast prefix offsets; local result + offset = exact
@@ -62,10 +64,13 @@ def _ranged_with_offsets(
     grand total (the same collect already knows it — callers like
     ``global_ntile`` need N without a second job)."""
     p = _resolve_partitions(df, num_partitions)
+    # LAZY checkpoint: the offsets collect just below is the action
+    # that materializes it — same pinning of the sampled range bounds,
+    # one job instead of two.
     ranged = (
         df.repartitionByRange(p, *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Bounded driver collect: exactly one row per partition (= p rows,
     # thousands at cluster scale, never data-sized).
@@ -89,6 +94,27 @@ def _ranged_with_offsets(
     return ranged, offsets_df, acc
 
 
+#: monotonically_increasing_id packs (partition id << 33) | record
+#: number — the record-number mask (documented Spark layout).
+_MID_LOW33 = (1 << 33) - 1
+
+
+def _local_row_number() -> Column:
+    """1-based row number within the CURRENT partition, in pipeline
+    order — the lower 33 bits of ``monotonically_increasing_id``
+    (documented layout: upper 31 bits partition id, lower 33 record
+    number). Evaluated directly above ``sortWithinPartitions``, this
+    replaces ``row_number() OVER (PARTITION BY _pid ORDER BY …)``,
+    whose hash exchange on ``_pid`` re-shuffles the ENTIRE frame a
+    second time (Catalyst cannot see that a checkpointed frame is
+    already pid-disjoint) — at 100 TB that exchange moves the corpus
+    twice for nothing. mid is nondeterministic to the optimizer, so
+    the projection is never pushed below the sort. Bound: < 2^33
+    (8.6 B) rows per partition, far above any sane partition size.
+    """
+    return F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_LOW33)) + 1
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[Column],
@@ -102,27 +128,24 @@ def global_row_number(
     so duplicate full keys could otherwise straddle a boundary and
     make the numbering partition-dependent.
 
-    Cost, honestly: TWO parallel shuffles (the range exchange, then a
-    hash exchange on the partition id that the local window demands —
-    Catalyst cannot see that the checkpointed data is already
-    pid-disjoint). Still the right trade at scale: the naive global
-    window is ONE shuffle into ONE task; two P-way-parallel shuffles
-    beat one serial sort by ~P. The pid exchange is skew-bounded by
-    the range partitioner's equi-depth sampling.
+    Cost: ONE parallel shuffle (the range exchange) + a partition-local
+    sort + a P-row driver collect. The local row number comes from the
+    mid bit layout (see ``_local_row_number``), not a window — so no
+    second exchange on the partition id. The range exchange is
+    skew-bounded by the partitioner's equi-depth sampling.
     """
     ranged, offsets_df, _ = _ranged_with_offsets(
         df, order_by, F.count("*"), num_partitions
     )
-    local_w = Window.partitionBy("_pid").orderBy(*order_by)
     return (
-        ranged.join(offsets_df, on="_pid", how="left")
+        ranged.sortWithinPartitions(*order_by)
+        .withColumn("_lrn", _local_row_number())
+        .join(offsets_df, on="_pid", how="left")
         .withColumn(
             rank_col,
-            (F.row_number().over(local_w) + F.coalesce("_offset", F.lit(0))).cast(
-                "long"
-            ),
+            (F.col("_lrn") + F.coalesce("_offset", F.lit(0))).cast("long"),
         )
-        .drop("_pid", "_offset")
+        .drop("_pid", "_offset", "_lrn")
     )
 
 
@@ -152,11 +175,14 @@ def global_ntile(
     q, r = divmod(total, n_tiles)
     cut = r * (q + 1)  # ranks 1..cut live in the (q+1)-sized tiles
     qs = max(q, 1)  # q == 0 ⇒ every rank ≤ cut; keep the div legal
-    local_w = Window.partitionBy("_pid").orderBy(*order_by)
-    rn = F.row_number().over(local_w) + F.coalesce("_offset", F.lit(0))
     return (
-        ranged.join(offsets_df, on="_pid", how="left")
-        .withColumn("_grn", rn.cast("long"))
+        ranged.sortWithinPartitions(*order_by)
+        .withColumn("_lrn", _local_row_number())
+        .join(offsets_df, on="_pid", how="left")
+        .withColumn(
+            "_grn",
+            (F.col("_lrn") + F.coalesce("_offset", F.lit(0))).cast("long"),
+        )
         .withColumn(
             tile_col,
             F.expr(
@@ -165,7 +191,7 @@ def global_ntile(
                 f"else {r} + (_grn - 1 - {cut}) div {qs} + 1 end as int)"
             ),
         )
-        .drop("_pid", "_offset", "_grn")
+        .drop("_pid", "_offset", "_lrn", "_grn")
     )
 
 
@@ -223,7 +249,7 @@ def global_running_sums(
     ranged = (
         df.repartitionByRange(p, *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # the collect below materializes
     )
     # Bounded driver collect: one row per partition, all measures at
     # once (p rows × k longs — never data-sized).
