@@ -477,8 +477,14 @@ def source_minhash_similarity(
 def source_minhash_oracle_sql(table: str = "documents", k: int = 3) -> str:
     """DuckDB twin of source_minhash_similarity — identical shingles,
     identical digest-sliced 32-bit hashes (seed 4g+j = hex chars
-    [1+8j, 8+8j] of md5(g ':' shingle)), min-signatures, divisions."""
+    [1+8j, 8+8j] of md5(g ':' shingle)), min-signatures, divisions.
+    The k-gram concat is GENERATED from ``k`` (one ``t[i+j]`` term per
+    offset), so a non-default k can never silently produce a 3-gram
+    oracle against a k-gram Spark plan."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     per_digest = _MH_HASHES // _MH_DIGESTS
+    gram = ", ".join(f"t[i+{j}]" for j in range(k))
     return f"""
         WITH toks AS (
           SELECT source AS g, string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -487,7 +493,7 @@ def source_minhash_oracle_sql(table: str = "documents", k: int = 3) -> str:
           SELECT DISTINCT g, unnest(
             CASE WHEN len(t) >= {k}
                  THEN list_transform(range(1, len(t) - {k - 2}),
-                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                                     i -> concat_ws(' ', {gram}))
                  ELSE [array_to_string(t, ' ')] END) AS sh
           FROM toks
         ), seeded AS (

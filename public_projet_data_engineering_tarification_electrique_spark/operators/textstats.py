@@ -957,9 +957,16 @@ def bpe_train_merges(
     if len(sep) != 1:
         raise ValueError(f"sep must be one char, got {sep!r}")
     chars = F.expr("transform(sequence(1, length(_w)), i -> substring(_w, i, 1))")
+    # The delimiter invariant REQUIRES that no token contains `sep` —
+    # a token carrying it would silently corrupt the symbol sequence
+    # identically in Spark and the DuckDB oracle (gate-blind). Enforce
+    # it by dropping such tokens, mirrored in bpe_merges_oracle_sql;
+    # the hypothesis model test generates '|' in its alphabet to pin
+    # the convention.
     vocab = (
         ensure_parallelism(docs)
         .select(F.explode(nonempty_tokens(F.lower(F.col(text_col)))).alias("_w"))
+        .filter(~F.contains(F.col("_w"), F.lit(sep)))
         .groupBy("_w")
         .agg(F.count("*").alias("freq"))
         .select(
@@ -1039,7 +1046,7 @@ def bpe_merges_oracle_sql(table: str = "documents", rounds: int = 3) -> str:
     tok AS (
       SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
                                                    '\\s+'),
-                    x -> x <> '')) AS w
+                    x -> x <> '' AND NOT contains(x, '|'))) AS w
       FROM {table}
     ), v0 AS (
       SELECT freq,

@@ -8833,6 +8833,18 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # overflow), unbounded broadcast hints dropped, df-capped shingles
     # re-pinned — value-identical locally, plans changed.
     "q16": 6, "q17": 6, "q21": 6, "q47": 6, "q131": 6,
+    # Round-8 scale/perf rewrites whose physical plans changed after
+    # green evidence: the shards rank path dropped its second data
+    # exchange (mid record-number bits replace the _pid window) —
+    # q154/q157/q177 consume it; q214's update-log collapse became a
+    # max(struct) argmax; q213's oracle k-gram concat is now generated
+    # from k. Also float the four never-sampled queries rewritten this
+    # round (q181 distributed ntile, q195 member-only quality argmax,
+    # q227/q228 distributed prefix sums) ahead of the plain
+    # never-sampled tier — their new plans are the round's headline
+    # fixes and must get driver rows at the new shape.
+    "q154": 8, "q157": 8, "q177": 8, "q213": 8, "q214": 8,
+    "q181": 8, "q195": 8, "q227": 8, "q228": 8,
 }
 
 

@@ -214,7 +214,16 @@ def running_user_totals(
     if not fs.exists(emitted_hpath):
         return spark.createDataFrame([], OUTPUT_SCHEMA)
     log = spark.read.schema(OUTPUT_SCHEMA).parquet(emitted).drop("batch")
-    return log.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max("value_e2").alias("value_e2"),
+    # Collapse the update-mode log to each user's LATEST emitted row —
+    # the row with the max n_events — via one max(struct) argmax.
+    # Independent max() per column would be wrong for value_e2 as soon
+    # as a negative event value makes the running total non-monotone
+    # across micro-batches (n_events always grows; value_e2 need not).
+    latest = log.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "value_e2")).alias("_m")
+    )
+    return latest.select(
+        "user_id",
+        F.col("_m.n_events").alias("n_events"),
+        F.col("_m.value_e2").alias("value_e2"),
     )

@@ -20,15 +20,17 @@ from public_projet_data_engineering_tarification_electrique_spark.operators.text
     bpe_train_merges,
 )
 
-words = st.text(alphabet="abcd", min_size=1, max_size=6)
+words = st.text(alphabet="abcd|", min_size=1, max_size=6)
 
 
 def _bpe_model(word_list: list[str], rounds: int):
     """Pure-Python BPE: freq-weighted pair counts, (count desc, pair
-    asc) argmax, greedy left-to-right merge — the operator's contract."""
+    asc) argmax, greedy left-to-right merge — the operator's contract.
+    Tokens containing the '|' delimiter are DROPPED (the operator's
+    documented invariant-enforcement convention)."""
     from collections import Counter
 
-    freqs = Counter(word_list)
+    freqs = Counter(w for w in word_list if "|" not in w)
     seqs = {w: list(w) for w in freqs}
     merges = []
     for r in range(1, rounds + 1):
