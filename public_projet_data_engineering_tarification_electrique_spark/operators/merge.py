@@ -1,0 +1,218 @@
+"""Batch MERGE INTO — the Delta/Iceberg-style keyed upsert expressed
+on plain DataFrames and bucket-pruned parquet (extension surface; the
+idempotent keyed append the reference's WRITE_APPEND loop implies —
+reference 0_insert_conso_an_ville_in_bq.py:100-113 re-appends blindly,
+SURVEY §2.9 flags the idempotency gap; partition-overwrite backfill
+(q118) covers whole-partition replacement, this covers KEYED upsert
+with the full WHEN MATCHED / NOT MATCHED / DELETE clause set).
+
+Two layers, mirroring streaming/upsert.py:
+
+- :func:`merge_into` — the PLAN: one full-outer join on the merge key
+  plus CASE projections implementing
+  ``WHEN MATCHED [AND cond] THEN DELETE``,
+  ``WHEN MATCHED THEN UPDATE SET ...``,
+  ``WHEN NOT MATCHED [AND cond] THEN INSERT``.
+  Exactly the logical plan Delta's MERGE compiles to, so it is
+  SQL-expressible and oracle-checkable, and Catalyst is free to pick
+  the physical join (AQE broadcasts a small CDC batch against a large
+  target; at 100 TB both sides bucket-partition on the key and the
+  join is co-located).
+
+- :func:`merge_write` — the SINK: applies the merge against a
+  bucket-partitioned parquet state dir and rewrites ONLY the buckets
+  the source touches (static isin pruning from a ≤ n_buckets driver
+  list + dynamic partition overwrite — the batch twin of
+  streaming/upsert._merge_batch). Re-running the same batch is a
+  no-op state-wise: the merge is a pure function of (state, batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: prefix under which source value columns ride through the join
+_SRC = "_src_"
+
+
+def src(col: str) -> Column:
+    """Reference a SOURCE column inside a ``merge_into`` update
+    expression or condition (target columns are referenced by their
+    plain name)."""
+    return F.col(_SRC + col)
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_set: dict[str, Column] | None = None,
+    delete_when: Column | None = None,
+    insert_when: Column | None = None,
+) -> DataFrame:
+    """MERGE ``source`` into ``target`` on ``keys``; returns the merged
+    frame (same schema and column order as ``target``).
+
+    Clause semantics (ANSI/Delta):
+
+    - matched + ``delete_when`` true → row dropped;
+    - matched otherwise → value columns from ``update_set`` (an
+      expression per column, referencing target columns by name and
+      source columns via :func:`src`); columns absent from
+      ``update_set`` default to the source value (last-write-wins);
+    - source-only + ``insert_when`` (default true) → inserted with the
+      source's values; source-only rows failing ``insert_when`` are
+      dropped (tombstones for keys that never existed);
+    - target-only → kept unchanged.
+
+    ``source`` must contain every ``target`` column; extra source
+    columns (CDC op flags, batch ids) are visible to the conditions
+    via :func:`src` but never emitted. Source keys must be unique
+    (one CDC row per key — the caller's contract, as in Delta, where
+    duplicate source keys make MERGE nondeterministic).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks target columns: {missing}")
+    update_set = dict(update_set or {})
+    unknown = [c for c in update_set if c not in target.columns or c in keys]
+    if unknown:
+        raise ValueError(f"update_set targets non-value columns: {unknown}")
+
+    value_cols = [c for c in target.columns if c not in keys]
+    s = source.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.col(c).alias(_SRC + c)
+            for c in source.columns
+            if c not in keys
+        ],
+        F.lit(True).alias("_s_present"),
+    )
+    t = target.withColumn("_t_present", F.lit(True))
+    joined = t.join(s, on=keys, how="full_outer")
+
+    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    src_only = F.col("_t_present").isNull()
+    keep = F.lit(True)
+    if delete_when is not None:
+        keep = keep & ~(matched & F.coalesce(delete_when, F.lit(False)))
+    if insert_when is not None:
+        keep = keep & ~(src_only & ~F.coalesce(insert_when, F.lit(False)))
+    survivors = joined.filter(keep)
+
+    projected = [F.col(k) for k in keys]
+    for c in value_cols:
+        updated = update_set.get(c, src(c))
+        projected.append(
+            F.when(matched, updated)
+            .when(src_only, src(c))
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+    return survivors.select(*projected)
+
+
+def merge_write(
+    spark: SparkSession,
+    state_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    state_schema: str,
+    n_buckets: int = 8,
+    update_set: dict[str, Column] | None = None,
+    delete_when: Column | None = None,
+    insert_when: Column | None = None,
+) -> None:
+    """Apply one MERGE batch to a bucket-partitioned parquet state dir,
+    rewriting only the buckets the source touches.
+
+    Bucket = pmod(xxhash64(keys), n_buckets) — stable across runs, so
+    a key always lives in the same file group and the per-batch scan
+    is O(affected buckets), not O(table). ``state_schema`` is the DDL
+    of the state WITHOUT the ``_bucket`` column (declared schema read,
+    never inference — same discipline as streaming/upsert).
+    """
+    from .util import hadoop_fs
+
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+        "int"
+    )
+    new = source.withColumn("_bucket", bucket).persist()
+    try:
+        fs, hpath = hadoop_fs(spark, state_dir)
+        affected: list[int] = []
+        if fs.exists(hpath):
+            affected = [
+                r["_bucket"] for r in new.select("_bucket").distinct().collect()
+            ]
+            old = (
+                spark.read.schema(state_schema + ", _bucket int")
+                .parquet(state_dir)
+                .filter(F.col("_bucket").isin(affected))
+            )
+            merged = merge_into(
+                old,
+                new,
+                keys=keys,
+                update_set=update_set,
+                delete_when=delete_when,
+                insert_when=insert_when,
+            )
+        else:
+            # fresh state: insert-only path. insert_when references
+            # source columns via src() — rename, filter, project down
+            # to the declared state columns (+ _bucket).
+            state_cols = spark.createDataFrame([], state_schema).columns
+            ins = new.select(
+                *[F.col(k) for k in keys],
+                *[
+                    F.col(c).alias(_SRC + c)
+                    for c in new.columns
+                    if c not in keys
+                ],
+            )
+            if insert_when is not None:
+                ins = ins.filter(F.coalesce(insert_when, F.lit(False)))
+            merged = ins.select(
+                *[
+                    F.col(c if c in keys else _SRC + c).alias(c)
+                    for c in state_cols
+                ],
+                F.col(_SRC + "_bucket").alias("_bucket"),
+            )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # materialize before overwriting the dir being read
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(
+                state_dir
+            )
+            # dynamic overwrite cannot DELETE a partition by writing
+            # zero rows to it: an affected bucket whose every key was
+            # deleted keeps its stale files unless dropped explicitly
+            # (≤ n_buckets driver-side dirs — bounded).
+            if affected:
+                present = {
+                    r["_bucket"]
+                    for r in merged.select("_bucket").distinct().collect()
+                }
+                for b in affected:
+                    if b not in present:
+                        sub_fs, sub_path = hadoop_fs(
+                            spark, os.path.join(state_dir, f"_bucket={b}")
+                        )
+                        sub_fs.delete(sub_path, True)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finally:
+        new.unpersist()

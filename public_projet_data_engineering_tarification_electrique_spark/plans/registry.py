@@ -5525,6 +5525,74 @@ def q228_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_at_deciles(scored, "score", "is_en")
 
 
+def q229_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO as a declarative plan (operators/merge):
+    a warehouse per-customer order digest (orders before 1997-01-01)
+    merged with an incremental CDC batch (1997 onward) — WHEN MATCHED
+    AND op='D' DELETE, WHEN MATCHED UPDATE (counts/totals summed, last
+    date = greatest), WHEN NOT MATCHED AND op<>'D' INSERT. Tombstones
+    are a deterministic synthetic CDC flag (custkey % 50 = 0). This is
+    the keyed-idempotent upsert the reference's blind WRITE_APPEND
+    loop lacks (0_insert_conso_an_ville_in_bq.py:100-113, SURVEY
+    §2.9); one full-outer join on the key — AQE broadcasts the small
+    CDC side; at 100 TB both sides bucket on the key (merge_write).
+    Money stays integer cents until the terminal division."""
+    from ..operators.merge import merge_into, src
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.max("o_orderdate").alias("last_date"),
+        )
+
+    target = digest(orders.filter(F.col("o_orderdate") < F.lit(cut)))
+    source = digest(orders.filter(F.col("o_orderdate") >= F.lit(cut))).withColumn(
+        "op",
+        F.when(F.pmod(F.col("custkey"), F.lit(50)) == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    merged = merge_into(
+        target,
+        source,
+        keys=["custkey"],
+        update_set={
+            "n_orders": F.col("n_orders") + src("n_orders"),
+            "total_cents": F.col("total_cents") + src("total_cents"),
+            "last_date": F.greatest(F.col("last_date"), src("last_date")),
+        },
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+    )
+    return merged.select(
+        "custkey",
+        "n_orders",
+        F.round(F.col("total_cents") / 100.0, 2).alias("total_price"),
+        F.date_format("last_date", "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+def q230_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-order streaming dedup via native stateful
+    ``dropDuplicates``: the documents corpus staged as 8 doc_id-ranged
+    landing files, streamed one file per trigger, deduped on the
+    md5(40-char normalized head) fingerprint across micro-batches (the
+    seen-set lives in the state store). Output (n_docs, n_kept,
+    n_dropped) is a pure function of the data — which duplicate
+    arrives first is slicing-dependent, the fingerprint SET is not —
+    so the oracle is a plain COUNT(DISTINCT) over the same table. The
+    streaming complement of q165's incremental batch dedup."""
+    from ..streaming.dedup_stream import stream_prefix_dedup
+
+    return stream_prefix_dedup(spark, f"{sf_dir}/documents.parquet")
+
+
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
 #: expressions — libm exp differs by ulps across engines; a literal
 #: parses to the identical double everywhere). P(X=0)..P(X≤5).
@@ -8733,6 +8801,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q226_forecast_backtest": q226_forecast_backtest,
     "q227_exact_auc": q227_exact_auc,
     "q228_pr_deciles": q228_pr_deciles,
+    "q229_merge_upsert": q229_merge_upsert,
+    "q230_stream_dedup": q230_stream_dedup,
 }
 
 
@@ -10931,3 +11001,55 @@ def _q228_oracle() -> str:
 
 
 ORACLE_SQL["q228_pr_deciles"] = _q228_oracle()
+
+
+ORACLE_SQL["q229_merge_upsert"] = """
+    WITH t AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             max(o_orderdate) AS last_date
+      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+    ), s AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             max(o_orderdate) AS last_date,
+             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+    ), m AS (
+      SELECT coalesce(t.custkey, s.custkey) AS custkey,
+             t.custkey IS NOT NULL AND s.custkey IS NOT NULL AS matched,
+             t.custkey IS NULL AS src_only,
+             t.n_orders AS t_n, t.total_cents AS t_c, t.last_date AS t_d,
+             s.n_orders AS s_n, s.total_cents AS s_c, s.last_date AS s_d,
+             s.op
+      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+    )
+    SELECT custkey,
+           cast(CASE WHEN matched THEN t_n + s_n
+                     WHEN src_only THEN s_n ELSE t_n END AS BIGINT)
+             AS n_orders,
+           round((CASE WHEN matched THEN t_c + s_c
+                       WHEN src_only THEN s_c ELSE t_c END) / 100.0, 2)
+             AS total_price,
+           strftime(CASE WHEN matched THEN greatest(t_d, s_d)
+                         WHEN src_only THEN s_d ELSE t_d END, '%Y-%m-%d')
+             AS last_date
+    FROM m
+    WHERE NOT (matched AND op = 'D') AND NOT (src_only AND op = 'D')
+"""
+
+
+ORACLE_SQL["q230_stream_dedup"] = """
+    SELECT cast(count(*) AS BIGINT) AS n_docs,
+           cast(count(DISTINCT md5(substr(trim(regexp_replace(
+                  lower(text), '\\s+', ' ', 'g')), 1, 40)))
+                AS BIGINT) AS n_kept,
+           cast(count(*) - count(DISTINCT md5(substr(trim(regexp_replace(
+                  lower(text), '\\s+', ' ', 'g')), 1, 40)))
+                AS BIGINT) AS n_dropped
+    FROM documents
+"""

@@ -163,9 +163,10 @@ def running_user_totals(
 
     Emitted rows land per-batch under `emitted/batch=<bid>` (overwrite
     — idempotent under foreachBatch's at-least-once replay, same
-    discipline as streaming.sessions). Running totals are monotone, so
-    the final value per user is `max` over the emitted log — exact
-    whatever the micro-batch slicing was.
+    discipline as streaming.sessions). The final value per user is the
+    row with the max n_events over the emitted log (a max(struct)
+    argmax — n_events is monotone even when value totals are not, so
+    the collapse is exact whatever the micro-batch slicing was).
     """
     use_tws = tws_available()
     src = _source(spark, events_path)

@@ -1,0 +1,156 @@
+"""Batch MERGE INTO (operators.merge) and streaming dedup
+(streaming.dedup_stream)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.merge import (
+    merge_into,
+    merge_write,
+    src,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k long, v long, tag string",
+    )
+
+
+def _source(spark):
+    # k=1 update, k=2 delete (op=D), k=4 insert, k=5 tombstone for a
+    # key that never existed (must NOT insert)
+    return spark.createDataFrame(
+        [(1, 100, "a2", "U"), (2, 0, "x", "D"), (4, 40, "d", "U"), (5, 0, "y", "D")],
+        "k long, v long, tag string, op string",
+    )
+
+
+def test_merge_into_all_clauses(spark):
+    out = merge_into(
+        _target(spark),
+        _source(spark),
+        keys=["k"],
+        update_set={"v": F.col("v") + src("v")},
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+    )
+    rows = {r["k"]: (r["v"], r["tag"]) for r in out.collect()}
+    assert rows == {
+        1: (110, "a2"),  # matched: v summed, tag last-write-wins
+        3: (30, "c"),    # target-only: untouched
+        4: (40, "d"),    # source-only insert
+    }  # k=2 deleted, k=5 tombstone never inserted
+    assert out.columns == ["k", "v", "tag"]
+
+
+def test_merge_into_defaults_last_write_wins(spark):
+    out = merge_into(_target(spark), _source(spark), keys=["k"])
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    # no clauses: every source row upserts (including op=D rows)
+    assert rows == {1: 100, 2: 0, 3: 30, 4: 40, 5: 0}
+
+
+def test_merge_into_validates(spark):
+    t, s = _target(spark), _source(spark)
+    with pytest.raises(ValueError):
+        merge_into(t, s, keys=[])
+    with pytest.raises(ValueError):
+        merge_into(t, s.drop("tag"), keys=["k"])
+    with pytest.raises(ValueError):
+        merge_into(t, s, keys=["k"], update_set={"k": F.lit(0)})
+    with pytest.raises(ValueError):
+        merge_into(t, s, keys=["k"], update_set={"nope": F.lit(0)})
+
+
+def test_merge_write_applies_and_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    schema = "k long, v long, tag string"
+    merge_write(spark, state, _target(spark), ["k"], schema, n_buckets=4)
+    batch = _source(spark)
+    kwargs = dict(
+        update_set={"v": F.col("v") + src("v")},
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+    )
+    merge_write(spark, state, batch, ["k"], schema, n_buckets=4, **kwargs)
+    read = lambda: {  # noqa: E731
+        r["k"]: (r["v"], r["tag"])
+        for r in spark.read.schema(schema + ", _bucket int")
+        .parquet(state)
+        .collect()
+    }
+    expected = {1: (110, "a2"), 3: (30, "c"), 4: (40, "d")}
+    assert read() == expected
+    # re-running the same batch against the merged state is NOT a
+    # no-op for summed columns (v doubles) — idempotency is the
+    # caller's key discipline; what must hold structurally is that a
+    # pure last-write-wins merge IS idempotent:
+    merge_write(spark, state, batch.filter(F.col("op") != "D"), ["k"], schema,
+                n_buckets=4, insert_when=src("op") != "D")
+    first = read()
+    merge_write(spark, state, batch.filter(F.col("op") != "D"), ["k"], schema,
+                n_buckets=4, insert_when=src("op") != "D")
+    assert read() == first
+
+
+def test_merge_write_rewrites_only_affected_buckets(spark, tmp_path):
+    state = str(tmp_path / "state")
+    schema = "k long, v long, tag string"
+    # many keys spread over 8 buckets
+    base = spark.range(64).select(
+        F.col("id").alias("k"), F.lit(1).alias("v").cast("long"),
+        F.lit("z").alias("tag"),
+    )
+    merge_write(spark, state, base, ["k"], schema, n_buckets=8)
+    mtimes_before = {}
+    for d in os.listdir(state):
+        if d.startswith("_bucket="):
+            p = os.path.join(state, d)
+            mtimes_before[d] = max(
+                os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+            )
+    assert len(mtimes_before) == 8
+    # single-key batch touches exactly one bucket
+    one = spark.createDataFrame([(7, 99, "u")], schema)
+    merge_write(spark, state, one, ["k"], schema, n_buckets=8)
+    touched = 0
+    for d, before in mtimes_before.items():
+        p = os.path.join(state, d)
+        after = max(
+            os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+        )
+        touched += after > before
+    assert touched == 1
+    rows = {
+        r["k"]: r["v"]
+        for r in spark.read.schema(schema + ", _bucket int")
+        .parquet(state)
+        .collect()
+    }
+    assert rows[7] == 99 and len(rows) == 64
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.dedup_stream import (
+        normalized_prefix_key,
+        stream_prefix_dedup,
+    )
+
+    path = f"{SF_DIR}/documents.parquet"
+    got = stream_prefix_dedup(spark, path).collect()[0]
+    docs = spark.read.parquet(path)
+    want = docs.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(normalized_prefix_key()).alias("d"),
+    ).collect()[0]
+    assert got["n_docs"] == want["n"]
+    assert got["n_kept"] == want["d"]
+    assert got["n_dropped"] == want["n"] - want["d"]
