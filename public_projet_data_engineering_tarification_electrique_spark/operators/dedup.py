@@ -312,12 +312,54 @@ def containment_pairs(
     )
 
 
+def _local_union_find(sym: DataFrame) -> DataFrame:
+    """Exact min-label components of a SMALL symmetrized edge list via
+    driver-side union-find — the ``connected_components`` fast path.
+    The caller guarantees the row bound (its ``local_threshold`` gate);
+    node/component keep the edge columns' type. Python ``min`` agrees
+    with SQL ``min`` for the integral/string id types the dedup family
+    uses (longs everywhere in this repo)."""
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["_a"], r["_b"]
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    out = [
+        (n, label)
+        for members in comps.values()
+        for label in [min(members)]
+        for n in members
+    ]
+    node_type = sym.schema["_a"].dataType.simpleString()
+    return sym.sparkSession.createDataFrame(
+        out, f"node {node_type}, component {node_type}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     loop_partitions: int | None = 8,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -345,6 +387,20 @@ def connected_components(
     rounds (a long-chain graph whose diameter exceeds the budget), the
     computation FALLS BACK to the large-star/small-star alternation
     rather than raising — same output contract, O(log² n) rounds.
+
+    Small-graph fast path: when the symmetrized-distinct edge list has
+    at most ``local_threshold`` rows (a BOUNDED driver collect — the
+    default 100k edges is a few MB; the count that gates it doubles as
+    the checkpoint materialization the first loop round needed anyway),
+    the components come from a driver-side union-find instead of the
+    scheduler loop. Same output bit-for-bit (min label per component;
+    union-find is exact, not approximate) at a fraction of the fixed
+    cost: every distributed round is a join + agg + count over a pinned
+    exchange — ~0.4 s of pure scheduling per round in local mode, and
+    dedup-blocked graphs at bench scale are a few HUNDRED edges. At
+    100 TB a near-dup graph over the cap takes the distributed loop
+    unchanged; the threshold only ever moves work driver-side when the
+    graph provably fits.
     """
     from .util import pinned_shuffle_partitions
 
@@ -365,6 +421,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if local_threshold > 0:
+        # one job: materializes the sym checkpoint (which round 1 of
+        # the loop would have paid anyway) AND gates the fast path
+        n_edges = sym.count()
+        if n_edges <= local_threshold:
+            return _local_union_find(sym)
     with pinned_shuffle_partitions(edges.sparkSession, loop_partitions):
         comp = (
             sym.select(F.col("_a").alias("node"))

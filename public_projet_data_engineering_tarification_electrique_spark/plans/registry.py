@@ -1788,36 +1788,44 @@ def q83_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Joins the embeddings-derived cluster table back to the documents
     table on the shared id — the multimodal-columns contract (one id,
-    many representations). The quality join input is cluster members
-    only (≤ pairs-touched docs), never the corpus; the per-cluster
-    argmax is a window over that small table, deterministic via the
-    (quality DESC, doc_id ASC) tie-break."""
+    many representations). The tiny cluster table joins INTO the docs
+    scan, so the quality projection (tokenize + stopword + punct
+    scans, the expensive string work) runs only on cluster members —
+    never the corpus (same member-only discipline as q195); the
+    per-cluster argmax + size is ONE max(struct)/count hash agg
+    (partial-combined map-side), deterministic via the
+    (quality DESC, doc_id ASC) tie-break encoded as (quality, -id)
+    tuple order."""
+    from ..functions.text import punct_ratio, token_count
     from ..operators.dedup import connected_components
     from ..operators.similarity import anchored_neardup
-    from ..operators.textstats import quality_scores
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     pairs = anchored_neardup(emb, threshold=0.35, bucket_col="label")
     comp = connected_components(pairs, src="id_a", dst="id_b")
-    quality = quality_scores(docs).select(
-        F.col("doc_id").alias("node"), "quality"
+    # same formula as textstats.quality_scores (q18), computed inline
+    # over cluster members only — keep the two in sync
+    t = F.col("text")
+    quality = F.round(
+        F.least(F.lit(1.0), token_count(t) / F.lit(120.0))
+        * (F.lit(1.0) - punct_ratio(t)),
+        4,
     )
-    members = comp.join(quality, on="node")
-    w = Window.partitionBy("component")
-    w_rank = Window.partitionBy("component").orderBy(
-        F.desc("quality"), F.asc("node")
+    scored = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), on="doc_id"
+    ).select("component", "doc_id", quality.alias("quality"))
+    picked = scored.groupBy("component").agg(
+        F.max(
+            F.struct("quality", (-F.col("doc_id")).alias("_nid"))
+        ).alias("_m"),
+        F.count("*").cast("int").alias("cluster_size"),
     )
-    return (
-        members.withColumn("cluster_size", F.count("*").over(w).cast("int"))
-        .withColumn("_rk", F.row_number().over(w_rank))
-        .filter(F.col("_rk") == 1)
-        .select(
-            F.col("component").alias("cluster_id"),
-            F.col("node").alias("kept_doc_id"),
-            F.col("quality").alias("kept_quality"),
-            "cluster_size",
-        )
+    return picked.select(
+        F.col("component").alias("cluster_id"),
+        (-F.col("_m._nid")).alias("kept_doc_id"),
+        F.col("_m.quality").alias("kept_quality"),
+        "cluster_size",
     )
 
 
@@ -8915,6 +8923,10 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # fixes and must get driver rows at the new shape.
     "q154": 8, "q157": 8, "q177": 8, "q213": 8, "q214": 8,
     "q181": 8, "q195": 8, "q227": 8, "q228": 8,
+    # Round-8 CC fast path (size-gated driver union-find) + q83's
+    # member-only quality projection: value-identical (test-pinned
+    # against the distributed loop), physical plans changed.
+    "q47": 8, "q83": 8,
 }
 
 

@@ -225,15 +225,20 @@ def test_connected_components_chain_and_islands(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         "id_a long, id_b long",
     )
-    got = {
-        (r.node, r.component)
-        for r in connected_components(edges).collect()
-    }
-    assert got == {
-        (1, 1), (2, 1), (3, 1), (4, 1),
-        (10, 10), (11, 10),
-        (20, 20), (21, 20), (22, 20),
-    }
+    # BOTH paths must agree: the driver-side union-find fast path
+    # (default gate) and the distributed min-label loop (gate off)
+    for threshold in (100_000, 0):
+        got = {
+            (r.node, r.component)
+            for r in connected_components(
+                edges, local_threshold=threshold
+            ).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }, f"local_threshold={threshold}"
 
 
 def test_dedup_clusters_transitive(spark):
@@ -577,13 +582,17 @@ def test_star_cc_equals_min_label_on_random_graphs(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         a = {
             (r.node, r.component)
-            for r in connected_components(df).collect()
+            for r in connected_components(df, local_threshold=0).collect()
         }
         b = {
             (r.node, r.component)
             for r in connected_components_star(df).collect()
         }
-        assert a == b, f"trial {trial}: star != min-label"
+        c = {
+            (r.node, r.component)
+            for r in connected_components(df).collect()  # union-find path
+        }
+        assert a == b == c, f"trial {trial}: star/min-label/union-find differ"
 
 
 def test_cc_long_chain_falls_back_to_star(spark):
@@ -596,7 +605,9 @@ def test_cc_long_chain_falls_back_to_star(spark):
     n = 60
     chain = [(i, i + 1) for i in range(n - 1)]
     df = spark.createDataFrame(chain, "id_a long, id_b long")
-    out = connected_components(df, max_iter=3).collect()
+    # local_threshold=0 forces the distributed loop (the union-find
+    # fast path would otherwise absorb any small graph)
+    out = connected_components(df, max_iter=3, local_threshold=0).collect()
     assert len(out) == n
     assert all(r.component == 0 for r in out)
 
