@@ -270,3 +270,39 @@ def test_global_running_sums_validates_inputs(spark):
         global_running_sums(df, [F.asc("doc_id")], [])
     with pytest.raises(ValueError):
         global_running_sums(df, [F.asc("doc_id")], ["w"], ["a", "b"])
+
+
+def test_scale_critical_plans_have_no_unpartitioned_window(spark):
+    """Regression pin for the round-7 scale findings: q181's RFM tiles
+    and q227/q228's level-table prefix sums must never compile to a
+    window over an unpartitioned (single-partition) exchange — the
+    classic every-row-into-one-task bottleneck. A window is legal only
+    partitioned (here: by the physical partition id of the ranged
+    exchange); the only SinglePartition exchange allowed is a terminal
+    ≤1-row aggregate, which a window spec never sits above."""
+    from public_projet_data_engineering_tarification_electrique_spark.plans.registry import (
+        QUERIES_IMPL,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # q181's tiles come from the mid record-number bits — no Window
+    # node may appear at all
+    plan = (
+        QUERIES_IMPL["q181_rfm_segments"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, f"q181 grew a window:\n{plan}"
+    # q227/q228's running-sum window must be partitioned by the ranged
+    # exchange's physical partition id wherever it appears (q228's
+    # window runs inside its eager localCheckpoint, so its RETURNED
+    # plan may contain no window at all — that is fine; what is
+    # forbidden is an UNpartitioned one)
+    for name in ("q227_exact_auc", "q228_pr_deciles"):
+        df = QUERIES_IMPL[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for spec in plan.split("windowspecdefinition(")[1:]:
+            assert spec.startswith("_pid"), (
+                f"{name}: window not partitioned by _pid:\n{spec[:200]}"
+            )
