@@ -396,23 +396,24 @@ def pareto_frontier(
     join: one (x) hash agg collapses the corpus to distinct x levels
     with each level's max y (partial-combined, corpus-sized scan, no
     shuffle of raw rows beyond it); the frontier is then `y_max >
-    max(y_max) over strictly larger x` — a lag-of-running-max window
-    over the LEVEL table (≤ distinct-x rows, trivially small), and
-    one count-back join tallies how many rows sit ON each frontier
-    point. At 100 TB the only corpus-sized work is the first agg.
+    max(y_max) over strictly larger x` — a DISTRIBUTED exclusive
+    running max over the LEVEL table (`shards.global_running_max`:
+    the level count is |distinct x|, data-shaped — an unpartitioned
+    window here would be the q227-class single-task wall), and one
+    count-back join tallies how many rows sit ON each frontier point.
+    At 100 TB the only corpus-sized work is the first agg.
 
     Output: (x, y, n_rows) for each frontier point, where y is the
     level's max. Both objectives must be numeric; ties on both axes
     are one frontier point with their row count.
     """
+    from .shards import global_running_max
+
     levels = docs.groupBy(F.col(x_col).alias("x")).agg(
         F.max(F.col(y_col)).alias("y")
     )
-    w = Window.orderBy(F.desc("x")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    frontier = levels.select(
-        "x", "y", F.max("y").over(w).alias("_best_above")
+    frontier = global_running_max(
+        levels, [F.desc("x")], "y", "_best_above", exclusive=True
     ).filter(
         F.col("_best_above").isNull() | (F.col("y") > F.col("_best_above"))
     )

@@ -216,6 +216,71 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    max_col: str = "running_max",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running MAX of ``value_col`` under a total order, P-way
+    parallel — the prefix-extreme twin of ``global_running_sum``
+    (staircase skylines, high-water marks). ``exclusive=True`` takes
+    the max over STRICTLY-preceding rows (NULL for the global first
+    row) — the Pareto-staircase frame.
+
+    Same two-phase construction: ranged exchange (pinned), a P-row
+    driver collect of per-partition maxima folded into per-partition
+    carry-ins (the max over all PRIOR partitions — direction-free,
+    because a partition's max does not depend on the sort direction
+    inside it), and a partition-local window merged null-safely with
+    the carry.
+    """
+    p = _resolve_partitions(df, num_partitions)
+    ranged = (
+        df.repartitionByRange(p, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # the collect below materializes
+    )
+    rows = (
+        ranged.groupBy("_pid").agg(F.max(value_col).alias("_t")).collect()
+    )
+    totals = {r["_pid"]: r["_t"] for r in rows}
+    carry_rows = []
+    acc = None
+    for pid in sorted(totals):
+        carry_rows.append((pid, acc))
+        t = totals[pid]
+        if acc is None:
+            acc = t
+        elif t is not None:
+            acc = max(acc, t)
+    vtype = df.schema[value_col].dataType.simpleString()
+    offsets_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            carry_rows or [(0, None)], f"_pid INT, _carry {vtype}"
+        )
+    )
+    frame_end = -1 if exclusive else 0
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    local = F.max(value_col).over(local_w)
+    merged = (
+        F.when(local.isNull(), F.col("_carry"))
+        .when(F.col("_carry").isNull(), local)
+        .otherwise(F.greatest(local, F.col("_carry")))
+    )
+    return (
+        ranged.join(offsets_df, on="_pid", how="left")
+        .withColumn(max_col, merged)
+        .drop("_pid", "_carry")
+    )
+
+
 def global_running_sums(
     df: DataFrame,
     order_by: list[Column],

@@ -32,13 +32,15 @@ def ks_distance(
     totals, |F_a − F_b| = |c_a·n_b − c_b·n_a| / (n_a·n_b) — the max of
     the integer numerator is found first, then divided once.
 
-    Scale shape: quantizing to a fixed grid FIRST means the ordered
-    scan runs over at most |grid| rows (one small hash agg from the
-    full data, map-side combined), so the unpartitioned running-sum
-    window — normally a red flag — is over a bounded aggregate, the
-    repo's "aggregate first, rank the aggregate" pattern (cf. q87).
-    The quantization also makes the statistic well-defined across
-    engines: it is the exact KS of the ROUNDED distributions.
+    Scale shape: quantizing to a fixed grid FIRST collapses the corpus
+    to at most |grid| rows (one small hash agg, map-side combined), and
+    the two cumulative counts come from a DISTRIBUTED prefix sum over
+    that level table (`shards.global_running_sums` — both measures
+    share one ranged exchange; never an unpartitioned running-sum
+    window, whose bound would be the VALUE RANGE × 10^dp — data-shaped,
+    not structural, the exact objection the round-7 verdict raised for
+    q227). The quantization also makes the statistic well-defined
+    across engines: it is the exact KS of the ROUNDED distributions.
 
     Output: one row (n_a, n_b, d_numerator, ks_distance).
     """
@@ -56,11 +58,11 @@ def ks_distance(
             F.sum(F.when(~F.col("_is_a"), F.col("_c")).otherwise(0)).alias("_cb"),
         )
     )
-    w = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cells.select(
-        F.sum("_ca").over(w).alias("_cuma"),
-        F.sum("_cb").over(w).alias("_cumb"),
-    )
+    from .shards import global_running_sums
+
+    cum = global_running_sums(
+        cells, [F.asc("_x")], ["_ca", "_cb"], ["_cuma", "_cumb"]
+    ).select("_cuma", "_cumb")
     # totals = the final cumulative counts; a 1-row broadcast attach
     totals = cum.agg(
         F.max("_cuma").cast("long").alias("n_a"),
@@ -351,15 +353,19 @@ def quantile_normalize(
     base = df.select(
         F.col(group_col).alias("grp"), v.alias("v")
     ).filter(F.col("v").isNotNull())
+    from .shards import global_running_sums
+
     pooled = (
         base.groupBy("v").agg(F.count("*").alias("cnt"))
     )
-    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    pooled_cdf = pooled.select(
-        "v",
-        (F.sum("cnt").over(wp) - F.col("cnt")).alias("lo"),
-        F.sum("cnt").over(wp).alias("hi"),
-    ).localCheckpoint(eager=True)
+    # distributed prefix sum over the pooled level table (the level
+    # count is |distinct values| — data-shaped, so no unpartitioned
+    # window here; same q227 discipline)
+    pooled_cdf = (
+        global_running_sums(pooled, [F.asc("v")], ["cnt"], ["hi"])
+        .select("v", (F.col("hi") - F.col("cnt")).alias("lo"), "hi")
+        .localCheckpoint(eager=True)
+    )
     n_total = base.agg(F.count("*").alias("n_total"))
     glevels = base.groupBy("grp", "v").agg(F.count("*").alias("cnt"))
     wg = Window.partitionBy("grp").orderBy("v").rowsBetween(

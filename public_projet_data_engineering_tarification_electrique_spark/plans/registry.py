@@ -1467,18 +1467,24 @@ def q71_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q72_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-value quartiles: ntile(4) over per-user lifetime value, then
-    per-band stats — the segmentation every monetization dashboard
-    starts from. The global ntile window runs on the AGGREGATED user
-    table (|users| rows, already reduced by a partial+final agg), never
-    on raw events — a global sort of users is cheap at any event scale;
-    ties are broken by user_id so band assignment is deterministic."""
+    """User-value quartiles: exact NTILE(4) over per-user lifetime
+    value, then per-band stats — the segmentation every monetization
+    dashboard starts from. Tiles come from the DISTRIBUTED exact ntile
+    (shards.global_ntile: range-partitioned two-phase rank + the
+    closed-form tile expression, bit-identical to the window) — the
+    per-user table is corpus-reduced but still |users|-sized, so the
+    former unpartitioned ntile window was the q181 single-task wall at
+    billions of users (caught by tools/plan_audit.py this round).
+    Ties are broken by user_id so band assignment is deterministic."""
+    from ..operators.shards import global_ntile
+
     events = load_table(spark, sf_dir, "events")
     totals = events.groupBy("user_id").agg(
         F.round(F.sum("value") + 1e-9, 2).alias("total")
     )
-    w = Window.orderBy(F.desc("total"), F.asc("user_id"))
-    banded = totals.withColumn("band", F.ntile(4).over(w))
+    banded = global_ntile(
+        totals, [F.desc("total"), F.asc("user_id")], 4, tile_col="band"
+    )
     return banded.groupBy("band").agg(
         F.count("*").cast("int").alias("n_users"),
         F.round(F.avg("total") + 1e-9, 4).alias("avg_total"),
@@ -8927,6 +8933,14 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # member-only quality projection: value-identical (test-pinned
     # against the distributed loop), physical plans changed.
     "q47": 8, "q83": 8,
+    # Round-8 plan-audit fixes (tools/plan_audit.py): q72's ntile and
+    # q176's KS running sums moved to the shards.py two-phase
+    # constructions — value-identical, plans changed after green rows.
+    # q224 (two-phase running max) and q225 (two-phase pooled CDF +
+    # keyless as-of) were also rewritten; they have no driver row yet,
+    # and a rewritten plan is where a driver slot buys the most
+    # evidence, so float them ahead of untouched never-sampled ids.
+    "q72": 8, "q176": 8, "q224": 8, "q225": 8,
 }
 
 

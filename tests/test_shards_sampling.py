@@ -306,3 +306,76 @@ def test_scale_critical_plans_have_no_unpartitioned_window(spark):
             assert spec.startswith("_pid"), (
                 f"{name}: window not partitioned by _pid:\n{spec[:200]}"
             )
+
+
+def test_global_running_max_matches_window(spark):
+    from pyspark.sql import Window
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+        global_running_max,
+    )
+
+    df = _docs(spark)  # 237 rows, tied w values
+    order = [F.desc("w"), F.asc("doc_id")]
+    val = (F.col("doc_id") * 31 % 17).cast("long")
+    df = df.withColumn("v", val)
+    for exclusive in (False, True):
+        got = dict(
+            global_running_max(
+                df, order, "v", "rm", exclusive=exclusive, num_partitions=5
+            )
+            .select("doc_id", "rm")
+            .collect()
+        )
+        end = -1 if exclusive else 0
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, end)
+        want = dict(
+            df.select("doc_id", F.max("v").over(w).alias("rm")).collect()
+        )
+        assert got == want, f"exclusive={exclusive}"
+
+
+def test_keyless_asof_matches_keyed_window_semantics(spark):
+    """The keyless (on=()) as-of branch — two-phase running last — must
+    reproduce the naive unpartitioned-window result exactly, both
+    directions, including no-match NULLs and tolerance nulling."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)] + [(99, None)],
+        "lid long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(j, j * 37 % 400, f"p{j}") for j in range(25)],
+        "rid long, rts long, payload string",
+    )
+
+    def naive(direction):
+        rows = right.collect()
+        out = {}
+        for lrow in left.collect():
+            lts = lrow["lts"]
+            if lts is None:
+                out[lrow["lid"]] = None
+                continue
+            if direction == "backward":
+                cands = [r for r in rows if r["rts"] <= lts]
+                best = max(cands, key=lambda r: r["rts"]) if cands else None
+            else:
+                cands = [r for r in rows if r["rts"] >= lts]
+                best = min(cands, key=lambda r: r["rts"]) if cands else None
+            out[lrow["lid"]] = best["payload"] if best else None
+        return out
+
+    for direction in ("backward", "forward"):
+        got = dict(
+            asof_join(
+                left, right, on=(), left_ts="lts", right_ts="rts",
+                right_cols=("payload",), direction=direction,
+            )
+            .select("lid", "asof_payload")
+            .collect()
+        )
+        assert got == naive(direction), direction
