@@ -9,6 +9,11 @@
    (keys=[]) aggregate or a global limit — a terminal 1-row agg is the
    legitimate use; a single-partition exchange under a sort, join, or
    window is a bottleneck.
+3. ``CartesianProduct`` — a non-broadcast cross join (|L|×|R| work AND
+   shuffle). BroadcastNestedLoopJoin is NOT flagged: the repo's
+   1-row-stats scalar attaches (``crossJoin(broadcast(agg))``) compile
+   to BNLJ with a 1-row build side by design; a plain CartesianProduct
+   means Spark decided neither side was broadcastable — real risk.
 
 Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001 — plans,
 not timings, are the object; queries that execute during construction
@@ -114,10 +119,12 @@ def main() -> None:
             findings.append((name, "UNPARTITIONED_WINDOW", body))
         for consumer in suspicious_single_partition(plan):
             findings.append((name, "SINGLE_PARTITION_FEEDS", consumer))
+        if "CartesianProduct" in plan:
+            findings.append((name, "CARTESIAN_PRODUCT", "non-broadcast cross join"))
     print(f"audited {n} queries")
     if not findings:
         print("CLEAN: no unpartitioned windows, no suspicious "
-              "single-partition exchanges")
+              "single-partition exchanges, no cartesian products")
         sys.exit(0)
     for name, kind, detail in findings:
         print(f"{name}\t{kind}\t{detail}")
