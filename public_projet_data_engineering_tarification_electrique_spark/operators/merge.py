@@ -72,7 +72,10 @@ def merge_into(
     columns (CDC op flags, batch ids) are visible to the conditions
     via :func:`src` but never emitted. Source keys must be unique
     (one CDC row per key — the caller's contract, as in Delta, where
-    duplicate source keys make MERGE nondeterministic).
+    duplicate source keys make MERGE nondeterministic). NULL key
+    values never match (SQL join equality, same as Delta/ANSI MERGE):
+    a NULL-key source row is treated as not-matched even if a NULL-key
+    target row exists.
     """
     if not keys:
         raise ValueError("keys must be non-empty")
