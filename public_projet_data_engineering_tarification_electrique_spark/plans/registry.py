@@ -342,7 +342,16 @@ def q13_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label."""
+    """Embedding-cosine near-duplicate pairs, blocked by label — the
+    EXACT-pair baseline of the embedding-dedup family (the ground
+    truth q43's LSH and q151's anchored blocking are measured
+    against, the same role q13 plays for ANN recall). Cost is
+    O(Σ bucket²): with a FIXED label set, bucket sizes grow with the
+    corpus and the pair work is quadratic — measured 70× at 10× rows
+    in the sf1 stress sweep, by construction. Production corpora run
+    the sub-quadratic paths (q43 LSH bands: ~8.5× at 10×; q151
+    anchored n^1.5) and reserve this operator for bounded buckets and
+    blocker-quality audits (q164's pattern)."""
     from ..operators.similarity import embedding_neardup
 
     emb = load_table(spark, sf_dir, "embeddings")
