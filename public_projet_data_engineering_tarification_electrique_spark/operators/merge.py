@@ -23,8 +23,12 @@ Two layers, mirroring streaming/upsert.py:
   bucket-partitioned parquet state dir and rewrites ONLY the buckets
   the source touches (static isin pruning from a ≤ n_buckets driver
   list + dynamic partition overwrite — the batch twin of
-  streaming/upsert._merge_batch). Re-running the same batch is a
-  no-op state-wise: the merge is a pure function of (state, batch).
+  streaming/upsert._merge_batch). The merge is a pure function of
+  (state, batch), so a replay is idempotent exactly when the
+  ``update_set`` is last-write-wins (columns taken from the source);
+  an ADDITIVE update expression (e.g. ``n + src("n")``) re-applies on
+  replay by design — the caller owns exactly-once delivery for those,
+  same as Delta MERGE (tests/test_merge.py pins both behaviours).
 """
 
 from __future__ import annotations
@@ -87,7 +91,6 @@ def merge_into(
     if unknown:
         raise ValueError(f"update_set targets non-value columns: {unknown}")
 
-    value_cols = [c for c in target.columns if c not in keys]
     s = source.select(
         *[F.col(k) for k in keys],
         *[
@@ -109,15 +112,21 @@ def merge_into(
         keep = keep & ~(src_only & ~F.coalesce(insert_when, F.lit(False)))
     survivors = joined.filter(keep)
 
-    projected = [F.col(k) for k in keys]
-    for c in value_cols:
-        updated = update_set.get(c, src(c))
-        projected.append(
-            F.when(matched, updated)
-            .when(src_only, src(c))
-            .otherwise(F.col(c))
-            .alias(c)
-        )
+    # project in the TARGET's column order (keys may not be leading
+    # columns there) so the promise "same schema and column order as
+    # target" holds for positional consumers too.
+    projected = []
+    for c in target.columns:
+        if c in keys:
+            projected.append(F.col(c))
+        else:
+            updated = update_set.get(c, src(c))
+            projected.append(
+                F.when(matched, updated)
+                .when(src_only, src(c))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
     return survivors.select(*projected)
 
 
@@ -139,10 +148,23 @@ def merge_write(
     a key always lives in the same file group and the per-batch scan
     is O(affected buckets), not O(table). ``state_schema`` is the DDL
     of the state WITHOUT the ``_bucket`` column (declared schema read,
-    never inference — same discipline as streaming/upsert).
+    never inference — same discipline as streaming/upsert). The layout
+    is self-describing: the first write persists (n_buckets, keys,
+    hash fn) to a ``_bucket_layout.json`` marker and every later batch
+    asserts against it — re-running with a different n_buckets raises
+    instead of silently mis-pruning.
     """
-    from .util import hadoop_fs
+    from .util import bucket_layout_guard, hadoop_fs
 
+    commit_layout = bucket_layout_guard(
+        spark,
+        state_dir,
+        {
+            "n_buckets": int(n_buckets),
+            "keys": list(keys),
+            "hash": "pmod(xxhash64(keys), n_buckets)",
+        },
+    )
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
         "int"
     )
@@ -197,6 +219,7 @@ def merge_write(
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(
                 state_dir
             )
+            commit_layout()
             # dynamic overwrite cannot DELETE a partition by writing
             # zero rows to it: an affected bucket whose every key was
             # deleted keeps its stale files unless dropped explicitly

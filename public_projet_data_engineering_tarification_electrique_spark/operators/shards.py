@@ -255,7 +255,15 @@ def global_running_max(
         if acc is None:
             acc = t
         elif t is not None:
-            acc = max(acc, t)
+            # Spark's ordering (and therefore the partition-local
+            # F.max window below) treats NaN as GREATER than every
+            # double; Python's max() is argument-order-dependent on
+            # NaN. Mirror Spark so the carry is partition-count
+            # independent on NaN input.
+            if t != t or acc != acc:  # either side NaN → NaN wins
+                acc = t if t != t else acc
+            else:
+                acc = max(acc, t)
     vtype = df.schema[value_col].dataType.simpleString()
     offsets_df = F.broadcast(
         df.sparkSession.createDataFrame(

@@ -113,6 +113,62 @@ def pinned_shuffle_partitions(spark: SparkSession, n: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def bucket_layout_guard(spark, state_dir: str, layout: dict):
+    """Make a bucket-partitioned state dir's layout SELF-DESCRIBING.
+
+    ``layout`` is the physical contract of the state table — e.g.
+    ``{"n_buckets": 8, "keys": ["k"], "hash": "pmod(xxhash64(keys), n)"}``.
+    Bucket pruning reads only ``_bucket=`` dirs derived from these
+    parameters; a caller re-running with a DIFFERENT n_buckets (or key
+    set) would silently probe the wrong buckets and merge against a
+    partial view of the state. So the first successful write persists
+    the layout to a ``_bucket_layout.json`` marker (leading underscore
+    — invisible to parquet partition discovery), and every later batch
+    asserts its parameters against the marker instead of trusting the
+    call site.
+
+    Returns a ``commit`` thunk: call it AFTER the first successful
+    write (writing the marker before the data would leave a marker
+    guarding an empty dir if the write fails). If a marker already
+    exists it is validated HERE, at entry — a mismatch raises before
+    any state is read or rewritten. A pre-marker state dir (legacy) is
+    adopted: the current call's layout becomes the marker.
+    """
+    import json
+
+    fs, _ = hadoop_fs(spark, state_dir)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        state_dir, "_bucket_layout.json"
+    )
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        existing = json.loads(txt)
+        if existing != layout:
+            raise ValueError(
+                f"bucket layout mismatch for state dir {state_dir}: "
+                f"marker records {existing}, caller passed {layout}; "
+                "pruning with mismatched parameters would corrupt the "
+                "merge — rebuild the state or fix the call"
+            )
+        return lambda: None
+    txt = json.dumps(layout, sort_keys=True)
+
+    def commit() -> None:
+        out = fs.create(marker, True)
+        try:
+            out.write(bytearray(txt, "utf-8"))
+        finally:
+            out.close()
+
+    return commit
+
+
 def hadoop_fs(spark, path: str):
     """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
     correct for ANY scheme the path resolves to (file://, hdfs://,

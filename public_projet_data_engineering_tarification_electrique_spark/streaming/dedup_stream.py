@@ -23,6 +23,8 @@ output contract stays deterministic and oracle-checkable.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,6 +33,33 @@ from ..session import configure
 from .daily import stream_shuffle_partitions
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+#: RocksDB state store for the dedup streams — same pin stateful.py
+#: applies for transformWithState: the seen-fingerprint set is the
+#: whole state, and at crawl scale it must spill + checkpoint
+#: incrementally instead of living on the executor heap (HDFS-backed
+#: provider keeps the full map in memory).
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB provider to one stream start (the conf is
+    read at query start); restore so concurrently-defined HDFS-backed
+    checkpoints are untouched."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def normalized_prefix_key(text_col: str = "text", prefix_len: int = 40) -> Column:
@@ -55,8 +84,10 @@ def stream_prefix_dedup(
     and streamed one file per trigger, so the dedup state is genuinely
     exercised ACROSS micro-batches (a single-file landing would make
     the stateful operator degenerate to a within-batch distinct).
-    n_kept = |distinct fingerprints| exactly, whatever the slicing —
-    the oracle is a plain COUNT(DISTINCT …) over the same table.
+    n_kept = |distinct NON-NULL fingerprints| exactly, whatever the
+    slicing — the oracle is a plain COUNT(DISTINCT …) over the same
+    table (which ignores NULLs, matching the NULL-text convention
+    documented on the dedup filter below).
     """
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
@@ -72,15 +103,36 @@ def stream_prefix_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )
-    deduped = stream.select(
-        normalized_prefix_key("text", prefix_len).alias("fp")
-    ).dropDuplicates(["fp"])
+    # NULL-text rows hash to a NULL fingerprint. dropDuplicates would
+    # KEEP one null-fp row (NULL is its own dedup key to Spark), but
+    # the documented oracle — COUNT(DISTINCT md5(...)) — ignores NULLs,
+    # so a corpus with any NULL text would be off by one. Convention:
+    # a document with no text has no fingerprint and is never "kept";
+    # it still counts in n_docs (and therefore lands in n_dropped).
+    deduped = (
+        stream.select(normalized_prefix_key("text", prefix_len).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .dropDuplicates(["fp"])
+    )
+    return _run_and_count(spark, docs, deduped, state_partitions)
 
+
+def _run_and_count(
+    spark: SparkSession,
+    docs: DataFrame,
+    deduped: DataFrame,
+    state_partitions: int | None,
+) -> DataFrame:
+    """Run the dedup stream to completion (availableNow, RocksDB state
+    store) emitting only fingerprints, then fold the emitted set and
+    the batch corpus into the one-row (n_docs, n_kept, n_dropped)."""
     emitted = scratch_dir("dedup_emitted_")
     ckpt = scratch_dir("dedup_ckpt_")
-    with stream_shuffle_partitions(spark, state_partitions):
+    with stream_shuffle_partitions(spark, state_partitions), \
+            _rocksdb_state_store(spark):
         (
-            deduped.writeStream.outputMode("append")
+            deduped.select("fp")
+            .writeStream.outputMode("append")
             .format("parquet")
             .option("path", emitted)
             .option("checkpointLocation", ckpt)
@@ -98,3 +150,68 @@ def stream_prefix_dedup(
             (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
         )
     )
+
+
+def stream_prefix_dedup_watermarked(
+    spark: SparkSession,
+    documents_path: str,
+    delay_seconds: int = 10_000_000,
+    prefix_len: int = 40,
+    n_files: int = 8,
+    state_partitions: int | None = 8,
+    landing_dir: str | None = None,
+) -> DataFrame:
+    """The BOUNDED-STATE sibling of :func:`stream_prefix_dedup`:
+    ``dropDuplicatesWithinWatermark`` — the production crawl posture,
+    where a fingerprint's state is EVICTED once the watermark passes
+    its event time + ``delay_seconds``, so state is O(fingerprints in
+    the active window), not O(all distinct ever seen).
+
+    Event time is synthesized from the document id
+    (``timestamp_seconds(doc_id)`` — arrival order IS id order in the
+    ranged landing), which makes the semantics precise: two same-
+    fingerprint docs deduplicate whenever their id distance is within
+    the delay, and may re-emit once eviction passes between them.
+    The default delay exceeds any fixture's duplicate id-span, so the
+    kept-set equals the exact distinct count — slicing- and
+    file-order-independent (watermark never overtakes a live
+    fingerprint), hence the same COUNT(DISTINCT) oracle as q230 —
+    while still running the full watermark + eviction machinery. A
+    production crawl sets the delay to its dup-locality window;
+    eviction + re-emission semantics are pinned by
+    tests/test_merge_streamdedup.py with hand-staged micro-batches.
+
+    ``landing_dir``: pre-staged landing files (tests use this to
+    control batch boundaries exactly); default stages ``n_files``
+    doc_id-ranged files like q230.
+    """
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    if delay_seconds < 1:
+        raise ValueError(f"delay_seconds must be >= 1, got {delay_seconds}")
+    configure(spark)
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(documents_path)
+
+    landing = landing_dir
+    if landing is None:
+        landing = scratch_dir("dedup_wm_landing_")
+        docs.repartitionByRange(n_files, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    # NULL-fp convention as in stream_prefix_dedup; NULL doc_id rows
+    # carry no event time and are likewise never "kept".
+    deduped = (
+        stream.select(
+            normalized_prefix_key("text", prefix_len).alias("fp"),
+            F.timestamp_seconds(F.col("doc_id")).alias("_ts"),
+        )
+        .filter(F.col("fp").isNotNull() & F.col("_ts").isNotNull())
+        .withWatermark("_ts", f"{int(delay_seconds)} seconds")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    return _run_and_count(spark, docs, deduped, state_partitions)

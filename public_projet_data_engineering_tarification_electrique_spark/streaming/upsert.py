@@ -57,6 +57,20 @@ def _merge_batch(
     spark: SparkSession, batch: DataFrame, state_dir: str, n_buckets: int
 ) -> None:
     """Keyed MERGE of one micro-batch into the bucket-partitioned state."""
+    from ..operators.util import bucket_layout_guard
+
+    # Self-describing layout: assert this batch's n_buckets against the
+    # marker the first batch persisted — a restart with a different
+    # bucket count would otherwise silently prune the wrong dirs.
+    commit_layout = bucket_layout_guard(
+        spark,
+        state_dir,
+        {
+            "n_buckets": int(n_buckets),
+            "keys": ["user_id"],
+            "hash": "pmod(user_id, n_buckets)",
+        },
+    )
     # The batch plan feeds three consumers (affected-bucket collect,
     # anti-join probe, union into the write) — persist it once per
     # trigger instead of recomputing the update-mode agg three times.
@@ -93,6 +107,7 @@ def _merge_batch(
         merged.localCheckpoint(eager=True).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(state_dir)
+        commit_layout()
     finally:
         new.unpersist()
 

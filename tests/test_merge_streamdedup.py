@@ -101,6 +101,34 @@ def test_merge_write_applies_and_is_idempotent(spark, tmp_path):
     assert read() == first
 
 
+def test_merge_into_preserves_target_column_order(spark):
+    # keys NOT leading in the target: output must still follow the
+    # target's column order (positional consumers).
+    t = spark.createDataFrame([(10, 1, "a")], "v long, k long, tag string")
+    s = spark.createDataFrame([(20, 2, "b")], "v long, k long, tag string")
+    out = merge_into(t, s, keys=["k"])
+    assert out.columns == ["v", "k", "tag"]
+    rows = sorted((r["v"], r["k"], r["tag"]) for r in out.collect())
+    assert rows == [(10, 1, "a"), (20, 2, "b")]
+
+
+def test_merge_write_rejects_mismatched_bucket_layout(spark, tmp_path):
+    state = str(tmp_path / "state")
+    schema = "k long, v long, tag string"
+    merge_write(spark, state, _target(spark), ["k"], schema, n_buckets=4)
+    assert os.path.exists(os.path.join(state, "_bucket_layout.json"))
+    # same layout: fine (and state unchanged by an empty merge)
+    merge_write(spark, state, _source(spark).limit(0), ["k"], schema,
+                n_buckets=4)
+    # different n_buckets: must raise, not silently mis-prune
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        merge_write(spark, state, _source(spark), ["k"], schema, n_buckets=8)
+    # different key set: same guard
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        merge_write(spark, state, _target(spark), ["k", "v"],
+                    "k long, tag string", n_buckets=4)
+
+
 def test_merge_write_rewrites_only_affected_buckets(spark, tmp_path):
     state = str(tmp_path / "state")
     schema = "k long, v long, tag string"
@@ -154,3 +182,28 @@ def test_stream_dedup_matches_batch_distinct(spark):
     assert got["n_docs"] == want["n"]
     assert got["n_kept"] == want["d"]
     assert got["n_dropped"] == want["n"] - want["d"]
+
+
+def test_stream_dedup_null_text_matches_oracle_convention(spark, tmp_path):
+    """NULL-text docs hash to a NULL fingerprint; the oracle's
+    COUNT(DISTINCT md5(...)) ignores NULLs, so the stream must too —
+    NULL-text rows count in n_docs but never in n_kept (round-8 ADVICE:
+    off-by-one on any corpus with a NULL text)."""
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.dedup_stream import (
+        stream_prefix_dedup,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "web", 10),
+            (2, None, "en", "web", 0),       # NULL text
+            (3, "ALPHA   beta", "en", "web", 12),  # dup of 1 after norm
+            (4, None, "fr", "web", 0),       # second NULL text
+            (5, "gamma", "en", "web", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    got = stream_prefix_dedup(spark, path, n_files=3).collect()[0]
+    # DuckDB-convention oracle: 5 docs, 2 distinct non-null fingerprints
+    assert (got["n_docs"], got["n_kept"], got["n_dropped"]) == (5, 2, 3)

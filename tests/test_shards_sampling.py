@@ -335,6 +335,45 @@ def test_global_running_max_matches_window(spark):
         assert got == want, f"exclusive={exclusive}"
 
 
+def test_global_running_max_nan_matches_spark_ordering(spark):
+    """Spark treats NaN as GREATER than any double; the driver carry
+    fold must mirror that (Python max() is argument-order-dependent on
+    NaN), so the result is partition-count independent on NaN input
+    (round-8 ADVICE)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+        global_running_max,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate([3.0, 7.0, 1.0] * 8)]
+    rows[5] = (5, float("nan"))  # NaN lands mid-stream
+    df = spark.createDataFrame(rows, "i long, v double")
+    order = [F.asc("i")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["i"]: r["rm"]
+        for r in df.select("i", F.max("v").over(w).alias("rm")).collect()
+    }
+    for p in (1, 3, 7):
+        got = {
+            r["i"]: r["rm"]
+            for r in global_running_max(
+                df, order, "v", "rm", num_partitions=p
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            same = (got[k] == want[k]) or (
+                math.isnan(got[k]) and math.isnan(want[k])
+            )
+            assert same, f"p={p}, i={k}: {got[k]} != {want[k]}"
+    # once NaN enters, the running max stays NaN (Spark's ordering)
+    assert math.isnan(want[5]) and math.isnan(want[23])
+
+
 def test_keyless_asof_matches_keyed_window_semantics(spark):
     """The keyless (on=()) as-of branch — two-phase running last — must
     reproduce the naive unpartitioned-window result exactly, both
