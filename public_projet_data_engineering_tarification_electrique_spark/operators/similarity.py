@@ -36,6 +36,30 @@ def _md5_prefix24(col):
     ).cast("long")
 
 
+def audit_sample(
+    df: DataFrame, id_col: str, audit_mod: int | None
+) -> DataFrame:
+    """Deterministic id-hash subsample for exact-baseline audits.
+
+    ``audit_mod=None`` keeps everything; ``m`` keeps the ~1/m of rows
+    whose md5-hashed id ≡ 0 (mod m) — a pure function of identity, so
+    the sample is stable across partitioning/re-runs and REPRODUCIBLE
+    IN SQL (the oracle applies the same predicate). This is the scale
+    valve for the exact quadratic baselines (embedding_neardup,
+    cosine_topk): pair work shrinks by ~m² while the sampled subset
+    remains an unbiased ground-truth panel to measure blocker/ANN
+    recall against (capped and uncapped agree exactly on the sampled
+    ids — pinned in tests). Same ≤-bounded-collect philosophy as
+    ``_train_sample``; same md5 hash as ``_md5_prefix24`` so one
+    id-hash convention serves anchors, training samples, and audits.
+    """
+    if audit_mod is None:
+        return df
+    if audit_mod < 1:
+        raise ValueError(f"audit_mod must be >= 1, got {audit_mod}")
+    return df.filter(_md5_prefix24(F.col(id_col)) % audit_mod == 0)
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -43,16 +67,21 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    audit_mod: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query.
 
     ``queries``: (query_id, embedding). Output:
     (query_id, vec_id, sim, rank) with rank 1..k ordered by rounded sim
     desc then vec_id (the rounded value is the ranking key so ordering
-    is reproducible across engines).
+    is reproducible across engines). ``audit_mod`` (see
+    :func:`audit_sample`) restricts the CANDIDATE side to a
+    deterministic 1/m id-hash panel — the bound that keeps this
+    ground-truth path runnable at any corpus size.
     """
     return _cosine_rank(
-        candidates, queries, k, id_col, vec_col, query_id_col,
+        audit_sample(candidates, id_col, audit_mod),
+        queries, k, id_col, vec_col, query_id_col,
         filter_col=None,
     )
 
@@ -153,6 +182,7 @@ def embedding_neardup(
     bucket_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    audit_mod: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine within a blocking bucket.
 
@@ -163,8 +193,16 @@ def embedding_neardup(
     quadratic baseline (measured 70× at 10× rows) — the ground truth
     for the scale paths (`embedding_neardup_lsh` bands,
     `anchored_neardup` n^1.5), not their replacement.
+
+    ``audit_mod`` (see :func:`audit_sample`) restricts BOTH sides to a
+    deterministic 1/m id-hash panel before pairing — pair work drops
+    ~m², so the exact ground truth stays runnable at any corpus size
+    (set m ~ n/10⁵); on the sampled ids the output is IDENTICAL to the
+    uncapped run (pure filter — pinned in tests), so recall measured
+    on the panel is exact recall on those ids.
     Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ threshold.
     """
+    embeddings = audit_sample(embeddings, id_col, audit_mod)
     # Norms once per row; pair scoring is then a single fold (see cosine_topk).
     normed = ensure_parallelism(embeddings).select(
         F.col(bucket_col).alias("_bk"),

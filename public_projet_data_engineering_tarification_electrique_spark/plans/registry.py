@@ -5477,10 +5477,12 @@ def q225_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization of event values across event types (the
     batch-effect-correction step before mixing scores from different
     raters/models/domains): each group remapped onto the pooled
-    distribution at matching cumulative rank. Everything after two
-    hash aggs runs on ≤|distinct-value| LEVEL tables (running-sum
-    CDFs + one broadcast range join) — no global sort, no per-row
-    window."""
+    distribution at matching cumulative rank. ONE corpus scan to the
+    (group, value)-level table, one distributed running-sum CDF over
+    it, then a banded interval equi-join in rank space (pooled side
+    explodes to ≤5·|levels| rows — broadcast-sized) — no global sort,
+    no per-row window, no second ranged exchange (r9 fusion of the r8
+    two-phase keyless as-of)."""
     from ..operators.stats import quantile_normalize
 
     events = load_table(spark, sf_dir, "events")
@@ -5614,6 +5616,24 @@ def q230_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup_stream import stream_prefix_dedup
 
     return stream_prefix_dedup(spark, f"{sf_dir}/documents.parquet")
+
+
+def q231_neardup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14's exact near-dup ground truth on a deterministic 1/2 id-hash
+    AUDIT PANEL (audit_mod=2): the scale valve for the one
+    quadratic-by-design baseline — pair work drops ~m² while the
+    sampled subset stays an unbiased exact-recall panel (on the
+    sampled ids the output is identical to the uncapped run; set
+    m ~ n/10⁵ in production so the ground-truth path is runnable at
+    ANY corpus size). The panel predicate is a pure function of
+    identity (md5 of the id), so the oracle reproduces the exact same
+    sample."""
+    from ..operators.similarity import embedding_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup(
+        emb, threshold=0.35, bucket_col="label", audit_mod=2
+    )
 
 
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
@@ -8826,6 +8846,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q228_pr_deciles": q228_pr_deciles,
     "q229_merge_upsert": q229_merge_upsert,
     "q230_stream_dedup": q230_stream_dedup,
+    "q231_neardup_audit_panel": q231_neardup_audit_panel,
 }
 
 
@@ -8921,11 +8942,13 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # (value-identical on testdata, but the physical plans changed —
     # re-prove each with a driver row).
     "q13": 6, "q14": 6, "q15": 6, "q27": 6, "q43": 6,
-    "q83": 6, "q110": 6, "q115": 6,
+    "q110": 6, "q115": 6,
     # Round-6 dedup hardening: simhash votes repacked 2×32-bit (ANSI
     # overflow), unbounded broadcast hints dropped, df-capped shingles
     # re-pinned — value-identical locally, plans changed.
-    "q16": 6, "q17": 6, "q21": 6, "q47": 6, "q131": 6,
+    # (q47/q83 were re-rewritten in round 8; each id appears in exactly
+    # one tier — the latest — so the dict carries no dead duplicates.)
+    "q16": 6, "q17": 6, "q21": 6, "q131": 6,
     # Round-8 scale/perf rewrites whose physical plans changed after
     # green evidence: the shards rank path dropped its second data
     # exchange (mid record-number bits replace the _pid window) —
@@ -8945,11 +8968,12 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # Round-8 plan-audit fixes (tools/plan_audit.py): q72's ntile and
     # q176's KS running sums moved to the shards.py two-phase
     # constructions — value-identical, plans changed after green rows.
-    # q224 (two-phase running max) and q225 (two-phase pooled CDF +
-    # keyless as-of) were also rewritten; they have no driver row yet,
-    # and a rewritten plan is where a driver slot buys the most
-    # evidence, so float them ahead of untouched never-sampled ids.
-    "q72": 8, "q176": 8, "q224": 8, "q225": 8,
+    # q224 (two-phase running max) was also rewritten in round 8.
+    "q72": 8, "q176": 8, "q224": 8,
+    # Round-9 rewrites: q225's plan fused again (one corpus scan, the
+    # keyless-as-of second exchange replaced by a banded interval
+    # equi-join) — its r8 driver row predates this shape.
+    "q225": 9,
 }
 
 
@@ -11087,4 +11111,28 @@ ORACLE_SQL["q230_stream_dedup"] = """
                   lower(text), '\\s+', ' ', 'g')), 1, 40)))
                 AS BIGINT) AS n_dropped
     FROM documents
+"""
+
+# q14's exact pair SQL restricted to the deterministic md5 id-hash
+# panel (24-bit md5 prefix ≡ 0 mod 2) — the identical predicate the
+# Spark side's audit_sample applies, so sample membership is pinned
+# engine-independently.
+ORACLE_SQL["q231_neardup_audit_panel"] = """
+    WITH panel AS (
+      SELECT vec_id, label, embedding
+      FROM embeddings
+      WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 6))::BIGINT
+            % 2 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS sim
+    FROM panel a JOIN panel b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                6) >= 0.35
 """

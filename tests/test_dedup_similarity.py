@@ -1232,3 +1232,69 @@ def test_int8_quant_error_bounds(spark):
     assert r0["max_abs_err"] <= 0.5
     assert r0["mean_cos"] > 0.999
     assert r0["n_high_fidelity"] == 2
+
+
+def test_audit_panel_capped_equals_uncapped_on_sampled_ids(spark):
+    """audit_mod is a pure id filter: the capped exact baseline must
+    emit EXACTLY the uncapped pairs whose both endpoints fall in the
+    panel (and the capped top-k must equal the uncapped ranking
+    recomputed over panel candidates) — the bound that keeps the
+    ground-truth recall paths runnable at any corpus size."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        _md5_prefix24,
+        audit_sample,
+        cosine_topk,
+        embedding_neardup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mod = 2
+    panel_ids = {
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .filter(_md5_prefix24(F.col("vec_id")) % mod == 0)
+        .collect()
+    }
+    n_all = emb.count()
+    assert 0 < len(panel_ids) < n_all  # non-trivial panel
+
+    # near-dup pairs: capped == uncapped restricted to panel×panel
+    uncapped = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in embedding_neardup(
+            emb, threshold=0.2, bucket_col="label"
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in embedding_neardup(
+            emb, threshold=0.2, bucket_col="label", audit_mod=mod
+        ).collect()
+    }
+    want = {
+        (a, b, s)
+        for (a, b, s) in uncapped
+        if a in panel_ids and b in panel_ids
+    }
+    assert capped == want and len(capped) > 0
+
+    # top-k: capped == exact ranking over the panel candidate set
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    capped_topk = sorted(
+        tuple(r) for r in cosine_topk(
+            emb, queries, k=5, audit_mod=mod
+        ).collect()
+    )
+    panel_exact = sorted(
+        tuple(r) for r in cosine_topk(
+            audit_sample(emb, "vec_id", mod), queries, k=5
+        ).collect()
+    )
+    assert capped_topk == panel_exact and len(capped_topk) > 0
+
+    # guard: audit_mod < 1 is a caller bug
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        audit_sample(emb, "vec_id", 0)
