@@ -5618,6 +5618,27 @@ def q230_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_prefix_dedup(spark, f"{sf_dir}/documents.parquet")
 
 
+def q232_stream_dedup_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q230's streaming dedup in the BOUNDED-STATE production posture:
+    ``dropDuplicatesWithinWatermark`` over event time synthesized from
+    the doc id, RocksDB state store — a fingerprint's state is evicted
+    once the watermark passes its event time + delay, so a crawl's
+    seen-set is O(active window), not O(all distinct ever). The delay
+    here exceeds any fixture's duplicate id-span, making the kept-set
+    equal the exact distinct count (slicing- and file-order-
+    independent) — same COUNT(DISTINCT) oracle as q230 — while the
+    full watermark/eviction machinery runs; eviction + re-emission
+    past the watermark is pinned by tests/test_merge_streamdedup.py
+    with hand-staged micro-batches."""
+    from ..streaming.dedup_stream import stream_prefix_dedup_watermarked
+
+    return stream_prefix_dedup_watermarked(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+
+
 def q231_neardup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q14's exact near-dup ground truth on a deterministic 1/2 id-hash
     AUDIT PANEL (audit_mod=2): the scale valve for the one
@@ -8847,6 +8868,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q229_merge_upsert": q229_merge_upsert,
     "q230_stream_dedup": q230_stream_dedup,
     "q231_neardup_audit_panel": q231_neardup_audit_panel,
+    "q232_stream_dedup_watermarked": q232_stream_dedup_watermarked,
 }
 
 
@@ -11112,6 +11134,11 @@ ORACLE_SQL["q230_stream_dedup"] = """
                 AS BIGINT) AS n_dropped
     FROM documents
 """
+
+# Same oracle as q230: with the registered delay above every fixture
+# duplicate id-span, the watermarked kept-set equals the exact
+# distinct non-null fingerprint count.
+ORACLE_SQL["q232_stream_dedup_watermarked"] = ORACLE_SQL["q230_stream_dedup"]
 
 # q14's exact pair SQL restricted to the deterministic md5 id-hash
 # panel (24-bit md5 prefix ≡ 0 mod 2) — the identical predicate the

@@ -204,11 +204,15 @@ def stream_prefix_dedup_watermarked(
         .parquet(landing)
     )
     # NULL-fp convention as in stream_prefix_dedup; NULL doc_id rows
-    # carry no event time and are likewise never "kept".
+    # carry no event time and are likewise never "kept". Event time is
+    # offset one day past the epoch: the initial watermark is epoch 0,
+    # and an event AT the watermark is already "late" — doc_id 0 would
+    # be silently dropped (found the hard way: one-fingerprint parity
+    # break at sf0.01).
     deduped = (
         stream.select(
             normalized_prefix_key("text", prefix_len).alias("fp"),
-            F.timestamp_seconds(F.col("doc_id")).alias("_ts"),
+            F.timestamp_seconds(F.col("doc_id") + F.lit(86400)).alias("_ts"),
         )
         .filter(F.col("fp").isNotNull() & F.col("_ts").isNotNull())
         .withWatermark("_ts", f"{int(delay_seconds)} seconds")

@@ -207,3 +207,67 @@ def test_stream_dedup_null_text_matches_oracle_convention(spark, tmp_path):
     got = stream_prefix_dedup(spark, path, n_files=3).collect()[0]
     # DuckDB-convention oracle: 5 docs, 2 distinct non-null fingerprints
     assert (got["n_docs"], got["n_kept"], got["n_dropped"]) == (5, 2, 3)
+
+
+def test_stream_dedup_watermarked_evicts_and_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned with hand-staged
+    micro-batches (event time = doc_id seconds, delay 100 s):
+
+    - batch 1: A@0, A@30, B@50  -> A emitted once (in-delay dup
+      dropped), B emitted; watermark stays 0
+    - batch 2: C@500            -> emitted; watermark advances to 400
+      for the NEXT batch (eviction applies the watermark one batch
+      after the event that moved it)
+    - batch 3: D@550            -> emitted; end-of-batch eviction at
+      watermark 400 removes A (expiry 100) and B (expiry 150)
+    - batch 4: C@560, A@600     -> C deduped (state alive: expiry 600
+      > watermark 450); A RE-EMITTED: its state was evicted past the
+      watermark — the bounded-state behavior the unwatermarked q230
+      variant never exhibits.
+    """
+    import os
+    import shutil
+
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.dedup_stream import (
+        stream_prefix_dedup, stream_prefix_dedup_watermarked,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batches = [
+        [(0, "alpha text"), (30, "ALPHA   text"), (50, "beta text")],
+        [(500, "gamma text")],
+        [(550, "delta text")],
+        [(560, "GAMMA text"), (600, "alpha text")],
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(d, t, "en", "web", len(t)) for d, t in rows], schema
+        ).coalesce(1)
+        staged = str(tmp_path / f"stage{i}")
+        df.write.mode("overwrite").parquet(staged)
+        part = next(
+            f for f in os.listdir(staged)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        for dest_dir in (landing, corpus):
+            dest = str(dest_dir / f"b{i}.parquet")
+            shutil.copyfile(os.path.join(staged, part), dest)
+            # maxFilesPerTrigger=1 consumes files oldest-mtime-first:
+            # pin mtimes 10 s apart so batch order is exactly b0,b1,b2
+            os.utime(dest, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+
+    got = stream_prefix_dedup_watermarked(
+        spark, str(corpus), delay_seconds=100, landing_dir=str(landing)
+    ).collect()[0]
+    # emissions: A, B, C, D, A-again = 5; dropped: A@30 (in-delay dup)
+    # and C@560 (state alive)
+    assert (got["n_docs"], got["n_kept"], got["n_dropped"]) == (7, 5, 2)
+
+    # the unwatermarked stream on the same corpus keeps state forever:
+    # A is never re-emitted (4 distinct fingerprints)
+    plain = stream_prefix_dedup(spark, str(corpus), n_files=3).collect()[0]
+    assert (plain["n_docs"], plain["n_kept"], plain["n_dropped"]) == (7, 4, 3)
