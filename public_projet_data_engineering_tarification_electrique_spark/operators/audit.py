@@ -44,18 +44,22 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     min_val, max_val) — the dbt-docs/Deequ-style profiling pass a
     pipeline runs on every new source before trusting it.
 
-    All stats are computed TYPED in one aggregation over one scan
-    (min/max on the native type — not on a string rendering, which
-    would order numerics lexicographically), then the single result
-    row is unpivoted to long form with engine-pinned renderings
-    (doubles rounded to 2 dp, timestamps via an explicit format).
+    All stats are computed TYPED (min/max on the native type — not on
+    a string rendering, which would order numerics lexicographically),
+    then the single result row is unpivoted to long form with
+    engine-pinned renderings (doubles rounded to 2 dp, timestamps via
+    an explicit format).
 
-    Scale: one pass, partial-aggregatable except the exact
-    count_distinct columns, which Catalyst plans as one Expand per
-    distinct column — the honest cost of an exact profile (same
-    row-multiplication a melt would cost). At 100 TB swap
-    count_distinct for approx_count_distinct (the HLL path q29 pins)
-    column-by-column without touching the shape.
+    Scale/plan shape: TWO aggregations joined on their 1-row results —
+    min/max/null-counts in one partial-aggregatable pass, the exact
+    count_distincts in a second. Combining them in one agg makes
+    Catalyst thread every plain agg buffer through the multi-distinct
+    Expand (rows × (D+1) with the full buffer width on every copy) —
+    measured 2.8-5.2 s vs 1.0-1.2 s for the split at sf0.1, and at
+    100 TB the Expand's multiplied shuffle dwarfs the extra scan. The
+    distinct pass still Expands, but carries only the distinct
+    columns. Swap count_distinct for approx_count_distinct (the HLL
+    path q29 pins) column-by-column without touching the shape.
     """
     from pyspark.sql.types import DoubleType, FloatType, TimestampType
 
@@ -70,15 +74,15 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
         return c.cast("string")
 
-    aggs = []
+    plain = []
     for c in cols:
-        aggs += [
+        plain += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
             F.min(F.col(c)).alias(f"_mn_{c}"),
             F.max(F.col(c)).alias(f"_mx_{c}"),
         ]
-    row = df.agg(*aggs)
+    distincts = [F.count_distinct(F.col(c)).alias(f"_nd_{c}") for c in cols]
+    row = df.agg(*plain).crossJoin(df.agg(*distincts))
     structs = [
         F.struct(
             F.lit(c).alias("col_name"),
