@@ -214,6 +214,17 @@ def merge_write(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            # Cluster on _bucket before the write: a partitionBy write
+            # emits one file per (task, bucket) pair, so an unclustered
+            # P-partition frame sprays up to P small files into EVERY
+            # rewritten bucket dir — the small-files decay that kills
+            # scan/list performance on big state tables. One shuffle of
+            # the (bucket-count-sized) merge output keeps each bucket
+            # at one file per rewrite (set
+            # spark.sql.files.maxRecordsPerFile to re-split buckets
+            # that outgrow a single task's write).
+            n_out = max(len(affected) if affected else int(n_buckets), 1)
+            merged = merged.repartition(n_out, "_bucket")
             # materialize before overwriting the dir being read
             merged = merged.localCheckpoint(eager=True)
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(

@@ -103,8 +103,13 @@ def _merge_batch(
         # present in `merged` are replaced. The merge must be
         # materialized before the overwrite starts
         # reading-while-writing; localCheckpoint cuts the
-        # self-referencing lineage.
-        merged.localCheckpoint(eager=True).write.mode(
+        # self-referencing lineage. Cluster on _bucket first: an
+        # unclustered P-partition frame writes up to P small files per
+        # rewritten bucket dir per trigger — small-files decay on a
+        # long-running stream (see operators/merge.merge_write).
+        merged.repartition(
+            max(int(n_buckets), 1), "_bucket"
+        ).localCheckpoint(eager=True).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(state_dir)
         commit_layout()

@@ -166,6 +166,42 @@ def test_merge_write_rewrites_only_affected_buckets(spark, tmp_path):
     assert rows[7] == 99 and len(rows) == 64
 
 
+def test_merge_write_one_file_per_bucket(spark, tmp_path):
+    """The write path clusters on _bucket before the dynamic
+    overwrite: without it a P-partition merge output sprays up to P
+    files into EVERY rewritten bucket dir per batch (small-files decay
+    on big state tables). Each bucket dir must hold exactly ONE data
+    file after any batch."""
+    state = str(tmp_path / "state")
+    schema = "k long, v long, tag string"
+    base = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("v"),
+        F.lit("z").alias("tag"),
+    ).repartition(16)  # deliberately many input partitions
+    merge_write(spark, state, base, ["k"], schema, n_buckets=8)
+
+    def files_per_bucket():
+        return {
+            d: sum(
+                1
+                for f in os.listdir(os.path.join(state, d))
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            for d in os.listdir(state)
+            if d.startswith("_bucket=")
+        }
+
+    assert set(files_per_bucket().values()) == {1}
+    # an update batch touching every bucket must not decay the layout
+    upd = base.withColumn("v", F.col("v") + 1)
+    merge_write(spark, state, upd, ["k"], schema, n_buckets=8)
+    assert set(files_per_bucket().values()) == {1}
+    rows = spark.read.schema(schema + ", _bucket int").parquet(state)
+    assert rows.count() == 2000
+    assert rows.agg(F.sum("v")).collect()[0][0] == 4000
+
+
 def test_stream_dedup_matches_batch_distinct(spark):
     from public_projet_data_engineering_tarification_electrique_spark.streaming.dedup_stream import (
         normalized_prefix_key,
