@@ -470,6 +470,133 @@ def zone_map_audit(
     )
 
 
+def zorder_prune_audit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    n_zones: int = 64,
+    bits: int = 8,
+    cell_bits: int = 5,
+) -> DataFrame:
+    """Z-order vs linear clustering: which 2-D file layout prunes
+    better? The data-layout decision behind Delta/Iceberg ZORDER BY —
+    ``zone_map_audit`` measures 1-D sort clustering; real workloads
+    probe TWO dimensions, and a lexicographic (x, y) sort clusters only
+    x (every x-slice spans all of y), while interleaving the bits of
+    both keys (Morton/Z-order) gives every zone a bounded box in BOTH.
+
+    Both columns must be integers (callers grid doubles first). They
+    are normalized to a ``2^bits`` grid in exact integer arithmetic,
+    the z-value interleaves the grid bits, and each layout is
+    ``n_zones`` equal-count zones under the exact distributed ntile
+    (``global_ntile`` — no single-partition window). The probe workload
+    is data-derived and BOUNDED by construction: the distinct occupied
+    ``2^cell_bits``-wide grid cells (≤ (2^(bits-cell_bits))² probes,
+    64 at the defaults), each probing its own cell box. A probe
+    touches a zone iff their grid boxes intersect — the I/O a zone-map
+    scan planner cannot skip.
+
+    Output: one row per layout — (layout, n_zones, n_probes,
+    avg_zones_touched 4 dp). Lower = better pruning; z-order wins
+    whenever the probe constrains both dimensions.
+
+    Plan shape: one bounds agg (broadcast 1-row), two ranged exchanges
+    (one exact ntile per layout — inherent: the audit IS about global
+    order), two tiny per-zone hash aggs, and a ≤64-row broadcast probe
+    join. Everything after the ntiles runs on zone/cell-level tables.
+    """
+    if bits <= 0 or cell_bits < 0 or cell_bits > bits:
+        raise ValueError(f"need 0 <= cell_bits <= bits, got {bits=} {cell_bits=}")
+    if n_zones <= 0:
+        raise ValueError(f"n_zones must be positive, got {n_zones}")
+    grid = 1 << bits
+    cell = 1 << cell_bits
+    base = df.select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    bounds = F.broadcast(
+        base.agg(
+            F.min("_x").alias("_xlo"),
+            F.max("_x").alias("_xhi"),
+            F.min("_y").alias("_ylo"),
+            F.max("_y").alias("_yhi"),
+        )
+    )
+    # exact integer normalization onto [0, grid): ((v - lo) * grid)
+    # div (hi - lo + 1) — both engines truncate identically
+    gridded = base.join(bounds).select(
+        "_id",
+        F.expr(f"((_x - _xlo) * {grid}) div (_xhi - _xlo + 1)").alias("_gx"),
+        F.expr(f"((_y - _ylo) * {grid}) div (_yhi - _ylo + 1)").alias("_gy"),
+    )
+    z = None
+    for i in range(bits):
+        xb = F.shiftleft(
+            F.shiftrightunsigned(F.col("_gx"), i).bitwiseAND(F.lit(1)),
+            2 * i + 1,
+        )
+        yb = F.shiftleft(
+            F.shiftrightunsigned(F.col("_gy"), i).bitwiseAND(F.lit(1)),
+            2 * i,
+        )
+        term = xb + yb
+        z = term if z is None else z + term
+    gridded = gridded.withColumn("_z", z)
+
+    tiled = global_ntile(
+        gridded, [F.asc("_gx"), F.asc("_gy"), F.asc("_id")], n_zones, "_zone_lin"
+    )
+    tiled = global_ntile(
+        tiled, [F.asc("_z"), F.asc("_id")], n_zones, "_zone_z"
+    ).localCheckpoint(eager=True)
+
+    probes = (
+        tiled.select(
+            F.expr(f"_gx div {cell}").alias("_cx"),
+            F.expr(f"_gy div {cell}").alias("_cy"),
+        )
+        .distinct()
+        .select(
+            (F.col("_cx") * cell).alias("_plo_x"),
+            (F.col("_cx") * cell + (cell - 1)).alias("_phi_x"),
+            (F.col("_cy") * cell).alias("_plo_y"),
+            (F.col("_cy") * cell + (cell - 1)).alias("_phi_y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def layout_row(zone_col: str, label: str) -> DataFrame:
+        zones = tiled.groupBy(zone_col).agg(
+            F.min("_gx").alias("_zlo_x"),
+            F.max("_gx").alias("_zhi_x"),
+            F.min("_gy").alias("_zlo_y"),
+            F.max("_gy").alias("_zhi_y"),
+        )
+        touched = probes.join(
+            F.broadcast(zones),
+            (F.col("_zlo_x") <= F.col("_phi_x"))
+            & (F.col("_zhi_x") >= F.col("_plo_x"))
+            & (F.col("_zlo_y") <= F.col("_phi_y"))
+            & (F.col("_zhi_y") >= F.col("_plo_y")),
+        )
+        per_probe = touched.groupBy(
+            "_plo_x", "_plo_y"
+        ).agg(F.count("*").alias("_nz"))
+        return per_probe.agg(
+            F.lit(label).alias("layout"),
+            F.lit(n_zones).cast("int").alias("n_zones"),
+            F.count("*").cast("long").alias("n_probes"),
+            F.round(F.avg("_nz"), 4).alias("avg_zones_touched"),
+        )
+
+    return layout_row("_zone_lin", "linear_xy").unionByName(
+        layout_row("_zone_z", "zorder")
+    )
+
+
 def consistent_hash_audit(
     df: DataFrame, key_col: str, n_shards: int = 8
 ) -> DataFrame:

@@ -5639,6 +5639,29 @@ def q232_stream_dedup_watermarked(
     )
 
 
+def q233_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout decision audit: Z-ORDER vs lexicographic (x, y)
+    clustering of events over (user_id, value) — for 2-D box probes,
+    how many equal-count zones (files) must a zone-map scan planner
+    touch under each layout? Morton-interleaves the two grid keys,
+    tiles both layouts with the exact distributed ntile, and probes
+    every occupied 32-wide grid cell (≤64 probes by construction) —
+    the Delta/Iceberg ZORDER BY question made measurable. q177 is the
+    1-D sibling; everything after the two inherent ranged exchanges
+    runs on zone/cell-level tables."""
+    from ..operators.shards import zorder_prune_audit
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_e2"),
+        "event_id",
+    )
+    return zorder_prune_audit(
+        base, x_col="user_id", y_col="value_e2", id_col="event_id"
+    )
+
+
 def q231_neardup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q14's exact near-dup ground truth on a deterministic 1/2 id-hash
     AUDIT PANEL (audit_mod=2): the scale valve for the one
@@ -8869,6 +8892,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q230_stream_dedup": q230_stream_dedup,
     "q231_neardup_audit_panel": q231_neardup_audit_panel,
     "q232_stream_dedup_watermarked": q232_stream_dedup_watermarked,
+    "q233_zorder_audit": q233_zorder_audit,
 }
 
 
@@ -11139,6 +11163,73 @@ ORACLE_SQL["q230_stream_dedup"] = """
 # duplicate id-span, the watermarked kept-set equals the exact
 # distinct non-null fingerprint count.
 ORACLE_SQL["q232_stream_dedup_watermarked"] = ORACLE_SQL["q230_stream_dedup"]
+
+# z-value interleave for the q233 oracle: x bit i -> position 2i+1,
+# y bit i -> position 2i (generated from the same bits=8 the Spark
+# side uses, so the two cannot drift).
+_Z_TERMS = " + ".join(
+    f"(((gx >> {i}) & 1) * {1 << (2 * i + 1)}) "
+    f"+ (((gy >> {i}) & 1) * {1 << (2 * i)})"
+    for i in range(8)
+)
+ORACLE_SQL["q233_zorder_audit"] = f"""
+    WITH base AS (
+      SELECT event_id AS id, user_id AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), b AS (
+      SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+      FROM base
+    ), g AS (
+      SELECT id,
+             ((x - xlo) * 256) // (xhi - xlo + 1) AS gx,
+             ((y - ylo) * 256) // (yhi - ylo + 1) AS gy
+      FROM base, b
+    ), gz AS (
+      SELECT id, gx, gy, {_Z_TERMS} AS z FROM g
+    ), tiled AS (
+      SELECT gx, gy,
+             ntile(64) OVER (ORDER BY gx, gy, id) AS zone_lin,
+             ntile(64) OVER (ORDER BY z, id) AS zone_z
+      FROM gz
+    ), probes AS (
+      SELECT DISTINCT
+             (gx // 32) * 32 AS plo_x, (gx // 32) * 32 + 31 AS phi_x,
+             (gy // 32) * 32 AS plo_y, (gy // 32) * 32 + 31 AS phi_y
+      FROM tiled
+    ), zl AS (
+      SELECT zone_lin AS zone,
+             min(gx) AS zlo_x, max(gx) AS zhi_x,
+             min(gy) AS zlo_y, max(gy) AS zhi_y
+      FROM tiled GROUP BY 1
+    ), zz AS (
+      SELECT zone_z AS zone,
+             min(gx) AS zlo_x, max(gx) AS zhi_x,
+             min(gy) AS zlo_y, max(gy) AS zhi_y
+      FROM tiled GROUP BY 1
+    ), tl AS (
+      SELECT p.plo_x, p.plo_y, count(*) AS nz
+      FROM probes p JOIN zl z
+        ON z.zlo_x <= p.phi_x AND z.zhi_x >= p.plo_x
+       AND z.zlo_y <= p.phi_y AND z.zhi_y >= p.plo_y
+      GROUP BY 1, 2
+    ), tz AS (
+      SELECT p.plo_x, p.plo_y, count(*) AS nz
+      FROM probes p JOIN zz z
+        ON z.zlo_x <= p.phi_x AND z.zhi_x >= p.plo_x
+       AND z.zlo_y <= p.phi_y AND z.zhi_y >= p.plo_y
+      GROUP BY 1, 2
+    )
+    SELECT 'linear_xy' AS layout, CAST(64 AS INTEGER) AS n_zones,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           round(avg(nz), 4) AS avg_zones_touched
+    FROM tl
+    UNION ALL
+    SELECT 'zorder', CAST(64 AS INTEGER), CAST(count(*) AS BIGINT),
+           round(avg(nz), 4)
+    FROM tz
+"""
 
 # q14's exact pair SQL restricted to the deterministic md5 id-hash
 # panel (24-bit md5 prefix ≡ 0 mod 2) — the identical predicate the

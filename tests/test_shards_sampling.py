@@ -418,3 +418,36 @@ def test_keyless_asof_matches_keyed_window_semantics(spark):
             .collect()
         )
         assert got == naive(direction), direction
+
+
+def test_zorder_prune_audit_zorder_wins_on_grid(spark):
+    """On a dense uniform 2-D grid, Morton zones are compact boxes
+    while lexicographic (x, y) zones are full-height x-slices — the
+    z-order layout must touch strictly fewer zones for cell probes.
+    Also pins the output contract and the parameter guards."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
+        zorder_prune_audit,
+    )
+
+    n = 64
+    rows = [(x * n + y, x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {
+        r["layout"]: r
+        for r in zorder_prune_audit(
+            df, "x", "y", "id", n_zones=64, bits=8, cell_bits=5
+        ).collect()
+    }
+    assert set(out) == {"linear_xy", "zorder"}
+    lin, zo = out["linear_xy"], out["zorder"]
+    # full 8x8 cell coverage: every 32-wide cell of the 256-grid probed
+    assert lin["n_probes"] == 64 and zo["n_probes"] == 64
+    assert zo["avg_zones_touched"] < lin["avg_zones_touched"]
+    # a probe can never touch fewer than 1 or more than all zones
+    assert 1 <= zo["avg_zones_touched"] <= 64
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        zorder_prune_audit(df, "x", "y", "id", n_zones=0)
+    with _pytest.raises(ValueError):
+        zorder_prune_audit(df, "x", "y", "id", bits=4, cell_bits=5)
