@@ -470,7 +470,7 @@ def zone_map_audit(
     )
 
 
-def zorder_prune_audit(
+def sorted_layout_audit(
     df: DataFrame,
     x_col: str,
     y_col: str,

@@ -5639,7 +5639,7 @@ def q232_stream_dedup_watermarked(
     )
 
 
-def q233_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q233_sort_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-layout decision audit: Z-ORDER vs lexicographic (x, y)
     clustering of events over (user_id, value) — for 2-D box probes,
     how many equal-count zones (files) must a zone-map scan planner
@@ -5647,9 +5647,11 @@ def q233_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles both layouts with the exact distributed ntile, and probes
     every occupied 32-wide grid cell (≤64 probes by construction) —
     the Delta/Iceberg ZORDER BY question made measurable. q177 is the
-    1-D sibling; everything after the two inherent ranged exchanges
-    runs on zone/cell-level tables."""
-    from ..operators.shards import zorder_prune_audit
+    1-D sort sibling; q218 asks the cheaper arrival-order-vs-Morton
+    question without a sort — this one prices the SORTED alternatives
+    a compaction job chooses between. Everything after the two
+    inherent ranged exchanges runs on zone/cell-level tables."""
+    from ..operators.shards import sorted_layout_audit
 
     events = load_table(spark, sf_dir, "events")
     base = events.select(
@@ -5657,7 +5659,7 @@ def q233_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("value_e2"),
         "event_id",
     )
-    return zorder_prune_audit(
+    return sorted_layout_audit(
         base, x_col="user_id", y_col="value_e2", id_col="event_id"
     )
 
@@ -8892,7 +8894,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q230_stream_dedup": q230_stream_dedup,
     "q231_neardup_audit_panel": q231_neardup_audit_panel,
     "q232_stream_dedup_watermarked": q232_stream_dedup_watermarked,
-    "q233_zorder_audit": q233_zorder_audit,
+    "q233_sort_vs_zorder": q233_sort_vs_zorder,
 }
 
 
@@ -11172,7 +11174,7 @@ _Z_TERMS = " + ".join(
     f"+ (((gy >> {i}) & 1) * {1 << (2 * i)})"
     for i in range(8)
 )
-ORACLE_SQL["q233_zorder_audit"] = f"""
+ORACLE_SQL["q233_sort_vs_zorder"] = f"""
     WITH base AS (
       SELECT event_id AS id, user_id AS x,
              CAST(round(value * 100) AS BIGINT) AS y

@@ -420,13 +420,13 @@ def test_keyless_asof_matches_keyed_window_semantics(spark):
         assert got == naive(direction), direction
 
 
-def test_zorder_prune_audit_zorder_wins_on_grid(spark):
+def test_sorted_layout_audit_zorder_wins_on_grid(spark):
     """On a dense uniform 2-D grid, Morton zones are compact boxes
     while lexicographic (x, y) zones are full-height x-slices — the
     z-order layout must touch strictly fewer zones for cell probes.
     Also pins the output contract and the parameter guards."""
     from public_projet_data_engineering_tarification_electrique_spark.operators.shards import (
-        zorder_prune_audit,
+        sorted_layout_audit,
     )
 
     n = 64
@@ -434,7 +434,7 @@ def test_zorder_prune_audit_zorder_wins_on_grid(spark):
     df = spark.createDataFrame(rows, "id long, x long, y long")
     out = {
         r["layout"]: r
-        for r in zorder_prune_audit(
+        for r in sorted_layout_audit(
             df, "x", "y", "id", n_zones=64, bits=8, cell_bits=5
         ).collect()
     }
@@ -448,6 +448,6 @@ def test_zorder_prune_audit_zorder_wins_on_grid(spark):
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        zorder_prune_audit(df, "x", "y", "id", n_zones=0)
+        sorted_layout_audit(df, "x", "y", "id", n_zones=0)
     with _pytest.raises(ValueError):
-        zorder_prune_audit(df, "x", "y", "id", bits=4, cell_bits=5)
+        sorted_layout_audit(df, "x", "y", "id", bits=4, cell_bits=5)
