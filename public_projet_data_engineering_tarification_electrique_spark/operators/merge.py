@@ -27,8 +27,9 @@ Two layers, mirroring streaming/upsert.py:
   (state, batch), so a replay is idempotent exactly when the
   ``update_set`` is last-write-wins (columns taken from the source);
   an ADDITIVE update expression (e.g. ``n + src("n")``) re-applies on
-  replay by design — the caller owns exactly-once delivery for those,
-  same as Delta MERGE (tests/test_merge.py pins both behaviours).
+  replay UNLESS the caller passes ``batch_id`` — the Delta-style txn
+  ledger (``_merge_ledger.json``) then skips already-applied ids
+  (tests/test_merge_streamdedup.py pins all three behaviours).
 """
 
 from __future__ import annotations
@@ -140,9 +141,25 @@ def merge_write(
     update_set: dict[str, Column] | None = None,
     delete_when: Column | None = None,
     insert_when: Column | None = None,
-) -> None:
+    batch_id: int | None = None,
+) -> bool:
     """Apply one MERGE batch to a bucket-partitioned parquet state dir,
-    rewriting only the buckets the source touches.
+    rewriting only the buckets the source touches. Returns True if the
+    batch was applied, False if it was skipped as an already-applied
+    replay (see ``batch_id``).
+
+    ``batch_id`` (optional, monotonically increasing — Structured
+    Streaming's foreachBatch epoch id fits directly) makes REPLAYS of
+    additive merges exactly-once: the Delta-style txn-ledger pattern.
+    A ``_merge_ledger.json`` marker records the last applied id; a
+    batch with ``batch_id <= last`` is skipped instead of re-applied —
+    without it, an at-least-once upstream re-delivering a batch
+    double-applies any additive ``update_set`` (n + src(n)); see the
+    module docstring. The ledger is updated AFTER the data write, so
+    the remaining at-least-once window is a crash between the two —
+    one batch wide, same as any non-transactional sink. Passing
+    batch_id=None keeps the unledgered behavior (correct for
+    last-write-wins merges, which are naturally idempotent).
 
     Bucket = pmod(xxhash64(keys), n_buckets) — stable across runs, so
     a key always lives in the same file group and the per-batch scan
@@ -154,7 +171,17 @@ def merge_write(
     asserts against it — re-running with a different n_buckets raises
     instead of silently mis-pruning.
     """
-    from .util import bucket_layout_guard, hadoop_fs
+    from .util import (
+        bucket_layout_guard,
+        hadoop_fs,
+        read_json_marker,
+        write_json_marker,
+    )
+
+    if batch_id is not None:
+        ledger = read_json_marker(spark, state_dir, "_merge_ledger.json")
+        if ledger is not None and batch_id <= ledger["last_batch_id"]:
+            return False  # already-applied replay
 
     commit_layout = bucket_layout_guard(
         spark,
@@ -246,6 +273,13 @@ def merge_write(
                             spark, os.path.join(state_dir, f"_bucket={b}")
                         )
                         sub_fs.delete(sub_path, True)
+            if batch_id is not None:
+                write_json_marker(
+                    spark,
+                    state_dir,
+                    "_merge_ledger.json",
+                    {"last_batch_id": int(batch_id)},
+                )
         finally:
             if prev is None:
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -253,3 +287,4 @@ def merge_write(
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
         new.unpersist()
+    return True

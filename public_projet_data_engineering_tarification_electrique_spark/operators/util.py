@@ -113,6 +113,40 @@ def pinned_shuffle_partitions(spark: SparkSession, n: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def read_json_marker(spark, dir_path: str, name: str) -> dict | None:
+    """Read a small JSON marker file (underscore-prefixed — invisible
+    to parquet partition discovery) from a state dir via the Hadoop
+    FileSystem API (any scheme). None if absent."""
+    import json
+
+    fs, _ = hadoop_fs(spark, dir_path)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(dir_path, name)
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def write_json_marker(spark, dir_path: str, name: str, payload: dict) -> None:
+    """Overwrite a small JSON marker file in a state dir (see
+    :func:`read_json_marker`)."""
+    import json
+
+    fs, _ = hadoop_fs(spark, dir_path)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(dir_path, name)
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(json.dumps(payload, sort_keys=True), "utf-8"))
+    finally:
+        out.close()
+
+
 def bucket_layout_guard(spark, state_dir: str, layout: dict):
     """Make a bucket-partitioned state dir's layout SELF-DESCRIBING.
 
@@ -134,21 +168,8 @@ def bucket_layout_guard(spark, state_dir: str, layout: dict):
     any state is read or rewritten. A pre-marker state dir (legacy) is
     adopted: the current call's layout becomes the marker.
     """
-    import json
-
-    fs, _ = hadoop_fs(spark, state_dir)
-    marker = spark._jvm.org.apache.hadoop.fs.Path(
-        state_dir, "_bucket_layout.json"
-    )
-    if fs.exists(marker):
-        stream = fs.open(marker)
-        try:
-            txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        existing = json.loads(txt)
+    existing = read_json_marker(spark, state_dir, "_bucket_layout.json")
+    if existing is not None:
         if existing != layout:
             raise ValueError(
                 f"bucket layout mismatch for state dir {state_dir}: "
@@ -157,16 +178,9 @@ def bucket_layout_guard(spark, state_dir: str, layout: dict):
                 "merge — rebuild the state or fix the call"
             )
         return lambda: None
-    txt = json.dumps(layout, sort_keys=True)
-
-    def commit() -> None:
-        out = fs.create(marker, True)
-        try:
-            out.write(bytearray(txt, "utf-8"))
-        finally:
-            out.close()
-
-    return commit
+    return lambda: write_json_marker(
+        spark, state_dir, "_bucket_layout.json", layout
+    )
 
 
 def hadoop_fs(spark, path: str):

@@ -5603,6 +5603,64 @@ def q229_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q234_merge_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once MERGE replays via the txn ledger: the q229 CDC
+    batch (ADDITIVE update_set — counts/totals summed, the case a
+    blind replay double-applies) is applied to the bucketed parquet
+    state THREE times with the same batch_id; the ledger
+    (_merge_ledger.json, the Delta txn pattern) skips the replays, so
+    the final state digest equals exactly ONE application — which is
+    what the oracle computes relationally. Output: one summary row
+    (n_keys, sum_orders, total_price_sum 2 dp, n_applied,
+    n_skipped)."""
+    from ..operators.merge import merge_write, src
+    from ..operators.util import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+
+    state = scratch_dir("merge_ledger_state_")
+    schema = "custkey long, n_orders long, total_cents long"
+    merge_write(
+        spark,
+        state,
+        digest(orders.filter(F.col("o_orderdate") < F.lit(cut))),
+        ["custkey"],
+        schema,
+        n_buckets=8,
+        batch_id=0,
+    )
+    batch = digest(orders.filter(F.col("o_orderdate") >= F.lit(cut)))
+    kwargs = dict(
+        update_set={
+            "n_orders": F.col("n_orders") + src("n_orders"),
+            "total_cents": F.col("total_cents") + src("total_cents"),
+        },
+        batch_id=1,
+    )
+    applied = [
+        merge_write(spark, state, batch, ["custkey"], schema, n_buckets=8,
+                    **kwargs)
+        for _ in range(3)  # one apply + two replays of the SAME id
+    ]
+    final = spark.read.schema(schema + ", _bucket int").parquet(state)
+    return final.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+        F.round(F.sum("total_cents") / 100.0, 2).alias("total_price_sum"),
+        F.lit(sum(applied)).cast("int").alias("n_applied"),
+        F.lit(len(applied) - sum(applied)).cast("int").alias("n_skipped"),
+    )
+
+
 def q230_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-order streaming dedup via native stateful
     ``dropDuplicates``: the documents corpus staged as 8 doc_id-ranged
@@ -8895,6 +8953,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q231_neardup_audit_panel": q231_neardup_audit_panel,
     "q232_stream_dedup_watermarked": q232_stream_dedup_watermarked,
     "q233_sort_vs_zorder": q233_sort_vs_zorder,
+    "q234_merge_ledger": q234_merge_ledger,
 }
 
 
@@ -11159,6 +11218,38 @@ ORACLE_SQL["q230_stream_dedup"] = """
                   lower(text), '\\s+', ' ', 'g')), 1, 40)))
                 AS BIGINT) AS n_dropped
     FROM documents
+"""
+
+# The ledgered-replay digest: the CDC batch applied exactly ONCE
+# (replays with the same batch_id are skipped by the ledger), so the
+# summary is the plain one-application full-outer merge — which for an
+# unconditional additive upsert is the all-orders digest.
+ORACLE_SQL["q234_merge_ledger"] = """
+    WITH t AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+    ), s AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+    ), m AS (
+      SELECT coalesce(t.custkey, s.custkey) AS custkey,
+             coalesce(t.n_orders, 0) + coalesce(s.n_orders, 0) AS n_orders,
+             coalesce(t.total_cents, 0) + coalesce(s.total_cents, 0)
+               AS total_cents
+      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_keys,
+           cast(sum(n_orders) AS BIGINT) AS sum_orders,
+           round(sum(total_cents) / 100.0, 2) AS total_price_sum,
+           CAST(1 AS INTEGER) AS n_applied,
+           CAST(2 AS INTEGER) AS n_skipped
+    FROM m
 """
 
 # Same oracle as q230: with the registered delay above every fixture

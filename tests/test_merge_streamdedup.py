@@ -166,6 +166,50 @@ def test_merge_write_rewrites_only_affected_buckets(spark, tmp_path):
     assert rows[7] == 99 and len(rows) == 64
 
 
+def test_merge_write_ledger_makes_additive_replays_exactly_once(
+    spark, tmp_path
+):
+    """batch_id engages the Delta-style txn ledger: a replay of an
+    ADDITIVE merge with an already-applied id is skipped (returns
+    False, state unchanged); a NEW id applies; batch_id=None keeps the
+    unledgered double-apply behavior."""
+    state = str(tmp_path / "state")
+    schema = "k long, v long, tag string"
+    assert merge_write(
+        spark, state, _target(spark), ["k"], schema, n_buckets=4, batch_id=0
+    )
+    add = dict(update_set={"v": F.col("v") + src("v")})
+    batch = _source(spark).filter(F.col("op") != "D")
+
+    def v_of():
+        return {
+            r["k"]: r["v"]
+            for r in spark.read.schema(schema + ", _bucket int")
+            .parquet(state)
+            .collect()
+        }
+
+    assert merge_write(spark, state, batch, ["k"], schema, n_buckets=4,
+                       batch_id=1, **add)
+    once = v_of()
+    assert once[1] == 110  # 10 + 100 summed once
+    # replay of the same id: skipped, state unchanged
+    assert not merge_write(spark, state, batch, ["k"], schema, n_buckets=4,
+                           batch_id=1, **add)
+    assert v_of() == once
+    # stale id (lower than last applied): also skipped
+    assert not merge_write(spark, state, batch, ["k"], schema, n_buckets=4,
+                           batch_id=0, **add)
+    assert v_of() == once
+    # a NEW id applies (v sums again)
+    assert merge_write(spark, state, batch, ["k"], schema, n_buckets=4,
+                       batch_id=2, **add)
+    assert v_of()[1] == 210
+    # unledgered call still double-applies (documented caller contract)
+    assert merge_write(spark, state, batch, ["k"], schema, n_buckets=4, **add)
+    assert v_of()[1] == 310
+
+
 def test_merge_write_one_file_per_bucket(spark, tmp_path):
     """The write path clusters on _bucket before the dynamic
     overwrite: without it a P-partition merge output sprays up to P
