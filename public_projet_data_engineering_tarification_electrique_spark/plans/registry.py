@@ -5661,6 +5661,21 @@ def q234_merge_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q235_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy hitters over documents.lang (every language with
+    > 1/7 of the corpus): per-partition Misra–Gries candidates
+    (Arrow-batched mapInPandas, ≤ s counters each) + one exact verify
+    pass over ONLY the broadcast candidate set — the top-frequent-keys
+    plan whose naive groupBy-count shuffles the full key cardinality
+    at 100 TB, here ≤ s·P counter rows + |candidates| counts. The MG
+    superset guarantee (pigeonhole over partitions) makes the final
+    output EXACT — hence a plain GROUP BY/HAVING oracle."""
+    from ..operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "lang", s=6)
+
+
 def q230_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-order streaming dedup via native stateful
     ``dropDuplicates``: the documents corpus staged as 8 doc_id-ranged
@@ -8954,6 +8969,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q232_stream_dedup_watermarked": q232_stream_dedup_watermarked,
     "q233_sort_vs_zorder": q233_sort_vs_zorder,
     "q234_merge_ledger": q234_merge_ledger,
+    "q235_heavy_hitters": q235_heavy_hitters,
 }
 
 
@@ -11250,6 +11266,19 @@ ORACLE_SQL["q234_merge_ledger"] = """
            CAST(1 AS INTEGER) AS n_applied,
            CAST(2 AS INTEGER) AS n_skipped
     FROM m
+"""
+
+ORACLE_SQL["q235_heavy_hitters"] = """
+    WITH tot AS (
+      SELECT cast(count(lang) AS BIGINT) AS n_total FROM documents
+    ), c AS (
+      SELECT lang, cast(count(*) AS BIGINT) AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY 1
+    )
+    SELECT c.lang, c.n, t.n_total,
+           cast(t.n_total // 7 AS BIGINT) AS threshold
+    FROM c, tot t
+    WHERE c.n * 7 > t.n_total
 """
 
 # Same oracle as q230: with the registered delay above every fixture
