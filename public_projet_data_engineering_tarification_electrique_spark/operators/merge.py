@@ -131,6 +131,87 @@ def merge_into(
     return survivors.select(*projected)
 
 
+def merge_changes(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_set: dict[str, Column] | None = None,
+    delete_when: Column | None = None,
+    insert_when: Column | None = None,
+) -> DataFrame:
+    """The CHANGE DATA FEED of a merge (Delta CDF's row-level
+    changelog): instead of the post-merge state, emit one row per
+    AFFECTED key — ``_change_type`` ∈ {'insert', 'update', 'delete'} —
+    with the post-image values (the pre-merge target values for a
+    delete, since there is no post-image). Unaffected target-only rows
+    emit nothing; a matched non-delete row is always an 'update' (like
+    Delta, no value-diff suppression — downstream consumers own
+    no-op filtering). Same clause semantics, same caller contracts
+    (unique source keys, NULL keys never match) as :func:`merge_into`.
+
+    This is what downstream incremental consumers subscribe to —
+    cache invalidation, index refresh, replication — without diffing
+    two 100 TB snapshots: the feed is bounded by the batch, not the
+    table. Plan shape: the same single full-outer join, one CASE
+    projection; Catalyst/AQE treat it exactly like merge_into.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks target columns: {missing}")
+    update_set = dict(update_set or {})
+    unknown = [c for c in update_set if c not in target.columns or c in keys]
+    if unknown:
+        raise ValueError(f"update_set targets non-value columns: {unknown}")
+
+    s = source.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.col(c).alias(_SRC + c)
+            for c in source.columns
+            if c not in keys
+        ],
+        F.lit(True).alias("_s_present"),
+    )
+    t = target.withColumn("_t_present", F.lit(True))
+    joined = t.join(s, on=keys, how="full_outer")
+
+    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    src_only = F.col("_t_present").isNull()
+    deleted = matched & (
+        F.coalesce(delete_when, F.lit(False))
+        if delete_when is not None
+        else F.lit(False)
+    )
+    inserted = src_only & (
+        F.coalesce(insert_when, F.lit(True))
+        if insert_when is not None
+        else F.lit(True)
+    )
+    change = (
+        F.when(deleted, F.lit("delete"))
+        .when(matched, F.lit("update"))
+        .when(inserted, F.lit("insert"))
+    )
+    affected = joined.withColumn("_change_type", change).filter(
+        F.col("_change_type").isNotNull()
+    )
+    projected = []
+    for c in target.columns:
+        if c in keys:
+            projected.append(F.col(c))
+        else:
+            updated = update_set.get(c, src(c))
+            projected.append(
+                F.when(F.col("_change_type") == "delete", F.col(c))
+                .when(F.col("_change_type") == "update", updated)
+                .otherwise(src(c))
+                .alias(c)
+            )
+    return affected.select(*projected, "_change_type")
+
+
 def merge_write(
     spark: SparkSession,
     state_dir: str,

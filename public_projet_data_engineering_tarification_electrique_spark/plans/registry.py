@@ -5661,6 +5661,58 @@ def q234_merge_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q236_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE DATA FEED of q229's MERGE (Delta CDF): one row per
+    affected key — insert/update/delete with post-image values
+    (pre-image for deletes) — the bounded row-level changelog an
+    incremental consumer (cache invalidation, index refresh,
+    replication) subscribes to instead of diffing two 100 TB
+    snapshots. Same single full-outer join as the merge itself;
+    unaffected target-only keys emit nothing."""
+    from ..operators.merge import merge_changes, src
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.max("o_orderdate").alias("last_date"),
+        )
+
+    target = digest(orders.filter(F.col("o_orderdate") < F.lit(cut)))
+    source = digest(
+        orders.filter(F.col("o_orderdate") >= F.lit(cut))
+    ).withColumn(
+        "op",
+        F.when(F.pmod(F.col("custkey"), F.lit(50)) == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    changes = merge_changes(
+        target,
+        source,
+        keys=["custkey"],
+        update_set={
+            "n_orders": F.col("n_orders") + src("n_orders"),
+            "total_cents": F.col("total_cents") + src("total_cents"),
+            "last_date": F.greatest(F.col("last_date"), src("last_date")),
+        },
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+    )
+    return changes.select(
+        "custkey",
+        "n_orders",
+        F.round(F.col("total_cents") / 100.0, 2).alias("total_price"),
+        F.date_format("last_date", "yyyy-MM-dd").alias("last_date"),
+        "_change_type",
+    )
+
+
 def q235_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact φ-heavy hitters over documents.lang (every language with
     > 1/7 of the corpus): per-partition Misra–Gries candidates
@@ -8970,6 +9022,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q233_sort_vs_zorder": q233_sort_vs_zorder,
     "q234_merge_ledger": q234_merge_ledger,
     "q235_heavy_hitters": q235_heavy_hitters,
+    "q236_merge_cdf": q236_merge_cdf,
 }
 
 
@@ -11266,6 +11319,48 @@ ORACLE_SQL["q234_merge_ledger"] = """
            CAST(1 AS INTEGER) AS n_applied,
            CAST(2 AS INTEGER) AS n_skipped
     FROM m
+"""
+
+ORACLE_SQL["q236_merge_cdf"] = """
+    WITH t AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             max(o_orderdate) AS last_date
+      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+    ), s AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             max(o_orderdate) AS last_date,
+             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+    ), m AS (
+      SELECT coalesce(t.custkey, s.custkey) AS custkey,
+             t.custkey IS NOT NULL AND s.custkey IS NOT NULL AS matched,
+             t.custkey IS NULL AS src_only,
+             t.n_orders AS t_n, t.total_cents AS t_c, t.last_date AS t_d,
+             s.n_orders AS s_n, s.total_cents AS s_c, s.last_date AS s_d,
+             s.op
+      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+    )
+    SELECT custkey,
+           cast(CASE WHEN matched AND op = 'D' THEN t_n
+                     WHEN matched THEN t_n + s_n
+                     ELSE s_n END AS BIGINT) AS n_orders,
+           round((CASE WHEN matched AND op = 'D' THEN t_c
+                       WHEN matched THEN t_c + s_c
+                       ELSE s_c END) / 100.0, 2) AS total_price,
+           strftime(CASE WHEN matched AND op = 'D' THEN t_d
+                         WHEN matched THEN greatest(t_d, s_d)
+                         ELSE s_d END, '%Y-%m-%d') AS last_date,
+           CASE WHEN matched AND op = 'D' THEN 'delete'
+                WHEN matched THEN 'update'
+                ELSE 'insert' END AS _change_type
+    FROM m
+    WHERE op IS NOT NULL AND NOT (src_only AND op = 'D')
 """
 
 ORACLE_SQL["q235_heavy_hitters"] = """

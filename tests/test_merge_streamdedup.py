@@ -351,3 +351,47 @@ def test_stream_dedup_watermarked_evicts_and_reemits(spark, tmp_path):
     # A is never re-emitted (4 distinct fingerprints)
     plain = stream_prefix_dedup(spark, str(corpus), n_files=3).collect()[0]
     assert (plain["n_docs"], plain["n_kept"], plain["n_dropped"]) == (7, 4, 3)
+
+
+def test_merge_changes_feed_reconstructs_merge_into(spark):
+    """CDF consistency: target MINUS (deleted ∪ updated keys) PLUS the
+    feed's insert/update post-images == merge_into's output — the
+    contract that lets a downstream consumer maintain a replica from
+    the changelog alone. Also pins: unaffected keys emit nothing,
+    deletes carry the pre-image, never-matched tombstones emit
+    nothing."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.merge import (
+        merge_changes,
+    )
+
+    kwargs = dict(
+        keys=["k"],
+        update_set={"v": F.col("v") + src("v")},
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+    )
+    t, s = _target(spark), _source(spark)
+    feed = merge_changes(t, s, **kwargs)
+    rows = {r["k"]: (r["v"], r["tag"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {
+        1: (110, "a2", "update"),
+        2: (20, "b", "delete"),   # pre-image values
+        4: (40, "d", "insert"),
+    }  # k=3 untouched -> absent; k=5 tombstone-for-nothing -> absent
+
+    merged = {
+        r["k"]: (r["v"], r["tag"])
+        for r in merge_into(t, s, **kwargs).collect()
+    }
+    replica = {
+        r["k"]: (r["v"], r["tag"]) for r in t.collect()
+    }
+    for k, (v, tag, ct) in rows.items():
+        if ct == "delete":
+            replica.pop(k)
+        else:
+            replica[k] = (v, tag)
+    assert replica == merged
+
+    with pytest.raises(ValueError):
+        merge_changes(t, s, keys=[])
