@@ -530,84 +530,3 @@ def source_minhash_oracle_sql(table: str = "documents", k: int = 3) -> str:
         JOIN sizes sb ON m.src_b = sb.g
     """
 
-
-def heavy_hitters(
-    df: DataFrame, key_col: str, s: int = 10
-) -> DataFrame:
-    """Exact φ-heavy hitters (every key with frequency > N/(s+1)) via
-    per-partition Misra–Gries candidate generation + an exact verify
-    pass over ONLY the candidates — the top-frequent-keys query whose
-    naive form (groupBy-count over every distinct key, then filter)
-    shuffles the FULL key cardinality at 100 TB.
-
-    Guarantee chain (why the output is exact, not approximate):
-    Misra–Gries with ``s`` counters over a partition of n_p rows
-    retains every key with partition frequency > n_p/(s+1); a key with
-    GLOBAL frequency > N/(s+1) must, by pigeonhole over the partition
-    sizes, exceed n_p/(s+1) in at least one partition — so the union
-    of per-partition candidates is a SUPERSET of the true heavy
-    hitters. The second pass counts candidates exactly (map-side
-    combine against a broadcast ≤ s·P-key candidate list) and applies
-    the exact threshold — false candidates drop out, nothing true was
-    lost. Shuffle traffic: ≤ s·P counter rows + |candidates| exact
-    counts, never |distinct keys|.
-
-    The first pass is an Arrow-batched ``mapInPandas`` (the MG dict is
-    inherently imperative per-partition state); its emitted counters
-    depend on partitioning, but the FINAL output is a pure function of
-    the data — which is why it carries a plain GROUP BY/HAVING oracle.
-
-    Output: (key, n, n_total, threshold) for every key with
-    n > N/(s+1), exact integers.
-    """
-    import pandas as pd
-
-    if s < 1:
-        raise ValueError(f"s must be >= 1, got {s}")
-
-    key_t = df.schema[key_col].dataType.simpleString()
-
-    def mg(batches):
-        counters: dict = {}
-        for pdf in batches:
-            for k in pdf["_k"]:
-                if k is None:
-                    continue
-                if k in counters:
-                    counters[k] += 1
-                elif len(counters) < s:
-                    counters[k] = 1
-                else:
-                    # decrement-all step; drop zeros
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
-        yield pd.DataFrame({"_k": list(counters.keys())})
-
-    keyed = df.select(F.col(key_col).alias("_k"))
-    candidates = (
-        keyed.mapInPandas(mg, schema=f"_k {key_t}")
-        .distinct()
-        .localCheckpoint(eager=True)  # consumed by the semi-join probe
-    )
-    totals = F.broadcast(
-        keyed.agg(F.count("_k").cast("long").alias("n_total"))
-    )
-    exact = (
-        keyed.join(F.broadcast(candidates), on="_k", how="left_semi")
-        .groupBy("_k")
-        .agg(F.count("*").cast("long").alias("n"))
-        .join(totals)
-        # exact integer threshold test: n > N/(s+1)  <=>  n*(s+1) > N
-        .filter(F.col("n") * (s + 1) > F.col("n_total"))
-    )
-    return exact.select(
-        F.col("_k").alias(key_col),
-        "n",
-        "n_total",
-        F.expr(f"n_total div {s + 1}").alias("threshold"),
-    )

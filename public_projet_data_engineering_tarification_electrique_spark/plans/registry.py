@@ -5661,7 +5661,7 @@ def q234_merge_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q236_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q235_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CHANGE DATA FEED of q229's MERGE (Delta CDF): one row per
     affected key — insert/update/delete with post-image values
     (pre-image for deletes) — the bounded row-level changelog an
@@ -5711,21 +5711,6 @@ def q236_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last_date", "yyyy-MM-dd").alias("last_date"),
         "_change_type",
     )
-
-
-def q235_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact φ-heavy hitters over documents.lang (every language with
-    > 1/7 of the corpus): per-partition Misra–Gries candidates
-    (Arrow-batched mapInPandas, ≤ s counters each) + one exact verify
-    pass over ONLY the broadcast candidate set — the top-frequent-keys
-    plan whose naive groupBy-count shuffles the full key cardinality
-    at 100 TB, here ≤ s·P counter rows + |candidates| counts. The MG
-    superset guarantee (pigeonhole over partitions) makes the final
-    output EXACT — hence a plain GROUP BY/HAVING oracle."""
-    from ..operators.sketches import heavy_hitters
-
-    docs = load_table(spark, sf_dir, "documents")
-    return heavy_hitters(docs, "lang", s=6)
 
 
 def q230_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9021,8 +9006,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q232_stream_dedup_watermarked": q232_stream_dedup_watermarked,
     "q233_sort_vs_zorder": q233_sort_vs_zorder,
     "q234_merge_ledger": q234_merge_ledger,
-    "q235_heavy_hitters": q235_heavy_hitters,
-    "q236_merge_cdf": q236_merge_cdf,
+    "q235_merge_cdf": q235_merge_cdf,
 }
 
 
@@ -11321,7 +11305,7 @@ ORACLE_SQL["q234_merge_ledger"] = """
     FROM m
 """
 
-ORACLE_SQL["q236_merge_cdf"] = """
+ORACLE_SQL["q235_merge_cdf"] = """
     WITH t AS (
       SELECT o_custkey AS custkey,
              cast(count(*) AS BIGINT) AS n_orders,
@@ -11363,18 +11347,6 @@ ORACLE_SQL["q236_merge_cdf"] = """
     WHERE op IS NOT NULL AND NOT (src_only AND op = 'D')
 """
 
-ORACLE_SQL["q235_heavy_hitters"] = """
-    WITH tot AS (
-      SELECT cast(count(lang) AS BIGINT) AS n_total FROM documents
-    ), c AS (
-      SELECT lang, cast(count(*) AS BIGINT) AS n
-      FROM documents WHERE lang IS NOT NULL GROUP BY 1
-    )
-    SELECT c.lang, c.n, t.n_total,
-           cast(t.n_total // 7 AS BIGINT) AS threshold
-    FROM c, tot t
-    WHERE c.n * 7 > t.n_total
-"""
 
 # Same oracle as q230: with the registered delay above every fixture
 # duplicate id-span, the watermarked kept-set equals the exact

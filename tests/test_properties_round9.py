@@ -228,53 +228,3 @@ def test_quantile_normalize_empty_and_single_group(spark):
     assert row["n"] == 3
     assert row["mean_value"] == row["mean_normalized"]
 
-
-@settings(max_examples=6, deadline=None)
-@given(
-    st.lists(
-        st.integers(min_value=0, max_value=15), min_size=1, max_size=120
-    ),
-    st.integers(min_value=1, max_value=8),
-    st.integers(min_value=1, max_value=7),
-)
-def test_heavy_hitters_matches_counter_model(spark, xs, s, parts):
-    """Exact output == plain Counter model (every key with freq >
-    N/(s+1)), regardless of s (candidate-set size) and partitioning —
-    the MG superset guarantee + exact verify pass."""
-    from collections import Counter
-
-    from public_projet_data_engineering_tarification_electrique_spark.operators.sketches import (
-        heavy_hitters,
-    )
-
-    df = spark.createDataFrame(
-        [(x,) for x in xs], "k long"
-    ).repartition(parts)
-    got = {
-        r["k"]: (r["n"], r["n_total"], r["threshold"])
-        for r in heavy_hitters(df, "k", s=s).collect()
-    }
-    n = len(xs)
-    cnt = Counter(xs)
-    want = {
-        k: (c, n, n // (s + 1))
-        for k, c in cnt.items()
-        if c * (s + 1) > n
-    }
-    assert got == want
-
-
-def test_heavy_hitters_nulls_and_guard(spark):
-    from public_projet_data_engineering_tarification_electrique_spark.operators.sketches import (
-        heavy_hitters,
-    )
-
-    df = spark.createDataFrame(
-        [("a",), ("a",), ("a",), (None,), ("b",)], "k string"
-    )
-    rows = heavy_hitters(df, "k", s=2).collect()
-    # NULL keys are excluded from both the counts and N (N = 4 here)
-    assert {(r["k"], r["n"], r["n_total"]) for r in rows} == {("a", 3, 4)}
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        heavy_hitters(df, "k", s=0)
