@@ -9132,8 +9132,11 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     "q72": 8, "q176": 8, "q224": 8,
     # Round-9 rewrites: q225's plan fused again (one corpus scan, the
     # keyless-as-of second exchange replaced by a banded interval
-    # equi-join) — its r8 driver row predates this shape.
-    "q225": 9,
+    # equi-join); q167's profiler split into two aggs; q164's eval
+    # pipelines submit concurrently; q116/q229 ride the changed
+    # merge/upsert write path (bucket clustering + layout marker).
+    # All have pre-round-9 driver rows — re-prove the new shapes.
+    "q225": 9, "q167": 9, "q164": 9, "q116": 9, "q229": 9,
 }
 
 
