@@ -138,6 +138,7 @@ def merge_changes(
     update_set: dict[str, Column] | None = None,
     delete_when: Column | None = None,
     insert_when: Column | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """The CHANGE DATA FEED of a merge (Delta CDF's row-level
     changelog): instead of the post-merge state, emit one row per
@@ -148,6 +149,17 @@ def merge_changes(
     Delta, no value-diff suppression — downstream consumers own
     no-op filtering). Same clause semantics, same caller contracts
     (unique source keys, NULL keys never match) as :func:`merge_into`.
+
+    ``include_preimages=True`` switches to Delta CDF's FULL row set:
+    updates emit TWO rows — ``update_preimage`` (the target's values
+    before the merge) and ``update_postimage`` — exactly Delta's
+    ``_change_type`` vocabulary. The pre-image rows are what make the
+    feed RETRACTION-complete: a downstream aggregate can be maintained
+    incrementally as ``+postimage − preimage`` without ever rereading
+    the base table (q237). Plan: the post-image projection plus one
+    extra projection of the SAME joined frame unioned in — Catalyst
+    reuses the join via the shared subplan, no second shuffle of the
+    inputs.
 
     This is what downstream incremental consumers subscribe to —
     cache invalidation, index refresh, replication — without diffing
@@ -189,9 +201,10 @@ def merge_changes(
         if insert_when is not None
         else F.lit(True)
     )
+    post_label = "update_postimage" if include_preimages else "update"
     change = (
         F.when(deleted, F.lit("delete"))
-        .when(matched, F.lit("update"))
+        .when(matched, F.lit(post_label))
         .when(inserted, F.lit("insert"))
     )
     affected = joined.withColumn("_change_type", change).filter(
@@ -205,11 +218,58 @@ def merge_changes(
             updated = update_set.get(c, src(c))
             projected.append(
                 F.when(F.col("_change_type") == "delete", F.col(c))
-                .when(F.col("_change_type") == "update", updated)
+                .when(F.col("_change_type") == post_label, updated)
                 .otherwise(src(c))
                 .alias(c)
             )
-    return affected.select(*projected, "_change_type")
+    out = affected.select(*projected, "_change_type")
+    if not include_preimages:
+        return out
+    # Delta CDF's update_preimage rows: the target's values BEFORE the
+    # merge, for exactly the matched-and-updated keys. Same joined
+    # frame, plain target-column projection — the shared subplan means
+    # Catalyst computes the full-outer join once.
+    pre = (
+        joined.filter(matched & ~deleted)
+        .select(
+            *[F.col(c) for c in target.columns],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+    )
+    return out.unionByName(pre)
+
+
+def apply_changes(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Roll a snapshot FORWARD by one CDF batch — the consumer side of
+    :func:`merge_changes`, and the replay step of changelog-based TIME
+    TRAVEL (q236): ``state@v+1 = apply_changes(state@v, cdf@v+1)``.
+    A reader reconstructs any historical version from the base
+    snapshot plus the (bounded) changelogs, never diffing or copying
+    full table snapshots.
+
+    Semantics: keys present in ``changes`` take their post-image
+    ('insert' / 'update' / 'update_postimage' rows); 'delete' (and
+    'update_preimage') rows contribute no survivor; untouched state
+    rows pass through. Plan: one left-anti join of state against the
+    change keys + a union of the post-images — at 100 TB the anti join
+    is key-bucketed and the union is scan-free; the changelog side is
+    O(batch), and AQE broadcasts it when small.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [c for c in state.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes lack state columns: {missing}")
+    touched = changes.select(*keys).distinct()
+    survivors = state.join(touched, on=keys, how="left_anti")
+    post = changes.filter(
+        F.col("_change_type").isin("insert", "update", "update_postimage")
+    ).select(*state.columns)
+    return survivors.unionByName(post)
 
 
 def merge_write(

@@ -1645,3 +1645,104 @@ def embedding_norm_audit(
         F.max("_mad").alias("mad_e4"),
     )
     return summary.unionByName(outliers)
+
+
+def jl_signs(d: int, k: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix
+    (k rows × d cols), Achlioptas' database-friendly construction with
+    md5-derived signs: ``sign[j][i] = +1 iff md5("jl_{j}_{i}")`` has an
+    even first-32-bit prefix. md5 (not xxhash64) so the DuckDB oracle
+    regenerates the SAME matrix from the same Python helper — the
+    matrix is a pure function of (d, k), no RNG state anywhere."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl_{j}_{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_distortion_audit(
+    emb: DataFrame,
+    dim: int,
+    k: int = 16,
+    panel_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Random-projection DIMENSIONALITY-REDUCTION audit: project the
+    embedding column to ``k`` dims with the deterministic ±1 JL matrix
+    (:func:`jl_signs`) and measure, on a deterministic id-panel of
+    within-label pairs, how well scaled projected L2 distance
+    ``sqrt(d/k) · ||Pa − Pb||`` preserves the original ``||a − b||``
+    (the JL lemma's (1±ε) guarantee, made measurable per corpus before
+    committing an ANN index to the reduced space).
+
+    Scale shape: ONE narrow pass computes the k projections + the
+    self-dot per panel vector (64·k multiply-adds per row, pure
+    codegen higher-order functions — no UDF, no shuffle); pairs come
+    from a label-equi self-join of the panel (never a cartesian);
+    ``panel_mod`` is the audit valve (panel ~ n/panel_mod rows, pairs
+    quadratic in the PANEL, not the corpus — same contract as q231's
+    audit_mod). Output: per-label pair count + mean/min/max distortion
+    ratio (pairs at ratio 1.0 are perfectly preserved)."""
+    signs = jl_signs(dim, k)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(s)) for s in row]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+    self_dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ).alias("aa")
+    panel = (
+        emb.filter(F.pmod(F.col(id_col), F.lit(panel_mod)) == 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label"),
+            v.alias("e"),
+            self_dot,
+            *proj,
+        )
+    )
+    a, b = panel.alias("a"), panel.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.id") < F.col("b.id")),
+    )
+    ab = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist2_orig = F.col("a.aa") - 2 * ab + F.col("b.aa")
+    dist2_proj = sum(
+        (F.col(f"a.p{j}") - F.col(f"b.p{j}")) ** 2 for j in range(k)
+    )
+    ratio = F.round(
+        F.sqrt(dist2_proj * F.lit(dim / k) / dist2_orig), 6
+    ).alias("ratio")
+    scored = pairs.filter(dist2_orig > 1e-12).select(
+        F.col("a.label").alias("label"), ratio
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+    )

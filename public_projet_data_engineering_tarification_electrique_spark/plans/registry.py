@@ -5713,6 +5713,152 @@ def q235_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_digest(orders: DataFrame, lo: str | None, hi: str | None) -> DataFrame:
+    """Per-customer orders digest for the MERGE/CDF family (q229,
+    q234–q237): one CDC-style row per custkey over an order-date epoch
+    [lo, hi) — counts, integer-cent totals, last date."""
+    df = orders
+    if lo is not None:
+        df = df.filter(F.col("o_orderdate") >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col("o_orderdate") < F.lit(hi))
+    return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+def q236_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog TIME TRAVEL (Delta's ``VERSION AS OF`` re-expressed on
+    base + CDF): the orders digest evolves through two MERGE epochs
+    (v0 = pre-1996 base, v1 = +1996H1..1997H1 CDC, v2 = +the rest); a
+    reader reconstructs the HISTORICAL v1 snapshot purely from the v0
+    base plus the bounded v1 change feed — ``apply_changes`` (one
+    key-anti-join + union of post-images) — never re-running the merge
+    or diffing snapshots. At 100 TB the changelog is O(batch) while the
+    snapshots are O(table): replay cost scales with what changed.
+    tests/test_merge_streamdedup.py pins the full chain (replayed v2 ==
+    the direct merge_into result, row-for-row). Delete clause: every
+    50th customer's CDC row is a delete, exercising tombstone replay."""
+    from ..operators.merge import apply_changes, merge_changes, src
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = _orders_digest(orders, None, "1996-01-01")
+    batch1 = _orders_digest(orders, "1996-01-01", "1997-06-01").withColumn(
+        "op",
+        F.when(F.pmod(F.col("custkey"), F.lit(50)) == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    cdf1 = merge_changes(
+        base,
+        batch1,
+        keys=["custkey"],
+        update_set={
+            "n_orders": F.col("n_orders") + src("n_orders"),
+            "total_cents": F.col("total_cents") + src("total_cents"),
+            "last_date": F.greatest(F.col("last_date"), src("last_date")),
+        },
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+    )
+    v1 = apply_changes(base, cdf1, keys=["custkey"])
+    return v1.select(
+        "custkey",
+        "n_orders",
+        F.round(F.col("total_cents") / 100.0, 2).alias("total_price"),
+        F.date_format("last_date", "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+def q237_incremental_agg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance from the retraction-
+    complete CDF (Delta CDF's update_preimage/update_postimage rows,
+    ``merge_changes(include_preimages=True)``): a per-segment aggregate
+    view over the merged customer digest is maintained as
+    ``view(base) ⊕ Σ(sign · change)`` — insert/update_postimage add,
+    delete/update_preimage retract — WITHOUT rescanning the merged
+    table. The view delta is an aggregate of the O(batch) changelog;
+    at 100 TB the refresh cost is proportional to the CDC batch, not
+    the table — the DBSP/Materialize view-maintenance identity on
+    Spark. Oracle recomputes the view directly from the merged state,
+    so any missing retraction breaks value parity (segments whose
+    every key updates would double-count)."""
+    from ..operators.merge import merge_changes, src
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+    base = _orders_digest(orders, None, cut)
+    batch = _orders_digest(orders, cut, None).withColumn(
+        "op",
+        F.when(F.pmod(F.col("custkey"), F.lit(50)) == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    seg = F.pmod(F.col("custkey"), F.lit(8)).cast("int").alias("segment")
+    view_base = base.groupBy(seg).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+        F.sum("total_cents").cast("long").alias("sum_cents"),
+    )
+    cdf = merge_changes(
+        base,
+        batch,
+        keys=["custkey"],
+        update_set={
+            "n_orders": F.col("n_orders") + src("n_orders"),
+            "total_cents": F.col("total_cents") + src("total_cents"),
+            "last_date": F.greatest(F.col("last_date"), src("last_date")),
+        },
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+        include_preimages=True,
+    )
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    key_sign = (
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    delta = cdf.groupBy(seg).agg(
+        F.sum(key_sign).alias("d_keys"),
+        F.sum(sign * F.col("n_orders")).alias("d_orders"),
+        F.sum(sign * F.col("total_cents")).alias("d_cents"),
+    )
+    refreshed = (
+        view_base.join(delta, on="segment", how="full_outer")
+        .select(
+            "segment",
+            (
+                F.coalesce("n_keys", F.lit(0)) + F.coalesce("d_keys", F.lit(0))
+            ).cast("long").alias("n_keys"),
+            (
+                F.coalesce("sum_orders", F.lit(0))
+                + F.coalesce("d_orders", F.lit(0))
+            ).cast("long").alias("sum_orders"),
+            (
+                F.coalesce("sum_cents", F.lit(0))
+                + F.coalesce("d_cents", F.lit(0))
+            ).alias("sum_cents"),
+        )
+        .filter(F.col("n_keys") > 0)
+    )
+    return refreshed.select(
+        "segment",
+        "n_keys",
+        "sum_orders",
+        F.round(F.col("sum_cents") / 100.0, 2).alias("total_price_sum"),
+    )
+
+
 def q230_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-order streaming dedup via native stateful
     ``dropDuplicates``: the documents corpus staged as 8 doc_id-ranged
@@ -5790,6 +5936,22 @@ def q231_neardup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(
         emb, threshold=0.35, bucket_col="label", audit_mod=2
     )
+
+
+def q238_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality-reduction audit: project
+    the 64-d embeddings to 16-d with the deterministic ±1 sign matrix
+    (``similarity.jl_signs`` — md5-derived, a pure function of (d, k))
+    and measure on a deterministic id-panel of within-label pairs how
+    well scaled projected L2 preserves original L2 — the go/no-go a
+    pipeline runs BEFORE committing its ANN index (q15/q27/q43) to a
+    reduced space. One narrow codegen pass per panel vector (k·d
+    multiply-adds, no UDF), label-equi self-join for pairs (never a
+    cartesian), panel_mod the audit valve exactly as q231."""
+    from ..operators.similarity import jl_distortion_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_distortion_audit(emb, dim=64, k=16, panel_mod=5)
 
 
 #: Poisson(1) pmf cumulative cutoffs as FIXED literals (not exp(-1)
@@ -9007,6 +9169,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q233_sort_vs_zorder": q233_sort_vs_zorder,
     "q234_merge_ledger": q234_merge_ledger,
     "q235_merge_cdf": q235_merge_cdf,
+    "q236_time_travel": q236_time_travel,
+    "q237_incremental_agg_cdf": q237_incremental_agg_cdf,
+    "q238_jl_distortion": q238_jl_distortion,
 }
 
 
@@ -11351,6 +11516,92 @@ ORACLE_SQL["q235_merge_cdf"] = """
 """
 
 
+# q236: the v1 snapshot the changelog replay must reconstruct — the
+# direct relational merge of the v0 base (pre-1996) with the first CDC
+# epoch [1996-01-01, 1997-06-01); rows the replay never touched
+# (keys whose orders all fall past the epoch) simply aren't in v1.
+ORACLE_SQL["q236_time_travel"] = """
+    WITH t AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             max(o_orderdate) AS last_date
+      FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+    ), s AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             max(o_orderdate) AS last_date,
+             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-06-01'
+      GROUP BY 1
+    ), m AS (
+      SELECT coalesce(t.custkey, s.custkey) AS custkey,
+             t.custkey IS NOT NULL AND s.custkey IS NOT NULL AS matched,
+             t.custkey IS NULL AS src_only,
+             t.n_orders AS t_n, t.total_cents AS t_c, t.last_date AS t_d,
+             s.n_orders AS s_n, s.total_cents AS s_c, s.last_date AS s_d,
+             s.op
+      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+    )
+    SELECT custkey,
+           cast(CASE WHEN matched THEN t_n + s_n
+                     WHEN src_only THEN s_n ELSE t_n END AS BIGINT)
+             AS n_orders,
+           round((CASE WHEN matched THEN t_c + s_c
+                       WHEN src_only THEN s_c ELSE t_c END) / 100.0, 2)
+             AS total_price,
+           strftime(CASE WHEN matched THEN greatest(t_d, s_d)
+                         WHEN src_only THEN s_d ELSE t_d END, '%Y-%m-%d')
+             AS last_date
+    FROM m
+    WHERE NOT (matched AND op = 'D') AND NOT (src_only AND op = 'D')
+"""
+
+# q237: the view recomputed DIRECTLY from the merged final state —
+# if the Spark side's retraction math (pre-image subtraction) dropped
+# or double-counted anything, the per-segment sums diverge.
+ORACLE_SQL["q237_incremental_agg_cdf"] = """
+    WITH t AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+    ), s AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+    ), m AS (
+      SELECT coalesce(t.custkey, s.custkey) AS custkey,
+             t.custkey IS NOT NULL AND s.custkey IS NOT NULL AS matched,
+             t.custkey IS NULL AS src_only,
+             t.n_orders AS t_n, t.total_cents AS t_c,
+             s.n_orders AS s_n, s.total_cents AS s_c, s.op
+      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+    ), final AS (
+      SELECT custkey,
+             CASE WHEN matched THEN t_n + s_n
+                  WHEN src_only THEN s_n ELSE t_n END AS n_orders,
+             CASE WHEN matched THEN t_c + s_c
+                  WHEN src_only THEN s_c ELSE t_c END AS total_cents
+      FROM m
+      WHERE NOT (matched AND op = 'D') AND NOT (src_only AND op = 'D')
+    )
+    SELECT cast(custkey % 8 AS INTEGER) AS segment,
+           cast(count(*) AS BIGINT) AS n_keys,
+           cast(sum(n_orders) AS BIGINT) AS sum_orders,
+           round(sum(total_cents) / 100.0, 2) AS total_price_sum
+    FROM final GROUP BY 1
+"""
+
 # Same oracle as q230: with the registered delay above every fixture
 # duplicate id-span, the watermarked kept-set equals the exact
 # distinct non-null fingerprint count.
@@ -11446,3 +11697,44 @@ ORACLE_SQL["q231_neardup_audit_panel"] = """
                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                 6) >= 0.35
 """
+
+# q238: the 16×64 ±1 JL matrix regenerated from the SAME pure helper
+# the Spark plan uses (md5-derived, no RNG state) and inlined as
+# list_dot_product literals — the two sides cannot drift.
+_JL_D, _JL_K = 64, 16
+
+
+def _jl_oracle_sql() -> str:
+    from ..operators.similarity import jl_signs
+
+    signs = jl_signs(_JL_D, _JL_K)
+    proj_cols = ",\n             ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{float(s)}" for s in row)
+        + f"]) AS p{j}"
+        for j, row in enumerate(signs)
+    )
+    d2p = " + ".join(f"(a.p{j} - b.p{j}) ^ 2" for j in range(_JL_K))
+    return f"""
+    WITH panel AS (
+      SELECT vec_id AS id, label, embedding::DOUBLE[] AS e,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS aa,
+             {proj_cols}
+      FROM embeddings WHERE vec_id % 5 = 0
+    ), pairs AS (
+      SELECT a.label AS label,
+             round(sqrt(({d2p}) * {_JL_D / _JL_K}
+                        / (a.aa - 2 * list_dot_product(a.e, b.e) + b.aa)),
+                   6) AS ratio
+      FROM panel a JOIN panel b ON a.label = b.label AND a.id < b.id
+      WHERE a.aa - 2 * list_dot_product(a.e, b.e) + b.aa > 1e-12
+    )
+    SELECT label, cast(count(*) AS BIGINT) AS n_pairs,
+           round(avg(ratio), 4) AS mean_ratio,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio
+    FROM pairs GROUP BY 1
+    """
+
+
+ORACLE_SQL["q238_jl_distortion"] = _jl_oracle_sql()

@@ -395,3 +395,76 @@ def test_merge_changes_feed_reconstructs_merge_into(spark):
 
     with pytest.raises(ValueError):
         merge_changes(t, s, keys=[])
+
+
+def test_merge_changes_preimages_are_retraction_complete(spark):
+    """include_preimages=True emits Delta CDF's 4-type vocabulary;
+    every update carries BOTH images, so SUM-style aggregates maintain
+    exactly under +post −pre (the q237 identity)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.merge import (
+        merge_changes,
+    )
+
+    kwargs = dict(
+        keys=["k"],
+        update_set={"v": F.col("v") + src("v")},
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+    )
+    t, s = _target(spark), _source(spark)
+    feed = merge_changes(t, s, include_preimages=True, **kwargs)
+    rows = {(r["k"], r["_change_type"]): (r["v"], r["tag"]) for r in feed.collect()}
+    assert rows == {
+        (1, "update_preimage"): (10, "a"),
+        (1, "update_postimage"): (110, "a2"),
+        (2, "delete"): (20, "b"),
+        (4, "insert"): (40, "d"),
+    }
+    # retraction identity: sum(base) + sum(sign * change) == sum(merged)
+    base_sum = sum(r["v"] for r in t.collect())
+    delta = sum(
+        (v if ct in ("insert", "update_postimage") else -v)
+        for (k, ct), (v, _) in rows.items()
+    )
+    merged_sum = sum(r["v"] for r in merge_into(t, s, **kwargs).collect())
+    assert base_sum + delta == merged_sum
+
+
+def test_apply_changes_replays_time_travel_chain(spark):
+    """apply_changes rolls a snapshot forward one CDF batch at a time;
+    replaying BOTH epochs lands exactly on the direct merge chain —
+    the q236 time-travel contract (works with and without pre-image
+    rows in the feed)."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.merge import (
+        apply_changes,
+        merge_changes,
+    )
+
+    kwargs = dict(
+        keys=["k"],
+        update_set={"v": F.col("v") + src("v")},
+        delete_when=src("op") == "D",
+        insert_when=src("op") != "D",
+    )
+    t, s1 = _target(spark), _source(spark)
+    s2 = spark.createDataFrame(
+        [(1, 1, "a3", "U"), (4, 0, "z", "D"), (6, 60, "f", "U")],
+        "k long, v long, tag string, op string",
+    )
+    for pre in (False, True):
+        v1 = apply_changes(
+            t, merge_changes(t, s1, include_preimages=pre, **kwargs), ["k"]
+        )
+        v2 = apply_changes(
+            v1, merge_changes(v1, s2, include_preimages=pre, **kwargs), ["k"]
+        )
+        direct = merge_into(merge_into(t, s1, **kwargs), s2, **kwargs)
+        assert sorted(map(tuple, v2.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        assert v2.columns == direct.columns
+
+    with pytest.raises(ValueError):
+        apply_changes(t, t, keys=[])
+    with pytest.raises(ValueError):
+        apply_changes(t, merge_changes(t, s1, **kwargs).drop("tag"), ["k"])

@@ -228,3 +228,62 @@ def test_quantile_normalize_empty_and_single_group(spark):
     assert row["n"] == 3
     assert row["mean_value"] == row["mean_normalized"]
 
+
+
+def test_jl_distortion_matches_numpy_model(spark):
+    """jl_distortion_audit vs a direct NumPy reimplementation: the
+    same md5 sign matrix, panel, and scaled-L2 ratio — pinning that
+    the codegen fold arithmetic IS the JL projection (and that the
+    deterministic matrix is reproducible from (d, k) alone)."""
+    import numpy as np
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+        jl_distortion_audit,
+        jl_signs,
+    )
+
+    d, k, mod = 8, 4, 2
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, d).astype("float32")
+    labels = [i % 3 for i in range(30)]
+    rows = [(i, vecs[i].tolist(), labels[i]) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: (r["n_pairs"], r["mean_ratio"], r["min_ratio"], r["max_ratio"])
+        for r in jl_distortion_audit(emb, dim=d, k=k, panel_mod=mod).collect()
+    }
+
+    P = np.array(jl_signs(d, k), dtype="float64")  # k x d
+    assert P.shape == (k, d) and set(np.unique(P)) <= {-1.0, 1.0}
+    assert jl_signs(d, k) == jl_signs(d, k)  # pure function of (d, k)
+    panel = [i for i in range(30) if i % mod == 0]
+    model: dict[int, list[float]] = {}
+    for ai in panel:
+        for bi in panel:
+            if labels[ai] == labels[bi] and ai < bi:
+                a = vecs[ai].astype("float64")
+                b = vecs[bi].astype("float64")
+                d2o = float(a @ a) - 2 * float(a @ b) + float(b @ b)
+                if d2o <= 1e-12:
+                    continue
+                d2p = float(((P @ a) - (P @ b)) @ ((P @ a) - (P @ b)))
+                model.setdefault(labels[ai], []).append(
+                    round(math.sqrt(d2p * (d / k) / d2o), 6)
+                )
+    expect = {
+        lab: (
+            len(rs),
+            round(sum(rs) / len(rs), 4),
+            round(min(rs), 6),
+            round(max(rs), 6),
+        )
+        for lab, rs in model.items()
+    }
+    assert out == expect
+    # sanity: ratios are positive and finite (at k=4 the JL variance
+    # ~1/sqrt(k) is large — tight concentration only holds for the
+    # real k=16/d=64 registered shape, checked by the oracle gate)
+    for n_pairs, mean_ratio, lo, hi in out.values():
+        assert n_pairs > 0 and 0 < lo <= mean_ratio <= hi < math.inf
