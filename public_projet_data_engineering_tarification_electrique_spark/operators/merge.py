@@ -429,3 +429,73 @@ def merge_write(
     finally:
         new.unpersist()
     return True
+
+
+def compact_buckets(
+    spark: SparkSession,
+    state_dir: str,
+    state_schema: str,
+) -> dict[int, tuple[int, int]]:
+    """OPTIMIZE/compaction pass over a ``_bucket=``-partitioned parquet
+    state dir: rewrite every fragmented bucket to ONE file (per-bucket
+    shuffle clustering, same discipline as merge_write's write path),
+    preserving rows bit-for-bit. Returns ``{bucket: (files_before,
+    files_after)}``.
+
+    This is the maintenance job every long-lived keyed sink needs:
+    each trigger/batch appends or rewrites files, and without periodic
+    compaction the file count — not the data — becomes the scan/list
+    bottleneck (the Delta OPTIMIZE / Iceberg rewrite_data_files job).
+    Scale shape: the data moves through ONE hash exchange on _bucket
+    (each bucket lands in a single task, so a single output file; set
+    spark.sql.files.maxRecordsPerFile to re-split buckets that
+    outgrow one file); the file listing is driver-side but bounded by
+    n_buckets, never by rows. Already-compact buckets are skipped —
+    cost ∝ fragmented buckets, like merge_write's touched-bucket
+    pruning."""
+    from .util import hadoop_fs
+
+    fs, root = hadoop_fs(spark, state_dir)
+    if not fs.exists(root):
+        raise ValueError(f"no state dir at {state_dir}")
+
+    def _bucket_files() -> dict[int, int]:
+        out: dict[int, int] = {}
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("_bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            out[b] = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+        return out
+
+    before = _bucket_files()
+    fragmented = sorted(b for b, n in before.items() if n > 1)
+    if fragmented:
+        df = (
+            spark.read.schema(state_schema + ", _bucket int")
+            .parquet(state_dir)
+            .filter(F.col("_bucket").isin(fragmented))
+        )
+        compacted = df.repartition(len(fragmented), "_bucket")
+        # materialize before overwriting the dirs being read
+        compacted = compacted.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            compacted.write.mode("overwrite").partitionBy("_bucket").parquet(
+                state_dir
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+    after = _bucket_files()
+    return {b: (before[b], after[b]) for b in sorted(before)}

@@ -5938,6 +5938,56 @@ def q231_neardup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q239_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION (Delta OPTIMIZE / Iceberg
+    rewrite_data_files) over a bucketed keyed state: the orders digest
+    is deliberately sprayed (12 round-robin writer tasks ×
+    partitionBy) so every ``_bucket=`` dir lands ~12 fragments — the
+    small-files decay every long-lived sink accumulates — then
+    ``compact_buckets`` rewrites each fragmented bucket to ONE file
+    through a single hash exchange on _bucket. Output per bucket:
+    row count + value digest (proving compaction moved, not mangled,
+    the data — the oracle recomputes both straight from orders) plus
+    the in-plan fragmentation booleans (was_fragmented,
+    single_file_after — literal true in the oracle, the q15-style
+    assertion pattern). Bucket fn here is custkey % 8 so the oracle
+    can address buckets; merge_write's xxhash64 layout is exercised by
+    q229/q234. File listing is driver-side but O(n_buckets); the data
+    path is one exchange, cost ∝ fragmented buckets."""
+    from ..operators.merge import compact_buckets
+    from ..operators.util import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    digest = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    ).withColumn(
+        "_bucket", F.pmod(F.col("custkey"), F.lit(8)).cast("int")
+    )
+    state = scratch_dir("compact_state_")
+    digest.repartition(12).write.mode("overwrite").partitionBy(
+        "_bucket"
+    ).parquet(state)
+    schema = "custkey long, n_orders long, total_cents long"
+    stats = compact_buckets(spark, state, schema)
+    frag = spark.createDataFrame(
+        [
+            (b, before > 1, after == 1)
+            for b, (before, after) in stats.items()
+        ],
+        "bucket int, was_fragmented boolean, single_file_after boolean",
+    )
+    final = spark.read.schema(schema + ", _bucket int").parquet(state)
+    per_bucket = final.groupBy(F.col("_bucket").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+        F.round(F.sum("total_cents") / 100.0, 2).alias("total_price_sum"),
+    )
+    return per_bucket.join(F.broadcast(frag), on="bucket")
+
+
 def q238_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality-reduction audit: project
     the 64-d embeddings to 16-d with the deterministic ±1 sign matrix
@@ -9172,6 +9222,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q236_time_travel": q236_time_travel,
     "q237_incremental_agg_cdf": q237_incremental_agg_cdf,
     "q238_jl_distortion": q238_jl_distortion,
+    "q239_compact_optimize": q239_compact_optimize,
 }
 
 
@@ -11738,3 +11789,24 @@ def _jl_oracle_sql() -> str:
 
 
 ORACLE_SQL["q238_jl_distortion"] = _jl_oracle_sql()
+
+# q239: the per-bucket digest straight from orders; the fragmentation
+# booleans are in-plan assertions (q15 pattern) — a compaction that
+# dropped/duplicated rows breaks n_keys/sums, one that failed to
+# compact (or found nothing to compact) flips a boolean.
+ORACLE_SQL["q239_compact_optimize"] = """
+    WITH d AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT cast(custkey % 8 AS INTEGER) AS bucket,
+           cast(count(*) AS BIGINT) AS n_keys,
+           cast(sum(n_orders) AS BIGINT) AS sum_orders,
+           round(sum(total_cents) / 100.0, 2) AS total_price_sum,
+           true AS was_fragmented,
+           true AS single_file_after
+    FROM d GROUP BY 1
+"""

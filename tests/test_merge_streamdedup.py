@@ -468,3 +468,48 @@ def test_apply_changes_replays_time_travel_chain(spark):
         apply_changes(t, t, keys=[])
     with pytest.raises(ValueError):
         apply_changes(t, merge_changes(t, s1, **kwargs).drop("tag"), ["k"])
+
+
+def test_compact_buckets_preserves_rows_and_skips_compact(spark, tmp_path):
+    """compact_buckets: fragmented buckets rewrite to ONE file, rows
+    survive bit-for-bit, already-compact buckets are untouched (their
+    file is not rewritten), missing dirs raise."""
+    from public_projet_data_engineering_tarification_electrique_spark.operators.merge import (
+        compact_buckets,
+    )
+
+    state = str(tmp_path / "state")
+    schema = "k long, v long"
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], schema
+    ).withColumn("_bucket", (F.col("k") % 2).cast("int"))
+    # bucket 0 sprayed across 4 writer tasks; bucket 1 single-file
+    df.filter("_bucket = 0").repartition(4).write.partitionBy(
+        "_bucket"
+    ).parquet(state)
+    df.filter("_bucket = 1").coalesce(1).write.mode("append").partitionBy(
+        "_bucket"
+    ).parquet(state)
+
+    before_rows = sorted(
+        map(tuple, spark.read.schema(schema + ", _bucket int").parquet(state).collect())
+    )
+    b1_files_before = {
+        f.name for f in (tmp_path / "state" / "_bucket=1").iterdir()
+        if f.name.endswith(".parquet")
+    }
+    stats = compact_buckets(spark, state, schema)
+    assert stats[0][0] > 1 and stats[0][1] == 1      # fragmented -> 1
+    assert stats[1] == (1, 1)                        # compact -> skipped
+    b1_files_after = {
+        f.name for f in (tmp_path / "state" / "_bucket=1").iterdir()
+        if f.name.endswith(".parquet")
+    }
+    assert b1_files_after == b1_files_before         # not rewritten
+    after_rows = sorted(
+        map(tuple, spark.read.schema(schema + ", _bucket int").parquet(state).collect())
+    )
+    assert after_rows == before_rows
+
+    with pytest.raises(ValueError):
+        compact_buckets(spark, str(tmp_path / "nope"), schema)
