@@ -5727,7 +5727,12 @@ def _orders_digest(orders: DataFrame, lo: str | None, hi: str | None) -> DataFra
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "total_cents"
         ),
-        F.max("o_orderdate").alias("last_date"),
+        # DATE, not raw timestamp: the q240 sink declares `last_date
+        # date` (a timestamp would land as parquet INT64 and break the
+        # declared-schema read); cast-to-date is monotonic so
+        # max-then-cast == cast-then-max and the formatted output is
+        # unchanged for the pure-plan consumers (q236/q237).
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
     )
 
 
@@ -5935,6 +5940,52 @@ def q231_neardup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup(
         emb, threshold=0.35, bucket_col="label", audit_mod=2
+    )
+
+
+def q240_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION through the keyed MERGE sink (Delta's
+    mergeSchema on MERGE INTO): the state is created WITHOUT
+    ``last_date`` (v1), then a CDC batch carrying the new column merges
+    under the WIDENED declared schema — parquet's missing-column-reads-
+    as-NULL gives every pre-evolution row a NULL ``last_date`` until a
+    batch touches its key, exactly Delta's add-column semantics (no
+    table rewrite: old files stay as written, the schema lives in the
+    declared read — at 100 TB evolution is a metadata operation).
+    Output: the full post-evolution state; never-updated keys keep the
+    NULL, matched keys take the batch's date, inserted keys arrive
+    complete. q136 covers mergeSchema on plain appends; this pins the
+    MERGE path end-to-end (bucket pruning + dynamic overwrite + ledger
+    machinery all run under the widened schema)."""
+    from ..operators.merge import merge_write, src
+    from ..operators.util import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+    state = scratch_dir("merge_evolve_state_")
+    v1 = "custkey long, n_orders long"
+    v2 = v1 + ", last_date date"
+    base = _orders_digest(orders, None, cut).drop("total_cents", "last_date")
+    merge_write(spark, state, base, ["custkey"], v1, n_buckets=8, batch_id=0)
+    batch = _orders_digest(orders, cut, None).drop("total_cents")
+    merge_write(
+        spark,
+        state,
+        batch,
+        ["custkey"],
+        v2,
+        n_buckets=8,
+        update_set={
+            "n_orders": F.col("n_orders") + src("n_orders"),
+            "last_date": src("last_date"),
+        },
+        batch_id=1,
+    )
+    final = spark.read.schema(v2 + ", _bucket int").parquet(state)
+    return final.select(
+        "custkey",
+        "n_orders",
+        F.date_format("last_date", "yyyy-MM-dd").alias("last_date"),
     )
 
 
@@ -9223,6 +9274,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q237_incremental_agg_cdf": q237_incremental_agg_cdf,
     "q238_jl_distortion": q238_jl_distortion,
     "q239_compact_optimize": q239_compact_optimize,
+    "q240_merge_schema_evolution": q240_merge_schema_evolution,
 }
 
 
@@ -11789,6 +11841,27 @@ def _jl_oracle_sql() -> str:
 
 
 ORACLE_SQL["q238_jl_distortion"] = _jl_oracle_sql()
+
+# q240: the post-evolution state recomputed relationally — a key's
+# last_date is the batch's date iff a batch row touched it (matched
+# update or insert), NULL for pre-evolution keys the CDC never saw.
+ORACLE_SQL["q240_merge_schema_evolution"] = """
+    WITH t AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+    ), s AS (
+      SELECT o_custkey AS custkey,
+             cast(count(*) AS BIGINT) AS n_orders,
+             max(o_orderdate) AS last_date
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+    )
+    SELECT coalesce(t.custkey, s.custkey) AS custkey,
+           cast(coalesce(t.n_orders, 0) + coalesce(s.n_orders, 0)
+                AS BIGINT) AS n_orders,
+           strftime(s.last_date, '%Y-%m-%d') AS last_date
+    FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+"""
 
 # q239: the per-bucket digest straight from orders; the fragmentation
 # booleans are in-plan assertions (q15 pattern) — a compaction that

@@ -513,3 +513,33 @@ def test_compact_buckets_preserves_rows_and_skips_compact(spark, tmp_path):
 
     with pytest.raises(ValueError):
         compact_buckets(spark, str(tmp_path / "nope"), schema)
+
+
+def test_merge_write_schema_evolution_adds_column(spark, tmp_path):
+    """Widening the declared state schema between batches (Delta's
+    mergeSchema): pre-evolution rows read the new column as NULL —
+    including rows in buckets the evolving batch never rewrote."""
+    state = str(tmp_path / "state")
+    v1 = "k long, v long"
+    v2 = v1 + ", tag string"
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], v1
+    )
+    merge_write(spark, state, base, ["k"], v1, n_buckets=4, batch_id=0)
+    # batch touches ONLY k=0 (one bucket) and inserts k=100, carrying
+    # the new column; other buckets keep their v1-era files.
+    batch = spark.createDataFrame(
+        [(0, 1, "new"), (100, 5, "ins")], v2
+    )
+    merge_write(
+        spark, state, batch, ["k"], v2, n_buckets=4,
+        update_set={"v": F.col("v") + src("v"), "tag": src("tag")},
+        batch_id=1,
+    )
+    rows = {
+        r["k"]: (r["v"], r["tag"])
+        for r in spark.read.schema(v2 + ", _bucket int").parquet(state).collect()
+    }
+    assert rows[0] == (1, "new") and rows[100] == (5, "ins")
+    # every untouched key: value intact, evolved column NULL
+    assert all(rows[i] == (i * 10, None) for i in range(1, 8))
