@@ -5943,6 +5943,25 @@ def q231_neardup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q241_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING CDC pipeline — the lakehouse pieces wired
+    the way production runs them, as ONE stream: three date-sliced CDC
+    epoch files land in pinned order (explicit mtimes; FileStreamSource
+    schedules by timestamp) and each availableNow micro-batch (1) emits
+    the retraction-complete Delta-CDF row set against the PRE-merge
+    state into an append-only changelog and (2) applies the batch to
+    the bucket-partitioned state under the txn ledger. Composition of
+    q116 (foreachBatch merge) + q229/q234 (ledgered merge_write) +
+    q235/q237 (CDF with pre-images). Output: the changelog summary per
+    (epoch, change type) — insert counts shrink and update counts grow
+    across epochs as keys accumulate, deletes tombstone every 50th
+    customer. The oracle replays the same three merges relationally."""
+    from ..streaming.cdc_feed import stream_cdc_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    return stream_cdc_changelog(spark, orders)
+
+
 def q240_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCHEMA EVOLUTION through the keyed MERGE sink (Delta's
     mergeSchema on MERGE INTO): the state is created WITHOUT
@@ -9275,6 +9294,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q238_jl_distortion": q238_jl_distortion,
     "q239_compact_optimize": q239_compact_optimize,
     "q240_merge_schema_evolution": q240_merge_schema_evolution,
+    "q241_stream_cdc_feed": q241_stream_cdc_feed,
 }
 
 
@@ -11861,6 +11881,88 @@ ORACLE_SQL["q240_merge_schema_evolution"] = """
                 AS BIGINT) AS n_orders,
            strftime(s.last_date, '%Y-%m-%d') AS last_date
     FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+"""
+
+# q241: the three-epoch CDC chain replayed relationally — per epoch,
+# the Delta-CDF row set against the running state (insert /
+# update_preimage / update_postimage / delete), summarized per
+# (epoch, change type). A mis-ordered stream, a skipped retraction,
+# or a double-applied replay all change these sums.
+ORACLE_SQL["q241_stream_cdc_feed"] = """
+    WITH e0 AS (
+      SELECT o_custkey AS k, cast(count(*) AS BIGINT) AS n,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS c,
+             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+    ), e1 AS (
+      SELECT o_custkey AS k, cast(count(*) AS BIGINT) AS n,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS c,
+             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-06-01'
+      GROUP BY 1
+    ), e2 AS (
+      SELECT o_custkey AS k, cast(count(*) AS BIGINT) AS n,
+             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS c,
+             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderdate >= DATE '1997-06-01' GROUP BY 1
+    ), c0 AS (
+      SELECT 0 AS batch_id, 'insert' AS ct, k, n, c FROM e0 WHERE op <> 'D'
+    ), s0 AS (
+      SELECT k, n, c FROM e0 WHERE op <> 'D'
+    ), j1 AS (
+      SELECT s0.k AS tk, e1.k AS sk, s0.n AS tn, s0.c AS tc,
+             e1.n AS sn, e1.c AS sc, e1.op
+      FROM s0 FULL OUTER JOIN e1 ON s0.k = e1.k
+    ), c1 AS (
+      SELECT 1 AS batch_id, 'delete' AS ct, tk AS k, tn AS n, tc AS c
+      FROM j1 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op = 'D'
+      UNION ALL
+      SELECT 1, 'update_preimage', tk, tn, tc
+      FROM j1 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
+      UNION ALL
+      SELECT 1, 'update_postimage', tk, tn + sn, tc + sc
+      FROM j1 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
+      UNION ALL
+      SELECT 1, 'insert', sk, sn, sc
+      FROM j1 WHERE tk IS NULL AND op <> 'D'
+    ), s1 AS (
+      SELECT tk AS k, tn AS n, tc AS c FROM j1
+      WHERE tk IS NOT NULL AND sk IS NULL
+      UNION ALL
+      SELECT tk, tn + sn, tc + sc FROM j1
+      WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
+      UNION ALL
+      SELECT sk, sn, sc FROM j1 WHERE tk IS NULL AND op <> 'D'
+    ), j2 AS (
+      SELECT s1.k AS tk, e2.k AS sk, s1.n AS tn, s1.c AS tc,
+             e2.n AS sn, e2.c AS sc, e2.op
+      FROM s1 FULL OUTER JOIN e2 ON s1.k = e2.k
+    ), c2 AS (
+      SELECT 2 AS batch_id, 'delete' AS ct, tk AS k, tn AS n, tc AS c
+      FROM j2 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op = 'D'
+      UNION ALL
+      SELECT 2, 'update_preimage', tk, tn, tc
+      FROM j2 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
+      UNION ALL
+      SELECT 2, 'update_postimage', tk, tn + sn, tc + sc
+      FROM j2 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
+      UNION ALL
+      SELECT 2, 'insert', sk, sn, sc
+      FROM j2 WHERE tk IS NULL AND op <> 'D'
+    ), feed AS (
+      SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL
+      SELECT * FROM c2
+    )
+    SELECT cast(batch_id AS INTEGER) AS batch_id, ct AS _change_type,
+           cast(count(*) AS BIGINT) AS n_rows,
+           cast(sum(n) AS BIGINT) AS sum_orders,
+           round(sum(c) / 100.0, 2) AS total_price_sum
+    FROM feed GROUP BY 1, 2
 """
 
 # q239: the per-bucket digest straight from orders; the fragmentation

@@ -543,3 +543,48 @@ def test_merge_write_schema_evolution_adds_column(spark, tmp_path):
     assert rows[0] == (1, "new") and rows[100] == (5, "ins")
     # every untouched key: value intact, evolved column NULL
     assert all(rows[i] == (i * 10, None) for i in range(1, 8))
+
+
+def test_stream_cdc_feed_emits_ordered_changelog(spark):
+    """stream_cdc_changelog on a hand-crafted orders table: epochs
+    must apply IN ORDER (k=50 is deleted in epoch 1 and re-inserted in
+    epoch 2 — any other order changes the feed), every change type
+    appears, and the per-epoch sums match the hand model."""
+    from datetime import datetime
+
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.cdc_feed import (
+        stream_cdc_changelog,
+    )
+
+    def o(k, date, price):
+        return (k, datetime.fromisoformat(date), float(price))
+
+    orders = spark.createDataFrame(
+        [
+            # epoch 0 (< 1996): k=1, k=2 insert; k=50 op=D -> never lands
+            o(1, "1995-01-01", 10.0), o(1, "1995-02-01", 20.0),
+            o(2, "1995-03-01", 30.0), o(50, "1995-04-01", 5.0),
+            # epoch 1 ([1996, 1997-06)): k=1 update, k=3 insert,
+            # k=50 tombstone-for-nothing (absent), k=2 untouched
+            o(1, "1996-05-01", 40.0), o(3, "1996-06-01", 50.0),
+            o(50, "1996-07-01", 6.0),
+            # epoch 2 (>= 1997-06): k=50 re-inserts?? op=D again ->
+            # still absent; k=2 update, k=3 update
+            o(2, "1997-07-01", 60.0), o(3, "1997-08-01", 70.0),
+        ],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    out = {
+        (r["batch_id"], r["_change_type"]): (
+            r["n_rows"], r["sum_orders"], r["total_price_sum"]
+        )
+        for r in stream_cdc_changelog(spark, orders).collect()
+    }
+    assert out == {
+        (0, "insert"): (2, 3, 60.0),             # k=1 (2 orders), k=2
+        (1, "update_preimage"): (1, 2, 30.0),    # k=1 before
+        (1, "update_postimage"): (1, 3, 70.0),   # k=1 after
+        (1, "insert"): (1, 1, 50.0),             # k=3
+        (2, "update_preimage"): (2, 2, 80.0),    # k=2, k=3 before
+        (2, "update_postimage"): (2, 4, 210.0),  # k=2, k=3 after
+    }  # k=50 (op=D everywhere): no insert, no delete rows ever
