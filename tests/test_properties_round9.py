@@ -287,3 +287,70 @@ def test_jl_distortion_matches_numpy_model(spark):
     # real k=16/d=64 registered shape, checked by the oracle gate)
     for n_pairs, mean_ratio, lo, hi in out.values():
         assert n_pairs > 0 and 0 < lo <= mean_ratio <= hi < math.inf
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 12), st.integers(-50, 50), max_size=8),
+    st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(
+            st.integers(-50, 50),
+            st.sampled_from(["a", "b"]),
+            st.sampled_from(["U", "D"]),
+        ),
+        max_size=8,
+    ),
+)
+def test_cdf_replay_and_retraction_identities(spark, tgt, srcd):
+    """Two algebraic identities of the retraction-complete CDF, on
+    random (target, CDC batch) pairs:
+
+    1. REPLAY: apply_changes(target, cdf) == merge_into(target, batch)
+       (the q236 time-travel step, whatever the clause mix);
+    2. RETRACTION: sum(v over target) + sum(sign·v over cdf)
+       == sum(v over merged) (the q237 view-maintenance identity).
+    """
+    from public_projet_data_engineering_tarification_electrique_spark.operators.merge import (
+        apply_changes,
+        merge_changes,
+        merge_into,
+        src as msrc,
+    )
+
+    target_rows = [(k, v, "t") for k, v in tgt.items()]
+    source_rows = [(k, v, tag, op) for k, (v, tag, op) in srcd.items()]
+    target = spark.createDataFrame(
+        target_rows or [(None, None, None)], "k long, v long, tag string"
+    )
+    if not target_rows:
+        target = target.filter(F.lit(False))
+    source = spark.createDataFrame(
+        source_rows or [(None, None, None, None)],
+        "k long, v long, tag string, op string",
+    )
+    if not source_rows:
+        source = source.filter(F.lit(False))
+    kwargs = dict(
+        keys=["k"],
+        update_set={"v": F.col("v") + msrc("v"), "tag": msrc("tag")},
+        delete_when=msrc("op") == "D",
+        insert_when=msrc("op") != "D",
+    )
+    cdf = merge_changes(target, source, include_preimages=True, **kwargs)
+    cdf_rows = [(r["k"], r["v"], r["_change_type"]) for r in cdf.collect()]
+    merged = merge_into(target, source, **kwargs)
+    merged_rows = sorted(
+        (r["k"], r["v"], r["tag"]) for r in merged.collect()
+    )
+    replayed = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in apply_changes(target, cdf, keys=["k"]).collect()
+    )
+    assert replayed == merged_rows
+    base_sum = sum(v for _, v in tgt.items())
+    delta = sum(
+        (v if ct in ("insert", "update_postimage") else -v)
+        for _, v, ct in cdf_rows
+    )
+    assert base_sum + delta == sum(v for _, v, _ in merged_rows)
