@@ -1746,3 +1746,68 @@ def jl_distortion_audit(
         F.round(F.min("ratio"), 6).alias("min_ratio"),
         F.round(F.max("ratio"), 6).alias("max_ratio"),
     )
+
+
+def gram_matrix(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Gram matrix Xᵀ X over an embedding column — the d×d
+    summary every spectral step downstream of a corpus embedding needs
+    (PCA / whitening / ridge normal equations start from exactly this
+    matrix; q238's JL audit is the randomized cousin that skips it).
+
+    Plan shape is the canonical outer-product aggregation: each
+    partition streams its Arrow batches through numpy (one dgemm per
+    batch, float64 accumulator) and emits its d(d+1)/2 upper-triangle
+    PARTIALS; one hash agg sums partials by (i, j). Nothing shuffles
+    except #partitions × d(d+1)/2 tiny rows — the n×d data never
+    moves, so the plan is scan-bound at any corpus size (the same
+    partial-then-combine contract as the moment sketch). This is the
+    genuinely-can't-express-it case for built-in operators: the
+    per-batch dgemm is the point (a posexplode self-join would shuffle
+    n·d(d+1)/2 rows — quadratic in d on the wire).
+
+    Determinism: float32 inputs widen exactly to float64, so per-pair
+    products are bit-identical across engines; only summation order
+    differs (BLAS blocked vs oracle sequential), absorbed by the 4-dp
+    round (+1e-9 nudge). Rows with NULL vectors are dropped; a row
+    whose vector length ≠ ``dim`` raises (bad input, not a convention).
+
+    Output: (i, j, g) for 1 ≤ i ≤ j ≤ dim, 1-based to match SQL array
+    indexing.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def partial_gram(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"vector length {X.shape[1]} != declared dim {dim}"
+                )
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": (iu + 1).astype("int32"),
+                "j": (ju + 1).astype("int32"),
+                "pg": acc[iu, ju],
+            }
+        )
+
+    rows = emb.filter(F.col(vec_col).isNotNull()).select(vec_col)
+    parts = rows.mapInPandas(partial_gram, "i int, j int, pg double")
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.round(F.sum("pg") + 1e-9, 4).alias("g"))
+        .select("i", "j", "g")
+    )

@@ -597,3 +597,68 @@ def pr_at_deciles(
         )
     )
     return picked
+
+
+def grouped_moments(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "event_type",
+) -> DataFrame:
+    """Per-group higher moments (mean, population variance, skewness,
+    excess kurtosis) derived from raw power sums S1..S4 — the mergeable
+    MOMENT SKETCH: each map task emits (n, Σx, Σx², Σx³, Σx⁴) partials,
+    combine is plain addition, and the shape numbers come out of one
+    terminal expression. The distribution-shape companion to q176's KS
+    and q207's PSI: skew/kurtosis say HOW a slice drifted, not just
+    that it did.
+
+    Why power sums and not F.skewness/F.kurtosis: the built-ins
+    disagree across engines on the bias convention (Spark is
+    population-moment, DuckDB is sample-corrected), while S1..S4 are
+    convention-free and re-aggregatable — shard partials roll up to
+    region, region to global, with no re-scan (the q63 partials
+    contract). The central-moment expansions are written with the SAME
+    association order on both engines so the only cross-engine
+    difference is partial-sum order (last-ulp), absorbed by the 4-dp
+    round (+1e-9 nudge).
+
+    Scale: one map-side-combined hash agg over the scan, ≤|groups|
+    rows out — no shuffle of raw values, no window, no second pass.
+    Output: (group, n, mean, var_pop, skewness, kurtosis).
+    """
+    v = F.col(value_col).cast("double")
+    sums = (
+        df.filter(v.isNotNull())
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+            F.sum(v * v * v).alias("s3"),
+            F.sum(v * v * v * v).alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return sums.select(
+        F.col(by),
+        n.cast("long").alias("n"),
+        F.round(mu + 1e-9, 4).alias("mean"),
+        F.round(m2 + 1e-9, 4).alias("var_pop"),
+        # shape moments are undefined on a degenerate (zero-variance)
+        # group — NULL on both engines, never a divide-by-zero
+        F.when(m2 > 0, F.round(m3 / F.pow(m2, 1.5) + 1e-9, 4)).alias(
+            "skewness"
+        ),
+        F.when(m2 > 0, F.round(m4 / F.pow(m2, 2.0) - 3 + 1e-9, 4)).alias(
+            "kurtosis"
+        ),
+    )

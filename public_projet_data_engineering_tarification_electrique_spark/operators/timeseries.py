@@ -90,6 +90,79 @@ def gap_fill_daily(
     )
 
 
+def ewma_daily(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially weighted moving average over each key's daily-mean
+    series: s_1 = x_1, s_t = α·x_t + (1−α)·s_{t−1} — the smoothing
+    every monitoring/forecast stack runs before thresholding a noisy
+    daily signal (the reference's daily regional mean,
+    reference:airflow/dags/insert_conso_jour_region_in_bq.py:80-82, is
+    exactly the series this smooths).
+
+    EWMA is ORDER-SENSITIVE — a reduceByKey-style commutative agg
+    cannot express it. The distributed contract here mirrors
+    ``gap_fill_daily``: the heavy event scan collapses through one
+    (key, day) hash agg (map-side partials, the only full-data
+    shuffle), and the recurrence itself folds over each key's daily
+    series — an array bounded by the CALENDAR, not the corpus, so the
+    per-key fold is structurally bounded at any data size (365 steps/
+    key/year whether the day holds 1 event or 10 billion). The fold
+    runs inside codegen (``aggregate`` higher-order function over the
+    sorted (day, v) structs), not in Python. For series long enough to
+    break that bound, EWMA is an affine scan — each step is s ↦ α·x +
+    (1−α)·s and affine maps compose associatively, so the shards.py
+    two-phase carry (segment-local fold → P-segment compose → replay)
+    is the documented unbounded path.
+
+    Determinism: daily means are rounded to 4 dp (+1e-9 nudge) BEFORE
+    the fold so both engines fold bit-identical inputs in the same
+    order; each fold step is then the same two double ops in the same
+    sequence, so s_t is bit-stable and the final 4-dp round is safe.
+    The oracle replays the identical recurrence with a recursive CTE.
+
+    Output: (key, day 'yyyy-MM-dd', v daily mean, ewma), one row per
+    observed (key, day).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    comp = 1.0 - alpha
+    daily = events.groupBy(
+        key_col, F.to_date(ts_col).alias("day")
+    ).agg(F.round(F.avg(value_col) + 1e-9, 4).alias("v"))
+    packed = daily.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("series")
+    )
+    folded = packed.withColumn(
+        "s",
+        F.aggregate(
+            "series",
+            F.expr("CAST(array() AS array<double>)"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, x["v"]).otherwise(
+                        F.lit(alpha) * x["v"]
+                        + F.lit(comp) * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ),
+    )
+    return folded.select(
+        key_col, F.explode(F.arrays_zip("series", "s")).alias("z")
+    ).select(
+        key_col,
+        F.date_format(F.col("z.series.day"), "yyyy-MM-dd").alias("day"),
+        F.col("z.series.v").alias("v"),
+        F.round(F.col("z.s") + 1e-9, 4).alias("ewma"),
+    )
+
+
 def inter_event_gap_histogram(
     events: DataFrame,
     key_col: str = "user_id",

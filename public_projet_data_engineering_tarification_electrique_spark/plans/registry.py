@@ -5962,6 +5962,41 @@ def q241_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_cdc_changelog(spark, orders)
 
 
+def q242_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA (α=0.3) over the daily-mean event-value series —
+    the ORDER-SENSITIVE recurrence no commutative agg can express,
+    folded inside codegen over calendar-bounded per-key arrays (one
+    (type, day) hash agg is the only full-data shuffle). The oracle
+    replays the identical recurrence with a recursive CTE."""
+    from ..operators.timeseries import ewma_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_daily(events, alpha=0.3)
+
+
+def q243_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moment sketch per event type: skewness + excess
+    kurtosis from raw power sums S1..S4 (map-side partials, plain-add
+    combine, one terminal expression) — the distribution-SHAPE drift
+    number next to q176's KS and q207's PSI, re-aggregatable across
+    shards without a re-scan."""
+    from ..operators.stats import grouped_moments
+
+    events = load_table(spark, sf_dir, "events")
+    return grouped_moments(events, value_col="value", by="event_type")
+
+
+def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
+    the PCA/whitening prep computed as per-partition dgemm partials +
+    one (i,j) hash agg; the n×64 data never shuffles. 2,080
+    upper-triangle entries out at any corpus size."""
+    from ..operators.similarity import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, dim=64)
+
+
 def q240_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCHEMA EVOLUTION through the keyed MERGE sink (Delta's
     mergeSchema on MERGE INTO): the state is created WITHOUT
@@ -9295,6 +9330,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q239_compact_optimize": q239_compact_optimize,
     "q240_merge_schema_evolution": q240_merge_schema_evolution,
     "q241_stream_cdc_feed": q241_stream_cdc_feed,
+    "q242_ewma_smoothing": q242_ewma_smoothing,
+    "q243_grouped_moments": q243_grouped_moments,
+    "q244_gram_matrix": q244_gram_matrix,
 }
 
 
@@ -11984,4 +12022,82 @@ ORACLE_SQL["q239_compact_optimize"] = """
            true AS was_fragmented,
            true AS single_file_after
     FROM d GROUP BY 1
+"""
+
+
+# q242: the recursive CTE replays EXACTLY the codegen fold — s_1 = v_1,
+# s_t = 0.3·v_t + 0.7·s_{t−1} over 4-dp-rounded daily means, so every
+# intermediate s_t is bit-identical across engines before the final
+# round.
+ORACLE_SQL["q242_ewma_smoothing"] = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(avg(value) + 1e-9, 4) AS v
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ), sc AS (
+      SELECT event_type, rn, day, v, v AS s FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, d.day, d.v, 0.3 * d.v + 0.7 * sc.s
+      FROM sc JOIN d ON d.event_type = sc.event_type
+                    AND d.rn = sc.rn + 1
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v,
+           round(s + 1e-9, 4) AS ewma
+    FROM sc
+"""
+
+
+# q243: identical central-moment expansions, identical association
+# order — the only cross-engine difference is partial-sum order on
+# S1..S4, absorbed by the terminal 4-dp round.
+ORACLE_SQL["q243_grouped_moments"] = """
+    WITH s AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s1,
+             sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(s1 / n + 1e-9, 4) AS mean,
+           round((s2 / n - (s1 / n) * (s1 / n)) + 1e-9, 4) AS var_pop,
+           CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+             round((s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                   / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)
+                   + 1e-9, 4)
+           END AS skewness,
+           CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+             round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                   / pow(s2 / n - (s1 / n) * (s1 / n), 2)
+                   - 3 + 1e-9, 4)
+           END AS kurtosis
+    FROM s
+"""
+
+
+# q244: the flat lateral-unnest self-join is the RELATIONAL statement
+# of Xᵀ X (n·d(d+1)/2 intermediate rows — fine for an oracle at
+# sf0.01, exactly what the Spark plan's per-partition dgemm partials
+# avoid shuffling at scale). float32 entries widen exactly to double
+# on both engines, so per-pair products are bit-identical and only
+# summation order differs.
+ORACLE_SQL["q244_gram_matrix"] = """
+    WITH flat AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) AS t(i)
+      WHERE embedding IS NOT NULL
+    )
+    SELECT f1.i AS i, f2.i AS j,
+           round(sum(f1.x * f2.x) + 1e-9, 4) AS g
+    FROM flat f1 JOIN flat f2 USING (vec_id)
+    WHERE f2.i >= f1.i
+    GROUP BY 1, 2
 """

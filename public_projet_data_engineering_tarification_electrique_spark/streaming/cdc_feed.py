@@ -88,13 +88,24 @@ def stream_cdc_changelog(
     configure(spark)
     landing = scratch_dir("cdc_landing_")
     bounds = [None, *epoch_cuts, None]
+    n_epochs = len(bounds) - 1
     staged = scratch_dir("cdc_stage_")
     base_t = time.time() - 3600
-    for i in range(len(bounds) - 1):
-        ep_dir = os.path.join(staged, f"ep{i}")
-        _epoch_digest(orders, bounds[i], bounds[i + 1]).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(ep_dir)
+    # ONE staging job for all epochs: tag each digest with its epoch
+    # and write partitionBy(_ep) — repartition(_ep) leaves exactly one
+    # file per ep= dir (each task writes only its own epoch values),
+    # vs one coalesce(1) job per epoch.
+    all_eps = None
+    for i in range(n_epochs):
+        ep = _epoch_digest(orders, bounds[i], bounds[i + 1]).withColumn(
+            "_ep", F.lit(i)
+        )
+        all_eps = ep if all_eps is None else all_eps.unionByName(ep)
+    all_eps.repartition(n_epochs, "_ep").write.mode("overwrite").partitionBy(
+        "_ep"
+    ).parquet(staged)
+    for i in range(n_epochs):
+        ep_dir = os.path.join(staged, f"_ep={i}")
         part = next(
             f for f in sorted(os.listdir(ep_dir)) if f.endswith(".parquet")
         )

@@ -1,0 +1,187 @@
+"""Property-based tests for the round-9 session-3 operators (EWMA,
+moment sketch, Gram matrix), each checked against an independent
+plain-Python/numpy reference model — the §2at discipline: the DuckDB
+oracle gate proves ENGINE AGREEMENT, these pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.similarity import (
+    gram_matrix,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    grouped_moments,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    ewma_daily,
+)
+
+_vals = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+)
+
+
+def _ewma_model(rows, alpha):
+    """Python reference: daily means (4-dp round, nudge) per key in
+    day order, then the literal recurrence."""
+    daily = {}
+    for k, day, v in rows:
+        daily.setdefault((k, day), []).append(v)
+    means = {
+        kd: round(sum(vs) / len(vs) + 1e-9, 4) for kd, vs in daily.items()
+    }
+    out = {}
+    for key in sorted({k for k, _ in means}):
+        s = None
+        for day in sorted(d for k, d in means if k == key):
+            v = means[(key, day)]
+            s = v if s is None else alpha * v + (1 - alpha) * s
+            out[(key, day)] = (v, round(s + 1e-9, 4))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=6),
+            _vals,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ewma_matches_python_model(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(days=d, hours=1), float(v))
+        for k, d, v in rows
+    ]
+    df = spark.createDataFrame(data, "event_type string, ts timestamp, value double")
+    got = {
+        (r["event_type"], r["day"]): (r["v"], r["ewma"])
+        for r in ewma_daily(df, alpha=0.3).collect()
+    }
+    want = {
+        (k, (base + dt.timedelta(days=d)).strftime("%Y-%m-%d")): vs
+        for (k, d), vs in _ewma_model(
+            [(k, d, v) for k, d, v in rows], 0.3
+        ).items()
+    }
+    assert set(got) == set(want)
+    for kd in want:
+        assert got[kd][0] == want[kd][0], (kd, got[kd], want[kd])
+        assert math.isclose(got[kd][1], want[kd][1], abs_tol=5e-4), (
+            kd,
+            got[kd],
+            want[kd],
+        )
+
+
+def test_ewma_is_order_sensitive_and_bounded(spark):
+    # EWMA of a constant series is that constant; of a step series it
+    # converges monotonically toward the new level without crossing it.
+    data = [
+        ("k", dt.datetime(2024, 1, 1 + d), 10.0 if d < 3 else 20.0)
+        for d in range(8)
+    ]
+    df = spark.createDataFrame(data, "event_type string, ts timestamp, value double")
+    rows = sorted(
+        ewma_daily(df, alpha=0.3).collect(), key=lambda r: r["day"]
+    )
+    ew = [r["ewma"] for r in rows]
+    assert ew[0] == 10.0 and ew[1] == 10.0 and ew[2] == 10.0
+    assert all(ew[i] < ew[i + 1] for i in range(2, 7))
+    assert all(10.0 <= e < 20.0 for e in ew)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), _vals),
+        min_size=5,
+        max_size=40,
+    )
+)
+def test_grouped_moments_match_numpy(spark, rows):
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "event_type string, value double"
+    )
+    got = {
+        r["event_type"]: r for r in grouped_moments(df).collect()
+    }
+    for g in sorted({g for g, _ in rows}):
+        xs = np.array([v for gg, v in rows if gg == g], dtype=np.float64)
+        m2 = float(np.mean((xs - xs.mean()) ** 2))
+        r = got[g]
+        assert r["n"] == len(xs)
+        assert math.isclose(r["mean"], xs.mean(), abs_tol=5e-4)
+        assert math.isclose(r["var_pop"], m2, abs_tol=5e-3)
+        if m2 > 1e-6:
+            sk = float(np.mean((xs - xs.mean()) ** 3)) / m2**1.5
+            ku = float(np.mean((xs - xs.mean()) ** 4)) / m2**2 - 3
+            # the expanded power-sum form loses digits to cancellation
+            # when |mean| >> std; tolerance covers that conditioning
+            assert math.isclose(r["skewness"], sk, abs_tol=5e-2), (g, r)
+            assert math.isclose(r["kurtosis"], ku, abs_tol=5e-2), (g, r)
+
+
+def test_grouped_moments_known_shapes(spark):
+    # symmetric two-point mass: skew 0, excess kurtosis -2
+    data = [("s", -1.0), ("s", 1.0)] * 8
+    df = spark.createDataFrame(data, "event_type string, value double")
+    r = grouped_moments(df).collect()[0]
+    assert r["mean"] == 0.0 and r["var_pop"] == 1.0
+    assert r["skewness"] == 0.0 and r["kurtosis"] == -2.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=1, max_value=12), st.integers(min_value=2, max_value=5))
+def test_gram_matrix_matches_numpy(spark, n, d):
+    rng = np.random.default_rng(n * 31 + d)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], f"embedding array<float>"
+    )
+    got = {(r["i"], r["j"]): r["g"] for r in gram_matrix(df, dim=d).collect()}
+    G = X.astype(np.float64).T @ X.astype(np.float64)
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert math.isclose(
+                got[(i + 1, j + 1)], G[i, j], abs_tol=5e-4
+            ), (i, j)
+
+
+def test_gram_matrix_partition_invariance(spark):
+    # partial-then-combine must give the same matrix whatever the
+    # partitioning (the mergeability contract)
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    df = spark.createDataFrame([(row.tolist(),) for row in X], "embedding array<float>")
+    a = {
+        (r["i"], r["j"]): r["g"]
+        for r in gram_matrix(df.repartition(1), dim=6).collect()
+    }
+    b = {
+        (r["i"], r["j"]): r["g"]
+        for r in gram_matrix(df.repartition(13), dim=6).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], abs_tol=2e-4), (k, a[k], b[k])
+
+
+def test_gram_matrix_rejects_bad_dim(spark):
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="!= declared dim"):
+        gram_matrix(df, dim=3).collect()
