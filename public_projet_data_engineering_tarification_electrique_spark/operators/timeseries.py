@@ -22,6 +22,7 @@ over an unbounded-preceding frame — a running value, not a self-join.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,10 +115,9 @@ def ewma_daily(
     key/year whether the day holds 1 event or 10 billion). The fold
     runs inside codegen (``aggregate`` higher-order function over the
     sorted (day, v) structs), not in Python. For series long enough to
-    break that bound, EWMA is an affine scan — each step is s ↦ α·x +
-    (1−α)·s and affine maps compose associatively, so the shards.py
-    two-phase carry (segment-local fold → P-segment compose → replay)
-    is the documented unbounded path.
+    break that bound, ``ewma_scan`` below is the implemented unbounded
+    path: the same recurrence in fixed-point form, split two-phase
+    with contraction-certified interval carries.
 
     Determinism: daily means are rounded to 4 dp (+1e-9 nudge) BEFORE
     the fold so both engines fold bit-identical inputs in the same
@@ -205,3 +205,157 @@ def inter_event_gap_histogram(
         F.min("_gap_s").cast("long").alias("min_gap_s"),
         F.max("_gap_s").cast("long").alias("max_gap_s"),
     )
+
+
+def ewma_scan(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    ewma_col: str = "ewma",
+    num_partitions: int | None = None,
+    max_replay: int = 100_000,
+) -> DataFrame:
+    """KEYLESS quantized-EWMA prefix scan under a total order, P-way
+    parallel — the unbounded-series path ``ewma_daily``'s docstring
+    promises. The recurrence is the FIXED-POINT form every production
+    metrics store actually runs: s_0 = 0, s_t = round(α·x_t +
+    (1−α)·s_{t−1} + 1e-9, 4) over 4-dp-quantized inputs, so every
+    state is an exact 1e-4-grid rational and each step's pre-round
+    value is an exact multiple of 1e-5 computed to ~1e-13 — the 1e-9
+    nudge therefore picks the same grid point on EVERY engine and
+    EVERY partitioning (the repo's boundary-exact-rationals idiom,
+    applied to a recurrence).
+
+    Why the obvious two-phase split fails, and what this does instead:
+    a running SUM splits into segment partials + additive carries
+    (shards.global_running_sum), but EWMA's affine carries reassociate
+    float ops — the composed carry differs from the sequential fold in
+    the last ulp, so the result would be partitioning-dependent
+    (exactly why global_running_sum is integer-only). The quantized
+    recurrence restores exactness through CONTRACTION: (1−α) < 1
+    forgets the entry state geometrically, and once forgetting crosses
+    the quantization grid the tail state is provably independent of
+    the carry. Phase 1 proves it per partition with an INTERVAL fold —
+    thread [lo, hi] bounds of every reachable entry state through the
+    partition; monotonicity of s ↦ round(α·x + (1−α)·s + 1e-9, 4)
+    makes the interval fold sound, and lo == hi at the end certifies
+    the tail exactly. The driver then chains P tails into exact entry
+    states (replaying the rare non-converged partition from its
+    returned values — bounded by ``max_replay``, raised past it), and
+    phase 2 re-folds each partition from its exact carry, emitting
+    every row. One ranged exchange + one P-row collect, both
+    Arrow-batched passes over the localCheckpoint'd partitions; the
+    sequential core is irreducible (it IS the operator), but each
+    partition folds independently — P-way wall-clock at any length.
+
+    ``order_by`` must be a TOTAL order (ties would make any engine's
+    answer ill-defined). NULL values are dropped. Returns the input
+    columns + ``ewma_col``.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from .shards import _resolve_partitions
+
+    comp = 1.0 - alpha
+    p = _resolve_partitions(df, num_partitions)
+    data = df.filter(F.col(value_col).isNotNull())
+    ranged = (
+        data.repartitionByRange(p, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_vq", F.round(F.col(value_col) + 1e-9, 4))
+        .localCheckpoint(eager=False)
+    )
+    mm = ranged.agg(
+        F.min("_vq").alias("lo"), F.max("_vq").alias("hi")
+    ).first()
+    if mm["lo"] is None:
+        return data.withColumn(ewma_col, F.lit(None).cast("double"))
+    # every reachable state is a round of a convex combination of 0
+    # and quantized inputs; widen by the rounding slack
+    b_lo = min(0.0, float(mm["lo"])) - 1e-3
+    b_hi = max(0.0, float(mm["hi"])) + 1e-3
+
+    def _rnd(v: float) -> float:
+        return round(v + 1e-9, 4)
+
+    def tails(batches):
+        pid = None
+        n = 0
+        lo = hi = None
+        vals: list[float] = []
+        tracking = True
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+                lo, hi = b_lo, b_hi
+            for x in pdf["_vq"].tolist():
+                n += 1
+                lo = _rnd(alpha * x + comp * lo)
+                hi = _rnd(alpha * x + comp * hi)
+                if tracking:
+                    if lo == hi:
+                        tracking = False
+                        vals = []
+                    else:
+                        vals.append(x)
+                        if len(vals) > max_replay:
+                            raise ValueError(
+                                "ewma_scan: partition did not converge "
+                                f"within max_replay={max_replay} rows; "
+                                "raise max_replay or widen alpha"
+                            )
+        if pid is None:
+            return
+        yield pd.DataFrame(
+            {
+                "_pid": [pid],
+                "_n": [n],
+                "_tail": [lo],
+                "_conv": [lo == hi],
+                "_vals": [vals if lo != hi else None],
+            }
+        )
+
+    phase1 = ranged.mapInPandas(
+        tails,
+        "_pid int, _n long, _tail double, _conv boolean, _vals array<double>",
+    ).collect()
+
+    carry: dict[int, float] = {}
+    s = 0.0
+    for r in sorted(phase1, key=lambda r: r["_pid"]):
+        carry[r["_pid"]] = s
+        if r["_conv"]:
+            s = r["_tail"]
+        else:
+            # never converged ⇒ _vals holds the partition's FULL
+            # sequence; replay it from the exact entry state
+            for x in r["_vals"]:
+                s = _rnd(alpha * x + comp * s)
+
+    out_cols = [c for c in df.columns]
+
+    def replay(batches):
+        st = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if st is None:
+                st = carry.get(int(pdf["_pid"].iloc[0]), 0.0)
+            out = []
+            for x in pdf["_vq"].tolist():
+                st = _rnd(alpha * x + comp * st)
+                out.append(st)
+            res = pdf[out_cols].copy()
+            res[ewma_col] = out
+            yield res
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in data.schema.fields
+    )
+    return ranged.mapInPandas(replay, f"{fields}, {ewma_col} double")

@@ -5986,6 +5986,30 @@ def q243_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_moments(events, value_col="value", by="event_type")
 
 
+def q245_ewma_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS fixed-point EWMA scan over the ENTIRE event stream in
+    (time, id) order — the unbounded-series recurrence distributed
+    two-phase with contraction-certified interval carries (see
+    operators/timeseries.ewma_scan): one ranged exchange, one P-row
+    collect, every row's smoothed value exact on the 1e-4 grid at any
+    partitioning. Output summarizes the trajectory (n_rows + final
+    state); the final state depends on every row in order, so the
+    oracle's sequential list_reduce replay checks the whole fold."""
+    from ..operators.timeseries import ewma_scan
+
+    ev = load_table(spark, sf_dir, "events", raw=True).select(
+        F.expr("ts div 1000").alias("us"), "event_id", "value"
+    )
+    scanned = ewma_scan(ev, ["us", "event_id"], "value", alpha=0.3)
+    final = (
+        scanned.orderBy(F.desc("us"), F.desc("event_id"))
+        .limit(1)
+        .select(F.col("ewma").alias("ewma_final"))
+    )
+    cnt = scanned.agg(F.count("*").cast("long").alias("n_rows"))
+    return cnt.crossJoin(final)
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9333,6 +9357,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q242_ewma_smoothing": q242_ewma_smoothing,
     "q243_grouped_moments": q243_grouped_moments,
     "q244_gram_matrix": q244_gram_matrix,
+    "q245_ewma_scan": q245_ewma_scan,
 }
 
 
@@ -12100,4 +12125,24 @@ ORACLE_SQL["q244_gram_matrix"] = """
     FROM flat f1 JOIN flat f2 USING (vec_id)
     WHERE f2.i >= f1.i
     GROUP BY 1, 2
+"""
+
+
+# q245: the oracle replays the identical fixed-point recurrence
+# sequentially — list_prepend(0.0) makes list_reduce start from the
+# zero init, and each step is the same (α·x + (1−α)·s, +1e-9, round 4)
+# on 1e-4-grid rationals, so every intermediate state is the same
+# double on both engines regardless of Spark's partitioning.
+ORACLE_SQL["q245_ewma_scan"] = """
+    WITH d AS (
+      SELECT epoch_us(ts) AS us, event_id, round(value + 1e-9, 4) AS v
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_rows,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+                          list(v ORDER BY us, event_id)),
+             (acc, x) -> round(0.3 * x + 0.7 * acc + 1e-9, 4)
+           ) AS ewma_final
+    FROM d
 """

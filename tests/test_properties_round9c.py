@@ -185,3 +185,88 @@ def test_gram_matrix_rejects_bad_dim(spark):
 
     with _pytest.raises(Exception, match="!= declared dim"):
         gram_matrix(df, dim=3).collect()
+
+
+def _ewma_scan_model(vals, alpha=0.3):
+    """Sequential fixed-point reference: the exact per-row fold."""
+    comp = 1.0 - alpha
+    s = 0.0
+    out = []
+    for x in vals:
+        xq = round(x + 1e-9, 4)
+        s = round(alpha * xq + comp * s + 1e-9, 4)
+        out.append(s)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=0, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+def test_ewma_scan_bitexact_and_partition_invariant(spark, vals, parts):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+        ewma_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "rn long, value double"
+    )
+    got = {
+        r["rn"]: r["ewma"]
+        for r in ewma_scan(
+            df, ["rn"], "value", alpha=0.3, num_partitions=parts
+        ).collect()
+    }
+    want = _ewma_scan_model(vals)
+    assert len(got) == len(want)
+    for i, w in enumerate(want):
+        # EXACT equality — the whole point of the quantized scan
+        assert got[i] == w, (i, got[i], w, parts)
+
+
+def test_ewma_scan_tiny_partitions_hit_replay_path(spark):
+    # 1-2 rows per partition: the interval can never converge, so the
+    # driver must chain through the returned value lists exactly
+    from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+        ewma_scan,
+    )
+
+    vals = [float(v) for v in [5, 50, 95, 20, 80, 10, 60, 30, 70, 40]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "rn long, value double"
+    )
+    got = {
+        r["rn"]: r["ewma"]
+        for r in ewma_scan(df, ["rn"], "value", num_partitions=8).collect()
+    }
+    want = _ewma_scan_model(vals)
+    assert [got[i] for i in range(len(vals))] == want
+
+
+def test_ewma_scan_nulls_dropped_and_replay_cap(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+        ewma_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, None), (2, 20.0)], "rn long, value double"
+    )
+    rows = ewma_scan(df, ["rn"], "value", num_partitions=1).collect()
+    assert [r["rn"] for r in sorted(rows, key=lambda r: r["rn"])] == [0, 2]
+    assert sorted(r["ewma"] for r in rows) == _ewma_scan_model([10.0, 20.0])
+
+    import pytest as _pytest
+
+    wide = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(100)],
+        "rn long, value double",
+    )
+    with _pytest.raises(Exception, match="did not converge"):
+        ewma_scan(wide, ["rn"], "value", num_partitions=1, max_replay=5).collect()
