@@ -372,3 +372,53 @@ def delete_cascade_audit(
         .unionByName(level("orders", orders_hit, orders))
         .unionByName(level("lineitem", li_hit, lineitem))
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    amount_col: str,
+    cents: bool = True,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/truncated-data screen for financial or
+    measurement columns (a synthetic generator, a capped extract, or a
+    unit mix-up shows up immediately as a non-logarithmic digit
+    profile).
+
+    Engine-exactness: the leading digit is taken from the DECIMAL
+    STRING of the exact integer cents (``round(amount·100)`` —
+    ``cents=False`` skips the scaling for already-integer columns),
+    never from ``floor(log10(x))`` whose float boundary at exact
+    powers of ten differs across libms. Scaling by 100 preserves the
+    leading significant digit. Non-positive amounts are excluded
+    (Benford is defined on positive magnitudes).
+
+    Output per digit 1–9: (digit, n, observed freq, Benford expected
+    ln(1+1/d)/ln(10), signed gap), all 4-dp rounded. Plan: one
+    projection + one ≤9-group hash agg (map-side combined) + the
+    digit-grid expected column — scan-bound at any size.
+    """
+    amt = F.col(amount_col)
+    magnitude = (
+        F.round(amt * 100).cast("long") if cents else amt.cast("long")
+    )
+    digit = F.substring(magnitude.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(amt > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("_n"))
+    )
+    tot = counts.agg(F.sum("_n").alias("_tot"))
+    expected = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("_n").cast("long").alias("n"),
+            F.round(F.col("_n") / F.col("_tot") + 1e-9, 4).alias("freq"),
+            F.round(expected + 1e-9, 4).alias("benford"),
+            F.round(
+                F.col("_n") / F.col("_tot") - expected + 1e-9, 4
+            ).alias("gap"),
+        )
+    )

@@ -662,3 +662,79 @@ def grouped_moments(
             "kurtosis"
         ),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information + normalized MI between two categorical
+    columns — the dependence number q180's chi² tests and the standard
+    agreement score between two LABELINGS of a corpus (cluster ids vs
+    sources, language vs crawl, predicted vs human labels): NMI =
+    I(X;Y)/√(H(X)·H(Y)) ∈ [0, 1].
+
+    Engine-exact by the q176/q180 discipline: everything reduces to
+    INTEGER cell counts (one (x, y) hash agg; marginals re-aggregate
+    the cell table, never re-scan), with one ln per cell/marginal and
+    the 4-dp round (+1e-9) at the end. I = Σ (c_xy/N)·ln(N·c_xy /
+    (c_x·c_y)) — the ln argument is a ratio of exact integers, so both
+    engines compute identical doubles before the terminal sum. NULL
+    categories are their own level (coalesced to a sentinel — the
+    q227/q228 NULL-key lesson).
+
+    Scale: the cell table is |X|·|Y| rows whatever the corpus; one
+    full-data shuffle (map-side combined), then arithmetic on the
+    tiny cell/marginal tables. Output: one row
+    (n, n_cells, mi_nats, h_x, h_y, nmi).
+    """
+    x = F.coalesce(F.col(x_col).cast("string"), F.lit("∅")).alias("_x")
+    y = F.coalesce(F.col(y_col).cast("string"), F.lit("∅")).alias("_y")
+    cells = df.select(x, y).groupBy("_x", "_y").agg(
+        F.count("*").alias("_c")
+    )
+    cx = cells.groupBy("_x").agg(F.sum("_c").alias("_cx"))
+    cy = cells.groupBy("_y").agg(F.sum("_c").alias("_cy"))
+    tot = cells.agg(
+        F.sum("_c").alias("_n"), F.count("*").alias("_cells")
+    )
+    joined = cells.join(F.broadcast(cx), "_x").join(
+        F.broadcast(cy), "_y"
+    ).crossJoin(F.broadcast(tot))
+    # products in DOUBLE on both engines: N·c and c_x·c_y overflow
+    # int64 once N² > 9.2e18 (ANSI Spark would raise, DuckDB's HUGEINT
+    # would not — a silent cross-engine divergence at scale)
+    mi = joined.agg(
+        F.first("_n").alias("n"),
+        F.first("_cells").alias("n_cells"),
+        F.sum(
+            F.col("_c")
+            / F.col("_n")
+            * F.log(
+                F.col("_n").cast("double")
+                * F.col("_c")
+                / (F.col("_cx").cast("double") * F.col("_cy"))
+            )
+        ).alias("_mi"),
+    )
+    hx = cx.crossJoin(F.broadcast(tot.select("_n"))).agg(
+        F.sum(-(F.col("_cx") / F.col("_n")) * F.log(F.col("_cx") / F.col("_n"))).alias("_hx")
+    )
+    hy = cy.crossJoin(F.broadcast(tot.select("_n"))).agg(
+        F.sum(-(F.col("_cy") / F.col("_n")) * F.log(F.col("_cy") / F.col("_n"))).alias("_hy")
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.round(F.col("_mi") + 1e-9, 4).alias("mi_nats"),
+        F.round(F.col("_hx") + 1e-9, 4).alias("h_x"),
+        F.round(F.col("_hy") + 1e-9, 4).alias("h_y"),
+        F.when(
+            (F.col("_hx") > 0) & (F.col("_hy") > 0),
+            F.round(
+                F.col("_mi") / F.sqrt(F.col("_hx") * F.col("_hy")) + 1e-9, 4
+            ),
+        ).alias("nmi"),
+    )

@@ -6010,6 +6010,28 @@ def q245_ewma_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.crossJoin(final)
 
 
+def q246_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + normalized MI between document language
+    and source — the dependence/labeling-agreement number next to
+    q180's chi²: integer cell counts (|langs|·|sources| rows whatever
+    the corpus), one ln per cell, NMI = I/√(H·H)."""
+    from ..operators.stats import mutual_information
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+def q247_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals: leading digit
+    from the DECIMAL STRING of exact integer cents (never
+    floor(log10) — libm boundary at powers of ten), one ≤9-group agg,
+    observed vs ln(1+1/d)/ln(10) with signed gaps."""
+    from ..operators.audit import benford_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice", cents=True)
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9358,6 +9380,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q243_grouped_moments": q243_grouped_moments,
     "q244_gram_matrix": q244_gram_matrix,
     "q245_ewma_scan": q245_ewma_scan,
+    "q246_mutual_info": q246_mutual_info,
+    "q247_benford_audit": q247_benford_audit,
 }
 
 
@@ -12145,4 +12169,56 @@ ORACLE_SQL["q245_ewma_scan"] = """
              (acc, x) -> round(0.3 * x + 0.7 * acc + 1e-9, 4)
            ) AS ewma_final
     FROM d
+"""
+
+
+# q246: identical integer-count algebra — one (x, y) cell agg,
+# marginals re-aggregated from the cell table, ln args computed as
+# DOUBLE products on both engines (N·c overflows int64 at N² > 9.2e18;
+# HUGEINT would silently diverge from ANSI Spark).
+ORACLE_SQL["q246_mutual_info"] = """
+    WITH cells AS (
+      SELECT coalesce(CAST(lang AS VARCHAR), '∅') AS x,
+             coalesce(CAST(source AS VARCHAR), '∅') AS y,
+             count(*) AS c
+      FROM documents GROUP BY 1, 2
+    ), cx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
+    cy AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+    tot AS (SELECT sum(c) AS n, count(*) AS cells FROM cells),
+    mi AS (
+      SELECT sum(c / n * ln(CAST(n AS DOUBLE) * c
+                            / (CAST(cx AS DOUBLE) * cy))) AS mi
+      FROM cells JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+    ),
+    hx AS (
+      SELECT sum(-(cx / n) * ln(cx / n)) AS hx FROM cx CROSS JOIN tot
+    ),
+    hy AS (
+      SELECT sum(-(cy / n) * ln(cy / n)) AS hy FROM cy CROSS JOIN tot
+    )
+    SELECT cast(n AS BIGINT) AS n, cast(cells AS BIGINT) AS n_cells,
+           round(mi + 1e-9, 4) AS mi_nats,
+           round(hx + 1e-9, 4) AS h_x,
+           round(hy + 1e-9, 4) AS h_y,
+           CASE WHEN hx > 0 AND hy > 0
+                THEN round(mi / sqrt(hx * hy) + 1e-9, 4) END AS nmi
+    FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+# q247: the leading digit comes from the decimal string of exact
+# integer cents on both engines — never floor(log10(x)).
+ORACLE_SQL["q247_benford_audit"] = """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    ), t AS (SELECT sum(n) AS tot FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / tot + 1e-9, 4) AS freq,
+           round(ln(1 + 1.0 / digit) / ln(10.0) + 1e-9, 4) AS benford,
+           round(n / tot - ln(1 + 1.0 / digit) / ln(10.0) + 1e-9, 4)
+             AS gap
+    FROM c CROSS JOIN t
 """

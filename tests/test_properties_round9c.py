@@ -270,3 +270,123 @@ def test_ewma_scan_nulls_dropped_and_replay_cap(spark):
     )
     with _pytest.raises(Exception, match="did not converge"):
         ewma_scan(wide, ["rn"], "value", num_partitions=1, max_replay=5).collect()
+
+
+def _mi_model(pairs):
+    """Plain-Python MI/entropy reference over (x, y) pairs."""
+    from collections import Counter
+
+    n = len(pairs)
+    cxy = Counter(pairs)
+    cx = Counter(x for x, _ in pairs)
+    cy = Counter(y for _, y in pairs)
+    mi = sum(
+        c / n * math.log(n * c / (cx[x] * cy[y]))
+        for (x, y), c in cxy.items()
+    )
+    hx = -sum(c / n * math.log(c / n) for c in cx.values())
+    hy = -sum(c / n * math.log(c / n) for c in cy.values())
+    return mi, hx, hy
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("uvw")),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_mutual_information_matches_python_model(spark, pairs):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        mutual_information,
+    )
+
+    df = spark.createDataFrame(pairs, "lang string, source string")
+    r = mutual_information(df, "lang", "source").collect()[0]
+    mi, hx, hy = _mi_model(pairs)
+    assert r["n"] == len(pairs)
+    assert math.isclose(r["mi_nats"], mi, abs_tol=5e-4), (r, mi)
+    assert math.isclose(r["h_x"], hx, abs_tol=5e-4)
+    assert math.isclose(r["h_y"], hy, abs_tol=5e-4)
+    if hx > 1e-9 and hy > 1e-9:
+        assert math.isclose(
+            r["nmi"], mi / math.sqrt(hx * hy), abs_tol=5e-4
+        )
+    else:
+        assert r["nmi"] is None
+
+
+def test_mutual_information_identities(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        mutual_information,
+    )
+
+    # perfect dependence: y == x ⇒ MI == H(X), NMI == 1
+    dep = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 5 + [("c", "c")] * 2,
+        "lang string, source string",
+    )
+    r = mutual_information(dep, "lang", "source").collect()[0]
+    assert r["mi_nats"] == r["h_x"] == r["h_y"] and r["nmi"] == 1.0
+    # independence (product distribution): MI == 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "uv" for _ in range(4)],
+        "lang string, source string",
+    )
+    r2 = mutual_information(ind, "lang", "source").collect()[0]
+    assert r2["mi_nats"] == 0.0
+    # NULL is its own level, not dropped
+    withnull = spark.createDataFrame(
+        [("a", None), ("a", "u"), (None, "u")], "lang string, source string"
+    )
+    r3 = mutual_information(withnull, "lang", "source").collect()[0]
+    assert r3["n"] == 3 and r3["n_cells"] == 3
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.01,
+            max_value=9_999_999,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_benford_audit_matches_python_model(spark, amounts):
+    from collections import Counter
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        benford_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(float(a),) for a in amounts], "o_totalprice double"
+    )
+    got = {r["digit"]: r for r in benford_audit(df, "o_totalprice").collect()}
+    cents = [int(round(a * 100)) for a in amounts if a > 0]
+    want = Counter(int(str(c)[0]) for c in cents)
+    assert set(got) == set(want)
+    n = sum(want.values())
+    for d, c in want.items():
+        assert got[d]["n"] == c
+        assert math.isclose(got[d]["freq"], c / n, abs_tol=5e-4)
+        assert math.isclose(
+            got[d]["benford"], math.log10(1 + 1 / d), abs_tol=5e-4
+        )
+
+
+def test_benford_excludes_nonpositive(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        benford_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (123.45,)], "o_totalprice double"
+    )
+    rows = benford_audit(df, "o_totalprice").collect()
+    assert len(rows) == 1 and rows[0]["digit"] == 1 and rows[0]["n"] == 1
