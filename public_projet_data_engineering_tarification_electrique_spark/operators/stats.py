@@ -738,3 +738,84 @@ def mutual_information(
             ),
         ).alias("nmi"),
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_cents_col: str,
+    weight_col: str,
+    by: str,
+    p100s: tuple[int, ...] = (50, 90),
+) -> DataFrame:
+    """Exact WEIGHTED percentiles per group (lower/"disc" convention:
+    the smallest value whose cumulative weight reaches p·W) — the
+    mixture-weighting twin of q31's unweighted percentiles: "the
+    median unit price weighted by quantity", "the median quality score
+    weighted by token count". ``value_cents_col`` must already be an
+    exact integer grid (cents, token counts); ``weight_col`` integral.
+
+    Everything stays in EXACT integers until the terminal /100 —
+    including the quantile test itself, cross-multiplied as
+    cum·100 ≥ p100·W (never p/100.0·W, whose float boundary could
+    flip a grid cell). Products stay under int64 while total weight
+    < 9.2e16 (documented bound; widen the grid before breaking it).
+
+    Plan shape: one (group, value) hash agg collapses the corpus to
+    the level table; ONE keyless ranged prefix sum over (group, value)
+    order (``shards.global_running_sum`` — groups with millions of
+    levels never serialize through a per-group window task, the
+    q227/q228 lesson); per-group start offsets fold a ≤|groups|-row
+    collect on the driver (exact long arithmetic; UTF-8 byte order ==
+    code-point order, so the Python sort agrees with Spark's string
+    range ordering); then one filtered argmin per requested
+    percentile. Output: (group, w_total, wp<p> ...) scaled back /100.
+    """
+    from .shards import global_running_sum
+
+    level = df.groupBy(
+        F.col(by).alias("_g"), F.col(value_cents_col).alias("_vc")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("_w")).localCheckpoint(
+        eager=False
+    )
+    cum = global_running_sum(
+        level, [F.asc("_g"), F.asc("_vc")], "_w", "_cw"
+    )
+    # per-group start offsets: a ≤|groups|-row collect folded on the
+    # driver in exact longs (groups are an enum — flags, languages,
+    # sources; for high-cardinality groups run the shards primitive on
+    # the totals table instead)
+    totals = level.groupBy("_g").agg(F.sum("_w").alias("_tw")).collect()
+    off_rows = []
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["_g"]):
+        off_rows.append((r["_g"], r["_tw"], acc))
+        acc += r["_tw"]
+    offs = df.sparkSession.createDataFrame(
+        off_rows, f"_g {df.schema[by].dataType.simpleString()}, _tw long, _off long"
+    )
+    within = cum.join(F.broadcast(offs), "_g").select(
+        "_g",
+        "_vc",
+        "_tw",
+        (F.col("_cw") - F.col("_off")).alias("_cwg"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("_cwg") * 100 >= F.lit(int(p)) * F.col("_tw"),
+                F.col("_vc"),
+            )
+        ).alias(f"_p{p}")
+        for p in p100s
+    ]
+    out = within.groupBy("_g").agg(
+        F.max("_tw").cast("long").alias("w_total"), *picks
+    )
+    return out.select(
+        F.col("_g").alias(by),
+        "w_total",
+        *[
+            F.round(F.col(f"_p{p}") / 100.0, 2).alias(f"wp{p}")
+            for p in p100s
+        ],
+    )

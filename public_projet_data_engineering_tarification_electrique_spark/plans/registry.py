@@ -6032,6 +6032,23 @@ def q247_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(orders, "o_totalprice", cents=True)
 
 
+def q248_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED price percentiles per return flag — exact
+    integer construction end-to-end: cents-grid level table, ONE
+    keyless ranged prefix sum over (flag, cents) order (the q227/q228
+    shards primitive — no per-group window wall), per-group offsets
+    from the same primitive over the ≤|flags| totals, quantile test
+    cross-multiplied in integers (cum·100 ≥ p·W)."""
+    from ..operators.stats import weighted_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_percentiles(li, "cents", "qty", "flag", p100s=(50, 90))
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9382,6 +9399,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q245_ewma_scan": q245_ewma_scan,
     "q246_mutual_info": q246_mutual_info,
     "q247_benford_audit": q247_benford_audit,
+    "q248_weighted_percentiles": q248_weighted_percentiles,
 }
 
 
@@ -12221,4 +12239,29 @@ ORACLE_SQL["q247_benford_audit"] = """
            round(n / tot - ln(1 + 1.0 / digit) / ln(10.0) + 1e-9, 4)
              AS gap
     FROM c CROSS JOIN t
+"""
+
+
+# q248: the oracle states the same integer construction relationally —
+# window prefix sums over the cents-grid level table, lower-quantile
+# pick via the cross-multiplied integer test.
+ORACLE_SQL["q248_weighted_percentiles"] = """
+    WITH lv AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT flag, vc, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY vc
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM lv
+    )
+    SELECT flag, CAST(max(tw) AS BIGINT) AS w_total,
+           round(min(CASE WHEN cw * 100 >= 50 * tw THEN vc END)
+                 / 100.0, 2) AS wp50,
+           round(min(CASE WHEN cw * 100 >= 90 * tw THEN vc END)
+                 / 100.0, 2) AS wp90
+    FROM cum GROUP BY 1
 """

@@ -390,3 +390,71 @@ def test_benford_excludes_nonpositive(spark):
     )
     rows = benford_audit(df, "o_totalprice").collect()
     assert len(rows) == 1 and rows[0]["digit"] == 1 and rows[0]["n"] == 1
+
+
+def _wpct_model(rows, p100s=(50, 90)):
+    """Python reference: lower weighted percentile on exact integers."""
+    from collections import defaultdict
+
+    levels = defaultdict(lambda: defaultdict(int))
+    for g, vc, w in rows:
+        levels[g][vc] += w
+    out = {}
+    for g, lv in levels.items():
+        tw = sum(lv.values())
+        cum = 0
+        picks = {}
+        for vc in sorted(lv):
+            cum += lv[vc]
+            for p in p100s:
+                if p not in picks and cum * 100 >= p * tw:
+                    picks[p] = vc
+        out[g] = (tw, {p: round(picks[p] / 100.0, 2) for p in p100s})
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("AB"),
+            st.integers(min_value=1, max_value=500),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_percentiles_match_python_model(spark, rows):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        weighted_percentiles,
+    )
+
+    df = spark.createDataFrame(rows, "flag string, cents long, qty long")
+    got = {
+        r["flag"]: r
+        for r in weighted_percentiles(
+            df, "cents", "qty", "flag", p100s=(50, 90)
+        ).collect()
+    }
+    want = _wpct_model(rows)
+    assert set(got) == set(want)
+    for g, (tw, picks) in want.items():
+        assert got[g]["w_total"] == tw
+        assert got[g]["wp50"] == picks[50], (g, got[g], picks)
+        assert got[g]["wp90"] == picks[90], (g, got[g], picks)
+
+
+def test_weighted_percentiles_unit_weights_match_disc(spark):
+    # all weights 1 ⇒ classic discrete percentile (smallest v with
+    # rank ≥ ceil(p·n))
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        weighted_percentiles,
+    )
+
+    vals = [100, 200, 300, 400, 500]
+    df = spark.createDataFrame(
+        [("g", v, 1) for v in vals], "flag string, cents long, qty long"
+    )
+    r = weighted_percentiles(df, "cents", "qty", "flag").collect()[0]
+    assert r["wp50"] == 3.0 and r["wp90"] == 5.0
