@@ -819,3 +819,99 @@ def weighted_percentiles(
             for p in p100s
         ],
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str = "dur",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve with right censoring —
+    the retention staple q65's cohort grid approximates: "what fraction
+    of users has NOT converted/churned by day d, accounting for users
+    we simply stopped observing". Input: one row per subject with an
+    integer ``duration_col`` (days) and ``event_col`` 1 = the event
+    happened at that duration, 0 = censored there.
+
+    Estimator: S(d) = Π_{j ≤ d} (1 − e_j / n_j) over event days, with
+    n_j = subjects still at risk entering day j (censored-at-j counted
+    at risk, the standard convention).
+
+    Engine-exactness: everything up to the product is INTEGER (one
+    duration-grid hash agg; at-risk counts by subtraction inside the
+    fold), and the product itself is folded SEQUENTIALLY in day order
+    — one multiply per event day, identical operand order on both
+    engines, so S(d) is bit-stable before the terminal 4-dp round
+    (censor-only days multiply by exactly 1.0 — an FP identity). The
+    oracle replays the identical recurrence with a recursive CTE.
+
+    Scale: the corpus collapses through one grid agg (≤ observation
+    span rows — CALENDAR-bounded, not corpus-bounded), so the fold
+    runs over a structurally bounded array inside codegen; no window,
+    no UDF. Output per event day: (day, n_risk, n_events, n_censored,
+    survival).
+    """
+    ev = F.col(event_col).cast("long")
+    level = (
+        subjects.groupBy(F.col(duration_col).cast("int").alias("day"))
+        .agg(
+            F.sum(ev).alias("ev"),
+            F.sum(1 - ev).alias("cen"),
+        )
+    )
+    packed = level.agg(
+        F.sum(F.col("ev") + F.col("cen")).alias("n"),
+        F.sort_array(F.collect_list(F.struct("day", "ev", "cen"))).alias(
+            "g"
+        ),
+    )
+    step = F.aggregate(
+        "g",
+        F.expr(
+            "CAST(array() AS array<struct<day:int, nr:bigint, "
+            "ev:bigint, cen:bigint, surv:double, rem:bigint>>)"
+        ),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    F.when(F.size(acc) == 0, F.col("n"))
+                    .otherwise(F.element_at(acc, -1)["rem"])
+                    .alias("nr"),
+                    x["ev"].alias("ev"),
+                    x["cen"].alias("cen"),
+                    (
+                        F.when(F.size(acc) == 0, F.lit(1.0)).otherwise(
+                            F.element_at(acc, -1)["surv"]
+                        )
+                        * (
+                            F.lit(1.0)
+                            - x["ev"]
+                            / F.when(F.size(acc) == 0, F.col("n")).otherwise(
+                                F.element_at(acc, -1)["rem"]
+                            )
+                        )
+                    ).alias("surv"),
+                    (
+                        F.when(F.size(acc) == 0, F.col("n")).otherwise(
+                            F.element_at(acc, -1)["rem"]
+                        )
+                        - x["ev"]
+                        - x["cen"]
+                    ).alias("rem"),
+                )
+            ),
+        ),
+    )
+    return (
+        packed.select(F.explode(step).alias("z"))
+        .filter(F.col("z.ev") > 0)
+        .select(
+            F.col("z.day").alias("day"),
+            F.col("z.nr").cast("long").alias("n_risk"),
+            F.col("z.ev").cast("long").alias("n_events"),
+            F.col("z.cen").cast("long").alias("n_censored"),
+            F.round(F.col("z.surv") + 1e-9, 4).alias("survival"),
+        )
+    )

@@ -6049,6 +6049,41 @@ def q248_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_percentiles(li, "cents", "qty", "flag", p100s=(50, 90))
 
 
+def q249_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-convert survival curve with right
+    censoring: signup → first subsequent purchase, users who never
+    convert censored at the end of observation — the product-limit
+    refinement of q73's converted-only histogram (which silently
+    drops non-converters). Integer µs arithmetic into a
+    calendar-bounded day grid; the survival product folds
+    sequentially inside codegen; oracle = recursive-CTE replay."""
+    from ..operators.stats import kaplan_meier
+
+    events = load_table(spark, sf_dir, "events", raw=True)
+    us = F.expr("ts div 1000")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    obs_end = events.agg(F.max(us).alias("end_us"))
+    day_us = 86_400_000_000
+    subj = (
+        per_user.filter(F.col("s").isNotNull())
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("p") > F.col("s"),
+                F.expr(f"(p - s) div {day_us}"),
+            )
+            .otherwise(F.expr(f"(end_us - s) div {day_us}"))
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("p") > F.col("s"), 1).otherwise(0).alias("event"),
+        )
+    )
+    return kaplan_meier(subj, "dur", "event")
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9400,6 +9435,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q246_mutual_info": q246_mutual_info,
     "q247_benford_audit": q247_benford_audit,
     "q248_weighted_percentiles": q248_weighted_percentiles,
+    "q249_survival_km": q249_survival_km,
 }
 
 
@@ -12264,4 +12300,51 @@ ORACLE_SQL["q248_weighted_percentiles"] = """
            round(min(CASE WHEN cw * 100 >= 90 * tw THEN vc END)
                  / 100.0, 2) AS wp90
     FROM cum GROUP BY 1
+"""
+
+
+# q249: recursive CTE replays the identical KM fold — at-risk counts
+# by exact integer subtraction, survival as the same sequence of
+# double multiplies (base case multiplies by 1.0, an FP identity), so
+# S(d) is bit-stable before the 4-dp round. Recursion depth =
+# #distinct duration days (calendar-bounded).
+ORACLE_SQL["q249_survival_km"] = """
+    WITH RECURSIVE per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(ts) END) AS s,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS p
+      FROM events GROUP BY 1
+    ), oe AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+    subj AS (
+      SELECT CASE WHEN p > s THEN (p - s) // 86400000000
+                  ELSE (end_us - s) // 86400000000 END AS dur,
+             CASE WHEN p > s THEN 1 ELSE 0 END AS event
+      FROM per_user CROSS JOIN oe WHERE s IS NOT NULL
+    ), lv AS (
+      SELECT CAST(dur AS INTEGER) AS day,
+             CAST(sum(event) AS BIGINT) AS ev,
+             CAST(sum(1 - event) AS BIGINT) AS cen
+      FROM subj GROUP BY 1
+    ), tot AS (SELECT CAST(sum(ev + cen) AS BIGINT) AS n FROM lv),
+    d AS (
+      SELECT day, ev, cen,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM lv
+    ), sc AS (
+      SELECT rn, day, ev, cen, n AS nr,
+             1.0 * (1.0 - ev / n) AS surv,
+             n - ev - cen AS rem
+      FROM d CROSS JOIN tot WHERE rn = 1
+      UNION ALL
+      SELECT d.rn, d.day, d.ev, d.cen, sc.rem AS nr,
+             sc.surv * (1.0 - d.ev / sc.rem) AS surv,
+             sc.rem - d.ev - d.cen AS rem
+      FROM sc JOIN d ON d.rn = sc.rn + 1
+    )
+    SELECT day, CAST(nr AS BIGINT) AS n_risk, ev AS n_events,
+           cen AS n_censored,
+           round(surv + 1e-9, 4) AS survival
+    FROM sc WHERE ev > 0
 """

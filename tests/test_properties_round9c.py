@@ -458,3 +458,76 @@ def test_weighted_percentiles_unit_weights_match_disc(spark):
     )
     r = weighted_percentiles(df, "cents", "qty", "flag").collect()[0]
     assert r["wp50"] == 3.0 and r["wp90"] == 5.0
+
+
+def _km_model(subjects):
+    """Plain-Python Kaplan-Meier with right censoring."""
+    from collections import defaultdict
+
+    lv = defaultdict(lambda: [0, 0])
+    for dur, event in subjects:
+        lv[dur][0 if event else 1] += 1
+    n = len(subjects)
+    out = {}
+    s = 1.0
+    rem = n
+    for day in sorted(lv):
+        ev, cen = lv[day]
+        nr = rem
+        s = s * (1.0 - ev / nr)
+        rem = nr - ev - cen
+        if ev > 0:
+            out[day] = (nr, ev, cen, round(s + 1e-9, 4))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_kaplan_meier_matches_python_model(spark, subjects):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(subjects, "dur long, event int")
+    got = {r["day"]: r for r in kaplan_meier(df).collect()}
+    want = _km_model(subjects)
+    assert set(got) == set(want)
+    for day, (nr, ev, cen, s) in want.items():
+        r = got[day]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (nr, ev, cen)
+        assert r["survival"] == s, (day, r["survival"], s)
+
+
+def test_kaplan_meier_identities(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        kaplan_meier,
+    )
+
+    # no censoring: S(d) = fraction with duration > d (the empirical
+    # survival function)
+    durs = [1, 1, 2, 3, 3, 3, 5]
+    df = spark.createDataFrame([(d, 1) for d in durs], "dur long, event int")
+    got = {r["day"]: r["survival"] for r in kaplan_meier(df).collect()}
+    n = len(durs)
+    for day in sorted(set(durs)):
+        frac = sum(1 for d in durs if d > day) / n
+        assert math.isclose(got[day], frac, abs_tol=5e-4), (day, got[day], frac)
+    # censoring keeps later survival HIGHER than dropping censored
+    # subjects entirely would
+    cens = spark.createDataFrame(
+        [(1, 1), (2, 0), (2, 0), (3, 1)], "dur long, event int"
+    )
+    rows = {r["day"]: r for r in kaplan_meier(cens).collect()}
+    assert rows[1]["n_risk"] == 4 and rows[3]["n_risk"] == 1
+    assert rows[1]["survival"] == 0.75
+    # day 3: S = 0.75 * (1 - 1/1) = 0.0
+    assert rows[3]["survival"] == 0.0
