@@ -245,10 +245,15 @@ def padding_waste_audit(
                 F.sum(n_seq).cast("long").alias("n_sequences"),
                 F.sum("n").cast("long").alias("total_tokens"),
                 (F.sum(n_seq) * b).cast("long").alias("padded_tokens"),
+                # +1e-9 nudge: total/padded can be an exact dyadic tie
+                # (e.g. 760/1280 = .40625) where JVM HALF_UP, DuckDB
+                # and Python's banker's round disagree — the standard
+                # repo idiom pushes every tie off the boundary
                 F.round(
                     1
                     - F.sum("n")
-                    / F.nullif((F.sum(n_seq) * b).cast("double"), F.lit(0.0)),
+                    / F.nullif((F.sum(n_seq) * b).cast("double"), F.lit(0.0))
+                    + 1e-9,
                     4,
                 ).alias("waste_fraction"),
             )

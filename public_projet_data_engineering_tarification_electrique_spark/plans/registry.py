@@ -9566,6 +9566,11 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # merge/upsert write path (bucket clustering + layout marker).
     # All have pre-round-9 driver rows — re-prove the new shapes.
     "q225": 9, "q167": 9, "q164": 9, "q116": 9, "q229": 9,
+    # Round-9 session-3: hypothesis found q220's waste_fraction on an
+    # exact dyadic rounding tie (760/1280) — operator + oracle gained
+    # the standard +1e-9 nudge; value-identical off ties, convention
+    # pinned on them. Re-prove with a driver row.
+    "q220": 9,
 }
 
 
@@ -11412,7 +11417,7 @@ ORACLE_SQL["q220_padding_waste"] = """
     )
     SELECT seq_len, n_docs, n_sequences, total_tokens, padded_tokens,
            round(1 - total_tokens
-                     / nullif(padded_tokens::DOUBLE, 0.0), 4)
+                     / nullif(padded_tokens::DOUBLE, 0.0) + 1e-9, 4)
              AS waste_fraction
     FROM agg
 """
