@@ -260,6 +260,11 @@ def ewma_scan(
     comp = 1.0 - alpha
     p = _resolve_partitions(df, num_partitions)
     data = df.filter(F.col(value_col).isNotNull())
+    # NaN is not NULL: one NaN would poison every later state AND
+    # defeat the interval-convergence certificate (NaN == NaN is
+    # false) — drop it like NULL for float inputs
+    if df.schema[value_col].dataType.simpleString() in ("double", "float"):
+        data = data.filter(~F.isnan(value_col))
     ranged = (
         data.repartitionByRange(p, *order_by)
         .sortWithinPartitions(*order_by)
