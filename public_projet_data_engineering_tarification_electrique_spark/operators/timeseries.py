@@ -278,9 +278,12 @@ def ewma_scan(
     if mm["lo"] is None:
         return data.withColumn(ewma_col, F.lit(None).cast("double"))
     # every reachable state is a round of a convex combination of 0
-    # and quantized inputs; widen by the rounding slack
-    b_lo = min(0.0, float(mm["lo"])) - 1e-3
-    b_hi = max(0.0, float(mm["hi"])) + 1e-3
+    # and quantized inputs, plus accumulated per-step rounding of at
+    # most h = half-grid + nudge; the rounding drift fixed point is
+    # h/(1−(1−α)) = h/α, so the widening must scale with 1/α
+    slack = max(1e-3, (0.5e-4 + 1e-9) / alpha * 2.0)
+    b_lo = min(0.0, float(mm["lo"])) - slack
+    b_hi = max(0.0, float(mm["hi"])) + slack
 
     def _rnd(v: float) -> float:
         return round(v + 1e-9, 4)

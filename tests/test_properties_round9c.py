@@ -531,3 +531,33 @@ def test_kaplan_meier_identities(spark):
     assert rows[1]["survival"] == 0.75
     # day 3: S = 0.75 * (1 - 1/1) = 0.0
     assert rows[3]["survival"] == 0.0
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.sampled_from([0.05, 0.1, 0.5, 0.9]),
+    st.integers(min_value=1, max_value=11),
+)
+def test_ewma_scan_exact_across_alphas(spark, alpha, parts):
+    # the entry-state widening must scale with 1/alpha (rounding-drift
+    # fixed point h/alpha) — small alphas exercise that bound
+    from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+        ewma_scan,
+    )
+
+    vals = [float((i * 37) % 101) for i in range(150)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "rn long, value double"
+    )
+    got = {
+        r["rn"]: r["ewma"]
+        for r in ewma_scan(
+            df, ["rn"], "value", alpha=alpha, num_partitions=parts
+        ).collect()
+    }
+    comp = 1.0 - alpha
+    s = 0.0
+    for i, x in enumerate(vals):
+        xq = round(x + 1e-9, 4)
+        s = round(alpha * xq + comp * s + 1e-9, 4)
+        assert got[i] == s, (alpha, parts, i, got[i], s)
