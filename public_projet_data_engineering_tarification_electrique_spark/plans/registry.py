@@ -6084,6 +6084,35 @@ def q249_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subj, "dur", "event")
 
 
+def q250_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier interval UNION over in-transit shipment spans
+    [shipdate, shipdate + quantity days) — coverage days, island
+    count, and peak concurrent shipments via the gaps-and-islands
+    sweep + boundary counting (operators/intervals.py). Overlapping
+    spans make sum-of-durations wrong and a per-day explode is a 50×
+    row blow-up; the sweep is 2 windows + 1 agg, all partitioned by
+    supplier. Exact integers end-to-end."""
+    from ..operators.intervals import interval_coverage
+
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).alias("lo"),
+        (
+            F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
+            + F.col("l_quantity").cast("int")
+        ).alias("hi"),
+    )
+    out = interval_coverage(spans, "suppkey", "lo", "hi")
+    return out.select(
+        F.col("key").alias("suppkey"),
+        "n_spans",
+        F.col("covered").alias("covered_days"),
+        "n_islands",
+        "peak_concurrency",
+    )
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9436,6 +9465,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q247_benford_audit": q247_benford_audit,
     "q248_weighted_percentiles": q248_weighted_percentiles,
     "q249_survival_km": q249_survival_km,
+    "q250_interval_coverage": q250_interval_coverage,
 }
 
 
@@ -12352,4 +12382,63 @@ ORACLE_SQL["q249_survival_km"] = """
            cen AS n_censored,
            round(surv + 1e-9, 4) AS survival
     FROM sc WHERE ev > 0
+"""
+
+
+# q250: the oracle runs the identical sweep relationally — running max
+# of span ends over PRECEDING rows opens islands, boundary ±1 events
+# running-summed in (b, delta) order give peak concurrency. Integer
+# day numbers end-to-end; ties in (lo, hi) are between identical rows,
+# so every window aggregate is permutation-invariant.
+ORACLE_SQL["q250_interval_coverage"] = """
+    WITH spans AS (
+      SELECT l_suppkey AS suppkey,
+             datediff('day', DATE '1992-01-01', l_shipdate) AS lo,
+             datediff('day', DATE '1992-01-01', l_shipdate)
+               + CAST(l_quantity AS INTEGER) AS hi
+      FROM lineitem
+    ), flagged AS (
+      SELECT suppkey, lo, hi,
+             CASE WHEN max(hi) OVER (PARTITION BY suppkey
+                                     ORDER BY lo, hi
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                       OR lo >= max(hi) OVER (PARTITION BY suppkey
+                                              ORDER BY lo, hi
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM spans
+    ), isl AS (
+      SELECT suppkey, lo, hi,
+             sum(new_island) OVER (PARTITION BY suppkey ORDER BY lo, hi
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), per_island AS (
+      SELECT suppkey, island, min(lo) AS island_lo, max(hi) AS island_hi,
+             count(*) AS n_spans
+      FROM isl GROUP BY 1, 2
+    ), cover AS (
+      SELECT suppkey,
+             CAST(sum(n_spans) AS BIGINT) AS n_spans,
+             CAST(sum(island_hi - island_lo) AS BIGINT) AS covered_days,
+             CAST(count(*) AS BIGINT) AS n_islands
+      FROM per_island GROUP BY 1
+    ), bounds AS (
+      SELECT suppkey, lo AS b, 1 AS delta FROM spans
+      UNION ALL
+      SELECT suppkey, hi AS b, -1 AS delta FROM spans
+    ), peak AS (
+      SELECT suppkey,
+             CAST(max(open) AS BIGINT) AS peak_concurrency
+      FROM (
+        SELECT suppkey,
+               sum(delta) OVER (PARTITION BY suppkey ORDER BY b, delta
+                                ROWS UNBOUNDED PRECEDING) AS open
+        FROM bounds
+      ) GROUP BY 1
+    )
+    SELECT cover.suppkey, n_spans, covered_days, n_islands,
+           peak_concurrency
+    FROM cover JOIN peak ON cover.suppkey = peak.suppkey
 """

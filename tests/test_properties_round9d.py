@@ -1,0 +1,84 @@
+"""Property-based tests for the round-9 session-4 operators, each
+checked against an independent plain-Python reference model — the §2at
+discipline: the DuckDB oracle gate proves ENGINE AGREEMENT, these pin
+the SEMANTICS."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.intervals import (
+    interval_coverage,
+)
+
+_span = st.tuples(
+    st.integers(min_value=0, max_value=3),  # key
+    st.integers(min_value=0, max_value=40),  # lo
+    st.integers(min_value=1, max_value=15),  # width
+)
+
+
+def _coverage_model(rows):
+    """Brute-force reference: per key, the union as a set of covered
+    integer points, islands by merging sorted spans, peak by counting
+    open spans at every start boundary (half-open [lo, hi))."""
+    out = {}
+    by_key = {}
+    for k, lo, w in rows:
+        by_key.setdefault(k, []).append((lo, lo + w))
+    for k, spans in by_key.items():
+        covered = set()
+        for lo, hi in spans:
+            covered.update(range(lo, hi))
+        merged = []
+        for lo, hi in sorted(spans):
+            if merged and lo < merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        peak = max(
+            sum(1 for lo2, hi2 in spans if lo2 <= lo < hi2)
+            for lo, _ in spans
+        )
+        out[k] = (len(spans), len(covered), len(merged), peak)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_span, min_size=1, max_size=40))
+def test_interval_coverage_matches_bruteforce(spark, rows):
+    df = spark.createDataFrame(
+        [(k, lo, lo + w) for k, lo, w in rows], "key int, lo int, hi int"
+    ).repartition(4)
+    got = {
+        r["key"]: (
+            r["n_spans"],
+            r["covered"],
+            r["n_islands"],
+            r["peak_concurrency"],
+        )
+        for r in interval_coverage(df, "key", "lo", "hi").collect()
+    }
+    assert got == _coverage_model(rows)
+
+
+def test_interval_coverage_drops_null_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, None, 9), (1, 3, None)], "key int, lo int, hi int"
+    )
+    row = interval_coverage(df, "key", "lo", "hi").collect()[0]
+    assert (row["n_spans"], row["covered"]) == (1, 5)
+
+
+def test_interval_coverage_touching_spans_do_not_merge(spark):
+    # half-open [0,5) + [5,8): no overlap -> 2 islands, peak 1
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 5, 8)], "key int, lo int, hi int"
+    )
+    row = interval_coverage(df, "key", "lo", "hi").collect()[0]
+    assert (row["covered"], row["n_islands"], row["peak_concurrency"]) == (
+        8,
+        2,
+        1,
+    )
