@@ -915,3 +915,102 @@ def kaplan_meier(
             F.round(F.col("z.surv") + 1e-9, 4).alias("survival"),
         )
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str = "score",
+    outcome_col: str = "outcome",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weighted isotonic (monotone nondecreasing) calibration of a
+    [0, 1] score against a binary outcome — the PAVA fit that turns a
+    reliability diagram (``calibration_bins``) into a usable monotone
+    score→probability map, without assuming the sigmoid shape Platt
+    scaling does.
+
+    Instead of the sequential pool-adjacent-violators loop, the fit
+    uses the equivalent MINIMAX identity on the binned table:
+
+        iso(k) = max_{i<=k} min_{j>=k}  sum(pos, i..j) / sum(n, i..j)
+
+    which is order-free — exactly what a distributed engine (and a
+    cross-engine oracle) wants. All segment sums are exact integers;
+    each segment rate is ONE double division of those integers, so
+    min/max/iso are bit-stable across engines by construction.
+
+    Plan shape: one hash agg collapses the corpus to <= n_bins integer
+    rows (map-side partials — the only full-data pass), then every
+    join below is an explicit ``broadcast`` over that <= n_bins-row
+    grid: segments are (i, j) pairs (n_bins^2/2 rows), the minimax is
+    two more grid-bounded apply-joins. No windows, no exchange wider
+    than the bin grid, nothing data-shaped after the first agg.
+
+    Output: (bin, n, pos_rate, iso_rate) — iso_rate nondecreasing in
+    bin (pinned by a property test against a literal PAVA model).
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    grid = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(10_000).cast("long"),
+            F.round(F.col(score_col) * 10_000).cast("long"),
+        ),
+    )
+    snapped = df.select(
+        grid.alias("_g"),
+        F.when(F.col(outcome_col), 1).otherwise(0).alias("_y"),
+    )
+    bin_id = F.least(
+        F.expr(f"_g * {int(n_bins)} div 10000"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    bins = snapped.groupBy(bin_id.cast("int").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("sy"),
+    )
+    # (i, j) segment sums: i <= b <= j over the <= n_bins-row grid —
+    # explicit broadcasts so the non-equi joins plan as BNLJ with a
+    # grid-sized build side, never a cartesian shuffle.
+    ij = bins.select(F.col("bin").alias("i")).join(
+        F.broadcast(bins.select(F.col("bin").alias("j"))),
+        F.col("i") <= F.col("j"),
+    )
+    seg = (
+        ij.join(
+            F.broadcast(bins),
+            (F.col("bin") >= F.col("i")) & (F.col("bin") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("sn"), F.sum("sy").alias("ssy"))
+        .select(
+            "i",
+            "j",
+            (F.col("ssy").cast("double") / F.col("sn").cast("double")).alias(
+                "rate"
+            ),
+        )
+    )
+    inner = (
+        bins.select(F.col("bin").alias("k"))
+        .join(
+            F.broadcast(seg),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min("rate").alias("mr"))
+    )
+    iso = inner.groupBy("k").agg(F.max("mr").alias("iso"))
+    return (
+        bins.join(iso, bins["bin"] == iso["k"])
+        .select(
+            "bin",
+            "n",
+            F.round(
+                F.col("sy").cast("double") / F.col("n").cast("double") + 1e-9,
+                6,
+            ).alias("pos_rate"),
+            F.round(F.col("iso") + 1e-9, 6).alias("iso_rate"),
+        )
+    )

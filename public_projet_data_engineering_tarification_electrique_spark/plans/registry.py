@@ -6113,6 +6113,27 @@ def q250_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q251_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic (PAVA) calibration of q188's hash-derived
+    score vs the purchase outcome, via the order-free minimax identity
+    iso(k) = max_{i<=k} min_{j>=k} rate(i..j) on the binned table —
+    one full-data hash agg to <= 10 integer rows, then grid-bounded
+    broadcast joins only (no sequential pooling loop, no windows).
+    Segment rates are single divisions of exact integer sums, so the
+    fit is bit-stable across engines."""
+    from ..operators.stats import isotonic_calibration
+
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        (
+            F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(10001))
+            / F.lit(10_000.0)
+        ).alias("score"),
+        (F.col("event_type") == "purchase").alias("outcome"),
+    )
+    return isotonic_calibration(scored, n_bins=10)
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9466,6 +9487,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q248_weighted_percentiles": q248_weighted_percentiles,
     "q249_survival_km": q249_survival_km,
     "q250_interval_coverage": q250_interval_coverage,
+    "q251_isotonic_calibration": q251_isotonic_calibration,
 }
 
 
@@ -12441,4 +12463,42 @@ ORACLE_SQL["q250_interval_coverage"] = """
     SELECT cover.suppkey, n_spans, covered_days, n_islands,
            peak_concurrency
     FROM cover JOIN peak ON cover.suppkey = peak.suppkey
+"""
+
+
+# q251: the oracle states the identical minimax relationally — integer
+# bin sums, (i, j) segment rates as single BIGINT/BIGINT -> DOUBLE
+# divisions, then min-over-j / max-over-i. Same +1e-9 nudge pre-round
+# on bit-identical doubles.
+ORACLE_SQL["q251_isotonic_calibration"] = """
+    WITH snapped AS (
+      SELECT greatest(0, least(10000,
+               CAST(round(((user_id * 2654435761) % 10001) / 10000.0
+                          * 10000) AS BIGINT))) AS g,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), bins AS (
+      SELECT CAST(least(g * 10 // 10000, 9) AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM snapped GROUP BY 1
+    ), seg AS (
+      SELECT i.bin AS i, j.bin AS j,
+             CAST(sum(b.sy) AS DOUBLE) / CAST(sum(b.n) AS DOUBLE)
+               AS rate
+      FROM bins i JOIN bins j ON i.bin <= j.bin
+      JOIN bins b ON b.bin BETWEEN i.bin AND j.bin
+      GROUP BY 1, 2
+    ), inner_min AS (
+      SELECT k.bin AS k, seg.i, min(seg.rate) AS mr
+      FROM bins k JOIN seg ON seg.i <= k.bin AND seg.j >= k.bin
+      GROUP BY 1, 2
+    ), iso AS (
+      SELECT k, max(mr) AS iso FROM inner_min GROUP BY 1
+    )
+    SELECT bins.bin, bins.n,
+           round(CAST(bins.sy AS DOUBLE) / CAST(bins.n AS DOUBLE)
+                 + 1e-9, 6) AS pos_rate,
+           round(iso.iso + 1e-9, 6) AS iso_rate
+    FROM bins JOIN iso ON bins.bin = iso.k
 """

@@ -82,3 +82,66 @@ def test_interval_coverage_touching_spans_do_not_merge(spark):
         2,
         1,
     )
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    isotonic_calibration,
+)
+
+
+def _pava_model(bins):
+    """Literal pool-adjacent-violators on (n, sy) bins in bin order —
+    the sequential algorithm the minimax identity must reproduce."""
+    pools = [[n, sy] for n, sy in bins]  # [weight, positives]
+    merged = []
+    for p in pools:
+        merged.append(list(p))
+        while len(merged) > 1 and (
+            merged[-2][1] * merged[-1][0] >= merged[-1][1] * merged[-2][0]
+        ):
+            b = merged.pop()
+            merged[-1][0] += b[0]
+            merged[-1][1] += b[1]
+    # expand pools back to per-bin rates
+    rates = []
+    i = 0
+    for n, sy in merged:
+        w = 0
+        while w < n:
+            w += bins[i][0]
+            rates.append(sy / n)
+            i += 1
+    return rates
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),  # n per bin
+            st.integers(min_value=0, max_value=9),  # positives <= n
+        ).map(lambda t: (t[0], min(t[1], t[0]))),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_isotonic_matches_pava(spark, bins):
+    # place bin b's rows at score (b + 0.5) / 10 so each lands in its
+    # own equal-width bin; outcomes = sy positives then n - sy negatives
+    rows = []
+    for b, (n, sy) in enumerate(bins):
+        score = (b + 0.5) / 10.0
+        rows += [(score, True)] * sy + [(score, False)] * (n - sy)
+    df = spark.createDataFrame(rows, "score double, outcome boolean")
+    got = {
+        r["bin"]: (r["n"], r["pos_rate"], r["iso_rate"])
+        for r in isotonic_calibration(df, n_bins=10).collect()
+    }
+    expected = _pava_model(bins)
+    assert sorted(got) == list(range(len(bins)))
+    iso_seq = [got[b][2] for b in sorted(got)]
+    for b, (n, sy) in enumerate(bins):
+        assert got[b][0] == n
+        assert abs(got[b][2] - expected[b]) < 1e-6, (b, got[b], expected[b])
+    # monotone nondecreasing fit
+    assert all(a <= b + 1e-12 for a, b in zip(iso_seq, iso_seq[1:]))
