@@ -367,3 +367,84 @@ def ewma_scan(
         for f in data.schema.fields
     )
     return ranged.mapInPandas(replay, f"{fields}, {ewma_col} double")
+
+
+def holt_daily(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over each
+    key's daily-mean series — the trend-aware upgrade of ``ewma_daily``
+    that a capacity-planning stack runs when the signal drifts instead
+    of hovering (plain EWMA systematically lags a trending series):
+
+        l_1 = x_1,  b_1 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Distributed contract identical to ``ewma_daily``: ONE (key, day)
+    hash agg is the only full-data shuffle; the order-sensitive
+    recurrence folds inside codegen over each key's calendar-bounded
+    sorted series, state = array<struct<l, b>>.
+
+    Determinism: daily means are 4-dp rounded (+1e-9 nudge) before the
+    fold; each step is the same double-op sequence on both engines —
+    b_t's reference to l_t is spelled by REPEATING l_t's expression
+    (neither a codegen lambda nor a recursive CTE can name a sibling
+    being defined; the repeated expression is bit-identical), so the
+    whole trajectory is bit-stable before the terminal 4-dp rounds.
+
+    Output: (key, day, v, level, trend, forecast) with forecast the
+    one-step-ahead l_t + b_t, one row per observed (key, day).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    comp_a, comp_b = 1.0 - alpha, 1.0 - beta
+    daily = events.groupBy(
+        key_col, F.to_date(ts_col).alias("day")
+    ).agg(F.round(F.avg(value_col) + 1e-9, 4).alias("v"))
+    packed = daily.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("series")
+    )
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)
+        l_new = F.lit(alpha) * x["v"] + F.lit(comp_a) * (
+            prev["l"] + prev["b"]
+        )
+        l_new_again = F.lit(alpha) * x["v"] + F.lit(comp_a) * (
+            prev["l"] + prev["b"]
+        )
+        b_new = (
+            F.lit(beta) * (l_new_again - prev["l"]) + F.lit(comp_b) * prev["b"]
+        )
+        first = F.struct(x["v"].alias("l"), F.lit(0.0).alias("b"))
+        rest = F.struct(l_new.alias("l"), b_new.alias("b"))
+        return F.concat(
+            acc, F.array(F.when(F.size(acc) == 0, first).otherwise(rest))
+        )
+
+    folded = packed.withColumn(
+        "s",
+        F.aggregate(
+            "series",
+            F.expr("CAST(array() AS array<struct<l:double,b:double>>)"),
+            _step,
+        ),
+    )
+    return folded.select(
+        key_col, F.explode(F.arrays_zip("series", "s")).alias("z")
+    ).select(
+        key_col,
+        F.date_format(F.col("z.series.day"), "yyyy-MM-dd").alias("day"),
+        F.col("z.series.v").alias("v"),
+        F.round(F.col("z.s.l") + 1e-9, 4).alias("level"),
+        F.round(F.col("z.s.b") + 1e-9, 4).alias("trend"),
+        F.round(F.col("z.s.l") + F.col("z.s.b") + 1e-9, 4).alias("forecast"),
+    )

@@ -6134,6 +6134,20 @@ def q251_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(scored, n_bins=10)
 
 
+def q252_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, α=0.3 β=0.2)
+    over the per-type daily-mean series — q242's EWMA upgraded with a
+    trend component so a drifting signal is tracked, not lagged. Same
+    distributed contract: one (type, day) hash agg, then a codegen
+    fold over calendar-bounded arrays with array<struct<l,b>> state;
+    oracle = recursive-CTE replay of the identical double-op
+    sequence."""
+    from ..operators.timeseries import holt_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return holt_daily(events, alpha=0.3, beta=0.2)
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9488,6 +9502,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q249_survival_km": q249_survival_km,
     "q250_interval_coverage": q250_interval_coverage,
     "q251_isotonic_calibration": q251_isotonic_calibration,
+    "q252_holt_trend": q252_holt_trend,
 }
 
 
@@ -12501,4 +12516,38 @@ ORACLE_SQL["q251_isotonic_calibration"] = """
                  + 1e-9, 6) AS pos_rate,
            round(iso.iso + 1e-9, 6) AS iso_rate
     FROM bins JOIN iso ON bins.bin = iso.k
+"""
+
+
+# q252: recursive CTE replays Holt's identical double-op sequence —
+# b_t's dependence on l_t is spelled by repeating l_t's expression
+# exactly as the Spark fold does (bit-identical), so level/trend are
+# stable before the terminal 4-dp rounds.
+ORACLE_SQL["q252_holt_trend"] = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(avg(value) + 1e-9, 4) AS v
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ), sc AS (
+      SELECT event_type, rn, day, v, v AS l,
+             CAST(0.0 AS DOUBLE) AS b
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, d.day, d.v,
+             0.3 * d.v + 0.7 * (sc.l + sc.b) AS l,
+             0.2 * ((0.3 * d.v + 0.7 * (sc.l + sc.b)) - sc.l)
+               + 0.8 * sc.b AS b
+      FROM sc JOIN d ON d.event_type = sc.event_type
+                    AND d.rn = sc.rn + 1
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v,
+           round(l + 1e-9, 4) AS level,
+           round(b + 1e-9, 4) AS trend,
+           round(l + b + 1e-9, 4) AS forecast
+    FROM sc
 """

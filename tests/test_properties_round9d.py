@@ -145,3 +145,77 @@ def test_isotonic_matches_pava(spark, bins):
         assert abs(got[b][2] - expected[b]) < 1e-6, (b, got[b], expected[b])
     # monotone nondecreasing fit
     assert all(a <= b + 1e-12 for a, b in zip(iso_seq, iso_seq[1:]))
+
+
+import datetime as dt
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    holt_daily,
+)
+
+
+def _holt_model(rows, alpha=0.3, beta=0.2):
+    """Python reference: daily means (4-dp, nudge) per key in day
+    order, then the literal Holt recurrence."""
+    daily = {}
+    for k, day, v in rows:
+        daily.setdefault((k, day), []).append(v)
+    means = {
+        kd: round(sum(vs) / len(vs) + 1e-9, 4) for kd, vs in daily.items()
+    }
+    out = {}
+    for key in sorted({k for k, _ in means}):
+        l = b = None
+        for day in sorted(d for k, d in means if k == key):
+            v = means[(key, day)]
+            if l is None:
+                l, b = v, 0.0
+            else:
+                l_new = alpha * v + (1 - alpha) * (l + b)
+                b = beta * (l_new - l) + (1 - beta) * b
+                l = l_new
+            out[(key, day)] = (
+                round(l + 1e-9, 4),
+                round(b + 1e-9, 4),
+                round(l + b + 1e-9, 4),
+            )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=12),
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_holt_matches_python_model(spark, rows):
+    base = dt.date(2024, 1, 1)
+    data = [
+        (k, dt.datetime(2024, 1, 1 + d, 12, 0, 0), v) for k, d, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, value double"
+    ).repartition(5)
+    got = {
+        (r["event_type"], dt.date.fromisoformat(r["day"])): (
+            r["level"],
+            r["trend"],
+            r["forecast"],
+        )
+        for r in holt_daily(df).collect()
+    }
+    expected = _holt_model(
+        [(k, base + dt.timedelta(days=d), v) for k, d, v in rows]
+    )
+    assert got == expected
