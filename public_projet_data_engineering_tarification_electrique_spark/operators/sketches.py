@@ -530,3 +530,122 @@ def source_minhash_oracle_sql(table: str = "documents", k: int = 3) -> str:
         JOIN sizes sb ON m.src_b = sb.g
     """
 
+
+def kmv_set_ops(
+    df: DataFrame,
+    key_col: str,
+    set_col: str,
+    set_a: str,
+    set_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) sketches for two keyed sets, with the
+    SET ALGEBRA an HLL register bank cannot do: distinct estimates for
+    A, B, A∪B, and A∩B from three k-row sketches.
+
+    KMV keeps the k smallest 52-bit hash values of each set; with
+    hashes uniform on [0, M), D ≈ (k−1)·M / h_(k). The union sketch is
+    the k smallest of A∪B directly; the intersection uses the standard
+    ratio estimator ρ = |KMV(A∪B) ∩ A ∩ B| / k scaled by the union
+    estimate. Sets smaller than k are estimated EXACTLY (the sketch is
+    the whole set) — the CASE both engines spell identically.
+
+    Scale design: one distinct (set, hash) hash agg over the scan is
+    the only full-data work; each sketch is then a TakeOrdered(k) —
+    Spark's built-in distributed top-k (per-partition partial top-k,
+    k-row merge), never a window over the set. Membership tests
+    broadcast the 256-row union sketch against the distinct table.
+    The exact intersection ground truth (one more agg over distinct
+    hashes) is computed alongside, q164-style, so the output audits
+    the estimator against truth in the same row.
+
+    Hash = 13 hex chars of md5 (the repo-wide cross-engine hash,
+    sketches.py:14) → uniform 52-bit integers; every estimate is the
+    same double-op sequence on both engines over exact integer inputs.
+
+    Output: 4 rows (metric, est, exact), metric ∈ {distinct_a,
+    distinct_b, union, intersection}.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    m_double = float(1 << 52)
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 3, 13), 16, 10
+    ).cast("long")
+    pairs = (
+        df.filter(F.col(set_col).isin(set_a, set_b))
+        .select(F.col(set_col).alias("s"), h.alias("h"))
+        .distinct()
+    )
+    hashes_a = pairs.filter(F.col("s") == set_a).select("h")
+    hashes_b = pairs.filter(F.col("s") == set_b).select("h")
+    hashes_u = pairs.select("h").distinct()
+
+    def _estimate(hashes: DataFrame) -> DataFrame:
+        """1-row (est, exact): TakeOrdered(k) sketch + exact count."""
+        sk = hashes.orderBy("h").limit(k)
+        stats = sk.agg(
+            F.count("*").alias("n_sk"), F.max("h").alias("h_k")
+        )
+        exact = hashes.agg(F.count("*").cast("long").alias("exact"))
+        return stats.crossJoin(exact).select(
+            F.round(
+                F.when(
+                    F.col("n_sk") < k, F.col("exact").cast("double")
+                ).otherwise(
+                    (F.lit(float(k - 1)) * F.lit(m_double))
+                    / F.col("h_k").cast("double")
+                )
+                + 1e-9,
+                2,
+            ).alias("est"),
+            "exact",
+        )
+
+    est_a = _estimate(hashes_a).select(
+        F.lit("distinct_a").alias("metric"), "est", "exact"
+    )
+    est_b = _estimate(hashes_b).select(
+        F.lit("distinct_b").alias("metric"), "est", "exact"
+    )
+    est_u = _estimate(hashes_u).select(
+        F.lit("union").alias("metric"), "est", "exact"
+    )
+
+    # intersection: members of the union sketch present in BOTH sets.
+    sk_u = hashes_u.orderBy("h").limit(k)
+    both = (
+        pairs.join(F.broadcast(sk_u), "h")
+        .groupBy("h")
+        .agg(F.countDistinct("s").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count("*").alias("matches"))
+    )
+    u_stats = sk_u.agg(F.count("*").alias("n_sk"), F.max("h").alias("h_k"))
+    exact_i = (
+        pairs.groupBy("h")
+        .agg(F.countDistinct("s").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count("*").cast("long").alias("exact"))
+    )
+    est_i = (
+        both.crossJoin(u_stats)
+        .crossJoin(exact_i)
+        .select(
+            F.lit("intersection").alias("metric"),
+            F.round(
+                F.when(
+                    F.col("n_sk") < k, F.col("exact").cast("double")
+                ).otherwise(
+                    F.col("matches").cast("double")
+                    * F.lit(float(k - 1))
+                    * F.lit(m_double)
+                    / (F.lit(k).cast("long") * F.col("h_k")).cast("double")
+                )
+                + 1e-9,
+                2,
+            ).alias("est"),
+            "exact",
+        )
+    )
+    return est_a.unionAll(est_b).unionAll(est_u).unionAll(est_i)

@@ -6148,6 +6148,22 @@ def q252_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_daily(events, alpha=0.3, beta=0.2)
 
 
+def q253_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra over order-key sets by return flag
+    (A = orders with a returned line, R = refused): distinct / union /
+    INTERSECTION estimates from three 256-row k-minimum-values
+    sketches — the set operation HLL registers cannot express — each
+    audited against its exact ground truth in the same row. One
+    distinct (set, hash) agg + TakeOrdered(k) per sketch; estimates
+    are single double-op sequences over exact integers."""
+    from ..operators.sketches import kmv_set_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_set_ops(
+        li, key_col="l_orderkey", set_col="l_returnflag", set_a="A", set_b="R"
+    )
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9503,6 +9519,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q250_interval_coverage": q250_interval_coverage,
     "q251_isotonic_calibration": q251_isotonic_calibration,
     "q252_holt_trend": q252_holt_trend,
+    "q253_kmv_set_ops": q253_kmv_set_ops,
 }
 
 
@@ -12550,4 +12567,64 @@ ORACLE_SQL["q252_holt_trend"] = """
            round(b + 1e-9, 4) AS trend,
            round(l + b + 1e-9, 4) AS forecast
     FROM sc
+"""
+
+
+# q253: the oracle builds the same three KMV sketches relationally —
+# 52-bit md5-slice hashes, ORDER BY h LIMIT k per set — and spells the
+# estimator with the identical double-op sequence (255.0 * 2^52 first,
+# then the divide), so estimates are bit-stable pre-round.
+ORACLE_SQL["q253_kmv_set_ops"] = """
+    WITH pairs AS (
+      SELECT DISTINCT l_returnflag AS s,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 13))
+               ::BIGINT AS h
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    sk_a AS (SELECT h FROM pairs WHERE s = 'A' ORDER BY h LIMIT 256),
+    sk_b AS (SELECT h FROM pairs WHERE s = 'R' ORDER BY h LIMIT 256),
+    sk_u AS (SELECT DISTINCT h FROM pairs ORDER BY h LIMIT 256),
+    ex AS (
+      SELECT
+        (SELECT count(*) FROM (SELECT DISTINCT h FROM pairs
+                               WHERE s = 'A')) AS xa,
+        (SELECT count(*) FROM (SELECT DISTINCT h FROM pairs
+                               WHERE s = 'R')) AS xb,
+        (SELECT count(DISTINCT h) FROM pairs) AS xu,
+        (SELECT count(*) FROM (SELECT h FROM pairs GROUP BY h
+                               HAVING count(DISTINCT s) = 2)) AS xi,
+        (SELECT count(*) FROM sk_a) AS na,
+        (SELECT count(*) FROM sk_b) AS nb,
+        (SELECT count(*) FROM sk_u) AS nu,
+        (SELECT max(h) FROM sk_a) AS ha,
+        (SELECT max(h) FROM sk_b) AS hb,
+        (SELECT max(h) FROM sk_u) AS hu,
+        (SELECT count(*) FROM sk_u
+         WHERE h IN (SELECT h FROM pairs GROUP BY h
+                     HAVING count(DISTINCT s) = 2)) AS mi
+    )
+    SELECT 'distinct_a' AS metric,
+           round(CASE WHEN na < 256 THEN CAST(xa AS DOUBLE)
+                 ELSE (255e0 * 4503599627370496e0) / CAST(ha AS DOUBLE)
+                 END + 1e-9, 2) AS est,
+           CAST(xa AS BIGINT) AS exact FROM ex
+    UNION ALL
+    SELECT 'distinct_b',
+           round(CASE WHEN nb < 256 THEN CAST(xb AS DOUBLE)
+                 ELSE (255e0 * 4503599627370496e0) / CAST(hb AS DOUBLE)
+                 END + 1e-9, 2),
+           CAST(xb AS BIGINT) FROM ex
+    UNION ALL
+    SELECT 'union',
+           round(CASE WHEN nu < 256 THEN CAST(xu AS DOUBLE)
+                 ELSE (255e0 * 4503599627370496e0) / CAST(hu AS DOUBLE)
+                 END + 1e-9, 2),
+           CAST(xu AS BIGINT) FROM ex
+    UNION ALL
+    SELECT 'intersection',
+           round(CASE WHEN nu < 256 THEN CAST(xi AS DOUBLE)
+                 ELSE CAST(mi AS DOUBLE) * 255e0 * 4503599627370496e0
+                      / CAST(256 * hu AS DOUBLE)
+                 END + 1e-9, 2),
+           CAST(xi AS BIGINT) FROM ex
 """

@@ -219,3 +219,63 @@ def test_holt_matches_python_model(spark, rows):
         [(k, base + dt.timedelta(days=d), v) for k, d, v in rows]
     )
     assert got == expected
+
+
+import hashlib
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.sketches import (
+    kmv_set_ops,
+)
+
+
+def _md5_h52(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[2:15], 16)
+
+
+def _kmv_model(a_keys, b_keys, k):
+    """Python KMV reference with the identical md5-slice hash."""
+    M = float(1 << 52)
+    ha = sorted({_md5_h52(x) for x in a_keys})
+    hb = sorted({_md5_h52(x) for x in b_keys})
+    hu = sorted(set(ha) | set(hb))
+    inter = set(ha) & set(hb)
+
+    def est(hs):
+        if len(hs[:k]) < k:
+            return round(float(len(hs)) + 1e-9, 2)
+        return round((float(k - 1) * M) / float(hs[k - 1]) + 1e-9, 2)
+
+    out = {
+        "distinct_a": (est(ha), len(ha)),
+        "distinct_b": (est(hb), len(hb)),
+        "union": (est(hu), len(hu)),
+    }
+    if len(hu) < k:
+        ei = round(float(len(inter)) + 1e-9, 2)
+    else:
+        mi = sum(1 for h in hu[:k] if h in inter)
+        ei = round(
+            float(mi) * float(k - 1) * M / float(k * hu[k - 1]) + 1e-9, 2
+        )
+    out["intersection"] = (ei, len(inter))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=60),  # |A only|
+    st.integers(min_value=0, max_value=60),  # |B only|
+    st.integers(min_value=1, max_value=60),  # |A and B|
+    st.sampled_from([8, 32]),  # k, small enough to exercise both paths
+)
+def test_kmv_matches_python_model(spark, na, nb, nab, k):
+    a_keys = [f"a{i}" for i in range(na)] + [f"c{i}" for i in range(nab)]
+    b_keys = [f"b{i}" for i in range(nb)] + [f"c{i}" for i in range(nab)]
+    rows = [("A", x) for x in a_keys] + [("R", x) for x in b_keys]
+    # duplicate rows exercise the distinct stage
+    df = spark.createDataFrame(rows + rows, "s string, key string")
+    got = {
+        r["metric"]: (r["est"], r["exact"])
+        for r in kmv_set_ops(df, "key", "s", "A", "R", k=k).collect()
+    }
+    assert got == _kmv_model(a_keys, b_keys, k)
