@@ -210,3 +210,73 @@ def rolling_origin_backtest(
         )
     )
     return folds
+
+
+def grouped_ridge(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_col: str,
+    lam: float = 1000.0,
+) -> DataFrame:
+    """Per-group closed-form RIDGE regression y ~ β0 + β1·x1 + β2·x2 —
+    the multivariate upgrade of ``ols_forecast``'s simple per-group
+    line fit (reference:api.py:117-124 fits one slope; a pricing
+    stack scoring two drivers needs the 3×3 normal equations).
+
+    Distributed contract: ONE hash agg per group computes the nine
+    sufficient statistics (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y,
+    Σx2y) with map-side partials — the n×3 design matrix never
+    shuffles, only 9 numbers per group do, and month-over-month
+    re-fits merge by adding the sums (the moment-sketch property,
+    q243). The 3×3 solve is Cramer's rule as a terminal expression.
+
+    Engine-exactness: callers pass INTEGER-VALUED columns (cents,
+    counts); every sufficient statistic accumulates as decimal(38,0)
+    (exact, order-free — Spark decimal sums match DuckDB HUGEINT),
+    and the solve is the same double-op sequence on both engines.
+    λ regularizes the x1/x2 diagonal only, never the intercept.
+
+    Output: (group, n, beta0, beta1, beta2), 6-dp rounded.
+    """
+    y, x1, x2 = F.col(y_col), F.col(x1_col), F.col(x2_col)
+
+    def s(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).alias(name)
+
+    stats = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        s(x1, "s1"),
+        s(x2, "s2"),
+        s(x1 * x1, "s11"),
+        s(x1 * x2, "s12"),
+        s(x2 * x2, "s22"),
+        s(y, "sy"),
+        s(x1 * y, "s1y"),
+        s(x2 * y, "s2y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11, a12, a13 = F.col("n").cast("double"), d("s1"), d("s2")
+    a21, a22, a23 = d("s1"), d("s11") + F.lit(lam), d("s12")
+    a31, a32, a33 = d("s2"), d("s12"), d("s22") + F.lit(lam)
+    b1, b2, b3 = d("sy"), d("s1y"), d("s2y")
+
+    def det3(m11, m12, m13, m21, m22, m23, m31, m32, m33):
+        return (
+            m11 * (m22 * m33 - m23 * m32)
+            - m12 * (m21 * m33 - m23 * m31)
+            + m13 * (m21 * m32 - m22 * m31)
+        )
+
+    det = det3(a11, a12, a13, a21, a22, a23, a31, a32, a33)
+    det0 = det3(b1, a12, a13, b2, a22, a23, b3, a32, a33)
+    det1 = det3(a11, b1, a13, a21, b2, a23, a31, b3, a33)
+    det2 = det3(a11, a12, b1, a21, a22, b2, a31, a32, b3)
+    return stats.select(
+        F.col(group_col).alias("grp"),
+        "n",
+        F.round(det0 / det + 1e-9, 6).alias("beta0"),
+        F.round(det1 / det + 1e-9, 6).alias("beta1"),
+        F.round(det2 / det + 1e-9, 6).alias("beta2"),
+    )

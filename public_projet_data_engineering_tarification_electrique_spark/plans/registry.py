@@ -6164,6 +6164,27 @@ def q253_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q254_grouped_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag closed-form ridge fit: extendedprice cents ~
+    quantity + discount-percent, λ=1000 — nine exact decimal(38,0)
+    sufficient statistics per group (map-side partials; the design
+    matrix never shuffles), Cramer 3×3 terminal solve. Multivariate
+    upgrade of q08's per-group OLS; sums merge additively across
+    shards (the q243 moment-sketch property)."""
+    from ..operators.forecast import grouped_ridge
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    out = grouped_ridge(li, "y", "x1", "x2", "l_returnflag", lam=1000.0)
+    return out.select(
+        F.col("grp").alias("flag"), "n", "beta0", "beta1", "beta2"
+    )
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9520,6 +9541,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q251_isotonic_calibration": q251_isotonic_calibration,
     "q252_holt_trend": q252_holt_trend,
     "q253_kmv_set_ops": q253_kmv_set_ops,
+    "q254_grouped_ridge": q254_grouped_ridge,
 }
 
 
@@ -12627,4 +12649,61 @@ ORACLE_SQL["q253_kmv_set_ops"] = """
                       / CAST(256 * hu AS DOUBLE)
                  END + 1e-9, 2),
            CAST(xi AS BIGINT) FROM ex
+"""
+
+
+# q254: the oracle accumulates the same nine sufficient statistics
+# (HUGEINT-exact, matching Spark's decimal(38,0) sums), casts to
+# DOUBLE, and spells the identical Cramer expansion, so betas are
+# bit-stable pre-round.
+ORACLE_SQL["q254_grouped_ridge"] = """
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2
+      FROM lineitem
+    ), s AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM base GROUP BY 1
+    ), m AS (
+      SELECT flag, n,
+             CAST(n AS DOUBLE) AS a11,
+             CAST(s1 AS DOUBLE) AS a12, CAST(s2 AS DOUBLE) AS a13,
+             CAST(s1 AS DOUBLE) AS a21,
+             CAST(s11 AS DOUBLE) + 1000.0 AS a22,
+             CAST(s12 AS DOUBLE) AS a23,
+             CAST(s2 AS DOUBLE) AS a31, CAST(s12 AS DOUBLE) AS a32,
+             CAST(s22 AS DOUBLE) + 1000.0 AS a33,
+             CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+             CAST(s2y AS DOUBLE) AS b3
+      FROM s
+    )
+    SELECT flag, n,
+           round((b1 * (a22 * a33 - a23 * a32)
+                  - a12 * (b2 * a33 - a23 * b3)
+                  + a13 * (b2 * a32 - a22 * b3))
+                 / (a11 * (a22 * a33 - a23 * a32)
+                    - a12 * (a21 * a33 - a23 * a31)
+                    + a13 * (a21 * a32 - a22 * a31)) + 1e-9, 6)
+             AS beta0,
+           round((a11 * (b2 * a33 - a23 * b3)
+                  - b1 * (a21 * a33 - a23 * a31)
+                  + a13 * (a21 * b3 - b2 * a31))
+                 / (a11 * (a22 * a33 - a23 * a32)
+                    - a12 * (a21 * a33 - a23 * a31)
+                    + a13 * (a21 * a32 - a22 * a31)) + 1e-9, 6)
+             AS beta1,
+           round((a11 * (a22 * b3 - b2 * a32)
+                  - a12 * (a21 * b3 - b2 * a31)
+                  + b1 * (a21 * a32 - a22 * a31))
+                 / (a11 * (a22 * a33 - a23 * a32)
+                    - a12 * (a21 * a33 - a23 * a31)
+                    + a13 * (a21 * a32 - a22 * a31)) + 1e-9, 6)
+             AS beta2
+    FROM m
 """

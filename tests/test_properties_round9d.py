@@ -279,3 +279,48 @@ def test_kmv_matches_python_model(spark, na, nb, nab, k):
         for r in kmv_set_ops(df, "key", "s", "A", "R", k=k).collect()
     }
     assert got == _kmv_model(a_keys, b_keys, k)
+
+
+import numpy as np
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.forecast import (
+    grouped_ridge,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-50, max_value=50),  # x1
+            st.integers(min_value=-10, max_value=10),  # x2
+            st.integers(min_value=-1000, max_value=1000),  # y
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_grouped_ridge_matches_numpy(spark, rows):
+    lam = 7.0
+    df = spark.createDataFrame(
+        rows, "g string, x1 long, x2 long, y long"
+    ).repartition(4)
+    got = {
+        r["grp"]: (r["n"], r["beta0"], r["beta1"], r["beta2"])
+        for r in grouped_ridge(df, "y", "x1", "x2", "g", lam=lam).collect()
+    }
+    for g in sorted({r[0] for r in rows}):
+        pts = [(x1, x2, y) for gg, x1, x2, y in rows if gg == g]
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in pts])
+        y = np.array([float(yy) for _, _, yy in pts])
+        A = X.T @ X + np.diag([0.0, lam, lam])
+        beta = np.linalg.solve(A, X.T @ y)
+        n, b0, b1, b2 = got[g]
+        assert n == len(pts)
+        for want, have in zip(beta, (b0, b1, b2)):
+            assert abs(want - have) < 1e-4 * max(1.0, abs(want)), (
+                g,
+                beta,
+                (b0, b1, b2),
+            )
