@@ -1014,3 +1014,89 @@ def isotonic_calibration(
             F.round(F.col("iso") + 1e-9, 6).alias("iso_rate"),
         )
     )
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    grid_dp: int = 4,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between two groups' value
+    distributions — the MEAN-difference go/no-go next to ``chi2_2x2``
+    (proportions) and ``ks_distance`` (whole distribution). Reported
+    with the Welch–Satterthwaite degrees of freedom; like the module's
+    other tests, the p-value transcendental is deliberately NOT
+    computed (callers compare |t| against a critical value — erf/gamma
+    tails are libm-unstable across engines).
+
+    Engine-exactness: values snap to the 10^grid_dp integer grid
+    FIRST; per-arm (n, Σv, Σv²) then accumulate as decimal(38,0) —
+    exact and order-free, matching DuckDB's HUGEINT sums — and the
+    statistic is one identical double-op sequence per engine (sqrt is
+    IEEE-correctly-rounded, safe; sample variance via the
+    sum-of-squares identity over exact integers).
+
+    Plan shape: one projection + one 2-row hash agg (map-side
+    partials); the two arm rows meet in a self-join of the tiny agg.
+    Output: 1 row (n_a, n_b, mean_a, mean_b, t, df), 6-dp rounded.
+    """
+    scale = float(10**grid_dp)
+    g = F.round(F.col(value_col) * scale).cast("long")
+    arms = (
+        df.filter(
+            F.col(group_col).isin(group_a, group_b)
+            & F.col(value_col).isNotNull()
+        )
+        .select(F.col(group_col).alias("arm"), g.alias("v"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias(
+                "svv"
+            ),
+        )
+    )
+    a = arms.filter(F.col("arm") == group_a).select(
+        F.col("n").alias("na"),
+        F.col("sv").cast("double").alias("sva"),
+        F.col("svv").cast("double").alias("svva"),
+    )
+    b = arms.filter(F.col("arm") == group_b).select(
+        F.col("n").alias("nb"),
+        F.col("sv").cast("double").alias("svb"),
+        F.col("svv").cast("double").alias("svvb"),
+    )
+    j = a.crossJoin(b)
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sva") / na_d / F.lit(scale)
+    mb = F.col("svb") / nb_d / F.lit(scale)
+    # sample variance on the value scale: (Σv² − (Σv)²/n) / (n−1) / 10^2dp
+    var_a = (
+        (F.col("svva") - F.col("sva") * F.col("sva") / na_d)
+        / (na_d - F.lit(1.0))
+        / F.lit(scale * scale)
+    )
+    var_b = (
+        (F.col("svvb") - F.col("svb") * F.col("svb") / nb_d)
+        / (nb_d - F.lit(1.0))
+        / F.lit(scale * scale)
+    )
+    se2a = var_a / na_d
+    se2b = var_b / nb_d
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    dof = ((se2a + se2b) * (se2a + se2b)) / (
+        se2a * se2a / (na_d - F.lit(1.0))
+        + se2b * se2b / (nb_d - F.lit(1.0))
+    )
+    return j.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ma + 1e-9, 6).alias("mean_a"),
+        F.round(mb + 1e-9, 6).alias("mean_b"),
+        F.round(t + 1e-9, 6).alias("t_stat"),
+        F.round(dof + 1e-9, 6).alias("welch_df"),
+    )

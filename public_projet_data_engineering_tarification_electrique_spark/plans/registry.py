@@ -6185,6 +6185,19 @@ def q254_grouped_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q255_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (click vs view event
+    values) with Welch–Satterthwaite df — the mean-difference test
+    next to q180's chi² (proportions) and q176's KS (distribution).
+    Values snap to the 1e-4 integer grid; per-arm (n, Σv, Σv²) are
+    exact decimal sums (one 2-row hash agg, map-side partials); the
+    statistic is one identical double-op sequence per engine."""
+    from ..operators.stats import welch_t
+
+    events = load_table(spark, sf_dir, "events")
+    return welch_t(events, "value", "event_type", "click", "view")
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9542,6 +9555,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q252_holt_trend": q252_holt_trend,
     "q253_kmv_set_ops": q253_kmv_set_ops,
     "q254_grouped_ridge": q254_grouped_ridge,
+    "q255_welch_ttest": q255_welch_ttest,
 }
 
 
@@ -12705,5 +12719,49 @@ ORACLE_SQL["q254_grouped_ridge"] = """
                     - a12 * (a21 * a33 - a23 * a31)
                     + a13 * (a21 * a32 - a22 * a31)) + 1e-9, 6)
              AS beta2
+    FROM m
+"""
+
+
+# q255: HUGEINT-exact grid sums cast to DOUBLE, then the identical
+# double-op sequence (variance via the sum-of-squares identity, sqrt
+# IEEE-correctly-rounded) — t and df bit-stable pre-round.
+ORACLE_SQL["q255_welch_ttest"] = """
+    WITH snapped AS (
+      SELECT event_type AS arm,
+             CAST(round(value * 1e4) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS sv, sum(v * v) AS svv
+      FROM snapped GROUP BY 1
+    ), j AS (
+      SELECT a.n AS na, CAST(a.sv AS DOUBLE) AS sva,
+             CAST(a.svv AS DOUBLE) AS svva,
+             b.n AS nb, CAST(b.sv AS DOUBLE) AS svb,
+             CAST(b.svv AS DOUBLE) AS svvb
+      FROM (SELECT * FROM arms WHERE arm = 'click') a
+      CROSS JOIN (SELECT * FROM arms WHERE arm = 'view') b
+    ), m AS (
+      SELECT na, nb,
+             sva / CAST(na AS DOUBLE) / 1e4 AS ma,
+             svb / CAST(nb AS DOUBLE) / 1e4 AS mb,
+             (svva - sva * sva / CAST(na AS DOUBLE))
+               / (CAST(na AS DOUBLE) - 1.0) / (1e4 * 1e4)
+               / CAST(na AS DOUBLE) AS se2a,
+             (svvb - svb * svb / CAST(nb AS DOUBLE))
+               / (CAST(nb AS DOUBLE) - 1.0) / (1e4 * 1e4)
+               / CAST(nb AS DOUBLE) AS se2b
+      FROM j
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(ma + 1e-9, 6) AS mean_a,
+           round(mb + 1e-9, 6) AS mean_b,
+           round((ma - mb) / sqrt(se2a + se2b) + 1e-9, 6) AS t_stat,
+           round(((se2a + se2b) * (se2a + se2b))
+                 / (se2a * se2a / (CAST(na AS DOUBLE) - 1.0)
+                    + se2b * se2b / (CAST(nb AS DOUBLE) - 1.0))
+                 + 1e-9, 6) AS welch_df
     FROM m
 """

@@ -324,3 +324,55 @@ def test_grouped_ridge_matches_numpy(spark, rows):
                 beta,
                 (b0, b1, b2),
             )
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    welch_t,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    st.lists(
+        st.floats(
+            min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+)
+def test_welch_matches_python_model(spark, xs, ys):
+    # degenerate zero-variance arms make t undefined; keep the model
+    # simple by nudging a duplicate-only arm
+    if len(set(xs)) == 1:
+        xs = xs + [xs[0] + 1.0]
+    if len(set(ys)) == 1:
+        ys = ys + [ys[0] + 1.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "arm string, value double").repartition(
+        3
+    )
+    r = welch_t(df, "value", "arm", "a", "b").collect()[0]
+    gx = [round(v * 1e4) for v in xs]
+    gy = [round(v * 1e4) for v in ys]
+    na, nb = len(gx), len(gy)
+    ma = sum(gx) / na / 1e4
+    mb = sum(gy) / nb / 1e4
+    va = (sum(v * v for v in gx) - sum(gx) ** 2 / na) / (na - 1) / 1e8
+    vb = (sum(v * v for v in gy) - sum(gy) ** 2 / nb) / (nb - 1) / 1e8
+    se2a, se2b = va / na, vb / nb
+    t = (ma - mb) / (se2a + se2b) ** 0.5
+    dof = (se2a + se2b) ** 2 / (
+        se2a**2 / (na - 1) + se2b**2 / (nb - 1)
+    )
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["mean_a"] - ma) < 1e-5 and abs(r["mean_b"] - mb) < 1e-5
+    assert abs(r["t_stat"] - t) < 1e-4 * max(1.0, abs(t))
+    assert abs(r["welch_df"] - dof) < 1e-4 * max(1.0, abs(dof))
