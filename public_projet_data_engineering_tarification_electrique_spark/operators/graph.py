@@ -246,3 +246,60 @@ def label_propagation(
             picked.select("id"), on="id", how="left_anti"
         )
     return assign
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop every node whose
+    degree in the surviving induced subgraph is below ``k`` — the
+    density-community refinement next to connected components (CC
+    keeps any bridge-connected fluff; the k-core keeps only the
+    mutually-dense backbone curation actually wants).
+
+    FIXED ``rounds`` on both engines (the q134 PageRank contract): one
+    peel round removes ALL sub-k nodes simultaneously (order-free —
+    unlike sequential min-degree peeling, the simultaneous variant has
+    one deterministic result per round), and a bounded unroll in the
+    oracle replays it exactly, converged or not. Callers pick
+    ``rounds`` to reach the fixpoint at their scale and assert
+    convergence in tests; every quantity is an exact integer.
+
+    Input must be a SYMMETRIC distinct edge list (both (u,v) and
+    (v,u) present, no self-loops). Per round: two semi-joins restrict
+    edges to the surviving nodes, one hash agg on the node id
+    recomputes degrees — partitioned by node key throughout, the
+    alive set (|V| rows) stays orders smaller than the edges, and a
+    lazy localCheckpoint per round stops the lineage from compounding
+    across rounds (the q47 CC discipline).
+
+    Output: (node, core_deg) for the final survivors, where core_deg
+    is the node's degree in the PREVIOUS round's induced subgraph —
+    the quantity the final filter tested, identical in the oracle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    alive = e.select(F.col("src").alias("node")).distinct()
+    survivors = None
+    for _ in range(rounds):
+        e2 = e.join(
+            alive.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+        survivors = (
+            e2.groupBy("src")
+            .agg(F.count("*").cast("long").alias("core_deg"))
+            .filter(F.col("core_deg") >= k)
+        )
+        alive = survivors.select(F.col("src").alias("node")).localCheckpoint(
+            eager=False
+        )
+    return survivors.select(F.col("src").alias("node"), "core_deg")

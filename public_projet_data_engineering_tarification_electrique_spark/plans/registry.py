@@ -6198,6 +6198,37 @@ def q255_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_t(events, "value", "event_type", "click", "view")
 
 
+def q256_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-core of the customer↔supplier trade graph (q134's symmetric
+    distinct edge list): 4 fixed simultaneous peel rounds — each
+    round drops every node whose induced-subgraph degree is below 12
+    (order-free, unlike sequential min-degree peeling), two
+    semi-joins + one node-key hash agg per round, lazy checkpoints
+    stop lineage compounding. The oracle unrolls the identical 4
+    rounds; convergence at this scale is pinned by a test (round 4 ==
+    round 3), so the fixed unroll IS the fixpoint here."""
+    from ..operators.graph import kcore_peel
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_peel(edges, k=12, rounds=4)
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9556,6 +9587,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q253_kmv_set_ops": q253_kmv_set_ops,
     "q254_grouped_ridge": q254_grouped_ridge,
     "q255_welch_ttest": q255_welch_ttest,
+    "q256_kcore": q256_kcore,
 }
 
 
@@ -12764,4 +12796,45 @@ ORACLE_SQL["q255_welch_ttest"] = """
                     + se2b * se2b / (CAST(nb AS DOUBLE) - 1.0))
                  + 1e-9, 6) AS welch_df
     FROM m
+"""
+
+
+# q256: the oracle unrolls the identical 4 simultaneous peel rounds —
+# per round, degrees over edges with BOTH endpoints surviving, filter
+# >= k. Exact integers; src (even) and dst (odd) ids never collide so
+# the symmetric edge list is a plain UNION ALL.
+ORACLE_SQL["q256_kcore"] = """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst, src FROM pairs
+    ), a0 AS (SELECT DISTINCT src AS node FROM edges),
+    d1 AS (
+      SELECT src, count(*) AS deg FROM edges
+      WHERE src IN (SELECT node FROM a0)
+        AND dst IN (SELECT node FROM a0)
+      GROUP BY 1 HAVING count(*) >= 12
+    ), a1 AS (SELECT src AS node FROM d1),
+    d2 AS (
+      SELECT src, count(*) AS deg FROM edges
+      WHERE src IN (SELECT node FROM a1)
+        AND dst IN (SELECT node FROM a1)
+      GROUP BY 1 HAVING count(*) >= 12
+    ), a2 AS (SELECT src AS node FROM d2),
+    d3 AS (
+      SELECT src, count(*) AS deg FROM edges
+      WHERE src IN (SELECT node FROM a2)
+        AND dst IN (SELECT node FROM a2)
+      GROUP BY 1 HAVING count(*) >= 12
+    ), a3 AS (SELECT src AS node FROM d3),
+    d4 AS (
+      SELECT src, count(*) AS deg FROM edges
+      WHERE src IN (SELECT node FROM a3)
+        AND dst IN (SELECT node FROM a3)
+      GROUP BY 1 HAVING count(*) >= 12
+    )
+    SELECT src AS node, CAST(deg AS BIGINT) AS core_deg FROM d4
 """

@@ -376,3 +376,73 @@ def test_welch_matches_python_model(spark, xs, ys):
     assert abs(r["mean_a"] - ma) < 1e-5 and abs(r["mean_b"] - mb) < 1e-5
     assert abs(r["t_stat"] - t) < 1e-4 * max(1.0, abs(t))
     assert abs(r["welch_df"] - dof) < 1e-4 * max(1.0, abs(dof))
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.graph import (
+    kcore_peel,
+)
+
+
+def _kcore_model(edge_set, k, rounds):
+    """Python reference: simultaneous peel, `rounds` fixed rounds;
+    returns {node: deg-in-previous-round-subgraph} for survivors."""
+    alive = {u for u, _ in edge_set} | {v for _, v in edge_set}
+    deg = {}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in edge_set:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+        alive = {u for u, d in deg.items() if d >= k}
+    return {u: d for u, d in deg.items() if d >= k}
+
+
+def _sym(pairs):
+    s = set()
+    for u, v in pairs:
+        if u != v:
+            s.add((u, v))
+            s.add((v, u))
+    return s
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),  # k
+)
+def test_kcore_matches_python_model(spark, pairs, k):
+    edge_set = _sym(pairs)
+    if not edge_set:
+        return
+    df = spark.createDataFrame(
+        sorted(edge_set), "src long, dst long"
+    ).repartition(4)
+    rounds = 6
+    got = {
+        r["node"]: r["core_deg"]
+        for r in kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == _kcore_model(edge_set, k, rounds)
+
+
+def test_kcore_chain_cascades_one_endpoint_per_round(spark):
+    # path 0-1-2-3-4-5 with k=2: ends peel off one round at a time —
+    # the deep-cascade case the fixed-round contract must replay.
+    chain = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(sorted(_sym(chain)), "src long, dst long")
+    # after 2 rounds: nodes 2,3 survive round 1 (deg 2 among 1..4),
+    # then peel to empty by round 3
+    got2 = {
+        r["node"]: r["core_deg"]
+        for r in kcore_peel(df, k=2, rounds=2).collect()
+    }
+    assert got2 == _kcore_model(_sym(chain), 2, 2)
+    assert kcore_peel(df, k=2, rounds=4).count() == 0
