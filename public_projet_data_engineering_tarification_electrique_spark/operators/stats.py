@@ -1100,3 +1100,83 @@ def welch_t(
         F.round(t + 1e-9, 6).alias("t_stat"),
         F.round(dof + 1e-9, 6).alias("welch_df"),
     )
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    grid_dp: int = 4,
+) -> DataFrame:
+    """One-way ANOVA F statistic across ALL groups of ``group_col`` —
+    the k-arm generalization of ``welch_t`` (equal-variance, omnibus
+    "did ANY arm move?"); like the module's other tests, the p-value
+    transcendental is deliberately not computed.
+
+    Engine-exactness, three layers: values snap to the 10^grid_dp
+    integer grid; per-group (n, Σv, Σv²) accumulate as decimal(38,0)
+    (exact, order-free); and the CROSS-GROUP reduction of the float
+    terms Σ_g (Σv_g)²/n_g and Σ_g (Q_g − (Σv_g)²/n_g) — the one place
+    a plain SUM would be partial-order-dependent — is a DETERMINISTIC
+    left fold over the groups in group-name order (codegen `aggregate`
+    over the sorted collect_list; DuckDB `list_reduce` over
+    `list(... ORDER BY grp)`). N and Σv re-aggregate from the decimal
+    group sums, still exact.
+
+    Plan shape: one hash agg to |groups| rows (map-side partials),
+    then a 1-row terminal fold. Output: (k, n_total, ss_between,
+    ss_within, f_stat) on the value scale, 6-dp rounded.
+    """
+    scale = float(10**grid_dp)
+    g = F.round(F.col(value_col) * scale).cast("long")
+    grp = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("grp"), g.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("q"),
+        )
+    )
+    s_d = F.col("s").cast("double")
+    n_d = F.col("n").cast("double")
+    terms = grp.select(
+        "grp",
+        "n",
+        "s",
+        (s_d * s_d / n_d).alias("tb"),
+        (F.col("q").cast("double") - s_d * s_d / n_d).alias("tw"),
+    )
+    folded = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").alias("s_tot"),
+        F.sort_array(F.collect_list(F.struct("grp", "tb", "tw"))).alias(
+            "_t"
+        ),
+    ).select(
+        "k",
+        "n_total",
+        F.col("s_tot").cast("double").alias("s_tot"),
+        F.aggregate(
+            "_t", F.lit(0.0), lambda acc, x: acc + x["tb"]
+        ).alias("sum_tb"),
+        F.aggregate(
+            "_t", F.lit(0.0), lambda acc, x: acc + x["tw"]
+        ).alias("sum_tw"),
+    )
+    nt_d = F.col("n_total").cast("double")
+    k_d = F.col("k").cast("double")
+    ssb = (
+        F.col("sum_tb") - F.col("s_tot") * F.col("s_tot") / nt_d
+    ) / F.lit(scale * scale)
+    ssw = F.col("sum_tw") / F.lit(scale * scale)
+    f_stat = (ssb / (k_d - F.lit(1.0))) / (ssw / (nt_d - k_d))
+    return folded.select(
+        "k",
+        "n_total",
+        F.round(ssb + 1e-9, 6).alias("ss_between"),
+        F.round(ssw + 1e-9, 6).alias("ss_within"),
+        F.round(f_stat + 1e-9, 6).alias("f_stat"),
+    )

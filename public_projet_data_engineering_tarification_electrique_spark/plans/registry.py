@@ -6229,6 +6229,18 @@ def q256_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=12, rounds=4)
 
 
+def q257_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types' value
+    distributions — the omnibus k-arm test over q255's two-arm Welch:
+    per-group exact decimal grid sums, the cross-group float reduction
+    done as a DETERMINISTIC group-name-order fold (codegen aggregate /
+    DuckDB list_reduce), one |groups|-row hash agg total."""
+    from ..operators.stats import anova_f
+
+    events = load_table(spark, sf_dir, "events")
+    return anova_f(events, "value", "event_type")
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9588,6 +9600,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q254_grouped_ridge": q254_grouped_ridge,
     "q255_welch_ttest": q255_welch_ttest,
     "q256_kcore": q256_kcore,
+    "q257_anova_f": q257_anova_f,
 }
 
 
@@ -12837,4 +12850,50 @@ ORACLE_SQL["q256_kcore"] = """
       GROUP BY 1 HAVING count(*) >= 12
     )
     SELECT src AS node, CAST(deg AS BIGINT) AS core_deg FROM d4
+"""
+
+
+# q257: HUGEINT-exact per-group grid sums; the cross-group float terms
+# fold via list_reduce over list(... ORDER BY grp) — the same left
+# fold, same op order, as Spark's sorted-collect_list aggregate.
+ORACLE_SQL["q257_anova_f"] = """
+    WITH snapped AS (
+      SELECT CAST(event_type AS VARCHAR) AS grp,
+             CAST(round(value * 1e4) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), grps AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s, sum(v * v) AS q
+      FROM snapped GROUP BY 1
+    ), terms AS (
+      SELECT grp, n, s,
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               AS tb,
+             CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS tw
+      FROM grps
+    ), folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(s) AS DOUBLE) AS s_tot,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(tb ORDER BY grp)),
+                         (acc, x) -> acc + x) AS sum_tb,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(tw ORDER BY grp)),
+                         (acc, x) -> acc + x) AS sum_tw
+      FROM terms
+    )
+    SELECT k, n_total,
+           round((sum_tb - s_tot * s_tot / CAST(n_total AS DOUBLE))
+                 / (1e4 * 1e4) + 1e-9, 6) AS ss_between,
+           round(sum_tw / (1e4 * 1e4) + 1e-9, 6) AS ss_within,
+           round(((sum_tb - s_tot * s_tot / CAST(n_total AS DOUBLE))
+                  / (1e4 * 1e4) / (CAST(k AS DOUBLE) - 1.0))
+                 / ((sum_tw / (1e4 * 1e4))
+                    / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+                 + 1e-9, 6) AS f_stat
+    FROM folded
 """

@@ -446,3 +446,51 @@ def test_kcore_chain_cascades_one_endpoint_per_round(spark):
     }
     assert got2 == _kcore_model(_sym(chain), 2, 2)
     assert kcore_peel(df, k=2, rounds=4).count() == 0
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    anova_f,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["g1", "g2", "g3", "g4"]),
+        st.lists(
+            st.floats(
+                min_value=-50,
+                max_value=50,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=2,
+            max_size=15,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_anova_matches_python_model(spark, arms):
+    rows = [(g, v) for g, vs in arms.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, value double").repartition(
+        3
+    )
+    r = anova_f(df, "value", "grp").collect()[0]
+    snapped = {g: [round(v * 1e4) for v in vs] for g, vs in arms.items()}
+    k = len(snapped)
+    n = sum(len(vs) for vs in snapped.values())
+    s_tot = sum(sum(vs) for vs in snapped.values())
+    sum_tb = sum(sum(vs) ** 2 / len(vs) for vs in snapped.values())
+    sum_tw = sum(
+        sum(v * v for v in vs) - sum(vs) ** 2 / len(vs)
+        for vs in snapped.values()
+    )
+    ssb = (sum_tb - s_tot**2 / n) / 1e8
+    ssw = sum_tw / 1e8
+    assert (r["k"], r["n_total"]) == (k, n)
+    assert abs(r["ss_between"] - ssb) < 1e-4 * max(1.0, abs(ssb))
+    assert abs(r["ss_within"] - ssw) < 1e-4 * max(1.0, abs(ssw))
+    if ssw > 1e-9:
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert abs(r["f_stat"] - f) < 1e-4 * max(1.0, abs(f))
