@@ -1172,7 +1172,15 @@ def anova_f(
         F.col("sum_tb") - F.col("s_tot") * F.col("s_tot") / nt_d
     ) / F.lit(scale * scale)
     ssw = F.col("sum_tw") / F.lit(scale * scale)
-    f_stat = (ssb / (k_d - F.lit(1.0))) / (ssw / (nt_d - k_d))
+    # F is undefined for a single group, zero residual variance, or
+    # saturated groups (n == k) — NULL, spelled identically in the
+    # oracle (ANSI Spark raises on /0 rather than returning inf).
+    defined = (F.col("k") > 1) & (F.col("n_total") > F.col("k")) & (
+        F.col("sum_tw") > 0
+    )
+    f_stat = F.when(
+        defined, (ssb / (k_d - F.lit(1.0))) / (ssw / (nt_d - k_d))
+    )
     return folded.select(
         "k",
         "n_total",

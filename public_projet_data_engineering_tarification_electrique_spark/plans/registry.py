@@ -12890,10 +12890,11 @@ ORACLE_SQL["q257_anova_f"] = """
            round((sum_tb - s_tot * s_tot / CAST(n_total AS DOUBLE))
                  / (1e4 * 1e4) + 1e-9, 6) AS ss_between,
            round(sum_tw / (1e4 * 1e4) + 1e-9, 6) AS ss_within,
-           round(((sum_tb - s_tot * s_tot / CAST(n_total AS DOUBLE))
-                  / (1e4 * 1e4) / (CAST(k AS DOUBLE) - 1.0))
-                 / ((sum_tw / (1e4 * 1e4))
-                    / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
-                 + 1e-9, 6) AS f_stat
+           round(CASE WHEN k > 1 AND n_total > k AND sum_tw > 0
+                 THEN ((sum_tb - s_tot * s_tot / CAST(n_total AS DOUBLE))
+                       / (1e4 * 1e4) / (CAST(k AS DOUBLE) - 1.0))
+                      / ((sum_tw / (1e4 * 1e4))
+                         / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+                 END + 1e-9, 6) AS f_stat
     FROM folded
 """

@@ -491,6 +491,8 @@ def test_anova_matches_python_model(spark, arms):
     assert (r["k"], r["n_total"]) == (k, n)
     assert abs(r["ss_between"] - ssb) < 1e-4 * max(1.0, abs(ssb))
     assert abs(r["ss_within"] - ssw) < 1e-4 * max(1.0, abs(ssw))
-    if ssw > 1e-9:
+    if sum_tw > 0 and k > 1 and n > k:
         f = (ssb / (k - 1)) / (ssw / (n - k))
         assert abs(r["f_stat"] - f) < 1e-4 * max(1.0, abs(f))
+    else:
+        assert r["f_stat"] is None
