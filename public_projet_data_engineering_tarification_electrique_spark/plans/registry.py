@@ -6241,6 +6241,18 @@ def q257_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anova_f(events, "value", "event_type")
 
 
+def q258_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (purchase vs error event values): the
+    nonparametric mean-shift test beside q255's Welch t — 2·U from
+    exact integer level counts (one grid agg + the q176 distributed
+    prefix sum, never a window), tie-corrected normal z as one
+    identical double-op sequence."""
+    from ..operators.stats import mann_whitney_u
+
+    events = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(events, "value", "event_type", "purchase", "error")
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9601,6 +9613,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q255_welch_ttest": q255_welch_ttest,
     "q256_kcore": q256_kcore,
     "q257_anova_f": q257_anova_f,
+    "q258_mann_whitney": q258_mann_whitney,
 }
 
 
@@ -12897,4 +12910,48 @@ ORACLE_SQL["q257_anova_f"] = """
                          / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
                  END + 1e-9, 6) AS f_stat
     FROM folded
+"""
+
+
+# q258: identical integer level algebra — 2·U = Σ c_a·(2·cum_b − c_b)
+# summed exactly; tie term Σ(t³−t); z spelled with the same double-op
+# sequence and the same variance-0 NULL guard.
+ORACLE_SQL["q258_mann_whitney"] = """
+    WITH cells AS (
+      SELECT round(value + 1e-9, 2) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS ca,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS cb
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+      GROUP BY 1
+    ), cum AS (
+      SELECT ca, cb,
+             sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+               AS cumb
+      FROM cells
+    ), agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * (2 * cumb - cb)) AS BIGINT) AS u2_a,
+             CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                  AS BIGINT) AS tie3
+      FROM cum
+    ), v AS (
+      SELECT n_a, n_b, u2_a,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+               * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                  - CAST(tie3 AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE)
+                       * (CAST(n_a + n_b AS DOUBLE) - 1.0))) AS var_u
+      FROM agg
+    )
+    SELECT n_a, n_b, u2_a,
+           round(CASE WHEN var_u > 0 THEN
+                   (CAST(u2_a AS DOUBLE) / 2.0
+                    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                   / sqrt(var_u)
+                 END + 1e-9, 6) AS z
+    FROM v
 """

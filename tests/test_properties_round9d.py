@@ -496,3 +496,53 @@ def test_anova_matches_python_model(spark, arms):
         assert abs(r["f_stat"] - f) < 1e-4 * max(1.0, abs(f))
     else:
         assert r["f_stat"] is None
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    mann_whitney_u,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_mann_whitney_matches_bruteforce(spark, xs, ys):
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "arm string, value double").repartition(
+        3
+    )
+    r = mann_whitney_u(df, "value", "arm", "a", "b").collect()[0]
+    # brute-force pairwise U on the 2-dp rounded values:
+    # U_a = #(x > y) + 0.5 * #(x == y)
+    gx = [round(v + 1e-9, 2) for v in xs]
+    gy = [round(v + 1e-9, 2) for v in ys]
+    u2 = sum(
+        2 if x > y else (1 if x == y else 0) for x in gx for y in gy
+    )
+    assert (r["n_a"], r["n_b"], r["u2_a"]) == (len(gx), len(gy), u2)
+    # z against the standard tie-corrected formula
+    from collections import Counter
+
+    n = len(gx) + len(gy)
+    ties = Counter(gx + gy)
+    tie3 = sum(t**3 - t for t in ties.values())
+    var_u = len(gx) * len(gy) / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+    if var_u > 0:
+        z = (u2 / 2.0 - len(gx) * len(gy) / 2.0) / var_u**0.5
+        assert abs(r["z"] - z) < 1e-5 * max(1.0, abs(z))
+    else:
+        assert r["z"] is None
