@@ -1086,3 +1086,98 @@ def bpe_merges_oracle_sql(table: str = "documents", rounds: int = 3) -> str:
         "WITH " + ",".join(ctes) + "\n    "
         + "\n    UNION ALL ".join(selects)
     )
+
+
+def js_divergence(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpus slices' token
+    (unigram) distributions — the SYMMETRIC, always-finite corpus-drift
+    number beside q207's binned PSI: JS sees the whole vocabulary, is
+    bounded by ln 2, and never blows up on a token one side lacks
+    (where KL does).
+
+    The vocabulary is DATA-SHAPED (unbounded cells), so a float SUM of
+    per-term contributions would be partial-order-dependent — the
+    hazard every other float reduction in this repo avoids with
+    bounded grids or deterministic folds. Here each term's
+    contribution is computed once in double from EXACT integer counts
+    (ln args as pure-double products, the q246 discipline), snapped to
+    the 1e-12 integer grid, and summed as decimal(38,0) — exact and
+    order-free at any vocabulary size; one terminal division. The
+    statistic is therefore the exact JS of the grid-snapped terms,
+    identical on both engines by construction.
+
+    Plan shape: explode → one (token) hash agg with map-side partials
+    (the exchange carries the vocabulary, not the token stream) → one
+    1-row reduction. Tokenization = the repo-wide whitespace contract
+    (functions/text.nonempty_tokens, lowercased).
+
+    Output: 1 row (vocab_a, vocab_b, vocab_common, js_nats).
+    """
+    from ..functions.text import nonempty_tokens
+
+    toks = (
+        docs.filter(
+            F.col(group_col).isin(group_a, group_b)
+            & F.col(text_col).isNotNull()
+        )
+        .select(
+            (F.col(group_col) == group_a).alias("_is_a"),
+            F.explode(nonempty_tokens(F.lower(F.col(text_col)))).alias(
+                "tok"
+            ),
+        )
+    )
+    cells = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("b"),
+    )
+    totals = cells.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    a_d, b_d = F.col("a").cast("double"), F.col("b").cast("double")
+    ta_d, tb_d = F.col("ta").cast("double"), F.col("tb").cast("double")
+    term_a = F.when(
+        F.col("a") > 0,
+        a_d
+        / ta_d
+        * F.log(
+            F.lit(2.0) * a_d * tb_d / (a_d * tb_d + b_d * ta_d)
+        ),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0,
+        b_d
+        / tb_d
+        * F.log(
+            F.lit(2.0) * b_d * ta_d / (b_d * ta_d + a_d * tb_d)
+        ),
+    ).otherwise(F.lit(0.0))
+    snapped = cells.crossJoin(F.broadcast(totals)).select(
+        "a",
+        "b",
+        F.round(term_a * F.lit(1e12)).cast("decimal(38,0)").alias("_qa"),
+        F.round(term_b * F.lit(1e12)).cast("decimal(38,0)").alias("_qb"),
+    )
+    return snapped.agg(
+        F.sum(F.when(F.col("a") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vocab_a"),
+        F.sum(F.when(F.col("b") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vocab_b"),
+        F.sum(F.when((F.col("a") > 0) & (F.col("b") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("vocab_common"),
+        F.round(
+            (F.sum("_qa") + F.sum("_qb")).cast("double") / F.lit(2e12)
+            + 1e-9,
+            6,
+        ).alias("js_nats"),
+    )

@@ -6253,6 +6253,19 @@ def q258_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(events, "value", "event_type", "purchase", "error")
 
 
+def q259_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between src0's and src1's unigram
+    distributions — symmetric, ln2-bounded corpus drift over the WHOLE
+    vocabulary (q207's PSI needs bins; KL blows up on one-sided
+    tokens). Per-term doubles from exact counts snapped to the 1e-12
+    grid, then an exact decimal sum — the order-free reduction for a
+    data-shaped cell table."""
+    from ..operators.textstats import js_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence(docs, "text", "source", "src0", "src1")
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9614,6 +9627,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q256_kcore": q256_kcore,
     "q257_anova_f": q257_anova_f,
     "q258_mann_whitney": q258_mann_whitney,
+    "q259_js_divergence": q259_js_divergence,
 }
 
 
@@ -12954,4 +12968,49 @@ ORACLE_SQL["q258_mann_whitney"] = """
                    / sqrt(var_u)
                  END + 1e-9, 6) AS z
     FROM v
+"""
+
+
+# q259: identical per-term double expressions from exact counts (ln
+# args as pure-double products, q246 discipline), snapped to the 1e-12
+# grid, summed HUGEINT-exact — order-free over any vocabulary size.
+ORACLE_SQL["q259_js_divergence"] = """
+    WITH toks AS (
+      SELECT (source = 'src0') AS is_a,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+      WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+    ), cells AS (
+      SELECT tok,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
+      FROM toks WHERE tok <> '' GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM cells
+    ), terms AS (
+      SELECT a, b,
+             CAST(round(CASE WHEN a > 0 THEN
+               CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+               * ln(2e0 * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+                    / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+                       + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)))
+               ELSE 0e0 END * 1e12) AS HUGEINT) AS qa,
+             CAST(round(CASE WHEN b > 0 THEN
+               CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)
+               * ln(2e0 * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / (CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
+                       + CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)))
+               ELSE 0e0 END * 1e12) AS HUGEINT) AS qb
+      FROM cells CROSS JOIN tot
+    )
+    SELECT CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_a,
+           CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_b,
+           CAST(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS vocab_common,
+           round(CAST(sum(qa) + sum(qb) AS DOUBLE) / 2e12 + 1e-9, 6)
+             AS js_nats
+    FROM terms
 """

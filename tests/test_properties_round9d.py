@@ -546,3 +546,55 @@ def test_mann_whitney_matches_bruteforce(spark, xs, ys):
         assert abs(r["z"] - z) < 1e-5 * max(1.0, abs(z))
     else:
         assert r["z"] is None
+
+
+import math
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+    js_divergence,
+)
+
+
+def _js_model(docs_a, docs_b):
+    """Python reference with the same 1e-12 per-term snap."""
+    from collections import Counter
+
+    ca = Counter(t for d in docs_a for t in d.lower().split())
+    cb = Counter(t for d in docs_b for t in d.lower().split())
+    ta, tb = sum(ca.values()), sum(cb.values())
+    qa = qb = 0
+    for t in set(ca) | set(cb):
+        a, b = ca.get(t, 0), cb.get(t, 0)
+        if a > 0:
+            qa += round(
+                a / ta * math.log(2.0 * a * tb / (a * tb + b * ta)) * 1e12
+            )
+        if b > 0:
+            qb += round(
+                b / tb * math.log(2.0 * b * ta / (b * ta + a * tb)) * 1e12
+            )
+    return round((qa + qb) / 2e12 + 1e-9, 6)
+
+
+_doc = st.lists(
+    st.sampled_from(["apple", "pear", "plum", "kiwi", "fig"]),
+    min_size=1,
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_doc, min_size=1, max_size=10),
+    st.lists(_doc, min_size=1, max_size=10),
+)
+def test_js_divergence_matches_python_model(spark, docs_a, docs_b):
+    rows = [("a", d) for d in docs_a] + [("b", d) for d in docs_b]
+    df = spark.createDataFrame(rows, "src string, text string").repartition(3)
+    r = js_divergence(df, "text", "src", "a", "b").collect()[0]
+    want = _js_model(docs_a, docs_b)
+    assert abs(r["js_nats"] - want) < 2e-6, (r["js_nats"], want)
+    assert 0.0 <= r["js_nats"] <= math.log(2.0) + 1e-6
+    # symmetry
+    r2 = js_divergence(df, "text", "src", "b", "a").collect()[0]
+    assert abs(r["js_nats"] - r2["js_nats"]) < 2e-6
