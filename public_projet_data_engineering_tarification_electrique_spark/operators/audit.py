@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -421,4 +421,80 @@ def benford_audit(
                 F.col("_n") / F.col("_tot") - expected + 1e-9, 4
             ).alias("gap"),
         )
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a nonnegative integer quantity —
+    the CONCENTRATION audit for corpus curation: a source whose
+    training tokens all sit in a handful of giant documents (G → 1)
+    behaves very differently under dedup/sampling than one spread
+    evenly (G → 0), and a mixture plan weighting sources by token
+    count should know which it is.
+
+    Exact-integer construction on the level table: per (group, value)
+    counts, per-group cumulative counts over the value order (a
+    group-partitioned window — levels per group are bounded by the
+    VALUE RANGE, not the corpus, and groups are the partition key), and
+
+        G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)
+
+    where the doubled rank-weighted sum per level is the exact integer
+    v·(2·c·K + c·(c+1)) (K = count strictly below the level). All
+    sums decimal(38,0); ONE terminal division; NULL for groups with a
+    zero total (Gini undefined).
+
+    Output: (grp, n, total, gini), 6-dp rounded.
+    """
+    levels = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_k = levels.withColumn(
+        "k", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    # per-level exact contributions, multiplied as decimal (v·c·K
+    # overflows int64 once v·n² work crosses 9.2e18)
+    v_d = F.col("v").cast("decimal(19,0)")
+    c_d = F.col("c").cast("decimal(19,0)")
+    k_d = F.col("k").cast("decimal(19,0)")
+    agg = with_k.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((v_d * c_d).cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (
+                v_d
+                * (
+                    F.lit(2).cast("decimal(19,0)") * c_d * k_d
+                    + c_d * (c_d + F.lit(1).cast("decimal(19,0)"))
+                )
+            ).cast("decimal(38,0)")
+        ).alias("t2"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    t2_d = F.col("t2").cast("double")
+    gini = F.when(
+        (F.col("s") > 0) & (F.col("n") > 0),
+        (t2_d - (n_d + F.lit(1.0)) * s_d) / (n_d * s_d),
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.col("s").cast("long").alias("total"),
+        F.round(gini + 1e-9, 6).alias("gini"),
     )

@@ -6266,6 +6266,37 @@ def q259_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence(docs, "text", "source", "src0", "src1")
 
 
+def q260_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and
+    extendedprice dollars — the monotone-association twin of q167's
+    Pearson: average-rank ties as exact doubled-rank integers from two
+    distributed prefix sums over value-bounded level tables, Pearson
+    on the ranks via decimal sums + one terminal double sequence."""
+    from ..operators.stats import spearman_rho
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("price"),
+    )
+    return spearman_rho(li, "qty", "price")
+
+
+def q261_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document lengths (n_chars) — the
+    concentration audit a mixture plan needs before weighting sources
+    by token mass: exact level-table construction, group-partitioned
+    cumulative counts (levels bounded by the value range), decimal
+    rank-weighted sums, one division."""
+    from ..operators.audit import gini_concentration
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gini_concentration(docs, "n_chars", "source")
+    return out.select(
+        F.col("grp").alias("source"), F.col("n").alias("n_docs"),
+        F.col("total").alias("total_chars"), "gini",
+    )
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9628,6 +9659,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q257_anova_f": q257_anova_f,
     "q258_mann_whitney": q258_mann_whitney,
     "q259_js_divergence": q259_js_divergence,
+    "q260_spearman_rho": q260_spearman_rho,
+    "q261_gini_concentration": q261_gini_concentration,
 }
 
 
@@ -13013,4 +13046,86 @@ ORACLE_SQL["q259_js_divergence"] = """
            round(CAST(sum(qa) + sum(qb) AS DOUBLE) / 2e12 + 1e-9, 6)
              AS js_nats
     FROM terms
+"""
+
+
+# q260: identical doubled-average-rank algebra — window prefix counts
+# over the level tables, HUGEINT-exact rank sums, the same Pearson
+# double sequence with the zero-variance NULL guard.
+ORACLE_SQL["q260_spearman_rho"] = """
+    WITH rows_ AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS vx,
+             CAST(round(l_extendedprice) AS BIGINT) AS vy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), lx AS (
+      SELECT vx, count(*) AS c FROM rows_ GROUP BY 1
+    ), rx AS (
+      SELECT vx,
+             2 * sum(c) OVER (ORDER BY vx ROWS UNBOUNDED PRECEDING)
+               - c + 1 AS r2x
+      FROM lx
+    ), ly AS (
+      SELECT vy, count(*) AS c FROM rows_ GROUP BY 1
+    ), ry AS (
+      SELECT vy,
+             2 * sum(c) OVER (ORDER BY vy ROWS UNBOUNDED PRECEDING)
+               - c + 1 AS r2y
+      FROM ly
+    ), ranked AS (
+      SELECT r2x, r2y FROM rows_
+      JOIN rx USING (vx) JOIN ry USING (vy)
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(r2x) AS sx, sum(r2y) AS sy,
+             sum(r2x * r2x) AS sxx, sum(r2y * r2y) AS syy,
+             sum(r2x * r2y) AS sxy
+      FROM ranked
+    )
+    SELECT n,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE)
+                                  * CAST(sy AS DOUBLE)))
+                 END + 1e-9, 6) AS rho
+    FROM agg
+"""
+
+
+# q261: identical level-table Gini — exclusive prefix counts per
+# group, exact rank-weighted sums v·(2cK + c(c+1)) in HUGEINT, one
+# division, zero-total NULL guard.
+ORACLE_SQL["q261_gini_concentration"] = """
+    WITH levels AS (
+      SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+             count(*) AS c
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY 1, 2
+    ), with_k AS (
+      SELECT grp, v, c,
+             coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS k
+      FROM levels
+    ), agg AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+             sum(v * c) AS s,
+             sum(v * (2 * c * k + c * (c + 1))) AS t2
+      FROM with_k GROUP BY 1
+    )
+    SELECT grp AS source, n AS n_docs,
+           CAST(s AS BIGINT) AS total_chars,
+           round(CASE WHEN s > 0 AND n > 0 THEN
+                   (CAST(t2 AS DOUBLE)
+                    - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 END + 1e-9, 6) AS gini
+    FROM agg
 """

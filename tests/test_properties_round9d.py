@@ -598,3 +598,87 @@ def test_js_divergence_matches_python_model(spark, docs_a, docs_b):
     # symmetry
     r2 = js_divergence(df, "text", "src", "b", "a").collect()[0]
     assert abs(r["js_nats"] - r2["js_nats"]) < 2e-6
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+    gini_concentration,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    spearman_rho,
+)
+
+
+def _avg_ranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[order[t]] = avg
+        i = j
+    return ranks
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_spearman_matches_python_model(spark, pts):
+    df = spark.createDataFrame(pts, "vx long, vy long").repartition(3)
+    r = spearman_rho(df, "vx", "vy").collect()[0]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+    n = len(pts)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    assert r["n"] == n
+    if vx > 0 and vy > 0:
+        rho = cov / (vx**0.5 * vy**0.5)
+        assert abs(r["rho"] - rho) < 1e-5, (r["rho"], rho)
+    else:
+        assert r["rho"] is None
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gini_matches_python_model(spark, rows):
+    df = spark.createDataFrame(rows, "grp string, v long").repartition(3)
+    got = {
+        r["grp"]: (r["n"], r["total"], r["gini"])
+        for r in gini_concentration(df, "v", "grp").collect()
+    }
+    for g in sorted({r[0] for r in rows}):
+        vals = sorted(v for gg, v in rows if gg == g)
+        n, s = len(vals), sum(vals)
+        assert got[g][0] == n and got[g][1] == s
+        if s > 0:
+            gini = (
+                2 * sum((i + 1) * v for i, v in enumerate(vals))
+                - (n + 1) * s
+            ) / (n * s)
+            assert abs(got[g][2] - gini) < 1e-5, (g, got[g], gini)
+        else:
+            assert got[g][2] is None

@@ -52,6 +52,13 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "q152_rrf_hybrid": "composes q130's post-limit rank windows, k-bounded",
     "q204_dim_variance": "window over embedding dimensions, dim-bounded",
     "q205_zipf_slope": "rank window after TakeOrdered limit 100, k-bounded",
+    "q260_spearman_rho": (
+        "rank-map cumsum windows over margin LEVEL tables: quantity "
+        "<= 50 levels, dollar prices <= ~1.05e5 levels — both bounded "
+        "by the VALUE RANGE (fixed [900, 105000] at every SF), not "
+        "the corpus; the unbounded-margin path (levels_bounded=False) "
+        "uses shards.global_running_sums instead"
+    ),
 }
 
 
