@@ -1087,10 +1087,27 @@ def welch_t(
     )
     se2a = var_a / na_d
     se2b = var_b / nb_d
-    t = (ma - mb) / F.sqrt(se2a + se2b)
-    dof = ((se2a + se2b) * (se2a + se2b)) / (
-        se2a * se2a / (na_d - F.lit(1.0))
-        + se2b * se2b / (nb_d - F.lit(1.0))
+    # t/df are undefined for single-row arms (n−1 = 0) or two constant
+    # arms (zero pooled variance) — NULL, spelled identically in the
+    # oracle (ANSI Spark raises on /0 rather than returning inf/nan).
+    # The condition must not itself divide by n−1: variance positivity
+    # is tested on the sum-of-squares numerators (÷n only, always >=1).
+    defined = (
+        (F.col("na") > 1)
+        & (F.col("nb") > 1)
+        & (
+            (F.col("svva") - F.col("sva") * F.col("sva") / na_d > 0)
+            | (F.col("svvb") - F.col("svb") * F.col("svb") / nb_d > 0)
+        )
+    )
+    t = F.when(defined, (ma - mb) / F.sqrt(se2a + se2b))
+    dof = F.when(
+        defined,
+        ((se2a + se2b) * (se2a + se2b))
+        / (
+            se2a * se2a / (na_d - F.lit(1.0))
+            + se2b * se2b / (nb_d - F.lit(1.0))
+        ),
     )
     return j.select(
         F.col("na").alias("n_a"),

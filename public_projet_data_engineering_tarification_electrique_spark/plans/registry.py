@@ -12863,11 +12863,14 @@ ORACLE_SQL["q255_welch_ttest"] = """
     SELECT na AS n_a, nb AS n_b,
            round(ma + 1e-9, 6) AS mean_a,
            round(mb + 1e-9, 6) AS mean_b,
-           round((ma - mb) / sqrt(se2a + se2b) + 1e-9, 6) AS t_stat,
-           round(((se2a + se2b) * (se2a + se2b))
-                 / (se2a * se2a / (CAST(na AS DOUBLE) - 1.0)
-                    + se2b * se2b / (CAST(nb AS DOUBLE) - 1.0))
-                 + 1e-9, 6) AS welch_df
+           round(CASE WHEN na > 1 AND nb > 1 AND se2a + se2b > 0 THEN
+                   (ma - mb) / sqrt(se2a + se2b)
+                 END + 1e-9, 6) AS t_stat,
+           round(CASE WHEN na > 1 AND nb > 1 AND se2a + se2b > 0 THEN
+                   ((se2a + se2b) * (se2a + se2b))
+                   / (se2a * se2a / (CAST(na AS DOUBLE) - 1.0)
+                      + se2b * se2b / (CAST(nb AS DOUBLE) - 1.0))
+                 END + 1e-9, 6) AS welch_df
     FROM m
 """
 

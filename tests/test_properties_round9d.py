@@ -337,24 +337,18 @@ from public_projet_data_engineering_tarification_electrique_spark.operators.stat
         st.floats(
             min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
         ),
-        min_size=2,
+        min_size=1,
         max_size=25,
     ),
     st.lists(
         st.floats(
             min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
         ),
-        min_size=2,
+        min_size=1,
         max_size=25,
     ),
 )
 def test_welch_matches_python_model(spark, xs, ys):
-    # degenerate zero-variance arms make t undefined; keep the model
-    # simple by nudging a duplicate-only arm
-    if len(set(xs)) == 1:
-        xs = xs + [xs[0] + 1.0]
-    if len(set(ys)) == 1:
-        ys = ys + [ys[0] + 1.0]
     rows = [("a", v) for v in xs] + [("b", v) for v in ys]
     df = spark.createDataFrame(rows, "arm string, value double").repartition(
         3
@@ -365,6 +359,13 @@ def test_welch_matches_python_model(spark, xs, ys):
     na, nb = len(gx), len(gy)
     ma = sum(gx) / na / 1e4
     mb = sum(gy) / nb / 1e4
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["mean_a"] - ma) < 1e-5 and abs(r["mean_b"] - mb) < 1e-5
+    # single-row arms or two constant arms: t/df must be NULL, not a
+    # crash (the ANSI /0 defect class)
+    if na < 2 or nb < 2 or (len(set(gx)) == 1 and len(set(gy)) == 1):
+        assert r["t_stat"] is None and r["welch_df"] is None
+        return
     va = (sum(v * v for v in gx) - sum(gx) ** 2 / na) / (na - 1) / 1e8
     vb = (sum(v * v for v in gy) - sum(gy) ** 2 / nb) / (nb - 1) / 1e8
     se2a, se2b = va / na, vb / nb
@@ -372,8 +373,6 @@ def test_welch_matches_python_model(spark, xs, ys):
     dof = (se2a + se2b) ** 2 / (
         se2a**2 / (na - 1) + se2b**2 / (nb - 1)
     )
-    assert (r["n_a"], r["n_b"]) == (na, nb)
-    assert abs(r["mean_a"] - ma) < 1e-5 and abs(r["mean_b"] - mb) < 1e-5
     assert abs(r["t_stat"] - t) < 1e-4 * max(1.0, abs(t))
     assert abs(r["welch_df"] - dof) < 1e-4 * max(1.0, abs(dof))
 
