@@ -1287,8 +1287,20 @@ def mann_whitney_u(
             - F.col("tie3").cast("double") / (n_d * (n_d - F.lit(1.0)))
         )
     )
+    # the definedness test must not evaluate var_u (its tie term
+    # divides by n(n−1), which is 0 at n=1): var_u > 0 ⟺
+    # (n+1)·n·(n−1) > tie3, an all-safe double comparison.
+    defined = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("n_a") + F.col("n_b") > 1)
+        & (
+            (n_d + F.lit(1.0)) * n_d * (n_d - F.lit(1.0))
+            > F.col("tie3").cast("double")
+        )
+    )
     z = F.when(
-        var_u > 0,
+        defined,
         (
             F.col("u2_a").cast("double") / F.lit(2.0)
             - na_d * nb_d / F.lit(2.0)

@@ -1143,8 +1143,12 @@ def js_divergence(
     )
     a_d, b_d = F.col("a").cast("double"), F.col("b").cast("double")
     ta_d, tb_d = F.col("ta").cast("double"), F.col("tb").cast("double")
+    # both totals must be positive in each term's condition: with an
+    # EMPTY other side (tb = 0), a one-sided term's ln argument is
+    # 0/0 — ANSI raises; JS against an empty distribution is
+    # undefined and the final select NULLs it out.
     term_a = F.when(
-        F.col("a") > 0,
+        (F.col("a") > 0) & (F.col("tb") > 0),
         a_d
         / ta_d
         * F.log(
@@ -1152,7 +1156,7 @@ def js_divergence(
         ),
     ).otherwise(F.lit(0.0))
     term_b = F.when(
-        F.col("b") > 0,
+        (F.col("b") > 0) & (F.col("ta") > 0),
         b_d
         / tb_d
         * F.log(
@@ -1165,7 +1169,7 @@ def js_divergence(
         F.round(term_a * F.lit(1e12)).cast("decimal(38,0)").alias("_qa"),
         F.round(term_b * F.lit(1e12)).cast("decimal(38,0)").alias("_qb"),
     )
-    return snapped.agg(
+    agg = snapped.agg(
         F.sum(F.when(F.col("a") > 0, 1).otherwise(0))
         .cast("long")
         .alias("vocab_a"),
@@ -1175,8 +1179,17 @@ def js_divergence(
         F.sum(F.when((F.col("a") > 0) & (F.col("b") > 0), 1).otherwise(0))
         .cast("long")
         .alias("vocab_common"),
+        (F.sum("_qa") + F.sum("_qb")).alias("_q"),
+    )
+    return agg.select(
+        "vocab_a",
+        "vocab_b",
+        "vocab_common",
         F.round(
-            (F.sum("_qa") + F.sum("_qb")).cast("double") / F.lit(2e12)
+            F.when(
+                (F.col("vocab_a") > 0) & (F.col("vocab_b") > 0),
+                F.col("_q").cast("double") / F.lit(2e12),
+            )
             + 1e-9,
             6,
         ).alias("js_nats"),

@@ -12988,22 +12988,24 @@ ORACLE_SQL["q258_mann_whitney"] = """
              CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
                   AS BIGINT) AS tie3
       FROM cum
-    ), v AS (
-      SELECT n_a, n_b, u2_a,
-             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
-               * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
-                  - CAST(tie3 AS DOUBLE)
-                    / (CAST(n_a + n_b AS DOUBLE)
-                       * (CAST(n_a + n_b AS DOUBLE) - 1.0))) AS var_u
-      FROM agg
     )
     SELECT n_a, n_b, u2_a,
-           round(CASE WHEN var_u > 0 THEN
+           round(CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+                       AND (CAST(n_a + n_b AS DOUBLE) + 1.0)
+                           * CAST(n_a + n_b AS DOUBLE)
+                           * (CAST(n_a + n_b AS DOUBLE) - 1.0)
+                           > CAST(tie3 AS DOUBLE) THEN
                    (CAST(u2_a AS DOUBLE) / 2.0
                     - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
-                   / sqrt(var_u)
+                   / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                          / 12.0
+                          * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                             - CAST(tie3 AS DOUBLE)
+                               / (CAST(n_a + n_b AS DOUBLE)
+                                  * (CAST(n_a + n_b AS DOUBLE)
+                                     - 1.0))))
                  END + 1e-9, 6) AS z
-    FROM v
+    FROM agg
 """
 
 
@@ -13026,13 +13028,13 @@ ORACLE_SQL["q259_js_divergence"] = """
       FROM cells
     ), terms AS (
       SELECT a, b,
-             CAST(round(CASE WHEN a > 0 THEN
+             CAST(round(CASE WHEN a > 0 AND tb > 0 THEN
                CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
                * ln(2e0 * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
                     / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
                        + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)))
                ELSE 0e0 END * 1e12) AS HUGEINT) AS qa,
-             CAST(round(CASE WHEN b > 0 THEN
+             CAST(round(CASE WHEN b > 0 AND ta > 0 THEN
                CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)
                * ln(2e0 * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
                     / (CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
@@ -13046,8 +13048,10 @@ ORACLE_SQL["q259_js_divergence"] = """
              AS vocab_b,
            CAST(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS vocab_common,
-           round(CAST(sum(qa) + sum(qb) AS DOUBLE) / 2e12 + 1e-9, 6)
-             AS js_nats
+           round(CASE WHEN sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) > 0
+                       AND sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) > 0
+                 THEN CAST(sum(qa) + sum(qb) AS DOUBLE) / 2e12
+                 END + 1e-9, 6) AS js_nats
     FROM terms
 """
 
