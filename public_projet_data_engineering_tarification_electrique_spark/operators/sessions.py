@@ -548,3 +548,88 @@ def item_cooccurrence_topk(
     return scored.orderBy(
         F.desc("cosine"), F.asc("item_a"), F.asc("item_b")
     ).limit(k)
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    from_col: str = "from_type",
+    to_col: str = "to_type",
+    n_col: str = "n",
+    iters: int = 6,
+) -> DataFrame:
+    """Stationary distribution of the behavior Markov chain — the
+    steady-state answer to "where do users spend their time?" that a
+    raw transition-count table (q71) only hints at: ``iters`` fixed
+    power iterations π ← πP from the uniform start.
+
+    The q134 PageRank determinism contract, reused exactly: the row-
+    normalized transition probabilities live on a 1e-9 integer grid
+    (one rounded double division per cell), every iteration's
+    contribution is round(π_i · p_ij / 1e9) — a double product of
+    exact integers snapped back to the grid — so the neighbor-sum is a
+    sum of longs (order-free) and the oracle's unrolled CTEs replay
+    the loop bit-for-bit. States missing an outgoing row keep mass
+    only via incoming edges (the input table has no dangling states
+    when built from lag pairs: every `to` also appears as a `from`
+    except possibly each user's final event type — callers accept the
+    small leak exactly as q134 accepts rounding drift, or pre-close
+    the chain).
+
+    Plan shape: the matrix is |states|² cells (dimension-bounded);
+    each iteration is one join + one hash agg on the state key.
+    Output: (state, pi_e9 exact long, pi), descending mass.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    row_tot = transitions.groupBy(from_col).agg(
+        F.sum(n_col).alias("_rt")
+    )
+    p = (
+        transitions.join(row_tot, from_col)
+        .select(
+            F.col(from_col).alias("src"),
+            F.col(to_col).alias("dst"),
+            F.round(
+                F.lit(1e9)
+                * F.col(n_col).cast("double")
+                / F.col("_rt").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("p_e9"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        p.select(F.col("src").alias("state"))
+        .union(p.select(F.col("dst").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    k = states.count()
+    pi = states.select(
+        "state",
+        F.round(F.lit(1e9) / F.lit(float(k)), 0).cast("long").alias("pi_e9"),
+    )
+    for _ in range(iters):
+        pi = (
+            pi.join(p, pi.state == p.src)
+            .select(
+                F.col("dst").alias("state"),
+                F.round(
+                    F.col("pi_e9").cast("double")
+                    * F.col("p_e9").cast("double")
+                    / F.lit(1e9),
+                    0,
+                )
+                .cast("long")
+                .alias("_m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("_m").cast("long").alias("pi_e9"))
+        )
+    return pi.select(
+        "state",
+        "pi_e9",
+        F.round(F.col("pi_e9").cast("double") / F.lit(1e9), 6).alias("pi"),
+    ).orderBy(F.desc("pi_e9"), F.asc("state"))

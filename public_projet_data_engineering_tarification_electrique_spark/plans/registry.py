@@ -6297,6 +6297,28 @@ def q261_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q262_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type behavior chain (q71's
+    lag-pair transition matrix, row-normalized to the 1e-9 grid): 6
+    fixed power iterations under the q134 integer-grid determinism
+    contract — every neighbor-sum a sum of longs, oracle = unrolled
+    CTE replay. One user-key window builds the pairs; each iteration
+    is a join + hash agg over |states|² dimension-bounded cells."""
+    from ..operators.sessions import markov_stationary
+
+    events = load_table(spark, sf_dir, "events", raw=True)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "event_type", F.lag("event_type").over(w).alias("from_type")
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return markov_stationary(pairs, iters=6)
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9661,6 +9683,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q259_js_divergence": q259_js_divergence,
     "q260_spearman_rho": q260_spearman_rho,
     "q261_gini_concentration": q261_gini_concentration,
+    "q262_markov_stationary": q262_markov_stationary,
 }
 
 
@@ -13135,4 +13158,80 @@ ORACLE_SQL["q261_gini_concentration"] = """
                    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
                  END + 1e-9, 6) AS gini
     FROM agg
+"""
+
+
+# q262: unrolled power iterations (aggregates are not allowed in a
+# recursive CTE term — the q134 unroll precedent); identical 1e-9
+# integer-grid recurrence, every neighbor-sum a sum of BIGINTs.
+ORACLE_SQL["q262_markov_stationary"] = """
+    WITH s AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ), rt AS (
+      SELECT from_type, sum(n) AS rt FROM pairs GROUP BY 1
+    ), p AS (
+      SELECT pairs.from_type AS src, to_type AS dst,
+             CAST(round(1e9 * CAST(n AS DOUBLE) / CAST(rt AS DOUBLE))
+                  AS BIGINT) AS p_e9
+      FROM pairs JOIN rt ON pairs.from_type = rt.from_type
+    ), states AS (
+      SELECT src AS state FROM p UNION SELECT dst FROM p
+    ), kk AS (SELECT count(*) AS k FROM states),
+    pi0 AS (
+      SELECT state,
+             CAST(round(1e9 / CAST(k AS DOUBLE)) AS BIGINT) AS pi_e9
+      FROM states CROSS JOIN kk
+    ),
+    pi1 AS (
+      SELECT dst AS state,
+             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
+                                 * CAST(p_e9 AS DOUBLE) / 1e9)
+                           AS BIGINT)) AS BIGINT) AS pi_e9
+      FROM pi0 JOIN p ON pi0.state = p.src GROUP BY 1
+    ),
+    pi2 AS (
+      SELECT dst AS state,
+             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
+                                 * CAST(p_e9 AS DOUBLE) / 1e9)
+                           AS BIGINT)) AS BIGINT) AS pi_e9
+      FROM pi1 JOIN p ON pi1.state = p.src GROUP BY 1
+    ),
+    pi3 AS (
+      SELECT dst AS state,
+             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
+                                 * CAST(p_e9 AS DOUBLE) / 1e9)
+                           AS BIGINT)) AS BIGINT) AS pi_e9
+      FROM pi2 JOIN p ON pi2.state = p.src GROUP BY 1
+    ),
+    pi4 AS (
+      SELECT dst AS state,
+             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
+                                 * CAST(p_e9 AS DOUBLE) / 1e9)
+                           AS BIGINT)) AS BIGINT) AS pi_e9
+      FROM pi3 JOIN p ON pi3.state = p.src GROUP BY 1
+    ),
+    pi5 AS (
+      SELECT dst AS state,
+             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
+                                 * CAST(p_e9 AS DOUBLE) / 1e9)
+                           AS BIGINT)) AS BIGINT) AS pi_e9
+      FROM pi4 JOIN p ON pi4.state = p.src GROUP BY 1
+    ),
+    pi6 AS (
+      SELECT dst AS state,
+             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
+                                 * CAST(p_e9 AS DOUBLE) / 1e9)
+                           AS BIGINT)) AS BIGINT) AS pi_e9
+      FROM pi5 JOIN p ON pi5.state = p.src GROUP BY 1
+    )
+    SELECT state, pi_e9,
+           round(CAST(pi_e9 AS DOUBLE) / 1e9, 6) AS pi
+    FROM pi6 ORDER BY pi_e9 DESC, state ASC
 """

@@ -681,3 +681,62 @@ def test_gini_matches_python_model(spark, rows):
             assert abs(got[g][2] - gini) < 1e-5, (g, got[g], gini)
         else:
             assert got[g][2] is None
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.sessions import (
+    markov_stationary,
+)
+
+
+def _round_half_up(x):
+    # Spark F.round is HALF_UP (via BigDecimal), NOT Python's
+    # round-half-even
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _markov_model(pairs, iters=6):
+    """Python replay of the identical grid recurrence (HALF_UP snaps;
+    states with no inbound mass drop out, the inner-join semantics)."""
+    states = sorted({f for f, _, _ in pairs} | {t for _, t, _ in pairs})
+    rt = {}
+    for f, _, n in pairs:
+        rt[f] = rt.get(f, 0) + n
+    p = {(f, t): _round_half_up(1e9 * n / rt[f]) for f, t, n in pairs}
+    k = len(states)
+    pi = {s: _round_half_up(1e9 / k) for s in states}
+    for _ in range(iters):
+        nxt = {}
+        for (f, t), pe in p.items():
+            if f in pi:
+                nxt[t] = nxt.get(t, 0) + _round_half_up(pi[f] * pe / 1e9)
+        pi = nxt
+    return pi
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=9,
+    )
+)
+def test_markov_stationary_matches_python_model(spark, trans):
+    pairs = [(f, t, n) for (f, t), n in trans.items()]
+    df = spark.createDataFrame(
+        pairs, "from_type string, to_type string, n long"
+    )
+    got = {
+        r["state"]: r["pi_e9"]
+        for r in markov_stationary(df, iters=6).collect()
+    }
+    want = _markov_model(pairs, iters=6)
+    assert got == want
