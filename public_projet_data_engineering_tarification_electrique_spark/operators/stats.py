@@ -1408,3 +1408,92 @@ def spearman_rho(
         (varx > 0) & (vary > 0), cov / (F.sqrt(varx) * F.sqrt(vary))
     )
     return agg.select("n", F.round(rho + 1e-9, 6).alias("rho"))
+
+
+def cramers_v(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Cramér's V for a k×k contingency table — the normalized-[0,1]
+    effect size that completes the association toolkit: q180's chi² is
+    2×2 only, and q246's NMI is information-theoretic; V is the
+    χ²-based answer for arbitrary label pairs.
+
+    χ² needs EVERY r×c cell including the empty ones (a zero cell
+    contributes its full expectation e): the grid is generated as the
+    margin cross join (dimension-bounded) and left-joined to the
+    observed cells. Each cell term (c − e)²/e is one double sequence
+    from exact integer counts; the cross-cell reduction is the
+    module's deterministic fold in (x, y) order (the q257 discipline —
+    a partial-order SUM of ≤ r·c doubles would be the one
+    engine-divergence hazard). V = √(χ²/(N·min(r−1, c−1))), NULL for
+    a degenerate 1×c or r×1 table.
+
+    Plan shape: one (x, y) hash agg, two margin re-aggs, one
+    broadcast grid join, one 1-row fold.
+    Output: (n, r, c, chi2, cramers_v).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.col(x_col).cast("string").alias("x"),
+            F.col(y_col).cast("string").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rows_m = cells.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    cols_m = cells.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    grid = rows_m.crossJoin(F.broadcast(cols_m)).join(
+        F.broadcast(cells), ["x", "y"], "left"
+    )
+    n1 = grid.agg(
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n"),
+        F.countDistinct("x").cast("long").alias("r"),
+        F.countDistinct("y").cast("long").alias("cc"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "x",
+                    "y",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+                    "cx",
+                    "cy",
+                )
+            )
+        ).alias("_t"),
+    )
+    n_d = F.col("n").cast("double")
+
+    def term(cell):
+        e = (
+            cell["cx"].cast("double")
+            * cell["cy"].cast("double")
+            / n_d
+        )
+        d = cell["c"].cast("double") - e
+        return d * d / e
+
+    folded = n1.select(
+        "n",
+        "r",
+        F.col("cc").alias("c"),
+        F.aggregate("_t", F.lit(0.0), lambda acc, x: acc + term(x)).alias(
+            "chi2"
+        ),
+    )
+    denom = F.col("n").cast("double") * F.least(
+        F.col("r") - 1, F.col("c") - 1
+    ).cast("double")
+    v = F.when(
+        (F.col("r") > 1) & (F.col("c") > 1) & (F.col("n") > 0),
+        F.sqrt(F.col("chi2") / denom),
+    )
+    return folded.select(
+        "n",
+        "r",
+        "c",
+        F.round(F.col("chi2") + 1e-9, 6).alias("chi2"),
+        F.round(v + 1e-9, 6).alias("cramers_v"),
+    )

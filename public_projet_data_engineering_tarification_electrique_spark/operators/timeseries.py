@@ -448,3 +448,66 @@ def holt_daily(
         F.round(F.col("z.s.b") + 1e-9, 4).alias("trend"),
         F.round(F.col("z.s.l") + F.col("z.s.b") + 1e-9, 4).alias("forecast"),
     )
+
+
+def weekday_seasonal_index(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grid_dp: int = 4,
+) -> DataFrame:
+    """Day-of-week seasonal index per key: mean(value | key, dow) /
+    mean(value | key) — the multiplicative seasonality profile read
+    BEFORE trusting ``holt_daily``'s trend (a pure weekly cycle shows
+    up as trend noise if not deseasonalized) and the shape behind
+    "is Saturday really our slow day?".
+
+    Exact construction: values snap to the 10^grid_dp integer grid,
+    per-(key, dow) sums accumulate as decimal(38,0), the per-key
+    totals RE-AGGREGATE from the 7-row groups (still exact), and the
+    index is the single division (S_dow · n_key) / (S_key · n_dow)
+    with both products formed in double from exact integers — one
+    identical op sequence per engine. Day-of-week is ISO Monday=1
+    (Spark ``dayofweek`` is Sunday=1; both engines' extraction is
+    normalized to the same convention in the plan and the oracle).
+
+    Plan shape: one (key, dow) hash agg — ≤ 7·|keys| rows, map-side
+    partials — then a broadcast re-join of the per-key totals.
+    Output: (key, dow, n, mean_dow, seasonal_index), 6-dp.
+    """
+    scale = float(10**grid_dp)
+    g = F.round(F.col(value_col) * scale).cast("long")
+    # ISO dow: Monday=1..Sunday=7 from Spark's Sunday=1..Saturday=7
+    iso_dow = ((F.dayofweek(F.to_date(ts_col)) + 5) % 7) + 1
+    cells = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            iso_dow.cast("int").alias("dow"),
+            g.alias("v"),
+        )
+        .groupBy("key", "dow")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    totals = cells.groupBy("key").agg(
+        F.sum("n").cast("long").alias("n_key"),
+        F.sum("s").alias("s_key"),
+    )
+    j = cells.join(F.broadcast(totals), "key")
+    s_d, sk_d = F.col("s").cast("double"), F.col("s_key").cast("double")
+    n_d, nk_d = F.col("n").cast("double"), F.col("n_key").cast("double")
+    idx = F.when(
+        F.col("s_key") != 0,
+        (s_d * nk_d) / (sk_d * n_d),
+    )
+    return j.select(
+        F.col("key").alias(key_col),
+        "dow",
+        "n",
+        F.round(s_d / n_d / F.lit(scale) + 1e-9, 6).alias("mean_dow"),
+        F.round(idx + 1e-9, 6).alias("seasonal_index"),
+    )

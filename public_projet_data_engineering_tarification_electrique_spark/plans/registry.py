@@ -6319,6 +6319,29 @@ def q262_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_stationary(pairs, iters=6)
 
 
+def q263_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type (mean per ISO dow /
+    per-type mean) — the weekly-cycle profile read before trusting
+    q252's Holt trend. One ≤7·|types|-row hash agg on exact grid
+    sums; the index is a single division of exact-integer products."""
+    from ..operators.timeseries import weekday_seasonal_index
+
+    events = load_table(spark, sf_dir, "events")
+    return weekday_seasonal_index(events)
+
+
+def q264_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between document language and source — the k×k χ²
+    effect size beside q246's NMI (q180's χ² is 2×2-only): the FULL
+    r×c grid including empty cells (a zero cell contributes its whole
+    expectation), per-cell terms from exact counts, deterministic
+    (x, y)-order fold (the q257 discipline)."""
+    from ..operators.stats import cramers_v
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cramers_v(docs, "lang", "source")
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9684,6 +9707,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q260_spearman_rho": q260_spearman_rho,
     "q261_gini_concentration": q261_gini_concentration,
     "q262_markov_stationary": q262_markov_stationary,
+    "q263_weekday_seasonality": q263_weekday_seasonality,
+    "q264_cramers_v": q264_cramers_v,
 }
 
 
@@ -13234,4 +13259,77 @@ ORACLE_SQL["q262_markov_stationary"] = """
     SELECT state, pi_e9,
            round(CAST(pi_e9 AS DOUBLE) / 1e9, 6) AS pi
     FROM pi6 ORDER BY pi_e9 DESC, state ASC
+"""
+
+
+# q263: HUGEINT-exact (key, isodow) grid sums; index = one division of
+# double products of exact integers. isodow(Monday=1) matches the
+# plan's normalized Spark dayofweek.
+ORACLE_SQL["q263_weekday_seasonality"] = """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INTEGER)
+               AS dow,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(value * 1e4) AS BIGINT)) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_key,
+             sum(s) AS s_key
+      FROM cells GROUP BY 1
+    )
+    SELECT cells.event_type, dow, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e4 + 1e-9, 6)
+             AS mean_dow,
+           round(CASE WHEN s_key <> 0 THEN
+                   (CAST(s AS DOUBLE) * CAST(n_key AS DOUBLE))
+                   / (CAST(s_key AS DOUBLE) * CAST(n AS DOUBLE))
+                 END + 1e-9, 6) AS seasonal_index
+    FROM cells JOIN totals ON cells.event_type = totals.event_type
+"""
+
+
+# q264: full r×c grid (margins cross join, LEFT JOIN observed), per-
+# cell (c−e)²/e from exact counts, list_reduce fold in (x, y) order —
+# the same left fold, same op order, as the Spark sorted-struct
+# aggregate. Degenerate 1×c / r×1 tables NULL out V.
+ORACLE_SQL["q264_cramers_v"] = """
+    WITH cells AS (
+      SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+    ), rows_m AS (
+      SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1
+    ), cols_m AS (
+      SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1
+    ), grid AS (
+      SELECT rows_m.x, cols_m.y, coalesce(cells.c, 0) AS c, cx, cy
+      FROM rows_m CROSS JOIN cols_m
+      LEFT JOIN cells ON cells.x = rows_m.x AND cells.y = cols_m.y
+    ), agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(DISTINCT x) AS BIGINT) AS r,
+             CAST(count(DISTINCT y) AS BIGINT) AS cc,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list((CAST(c AS DOUBLE)
+                       - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                         / CAST(n2.n AS DOUBLE))
+                      * (CAST(c AS DOUBLE)
+                         - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                           / CAST(n2.n AS DOUBLE))
+                      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                         / CAST(n2.n AS DOUBLE))
+                      ORDER BY x, y)),
+               (acc, t) -> acc + t) AS chi2
+      FROM grid CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS n
+                            FROM cells) n2
+    )
+    SELECT n, r, cc AS c,
+           round(chi2 + 1e-9, 6) AS chi2,
+           round(CASE WHEN r > 1 AND cc > 1 AND n > 0 THEN
+                   sqrt(chi2 / (CAST(n AS DOUBLE)
+                                * CAST(least(r - 1, cc - 1) AS DOUBLE)))
+                 END + 1e-9, 6) AS cramers_v
+    FROM agg
 """

@@ -740,3 +740,96 @@ def test_markov_stationary_matches_python_model(spark, trans):
     }
     want = _markov_model(pairs, iters=6)
     assert got == want
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    cramers_v,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    weekday_seasonal_index,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["t1", "t2"]),
+            st.integers(min_value=0, max_value=13),  # day offset
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weekday_seasonality_matches_python_model(spark, rows):
+    data = [
+        (k, dt.datetime(2024, 1, 1 + d, 10, 0, 0), v) for k, d, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, value double"
+    ).repartition(3)
+    got = {
+        (r["event_type"], r["dow"]): (r["n"], r["mean_dow"], r["seasonal_index"])
+        for r in weekday_seasonal_index(df).collect()
+    }
+    cells = {}
+    for k, d, v in rows:
+        # 2024-01-01 is a Monday -> iso dow = d % 7 + 1
+        cells.setdefault((k, d % 7 + 1), []).append(round(v * 1e4))
+    totals = {}
+    for (k, _), vs in cells.items():
+        t = totals.setdefault(k, [0, 0])
+        t[0] += len(vs)
+        t[1] += sum(vs)
+    for (k, dow), vs in cells.items():
+        n, s = len(vs), sum(vs)
+        nk, sk = totals[k]
+        gn, gmean, gidx = got[(k, dow)]
+        assert gn == n
+        assert abs(gmean - s / n / 1e4) < 1e-5
+        if sk != 0:
+            assert abs(gidx - (s * nk) / (sk * n)) < 1e-5
+        else:
+            assert gidx is None
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x1", "x2", "x3"]),
+            st.sampled_from(["y1", "y2"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cramers_v_matches_python_model(spark, rows):
+    df = spark.createDataFrame(rows, "lang string, source string")
+    r = cramers_v(df, "lang", "source").collect()[0]
+    from collections import Counter
+
+    obs = Counter(rows)
+    xs = sorted({a for a, _ in rows})
+    ys = sorted({b for _, b in rows})
+    n = len(rows)
+    chi2 = 0.0
+    for a in xs:
+        for b in ys:
+            cx = sum(v for (p, _), v in obs.items() if p == a)
+            cy = sum(v for (_, q), v in obs.items() if q == b)
+            e = cx * cy / n
+            chi2 += (obs.get((a, b), 0) - e) ** 2 / e
+    assert (r["n"], r["r"], r["c"]) == (n, len(xs), len(ys))
+    assert abs(r["chi2"] - chi2) < 1e-5 * max(1.0, chi2)
+    if len(xs) > 1 and len(ys) > 1:
+        v = (chi2 / (n * min(len(xs) - 1, len(ys) - 1))) ** 0.5
+        assert abs(r["cramers_v"] - v) < 1e-5
+    else:
+        assert r["cramers_v"] is None
