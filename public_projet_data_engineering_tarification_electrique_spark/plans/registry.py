@@ -6342,6 +6342,18 @@ def q264_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cramers_v(docs, "lang", "source")
 
 
+def q265_js_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift attribution: top-20 tokens by Jensen–Shannon contribution
+    between src0 and src1 — 'which words moved', the actionable
+    companion to q259's single drift number. Contributions are exact
+    1e-12-grid integers, so the (contrib desc, token asc) top-k is
+    fully deterministic; TakeOrdered(20), never a window."""
+    from ..operators.textstats import js_attribution
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_attribution(docs, "text", "source", "src0", "src1", k=20)
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9709,6 +9721,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q262_markov_stationary": q262_markov_stationary,
     "q263_weekday_seasonality": q263_weekday_seasonality,
     "q264_cramers_v": q264_cramers_v,
+    "q265_js_attribution": q265_js_attribution,
 }
 
 
@@ -13332,4 +13345,43 @@ ORACLE_SQL["q264_cramers_v"] = """
                                 * CAST(least(r - 1, cc - 1) AS DOUBLE)))
                  END + 1e-9, 6) AS cramers_v
     FROM agg
+"""
+
+
+# q265: q259's identical snapped terms kept per token; top-k by the
+# exact integer contribution with a token tiebreak — deterministic on
+# both engines.
+ORACLE_SQL["q265_js_attribution"] = """
+    WITH toks AS (
+      SELECT (source = 'src0') AS is_a,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+      WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+    ), cells AS (
+      SELECT tok,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
+      FROM toks WHERE tok <> '' GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM cells
+    ), terms AS (
+      SELECT tok, CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
+             CAST(round(CASE WHEN a > 0 AND tb > 0 THEN
+               CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+               * ln(2e0 * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+                    / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+                       + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)))
+               ELSE 0e0 END * 1e12) AS BIGINT)
+             + CAST(round(CASE WHEN b > 0 AND ta > 0 THEN
+               CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)
+               * ln(2e0 * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / (CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
+                       + CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)))
+               ELSE 0e0 END * 1e12) AS BIGINT) AS q
+      FROM cells CROSS JOIN tot
+    )
+    SELECT tok, n_a, n_b,
+           round(CAST(q AS DOUBLE) / 2e12 + 1e-9, 6) AS contrib_nats
+    FROM terms ORDER BY q DESC, tok ASC LIMIT 20
 """

@@ -833,3 +833,29 @@ def test_cramers_v_matches_python_model(spark, rows):
         assert abs(r["cramers_v"] - v) < 1e-5
     else:
         assert r["cramers_v"] is None
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+    js_attribution,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_doc, min_size=1, max_size=10),
+    st.lists(_doc, min_size=1, max_size=10),
+)
+def test_js_attribution_sums_to_divergence(spark, docs_a, docs_b):
+    rows = [("a", d) for d in docs_a] + [("b", d) for d in docs_b]
+    df = spark.createDataFrame(rows, "src string, text string")
+    # with a tiny 5-word vocabulary, k=20 captures every token, so the
+    # attribution must sum exactly (same grid) to the JS number
+    attrib = js_attribution(df, "text", "src", "a", "b", k=20).collect()
+    total = js_divergence(df, "text", "src", "a", "b").collect()[0][
+        "js_nats"
+    ]
+    s = sum(r["contrib_nats"] for r in attrib)
+    assert abs(s - total) < len(attrib) * 1e-6 + 1e-9
+    # deterministic order: contribution desc, token asc
+    key = [(-r["contrib_nats"], r["tok"]) for r in attrib]
+    assert key == sorted(key)
