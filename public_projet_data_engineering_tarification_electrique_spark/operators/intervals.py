@@ -49,14 +49,17 @@ def interval_coverage(
     simultaneously-open spans). All columns exact integers.
 
     Spans with NULL start or end are dropped (an unbounded span has no
-    finite coverage; callers clamp first if they mean "open-ended").
+    finite coverage; callers clamp first if they mean "open-ended"),
+    and so are EMPTY or inverted spans (hi <= lo) — under half-open
+    semantics they cover nothing, and letting one through would
+    corrupt the sweep's running-max carry.
     """
     s, e = F.col(start_col), F.col(end_col)
     base = spans.select(
         F.col(key_col).alias("key"),
         s.cast("long").alias("lo"),
         e.cast("long").alias("hi"),
-    ).filter(s.isNotNull() & e.isNotNull())
+    ).filter(s.isNotNull() & e.isNotNull() & (e > s))
 
     # --- islands sweep: one window pair on the key partition ---------
     order = Window.partitionBy("key").orderBy("lo", "hi")

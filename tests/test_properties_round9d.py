@@ -859,3 +859,11 @@ def test_js_attribution_sums_to_divergence(spark, docs_a, docs_b):
     # deterministic order: contribution desc, token asc
     key = [(-r["contrib_nats"], r["tok"]) for r in attrib]
     assert key == sorted(key)
+
+
+def test_interval_coverage_drops_empty_and_inverted_spans(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 7, 7), (1, 9, 4)], "key int, lo int, hi int"
+    )
+    row = interval_coverage(df, "key", "lo", "hi").collect()[0]
+    assert (row["n_spans"], row["covered"], row["n_islands"]) == (1, 5, 1)
