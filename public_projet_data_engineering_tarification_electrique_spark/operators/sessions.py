@@ -581,6 +581,10 @@ def markov_stationary(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    # zero/negative-count rows would put a 0 row-total under the
+    # normalizing division (ANSI raises); they carry no transition
+    # mass, so dropping them is the identity on the chain
+    transitions = transitions.filter(F.col(n_col) > 0)
     row_tot = transitions.groupBy(from_col).agg(
         F.sum(n_col).alias("_rt")
     )
