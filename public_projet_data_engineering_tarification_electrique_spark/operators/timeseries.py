@@ -511,3 +511,85 @@ def weekday_seasonal_index(
         F.round(s_d / n_d / F.lit(scale) + 1e-9, 6).alias("mean_dow"),
         F.round(idx + 1e-9, 6).alias("seasonal_index"),
     )
+
+
+def cusum_scan(
+    df: DataFrame,
+    order_by_cols: list[str],
+    d_col: str,
+    threshold: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CUSUM change detection over the ENTIRE stream in total order:
+    S_t = max(0, S_{t−1} + d_t), alarms where S_t > threshold — the
+    sequential drift detector (Page's test) next to q245's EWMA scan.
+
+    Unlike the EWMA recurrence (which needs contraction-certified
+    interval carries), CUSUM distributes EXACTLY by the reflection
+    identity  S_t = D_t − min(0, min_{j≤t} D_j)  with D the running
+    sum of the integral deviations d_t: both prefix quantities come
+    from ONE ranged exchange + partition-local windows, and the
+    cross-partition carry is a P-row driver fold over (partition sum,
+    partition prefix-min) pairs — the q227 shards pattern, fused so
+    the sum and the min share the exchange (the q225 lesson: two
+    primitives ordering by the same key must not pay two exchanges).
+    Everything is exact long arithmetic: ``d_col`` must be integral
+    (pre-scale floats to a cents grid), so S is bit-stable under any
+    partitioning — pinned by a property test across 1–16 partitions.
+
+    Output: 1 row (n_rows, n_alarms, max_s, final_s), all exact longs.
+    """
+    from .shards import _resolve_partitions
+
+    p = _resolve_partitions(df, num_partitions)
+    order_by = [F.asc(c) for c in order_by_cols]
+    ranged = (
+        df.repartitionByRange(p, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # the collect below materializes
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "_ls", F.sum(F.col(d_col).cast("long")).over(w)
+    ).withColumn("_lm", F.min("_ls").over(w))
+    rows = (
+        local.groupBy("_pid")
+        .agg(
+            F.sum(F.col(d_col).cast("long")).alias("_tot"),
+            F.min("_ls").alias("_pmin"),
+        )
+        .collect()
+    )
+    carries = []
+    run, gmin = 0, 0  # D_0 = 0: the empty prefix is always a reset point
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        carries.append((r["_pid"], run, gmin))
+        gmin = min(gmin, run + (r["_pmin"] if r["_pmin"] is not None else 0))
+        run += r["_tot"] or 0
+    carry = F.broadcast(
+        df.sparkSession.createDataFrame(
+            carries or [(0, 0, 0)], "_pid INT, _off LONG, _minc LONG"
+        )
+    )
+    scored = local.join(carry, "_pid", "left").withColumn(
+        "_s",
+        (F.col("_off") + F.col("_ls"))
+        - F.least(F.col("_minc"), F.col("_off") + F.col("_lm")),
+    )
+    last = F.max(
+        F.struct(
+            *[F.col(c) for c in order_by_cols], F.col("_s").alias("s")
+        )
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_s") > threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms"),
+        F.max("_s").cast("long").alias("max_s"),
+        last["s"].cast("long").alias("final_s"),
+    )

@@ -6354,6 +6354,28 @@ def q265_js_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_attribution(docs, "text", "source", "src0", "src1", k=20)
 
 
+def q266_cusum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detector over the whole event stream (Page's test,
+    deviations = value cents − 5500, alarm above 100000): the
+    sequential recurrence S_t = max(0, S_{t−1} + d_t) distributed
+    EXACTLY via the reflection identity S_t = D_t − min(0, min D_j) —
+    ONE ranged exchange carries both the prefix sum and prefix min
+    (the fused q225 shape), all exact long arithmetic, bit-stable at
+    any partitioning."""
+    from ..operators.timeseries import cusum_scan
+
+    ev = load_table(spark, sf_dir, "events", raw=True).filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") - F.lit(5500)).alias(
+            "d"
+        ),
+    )
+    return cusum_scan(ev, ["us", "event_id"], "d", threshold=100_000)
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9722,6 +9744,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q263_weekday_seasonality": q263_weekday_seasonality,
     "q264_cramers_v": q264_cramers_v,
     "q265_js_attribution": q265_js_attribution,
+    "q266_cusum_scan": q266_cusum_scan,
 }
 
 
@@ -13384,4 +13407,34 @@ ORACLE_SQL["q265_js_attribution"] = """
     SELECT tok, n_a, n_b,
            round(CAST(q AS DOUBLE) / 2e12 + 1e-9, 6) AS contrib_nats
     FROM terms ORDER BY q DESC, tok ASC LIMIT 20
+"""
+
+
+# q266: the oracle states the identical reflection identity with two
+# plain windows — exact BIGINT prefix sum and prefix min over (us,
+# event_id) order; the least(0, ...) encodes the virtual D_0 = 0
+# reset point exactly as the Spark carry fold does.
+ORACLE_SQL["q266_cusum_scan"] = """
+    WITH d AS (
+      SELECT epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) - 5500 AS d
+      FROM events WHERE value IS NOT NULL
+    ), sc AS (
+      SELECT us, event_id,
+             sum(d) OVER (ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS D
+      FROM d
+    ), s AS (
+      SELECT us, event_id,
+             D - least(0, min(D) OVER (ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING)) AS S
+      FROM sc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN S > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(max(S) AS BIGINT) AS max_s,
+           CAST((SELECT S FROM s ORDER BY us DESC, event_id DESC
+                 LIMIT 1) AS BIGINT) AS final_s
+    FROM s
 """

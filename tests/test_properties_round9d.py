@@ -867,3 +867,42 @@ def test_interval_coverage_drops_empty_and_inverted_spans(spark):
     )
     row = interval_coverage(df, "key", "lo", "hi").collect()[0]
     assert (row["n_spans"], row["covered"], row["n_islands"]) == (1, 5, 1)
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    cusum_scan,
+)
+
+
+def _cusum_model(ds, h):
+    s = 0
+    alarms = mx = 0
+    for d in ds:
+        s = max(0, s + d)
+        mx = max(mx, s)
+        alarms += s > h
+    return len(ds), alarms, mx, s
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=1, max_size=60
+    ),
+    st.integers(min_value=0, max_value=40),  # threshold
+    st.sampled_from([1, 3, 16]),  # partition counts
+)
+def test_cusum_matches_sequential_model_at_any_partitioning(
+    spark, ds, h, parts
+):
+    rows = [(i, d) for i, d in enumerate(ds)]
+    df = spark.createDataFrame(rows, "i long, d long").repartition(parts)
+    r = cusum_scan(df, ["i"], "d", threshold=h, num_partitions=parts)
+    got = r.collect()[0]
+    n, alarms, mx, fin = _cusum_model(ds, h)
+    assert (
+        got["n_rows"],
+        got["n_alarms"],
+        got["max_s"],
+        got["final_s"],
+    ) == (n, alarms, mx, fin)
