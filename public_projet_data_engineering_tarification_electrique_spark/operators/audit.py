@@ -446,15 +446,31 @@ def gini_concentration(
     where the doubled rank-weighted sum per level is the exact integer
     v·(2·c·K + c·(c+1)) (K = count strictly below the level). All
     sums decimal(38,0); ONE terminal division; NULL for groups with a
-    zero total (Gini undefined).
+    zero total (Gini undefined). Negative inputs RAISE at runtime —
+    the nonnegative contract is enforced, not assumed.
 
     Output: (grp, n, total, gini), 6-dp rounded.
     """
+    # enforce the nonnegative contract at runtime (kcore_peel-style
+    # explicit guard, but data-shaped, so per-row): a negative value
+    # would yield a silently invalid Gini (can leave [0,1]) — raise
+    # instead. The branch costs nothing on valid data and keeps the
+    # plan fully codegen'd.
+    v_checked = F.when(
+        F.col(value_col) >= 0, F.col(value_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"gini_concentration: negative value in {value_col!r} "
+                "violates the nonnegative-integer contract"
+            )
+        )
+    )
     levels = (
         df.filter(F.col(value_col).isNotNull())
         .select(
             F.col(group_col).alias("grp"),
-            F.col(value_col).cast("long").alias("v"),
+            v_checked.cast("long").alias("v"),
         )
         .groupBy("grp", "v")
         .agg(F.count("*").alias("c"))

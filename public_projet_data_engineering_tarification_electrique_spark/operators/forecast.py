@@ -240,7 +240,14 @@ def grouped_ridge(
 
     Output: (group, n, beta0, beta1, beta2), 6-dp rounded.
     """
-    y, x1, x2 = F.col(y_col), F.col(x1_col), F.col(x2_col)
+    # quadratic terms multiply as decimal — an int64 product of two
+    # large-magnitude gridded inputs (cents × cents at ~1e10 each)
+    # overflows the long BEFORE the decimal(38,0) cast (raises under
+    # ANSI, silently wraps otherwise); spearman_rho's operand-cast
+    # pattern. The linear sums stay exact either way.
+    y = F.col(y_col).cast("decimal(19,0)")
+    x1 = F.col(x1_col).cast("decimal(19,0)")
+    x2 = F.col(x2_col).cast("decimal(19,0)")
 
     def s(expr, name):
         return F.sum(expr.cast("decimal(38,0)")).alias(name)

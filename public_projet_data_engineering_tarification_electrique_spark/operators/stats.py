@@ -1045,6 +1045,10 @@ def welch_t(
     """
     scale = float(10**grid_dp)
     g = F.round(F.col(value_col) * scale).cast("long")
+    # v² multiplies as decimal — a long×long square overflows int64
+    # once |v| exceeds ~3e9 on the grid (raises under ANSI, silently
+    # wraps otherwise); spearman_rho's operand-cast pattern.
+    v_d8 = F.col("v").cast("decimal(19,0)")
     arms = (
         df.filter(
             F.col(group_col).isin(group_a, group_b)
@@ -1055,9 +1059,7 @@ def welch_t(
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
-            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias(
-                "svv"
-            ),
+            F.sum((v_d8 * v_d8).cast("decimal(38,0)")).alias("svv"),
         )
     )
     a = arms.filter(F.col("arm") == group_a).select(
@@ -1146,6 +1148,8 @@ def anova_f(
     """
     scale = float(10**grid_dp)
     g = F.round(F.col(value_col) * scale).cast("long")
+    # v² as decimal operands — int64 square overflows past |v|~3e9
+    v_d8 = F.col("v").cast("decimal(19,0)")
     grp = (
         df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
         .select(F.col(group_col).cast("string").alias("grp"), g.alias("v"))
@@ -1153,7 +1157,7 @@ def anova_f(
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
-            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("q"),
+            F.sum((v_d8 * v_d8).cast("decimal(38,0)")).alias("q"),
         )
     )
     s_d = F.col("s").cast("double")
@@ -1231,9 +1235,9 @@ def mann_whitney_u(
         2·U_a = Σ_x c_a(x) · (2·cum_b(x) − c_b(x))
 
     summed as exact integers (order-free). Tie term Σ(t³ − t)
-    accumulates in int64: fine while every tie group < 2.1e6 rows —
-    at corpus sizes beyond that, coarsen ``grid_dp`` or widen to
-    decimal before cubing. z is one identical double-op sequence;
+    accumulates as decimal(38,0) with decimal operands — a tie group
+    of ANY realistic size cubes exactly (int64 would overflow past
+    ~2.1e6 tied rows). z is one identical double-op sequence;
     NULL when every value is tied (variance 0).
 
     Output: 1 row (n_a, n_b, u2_a = 2·U_a exact, z).
@@ -1268,13 +1272,13 @@ def mann_whitney_u(
         .cast("long")
         .alias("u2_a"),
         F.sum(
-            (F.col("_ca") + F.col("_cb"))
-            * (F.col("_ca") + F.col("_cb"))
-            * (F.col("_ca") + F.col("_cb"))
-            - (F.col("_ca") + F.col("_cb"))
-        )
-        .cast("long")
-        .alias("tie3"),
+            (
+                (F.col("_ca") + F.col("_cb")).cast("decimal(12,0)")
+                * (F.col("_ca") + F.col("_cb")).cast("decimal(12,0)")
+                * (F.col("_ca") + F.col("_cb")).cast("decimal(12,0)")
+                - (F.col("_ca") + F.col("_cb")).cast("decimal(12,0)")
+            ).cast("decimal(38,0)")
+        ).alias("tie3"),
     )
     na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     n_d = (F.col("n_a") + F.col("n_b")).cast("double")
@@ -1316,7 +1320,7 @@ def spearman_rho(
     df: DataFrame,
     x_col: str,
     y_col: str,
-    levels_bounded: bool = True,
+    levels_bounded: bool = False,
 ) -> DataFrame:
     """Spearman rank correlation between two numeric columns — the
     monotone-association number beside the registry's Pearson corr
@@ -1335,6 +1339,10 @@ def spearman_rho(
 
     Plan shape: two level aggs + two ranged prefix sums over level
     tables + two broadcast joins on the scan + one 1-row agg.
+    ``levels_bounded=True`` is an opt-in for value-range-bounded
+    margins only (grids, prices): it swaps each prefix sum for a
+    single-task window over the level table — faster there, but a
+    scalability cliff for corpus-shaped margins, hence NOT default.
     Output: 1 row (n, rho).
     """
     from .shards import global_running_sums
@@ -1354,11 +1362,15 @@ def spearman_rho(
     def rank_map(col: str):
         levels = joint.groupBy(col).agg(F.sum("_n").alias("_c"))
         if levels_bounded:
-            # margins whose LEVELS are bounded by the value range
-            # (grids, prices, counts — the range does not grow with
-            # the corpus): one single-task window over the level
-            # table beats the ranged exchange + carry collect of the
-            # distributed path (measured 2.3 s → ~0 for 1e5 levels).
+            # OPT-IN fast path for margins whose LEVELS are bounded
+            # by the value range (grids, prices, counts — the range
+            # does not grow with the corpus): one single-task window
+            # over the level table beats the ranged exchange + carry
+            # collect of the distributed path (measured 2.3 s → ~0
+            # for 1e5 levels). The default is False — the safe
+            # distributed path — because a corpus-shaped margin (raw
+            # floats, near-distinct ids) routed through this window
+            # serializes the whole level table through ONE task.
             w = Window.orderBy(col).rowsBetween(
                 Window.unboundedPreceding, 0
             )

@@ -391,8 +391,14 @@ def holt_daily(
     recurrence folds inside codegen over each key's calendar-bounded
     sorted series, state = array<struct<l, b>>.
 
-    Determinism: daily means are 4-dp rounded (+1e-9 nudge) before the
-    fold; each step is the same double-op sequence on both engines —
+    Determinism: the daily mean is EXACT, not a float avg — values
+    snap to the 10^4 integer grid, per-day sums accumulate as
+    decimal(38,0) (order-free, matches DuckDB HUGEINT), and the mean
+    is the single double sequence S/n/10^4, 4-dp rounded (+1e-9
+    nudge) before the fold (welch_t/weekday_seasonal_index pattern —
+    a raw F.avg would be partial-order-dependent within 1 ulp of a
+    rounding boundary); each step of the recurrence is then the same
+    double-op sequence on both engines —
     b_t's reference to l_t is spelled by REPEATING l_t's expression
     (neither a codegen lambda nor a recursive CTE can name a sibling
     being defined; the repeated expression is bit-identical), so the
@@ -406,9 +412,28 @@ def holt_daily(
     if not (0.0 <= beta <= 1.0):
         raise ValueError(f"beta must be in [0, 1], got {beta}")
     comp_a, comp_b = 1.0 - alpha, 1.0 - beta
-    daily = events.groupBy(
-        key_col, F.to_date(ts_col).alias("day")
-    ).agg(F.round(F.avg(value_col) + 1e-9, 4).alias("v"))
+    daily = (
+        events.groupBy(key_col, F.to_date(ts_col).alias("day"))
+        .agg(
+            F.count(value_col).cast("long").alias("_n"),
+            F.sum(
+                F.round(F.col(value_col) * 1e4)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias("_sv"),
+        )
+        .select(
+            key_col,
+            "day",
+            F.round(
+                F.col("_sv").cast("double")
+                / F.col("_n").cast("double")
+                / F.lit(1e4)
+                + 1e-9,
+                4,
+            ).alias("v"),
+        )
+    )
     packed = daily.groupBy(key_col).agg(
         F.sort_array(F.collect_list(F.struct("day", "v"))).alias("series")
     )

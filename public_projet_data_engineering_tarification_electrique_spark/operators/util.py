@@ -20,11 +20,22 @@ def scratch_dir(prefix: str) -> str:
     parity-gate + bench loop runs every query several times per
     round); routing them through a single atexit-cleaned root bounds
     /tmp growth to one tree per process."""
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+
+
+def scratch_root() -> str:
+    """The ONE per-process scratch root behind ``scratch_dir`` —
+    stable for the life of the interpreter, removed at exit. Exposed
+    so per-session stores that need a FIXED path (the bucketed-table
+    scratch database) can anchor under it: two concurrent processes
+    (driver + judge + builder) get disjoint roots, so neither can
+    clobber the other's managed-table locations — the shared
+    ``spark-warehouse/`` race VERDICT r9 reproduced."""
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_engine_scratch_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+    return _SCRATCH_ROOT
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -2290,14 +2290,28 @@ def q99_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.writers import write_bucketed
 
     sfx = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    t_orders, t_cust = f"orders_b_{sfx}", f"customer_b_{sfx}"
-    for name, df, key in (
-        (t_orders, load_table(spark, sf_dir, "orders"), "o_custkey"),
-        (t_cust, load_table(spark, sf_dir, "customer"), "c_custkey"),
-    ):
-        write_bucketed(df, name, (key,), num_buckets=8, sort_cols=(key,))
-    orders_b = spark.table(t_orders)
-    cust_b = spark.table(t_cust)
+    # unqualified names land in the per-process scratch database
+    # (writers._ensure_scratch_db) — concurrent driver/judge/builder
+    # sessions write disjoint locations instead of racing each
+    # other's cleanup in the shared spark-warehouse/ (VERDICT r9).
+    orders_b = spark.table(
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"),
+            f"orders_b_{sfx}",
+            ("o_custkey",),
+            num_buckets=8,
+            sort_cols=("o_custkey",),
+        )
+    )
+    cust_b = spark.table(
+        write_bucketed(
+            load_table(spark, sf_dir, "customer"),
+            f"customer_b_{sfx}",
+            ("c_custkey",),
+            num_buckets=8,
+            sort_cols=("c_custkey",),
+        )
+    )
     # exact cent-grid sum (q22's discipline): order/engine-independent
     cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
     return (
@@ -6278,7 +6292,9 @@ def q260_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity")).cast("long").alias("qty"),
         F.round(F.col("l_extendedprice")).cast("long").alias("price"),
     )
-    return spearman_rho(li, "qty", "price")
+    # qty (50 levels) and cent-gridded price are value-range bounded
+    # → opt in to the single-task level-table window fast path
+    return spearman_rho(li, "qty", "price", levels_bounded=True)
 
 
 def q261_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12768,7 +12784,10 @@ ORACLE_SQL["q251_isotonic_calibration"] = """
 ORACLE_SQL["q252_holt_trend"] = """
     WITH RECURSIVE daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             round(avg(value) + 1e-9, 4) AS v
+             round(CAST(sum(CAST(round(value * 1e4) AS BIGINT))
+                        AS DOUBLE)
+                   / CAST(count(value) AS DOUBLE) / 1e4 + 1e-9,
+                   4) AS v
       FROM events GROUP BY 1, 2
     ), d AS (
       SELECT event_type, day, v,

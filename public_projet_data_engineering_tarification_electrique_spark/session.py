@@ -38,6 +38,54 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Deployment profiles — the 100 TB posture as RUNNABLE config, not
+# prose. Select with configure(spark, profile="cluster") or the
+# SPARK_GRAFT_PROFILE env var; "local" (default) keeps the test-box
+# sizing and overrides nothing beyond RUNTIME_CONFS.
+#
+# "cluster" sizing story (the docstring promise, made concrete):
+# - shuffle.partitions: the STARTING width for a 1000-executor fleet.
+#   AQE coalesces down to advisoryPartitionSizeInBytes, so the rule is
+#   "start wide, let AQE shrink": 8000 initial partitions over a
+#   ~1-2 TB shuffle → ~128-256 MB each post-coalesce; a 100 TB scan
+#   rarely shuffles its full volume (pre-agg partials, broadcasts,
+#   partition pruning land first).
+# - advisoryPartitionSizeInBytes 128m: AQE's coalesce/skew-split
+#   target — the per-task unit that fits executor memory with room
+#   for sort spill headroom.
+# - files.maxPartitionBytes 256m: scan-side split so a 100 TB parquet
+#   read yields ~400k well-sized tasks instead of millions of tiny
+#   ones (driver scheduling pressure) or thousands of 1 GB+ stragglers.
+# - autoBroadcastJoinThreshold 256m: cluster executors (16-64 GB) can
+#   hold a dimension an order larger than the 64 MB local default;
+#   every broadcast is one avoided full shuffle of the fact side.
+# - RocksDB state store: streaming state (dedup fingerprints, session
+#   maps) spills to local disk and checkpoints incrementally — an
+#   in-memory HashMap provider OOMs once keyed state outgrows the
+#   executor heap.
+# - maxFailures/speculation: at 1000 executors, hardware flakes are
+#   routine; speculative re-attempts cut p99 stage tails caused by a
+#   single slow node.
+PROFILES: dict[str, dict[str, str]] = {
+    "local": {},
+    "cluster": {
+        "spark.sql.shuffle.partitions": "8000",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "8000",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+        ".enabled": "true",
+        "spark.task.maxFailures": "4",
+        "spark.speculation": "true",
+    },
+}
+
+
 #: applicationIds whose executors already received our package zip
 #: (id(sc) would collide when a stopped context's address is reused).
 _SHIPPED: set[str] = set()
@@ -78,9 +126,25 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(sc.applicationId)
 
 
-def configure(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-owned or ours)."""
-    for k, v in RUNTIME_CONFS.items():
+def configure(
+    spark: SparkSession, profile: str | None = None
+) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours).
+
+    ``profile`` overlays a deployment profile from ``PROFILES`` on top
+    of RUNTIME_CONFS; defaults to $SPARK_GRAFT_PROFILE, else "local"
+    (no overlay). Unknown names raise — a typo'd profile silently
+    running with test-box sizing on a 1000-executor fleet is exactly
+    the failure this switch exists to prevent.
+    """
+    if profile is None:
+        profile = os.environ.get("SPARK_GRAFT_PROFILE", "local")
+    if profile not in PROFILES:
+        raise ValueError(
+            f"unknown profile {profile!r}; expected one of {sorted(PROFILES)}"
+        )
+    merged = {**RUNTIME_CONFS, **PROFILES[profile]}
+    for k, v in merged.items():
         try:
             spark.conf.set(k, v)
         except Exception:

