@@ -24,6 +24,7 @@ output contract stays deterministic and oracle-checkable.
 from __future__ import annotations
 
 import contextlib
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,11 +71,33 @@ def normalized_prefix_key(text_col: str = "text", prefix_len: int = 40) -> Colum
     return F.md5(F.substring(norm, 1, prefix_len))
 
 
+def default_stream_slices() -> int:
+    """Landing slice count for the availableNow streaming demos.
+
+    Each slice is one micro-batch, and every micro-batch pays a FIXED
+    trigger cost (planning + state-store commit + sink round-trip)
+    that is independent of data volume — at bench SFs this fixed tail
+    dominates the streaming family's wall-clock (8 slices measured
+    6.8 s for q230 at sf0.001; the data itself is milliseconds). The
+    results are slice-count invariant by construction (the oracles
+    are COUNT(DISTINCT)-style set functions of the corpus), so the
+    count is a pure cost knob: ≥3 keeps the stateful operator
+    genuinely exercising CROSS-batch state (tests stage 3 files and
+    pin state crossing), anything above that only buys more trigger
+    overhead. Env: SPARK_GRAFT_STREAM_SLICES, default 4, floor 3.
+    """
+    try:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_SLICES", "4"))
+    except ValueError:
+        n = 4
+    return max(3, n)
+
+
 def stream_prefix_dedup(
     spark: SparkSession,
     documents_path: str,
     prefix_len: int = 40,
-    n_files: int = 8,
+    n_files: int | None = None,
     state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the arrival-order dedup stream to completion (availableNow)
@@ -89,6 +112,8 @@ def stream_prefix_dedup(
     table (which ignores NULLs, matching the NULL-text convention
     documented on the dedup filter below).
     """
+    if n_files is None:
+        n_files = default_stream_slices()
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
     configure(spark)
@@ -157,7 +182,7 @@ def stream_prefix_dedup_watermarked(
     documents_path: str,
     delay_seconds: int = 10_000_000,
     prefix_len: int = 40,
-    n_files: int = 8,
+    n_files: int | None = None,
     state_partitions: int | None = 8,
     landing_dir: str | None = None,
 ) -> DataFrame:
@@ -185,6 +210,8 @@ def stream_prefix_dedup_watermarked(
     control batch boundaries exactly); default stages ``n_files``
     doc_id-ranged files like q230.
     """
+    if n_files is None:
+        n_files = default_stream_slices()
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
     if delay_seconds < 1:

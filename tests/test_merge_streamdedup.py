@@ -588,3 +588,47 @@ def test_stream_cdc_feed_emits_ordered_changelog(spark):
         (2, "update_preimage"): (2, 2, 80.0),    # k=2, k=3 before
         (2, "update_postimage"): (2, 4, 210.0),  # k=2, k=3 after
     }  # k=50 (op=D everywhere): no insert, no delete rows ever
+
+
+def test_null_text_convention_against_registered_oracles(spark, tmp_path):
+    """End-to-end NULL-convention gate (VERDICT r9 item 3): the dedup/
+    fingerprint family must pass its REGISTERED oracles over a corpus
+    that actually contains NULL text, NULL doc_id, empty/whitespace
+    text (both collapse to md5('')), duplicate texts, and a NULL
+    event_id — the rows the driver testdata never ships, so the main
+    parity sweep is blind to them."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from nulls_fixture import FAMILY, build_nulls_fixture
+
+    from .oracle_utils import compare
+
+    from public_projet_data_engineering_tarification_electrique_spark.plans import (
+        registry,
+    )
+
+    fx = build_nulls_fixture(str(tmp_path / "sfnulls"))
+    duck = duckdb.connect()
+    for t in ("documents", "events"):
+        duck.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(fx, t + '.parquet')}')"
+        )
+    qmap = registry.QUERIES()
+    for name in FAMILY:
+        compare(
+            qmap[name](spark, fx),
+            duck,
+            registry.ORACLE_SQL[name],
+            name=f"nulls:{name}",
+        )

@@ -72,6 +72,39 @@ def main() -> None:
             msg = str(exc).splitlines()[0][:120] if str(exc) else repr(exc)
             results.append((name, "FAIL", msg.replace("|", "\\|")))
 
+    # NULL-convention coverage (VERDICT r9 item 3): the driver testdata
+    # has zero NULL-text rows, so the main sweep never exercises the
+    # fingerprint family's NULL semantics — replay those queries, with
+    # their REGISTERED oracles, over a NULL-bearing derived fixture.
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from nulls_fixture import FAMILY, build_nulls_fixture
+
+    from public_projet_data_engineering_tarification_electrique_spark.operators.util import (
+        scratch_dir,
+    )
+
+    fx = build_nulls_fixture(scratch_dir("sfnulls_"))
+    duck_fx = duckdb.connect()
+    for t in ("documents", "events"):
+        duck_fx.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(fx, t + '.parquet')}')"
+        )
+    qmap = registry.QUERIES()
+    for name in FAMILY:
+        try:
+            compare(
+                qmap[name](spark, fx),
+                duck_fx,
+                registry.ORACLE_SQL[name],
+                name=f"nulls:{name}",
+            )
+            results.append((f"nulls:{name}", "PASS", "NULL-fixture parity"))
+            n_pass += 1
+        except Exception as exc:
+            msg = str(exc).splitlines()[0][:120] if str(exc) else repr(exc)
+            results.append((f"nulls:{name}", "FAIL", msg.replace("|", "\\|")))
+
     out = os.path.join(REPO, "PARITY_LOCAL.md")
     with open(out, "w") as f:
         f.write(
