@@ -2,13 +2,16 @@
 ``binary`` columns + typed metadata, processed by Arrow-batched
 ``mapInPandas``.
 
-The decode step is STUBBED (this container has no image/audio libs):
-``fake_decode_meta`` derives deterministic metadata from the raw bytes,
-and ``decode_image`` raises NotImplementedError unless a real decoder
-is importable. The Spark-side plumbing — binary schema, Arrow batch
-shape, mapInPandas signature, partition-parallel execution — is real
-and oracle-tested (the fake decode is a pure function of the bytes, so
-DuckDB can verify it).
+Decode is REAL for PNG: ``decode_image`` uses Pillow when importable
+and otherwise the vendored pure-stdlib spec decoder (:mod:`.pngcodec`
+— zlib IDAT, CRC'd chunks, all five scanline filters); audio/video
+decode stays a loud NotImplementedError (no codec libs here). The
+fake-metadata path (``extract_media_meta``) is kept alongside as the
+byte-level plumbing demo. The Spark-side plumbing — binary schema,
+Arrow batch shape, mapInPandas signature, partition-parallel
+execution — is oracle-tested end-to-end: ``synth_png_corpus`` →
+``decode_image_stats`` round-trips real PNG bytes and DuckDB
+recomputes the post-decode sums closed-form.
 """
 
 from __future__ import annotations
@@ -80,21 +83,28 @@ def extract_media_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataF
     return with_payload.mapInPandas(meta_batches, schema=MEDIA_META_SCHEMA)
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real image decode — unavailable in this environment.
-
-    Gate: import Pillow if present, else explicit NotImplementedError so
-    callers fail loudly rather than silently skipping decode.
-    """
+def decode_image(payload: bytes):
+    """Real image decode. Pillow when importable (any format it
+    sniffs); otherwise the vendored pure-stdlib PNG decoder
+    (:mod:`.pngcodec`, W3C PNG spec subset) for PNG payloads —
+    returning an (h, w, ch) uint8 numpy array. Non-PNG payloads
+    without Pillow still raise NotImplementedError loudly rather than
+    silently skipping decode."""
     try:
         from PIL import Image  # type: ignore
         import io
 
         return Image.open(io.BytesIO(payload))
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decoding requires Pillow, not installed in this container"
-        ) from exc
+    except ImportError:
+        pass
+    from .pngcodec import PNG_SIGNATURE, decode_png
+
+    if bytes(payload[:8]) == PNG_SIGNATURE:
+        return decode_png(bytes(payload))
+    raise NotImplementedError(
+        "only PNG decode is available without Pillow (vendored "
+        "pngcodec); this payload is not a PNG"
+    )
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
@@ -165,9 +175,92 @@ def byte_histogram_features(
     return with_payload.mapInPandas(hist, schema=FEATURE_SCHEMA)
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
-    """Real image resize — requires a decoder, absent here (see
-    decode_image). Kept as a loud stub so the operator surface is
-    explicit about what a deployment must provide."""
-    img = decode_image(payload)  # raises NotImplementedError without Pillow
-    return img.resize((width, height))
+def resize_image(payload: bytes, width: int, height: int):
+    """Real image resize: Pillow's resampling when available, else the
+    deterministic nearest-neighbor kernel over the vendored PNG decode
+    (raises for non-PNG payloads without Pillow — see decode_image)."""
+    img = decode_image(payload)
+    if hasattr(img, "resize"):  # PIL image
+        return img.resize((width, height))
+    from .pngcodec import resize_nearest
+
+    return resize_nearest(img, width, height)
+
+
+DECODE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, pixel_sum long, "
+    "rs_width int, rs_height int, pixel_sum_resized long"
+)
+
+
+def synth_png_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-PNG corpus: one grayscale PNG per document,
+    dimensions and pixels a pure function of the id — width
+    4 + id % 13, height 4 + (id // 13) % 11, pixel(x, y) =
+    (3x + 7y + id) mod 256 — encoded through the vendored spec
+    codec (zlib IDAT, CRC'd chunks), so the decode path downstream
+    exercises a genuine PNG container, not a fake byte pattern.
+    Closed-form pixels make the post-decode stats ORACLE-expressible:
+    DuckDB recomputes the sums from the same arithmetic without ever
+    seeing the bytes."""
+    import numpy as np
+
+    from .pngcodec import encode_png
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            ids = pdf[id_col].to_numpy()
+            for did in ids:
+                d = int(did)
+                w, h = 4 + d % 13, 4 + (d // 13) % 11
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                pix = (3 * xs[None, :] + 7 * ys[:, None] + d) % 256
+                payloads.append(encode_png(pix.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        ensure_parallelism(docs)
+        .filter(F.col(id_col).isNotNull())
+        .select(id_col)
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+
+
+def decode_image_stats(with_payload: DataFrame) -> DataFrame:
+    """REAL decode + resize over PNG payloads, Arrow-batched: each
+    payload round-trips through :func:`decode_image` (full zlib
+    inflate + scanline unfilter, not a header peek), yields exact
+    integer stats (width, height, pixel_sum), then a nearest-neighbor
+    half-resize (pngcodec.resize_nearest — deterministic integer
+    sampling, no float resampling) and the resized pixel sum. At
+    100 TB the payload column never shuffles: mapInPandas runs on the
+    scan's partitions and only the 7-integer stats rows flow on."""
+    import numpy as np
+
+    from .pngcodec import resize_nearest
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "pixel_sum",
+                "rs_width", "rs_height", "pixel_sum_resized",
+            )}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = np.asarray(decode_image(bytes(payload)))
+                h, w = img.shape[:2]
+                rw, rh = max(1, w // 2), max(1, h // 2)
+                resized = resize_nearest(img, rw, rh)
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(int(img.sum(dtype=np.int64)))
+                out["rs_width"].append(rw)
+                out["rs_height"].append(rh)
+                out["pixel_sum_resized"].append(
+                    int(resized.sum(dtype=np.int64))
+                )
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(stats, schema=DECODE_STATS_SCHEMA)

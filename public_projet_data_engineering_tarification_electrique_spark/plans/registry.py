@@ -6392,6 +6392,26 @@ def q266_cusum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_scan(ev, ["us", "event_id"], "d", threshold=100_000)
 
 
+def q267_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (closes the r9 Pillow gate): every
+    7th document becomes a genuine grayscale PNG (vendored W3C-spec
+    encoder — zlib IDAT, CRC'd chunks, deterministic closed-form
+    pixels), which ``decode_image_stats`` then fully decodes (inflate
+    + unfilter, no header peeking) and half-resizes with the integer
+    nearest-neighbor kernel. The oracle never sees a byte: it
+    recomputes width/height/pixel sums from the same (3x+7y+id) mod
+    256 arithmetic over generate_series grids — value parity proves
+    the decode path reconstructs every pixel exactly. The payload
+    column never shuffles: both mapInPandas steps run on the scan's
+    partitions and only 7-integer stat rows flow on."""
+    from ..operators.multimodal import decode_image_stats, synth_png_corpus
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    return decode_image_stats(synth_png_corpus(docs))
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9761,6 +9781,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q264_cramers_v": q264_cramers_v,
     "q265_js_attribution": q265_js_attribution,
     "q266_cusum_scan": q266_cusum_scan,
+    "q267_png_decode_stats": q267_png_decode_stats,
 }
 
 
@@ -9896,6 +9917,17 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # the standard +1e-9 nudge; value-identical off ties, convention
     # pinned on them. Re-prove with a driver row.
     "q220": 9,
+    # Round-10 hardening: q252's daily mean changed SEMANTICS (grid-
+    # snapped exact decimal mean replaces the float avg, oracle moved
+    # in lockstep); q254/q255/q257/q258 accumulate quadratic terms as
+    # decimal operands now (value-identical below overflow, plans
+    # changed); q260 routes through the distributed prefix-sum path
+    # by default with an explicit bounded opt-in; q261 gained the
+    # nonnegative runtime guard; q230/q232 default to 4 landing
+    # slices (value-invariant by construction); q99's bucketed tables
+    # moved to the per-process scratch database. Re-prove each.
+    "q252": 10, "q254": 10, "q255": 10, "q257": 10, "q258": 10,
+    "q260": 10, "q261": 10, "q230": 10, "q232": 10, "q99": 10,
 }
 
 
@@ -13456,4 +13488,40 @@ ORACLE_SQL["q266_cusum_scan"] = """
            CAST((SELECT S FROM s ORDER BY us DESC, event_id DESC
                  LIMIT 1) AS BIGINT) AS final_s
     FROM s
+"""
+
+# q267: the oracle recomputes every post-decode statistic CLOSED-FORM
+# from the synthetic pixel law pixel(x,y) = (3x + 7y + id) mod 256 over
+# generate_series grids — if the vendored decoder mis-unfilters a single
+# scanline or the resize samples one wrong coordinate, a sum moves and
+# the value hash breaks. Resized sampling is (x2*w)//w2, the exact
+# integer law of pngcodec.resize_nearest.
+ORACLE_SQL["q267_png_decode_stats"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(4 + (doc_id // 13) % 11 AS INT) AS height,
+             CAST(greatest(1, (4 + doc_id % 13) // 2) AS INT) AS rs_width,
+             CAST(greatest(1, (4 + (doc_id // 13) % 11) // 2) AS INT)
+               AS rs_height
+      FROM documents
+      WHERE doc_id IS NOT NULL AND doc_id % 7 = 0
+    ), g AS (
+      -- fixed max grid (width <= 16, height <= 14); per-doc bounds are
+      -- filtered in the aggregates (generate_series cannot be lateral)
+      SELECT gx.x AS x, gy.y AS y
+      FROM generate_series(0, 15) gx(x), generate_series(0, 13) gy(y)
+    )
+    SELECT d.doc_id, d.width, d.height,
+           CAST(sum(CASE WHEN g.x < d.width AND g.y < d.height THEN
+                  (3 * g.x + 7 * g.y + d.doc_id) % 256 END)
+                AS BIGINT) AS pixel_sum,
+           d.rs_width, d.rs_height,
+           CAST(sum(CASE WHEN g.x < d.rs_width AND g.y < d.rs_height THEN
+                  (3 * ((g.x * d.width) // d.rs_width)
+                   + 7 * ((g.y * d.height) // d.rs_height)
+                   + d.doc_id) % 256 END)
+                AS BIGINT) AS pixel_sum_resized
+    FROM dims d CROSS JOIN g
+    GROUP BY d.doc_id, d.width, d.height, d.rs_width, d.rs_height
 """
