@@ -1509,3 +1509,96 @@ def cramers_v(
         F.round(F.col("chi2") + 1e-9, 6).alias("chi2"),
         F.round(v + 1e-9, 6).alias("cramers_v"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b between two GRIDDED numeric columns — the
+    pair-concordance association measure completing the monotone
+    toolkit (``spearman_rho`` ranks values; τ counts how often two
+    random observations AGREE on direction, with the τ-b tie
+    normalization). Preferred when the margins are coarse grids with
+    heavy ties, exactly where rank correlations get tie-dominated.
+
+    BOUNDED-GRID contract (the ks_distance discipline): callers pass
+    columns whose level count is bounded by the VALUE RANGE (snap
+    floats to a grid first). All pair counting happens on the joint
+    level table — concordant/discordant from the ordered self-join of
+    |X|·|Y| cells (≤ grid², never corpus²), tie terms from the two
+    margin tables — every quantity an exact integer in decimal(38,0)
+    (cell products multiply as decimal operands; n·(n−1) pair counts
+    likewise). τ-b is one identical double sequence:
+    (C − D) / (sqrt(n0 − n1) · sqrt(n0 − n2)).
+
+    Plan shape: one full-data shuffle (the joint cell agg); the cell
+    self-join and margin aggs run on level tables. Output: 1 row
+    (n, concordant, discordant, tau_b), τ NULL when either margin is
+    constant.
+    """
+    joint = (
+        df.select(F.col(x_col).alias("vx"), F.col(y_col).alias("vy"))
+        .filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy("vx", "vy")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = joint.alias("a"), joint.alias("b")
+    cd = (
+        a.join(b, F.col("a.vx") < F.col("b.vx"))
+        .select(
+            (
+                F.col("a.c").cast("decimal(19,0)")
+                * F.col("b.c").cast("decimal(19,0)")
+            ).alias("p"),
+            F.signum(
+                F.col("b.vy").cast("double") - F.col("a.vy").cast("double")
+            ).alias("s"),
+        )
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.col("p")).otherwise(
+                F.lit(0).cast("decimal(19,0)")
+            ).cast("decimal(38,0)")).alias("conc"),
+            F.sum(F.when(F.col("s") < 0, F.col("p")).otherwise(
+                F.lit(0).cast("decimal(19,0)")
+            ).cast("decimal(38,0)")).alias("disc"),
+        )
+    )
+
+    def _tie_term(col: str):
+        m = joint.groupBy(col).agg(F.sum("c").alias("t"))
+        td = F.col("t").cast("decimal(19,0)")
+        return m.agg(
+            F.sum(
+                (td * (td - F.lit(1)) / F.lit(2)).cast("decimal(38,0)")
+            ).alias("tie"),
+            F.sum("t").cast("long").alias("n"),
+        )
+
+    tx = _tie_term("vx").select(
+        F.col("tie").alias("n1"), F.col("n").alias("n")
+    )
+    ty = _tie_term("vy").select(F.col("tie").alias("n2"))
+    j = cd.crossJoin(tx).crossJoin(ty)
+    n_d = F.col("n").cast("decimal(19,0)")
+    n0 = (n_d * (n_d - F.lit(1)) / F.lit(2)).cast("decimal(38,0)")
+    denom_x = (n0 - F.col("n1")).cast("double")
+    denom_y = (n0 - F.col("n2")).cast("double")
+    tau = F.when(
+        (denom_x > 0) & (denom_y > 0),
+        (F.col("conc") - F.col("disc")).cast("double")
+        / (F.sqrt(denom_x) * F.sqrt(denom_y)),
+    )
+    # an empty cell self-join (single joint level) aggregates to NULL
+    # sums — spell that as the true zero pair counts
+    return j.select(
+        "n",
+        F.coalesce(F.col("conc").cast("long"), F.lit(0)).alias(
+            "concordant"
+        ),
+        F.coalesce(F.col("disc").cast("long"), F.lit(0)).alias(
+            "discordant"
+        ),
+        F.round(tau + 1e-9, 6).alias("tau_b"),
+    )

@@ -6412,6 +6412,51 @@ def q267_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(synth_png_corpus(docs))
 
 
+def q268_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type over daily totals — the
+    outlier-proof complement to q08's OLS (median of pairwise slopes,
+    29% breakdown). One (type, day) hash agg is the only full-data
+    shuffle; the pair set is a self-join of the calendar-bounded
+    daily level table and the medians come from type-partitioned
+    windows over those bounded pairs. Slopes are one IEEE division
+    of exact cents/day integers — bit-equal across engines."""
+    from ..operators.timeseries import theil_sen_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return theil_sen_daily(events)
+
+
+def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (q92's inner upgraded):
+    unmatched clicks emit NULL error columns once the watermark proves
+    no late error can arrive. The oracle reproduces the join AND the
+    eviction cutoff — final watermark = min(max click ts, max error
+    ts) − 1h; clicks whose window closed strictly before it emit, the
+    rest stay in state. Pins Spark's outer-emission arithmetic
+    value-level."""
+    from ..streaming.daily import stream_stream_click_error_outer_join
+
+    return stream_stream_click_error_outer_join(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
+def q269_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between lineitem quantity and discount points —
+    the pair-concordance twin of q260's Spearman, on margins that are
+    genuinely tie-dominated (50 × 11 grid). All pair counting runs on
+    the 550-cell joint level table (cell self-join, decimal-exact
+    products); tie terms from the two margins; one double sequence
+    for τ."""
+    from ..operators.stats import kendall_tau
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    return kendall_tau(li, "qty", "disc")
+
+
 def q244_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix Xᵀ X over the 64-d embedding corpus —
     the PCA/whitening prep computed as per-partition dgemm partials +
@@ -9782,6 +9827,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q265_js_attribution": q265_js_attribution,
     "q266_cusum_scan": q266_cusum_scan,
     "q267_png_decode_stats": q267_png_decode_stats,
+    "q268_theil_sen": q268_theil_sen,
+    "q269_kendall_tau": q269_kendall_tau,
+    "q270_stream_outer_join": q270_stream_outer_join,
 }
 
 
@@ -13524,4 +13572,130 @@ ORACLE_SQL["q267_png_decode_stats"] = """
                 AS BIGINT) AS pixel_sum_resized
     FROM dims d CROSS JOIN g
     GROUP BY d.doc_id, d.width, d.height, d.rs_width, d.rs_height
+"""
+
+# q268: the oracle replays the identical pairwise-slope construction —
+# exact cents/day integers, one correctly-rounded IEEE division per
+# slope (bit-equal across engines for equal rationals), rank-selected
+# medians with the (lo+hi)/2 even rule. DOUBLE literals are spelled
+# scientific (1e2/2e0) — DuckDB parses 100.0 as DECIMAL, which would
+# quantize the whole slope expression.
+ORACLE_SQL["q268_theil_sen"] = """
+    WITH daily AS (
+      SELECT event_type AS k,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.k,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.t - a.t AS DOUBLE) / 1e2 AS slope
+      FROM daily a JOIN daily b ON a.k = b.k AND a.t < b.t
+    ), sr AS (
+      SELECT k, slope,
+             row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY k) AS cnt
+      FROM pairs
+    ), sm AS (
+      SELECT k, (min(slope) + max(slope)) / 2e0 AS slope_med
+      FROM sr WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+      GROUP BY k
+    ), np AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY k
+    ), nd AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY k
+    ), resid AS (
+      SELECT d.k,
+             CAST(d.cents AS DOUBLE) / 1e2
+               - s.slope_med * CAST(d.t AS DOUBLE) AS resid
+      FROM daily d JOIN sm s ON d.k = s.k
+    ), rr AS (
+      SELECT k, resid,
+             row_number() OVER (PARTITION BY k ORDER BY resid) AS rn,
+             count(*) OVER (PARTITION BY k) AS cnt
+      FROM resid
+    ), im AS (
+      SELECT k, (min(resid) + max(resid)) / 2e0 AS intercept_med
+      FROM rr WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+      GROUP BY k
+    )
+    SELECT nd.k AS event_type, nd.n_days,
+           COALESCE(np.n_pairs, 0) AS n_pairs,
+           round(sm.slope_med + 1e-9, 6) AS slope_med,
+           round(im.intercept_med + 1e-9, 6) AS intercept_med
+    FROM nd
+    LEFT JOIN np ON nd.k = np.k
+    LEFT JOIN sm ON nd.k = sm.k
+    LEFT JOIN im ON nd.k = im.k
+"""
+
+# q269: identical cell-level construction in SQL — ordered cell
+# self-join for C/D (exact HUGEINT products), margin tie terms, τ-b
+# as the same double sequence (C−D)/(sqrt(n0−n1)·sqrt(n0−n2)).
+ORACLE_SQL["q269_kendall_tau"] = """
+    WITH cells AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS vx,
+             CAST(round(l_discount * 100) AS BIGINT) AS vy,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      GROUP BY 1, 2
+    ), cd AS (
+      SELECT
+        sum(CASE WHEN b.vy > a.vy THEN a.c * b.c ELSE 0 END) AS conc,
+        sum(CASE WHEN b.vy < a.vy THEN a.c * b.c ELSE 0 END) AS disc
+      FROM cells a JOIN cells b ON a.vx < b.vx
+    ), tx AS (
+      SELECT sum(t * (t - 1) // 2) AS n1, CAST(sum(t) AS BIGINT) AS n
+      FROM (SELECT sum(c) AS t FROM cells GROUP BY vx)
+    ), ty AS (
+      SELECT sum(t * (t - 1) // 2) AS n2
+      FROM (SELECT sum(c) AS t FROM cells GROUP BY vy)
+    )
+    SELECT tx.n,
+           COALESCE(CAST(cd.conc AS BIGINT), 0) AS concordant,
+           COALESCE(CAST(cd.disc AS BIGINT), 0) AS discordant,
+           round(CASE WHEN tx.n * (tx.n - 1) // 2 - tx.n1 > 0
+                       AND tx.n * (tx.n - 1) // 2 - ty.n2 > 0 THEN
+               CAST(cd.conc - cd.disc AS DOUBLE)
+               / (sqrt(CAST(tx.n * (tx.n - 1) // 2 - tx.n1 AS DOUBLE))
+                  * sqrt(CAST(tx.n * (tx.n - 1) // 2 - ty.n2 AS DOUBLE)))
+             END + 1e-9, 6) AS tau_b
+    FROM cd, tx, ty
+"""
+
+# q270: matched rows = q92's interval join; unmatched-click emission is
+# gated by the FINAL WATERMARK rule — wm = min(max c_us, max e_us) −
+# delay(1h); a click emits NULLs iff its window closed strictly before
+# wm AND no in-window error exists. Clicks still in-window at
+# end-of-input are (correctly) absent from both sides.
+ORACLE_SQL["q270_stream_outer_join"] = """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
+      FROM events WHERE event_type = 'error'
+    ), wm AS (
+      SELECT least((SELECT max(c_us) FROM c), (SELECT max(e_us) FROM e))
+             - CAST(3600000000 AS BIGINT) AS w_us
+    )
+    SELECT c.click_id, e.error_id, c.user_id,
+           e.e_us - c.c_us AS delta_us
+    FROM c JOIN e ON c.user_id = e.user_id
+                 AND e.e_us >= c.c_us
+                 AND e.e_us <= c.c_us + CAST(3600000000 AS BIGINT)
+    UNION ALL
+    SELECT c.click_id, CAST(NULL AS BIGINT) AS error_id, c.user_id,
+           CAST(NULL AS BIGINT) AS delta_us
+    FROM c, wm
+    WHERE c.c_us + CAST(3600000000 AS BIGINT) < wm.w_us
+      AND NOT EXISTS (
+        SELECT 1 FROM e
+        WHERE e.user_id = c.user_id
+          AND e.e_us >= c.c_us
+          AND e.e_us <= c.c_us + CAST(3600000000 AS BIGINT)
+      )
 """

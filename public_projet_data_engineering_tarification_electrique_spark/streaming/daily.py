@@ -369,3 +369,77 @@ def stream_stream_click_error_join(
             .awaitTermination()
         )
     return spark.table(table)
+
+
+def stream_stream_click_error_outer_join(
+    spark: SparkSession,
+    events_path: str,
+    window_seconds: int = 3600,
+    checkpoint_dir: str | None = None,
+    watermark: str = "1 hour",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the unmatched-click
+    alerting shape on top of :func:`stream_stream_click_error_join`'s
+    inner join: a click with NO same-user error inside its window is
+    emitted with NULL error columns, but only once the watermark
+    PROVES no late error can still arrive (state eviction is the
+    emission trigger — outer results are watermark-gated, not
+    end-of-batch-gated).
+
+    Determinism over a finite availableNow landing: the final query
+    watermark is min(max click ts, max error ts) − delay, so the
+    emitted outer set is exactly the clicks whose window closed
+    strictly before it; clicks still in-window at end-of-input stay
+    in state (they would resolve on the next incremental run). The
+    batch oracle reproduces both the join and that cutoff rule —
+    value parity pins Spark's eviction arithmetic, not just the
+    happy path.
+    """
+    configure(spark)
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_ssoj_")
+    table = f"ssoj_{uuid.uuid4().hex[:8]}"
+    events_path = stage_landing(events_path, "landing_ssoj_")
+
+    def side(event_type: str, prefix: str):
+        return (
+            events_stream(spark, events_path)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    clicks = side("click", "c")
+    errors = side("error", "e")
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (
+            F.col("e_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_id").alias("click_id"),
+        F.col("e_id").alias("error_id"),
+        F.col("c_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))
+        ).alias("delta_us"),
+    )
+    with stream_shuffle_partitions(spark, state_partitions):
+        (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(table)

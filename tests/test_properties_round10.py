@@ -1,0 +1,181 @@
+"""Round-10 property tests: each new operator vs a plain-Python model
+(the registry oracle gate is the cross-engine check; these pin the
+SEMANTICS against an independent implementation on adversarial
+hypothesis inputs — ties, single days, constant margins)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    kendall_tau,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    theil_sen_daily,
+)
+
+
+def _median(vals):
+    s = sorted(vals)
+    n = len(s)
+    lo, hi = s[(n - 1) // 2], s[n // 2]
+    return (lo + hi) / 2.0
+
+
+def _theil_sen_model(rows):
+    """rows: (key, day_offset, value_float). Daily totals in exact
+    cents; slopes via single double division; medians with (lo+hi)/2."""
+    daily = {}
+    for k, d, v in rows:
+        daily[(k, d)] = daily.get((k, d), 0) + round(v * 100)
+    out = {}
+    for key in sorted({k for k, _ in daily}):
+        pts = sorted((d, c) for (k, d), c in daily.items() if k == key)
+        slopes = [
+            (float(c2 - c1) / float(t2 - t1)) / 100.0
+            for i, (t1, c1) in enumerate(pts)
+            for (t2, c2) in pts[i + 1 :]
+        ]
+        slope = _median(slopes) if slopes else None
+        icept = (
+            _median([c / 100.0 - slope * t for t, c in pts])
+            if slope is not None
+            else None
+        )
+        out[key] = (len(pts), len(slopes), slope, icept)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=20),
+            st.floats(
+                min_value=-50,
+                max_value=50,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_theil_sen_matches_python_model(spark, rows):
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    data = [
+        (k, base + dt.timedelta(days=d), v) for k, d, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, value double"
+    ).repartition(5)
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["n_pairs"],
+            r["slope_med"],
+            r["intercept_med"],
+        )
+        for r in theil_sen_daily(df).collect()
+    }
+    t0 = (base.date() - dt.date(1970, 1, 1)).days
+    exp = _theil_sen_model([(k, t0 + d, v) for k, d, v in rows])
+    assert set(got) == set(exp)
+    for k, (nd, np_, sl, ic) in exp.items():
+        gnd, gnp, gsl, gic = got[k]
+        assert (gnd, gnp) == (nd, np_), k
+        if sl is None:
+            assert gsl is None and gic is None, k
+        else:
+            assert gsl == pytest.approx(round(sl + 1e-9, 6), abs=2e-6), k
+            assert gic == pytest.approx(round(ic + 1e-9, 6), abs=2e-6), k
+
+
+def _kendall_model(pairs):
+    n = len(pairs)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pairs[j][0] - pairs[i][0]
+            dy = pairs[j][1] - pairs[i][1]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in pairs).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y for _, y in pairs).values())
+    tau = None
+    if n0 - n1 > 0 and n0 - n2 > 0:
+        tau = (conc - disc) / ((n0 - n1) ** 0.5 * (n0 - n2) ** 0.5)
+    return n, conc, disc, tau
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_kendall_tau_matches_python_model(spark, pairs):
+    df = spark.createDataFrame(pairs, "vx long, vy long").repartition(5)
+    r = kendall_tau(df, "vx", "vy").collect()[0]
+    n, conc, disc, tau = _kendall_model(pairs)
+    assert (r["n"], r["concordant"], r["discordant"]) == (n, conc, disc)
+    if tau is None:
+        assert r["tau_b"] is None
+    else:
+        assert r["tau_b"] == pytest.approx(round(tau + 1e-9, 6), abs=2e-6)
+
+
+def test_stream_outer_join_watermark_gate(spark, tmp_path):
+    """Hand-staged corpus pinning the outer-emission cutoff: a click
+    with no error emits NULLs iff its window closed strictly before
+    the final watermark min(max c, max e) − delay."""
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        # (event_id, ts_offset_s, user, type)
+        (1, 0, 10, "click"),        # no error; window closes t=3600
+        (2, 1000, 11, "click"),     # matched by error at 1500
+        (3, 1500, 11, "error"),
+        (4, 30000, 12, "click"),    # no error; window closes t=33600
+        (5, 42000, 13, "error"),    # advances error-side max
+        (6, 41000, 14, "click"),    # advances click-side max
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, base + dt.timedelta(seconds=s), u, t, 1.0, None)
+            for eid, s, u, t in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.daily import (
+        stream_stream_click_error_outer_join,
+    )
+
+    out = {
+        (r["click_id"], r["error_id"])
+        for r in stream_stream_click_error_outer_join(spark, src).collect()
+    }
+    # final wm = min(41000, 42000) − 3600 = 37400.
+    # click 1 window closes at 3600 < 37400 → NULL row emitted.
+    # click 4 closes at 33600 < 37400 → NULL row emitted.
+    # click 6 closes at 44600 > wm → stays in state, absent.
+    assert out == {(2, 3), (1, None), (4, None)}
