@@ -716,3 +716,154 @@ def theil_sen_daily(
             F.round(F.col("intercept_med") + 1e-9, 6).alias("intercept_med"),
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trapezoidal time-weighted average of each key's value series —
+    the IRREGULAR-SAMPLING mean every metering stack needs (a plain
+    avg over readings overweights chatty periods; TWA integrates the
+    piecewise-linear signal over its span, which is what a consumption
+    or utilization number means physically).
+
+    Exact construction: values in cents (long), time in µs (long);
+    each trapezoid contributes (c_i + c_{i+1})·Δus — multiplied as
+    DECIMAL operands (cents × a day of µs overflows int64) and summed
+    as decimal(38,0), order-free. TWA = N / (2·Σ Δus) / 100 — the
+    identical three-op double sequence in both engines. Keys with one
+    reading have no span: NULL.
+
+    Plan shape: ONE key-partitioned window (lead over the (ts,
+    tiebreak) total order) — the same single full-data shuffle every
+    per-key operator in this module pays — then a key hash agg on the
+    window's partitioning (no second exchange).
+
+    Output: (key, n_events, span_us, twa), 6-dp rounded.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    seg = (
+        events.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            key_col,
+            # ntz → timestamp is identity under the session's pinned
+            # UTC zone; unix_micros then matches DuckDB's epoch_us
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(tiebreak_col).alias("tb"),
+            cents.alias("c"),
+        )
+        .select(
+            key_col,
+            "us",
+            "c",
+            F.lead("us").over(
+                Window.partitionBy(key_col).orderBy("us", "tb")
+            ).alias("us2"),
+            F.lead("c").over(
+                Window.partitionBy(key_col).orderBy("us", "tb")
+            ).alias("c2"),
+        )
+    )
+    dus = (F.col("us2") - F.col("us")).cast("decimal(19,0)")
+    csum = (F.col("c") + F.col("c2")).cast("decimal(19,0)")
+    agg = seg.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("us2").isNotNull(), F.col("us2") - F.col("us"))
+        ).cast("long").alias("span_us"),
+        F.sum(
+            F.when(F.col("us2").isNotNull(), (csum * dus))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    twa = F.when(
+        F.col("span_us") > 0,
+        F.col("num").cast("double")
+        / (F.lit(2.0) * F.col("span_us").cast("double"))
+        / F.lit(100.0),
+    )
+    return agg.select(
+        key_col,
+        "n_events",
+        F.coalesce("span_us", F.lit(0)).alias("span_us"),
+        F.round(twa + 1e-9, 6).alias("twa"),
+    )
+
+
+def lag_cross_correlation(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lead–lag Pearson correlation between two keys' daily-total
+    series at every lag in [−max_lag, +max_lag] — the diagnostic that
+    answers "do errors FOLLOW clicks?" (the peak's lag is the lead
+    time; at lag 0 this is plain correlation of the two dailies).
+
+    Exact construction: daily totals in cents (one (key, day) hash
+    agg, decimal sums); for each lag the two level tables equi-join
+    on day+lag (calendar-bounded rows), the five Pearson sufficient
+    statistics accumulate as decimal(38,0) with decimal-operand
+    products, and r is one double sequence. The lag spine is a
+    7-element literal array — the joined table is lag-replicated
+    BEFORE one grouped agg, not 7 separate jobs.
+
+    Output: one row per lag, (lag, n_days, r), NULL r when either
+    margin is constant over the overlap.
+    """
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .filter(F.col(key_col).isin(type_a, type_b))
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    a = daily.filter(F.col("k") == type_a).select(
+        F.col("t").alias("ta"), F.col("c").alias("ca")
+    )
+    b = daily.filter(F.col("k") == type_b).select(
+        F.col("t").alias("tb"), F.col("c").alias("cb")
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(-max_lag, max_lag + 1)])
+    ).alias("lag")
+    ax = a.select("ta", "ca", lags)
+    j = ax.join(b, ax.ta + F.col("lag") == b.tb)
+    ca_d = F.col("ca").cast("decimal(19,0)")
+    cb_d = F.col("cb").cast("decimal(19,0)")
+
+    def s(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).alias(name)
+
+    agg = j.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        s(ca_d, "sa"),
+        s(cb_d, "sb"),
+        s(ca_d * ca_d, "saa"),
+        s(cb_d * cb_d, "sbb"),
+        s(ca_d * cb_d, "sab"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n_d = F.col("n_days").cast("double")
+    cov = n_d * d("sab") - d("sa") * d("sb")
+    va = n_d * d("saa") - d("sa") * d("sa")
+    vb = n_d * d("sbb") - d("sb") * d("sb")
+    r = F.when((va > 0) & (vb > 0), cov / (F.sqrt(va) * F.sqrt(vb)))
+    return agg.select(
+        "lag", "n_days", F.round(r + 1e-9, 6).alias("r")
+    )

@@ -6441,6 +6441,33 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q271_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average of each user's value series —
+    the irregular-sampling mean (plain avg overweights chatty
+    periods). One user-partitioned window (lead) + one hash agg on
+    the same key; every trapezoid term multiplies as decimal (cents ×
+    µs overflows int64) and TWA is one three-op double sequence."""
+    from ..operators.timeseries import time_weighted_avg
+
+    events = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(events)
+
+
+def q272_lag_cross_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lead–lag Pearson correlation between the click and error daily
+    cent-total series at lags −3..+3 — 'do errors follow clicks?'.
+    One (type, day) hash agg; the lag spine replicates the bounded
+    daily table BEFORE a single grouped agg (one job, not 7);
+    decimal-exact sufficient statistics, one double sequence per
+    lag."""
+    from ..operators.timeseries import lag_cross_correlation
+
+    events = load_table(spark, sf_dir, "events")
+    return lag_cross_correlation(events, "click", "error", max_lag=3)
+
+
 def q269_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall τ-b between lineitem quantity and discount points —
     the pair-concordance twin of q260's Spearman, on margins that are
@@ -9830,6 +9857,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q268_theil_sen": q268_theil_sen,
     "q269_kendall_tau": q269_kendall_tau,
     "q270_stream_outer_join": q270_stream_outer_join,
+    "q271_time_weighted_avg": q271_time_weighted_avg,
+    "q272_lag_cross_correlation": q272_lag_cross_correlation,
 }
 
 
@@ -13698,4 +13727,80 @@ ORACLE_SQL["q270_stream_outer_join"] = """
           AND e.e_us >= c.c_us
           AND e.e_us <= c.c_us + CAST(3600000000 AS BIGINT)
       )
+"""
+
+# q271: identical trapezoid construction — lead over the (µs, event_id)
+# total order, exact (c_i + c_{i+1})·Δus HUGEINT terms, TWA =
+# N / (2·span) / 100 as the same double sequence (scientific literals:
+# DuckDB parses 100.0 as DECIMAL).
+ORACLE_SQL["q271_time_weighted_avg"] = """
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), seg AS (
+      SELECT user_id, c, us,
+             lead(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS us2,
+             lead(c) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id) AS c2
+      FROM pts
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(COALESCE(sum(CASE WHEN us2 IS NOT NULL
+                                    THEN us2 - us END), 0) AS BIGINT)
+               AS span_us,
+             sum(CASE WHEN us2 IS NOT NULL
+                      THEN (c + c2) * (us2 - us) ELSE 0 END) AS num
+      FROM seg GROUP BY 1
+    )
+    SELECT user_id, n_events, span_us,
+           round(CASE WHEN span_us > 0 THEN
+               CAST(num AS DOUBLE)
+                 / (2e0 * CAST(span_us AS DOUBLE)) / 1e2
+             END + 1e-9, 6) AS twa
+    FROM agg
+"""
+
+# q272: the lag spine is generate_series(-3, 3); everything else is the
+# q268-family discipline — exact cent totals, HUGEINT sufficient
+# statistics, one double sequence for r.
+ORACLE_SQL["q272_lag_cross_correlation"] = """
+    WITH daily AS (
+      SELECT event_type AS k,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'error')
+      GROUP BY 1, 2
+    ), a AS (SELECT t AS ta, c AS ca FROM daily WHERE k = 'click'),
+    b AS (SELECT t AS tb, c AS cb FROM daily WHERE k = 'error'),
+    j AS (
+      SELECT g.lag, a.ca, b.cb
+      FROM generate_series(-3, 3) g(lag), a
+      JOIN b ON a.ta + g.lag = b.tb
+    ), agg AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+             sum(ca) AS sa, sum(cb) AS sb,
+             sum(ca * ca) AS saa, sum(cb * cb) AS sbb,
+             sum(ca * cb) AS sab
+      FROM j GROUP BY 1
+    )
+    SELECT lag, n_days,
+           round(CASE WHEN
+                   CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+                   AND CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+                 THEN
+                   (CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                   / (sqrt(CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                      * sqrt(CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                 END + 1e-9, 6) AS r
+    FROM agg
 """

@@ -179,3 +179,119 @@ def test_stream_outer_join_watermark_gate(spark, tmp_path):
     # click 4 closes at 33600 < 37400 → NULL row emitted.
     # click 6 closes at 44600 > wm → stays in state, absent.
     assert out == {(2, 3), (1, None), (4, None)}
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    lag_cross_correlation,
+    time_weighted_avg,
+)
+
+
+def _twa_model(rows):
+    """rows: (user, us_offset, event_id, value). Exact trapezoid sums
+    in cents·µs, the identical terminal double sequence."""
+    byu = {}
+    for u, us, eid, v in rows:
+        byu.setdefault(u, []).append((us, eid, round(v * 100)))
+    out = {}
+    for u, pts in byu.items():
+        pts.sort()
+        n = len(pts)
+        span = sum(
+            pts[i + 1][0] - pts[i][0] for i in range(n - 1)
+        )
+        num = sum(
+            (pts[i][2] + pts[i + 1][2]) * (pts[i + 1][0] - pts[i][0])
+            for i in range(n - 1)
+        )
+        twa = (
+            round(float(num) / (2.0 * float(span)) / 100.0 + 1e-9, 6)
+            if span > 0
+            else None
+        )
+        out[u] = (n, span, twa)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=10**7),
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_time_weighted_avg_matches_python_model(spark, rows):
+    base_us = 1_700_000_000_000_000
+    data = [
+        (eid, (base_us + us) // 1_000_000, u, v)
+        for eid, (u, us, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, sec long, user_id long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "value",
+    ).repartition(5)
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twa"])
+        for r in time_weighted_avg(df).collect()
+    }
+    # the model runs on second-truncated offsets like the frame does
+    exp = _twa_model(
+        [
+            (u, ((base_us + us) // 1_000_000) * 1_000_000, eid, v)
+            for eid, (u, us, v) in enumerate(rows)
+        ]
+    )
+    assert set(got) == set(exp)
+    for u, (n, span, twa) in exp.items():
+        gn, gspan, gtwa = got[u]
+        assert (gn, gspan) == (n, span), u
+        if twa is None:
+            assert gtwa is None, u
+        else:
+            assert gtwa == pytest.approx(twa, abs=2e-6), u
+
+
+import pyspark.sql.functions as F
+
+
+def test_lag_cross_correlation_perfect_lead(spark):
+    """error daily total = click daily total shifted by +2 days →
+    r = 1.0 exactly at lag +2 over the overlap."""
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    for d, v in enumerate(vals):
+        rows.append((eid, base + dt.timedelta(days=d), 1, "click", float(v)))
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(days=d + 2), 2, "error", float(v))
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    out = {r["lag"]: r for r in lag_cross_correlation(df, "click", "error").collect()}
+    assert set(out) == set(range(-3, 4))
+    assert out[2]["n_days"] == 8
+    assert out[2]["r"] == pytest.approx(1.0, abs=1e-6)
+    # at lag 0 the overlap is days 2..7 of clicks vs days 0..5 of the
+    # shifted copy — not perfectly correlated
+    assert out[0]["n_days"] == 6
