@@ -1602,3 +1602,105 @@ def kendall_tau(
         ),
         F.round(tau + 1e-9, 6).alias("tau_b"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    grid_dp: int = 2,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between two groups' value
+    distributions on the ``grid_dp`` grid — the INTEGRAL drift number
+    beside ``ks_distance``'s supremum: KS says "the CDFs differ
+    somewhere by 0.3", W₁ says "moving one distribution onto the
+    other costs 2.4 value-units of mass·distance", which is the
+    quantity a mixture rebalance actually pays. W₁ = ∫|F_A − F_B| dx.
+
+    Exact construction: per-level counts (c_a, c_b, 1) get ONE
+    distributed ranged prefix sum (`shards.global_running_sums` —
+    grid-bounded levels, never an unpartitioned window) giving each
+    level its exact cumulative counts AND its rank; the CDF-gap term
+    per inter-level interval is |cumA·n_b − cumB·n_a| · Δx — exact
+    integers multiplied as decimal operands (cum products reach
+    n_a·n_b·grid-span) — where Δx comes from a rank+1 EQUI-join of
+    the level table to itself (partitioned hash join, no lead window).
+    One terminal division sequence: S / (n_a·n_b) / 10^grid_dp.
+
+    Output: 1 row (n_a, n_b, n_levels, w1), 6-dp rounded; NULL when
+    either group is empty.
+    """
+    from .shards import global_running_sums
+
+    g = F.round(F.col(value_col) * float(10**grid_dp)).cast("long")
+    cells = (
+        df.filter(
+            F.col(group_col).isin(group_a, group_b)
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(g.alias("_x"), (F.col(group_col) == group_a).alias("_is_a"))
+        .agg(F.count("*").alias("_c"))
+        .groupBy("_x")
+        .agg(
+            F.sum(F.when(F.col("_is_a"), F.col("_c")).otherwise(0)).alias(
+                "_ca"
+            ),
+            F.sum(F.when(~F.col("_is_a"), F.col("_c")).otherwise(0)).alias(
+                "_cb"
+            ),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    cum = global_running_sums(
+        cells,
+        [F.asc("_x")],
+        ["_ca", "_cb", "_one"],
+        ["_cuma", "_cumb", "_idx"],
+    )
+    left = cum.select("_x", "_cuma", "_cumb", "_idx")
+    right = cum.select(
+        F.col("_x").alias("_xn"), (F.col("_idx") - 1).alias("_idxp")
+    )
+    # LEFT join: the last level has no successor and contributes a
+    # zero-width interval — kept so a single-level table still
+    # aggregates to one (w1 = 0) row instead of vanishing
+    segs = left.join(right, F.col("_idx") == F.col("_idxp"), "left")
+    na_nb = cum.agg(
+        F.max("_cuma").cast("long").alias("n_a"),
+        F.max("_cumb").cast("long").alias("n_b"),
+        F.max("_idx").cast("long").alias("n_levels"),
+    )
+    ca_d = F.col("_cuma").cast("decimal(19,0)")
+    cb_d = F.col("_cumb").cast("decimal(19,0)")
+    # the gap term needs the OTHER side's total; attach the 1-row agg
+    s = (
+        segs.crossJoin(F.broadcast(na_nb))
+        .select(
+            F.coalesce(
+                (
+                    F.abs(
+                        ca_d * F.col("n_b").cast("decimal(19,0)")
+                        - cb_d * F.col("n_a").cast("decimal(19,0)")
+                    )
+                    * (F.col("_xn") - F.col("_x")).cast("decimal(19,0)")
+                ).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("term"),
+            "n_a",
+            "n_b",
+            "n_levels",
+        )
+        .groupBy("n_a", "n_b", "n_levels")
+        .agg(F.sum("term").alias("s"))
+    )
+    w1 = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("s").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        / F.lit(float(10**grid_dp)),
+    )
+    return s.select(
+        "n_a", "n_b", "n_levels", F.round(w1 + 1e-9, 6).alias("w1")
+    )

@@ -6441,6 +6441,20 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q273_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between click and purchase
+    value distributions — the INTEGRAL drift number beside q176's KS
+    supremum (W₁ is the mass·distance a mixture rebalance actually
+    pays). Exact: one grid-level agg, one distributed ranged prefix
+    sum (never an unpartitioned window), a rank+1 equi-join for the
+    inter-level widths, decimal-exact |cumA·n_b − cumB·n_a|·Δx terms,
+    one terminal division sequence."""
+    from ..operators.stats import wasserstein_1d
+
+    events = load_table(spark, sf_dir, "events")
+    return wasserstein_1d(events, "value", "event_type", "click", "purchase")
+
+
 def q271_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trapezoidal time-weighted average of each user's value series —
     the irregular-sampling mean (plain avg overweights chatty
@@ -9859,6 +9873,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q270_stream_outer_join": q270_stream_outer_join,
     "q271_time_weighted_avg": q271_time_weighted_avg,
     "q272_lag_cross_correlation": q272_lag_cross_correlation,
+    "q273_wasserstein_drift": q273_wasserstein_drift,
 }
 
 
@@ -13803,4 +13818,42 @@ ORACLE_SQL["q272_lag_cross_correlation"] = """
                              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
                  END + 1e-9, 6) AS r
     FROM agg
+"""
+
+# q273: identical level-table construction — cumulative counts over the
+# 1e2 grid, per-interval |cumA·n_b − cumB·n_a|·Δx as exact HUGEINT
+# terms, W₁ = S/(n_a·n_b)/100 with scientific double literals.
+ORACLE_SQL["q273_wasserstein_drift"] = """
+    WITH cells AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY 1
+    ), cum AS (
+      SELECT x,
+             sum(ca) OVER w AS cuma,
+             sum(cb) OVER w AS cumb,
+             lead(x) OVER (ORDER BY x) AS xn,
+             row_number() OVER (ORDER BY x) AS idx
+      FROM cells
+      WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+    ), tot AS (
+      SELECT max(cuma) AS na, max(cumb) AS nb, max(idx) AS nl FROM cum
+    ), s AS (
+      SELECT sum(CASE WHEN xn IS NOT NULL THEN
+                   abs(cuma * tot.nb - cumb * tot.na) * (xn - x)
+                 ELSE 0 END) AS sv
+      FROM cum, tot
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_a,
+           CAST(tot.nb AS BIGINT) AS n_b,
+           CAST(tot.nl AS BIGINT) AS n_levels,
+           round(CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
+               CAST(s.sv AS DOUBLE)
+                 / (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE))
+                 / 1e2
+             END + 1e-9, 6) AS w1
+    FROM s, tot
 """

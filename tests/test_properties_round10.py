@@ -295,3 +295,60 @@ def test_lag_cross_correlation_perfect_lead(spark):
     # at lag 0 the overlap is days 2..7 of clicks vs days 0..5 of the
     # shifted copy — not perfectly correlated
     assert out[0]["n_days"] == 6
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    wasserstein_1d,
+)
+
+
+def _w1_model(a_vals, b_vals, dp=2):
+    """Exact-integer W1 on the grid: per-interval |FA−FB| mass."""
+    ga = sorted(round(v * 10**dp) for v in a_vals)
+    gb = sorted(round(v * 10**dp) for v in b_vals)
+    xs = sorted(set(ga) | set(gb))
+    na, nb = len(ga), len(gb)
+    s = 0
+    for i in range(len(xs) - 1):
+        cuma = sum(1 for v in ga if v <= xs[i])
+        cumb = sum(1 for v in gb if v <= xs[i])
+        s += abs(cuma * nb - cumb * na) * (xs[i + 1] - xs[i])
+    if na == 0 or nb == 0:
+        return na, nb, len(xs), None
+    return (
+        na,
+        nb,
+        len(xs),
+        round(float(s) / (float(na) * float(nb)) / float(10**dp) + 1e-9, 6),
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(
+                min_value=-20,
+                max_value=20,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_wasserstein_matches_python_model(spark, rows):
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(5)
+    out = wasserstein_1d(df, "v", "grp", "a", "b").collect()
+    a_vals = [v for g, v in rows if g == "a"]
+    b_vals = [v for g, v in rows if g == "b"]
+    na, nb, nl, w1 = _w1_model(a_vals, b_vals)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["n_levels"]) == (na, nb, nl)
+    if w1 is None:
+        assert r["w1"] is None
+    else:
+        assert r["w1"] == pytest.approx(w1, abs=2e-6)
