@@ -22,7 +22,7 @@ the single float division happens once, identically, in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: alpha_256 = 0.7213 / (1 + 1.079/256), pinned as a literal — an
@@ -649,3 +649,96 @@ def kmv_set_ops(
         )
     )
     return est_a.unionAll(est_b).unionAll(est_u).unionAll(est_i)
+
+
+def hll_rolling_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-``window_days`` distinct-key estimate per day from
+    MERGED daily HLL sketches — the query that justifies keeping
+    sketches at all: a 7-day rolling COUNT(DISTINCT) over raw events
+    re-scans 7 days of corpus per day, while merging 7 daily 256-row
+    register states is a windowed ``max`` over a calendar-bounded
+    table (at 100 TB the daily sketches are the only thing retained;
+    this is the Theta/HLL rollup pattern every metrics store ships).
+
+    Construction: daily registers via :func:`hll_registers` (md5
+    slices — engine-portable); a (day × register) SPINE (distinct
+    days crossed with the registers observed anywhere, ≤ days·256
+    rows) left-joins the daily states so absent registers still
+    window correctly; the trailing merge is ``max(max_rho)`` over a
+    register-partitioned RANGE window on the day index (bounded,
+    key-partitioned — never a data-shaped single partition). The
+    estimate is the module's exact integer harmonic sum and one
+    double division; the exact twin re-counts distinct keys over the
+    same trailing window from the (day, key) level table — the audit
+    column a production caller drops.
+
+    Output: (day 'yyyy-MM-dd', n_registers, est_distinct,
+    exact_distinct, rel_err), one row per observed day.
+    """
+    base = events.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("d"),
+        F.col(key_col).alias("k"),
+    )
+    regs = hll_registers(base, "k", "d").withColumnRenamed("g", "d")
+    days = regs.select("d").distinct()
+    all_regs = regs.select("reg").distinct()
+    spine = days.crossJoin(all_regs)
+    joined = spine.join(regs, ["d", "reg"], "left")
+    w = (
+        Window.partitionBy("reg")
+        .orderBy("d")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    rolled = joined.select(
+        "d", "reg", F.max("max_rho").over(w).alias("roll_rho")
+    )
+    sketch = rolled.filter(F.col("roll_rho").isNotNull()).groupBy("d").agg(
+        F.count("*").cast("int").alias("n_registers"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_WBITS + 1} - roll_rho)")
+        ).alias("_s_present"),
+    )
+    s_int = F.col("_s_present") + (
+        (F.lit(_M) - F.col("n_registers")).cast("long")
+        * F.lit(1 << (_WBITS + 1)).cast("long")
+    )
+    est = F.round(
+        F.lit(_ALPHA_256 * _M * _M) * F.lit(_SCALE) / s_int.cast("double"), 2
+    )
+    # exact twin: trailing-window distinct from the (day, key) level
+    # table — a banded range join of the day spine onto day-distinct
+    # pairs (both calendar/key-bounded), never a raw-event self-join
+    pairs = base.distinct()
+    exact = (
+        days.select(F.col("d").alias("td"))
+        .join(
+            pairs,
+            (F.col("d") <= F.col("td"))
+            & (F.col("d") > F.col("td") - window_days),
+        )
+        .groupBy("td")
+        .agg(F.count_distinct("k").alias("exact_distinct"))
+    )
+    return (
+        sketch.join(exact, sketch.d == exact.td)
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01"), F.col("d")), "yyyy-MM-dd"
+            ).alias("day"),
+            "n_registers",
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -867,3 +867,110 @@ def lag_cross_correlation(
     return agg.select(
         "lag", "n_days", F.round(r + 1e-9, 6).alias("r")
     )
+
+
+def changepoint_daily(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Single change-point in the MEAN of each key's daily series —
+    the "when did the level shift?" scan (binary segmentation's first
+    split): choose the split b minimizing SSE_left + SSE_right of a
+    piecewise-constant fit, report the last day of the left segment
+    and the variance explained.
+
+    Exactness by construction: daily means snap to integer GRID UNITS
+    (bounded by the VALUE RANGE, not the corpus — so every cumulative
+    Σv and Σv² below stays an exact int64 AND exactly representable
+    in a double at any SF); prefix sums are exact-integer window sums
+    over the calendar-bounded daily table (key-partitioned window);
+    each candidate's SSE is ONE identical double sequence
+    (Q − S²/n via correctly-rounded ops), so the argmin — a struct
+    min on (sse, idx) — picks the same split in both engines, with
+    ties broken by the earlier day.
+
+    Plan shape: one (key, day) hash agg, one key-partitioned window,
+    one broadcastable per-key totals join, one struct-min agg.
+    Output: (key, n_days, break_day, sse_total, sse_best, gain) in
+    squared value units (grid² / 1e8), 4-dp rounded; keys with a
+    single day report NULL break.
+    """
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, F.to_date(ts_col).alias("day"))
+        .agg(
+            F.count(value_col).cast("long").alias("_n"),
+            F.sum(F.round(F.col(value_col) * 1e4).cast("long")).alias("_s"),
+        )
+        .select(
+            key_col,
+            "day",
+            F.round(
+                F.col("_s").cast("double") / F.col("_n").cast("double")
+                + 1e-9
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    widx = Window.partitionBy(key_col).orderBy("day")
+    cums = daily.select(
+        key_col,
+        "day",
+        F.row_number().over(widx).alias("b"),
+        F.sum("v").over(w).alias("cs"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("cq"),
+    )
+    tot = daily.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("v").cast("long").alias("s_tot"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q_tot"),
+    )
+    j = cums.join(F.broadcast(tot), key_col).filter(
+        F.col("b") < F.col("n_days")
+    )
+    bd = F.col("b").cast("double")
+    nd = F.col("n_days").cast("double")
+    csd, cqd = F.col("cs").cast("double"), F.col("cq").cast("double")
+    sd, qd = F.col("s_tot").cast("double"), F.col("q_tot").cast("double")
+    sse_b = (
+        (cqd - csd * csd / bd)
+        + ((qd - cqd) - (sd - csd) * (sd - csd) / (nd - bd))
+    )
+    best = (
+        j.select(
+            key_col,
+            F.struct(
+                sse_b.alias("sse"),
+                F.col("b").alias("b"),
+                F.col("day").alias("day"),
+            ).alias("_c"),
+        )
+        .groupBy(key_col)
+        .agg(F.min("_c").alias("_m"))
+    )
+    ssetd = F.col("q_tot").cast("double") - F.col("s_tot").cast(
+        "double"
+    ) * F.col("s_tot").cast("double") / F.col("n_days").cast("double")
+    return (
+        tot.join(best, key_col, "left")
+        .select(
+            key_col,
+            "n_days",
+            F.date_format(F.col("_m.day"), "yyyy-MM-dd").alias("break_day"),
+            F.round(ssetd / F.lit(1e8) + 1e-9, 4).alias("sse_total"),
+            F.round(F.col("_m.sse") / F.lit(1e8) + 1e-9, 4).alias(
+                "sse_best"
+            ),
+            F.round(
+                (ssetd - F.col("_m.sse")) / F.lit(1e8) + 1e-9, 4
+            ).alias("gain"),
+        )
+    )

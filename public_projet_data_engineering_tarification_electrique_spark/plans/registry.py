@@ -6441,6 +6441,32 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q275_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift change-point per event type (binary
+    segmentation's first split): argmin over splits of
+    SSE_left+SSE_right on the grid-snapped daily means. Exact-integer
+    prefix sums over the calendar-bounded daily table (key-
+    partitioned window), ONE double sequence per candidate, struct-
+    min argmin with earlier-day tie-break."""
+    from ..operators.timeseries import changepoint_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return changepoint_daily(events)
+
+
+def q274_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED daily HLL
+    sketches — the sketch-rollup pattern that makes retention metrics
+    affordable at 100 TB (7-day re-scan → windowed max over 256-row
+    daily register states). Register-partitioned RANGE window over a
+    (day × register) spine; exact integer harmonic sum; the exact
+    COUNT(DISTINCT) twin rides along as the audit column."""
+    from ..operators.sketches import hll_rolling_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_rolling_distinct(events, "user_id", "ts", window_days=7)
+
+
 def q273_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wasserstein-1 (earth-mover) distance between click and purchase
     value distributions — the INTEGRAL drift number beside q176's KS
@@ -9874,6 +9900,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q271_time_weighted_avg": q271_time_weighted_avg,
     "q272_lag_cross_correlation": q272_lag_cross_correlation,
     "q273_wasserstein_drift": q273_wasserstein_drift,
+    "q274_rolling_hll": q274_rolling_hll,
+    "q275_changepoint": q275_changepoint,
 }
 
 
@@ -13856,4 +13884,130 @@ ORACLE_SQL["q273_wasserstein_drift"] = """
                  / 1e2
              END + 1e-9, 6) AS w1
     FROM s, tot
+"""
+
+# q274: identical md5 registers, identical (day × register) spine +
+# trailing RANGE-window merge, identical integer harmonic sum and the
+# single division — the hll_oracle_sql construction extended over the
+# rolling window.
+from ..operators.sketches import _ALPHA_256 as _HLL_A  # noqa: E402
+from ..operators.sketches import _M as _HLL_M  # noqa: E402
+from ..operators.sketches import _SCALE as _HLL_SCALE  # noqa: E402
+from ..operators.sketches import _WBITS as _HLL_W  # noqa: E402
+
+ORACLE_SQL["q274_rolling_hll"] = f"""
+    WITH base AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             user_id AS k
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), h AS (
+      SELECT d,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 2))::INT AS reg,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 3, 13))::BIGINT AS w
+      FROM base
+    ), regs AS (
+      SELECT d, reg,
+             max(CASE WHEN w = 0 THEN {_HLL_W + 1}
+                      ELSE {_HLL_W + 1} - length(bin(w)) END) AS max_rho
+      FROM h GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT d FROM regs),
+    allregs AS (SELECT DISTINCT reg FROM regs),
+    joined AS (
+      SELECT s.d, s.reg, r.max_rho
+      FROM (SELECT days.d, allregs.reg FROM days, allregs) s
+      LEFT JOIN regs r ON r.d = s.d AND r.reg = s.reg
+    ), rolled AS (
+      SELECT d, reg,
+             max(max_rho) OVER (PARTITION BY reg ORDER BY d
+                                RANGE BETWEEN 6 PRECEDING
+                                          AND CURRENT ROW) AS roll_rho
+      FROM joined
+    ), sk AS (
+      SELECT d, CAST(count(*) AS INT) AS n_registers,
+             CAST(sum(1::BIGINT << ({_HLL_W + 1} - roll_rho)) AS BIGINT)
+               AS s_present
+      FROM rolled WHERE roll_rho IS NOT NULL GROUP BY 1
+    ), pairs AS (SELECT DISTINCT d, k FROM base),
+    ex AS (
+      SELECT days.d AS td,
+             CAST(count(DISTINCT p.k) AS BIGINT) AS exact_distinct
+      FROM days JOIN pairs p ON p.d <= days.d AND p.d > days.d - 7
+      GROUP BY 1
+    )
+    SELECT strftime(DATE '1970-01-01' + sk.d * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS day,
+           n_registers,
+           round(({_HLL_A * _HLL_M * _HLL_M}::DOUBLE
+                  * {_HLL_SCALE!r}::DOUBLE)
+                 / CAST(s_present
+                        + ({_HLL_M} - n_registers)::BIGINT
+                          * {1 << (_HLL_W + 1)}::BIGINT AS DOUBLE), 2)
+             AS est_distinct,
+           exact_distinct,
+           round(abs(round(({_HLL_A * _HLL_M * _HLL_M}::DOUBLE
+                            * {_HLL_SCALE!r}::DOUBLE)
+                 / CAST(s_present
+                        + ({_HLL_M} - n_registers)::BIGINT
+                          * {1 << (_HLL_W + 1)}::BIGINT AS DOUBLE), 2)
+                     - exact_distinct)
+                 / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+    FROM sk JOIN ex ON ex.td = sk.d
+"""
+
+# q275: identical construction — grid-snapped integer daily means,
+# exact-integer window prefix sums (order-free), the same
+# (Q − S²/n)-shaped double sequence per candidate, argmin by
+# row_number ORDER BY (sse, b). Scientific double literals throughout.
+ORACLE_SQL["q275_changepoint"] = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS day,
+             CAST(round(
+               CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
+               / CAST(count(value) AS DOUBLE) + 1e-9) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), cums AS (
+      SELECT k, day,
+             row_number() OVER (PARTITION BY k ORDER BY day) AS b,
+             sum(v) OVER (PARTITION BY k ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cs,
+             sum(v * v) OVER (PARTITION BY k ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cq
+      FROM daily
+    ), tot AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(v) AS BIGINT) AS s_tot,
+             CAST(sum(v * v) AS BIGINT) AS q_tot
+      FROM daily GROUP BY 1
+    ), cand AS (
+      SELECT c.k, c.day, c.b,
+             (CAST(c.cq AS DOUBLE)
+              - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)
+                / CAST(c.b AS DOUBLE))
+             + ((CAST(t.q_tot AS DOUBLE) - CAST(c.cq AS DOUBLE))
+                - (CAST(t.s_tot AS DOUBLE) - CAST(c.cs AS DOUBLE))
+                  * (CAST(t.s_tot AS DOUBLE) - CAST(c.cs AS DOUBLE))
+                  / (CAST(t.n_days AS DOUBLE) - CAST(c.b AS DOUBLE)))
+               AS sse
+      FROM cums c JOIN tot t ON c.k = t.k
+      WHERE c.b < t.n_days
+    ), best AS (
+      SELECT k, day, sse FROM (
+        SELECT k, day, sse,
+               row_number() OVER (PARTITION BY k ORDER BY sse, b) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT t.k AS event_type, t.n_days,
+           strftime(best.day, '%Y-%m-%d') AS break_day,
+           round((CAST(t.q_tot AS DOUBLE)
+                  - CAST(t.s_tot AS DOUBLE) * CAST(t.s_tot AS DOUBLE)
+                    / CAST(t.n_days AS DOUBLE)) / 1e8 + 1e-9, 4)
+             AS sse_total,
+           round(best.sse / 1e8 + 1e-9, 4) AS sse_best,
+           round(((CAST(t.q_tot AS DOUBLE)
+                   - CAST(t.s_tot AS DOUBLE) * CAST(t.s_tot AS DOUBLE)
+                     / CAST(t.n_days AS DOUBLE)) - best.sse) / 1e8
+                 + 1e-9, 4) AS gain
+    FROM tot t LEFT JOIN best ON best.k = t.k
 """

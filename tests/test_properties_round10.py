@@ -352,3 +352,171 @@ def test_wasserstein_matches_python_model(spark, rows):
         assert r["w1"] is None
     else:
         assert r["w1"] == pytest.approx(w1, abs=2e-6)
+
+
+import hashlib
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.sketches import (
+    hll_rolling_distinct,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    changepoint_daily,
+)
+
+
+def _hll_rolling_model(day_keys, window=7):
+    """Python HLL replay with the identical md5 register law."""
+    regs_by_day = {}
+    for d, k in day_keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        reg = int(h[:2], 16)
+        w = int(h[2:15], 16)
+        rho = 53 if w == 0 else 53 - len(bin(w)[2:])
+        cur = regs_by_day.setdefault(d, {})
+        cur[reg] = max(cur.get(reg, 0), rho)
+    out = {}
+    days = sorted(regs_by_day)
+    for d in days:
+        merged = {}
+        for d2 in days:
+            if d - window < d2 <= d:
+                for r, rho in regs_by_day[d2].items():
+                    merged[r] = max(merged.get(r, 0), rho)
+        npresent = len(merged)
+        s = sum(1 << (53 - rho) for rho in merged.values()) + (
+            256 - npresent
+        ) * (1 << 53)
+        est = round(0.718273 * 256 * 256 * float(1 << 53) / float(s), 2)
+        exact = len(
+            {k for d2, k in day_keys if d - window < d2 <= d}
+        )
+        out[d] = (npresent, est, exact)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=400),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_hll_rolling_matches_python_model(spark, day_keys):
+    base = dt.date(2024, 1, 1)
+    t0 = (base - dt.date(1970, 1, 1)).days
+    data = [
+        (i, dt.datetime(2024, 1, 1 + d, 6, 0, 0), k)
+        for i, (d, k) in enumerate(day_keys)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long"
+    ).repartition(5)
+    got = {
+        r["day"]: (r["n_registers"], r["est_distinct"], r["exact_distinct"])
+        for r in hll_rolling_distinct(df, "user_id", "ts").collect()
+    }
+    exp = _hll_rolling_model([(t0 + d, k) for d, k in day_keys])
+    assert {dt.date.fromisoformat(d).toordinal() - dt.date(1970, 1, 1).toordinal() for d in got} == set(exp)
+    for day_s, (nreg, est, exact) in got.items():
+        d = dt.date.fromisoformat(day_s).toordinal() - dt.date(1970, 1, 1).toordinal()
+        enreg, eest, eexact = exp[d]
+        assert (nreg, exact) == (enreg, eexact), day_s
+        assert est == pytest.approx(eest, abs=0.02), day_s
+
+
+def _changepoint_model(rows):
+    """rows: (key, day_off, value). Grid means -> exact prefix sums ->
+    SSE argmin with (sse, b) tie-break."""
+    daily = {}
+    for k, d, v in rows:
+        daily.setdefault((k, d), []).append(round(v * 1e4))
+    series = {}
+    for (k, d), snaps in daily.items():
+        vg = round(sum(snaps) / len(snaps) + 1e-9)
+        series.setdefault(k, []).append((d, vg))
+    out = {}
+    for k, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        S = sum(v for _, v in pts)
+        Q = sum(v * v for _, v in pts)
+        sse_total = float(Q) - float(S) * float(S) / float(n)
+        best = None
+        cs = cq = 0
+        for b in range(1, n):
+            cs += pts[b - 1][1]
+            cq += pts[b - 1][1] ** 2
+            sse = (float(cq) - float(cs) * float(cs) / float(b)) + (
+                (float(Q) - float(cq))
+                - (float(S) - float(cs)) * (float(S) - float(cs))
+                / (float(n) - float(b))
+            )
+            if best is None or sse < best[0]:
+                best = (sse, b, pts[b - 1][0])
+        out[k] = (
+            n,
+            None if best is None else best[2],
+            round(sse_total / 1e8 + 1e-9, 4),
+            None if best is None else round(best[0] / 1e8 + 1e-9, 4),
+            None
+            if best is None
+            else round((sse_total - best[0]) / 1e8 + 1e-9, 4),
+        )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=15),
+            st.floats(
+                min_value=-80,
+                max_value=80,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_changepoint_matches_python_model(spark, rows):
+    base = dt.date(2024, 1, 1)
+    t0 = base.toordinal() - dt.date(1970, 1, 1).toordinal()
+    data = [
+        (k, dt.datetime(2024, 1, 1 + d, 15, 0, 0), v) for k, d, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, value double"
+    ).repartition(5)
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            None
+            if r["break_day"] is None
+            else dt.date.fromisoformat(r["break_day"]).toordinal()
+            - dt.date(1970, 1, 1).toordinal(),
+            r["sse_total"],
+            r["sse_best"],
+            r["gain"],
+        )
+        for r in changepoint_daily(df).collect()
+    }
+    exp = _changepoint_model([(k, t0 + d, v) for k, d, v in rows])
+    assert set(got) == set(exp)
+    for k in exp:
+        gn, gb, gt, gbest, ggain = got[k]
+        en, eb, et, ebest, egain = exp[k]
+        assert (gn, gb) == (en, eb), k
+        assert gt == pytest.approx(et, abs=2e-4), k
+        if ebest is None:
+            assert gbest is None and ggain is None, k
+        else:
+            assert gbest == pytest.approx(ebest, abs=2e-4), k
+            assert ggain == pytest.approx(egain, abs=2e-4), k
