@@ -974,3 +974,62 @@ def changepoint_daily(
             ).alias("gain"),
         )
     )
+
+
+def burst_detection(
+    events: DataFrame,
+    window_seconds: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Peak sliding-window event rate per key — the rate-limit /
+    bot-detection audit ("did any user fire more than N events in any
+    60 s span?"). For each event, the count of the key's events in
+    the trailing ``window_seconds``; reported per key as the MAX with
+    the second it peaked (earliest such second on ties).
+
+    Plan shape: ONE key-partitioned RANGE window over epoch seconds
+    (count over [t−w+1, t] — Spark evaluates the sliding frame with
+    two pointers, O(events per key) amortized, never a per-row
+    rescan), then a struct-min argmax on (−burst, ts) per key. The
+    window is the module's standard single full-data shuffle on the
+    key; no self-join of the raw stream.
+
+    Determinism: counts and epoch seconds are exact integers;
+    the (−burst, second, event_id) struct min makes the reported peak
+    unique. Output: (key, n_events, max_burst, peak_second).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("sec")
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    pts = events.filter(F.col(ts_col).isNotNull()).select(
+        key_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        .cast("long")
+        .alias("us"),
+    ).select(
+        # integer division (Spark `div` == DuckDB `//`): a double
+        # divide could round up across the second boundary
+        key_col,
+        F.expr("us div 1000000").alias("sec"),
+    )
+    counted = pts.withColumn("burst", F.count("*").over(w))
+    return (
+        counted.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(
+                F.struct(
+                    (-F.col("burst")).alias("nb"), F.col("sec").alias("sec")
+                )
+            ).alias("_m"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            (-F.col("_m.nb")).cast("long").alias("max_burst"),
+            F.col("_m.sec").alias("peak_second"),
+        )
+    )

@@ -6441,6 +6441,17 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q276_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak 60-second sliding event rate per user — the rate-limit /
+    bot audit. One key-partitioned RANGE window over epoch seconds
+    (two-pointer sliding frame, O(events/key)); struct-min argmax
+    reports each user's max burst and its earliest peak second."""
+    from ..operators.timeseries import burst_detection
+
+    events = load_table(spark, sf_dir, "events")
+    return burst_detection(events, window_seconds=60)
+
+
 def q275_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single mean-shift change-point per event type (binary
     segmentation's first split): argmin over splits of
@@ -9902,6 +9913,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q273_wasserstein_drift": q273_wasserstein_drift,
     "q274_rolling_hll": q274_rolling_hll,
     "q275_changepoint": q275_changepoint,
+    "q276_burst_detection": q276_burst_detection,
 }
 
 
@@ -14010,4 +14022,32 @@ ORACLE_SQL["q275_changepoint"] = """
                      / CAST(t.n_days AS DOUBLE)) - best.sse) / 1e8
                  + 1e-9, 4) AS gain
     FROM tot t LEFT JOIN best ON best.k = t.k
+"""
+
+# q276: identical RANGE-window count over integer epoch seconds and
+# the same (−burst, second) argmin tie-break.
+ORACLE_SQL["q276_burst_detection"] = """
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec
+      FROM events WHERE ts IS NOT NULL
+    ), counted AS (
+      SELECT user_id, sec,
+             count(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 59 PRECEDING
+                                      AND CURRENT ROW) AS burst
+      FROM pts
+    ), best AS (
+      SELECT user_id, burst, sec FROM (
+        SELECT user_id, burst, sec,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY burst DESC, sec) AS rn
+        FROM counted
+      ) WHERE rn = 1
+    )
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(any_value(b.burst) AS BIGINT) AS max_burst,
+           CAST(any_value(b.sec) AS BIGINT) AS peak_second
+    FROM counted c JOIN best b ON b.user_id = c.user_id
+    GROUP BY 1
 """

@@ -520,3 +520,59 @@ def test_changepoint_matches_python_model(spark, rows):
         else:
             assert gbest == pytest.approx(ebest, abs=2e-4), k
             assert ggain == pytest.approx(egain, abs=2e-4), k
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    burst_detection,
+)
+
+
+def _burst_model(rows, window=60):
+    """rows: (user, sec). Per-event trailing count; per-user max with
+    earliest peak second."""
+    byu = {}
+    for u, s in rows:
+        byu.setdefault(u, []).append(s)
+    out = {}
+    for u, secs in byu.items():
+        secs.sort()
+        best = None
+        for s in secs:
+            burst = sum(1 for t in secs if s - window < t <= s)
+            if best is None or burst > best[0] or (
+                burst == best[0] and s < best[1]
+            ):
+                best = (burst, s)
+        out[u] = (len(secs), best[0], best[1])
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_burst_detection_matches_python_model(spark, rows):
+    base = 1_700_000_000
+    data = [
+        (i, (base + s) * 1_000_000, u) for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, us long, user_id long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+    ).repartition(5)
+    got = {
+        r["user_id"]: (r["n_events"], r["max_burst"], r["peak_second"])
+        for r in burst_detection(df).collect()
+    }
+    exp = _burst_model([(u, base + s) for u, s in rows])
+    assert got == exp
