@@ -423,3 +423,86 @@ def pareto_frontier(
     return frontier.select("x", "y").join(
         counts, on=["x", "y"]
     ).select("x", "y", F.col("n_rows").cast("long").alias("n_rows"))
+
+
+def water_fill_allocation(
+    docs: DataFrame,
+    group_col: str = "source",
+    budget_num: int = 3,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Water-filling token/document budget across sources: allocate
+    a_i = min(c_i, λ) with Σ a_i = B (B = ⌊num/den · total⌋ in exact
+    integer arithmetic) — the "cap the giant sources, keep the small
+    ones whole" allocation every mixture rebalance runs when a TOTAL
+    budget (not a ratio, q56's problem) is the binding constraint.
+
+    Exact construction, no floats anywhere: sources ordered by
+    (count asc, name asc) get prefix sums; a source is FULLY funded
+    iff funding it and leveling everything above at its count fits
+    the budget (p_i + (n−i)·c_i ≤ B); the first infeasible rank k*
+    fixes the water level λ = (B − p_{k*−1}) div (n−k*+1) with the
+    remainder distributed one unit each to the first capped sources
+    in the same deterministic order. Σ alloc == B whenever B ≤ total
+    (and == total otherwise) — the invariant the test pins.
+
+    Plan shape: one corpus hash agg to |sources| rows; the window and
+    the k* reduction run on that bounded level table (the q56
+    contract). Output: (source, n_docs, alloc, capped).
+    """
+    src = docs.filter(F.col(group_col).isNotNull()).groupBy(
+        F.col(group_col).alias("src")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("c", "src")
+    tot = src.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        "total",
+        "n",
+        F.expr(f"(total * {int(budget_num)}) div {int(budget_den)}").alias(
+            "b"
+        ),
+    )
+    ranked = (
+        src.withColumn("idx", F.row_number().over(w))
+        .withColumn("p", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    flagged = ranked.withColumn(
+        "full_ok",
+        F.col("p") + (F.col("n") - F.col("idx")) * F.col("c") <= F.col("b"),
+    )
+    kstar = flagged.agg(
+        F.min(F.when(~F.col("full_ok"), F.col("idx"))).alias("k")
+    )
+    level = (
+        flagged.crossJoin(F.broadcast(kstar))
+        .filter(F.col("idx") == F.col("k"))
+        .select(
+            F.col("k").alias("k2"),
+            F.expr("(b - (p - c)) div (n - k + 1)").alias("lam"),
+            F.expr("(b - (p - c)) % (n - k + 1)").alias("rem"),
+        )
+    )
+    out = (
+        flagged.crossJoin(F.broadcast(kstar))
+        .join(F.broadcast(level), F.col("k") == F.col("k2"), "left")
+        .select(
+            F.col("src").alias(group_col),
+            F.col("c").alias("n_docs"),
+            F.when(F.col("k").isNull() | (F.col("idx") < F.col("k")), F.col("c"))
+            .otherwise(
+                F.col("lam")
+                + F.when(
+                    F.col("idx") - F.col("k") + 1 <= F.col("rem"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc"),
+            (
+                F.col("k").isNotNull() & (F.col("idx") >= F.col("k"))
+            ).alias("capped"),
+        )
+    )
+    return out

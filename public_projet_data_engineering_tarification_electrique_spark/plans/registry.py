@@ -6441,6 +6441,18 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q277_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling document budget across sources (B = 3/5 of the
+    corpus): a_i = min(c_i, λ), Σa = B — the cap-the-giants
+    allocation when a TOTAL budget binds (q56 handles target
+    ratios). Pure integer arithmetic on the |sources| level table;
+    Σ alloc == B is a pinned invariant."""
+    from ..operators.sampling import water_fill_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return water_fill_allocation(docs, "source", 3, 5)
+
+
 def q276_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak 60-second sliding event rate per user — the rate-limit /
     bot audit. One key-partitioned RANGE window over epoch seconds
@@ -9914,6 +9926,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q274_rolling_hll": q274_rolling_hll,
     "q275_changepoint": q275_changepoint,
     "q276_burst_detection": q276_burst_detection,
+    "q277_water_filling": q277_water_filling,
 }
 
 
@@ -14050,4 +14063,46 @@ ORACLE_SQL["q276_burst_detection"] = """
            CAST(any_value(b.sec) AS BIGINT) AS peak_second
     FROM counted c JOIN best b ON b.user_id = c.user_id
     GROUP BY 1
+"""
+
+# q277: identical integer water-level construction — (count, name)
+# order, prefix sums, feasibility flags, k*, div/mod level split.
+ORACLE_SQL["q277_water_filling"] = """
+    WITH src AS (
+      SELECT source AS src, CAST(count(*) AS BIGINT) AS c
+      FROM documents WHERE source IS NOT NULL GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST((sum(c) * 3) // 5 AS BIGINT) AS b
+      FROM src
+    ), ranked AS (
+      SELECT src, c,
+             row_number() OVER (ORDER BY c, src) AS idx,
+             CAST(sum(c) OVER (ORDER BY c, src
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+      FROM src
+    ), flagged AS (
+      SELECT r.src, r.c, r.idx, r.p, t.n, t.b,
+             r.p + (t.n - r.idx) * r.c <= t.b AS full_ok
+      FROM ranked r CROSS JOIN tot t
+    ), kst AS (
+      SELECT min(CASE WHEN NOT full_ok THEN idx END) AS k FROM flagged
+    ), level AS (
+      SELECT kst.k AS k2,
+             CAST((f.b - (f.p - f.c)) // (f.n - kst.k + 1) AS BIGINT)
+               AS lam,
+             CAST((f.b - (f.p - f.c)) % (f.n - kst.k + 1) AS BIGINT)
+               AS rem
+      FROM flagged f CROSS JOIN kst WHERE f.idx = kst.k
+    )
+    SELECT f.src AS source, f.c AS n_docs,
+           CAST(CASE WHEN kst.k IS NULL OR f.idx < kst.k THEN f.c
+                ELSE level.lam
+                     + CASE WHEN f.idx - kst.k + 1 <= level.rem
+                            THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc,
+           (kst.k IS NOT NULL AND f.idx >= kst.k) AS capped
+    FROM flagged f
+    CROSS JOIN kst
+    LEFT JOIN level ON level.k2 = kst.k
 """

@@ -576,3 +576,66 @@ def test_burst_detection_matches_python_model(spark, rows):
     }
     exp = _burst_model([(u, base + s) for u, s in rows])
     assert got == exp
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (
+    water_fill_allocation,
+)
+
+
+def _water_model(counts, num=3, den=5):
+    items = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    total = sum(counts.values())
+    n = len(items)
+    b = (total * num) // den
+    p = 0
+    k = None
+    for i, (s, c) in enumerate(items, start=1):
+        p += c
+        if not (p + (n - i) * c <= b):
+            k = i
+            p_before = p - c
+            break
+    alloc = {}
+    if k is None:
+        for s, c in items:
+            alloc[s] = (c, False)
+    else:
+        lam = (b - p_before) // (n - k + 1)
+        rem = (b - p_before) % (n - k + 1)
+        for i, (s, c) in enumerate(items, start=1):
+            if i < k:
+                alloc[s] = (c, False)
+            else:
+                alloc[s] = (lam + (1 if i - k + 1 <= rem else 0), True)
+    return alloc, b, total
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(8)]),
+        st.integers(min_value=1, max_value=500),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_water_filling_matches_model_and_invariants(spark, counts):
+    rows = [
+        (f"{s}_{j}", s) for s, c in counts.items() for j in range(c)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {
+        r["source"]: (r["n_docs"], r["alloc"], r["capped"])
+        for r in water_fill_allocation(df, "source", 3, 5).collect()
+    }
+    exp, b, total = _water_model(counts)
+    assert set(got) == set(exp)
+    for s, (ea, ecap) in exp.items():
+        nd, ga, gcap = got[s]
+        assert nd == counts[s]
+        assert (ga, gcap) == (ea, ecap), s
+    # the budget invariant: sum == B when B <= total, == total otherwise
+    ssum = sum(a for _, a, _ in got.values())
+    assert ssum == min(b, total)
+    assert all(a <= nd for nd, a, _ in got.values())
