@@ -514,3 +514,60 @@ def gini_concentration(
         F.col("s").cast("long").alias("total"),
         F.round(gini + 1e-9, 6).alias("gini"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification screen a governance pass runs BEFORE releasing
+    a derived table (``pseudonymize`` hides direct identifiers; this
+    measures whether the remaining quasi-identifier cells are small
+    enough to single someone out). A row is AT RISK when its full
+    quasi-identifier cell holds fewer than ``k`` rows.
+
+    One hash agg to the cell table (map-side partials), one re-agg to
+    the first quasi column's summary — cells never leave the
+    executors, and the output is |distinct first-column| rows.
+
+    Output per first-column value: (group, n_cells, n_small_cells,
+    n_rows, n_rows_at_risk, risk_fraction 4-dp) — risk_fraction is
+    the share of rows needing suppression or coarsening before a
+    k-anonymous release.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    cells = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").alias("_n")
+    )
+    head = quasi_cols[0]
+    return (
+        cells.groupBy(F.col(head).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_cells"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+        )
+        .select(
+            "grp",
+            "n_cells",
+            "n_small_cells",
+            "n_rows",
+            "n_rows_at_risk",
+            F.round(
+                F.col("n_rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double")
+                + 1e-9,
+                4,
+            ).alias("risk_fraction"),
+        )
+    )

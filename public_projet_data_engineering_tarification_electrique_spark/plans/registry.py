@@ -6441,6 +6441,22 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q278_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) audit over the (lang, source, length-band)
+    quasi-identifier — the re-identification screen before releasing
+    a derived corpus table. One hash agg to the cell table, one
+    re-agg per lang; risk_fraction = share of rows in cells smaller
+    than k."""
+    from ..operators.audit import k_anonymity_audit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("n_chars div 500").alias("band"),
+    )
+    return k_anonymity_audit(docs, ["lang", "source", "band"], k=5)
+
+
 def q277_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Water-filling document budget across sources (B = 3/5 of the
     corpus): a_i = min(c_i, λ), Σa = B — the cap-the-giants
@@ -9927,6 +9943,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q275_changepoint": q275_changepoint,
     "q276_burst_detection": q276_burst_detection,
     "q277_water_filling": q277_water_filling,
+    "q278_k_anonymity": q278_k_anonymity,
 }
 
 
@@ -14105,4 +14122,24 @@ ORACLE_SQL["q277_water_filling"] = """
     FROM flagged f
     CROSS JOIN kst
     LEFT JOIN level ON level.k2 = kst.k
+"""
+
+# q278: identical cell construction (NULL quasi values group as their
+# own cell in both engines) and the single terminal division.
+ORACLE_SQL["q278_k_anonymity"] = """
+    WITH cells AS (
+      SELECT lang AS grp, source, n_chars // 500 AS band,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_cells,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE) + 1e-9, 4) AS risk_fraction
+    FROM cells GROUP BY 1
 """
