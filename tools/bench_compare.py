@@ -22,6 +22,14 @@ import sys
 def load(path: str):
     with open(path) as f:
         d = json.load(f)
+    # a driver BENCH_r{N}.json wraps the compact line under "parsed"
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(
+            f"{path}: no per-query timings (unparsed driver record?) — "
+            "use the BENCH_FULL_sf*.json artifact instead"
+        )
     return d
 
 
