@@ -1033,3 +1033,87 @@ def burst_detection(
             F.col("_m.sec").alias("peak_second"),
         )
     )
+
+
+def stl_lite_weekly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """STL-lite weekly decomposition per key: trend = centered 7-day
+    moving average of the daily series, seasonal = per-weekday mean
+    of the DETRENDED values — the additive two-pass decomposition a
+    forecaster runs before q252's Holt (a raw weekly cycle otherwise
+    bleeds into the trend state). q263's seasonal index is
+    multiplicative on RAW values; this is the additive profile on
+    detrended ones, which is what 'Saturday runs 2.3 units below
+    trend' actually means.
+
+    Exactness with NO float summation anywhere: daily means snap to
+    integer grid units (value-range bounded); the centered MA over
+    [d−3, d+3] is an exact-integer window sum restricted to COMPLETE
+    windows; and the detrended quantity is kept as the exact integer
+    7·v − S7 (multiply through by 7 instead of dividing S7 — the
+    rational trend never becomes a float), so per-(key, weekday)
+    sums accumulate exactly and the ONLY division is the terminal
+    Σ(7v − S7) / (7·n·10⁴). ISO weekday (Monday=1) matches DuckDB's
+    isodow.
+
+    Plan shape: one (key, day) hash agg, one key-partitioned ±3-row
+    window, one (key, dow) hash agg. Output: (key, dow, n_days,
+    seasonal), 4-dp rounded — n_days counts complete-window days.
+    """
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, F.to_date(ts_col).alias("day"))
+        .agg(
+            F.count(value_col).cast("long").alias("_n"),
+            F.sum(F.round(F.col(value_col) * 1e4).cast("long")).alias("_s"),
+        )
+        .select(
+            key_col,
+            "day",
+            F.round(
+                F.col("_s").cast("double") / F.col("_n").cast("double")
+                + 1e-9
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        key_col,
+        "day",
+        "v",
+        F.sum("v").over(w).alias("s7"),
+        F.count("*").over(w).alias("w7"),
+    ).filter(F.col("w7") == 7)
+    iso_dow = ((F.dayofweek(F.col("day")) + 5) % 7) + 1
+    detr7 = (F.lit(7) * F.col("v") - F.col("s7")).cast("decimal(19,0)")
+    return (
+        trended.groupBy(
+            F.col(key_col), iso_dow.cast("int").alias("dow")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(detr7.cast("decimal(38,0)")).alias("_sd"),
+        )
+        .select(
+            key_col,
+            "dow",
+            "n_days",
+            F.round(
+                F.col("_sd").cast("double")
+                / (F.lit(7.0) * F.col("n_days").cast("double"))
+                / F.lit(1e4)
+                + 1e-9,
+                4,
+            ).alias("seasonal"),
+        )
+    )

@@ -6441,6 +6441,19 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q279_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite weekly decomposition per event type: centered ±3-day
+    moving-average trend, then per-ISO-weekday mean of the detrended
+    series — additive seasonality on detrended values (q263's index
+    is multiplicative on raw ones). No float summation anywhere: the
+    detrended quantity stays the exact integer 7·v − S7 until the
+    single terminal division."""
+    from ..operators.timeseries import stl_lite_weekly
+
+    events = load_table(spark, sf_dir, "events")
+    return stl_lite_weekly(events)
+
+
 def q278_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity (k=5) audit over the (lang, source, length-band)
     quasi-identifier — the re-identification screen before releasing
@@ -9944,6 +9957,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q276_burst_detection": q276_burst_detection,
     "q277_water_filling": q277_water_filling,
     "q278_k_anonymity": q278_k_anonymity,
+    "q279_stl_lite": q279_stl_lite,
 }
 
 
@@ -14142,4 +14156,35 @@ ORACLE_SQL["q278_k_anonymity"] = """
            round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
                  / CAST(sum(n) AS DOUBLE) + 1e-9, 4) AS risk_fraction
     FROM cells GROUP BY 1
+"""
+
+# q279: identical construction — grid-integer daily means, exact
+# ROWS ±3 window sums restricted to complete windows, HUGEINT
+# Σ(7v − S7) per (key, isodow), one terminal division.
+ORACLE_SQL["q279_stl_lite"] = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS day,
+             CAST(round(
+               CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
+               / CAST(count(value) AS DOUBLE) + 1e-9) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), trended AS (
+      SELECT k, day, v,
+             sum(v) OVER (PARTITION BY k ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS s7,
+             count(*) OVER (PARTITION BY k ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS w7
+      FROM daily
+    )
+    SELECT k AS event_type,
+           CAST(isodow(day) AS INTEGER) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(7 * v - s7) AS DOUBLE)
+                 / (7e0 * CAST(count(*) AS DOUBLE)) / 1e4
+                 + 1e-9, 4) AS seasonal
+    FROM trended WHERE w7 = 7
+    GROUP BY 1, 2
 """

@@ -639,3 +639,80 @@ def test_water_filling_matches_model_and_invariants(spark, counts):
     ssum = sum(a for _, a, _ in got.values())
     assert ssum == min(b, total)
     assert all(a <= nd for nd, a, _ in got.values())
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    stl_lite_weekly,
+)
+
+
+def _stl_model(rows):
+    """rows: (key, day_ordinal, value). Grid daily means, ±3-row
+    window over observed days, per-isodow mean of exact 7v−S7."""
+    daily = {}
+    for k, d, v in rows:
+        daily.setdefault((k, d), []).append(round(v * 1e4))
+    series = {}
+    for (k, d), snaps in daily.items():
+        vg = round(sum(snaps) / len(snaps) + 1e-9)
+        series.setdefault(k, []).append((d, vg))
+    out = {}
+    for k, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        cells = {}
+        for i in range(n):
+            if i - 3 < 0 or i + 3 >= n:
+                continue
+            s7 = sum(v for _, v in pts[i - 3 : i + 4])
+            d, v = pts[i]
+            isodow = dt.date.fromordinal(
+                d + dt.date(1970, 1, 1).toordinal()
+            ).isoweekday()
+            cells.setdefault(isodow, []).append(7 * v - s7)
+        for dow, terms in cells.items():
+            out[(k, dow)] = (
+                len(terms),
+                round(
+                    float(sum(terms)) / (7.0 * len(terms)) / 1e4 + 1e-9, 4
+                ),
+            )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=25),
+            st.floats(
+                min_value=-90,
+                max_value=90,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_stl_lite_matches_python_model(spark, rows):
+    base = dt.date(2024, 1, 1)
+    t0 = base.toordinal() - dt.date(1970, 1, 1).toordinal()
+    data = [
+        (k, dt.datetime(2024, 1, 1 + d, 10, 0, 0), v) for k, d, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, value double"
+    ).repartition(5)
+    got = {
+        (r["event_type"], r["dow"]): (r["n_days"], r["seasonal"])
+        for r in stl_lite_weekly(df).collect()
+    }
+    exp = _stl_model([(k, t0 + d, v) for k, d, v in rows])
+    assert set(got) == set(exp)
+    for kd, (n, seas) in exp.items():
+        gn, gs = got[kd]
+        assert gn == n, kd
+        assert gs == pytest.approx(seas, abs=2e-4), kd
