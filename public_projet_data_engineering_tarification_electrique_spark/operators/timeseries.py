@@ -1117,3 +1117,143 @@ def stl_lite_weekly(
             ).alias("seasonal"),
         )
     )
+
+
+def lttb_downsample(
+    events: DataFrame,
+    n_buckets: int = 32,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (parallel variant)
+    per key: keep ~``n_buckets`` visually-representative points from
+    an arbitrarily long series — the dashboard/report reducer that
+    preserves spikes a plain per-bucket mean flattens. The classic
+    LTTB chains each bucket's choice to the PREVIOUS selection
+    (inherently sequential); this is the standard parallel variant
+    anchoring each point's triangle on the NEIGHBOR BUCKETS'
+    CENTROIDS, making every bucket's argmax independent.
+
+    Determinism: times are epoch seconds, values cents (exact longs);
+    each candidate's doubled triangle area is ONE fixed double
+    sequence over the exact integers (t_p·n₁ − T₁)·(V₂·n₁ − V₁·n₂) −
+    (v_p·n₁ − V₁)·(T₂·n₁ − T₁·n₂) — correctly-rounded products, so
+    both engines rank candidates identically; ties break on the
+    earlier point. First/last buckets keep their first/last point
+    (the LTTB endpoint rule).
+
+    Plan shape: one key-partitioned row_number window (the module's
+    standard single shuffle), one (key, bucket) hash agg for the
+    centroid stats, a bucket±1 equi-join of those bounded stats back
+    onto the points, and a struct-min argmax per (key, bucket).
+
+    Output: (key, bucket, t_sec, v_cents), ≤ n_buckets rows per key.
+    """
+    if n_buckets < 3:
+        raise ValueError(f"n_buckets must be >= 3, got {n_buckets}")
+    # (t, v, event_id) is a TOTAL order: two identical (t, v) points
+    # straddling a bucket boundary must land deterministically or the
+    # bucket centroids themselves become run-dependent
+    w = Window.partitionBy(key_col).orderBy("t", "v", "eid")
+    pts = (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            key_col,
+            F.expr(
+                f"unix_micros(cast({ts_col} as timestamp)) div 1000000"
+            ).alias("t"),
+            F.round(F.col(value_col) * 100).cast("long").alias("v"),
+            F.col(tiebreak_col).alias("eid"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy(key_col))
+        )
+        .withColumn(
+            "bucket",
+            F.expr(f"((rn - 1) * {int(n_buckets)}) div n").cast("int"),
+        )
+    )
+    stats = pts.groupBy(key_col, "bucket").agg(
+        F.count("*").cast("long").alias("bn"),
+        F.sum("t").cast("long").alias("bt"),
+        F.sum("v").cast("long").alias("bv"),
+    )
+    prev = stats.select(
+        F.col(key_col).alias("_kp"),
+        (F.col("bucket") + 1).alias("_bp"),
+        F.col("bn").alias("n1"),
+        F.col("bt").alias("t1"),
+        F.col("bv").alias("v1"),
+    )
+    nxt = stats.select(
+        F.col(key_col).alias("_kn"),
+        (F.col("bucket") - 1).alias("_bn_"),
+        F.col("bn").alias("n2"),
+        F.col("bt").alias("t2"),
+        F.col("bv").alias("v2"),
+    )
+    interior = (
+        pts.join(
+            prev,
+            (pts[key_col] == prev["_kp"]) & (pts["bucket"] == prev["_bp"]),
+        )
+        .join(
+            nxt,
+            (pts[key_col] == nxt["_kn"]) & (pts["bucket"] == nxt["_bn_"]),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    tp, vp = d("t"), d("v")
+    area = F.abs(
+        (tp * d("n1") - d("t1")) * (d("v2") * d("n1") - d("v1") * d("n2"))
+        - (vp * d("n1") - d("v1")) * (d("t2") * d("n1") - d("t1") * d("n2"))
+    )
+    best_interior = (
+        interior.select(
+            F.col(key_col).alias("k"),
+            "bucket",
+            F.struct(
+                (-area).alias("na"),
+                F.col("rn").alias("rn"),
+                F.col("t").alias("t"),
+                F.col("v").alias("v"),
+            ).alias("_c"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.min("_c").alias("_m"))
+        .select(
+            "k", "bucket", F.col("_m.t").alias("t"), F.col("_m.v").alias("v")
+        )
+    )
+    # endpoint rule: first point of the first bucket, last point of the
+    # last; these buckets have no prev/next neighbor and are absent
+    # from the interior join by construction
+    ends = (
+        pts.withColumn(
+            "_is_first", F.col("rn") == 1
+        )
+        .withColumn("_is_last", F.col("rn") == F.col("n"))
+        .filter(F.col("_is_first") | F.col("_is_last"))
+        .select(
+            F.col(key_col).alias("k"), "bucket", "t", "v"
+        )
+        .distinct()
+    )
+    return (
+        best_interior.unionByName(ends)
+        .groupBy("k", "bucket")
+        .agg(
+            F.min(F.struct(F.col("t"), F.col("v"))).alias("_p")
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "bucket",
+            F.col("_p.t").alias("t_sec"),
+            F.col("_p.v").alias("v_cents"),
+        )
+    )

@@ -6441,6 +6441,19 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q280_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visual downsampling (parallel centroid-anchored variant):
+    ≤32 spike-preserving points per event type. One key-partitioned
+    row_number window, bounded (key, bucket) centroid stats joined
+    bucket±1 back onto the points, doubled-triangle-area argmax per
+    bucket as ONE fixed double sequence over exact integers, LTTB
+    endpoint rule for the first/last buckets."""
+    from ..operators.timeseries import lttb_downsample
+
+    events = load_table(spark, sf_dir, "events")
+    return lttb_downsample(events, n_buckets=32)
+
+
 def q279_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-lite weekly decomposition per event type: centered ±3-day
     moving-average trend, then per-ISO-weekday mean of the detrended
@@ -9958,6 +9971,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q277_water_filling": q277_water_filling,
     "q278_k_anonymity": q278_k_anonymity,
     "q279_stl_lite": q279_stl_lite,
+    "q280_lttb_downsample": q280_lttb_downsample,
 }
 
 
@@ -14187,4 +14201,64 @@ ORACLE_SQL["q279_stl_lite"] = """
                  + 1e-9, 4) AS seasonal
     FROM trended WHERE w7 = 7
     GROUP BY 1, 2
+"""
+
+# q280: identical construction — (t, v, event_id) total order, 32
+# positional buckets, centroid stats, the SAME parenthesized double
+# area sequence, argmax by (area DESC, rn), endpoint rule, final
+# (t, v)-min dedup belt.
+ORACLE_SQL["q280_lttb_downsample"] = """
+    WITH pts AS (
+      SELECT event_type AS k,
+             epoch_us(ts) // 1000000 AS t,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             event_id AS eid
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), rn AS (
+      SELECT k, t, v,
+             row_number() OVER (PARTITION BY k ORDER BY t, v, eid)
+               AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM pts
+    ), b AS (
+      SELECT k, t, v, rn, n,
+             CAST(((rn - 1) * 32) // n AS INTEGER) AS bucket
+      FROM rn
+    ), stats AS (
+      SELECT k, bucket, CAST(count(*) AS BIGINT) AS bn,
+             CAST(sum(t) AS BIGINT) AS bt,
+             CAST(sum(v) AS BIGINT) AS bv
+      FROM b GROUP BY 1, 2
+    ), interior AS (
+      SELECT p.k, p.bucket, p.rn, p.t, p.v,
+             abs((CAST(p.t AS DOUBLE) * CAST(s1.bn AS DOUBLE)
+                  - CAST(s1.bt AS DOUBLE))
+                 * (CAST(s2.bv AS DOUBLE) * CAST(s1.bn AS DOUBLE)
+                    - CAST(s1.bv AS DOUBLE) * CAST(s2.bn AS DOUBLE))
+               - (CAST(p.v AS DOUBLE) * CAST(s1.bn AS DOUBLE)
+                  - CAST(s1.bv AS DOUBLE))
+                 * (CAST(s2.bt AS DOUBLE) * CAST(s1.bn AS DOUBLE)
+                    - CAST(s1.bt AS DOUBLE) * CAST(s2.bn AS DOUBLE)))
+               AS area
+      FROM b p
+      JOIN stats s1 ON s1.k = p.k AND s1.bucket = p.bucket - 1
+      JOIN stats s2 ON s2.k = p.k AND s2.bucket = p.bucket + 1
+    ), best AS (
+      SELECT k, bucket, t, v FROM (
+        SELECT k, bucket, t, v,
+               row_number() OVER (PARTITION BY k, bucket
+                                  ORDER BY area DESC, rn) AS r
+        FROM interior
+      ) WHERE r = 1
+    ), ends AS (
+      SELECT DISTINCT k, bucket, t, v FROM b WHERE rn = 1 OR rn = n
+    ), uni AS (
+      SELECT * FROM best UNION ALL SELECT * FROM ends
+    )
+    SELECT k AS event_type, bucket, t AS t_sec, v AS v_cents FROM (
+      SELECT k, bucket, t, v,
+             row_number() OVER (PARTITION BY k, bucket
+                                ORDER BY t, v) AS r
+      FROM uni
+    ) WHERE r = 1
 """

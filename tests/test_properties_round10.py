@@ -716,3 +716,98 @@ def test_stl_lite_matches_python_model(spark, rows):
         gn, gs = got[kd]
         assert gn == n, kd
         assert gs == pytest.approx(seas, abs=2e-4), kd
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    lttb_downsample,
+)
+
+
+def _lttb_model(rows, nb=32):
+    """rows: (key, t_sec, v_cents, eid). Parallel centroid-anchored
+    LTTB with the identical area law and tie-breaks."""
+    byk = {}
+    for k, t, v, e in rows:
+        byk.setdefault(k, []).append((t, v, e))
+    out = {}
+    for k, pts in byk.items():
+        pts.sort()
+        n = len(pts)
+        buckets = {}
+        for i, (t, v, e) in enumerate(pts, start=1):
+            b = ((i - 1) * nb) // n
+            buckets.setdefault(b, []).append((i, t, v))
+        stats = {
+            b: (
+                len(ps),
+                sum(t for _, t, _ in ps),
+                sum(v for _, _, v in ps),
+            )
+            for b, ps in buckets.items()
+        }
+        sel = {}
+        for b, ps in buckets.items():
+            if (b - 1) not in stats or (b + 1) not in stats:
+                continue
+            n1, t1, v1 = stats[b - 1]
+            n2, t2, v2 = stats[b + 1]
+            best = None
+            for i, t, v in ps:
+                area = abs(
+                    (float(t) * float(n1) - float(t1))
+                    * (float(v2) * float(n1) - float(v1) * float(n2))
+                    - (float(v) * float(n1) - float(v1))
+                    * (float(t2) * float(n1) - float(t1) * float(n2))
+                )
+                if best is None or area > best[0] or (
+                    area == best[0] and i < best[1]
+                ):
+                    best = (area, i, t, v)
+            sel[b] = (best[2], best[3])
+        first = pts[0]
+        last = pts[-1]
+        sel[0] = (first[0], first[1])
+        lb = ((n - 1) * nb) // n
+        if lb != 0:
+            sel[lb] = (last[0], last[1])
+        out[k] = sel
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=-10**4, max_value=10**4),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_lttb_matches_python_model(spark, rows):
+    base = 1_700_000_000
+    data = [
+        (i, (base + t) * 1_000_000, k, v / 100.0)
+        for i, (k, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, us long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    ).repartition(5)
+    got = {
+        (r["event_type"], r["bucket"]): (r["t_sec"], r["v_cents"])
+        for r in lttb_downsample(df, n_buckets=32).collect()
+    }
+    exp_raw = _lttb_model(
+        [(k, base + t, v, i) for i, (k, t, v) in enumerate(rows)]
+    )
+    exp = {
+        (k, b): tv for k, sel in exp_raw.items() for b, tv in sel.items()
+    }
+    assert got == exp
