@@ -287,3 +287,88 @@ def grouped_ridge(
         F.round(det1 / det + 1e-9, 6).alias("beta1"),
         F.round(det2 / det + 1e-9, 6).alias("beta2"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    alpha: float = 0.2,
+    min_train: int = 2,
+) -> DataFrame:
+    """Per-series split-conformal interval calibration on the rolling
+    backtest's out-of-sample residuals — the DISTRIBUTION-FREE answer
+    to "±how much should we trust q08's forecast?": for miscoverage
+    α, the halfwidth is the ⌈(m+1)(1−α)⌉-th smallest |residual| of
+    the series' m one-step-ahead backtest errors (finite-sample valid
+    with no normality assumption — the guarantee an SLA wants).
+
+    Same distributed contract as ``rolling_origin_backtest``: one
+    window pass of exclusive running sufficient statistics over the
+    (group, x) level table gives every fold's prediction without
+    refitting; |residuals| land on the integer 1e-6 grid; and the
+    order statistic folds inside codegen over each series'
+    CALENDAR-BOUNDED sorted residual array (never a data-shaped
+    window). Series whose m is too small for the requested α (k > m)
+    report NULL — the honest "not enough folds" answer.
+
+    Output: (group..., n_folds, q_halfwidth 6-dp), one row per series
+    with ≥1 scored fold.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    g = [F.col(c) for c in group_cols]
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.asc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    stats = df.select(
+        *g,
+        F.col(x_col),
+        yd.alias("_y"),
+        F.count("*").over(w).alias("_n"),
+        F.sum(xd).over(w).alias("_sx"),
+        F.sum(yd).over(w).alias("_sy"),
+        F.sum(xd * yd).over(w).alias("_sxy"),
+        F.sum(xd * xd).over(w).alias("_sxx"),
+    )
+    varn = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (
+        F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / varn
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    pred = intercept + slope * F.col(x_col).cast("double")
+    abs_e6 = F.round(F.abs(pred - F.col("_y")) * 1e6 + F.lit(1e-9), 0).cast(
+        "long"
+    )
+    resids = stats.filter(
+        (F.col("_n") >= min_train)
+        & (varn != 0.0)
+        & F.col("_y").isNotNull()
+    ).select(*g, abs_e6.alias("_r"))
+    packed = resids.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n_folds"),
+        F.sort_array(F.collect_list("_r")).alias("_rs"),
+    )
+    # k = ceil((m+1)(1−α)); spelled in integers to avoid a float
+    # ceiling: k = floor(((m+1)·(1−α)·DEN + DEN − 1) / DEN) with the
+    # rational 1−α = num/den pinned from the caller's float exactly
+    from fractions import Fraction
+
+    frac = Fraction(1.0 - alpha).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    k = F.expr(f"((n_folds + 1) * {num} + {den} - 1) div {den}")
+    q = F.when(
+        k <= F.col("n_folds"), F.element_at("_rs", k.cast("int"))
+    )
+    return packed.select(
+        *group_cols,
+        "n_folds",
+        F.round(q.cast("double") / F.lit(1e6) + 1e-9, 6).alias(
+            "q_halfwidth"
+        ),
+    )

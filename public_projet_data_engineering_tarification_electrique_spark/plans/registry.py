@@ -6441,6 +6441,27 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q281_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier split-conformal forecast interval (α=0.2) from the
+    rolling backtest's out-of-sample |residuals| — the distribution-
+    free ±halfwidth for q08's forecaster (⌈(m+1)(1−α)⌉-th smallest of
+    m backtest errors, finite-sample valid with no normality
+    assumption). Same one-window-pass sufficient statistics as q226;
+    the order statistic folds over each series' calendar-bounded
+    sorted residual array; k > m reports NULL (not enough folds)."""
+    from ..operators.forecast import conformal_interval
+
+    yearly = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey", F.year("l_shipdate").alias("annee"))
+        .agg(F.round(F.avg("l_quantity"), 4).alias("conso"))
+    )
+    return conformal_interval(
+        yearly, group_cols=("l_suppkey",), x_col="annee", y_col="conso",
+        alpha=0.2,
+    )
+
+
 def q280_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB visual downsampling (parallel centroid-anchored variant):
     ≤32 spike-preserving points per event type. One key-partitioned
@@ -9972,6 +9993,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q278_k_anonymity": q278_k_anonymity,
     "q279_stl_lite": q279_stl_lite,
     "q280_lttb_downsample": q280_lttb_downsample,
+    "q281_conformal_interval": q281_conformal_interval,
 }
 
 
@@ -14261,4 +14283,48 @@ ORACLE_SQL["q280_lttb_downsample"] = """
                                 ORDER BY t, v) AS r
       FROM uni
     ) WHERE r = 1
+"""
+
+# q281: q226's window construction verbatim, |residual| (not APE) on
+# the 1e-6 grid, then the conformal order statistic k =
+# ⌈(m+1)·4/5⌉ selected from the per-series ordered residual list
+# (NULL when k > m). y <> 0 is NOT required here — absolute error is
+# defined at zero.
+ORACLE_SQL["q281_conformal_interval"] = """
+    WITH yearly AS (
+      SELECT l_suppkey AS g, year(l_shipdate) AS x,
+             round(avg(l_quantity), 4) AS y
+      FROM lineitem GROUP BY 1, 2
+    ), st AS (
+      SELECT g, x, y,
+             count(*) OVER wpre AS n,
+             sum(x::DOUBLE) OVER wpre AS sx,
+             sum(y) OVER wpre AS sy,
+             sum(x::DOUBLE * y) OVER wpre AS sxy,
+             sum(x::DOUBLE * x::DOUBLE) OVER wpre AS sxx
+      FROM yearly
+      WINDOW wpre AS (PARTITION BY g ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), fit AS (
+      SELECT g, x, y, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             sx, sy
+      FROM st
+      WHERE n >= 2 AND (n * sxx - sx * sx) <> 0 AND y IS NOT NULL
+    ), ev AS (
+      SELECT g,
+             cast(round(abs(((sy - slope * sx) / n + slope * x::DOUBLE)
+                            - y) * 1e6 + 1e-9) AS BIGINT) AS r
+      FROM fit
+    ), packed AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_folds,
+             list(r ORDER BY r) AS rs
+      FROM ev GROUP BY 1
+    )
+    SELECT g AS l_suppkey, n_folds,
+           round(CASE WHEN ((n_folds + 1) * 4 + 4) // 5 <= n_folds
+                 THEN CAST(rs[CAST(((n_folds + 1) * 4 + 4) // 5
+                                   AS INTEGER)] AS DOUBLE)
+                 END / 1e6 + 1e-9, 6) AS q_halfwidth
+    FROM packed
 """

@@ -811,3 +811,39 @@ def test_lttb_matches_python_model(spark, rows):
         (k, b): tv for k, sel in exp_raw.items() for b, tv in sel.items()
     }
     assert got == exp
+
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.forecast import (
+    conformal_interval,
+)
+
+
+def test_conformal_interval_known_cases(spark):
+    """Deterministic cases: a perfectly linear series calibrates to a
+    0.0 halfwidth; a too-short series reports NULL (k > m); the order
+    statistic picks the ceil((m+1)(1-alpha))-th smallest residual."""
+    rows = []
+    # series A: y = 2x -> every one-step-ahead residual is 0
+    for x in range(2000, 2010):
+        rows.append(("A", x, 2.0 * x))
+    # series B: linear then one +5.0 outlier year, then linear again
+    for i, x in enumerate(range(2000, 2010)):
+        y = 10.0 + 1.0 * i + (5.0 if x == 2006 else 0.0)
+        rows.append(("B", x, y))
+    # series C: only 3 points -> m = 1 fold, k = ceil(2*0.8) = 2 > 1
+    for x in (2000, 2001, 2002):
+        rows.append(("C", x, float(x)))
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {
+        r["g"]: (r["n_folds"], r["q_halfwidth"])
+        for r in conformal_interval(
+            df, ("g",), "x", "y", alpha=0.2
+        ).collect()
+    }
+    assert got["A"] == (8, 0.0)
+    assert got["C"][0] == 1 and got["C"][1] is None
+    # B: 8 folds; k = ceil(9*0.8) = 8 -> the LARGEST residual, which is
+    # the outlier year's miss (5.0-ish)
+    nb, qb = got["B"]
+    assert nb == 8
+    assert qb is not None and qb > 3.0
