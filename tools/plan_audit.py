@@ -59,6 +59,12 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
         "the corpus; the unbounded-margin path (levels_bounded=False) "
         "uses shards.global_running_sums instead"
     ),
+    "q277_water_filling": (
+        "water-level prefix windows over the per-source ALLOCATION "
+        "table: |sources| rows, dimension-bounded (the q56 contract "
+        "— a corpus of any size aggregates to one row per source "
+        "before the window runs)"
+    ),
 }
 
 
