@@ -50,6 +50,146 @@ def src(col: str) -> Column:
     return F.col(_SRC + col)
 
 
+def _validated_update_set(
+    target_cols: list[str],
+    source_cols: list[str],
+    keys: list[str],
+    update_set: dict[str, Column] | None,
+) -> dict[str, Column]:
+    """Shared clause validation for the merge family (same error
+    surface as always; factored so the plan, the changelog, and the
+    fused sink validate identically)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [c for c in target_cols if c not in source_cols]
+    if missing:
+        raise ValueError(f"source lacks target columns: {missing}")
+    update_set = dict(update_set or {})
+    unknown = [c for c in update_set if c not in target_cols or c in keys]
+    if unknown:
+        raise ValueError(f"update_set targets non-value columns: {unknown}")
+    return update_set
+
+
+def _merge_join(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The ONE full-outer join every merge surface projects from:
+    target columns by name, source value columns under the ``_src_``
+    prefix, plus ``_t_present``/``_s_present`` match flags."""
+    s = source.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.col(c).alias(_SRC + c)
+            for c in source.columns
+            if c not in keys
+        ],
+        F.lit(True).alias("_s_present"),
+    )
+    t = target.withColumn("_t_present", F.lit(True))
+    return t.join(s, on=keys, how="full_outer")
+
+
+def _into_projection(
+    joined: DataFrame,
+    target_cols: list[str],
+    keys: list[str],
+    update_set: dict[str, Column],
+    delete_when: Column | None,
+    insert_when: Column | None,
+) -> DataFrame:
+    """merge_into's clause semantics as a pure projection of the
+    :func:`_merge_join` frame (so a caller holding a materialized
+    joined frame can derive the post-merge state without re-joining)."""
+    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    src_only = F.col("_t_present").isNull()
+    keep = F.lit(True)
+    if delete_when is not None:
+        keep = keep & ~(matched & F.coalesce(delete_when, F.lit(False)))
+    if insert_when is not None:
+        keep = keep & ~(src_only & ~F.coalesce(insert_when, F.lit(False)))
+    survivors = joined.filter(keep)
+
+    # project in the TARGET's column order (keys may not be leading
+    # columns there) so the promise "same schema and column order as
+    # target" holds for positional consumers too.
+    projected = []
+    for c in target_cols:
+        if c in keys:
+            projected.append(F.col(c))
+        else:
+            updated = update_set.get(c, src(c))
+            projected.append(
+                F.when(matched, updated)
+                .when(src_only, src(c))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+    return survivors.select(*projected)
+
+
+def _changes_projection(
+    joined: DataFrame,
+    target_cols: list[str],
+    keys: list[str],
+    update_set: dict[str, Column],
+    delete_when: Column | None,
+    insert_when: Column | None,
+    include_preimages: bool,
+) -> DataFrame:
+    """merge_changes's CDF row set as a pure projection of the
+    :func:`_merge_join` frame — same sharing rationale as
+    :func:`_into_projection`."""
+    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    src_only = F.col("_t_present").isNull()
+    deleted = matched & (
+        F.coalesce(delete_when, F.lit(False))
+        if delete_when is not None
+        else F.lit(False)
+    )
+    inserted = src_only & (
+        F.coalesce(insert_when, F.lit(True))
+        if insert_when is not None
+        else F.lit(True)
+    )
+    post_label = "update_postimage" if include_preimages else "update"
+    change = (
+        F.when(deleted, F.lit("delete"))
+        .when(matched, F.lit(post_label))
+        .when(inserted, F.lit("insert"))
+    )
+    affected = joined.withColumn("_change_type", change).filter(
+        F.col("_change_type").isNotNull()
+    )
+    projected = []
+    for c in target_cols:
+        if c in keys:
+            projected.append(F.col(c))
+        else:
+            updated = update_set.get(c, src(c))
+            projected.append(
+                F.when(F.col("_change_type") == "delete", F.col(c))
+                .when(F.col("_change_type") == post_label, updated)
+                .otherwise(src(c))
+                .alias(c)
+            )
+    out = affected.select(*projected, "_change_type")
+    if not include_preimages:
+        return out
+    # Delta CDF's update_preimage rows: the target's values BEFORE the
+    # merge, for exactly the matched-and-updated keys. Same joined
+    # frame, plain target-column projection — the shared subplan means
+    # Catalyst computes the full-outer join once.
+    pre = (
+        joined.filter(matched & ~deleted)
+        .select(
+            *[F.col(c) for c in target_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+    )
+    return out.unionByName(pre)
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,
@@ -82,53 +222,13 @@ def merge_into(
     a NULL-key source row is treated as not-matched even if a NULL-key
     target row exists.
     """
-    if not keys:
-        raise ValueError("keys must be non-empty")
-    missing = [c for c in target.columns if c not in source.columns]
-    if missing:
-        raise ValueError(f"source lacks target columns: {missing}")
-    update_set = dict(update_set or {})
-    unknown = [c for c in update_set if c not in target.columns or c in keys]
-    if unknown:
-        raise ValueError(f"update_set targets non-value columns: {unknown}")
-
-    s = source.select(
-        *[F.col(k) for k in keys],
-        *[
-            F.col(c).alias(_SRC + c)
-            for c in source.columns
-            if c not in keys
-        ],
-        F.lit(True).alias("_s_present"),
+    update_set = _validated_update_set(
+        target.columns, source.columns, keys, update_set
     )
-    t = target.withColumn("_t_present", F.lit(True))
-    joined = t.join(s, on=keys, how="full_outer")
-
-    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
-    src_only = F.col("_t_present").isNull()
-    keep = F.lit(True)
-    if delete_when is not None:
-        keep = keep & ~(matched & F.coalesce(delete_when, F.lit(False)))
-    if insert_when is not None:
-        keep = keep & ~(src_only & ~F.coalesce(insert_when, F.lit(False)))
-    survivors = joined.filter(keep)
-
-    # project in the TARGET's column order (keys may not be leading
-    # columns there) so the promise "same schema and column order as
-    # target" holds for positional consumers too.
-    projected = []
-    for c in target.columns:
-        if c in keys:
-            projected.append(F.col(c))
-        else:
-            updated = update_set.get(c, src(c))
-            projected.append(
-                F.when(matched, updated)
-                .when(src_only, src(c))
-                .otherwise(F.col(c))
-                .alias(c)
-            )
-    return survivors.select(*projected)
+    joined = _merge_join(target, source, keys)
+    return _into_projection(
+        joined, target.columns, keys, update_set, delete_when, insert_when
+    )
 
 
 def merge_changes(
@@ -167,77 +267,19 @@ def merge_changes(
     table. Plan shape: the same single full-outer join, one CASE
     projection; Catalyst/AQE treat it exactly like merge_into.
     """
-    if not keys:
-        raise ValueError("keys must be non-empty")
-    missing = [c for c in target.columns if c not in source.columns]
-    if missing:
-        raise ValueError(f"source lacks target columns: {missing}")
-    update_set = dict(update_set or {})
-    unknown = [c for c in update_set if c not in target.columns or c in keys]
-    if unknown:
-        raise ValueError(f"update_set targets non-value columns: {unknown}")
-
-    s = source.select(
-        *[F.col(k) for k in keys],
-        *[
-            F.col(c).alias(_SRC + c)
-            for c in source.columns
-            if c not in keys
-        ],
-        F.lit(True).alias("_s_present"),
+    update_set = _validated_update_set(
+        target.columns, source.columns, keys, update_set
     )
-    t = target.withColumn("_t_present", F.lit(True))
-    joined = t.join(s, on=keys, how="full_outer")
-
-    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
-    src_only = F.col("_t_present").isNull()
-    deleted = matched & (
-        F.coalesce(delete_when, F.lit(False))
-        if delete_when is not None
-        else F.lit(False)
+    joined = _merge_join(target, source, keys)
+    return _changes_projection(
+        joined,
+        target.columns,
+        keys,
+        update_set,
+        delete_when,
+        insert_when,
+        include_preimages,
     )
-    inserted = src_only & (
-        F.coalesce(insert_when, F.lit(True))
-        if insert_when is not None
-        else F.lit(True)
-    )
-    post_label = "update_postimage" if include_preimages else "update"
-    change = (
-        F.when(deleted, F.lit("delete"))
-        .when(matched, F.lit(post_label))
-        .when(inserted, F.lit("insert"))
-    )
-    affected = joined.withColumn("_change_type", change).filter(
-        F.col("_change_type").isNotNull()
-    )
-    projected = []
-    for c in target.columns:
-        if c in keys:
-            projected.append(F.col(c))
-        else:
-            updated = update_set.get(c, src(c))
-            projected.append(
-                F.when(F.col("_change_type") == "delete", F.col(c))
-                .when(F.col("_change_type") == post_label, updated)
-                .otherwise(src(c))
-                .alias(c)
-            )
-    out = affected.select(*projected, "_change_type")
-    if not include_preimages:
-        return out
-    # Delta CDF's update_preimage rows: the target's values BEFORE the
-    # merge, for exactly the matched-and-updated keys. Same joined
-    # frame, plain target-column projection — the shared subplan means
-    # Catalyst computes the full-outer join once.
-    pre = (
-        joined.filter(matched & ~deleted)
-        .select(
-            *[F.col(c) for c in target.columns],
-            F.lit("update_preimage").alias("_change_type"),
-        )
-    )
-    return out.unionByName(pre)
-
 
 def apply_changes(
     state: DataFrame,
@@ -428,6 +470,156 @@ def merge_write(
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
         new.unpersist()
+    return True
+
+
+def merge_write_cdf(
+    spark: SparkSession,
+    state_dir: str,
+    source: DataFrame,
+    changelog_dir: str,
+    keys: list[str],
+    state_schema: str,
+    n_buckets: int = 8,
+    update_set: dict[str, Column] | None = None,
+    delete_when: Column | None = None,
+    insert_when: Column | None = None,
+    batch_id: int | None = None,
+    include_preimages: bool = True,
+) -> bool:
+    """:func:`merge_write` and :func:`merge_changes` FUSED for the
+    streaming CDC loop: apply one MERGE batch to the bucketed state
+    dir AND append its Delta-CDF row set (tagged ``_batch_id``) to
+    ``changelog_dir`` — from ONE shared full-outer join per batch.
+
+    Why a fused sink exists at all: run separately, every micro-batch
+    pays the state scan and the merge join TWICE (once for the feed,
+    once for the apply) plus a defensive checkpoint of the merged
+    state because the apply reads the very files it overwrites. Here
+    the joined frame — bounded by the batch plus the affected
+    buckets' rows, never the table — is ``localCheckpoint``-ed once;
+    the changelog and the post-merge state are then pure projections
+    of materialized blocks, so the state overwrite needs no second
+    materialization and the per-batch fixed cost drops from two
+    scans + two joins + two checkpoints to one of each (the q241
+    SLA driver). Same bucket layout, ledger, and clause semantics as
+    :func:`merge_write` — and strictly BETTER exactly-once: the
+    ledger skip now guards the changelog append too, so an
+    at-least-once replay can't double-feed downstream consumers.
+
+    Returns True if applied, False for an already-applied replay.
+    """
+    from .util import (
+        bucket_layout_guard,
+        hadoop_fs,
+        read_json_marker,
+        write_json_marker,
+    )
+
+    if batch_id is not None:
+        ledger = read_json_marker(spark, state_dir, "_merge_ledger.json")
+        if ledger is not None and batch_id <= ledger["last_batch_id"]:
+            return False  # already-applied replay
+
+    update_set = _validated_update_set(
+        spark.createDataFrame([], state_schema).columns,
+        source.columns,
+        keys,
+        update_set,
+    )
+    commit_layout = bucket_layout_guard(
+        spark,
+        state_dir,
+        {
+            "n_buckets": int(n_buckets),
+            "keys": list(keys),
+            "hash": "pmod(xxhash64(keys), n_buckets)",
+        },
+    )
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+    ).cast("int")
+    state_cols = spark.createDataFrame([], state_schema).columns
+
+    fs, hpath = hadoop_fs(spark, state_dir)
+    if fs.exists(hpath):
+        affected = [
+            r["_bucket"]
+            for r in source.select(bucket.alias("_bucket"))
+            .distinct()
+            .collect()
+        ]
+        target = (
+            spark.read.schema(state_schema + ", _bucket int")
+            .parquet(state_dir)
+            .filter(F.col("_bucket").isin(affected))
+            .drop("_bucket")
+        )
+    else:
+        affected = []
+        target = spark.createDataFrame([], state_schema)
+
+    # ONE materialization per batch: the joined frame (affected
+    # buckets + batch, never the table). Both outputs below are pure
+    # projections of these blocks — no plan re-executes, and the
+    # state write reads no live state file.
+    joined = _merge_join(target, source, keys).localCheckpoint(eager=True)
+
+    changes = _changes_projection(
+        joined,
+        state_cols,
+        keys,
+        update_set,
+        delete_when,
+        insert_when,
+        include_preimages,
+    )
+    if batch_id is not None:
+        changes = changes.withColumn(
+            "_batch_id", F.lit(int(batch_id)).cast("int")
+        )
+    changes.write.mode("append").parquet(changelog_dir)
+
+    merged = _into_projection(
+        joined, state_cols, keys, update_set, delete_when, insert_when
+    ).withColumn("_bucket", bucket)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # one file per rewritten bucket (see merge_write's small-files
+        # rationale); the frame is checkpoint-backed so the dynamic
+        # overwrite of the dirs it came from is safe.
+        n_out = max(len(affected) if affected else int(n_buckets), 1)
+        merged = merged.repartition(n_out, "_bucket")
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(
+            state_dir
+        )
+        commit_layout()
+        if affected:
+            present = {
+                r["_bucket"]
+                for r in merged.select("_bucket").distinct().collect()
+            }
+            for b in affected:
+                if b not in present:
+                    sub_fs, sub_path = hadoop_fs(
+                        spark, os.path.join(state_dir, f"_bucket={b}")
+                    )
+                    sub_fs.delete(sub_path, True)
+        if batch_id is not None:
+            write_json_marker(
+                spark,
+                state_dir,
+                "_merge_ledger.json",
+                {"last_batch_id": int(batch_id)},
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
     return True
 
 

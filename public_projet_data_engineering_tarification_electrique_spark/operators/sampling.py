@@ -450,6 +450,15 @@ def water_fill_allocation(
     the k* reduction run on that bounded level table (the q56
     contract). Output: (source, n_docs, alloc, capped).
     """
+    if budget_den <= 0:
+        raise ValueError(
+            f"budget_den must be > 0, got {budget_den}"
+        )
+    if not 0 <= budget_num <= budget_den:
+        raise ValueError(
+            "budget_num must satisfy 0 <= num <= den "
+            f"(a proper budget fraction), got {budget_num}/{budget_den}"
+        )
     src = docs.filter(F.col(group_col).isNotNull()).groupBy(
         F.col(group_col).alias("src")
     ).agg(F.count("*").cast("long").alias("c"))

@@ -817,8 +817,11 @@ def lag_cross_correlation(
     7-element literal array — the joined table is lag-replicated
     BEFORE one grouped agg, not 7 separate jobs.
 
-    Output: one row per lag, (lag, n_days, r), NULL r when either
-    margin is constant over the overlap.
+    Output: one row per lag WITH AT LEAST ONE OVERLAPPING DAY —
+    (lag, n_days, r); a lag whose shifted windows share no days
+    yields no row (the inner equi-join on the shifted day has
+    nothing to correlate), and r is NULL when either margin is
+    constant over the overlap.
     """
     daily = (
         events.filter(F.col(value_col).isNotNull())
@@ -995,9 +998,11 @@ def burst_detection(
     window is the module's standard single full-data shuffle on the
     key; no self-join of the raw stream.
 
-    Determinism: counts and epoch seconds are exact integers;
-    the (−burst, second, event_id) struct min makes the reported peak
-    unique. Output: (key, n_events, max_burst, peak_second).
+    Determinism: counts and epoch seconds are exact integers; the
+    (−burst, second) struct min makes the reported peak unique —
+    rows sharing a second share the same burst count, so no finer
+    tiebreak is needed. Output: (key, n_events, max_burst,
+    peak_second).
     """
     w = (
         Window.partitionBy(key_col)
@@ -1142,7 +1147,12 @@ def lttb_downsample(
     (v_p·n₁ − V₁)·(T₂·n₁ − T₁·n₂) — correctly-rounded products, so
     both engines rank candidates identically; ties break on the
     earlier point. First/last buckets keep their first/last point
-    (the LTTB endpoint rule).
+    (the LTTB endpoint rule). Keys with n ≤ ``n_buckets`` points pass
+    through UNCHANGED: the bucket stride is then ≥ 1 so every point
+    owns a distinct bucket, and downsampling a series that already
+    fits the budget must be the identity (sparse buckets have no
+    bucket±1 neighbors, so without this rule the interior join would
+    drop every mid-point).
 
     Plan shape: one key-partitioned row_number window (the module's
     standard single shuffle), one (key, bucket) hash agg for the
@@ -1244,8 +1254,15 @@ def lttb_downsample(
         )
         .distinct()
     )
+    # identity pass-through for series already within budget: every
+    # point owns its own bucket (stride >= 1), and the final (k,
+    # bucket) dedup absorbs the overlap with the endpoint rows
+    small = pts.filter(F.col("n") <= F.lit(int(n_buckets))).select(
+        F.col(key_col).alias("k"), "bucket", "t", "v"
+    )
     return (
         best_interior.unionByName(ends)
+        .unionByName(small)
         .groupBy("k", "bucket")
         .agg(
             F.min(F.struct(F.col("t"), F.col("v"))).alias("_p")

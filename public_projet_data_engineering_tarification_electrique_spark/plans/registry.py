@@ -14274,8 +14274,11 @@ ORACLE_SQL["q280_lttb_downsample"] = """
       ) WHERE r = 1
     ), ends AS (
       SELECT DISTINCT k, bucket, t, v FROM b WHERE rn = 1 OR rn = n
+    ), small AS (
+      SELECT k, bucket, t, v FROM b WHERE n <= 32
     ), uni AS (
       SELECT * FROM best UNION ALL SELECT * FROM ends
+      UNION ALL SELECT * FROM small
     )
     SELECT k AS event_type, bucket, t AS t_sec, v AS v_cents FROM (
       SELECT k, bucket, t, v,

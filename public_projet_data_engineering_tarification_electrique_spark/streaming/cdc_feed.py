@@ -33,8 +33,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.merge import merge_changes, merge_write, src
-from ..operators.util import hadoop_fs, scratch_dir
+from ..operators.merge import merge_write_cdf, src
+from ..operators.util import scratch_dir
 from ..session import configure
 from .daily import stream_shuffle_partitions
 
@@ -46,16 +46,25 @@ DIGEST_SCHEMA = (
 STATE_SCHEMA = "custkey long, n_orders long, total_cents long, last_date date"
 
 
-def _epoch_digest(orders: DataFrame, lo: str | None, hi: str | None) -> DataFrame:
-    """One CDC row per custkey over an order-date epoch [lo, hi):
-    additive counts/cents, last order date, delete op for every 50th
-    customer (the tombstone clause)."""
-    df = orders
-    if lo is not None:
-        df = df.filter(F.col("o_orderdate") >= F.lit(lo))
-    if hi is not None:
-        df = df.filter(F.col("o_orderdate") < F.lit(hi))
-    return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+def _all_epoch_digests(
+    orders: DataFrame, epoch_cuts: tuple[str, ...]
+) -> DataFrame:
+    """One CDC row per (epoch, custkey): epochs are the date slices
+    the cuts induce ([−∞,c₁), [c₁,c₂), …, [c_k,∞)), assigned in the
+    SAME scan — one pass over orders and ONE hash agg for every
+    epoch, vs a scan-and-agg per epoch unioned (the fixed cost that
+    dominated the q241 wall clock). Per row: additive counts/cents,
+    last order date, delete op for every 50th customer (the
+    tombstone clause)."""
+    ep = F.lit(0)
+    for i, cut in enumerate(epoch_cuts):
+        ep = F.when(F.col("o_orderdate") < F.lit(cut), ep).otherwise(i + 1)
+    # a NULL order date belongs to NO date slice (the oracle's >=/<
+    # range predicates drop it too)
+    orders = orders.filter(F.col("o_orderdate").isNotNull())
+    return orders.groupBy(
+        ep.cast("int").alias("_ep"), F.col("o_custkey").alias("custkey")
+    ).agg(
         F.count("*").cast("long").alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "total_cents"
@@ -87,23 +96,18 @@ def stream_cdc_changelog(
     """
     configure(spark)
     landing = scratch_dir("cdc_landing_")
-    bounds = [None, *epoch_cuts, None]
-    n_epochs = len(bounds) - 1
+    n_epochs = len(epoch_cuts) + 1
     staged = scratch_dir("cdc_stage_")
     base_t = time.time() - 3600
-    # ONE staging job for all epochs: tag each digest with its epoch
-    # and write partitionBy(_ep) — repartition(_ep) leaves exactly one
-    # file per ep= dir (each task writes only its own epoch values),
-    # vs one coalesce(1) job per epoch.
-    all_eps = None
-    for i in range(n_epochs):
-        ep = _epoch_digest(orders, bounds[i], bounds[i + 1]).withColumn(
-            "_ep", F.lit(i)
-        )
-        all_eps = ep if all_eps is None else all_eps.unionByName(ep)
-    all_eps.repartition(n_epochs, "_ep").write.mode("overwrite").partitionBy(
-        "_ep"
-    ).parquet(staged)
+    # ONE staging job for all epochs — and ONE scan of orders: the
+    # epoch id is a CASE over the cuts computed in the same pass, so
+    # the digest agg runs once over (epoch, key) instead of a
+    # scan-and-agg per epoch unioned. repartition(_ep) leaves exactly
+    # one file per ep= dir (each task writes only its own epoch
+    # values), vs one coalesce(1) job per epoch.
+    _all_epoch_digests(orders, epoch_cuts).repartition(
+        n_epochs, "_ep"
+    ).write.mode("overwrite").partitionBy("_ep").parquet(staged)
     for i in range(n_epochs):
         ep_dir = os.path.join(staged, f"_ep={i}")
         part = next(
@@ -129,29 +133,20 @@ def stream_cdc_changelog(
     )
 
     def _apply(batch: DataFrame, bid: int) -> None:
-        sess = batch.sparkSession
-        fs, hpath = hadoop_fs(sess, state)
-        if fs.exists(hpath):
-            target = sess.read.schema(STATE_SCHEMA + ", _bucket int").parquet(
-                state
-            ).drop("_bucket")
-        else:
-            target = sess.createDataFrame([], STATE_SCHEMA)
-        changes = merge_changes(
-            target, batch, include_preimages=True, **merge_kwargs
-        )
-        # changelog FIRST (it reads the pre-merge state files the
-        # merge_write below overwrites), tagged with the epoch id
-        changes.withColumn("_batch_id", F.lit(int(bid)).cast("int")).write.mode(
-            "append"
-        ).parquet(changelog)
-        merge_write(
-            sess,
+        # the FUSED sink: one state read + one full-outer join +
+        # one checkpoint per batch yields BOTH the CDF changelog
+        # (tagged _batch_id, ledger-guarded exactly-once) and the
+        # bucket-pruned state rewrite — the per-batch fixed cost
+        # that set q241's wall clock when run as two separate steps
+        merge_write_cdf(
+            batch.sparkSession,
             state,
             batch,
+            changelog_dir=changelog,
             state_schema=STATE_SCHEMA,
             n_buckets=n_buckets,
             batch_id=int(bid),
+            include_preimages=True,
             **merge_kwargs,
         )
 

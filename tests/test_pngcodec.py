@@ -124,8 +124,22 @@ def test_decode_image_falls_back_to_pngcodec():
     a = _rng().randint(0, 256, size=(6, 5)).astype(np.uint8)
     img = np.asarray(decode_image(encode_png(a)))
     assert img.reshape(6, 5).tolist() == a.tolist()
-    with pytest.raises((NotImplementedError, Exception)):
-        decode_image(b"GIF89a notapng")
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        # Pillow sniffs the payload itself; a truncated fake GIF is an
+        # unidentifiable image (UnidentifiedImageError is an OSError)
+        with pytest.raises(OSError):
+            decode_image(b"GIF89a notapng")
+    else:
+        # Pillow absent: the vendored codec only speaks PNG and must
+        # refuse loudly, with exactly NotImplementedError
+        with pytest.raises(NotImplementedError, match="not a PNG"):
+            decode_image(b"GIF89a notapng")
 
 
 def test_synth_decode_spark_round_trip(spark):

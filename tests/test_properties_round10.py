@@ -641,6 +641,20 @@ def test_water_filling_matches_model_and_invariants(spark, counts):
     assert all(a <= nd for nd, a, _ in got.values())
 
 
+def test_water_filling_rejects_improper_budget(spark):
+    df = spark.createDataFrame(
+        [("d1", "a"), ("d2", "b")], "doc_id string, source string"
+    )
+    with pytest.raises(ValueError, match="budget_den"):
+        water_fill_allocation(df, "source", 1, 0)
+    with pytest.raises(ValueError, match="budget_den"):
+        water_fill_allocation(df, "source", 1, -3)
+    with pytest.raises(ValueError, match="budget_num"):
+        water_fill_allocation(df, "source", -1, 5)
+    with pytest.raises(ValueError, match="budget_num"):
+        water_fill_allocation(df, "source", 7, 5)
+
+
 from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
     stl_lite_weekly,
 )
@@ -733,6 +747,13 @@ def _lttb_model(rows, nb=32):
     for k, pts in byk.items():
         pts.sort()
         n = len(pts)
+        if n <= nb:
+            # identity pass-through: each point owns its own bucket
+            out[k] = {
+                ((i - 1) * nb) // n: (t, v)
+                for i, (t, v, _e) in enumerate(pts, start=1)
+            }
+            continue
         buckets = {}
         for i, (t, v, e) in enumerate(pts, start=1):
             b = ((i - 1) * nb) // n
