@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 #: prefix under which source value columns ride through the join
@@ -497,12 +497,14 @@ def merge_write_cdf(
     once for the apply) plus a defensive checkpoint of the merged
     state because the apply reads the very files it overwrites. Here
     the joined frame — bounded by the batch plus the affected
-    buckets' rows, never the table — is ``localCheckpoint``-ed once;
-    the changelog and the post-merge state are then pure projections
-    of materialized blocks, so the state overwrite needs no second
-    materialization and the per-batch fixed cost drops from two
-    scans + two joins + two checkpoints to one of each (the q241
-    SLA driver). Same bucket layout, ledger, and clause semantics as
+    buckets' rows, never the table — is bucket-clustered and lazily
+    ``localCheckpoint``-ed; the changelog append materializes it and
+    the post-merge state is then a shuffle-free projection of those
+    blocks, with the emptied-bucket check riding the write as an
+    ``Observation``. Three jobs per batch — affected discovery,
+    changelog write, state write — vs the ~six the unfused pair runs
+    (the q241 SLA driver). Same bucket layout, ledger, and clause
+    semantics as
     :func:`merge_write` — and strictly BETTER exactly-once: the
     ledger skip now guards the changelog append too, so an
     at-least-once replay can't double-feed downstream consumers.
@@ -560,10 +562,19 @@ def merge_write_cdf(
         target = spark.createDataFrame([], state_schema)
 
     # ONE materialization per batch: the joined frame (affected
-    # buckets + batch, never the table). Both outputs below are pure
-    # projections of these blocks — no plan re-executes, and the
-    # state write reads no live state file.
-    joined = _merge_join(target, source, keys).localCheckpoint(eager=True)
+    # buckets + batch, never the table), already clustered on
+    # _bucket so the state write below is shuffle-free and keeps the
+    # one-file-per-bucket invariant. The checkpoint is LAZY — the
+    # changelog append (the first action) materializes it as a side
+    # effect, so the batch runs exactly three jobs: the affected-
+    # bucket discovery, the changelog write, and the state write.
+    n_out = max(len(affected) if affected else int(n_buckets), 1)
+    joined = (
+        _merge_join(target, source, keys)
+        .withColumn("_bucket", bucket)
+        .repartition(n_out, "_bucket")
+        .localCheckpoint(eager=False)
+    )
 
     changes = _changes_projection(
         joined,
@@ -586,20 +597,24 @@ def merge_write_cdf(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # one file per rewritten bucket (see merge_write's small-files
-        # rationale); the frame is checkpoint-backed so the dynamic
-        # overwrite of the dirs it came from is safe.
-        n_out = max(len(affected) if affected else int(n_buckets), 1)
-        merged = merged.repartition(n_out, "_bucket")
+        # the frame is checkpoint-backed so the dynamic overwrite of
+        # the dirs it came from is safe; an Observation on the write
+        # job reports which buckets actually received rows — the
+        # empties check below costs NO extra job.
+        observation = Observation()
+        merged = merged.observe(
+            observation, F.collect_set("_bucket").alias("present")
+        )
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(
             state_dir
         )
         commit_layout()
         if affected:
-            present = {
-                r["_bucket"]
-                for r in merged.select("_bucket").distinct().collect()
-            }
+            # dynamic overwrite cannot DELETE a partition by writing
+            # zero rows to it: an affected bucket whose every key was
+            # deleted keeps its stale files unless dropped explicitly
+            # (≤ n_buckets driver-side dirs — bounded).
+            present = set(observation.get["present"])
             for b in affected:
                 if b not in present:
                     sub_fs, sub_path = hadoop_fs(
