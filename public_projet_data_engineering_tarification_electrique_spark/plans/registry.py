@@ -10140,6 +10140,12 @@ _RESAMPLE_PRIORITY: dict[str, int] = {
     # moved to the per-process scratch database. Re-prove each.
     "q252": 10, "q254": 10, "q255": 10, "q257": 10, "q258": 10,
     "q260": 10, "q261": 10, "q230": 10, "q232": 10, "q99": 10,
+    # Round-11 rewrites: q241's CDC loop moved to the fused
+    # merge_write_cdf sink (one join + lazy bucket-clustered
+    # checkpoint per batch) with single-scan epoch staging; q280's
+    # lttb gained the n<=n_buckets identity pass-through (oracle
+    # moved in lockstep). Re-prove both at the new shapes.
+    "q241": 11, "q280": 11,
 }
 
 

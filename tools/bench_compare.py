@@ -9,8 +9,16 @@ co-tenant load, so raw cross-round deltas are noise unless both
 probe spreads are ~1.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [top_n]
+         [--gate [RATIO]] [--markdown]
 Prints: totals (raw + normalized), probe spreads, and the top_n
 biggest normalized movers in each direction with their raw twins.
+
+``--gate [RATIO]`` (default 1.5) is the committed cross-round
+regression contract (VERDICT r10 item 3): after the report, exit
+non-zero if any common query ≥200 ms grew more than RATIO× on the
+normalized series — the loud failure a silent perf decay must hit
+before a round closes. ``--markdown`` appends a compact markdown
+ratio table (for PLANS.md §2) after the plain report.
 """
 
 from __future__ import annotations
@@ -34,10 +42,24 @@ def load(path: str):
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    gate_ratio = None
+    if "--gate" in argv:
+        i = argv.index("--gate")
+        argv.pop(i)
+        if i < len(argv) and not argv[i].endswith(".json") and argv[
+            i
+        ].replace(".", "").isdigit():
+            gate_ratio = float(argv.pop(i))
+        else:
+            gate_ratio = 1.5
+    markdown = "--markdown" in argv
+    if markdown:
+        argv.remove("--markdown")
+    if len(argv) < 2:
         raise SystemExit(__doc__)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    old, new = load(argv[0]), load(argv[1])
+    top_n = int(argv[2]) if len(argv) > 2 else 10
 
     def series(d):
         if "queries_normalized" in d:
@@ -88,6 +110,41 @@ def main() -> None:
             f"  {r:5.2f}x  {q}: {o_norm[q]:.2f}->{n_norm[q]:.2f} "
             f"(raw {o_raw.get(q):.2f}->{n_raw.get(q):.2f})"
         )
+
+    if markdown:
+        print(
+            "\n| round pair | common | norm total old | norm total new "
+            "| ratio | worst mover |"
+        )
+        print("|---|---|---|---|---|---|")
+        worst = movers[-1] if movers else (float("nan"), "-")
+        print(
+            f"| {argv[0]} → {argv[1]} | {len(common)} | {o_tot:.1f}s "
+            f"| {n_tot:.1f}s | {ratio:.3f}x | {worst[1]} "
+            f"{worst[0]:.2f}x |"
+        )
+
+    if gate_ratio is not None:
+        offenders = [
+            (r, q) for r, q in movers if r > gate_ratio
+        ]
+        if not (o_has and n_has):
+            print(
+                f"\nGATE SKIPPED: normalized series missing on one side — "
+                "raw deltas cannot gate under co-tenant noise"
+            )
+        elif offenders:
+            print(
+                f"\nGATE FAIL (>{gate_ratio}x normalized growth on "
+                f"{len(offenders)} queries):"
+            )
+            for r, q in sorted(offenders, reverse=True):
+                print(
+                    f"  {r:5.2f}x  {q}: {o_norm[q]:.2f}->{n_norm[q]:.2f}"
+                )
+            raise SystemExit(2)
+        else:
+            print(f"\nGATE PASS: no query grew >{gate_ratio}x normalized")
 
 
 if __name__ == "__main__":
