@@ -80,6 +80,16 @@ PROFILES: dict[str, dict[str, str]] = {
         ),
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
         ".enabled": "true",
+        # bounded RocksDB memory: without it, every state store
+        # instance on an executor sizes its own block cache + write
+        # buffers independently and a wide stateful stage (200+ state
+        # partitions per executor) OOMs the container from OUTSIDE the
+        # JVM heap. One shared 2 GiB budget per executor, enforced by
+        # RocksDB's write-buffer-manager.
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": (
+            "true"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "2048",
         "spark.task.maxFailures": "4",
         "spark.speculation": "true",
     },
