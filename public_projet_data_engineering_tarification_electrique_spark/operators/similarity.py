@@ -179,12 +179,19 @@ def cosine_topk_filtered(
 def embedding_neardup(
     embeddings: DataFrame,
     threshold: float = 0.8,
-    bucket_col: str = "label",
+    bucket_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     audit_mod: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine within a blocking bucket.
+
+    ``bucket_col=None`` drops the blocking entirely and scores EVERY
+    pair via a broadcast nested-loop (never a constant-key shuffle,
+    which would collapse to one task): the GLOBAL exact baseline.
+    Only sane on a bounded input — pass ``audit_mod`` (or pre-sample)
+    so the broadcast side stays small; this is the recall-audit
+    ground-truth path (q282), not a production plan.
 
     The bucket join (e.g. on a cluster/label/LSH-band column) keeps the
     pairwise comparison O(Σ bucket²) instead of O(N²). That is only
@@ -204,22 +211,31 @@ def embedding_neardup(
     """
     embeddings = audit_sample(embeddings, id_col, audit_mod)
     # Norms once per row; pair scoring is then a single fold (see cosine_topk).
+    bucket_cols = [] if bucket_col is None else [
+        F.col(bucket_col).alias("_bk")
+    ]
     normed = ensure_parallelism(embeddings).select(
-        F.col(bucket_col).alias("_bk"),
+        *bucket_cols,
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
     a = normed.select(
-        F.col("_bk"), F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        *([F.col("_bk")] if bucket_col is not None else []),
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
     )
     b = normed.select(
-        F.col("_bk"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        *([F.col("_bk")] if bucket_col is not None else []),
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
+    if bucket_col is None:
+        paired = a.crossJoin(F.broadcast(b))
+    else:
+        paired = a.join(b, on="_bk")
     return (
-        a.join(b, on="_bk")
+        paired
         .filter(F.col("id_a") < F.col("id_b"))
         # zero-norm guard: cosine undefined; ANSI would raise DIVIDE_BY_ZERO
         .filter((F.col("_na") > 0) & (F.col("_nb") > 0))

@@ -6441,6 +6441,112 @@ def q270_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q282_lsh_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed recall record for q43's LSH near-dup SCALE PATH
+    against the exact global baseline (VERDICT r10 item 4): on the
+    deterministic 1/4 id-hash audit panel (q231's valve — sampled
+    BEFORE planting so a planted pair survives or drops WITH its
+    base id; m=4 keeps the quadratic ground-truth side ~30M pairs
+    at sf1), plant q43's exact duplicates, compute ground-truth
+    pairs ≥ 0.9 via the global broadcast nested-loop baseline
+    (embedding_neardup bucket_col=None — panel-bounded, never a
+    production shape) and the production LSH+verify pairs, and emit
+    ONE hashable row: (n_exact, n_hit, recall_ge_90pct). Exact
+    copies share every sign bit, so every band collides and the
+    expected recall is exactly 1.0 — the oracle pins the counts
+    equal; any LSH regression (banding, signature, verify) drops
+    n_hit and the hash mismatches."""
+    from ..operators.similarity import (
+        audit_sample,
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    panel = audit_sample(emb, "vec_id", 4)
+    planted = panel.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000_000)
+    )
+    corpus = panel.unionByName(planted)
+    exact = embedding_neardup(
+        corpus, threshold=0.9, bucket_col=None
+    ).select("id_a", "id_b")
+    approx = embedding_neardup_lsh(corpus, threshold=0.9).select(
+        "id_a", "id_b"
+    )
+    hits = approx.join(exact, on=["id_a", "id_b"], how="inner")
+    return (
+        exact.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") >= F.col("n_exact") * 0.9).alias(
+                "recall_ge_90pct"
+            ),
+        )
+    )
+
+
+def q283_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed recall record for q151's filtered-ANN production plan
+    (VERDICT r10 item 4): the broadcast label-equi-join top-5 is
+    checked against an INDEPENDENT exact construction — score every
+    candidate via the unrestricted cross join, filter to the query's
+    label AFTER scoring, re-rank with the shared (sim desc, vec_id)
+    tie-break. Same semantics through a different physical shape, so
+    a bug in the equi-join path (dropped partitions, mangled filter
+    pushdown) shows up as n_hit < n_exact. One hashable row:
+    (n_exact, n_hit, recall_ge_90pct); expected recall exactly 1.0
+    and the oracle pins the counts equal."""
+    from ..operators.similarity import cosine_topk, cosine_topk_filtered
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    prod = cosine_topk_filtered(
+        emb, queries, filter_col="label", k=5
+    ).select("query_id", "vec_id")
+    # independent exact twin: rank ALL candidates (k = full corpus via
+    # a huge bound — the window still computes every rank), restrict
+    # to the query's label post-scoring, re-rank to top-5
+    scored = cosine_topk(emb, queries, k=2**31 - 1).select(
+        "query_id", "vec_id", "sim"
+    )
+    lbl = emb.select("vec_id", F.col("label").alias("_cl"))
+    qlbl = queries.select(
+        F.col("query_id").alias("_qid"), F.col("label").alias("_ql")
+    )
+    restricted = (
+        scored.join(lbl, on="vec_id")
+        .join(qlbl, scored["query_id"] == qlbl["_qid"])
+        .filter(F.col("_cl") == F.col("_ql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    exact = (
+        restricted.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 5)
+        .select("query_id", "vec_id")
+    )
+    hits = prod.join(exact, on=["query_id", "vec_id"], how="inner")
+    return (
+        exact.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") >= F.col("n_exact") * 0.9).alias(
+                "recall_ge_90pct"
+            ),
+        )
+    )
+
+
 def q281_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier split-conformal forecast interval (α=0.2) from the
     rolling backtest's out-of-sample |residuals| — the distribution-
@@ -9994,6 +10100,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q279_stl_lite": q279_stl_lite,
     "q280_lttb_downsample": q280_lttb_downsample,
     "q281_conformal_interval": q281_conformal_interval,
+    "q282_lsh_neardup_recall": q282_lsh_neardup_recall,
+    "q283_filtered_ann_recall": q283_filtered_ann_recall,
 }
 
 
@@ -14336,4 +14444,57 @@ ORACLE_SQL["q281_conformal_interval"] = """
                                    AS INTEGER)] AS DOUBLE)
                  END / 1e6 + 1e-9, 6) AS q_halfwidth
     FROM packed
+"""
+
+# q282: the panel + planting replayed relationally; exact copies make
+# LSH recall structurally 100 %, so the oracle pins n_hit == n_exact —
+# any banding/signature/verify regression drops the Spark-side n_hit
+# and the value hash mismatches.
+ORACLE_SQL["q282_lsh_neardup_recall"] = """
+    WITH panel AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 6))::BIGINT
+            % 4 = 0
+    ), corpus AS (
+      SELECT vec_id, embedding FROM panel
+      UNION ALL
+      SELECT vec_id + 10000000000 AS vec_id, embedding
+      FROM panel WHERE vec_id % 10 = 0
+    ), exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                  6) >= 0.9
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           count(*) >= count(*) * 0.9 AS recall_ge_90pct
+    FROM exact
+"""
+
+# q283: the label-restricted exact top-5 (rounded-sim + shared
+# tie-break) computed directly; the production equi-join plan must
+# recover every row of it, so the oracle pins n_hit == n_exact.
+ORACLE_SQL["q283_filtered_ann_recall"] = """
+    WITH q AS (
+      SELECT vec_id AS query_id, label, embedding
+      FROM embeddings WHERE vec_id < 5
+    ), ranked AS (
+      SELECT q.query_id, c.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                              / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                                 * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                              6) DESC,
+                        c.vec_id
+             ) AS r
+      FROM q JOIN embeddings c ON c.label = q.label
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           count(*) >= count(*) * 0.9 AS recall_ge_90pct
+    FROM ranked WHERE r <= 5
 """

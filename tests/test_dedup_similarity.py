@@ -150,6 +150,15 @@ def test_embedding_neardup_planted(spark):
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
     assert (1, 4) not in pairs  # different label bucket → never compared
+    # bucket_col=None: the GLOBAL exact baseline (broadcast nested
+    # loop) must find the cross-label pairs the blocked path by
+    # design cannot — (1,4) the exact duplicate and (2,4) its near
+    # twin — and nothing else new
+    gpairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(emb, 0.95, bucket_col=None).collect()
+    }
+    assert gpairs == pairs | {(1, 4), (2, 4)}
 
 
 def test_pandas_udf_cosine_matches_jvm_fold(spark):
