@@ -30,14 +30,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import text as X
+from .constants import ALPHA_YEAR, RUN_DATE
+from .oracles import ORACLE_SQL
 from ..operators.forecast import ols_forecast
 from ..operators.ingest import bootstrap_annual_pipeline, daily_downsample
 from ..operators.pricing import score_requests
 from ..operators.util import scratch_dir
 from ..sources.tables import load_table, register_views
 
-RUN_DATE = "2024-01-30"
-ALPHA_YEAR = 1999
 
 
 # --------------------------------------------------------------------------
@@ -119,30 +119,6 @@ def _annual_city(
     )
 
 
-_DOMAIN_CTES = f"""
-requests AS (
-  SELECT r_name AS libelle_region, c_name AS nom_commune,
-         cast(c_custkey AS VARCHAR) AS code_commune,
-         cast(1 + c_custkey % 5 AS INTEGER) AS nb_personne,
-         cast(50 + (c_custkey % 10) * 15 AS INTEGER) AS nb_m2
-  FROM customer
-  JOIN nation ON c_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-),
-daily AS (
-  SELECT r_name AS libelle_region, cast(ts AS DATE) AS date,
-         round(avg(value) * 100, 4) AS conso_mwh
-  FROM events JOIN region ON cast(user_id % 5 AS INTEGER) = r_regionkey
-  GROUP BY 1, 2
-),
-annual AS (
-  SELECT c_name AS nom_commune, cast(o_custkey AS VARCHAR) AS code_commune,
-         cast(year(o_orderdate) AS INTEGER) AS annee,
-         round(avg(o_totalprice) / 1000 + 1e-9, 4) AS conso_moyenne_mwh
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1, 2, 3
-)
-"""
 
 
 # --------------------------------------------------------------------------
@@ -7098,2725 +7074,10 @@ def q132_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
 
 
-def _simhash_oracle_sql() -> str:
-    """Full value-level SimHash oracle: recompute the md5-derived
-    signatures, band keys, candidate join, and hamming filter in SQL —
-    bit-for-bit the semantics of operators.dedup.simhash_neardup
-    (max_hamming=3, n_bands=4, width 16)."""
-    bit_sums = ",\n                 ".join(
-        f"sum(({'ha' if i < 60 else 'hb'} >> {i if i < 60 else i - 60}) & 1)"
-        f" AS b{i}"
-        for i in range(64)
-    )
-    band_keys = ",\n                 ".join(
-        "("
-        + " + ".join(
-            f"((CASE WHEN 2 * b{16 * b + j} > n THEN 1 ELSE 0 END)::BIGINT << {j})"
-            for j in range(16)
-        )
-        + f") AS k{b}"
-        for b in range(4)
-    )
-    return f"""
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-          FROM documents
-        ), hashed AS (
-          SELECT doc_id,
-                 ('0x' || substring(md5(tok), 1, 15))::BIGINT AS ha,
-                 ('0x' || substring(md5(tok), 17, 15))::BIGINT AS hb
-          FROM toks
-        ), votes AS (
-          SELECT doc_id, count(*) AS n,
-                 {bit_sums}
-          FROM hashed GROUP BY doc_id
-        ), sig AS (
-          SELECT doc_id,
-                 {band_keys}
-          FROM votes
-        )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
-                    + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
-                    AS INTEGER) AS hamming
-        FROM sig a JOIN sig b
-          ON a.doc_id < b.doc_id
-         AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
-        WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
-              + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3
-    """
 
-#: q94 (batch) and q98 (streaming) score the SAME salted requests and
-#: must stay in lockstep — one oracle text serves both keys.
-_SALTED_SERVING_ORACLE = f"""
-        WITH {_DOMAIN_CTES},
-        salted AS (
-          SELECT CASE WHEN cast(code_commune AS BIGINT) % 41 = 1
-                      THEN 'ATLANTIS' ELSE libelle_region END
-                   AS libelle_region,
-                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 2
-                      THEN 'UNKNOWN-' || nom_commune ELSE nom_commune END
-                   AS nom_commune,
-                 code_commune, nb_personne,
-                 CASE WHEN cast(code_commune AS BIGINT) % 41 = 0
-                      THEN NULL ELSE nb_m2 END AS nb_m2
-          FROM requests
-        ), region_avg AS (
-          SELECT libelle_region, round(avg(conso_mwh), 4) AS conso30
-          FROM daily
-          WHERE date >= DATE '{RUN_DATE}' - 30 AND date <= DATE '{RUN_DATE}'
-          GROUP BY 1
-        ), led AS (
-          SELECT nom_commune, code_commune, annee, conso_moyenne_mwh,
-                 lead(conso_moyenne_mwh) OVER w AS next_conso,
-                 lead(annee) OVER w AS next_annee
-          FROM annual
-          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
-          WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
-        ), alpha AS (
-          SELECT nom_commune, code_commune,
-                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0),
-                             1.3) + 1e-9, 6) AS alpha
-          FROM led
-          WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
-            AND conso_moyenne_mwh IS NOT NULL AND conso_moyenne_mwh <> 0
-            AND next_conso IS NOT NULL
-        ), scored AS (
-          SELECT q.code_commune,
-                 CASE WHEN q.libelle_region IS NULL OR q.nom_commune IS NULL
-                           OR q.code_commune IS NULL
-                           OR q.nb_personne IS NULL OR q.nb_m2 IS NULL
-                      THEN 'missing_field'
-                      WHEN r.conso30 IS NULL THEN 'unknown_region'
-                      WHEN a.alpha IS NULL THEN 'unknown_city'
-                      ELSE 'ok' END AS status,
-                 a.alpha,
-                 round(least(0.05, 0.01 * r.conso30 / 4000.0), 6) AS m_factor,
-                 110.0 * q.nb_m2 + 1000.0 * q.nb_personne + 1100.0
-                   AS conso_foyer
-          FROM salted q
-          LEFT JOIN region_avg r USING (libelle_region)
-          LEFT JOIN alpha a USING (nom_commune, code_commune)
-        )
-        SELECT code_commune, status,
-               CASE WHEN status = 'ok'
-                    THEN round((0.1558 + alpha * m_factor) * conso_foyer
-                               + 72.0)
-               END AS price
-        FROM scored
-    """
 
-ORACLE_SQL: dict[str, str] = {
-    "q01_trailing_window_avg": f"""
-        SELECT round(avg(value), 4) AS avg_value
-        FROM events
-        WHERE cast(ts AS DATE) >= DATE '{RUN_DATE}' - 10
-          AND cast(ts AS DATE) <= DATE '{RUN_DATE}'
-          AND event_type = 'click'
-    """,
-    "q02_groupby_mean": """
-        SELECT l_suppkey, cast(year(l_shipdate) AS INTEGER) AS annee,
-               round(avg(l_extendedprice) + 1e-9, 4) AS avg_price
-        FROM lineitem GROUP BY 1, 2
-    """,
-    "q03_daily_downsample": """
-        SELECT user_id, cast(strftime(ts, '%Y-%m-%d') AS DATE) AS date,
-               round(avg(value)) AS conso_mwh
-        FROM events GROUP BY 1, 2
-    """,
-    "q04_filter_project": """
-        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
-          AND l_returnflag IN ('A', 'R')
-          AND l_quantity > 10
-    """,
-    "q05_union_all": """
-        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE o_orderstatus = 'F' AND year(o_orderdate) < 1997
-        UNION ALL
-        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE o_orderstatus = 'O' AND year(o_orderdate) >= 1999
-    """,
-    "q06_orderby_topk": """
-        SELECT p_partkey, p_name, p_retailprice
-        FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 100
-    """,
-    "q07_alpha_lead": f"""
-        WITH yearly AS (
-          SELECT o_custkey, cast(year(o_orderdate) AS INTEGER) AS annee,
-                 round(avg(o_totalprice) + 1e-9, 4) AS conso
-          FROM orders GROUP BY 1, 2
-        ), led AS (
-          SELECT o_custkey, annee, conso,
-                 lead(conso) OVER w AS next_conso,
-                 lead(annee) OVER w AS next_annee
-          FROM yearly
-          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
-          WINDOW w AS (PARTITION BY o_custkey ORDER BY annee)
-        )
-        SELECT o_custkey,
-               round(least(greatest(next_conso / conso, 1.0), 1.3) + 1e-9, 6) AS alpha
-        FROM led
-        WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
-          AND conso IS NOT NULL AND conso <> 0 AND next_conso IS NOT NULL
-    """,
-    "q08_ols_forecast": """
-        WITH yearly AS (
-          SELECT l_suppkey, cast(year(l_shipdate) AS INTEGER) AS annee,
-                 round(avg(l_quantity), 4) AS conso
-          FROM lineitem GROUP BY 1, 2
-        ), fit AS (
-          SELECT l_suppkey,
-                 CASE WHEN var_pop(annee) = 0 THEN NULL
-                      ELSE covar_pop(annee, conso) / var_pop(annee) END AS slope,
-                 avg(conso) AS ybar, avg(annee) AS xbar
-          FROM yearly GROUP BY 1
-        )
-        SELECT l_suppkey, cast(t.annee AS INTEGER) AS annee,
-               round(ybar + slope * (t.annee - xbar) + 1e-9, 2) AS prediction
-        FROM fit CROSS JOIN (VALUES (2002), (2003), (2004)) t(annee)
-    """,
-    "q09_price_batch": f"""
-        WITH {_DOMAIN_CTES},
-        region_avg AS (
-          SELECT libelle_region, round(avg(conso_mwh), 4) AS conso30
-          FROM daily
-          WHERE date >= DATE '{RUN_DATE}' - 30 AND date <= DATE '{RUN_DATE}'
-          GROUP BY 1
-        ), led AS (
-          SELECT nom_commune, code_commune, annee, conso_moyenne_mwh,
-                 lead(conso_moyenne_mwh) OVER w AS next_conso,
-                 lead(annee) OVER w AS next_annee
-          FROM annual
-          WHERE annee IN ({ALPHA_YEAR}, {ALPHA_YEAR + 1})
-          WINDOW w AS (PARTITION BY nom_commune, code_commune ORDER BY annee)
-        ), alpha AS (
-          SELECT nom_commune, code_commune,
-                 round(least(greatest(next_conso / conso_moyenne_mwh, 1.0), 1.3) + 1e-9, 6)
-                   AS alpha
-          FROM led
-          WHERE annee = {ALPHA_YEAR} AND next_annee = {ALPHA_YEAR + 1}
-            AND conso_moyenne_mwh IS NOT NULL AND conso_moyenne_mwh <> 0
-            AND next_conso IS NOT NULL
-        ), scored AS (
-          SELECT q.libelle_region, q.nom_commune, q.code_commune,
-                 q.nb_personne, q.nb_m2, r.conso30, a.alpha,
-                 110.0 * q.nb_m2 + 1000.0 * q.nb_personne + 1100.0 AS conso_foyer,
-                 round(least(0.05, 0.01 * r.conso30 / 4000.0), 6) AS m_factor
-          FROM requests q
-          LEFT JOIN region_avg r USING (libelle_region)
-          LEFT JOIN alpha a USING (nom_commune, code_commune)
-        )
-        SELECT libelle_region, nom_commune, code_commune, nb_personne, nb_m2,
-               conso30, alpha, conso_foyer, m_factor,
-               round((0.1558 + alpha * m_factor) * conso_foyer + 72.0) AS price
-        FROM scored
-    """,
-    "q10_bootstrap_annual": """
-        WITH raw AS (
-          SELECT cast(l_suppkey AS VARCHAR) AS nom_commune,
-                 cast(l_suppkey AS VARCHAR) AS code_commune,
-                 l_quantity AS conso_moyenne_mwh,
-                 cast(year(l_shipdate) AS INTEGER) AS annee,
-                 CASE WHEN l_returnflag = 'N' THEN 'RESIDENTIEL' ELSE 'PRO' END
-                   AS code_grand_secteur
-          FROM lineitem
-        ), hist AS (
-          SELECT nom_commune, code_commune, annee,
-                 round(avg(conso_moyenne_mwh), 4) AS conso_moyenne_mwh
-          FROM raw
-          WHERE annee IN (1995, 1996, 1997) AND code_grand_secteur = 'RESIDENTIEL'
-          GROUP BY 1, 2, 3
-        ), fit AS (
-          SELECT nom_commune, code_commune,
-                 CASE WHEN var_pop(annee) = 0 THEN NULL
-                      ELSE covar_pop(annee, conso_moyenne_mwh) / var_pop(annee) END
-                   AS slope,
-                 avg(conso_moyenne_mwh) AS ybar, avg(annee) AS xbar
-          FROM hist GROUP BY 1, 2
-        ), fc AS (
-          SELECT nom_commune, code_commune,
-                 round(ybar + slope * (t.annee - xbar) + 1e-9, 4)
-                   AS conso_moyenne_mwh,
-                 cast(t.annee AS INTEGER) AS annee
-          FROM fit CROSS JOIN (VALUES (1998), (1999)) t(annee)
-        )
-        SELECT nom_commune, code_commune, conso_moyenne_mwh, annee FROM hist
-        UNION ALL
-        SELECT nom_commune, code_commune, conso_moyenne_mwh, annee FROM fc
-    """,
-    "q11_dedup_exact": """
-        SELECT min(doc_id) AS doc_id, count(*) AS n_dups
-        FROM documents GROUP BY text
-    """,
-    "q13_ann_cosine_topk": """
-        WITH q AS (
-          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-          FROM embeddings WHERE vec_id < 5
-        ), c AS (
-          SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
-        ), sims AS (
-          SELECT q.query_id, c.vec_id,
-                 round(list_dot_product(qe, ce)
-                       / (sqrt(list_dot_product(qe, qe))
-                          * sqrt(list_dot_product(ce, ce))), 6) AS sim
-          FROM q CROSS JOIN c
-        ), ranked AS (
-          SELECT query_id, vec_id, sim,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY sim DESC, vec_id ASC) AS rank
-          FROM sims
-        )
-        SELECT query_id, vec_id, sim, cast(rank AS INTEGER) AS rank
-        FROM ranked WHERE rank <= 10
-    """,
-    "q14_embedding_neardup": """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                     6) AS sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                    6) >= 0.35
-    """,
-    # q15/q27: the oracle pins the IN-PLAN recall assertion (the Spark
-    # side computes recall@k against the exact top-k and emits the
-    # boolean; a broken ANN path flips it and fails the hash).
-    "q15_lsh_topk": """
-        SELECT CAST(5 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
-               true AS recall_ge_80pct
-    """,
-    "q27_ivf_topk": """
-        SELECT CAST(5 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
-               true AS recall_ge_60pct
-    """,
-    # q16: exhaustive exact shingle-Jaccard pairs — the Spark side emits
-    # LSH candidates re-verified with the same exact Jaccard, so the
-    # sets coincide unless MinHash recall fails (P < 3e-6 per pair at
-    # the planted near-dups' j >= 0.8).
-    "q16_minhash_dedup": """
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, unnest(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
-                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                 ELSE [array_to_string(t, ' ')] END) AS sh
-          FROM toks
-        ), sizes AS (
-          SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-        ), inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
-    """,
-    "q17_ngram_jaccard": """
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, unnest(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
-                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                 ELSE [array_to_string(t, ' ')] END) AS sh
-          FROM toks
-        ), capped AS (
-          SELECT s.* FROM sh s JOIN (
-            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
-        ), sizes AS (
-          SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
-        ), inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON id_a = sa.doc_id
-        JOIN sizes sb ON id_b = sb.doc_id
-        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
-    """,
-    "q18_lang_quality": f"""
-        WITH feats AS (
-          SELECT doc_id, lang,
-                 string_split_regex(trim(lower(text)), '\\s+') AS toks,
-                 length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-                   * 1.0 / length(text) AS punct_ratio
-          FROM documents
-        ), ratios AS (
-          SELECT doc_id, lang, punct_ratio,
-                 len(list_filter(toks, x -> x <> '')) AS n_tokens,
-                 len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
-                   * 1.0 / len(toks) AS stop_ratio
-          FROM feats
-        )
-        SELECT doc_id, lang,
-               CASE WHEN stop_ratio > 0.04 THEN 'en' ELSE 'unk' END AS pred_lang,
-               round(least(1.0, n_tokens / 120.0) * (1.0 - punct_ratio), 4)
-                 AS quality
-        FROM ratios
-    """,
-    "q19_streaming_daily": """
-        SELECT cast(date_trunc('day', ts) AS DATE) AS date, event_type,
-               round(avg(value) + 1e-9, 4) AS avg_value
-        FROM events GROUP BY 1, 2
-    """,
-    "q20_multimodal_meta": """
-        SELECT doc_id,
-               cast(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-               cast(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-               cast(64 + (octet_length(encode(text)) // 64) % 64 AS INTEGER)
-                 AS height,
-               ['png', 'jpg', 'webp'][cast(doc_id % 3 AS INTEGER) + 1] AS format
-        FROM documents
-    """,
-    "q46_sentence_udtf": """
-        SELECT doc_id, trim(s) AS sentence,
-               cast(len(string_split_regex(trim(s), '\\s+')) AS INTEGER)
-                 AS n_words
-        FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s
-              FROM documents)
-        WHERE trim(s) <> ''
-    """,
-    "q45_session_window": """
-        WITH e AS (
-          SELECT user_id, value, epoch_ns(ts) // 1000000000 AS ts_s FROM events
-        ), flagged AS (
-          SELECT user_id, value, ts_s,
-                 CASE WHEN lag(ts_s) OVER w IS NULL
-                           OR ts_s - lag(ts_s) OVER w > 1800
-                      THEN 1 ELSE 0 END AS b
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
-        ), sess AS (
-          SELECT user_id, value, ts_s,
-                 sum(b) OVER (PARTITION BY user_id ORDER BY ts_s
-                              ROWS UNBOUNDED PRECEDING) AS sid
-          FROM flagged
-        )
-        SELECT user_id, min(ts_s) AS start_s, count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
-        FROM sess GROUP BY user_id, sid
-    """,
-    "q44_stream_dedup": """
-        SELECT event_id, user_id, event_type, value FROM events
-    """,
-    "q43_embedding_lsh_neardup": """
-        -- DOUBLE[] arithmetic mirroring the Spark side's
-        -- array<double> cast (list_cosine_similarity on the raw
-        -- FLOAT[] computes — and returns — float32, a latent 3-dp
-        -- boundary risk and a dtype-width mismatch); the round(·,6)
-        -- then round(·,3) chain matches the operator's sim grid.
-        WITH aug AS (
-          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-          UNION ALL
-          SELECT vec_id + 10000000000 AS vec_id, embedding::DOUBLE[] AS e
-          FROM embeddings
-          WHERE vec_id % 10 = 0
-        ), pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 round(list_dot_product(a.e, b.e)
-                       / (sqrt(list_dot_product(a.e, a.e))
-                          * sqrt(list_dot_product(b.e, b.e))), 6) AS sim6
-          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-        )
-        SELECT id_a, id_b, round(sim6, 3) AS sim
-        FROM pairs WHERE sim6 >= 0.9
-    """,
-    "q41_cube_daily": """
-        SELECT event_type, cast(ts AS DATE) AS date,
-               count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_value
-        FROM events
-        GROUP BY CUBE (event_type, cast(ts AS DATE))
-    """,
-    "q42_range_join": """
-        WITH e AS (
-          SELECT event_id, user_id, event_type,
-                 epoch_ns(ts) // 1000000000 AS ts_s
-          FROM events
-        ), clicks AS (
-          SELECT event_id AS click_id, user_id, ts_s FROM e
-          WHERE event_type = 'click'
-        ), errors AS (
-          SELECT event_id, user_id, ts_s FROM e WHERE event_type = 'error'
-        )
-        SELECT c.click_id, c.user_id, er.event_id AS error_event_id
-        FROM clicks c JOIN errors er
-          ON c.user_id = er.user_id AND abs(c.ts_s - er.ts_s) <= 3600
-    """,
-    "q38_token_frequencies": """
-        SELECT token, freq FROM (
-          SELECT token, count(*) AS freq FROM (
-            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-            FROM documents) t
-          WHERE token <> ''
-          GROUP BY token HAVING count(*) >= 10) g
-        ORDER BY freq DESC, token ASC LIMIT 20
-    """,
-    "q39_intersect_except": """
-        WITH k99 AS (
-          SELECT o_custkey FROM orders
-          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
-            AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
-        ), k00 AS (
-          SELECT o_custkey FROM orders
-          WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
-            AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
-        )
-        SELECT 'both' AS tag, o_custkey FROM (
-          SELECT o_custkey FROM k99 INTERSECT SELECT o_custkey FROM k00)
-        UNION ALL
-        SELECT 'only_1999' AS tag, o_custkey FROM (
-          SELECT o_custkey FROM k99 EXCEPT SELECT o_custkey FROM k00)
-    """,
-    "q40_latest_event": """
-        SELECT user_id,
-               arg_max(event_id, ts) AS last_event_id,
-               arg_max(event_type, ts) AS last_event_type,
-               count(*) AS n_events
-        FROM events GROUP BY 1
-    """,
-    "q36_stats_aggregates": """
-        SELECT l_returnflag,
-               round(stddev_samp(l_quantity), 4) AS sd_qty,
-               round(var_pop(l_quantity), 4) AS var_qty,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-               count(*) AS n
-        FROM lineitem GROUP BY 1
-    """,
-    "q37_string_funcs": """
-        SELECT doc_id,
-               upper(substr(text, 1, 12)) AS head_upper,
-               cast(length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
-                    AS INTEGER) AS len_novowels,
-               concat_ws('|', lang, source) AS lang_source,
-               CASE WHEN length(text) > 200 THEN 'long' ELSE 'short' END
-                 AS size_class,
-               trim(substr(text, 1, 5)) AS head_trim
-        FROM documents
-    """,
-    "q34_semi_anti_join": """
-        SELECT c_custkey, c_name FROM customer
-        WHERE EXISTS (
-          SELECT 1 FROM orders
-          WHERE o_custkey = c_custkey
-            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
-            AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00')
-        AND NOT EXISTS (
-          SELECT 1 FROM orders
-          WHERE o_custkey = c_custkey
-            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
-            AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00')
-    """,
-    "q35_moving_average": """
-        WITH daily AS (
-          SELECT event_type, cast(ts AS DATE) AS date,
-                 round(avg(value) + 1e-9, 4) AS day_avg
-          FROM events GROUP BY 1, 2
-        )
-        SELECT event_type, date, day_avg,
-               round(avg(day_avg) OVER (
-                 PARTITION BY event_type ORDER BY date
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-        FROM daily
-    """,
-    "q33_sql_text": """
-        SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
-        FROM events GROUP BY event_type
-    """,
-    "q29_approx_stats": """
-        SELECT event_type, count(*) AS n_events,
-               count(DISTINCT user_id) AS n_users,
-               true AS users_within_5pct, true AS median_within_5pct
-        FROM events GROUP BY 1
-    """,
-    "q30_pivot_daily": """
-        SELECT cast(ts AS DATE) AS date,
-               round(avg(value) FILTER (event_type = 'click') + 1e-9, 4)
-                 AS click,
-               round(avg(value) FILTER (event_type = 'view') + 1e-9, 4)
-                 AS view,
-               round(avg(value) FILTER (event_type = 'purchase') + 1e-9, 4)
-                 AS purchase,
-               round(avg(value) FILTER (event_type = 'error') + 1e-9, 4)
-                 AS error
-        FROM events GROUP BY 1
-    """,
-    "q31_percentiles": """
-        SELECT event_type,
-               round(quantile_cont(value, 0.5), 4) AS p50,
-               round(quantile_cont(value, 0.9), 4) AS p90
-        FROM events GROUP BY 1
-    """,
-    "q32_json_extract": """
-        SELECT event_type,
-               round(avg(cast(json_extract_string(props, '$.k') AS INTEGER)), 4)
-                 AS avg_k,
-               max(cast(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-               count(DISTINCT cast(json_extract_string(props, '$.k') AS INTEGER))
-                 AS n_distinct_k
-        FROM events GROUP BY 1
-    """,
-    "q21_simhash_neardup": _simhash_oracle_sql(),
-    "q22_sessionize": """
-        WITH e AS (
-          SELECT event_id, user_id, value,
-                 epoch_ns(ts) // 1000000000 AS ts_s
-          FROM events
-        ), flagged AS (
-          SELECT user_id, event_id, value, ts_s,
-                 CASE WHEN lag(ts_s) OVER w IS NULL
-                           OR ts_s - lag(ts_s) OVER w > 1800
-                      THEN 1 ELSE 0 END AS b
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
-        ), sess AS (
-          -- CAST: DuckDB sums integers into HUGEINT, which fetchdf()
-          -- materializes as float64 (9549.0) while Spark emits int64 —
-          -- value-identical but hash-different to the driver's gate.
-          SELECT user_id, value, ts_s,
-                 CAST(sum(b) OVER (PARTITION BY user_id
-                                   ORDER BY ts_s, event_id
-                                   ROWS UNBOUNDED PRECEDING)
-                      AS BIGINT) AS session_id
-          FROM flagged
-        )
-        SELECT user_id, session_id, count(*) AS n_events,
-               min(ts_s) AS start_s, max(ts_s) AS end_s,
-               sum(CAST(round(value * 1e4) AS BIGINT)) / 1e4 AS sum_value
-        FROM sess GROUP BY 1, 2
-    """,
-    "q23_rollup_daily": """
-        SELECT event_type, cast(ts AS DATE) AS date,
-               count(*) AS n_events, round(sum(value), 2) AS sum_value
-        FROM events
-        GROUP BY ROLLUP (event_type, cast(ts AS DATE))
-    """,
-    "q24_asof_join": """
-        WITH e AS (
-          SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
-          FROM events
-        ), clicks AS (
-          SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'
-        ), errors AS (
-          SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'error'
-        )
-        SELECT c.event_id, c.user_id, c.ts_us,
-               e.event_id AS asof_event_id, e.value AS asof_value
-        FROM clicks c
-        ASOF LEFT JOIN errors e
-          ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
-    """,
-    "q25_rolling_fingerprint": """
-        WITH norm AS (
-          SELECT doc_id, lower(trim(text)) AS t FROM documents
-        )
-        SELECT doc_id,
-               CASE WHEN length(t) > 0 THEN
-                 list_reduce(
-                   list_prepend(0::BIGINT,
-                     list_transform(range(1, length(t) + 1),
-                                    i -> ascii(substr(t, i, 1))::BIGINT)),
-                   (acc, c) -> (acc * 131 + c) % 2147483647)
-               ELSE 0 END AS rk_fingerprint,
-               md5(t) AS md5_fingerprint
-        FROM norm
-    """,
-    "q26_bpe_tokens": """
-        SELECT doc_id,
-               cast(len(regexp_extract_all(lower(text),
-                    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS INTEGER)
-                 AS n_bpe_tokens,
-               cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                    x -> x <> '')) AS INTEGER)
-                 AS n_ws_tokens
-        FROM documents
-    """,
-    "q12_text_stats": f"""
-        SELECT doc_id,
-               cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                    x -> x <> '')) AS INTEGER)
-                 AS n_tokens,
-               cast(length(text) AS INTEGER) AS len_chars,
-               round(
-                 CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
-                      THEN len(list_filter(
-                             string_split_regex(trim(lower(text)), '\\s+'),
-                             x -> list_contains({_STOP_SQL}, x)))
-                           / len(string_split_regex(trim(lower(text)), '\\s+'))
-                      ELSE 0.0 END, 4) AS stop_ratio,
-               md5(lower(trim(text))) AS fingerprint
-        FROM documents
-    """,
-    # Same pair pipeline as q17 (k=3, threshold 0.2, max_df 100), then
-    # transitive closure via a recursive CTE: every node reaches the
-    # minimum id of its component, matching min-label propagation.
-    "q47_dedup_clusters": """
-        WITH RECURSIVE toks AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, unnest(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
-                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                 ELSE [array_to_string(t, ' ')] END) AS sh
-          FROM toks
-        ), capped AS (
-          SELECT s.* FROM sh s JOIN (
-            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
-        ), sizes AS (
-          SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
-        ), inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ), pairs AS (
-          SELECT id_a, id_b
-          FROM inter
-          JOIN sizes sa ON id_a = sa.doc_id
-          JOIN sizes sb ON id_b = sb.doc_id
-          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
-        ), edges AS (
-          SELECT id_a AS s, id_b AS d FROM pairs
-          UNION
-          SELECT id_b, id_a FROM pairs
-        ), reach(node, comp) AS (
-          SELECT DISTINCT s, s FROM edges
-          UNION
-          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
-        ), comp AS (
-          SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
-        )
-        SELECT node AS doc_id, cluster_id,
-               cast(count(*) OVER (PARTITION BY cluster_id) AS INTEGER)
-                 AS cluster_size
-        FROM comp
-    """,
-    "q48_hash_split": """
-        WITH b AS (
-          SELECT lang, n_chars,
-                 ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 100 AS bucket
-          FROM documents
-        )
-        SELECT CASE WHEN bucket < 80 THEN 'train'
-                    WHEN bucket < 90 THEN 'val'
-                    ELSE 'test' END AS split,
-               lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
-        FROM b GROUP BY 1, 2
-    """,
-    "q49_topk_per_group": """
-        WITH totals AS (
-          SELECT event_type, user_id, round(sum(value), 4) AS total_value
-          FROM events GROUP BY 1, 2
-        ), ranked AS (
-          SELECT event_type, user_id, total_value,
-                 row_number() OVER (PARTITION BY event_type
-                                    ORDER BY total_value DESC, user_id ASC)
-                   AS rank
-          FROM totals
-        )
-        SELECT event_type, user_id, total_value, cast(rank AS INTEGER) AS rank
-        FROM ranked WHERE rank <= 3
-    """,
-    "q50_stratified_sample": """
-        WITH b AS (
-          SELECT doc_id, lang, source,
-                 ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 10000 AS bucket
-          FROM documents
-        )
-        SELECT doc_id, lang, source FROM b
-        WHERE bucket < (CASE lang WHEN 'en' THEN 1000
-                                  WHEN 'zh' THEN 5000
-                                  WHEN 'es' THEN 5000
-                                  WHEN 'de' THEN 5000
-                                  WHEN 'fr' THEN 5000
-                                  ELSE 0 END)
-    """,
-    "q51_tfidf_topterms": """
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-          FROM documents
-        ), tf AS (
-          SELECT doc_id, token, count(*) AS tf
-          FROM toks WHERE token <> '' GROUP BY 1, 2
-        ), dfreq AS (
-          SELECT token, count(*) AS df FROM tf GROUP BY 1
-        ), n AS (
-          SELECT count(*) AS n_docs FROM documents
-        ), scored AS (
-          SELECT tf.doc_id, tf.token, tf.tf,
-                 round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0),
-                       4) AS tfidf
-          FROM tf JOIN dfreq USING (token) CROSS JOIN n
-        )
-        SELECT doc_id, token, cast(tf AS INTEGER) AS tf, tfidf,
-               cast(row_number() OVER (PARTITION BY doc_id
-                                       ORDER BY tfidf DESC, token ASC)
-                    AS INTEGER) AS rank
-        FROM scored QUALIFY rank <= 3
-    """,
-    "q52_pack_chunks": """
-        WITH toks AS (
-          SELECT source, doc_id,
-                 len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                 x -> x <> '')) AS n_tok
-          FROM documents
-        ), spans AS (
-          SELECT source, doc_id, n_tok,
-                 cast(coalesce(sum(n_tok) OVER (
-                          PARTITION BY source ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS BIGINT) AS s
-          FROM toks WHERE n_tok > 0
-        ), covered AS (
-          SELECT source,
-                 unnest(range(s // 512, (s + n_tok - 1) // 512 + 1))
-                   AS chunk_id,
-                 s, n_tok
-          FROM spans
-        )
-        SELECT source, cast(chunk_id AS INTEGER) AS chunk_id,
-               cast(count(*) AS INTEGER) AS n_docs,
-               cast(sum(least(s + n_tok, (chunk_id + 1) * 512)
-                        - greatest(s, chunk_id * 512)) AS INTEGER)
-                 AS n_tokens
-        FROM covered GROUP BY 1, 2
-    """,
-    "q53_constraint_audit": """
-        SELECT 'orders_null_custkey' AS rule, count(*) AS n_violations
-        FROM orders WHERE o_custkey IS NULL
-        UNION ALL
-        SELECT 'orders_nonpositive_total', count(*)
-        FROM orders WHERE o_totalprice <= 0
-        UNION ALL
-        SELECT 'orders_duplicate_orderkey', count(*) FROM (
-          SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
-        UNION ALL
-        SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-        UNION ALL
-        SELECT 'orders_orphan_custkey', count(*) FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-        UNION ALL
-        SELECT 'lineitem_discount_range', count(*) FROM lineitem
-        WHERE l_discount < 0 OR l_discount > 0.5
-        UNION ALL
-        SELECT 'customer_negative_acctbal', count(*) FROM customer
-        WHERE c_acctbal < 0
-    """,
-    "q54_decontamination": """
-        WITH b AS (
-          SELECT doc_id, text,
-                 ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 100 AS bucket
-          FROM documents
-        ), split AS (
-          SELECT doc_id, text,
-                 CASE WHEN bucket < 80 THEN 'train'
-                      WHEN bucket < 90 THEN 'val'
-                      ELSE 'test' END AS split
-          FROM b
-        ), toks AS (
-          SELECT doc_id, split,
-                 string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM split
-        ), sh AS (
-          SELECT DISTINCT doc_id, split, unnest(
-            CASE WHEN len(t) >= 5
-                 THEN list_transform(range(1, len(t) - 3),
-                        i -> concat_ws(' ', t[i], t[i+1], t[i+2],
-                                       t[i+3], t[i+4]))
-                 ELSE [array_to_string(t, ' ')] END) AS sh
-          FROM toks
-        ), contaminated AS (
-          SELECT split, count(DISTINCT doc_id) AS n_contaminated
-          FROM sh s
-          WHERE split <> 'train' AND EXISTS (
-            SELECT 1 FROM sh tr WHERE tr.split = 'train' AND tr.sh = s.sh)
-          GROUP BY 1
-        ), totals AS (
-          SELECT split, count(*) AS n_docs FROM split
-          WHERE split <> 'train' GROUP BY 1
-        )
-        SELECT t.split, t.n_docs, coalesce(c.n_contaminated, 0) AS n_contaminated
-        FROM totals t LEFT JOIN contaminated c USING (split)
-    """,
-    "q55_repetition_filters": """
-        WITH t AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                             x -> x <> '') AS toks
-          FROM documents
-        ), big AS (
-          SELECT doc_id, toks, len(toks) AS n,
-                 CASE WHEN len(toks) >= 2
-                      THEN list_transform(range(1, len(toks)),
-                             i -> concat_ws(' ', toks[i], toks[i+1]))
-                      ELSE [] END AS bigrams
-          FROM t
-        )
-        SELECT doc_id, cast(n AS INTEGER) AS n_tokens,
-               CASE WHEN n > 0
-                    THEN round(1.0 - len(list_distinct(toks)) * 1.0 / n, 4)
-                    ELSE 0.0 END AS frac_dup_tokens,
-               CASE WHEN n - 1 > 0
-                    THEN round(1.0 - len(list_distinct(bigrams)) * 1.0
-                               / (n - 1), 4)
-                    ELSE 0.0 END AS frac_dup_bigrams,
-               CASE WHEN n > 0
-                    THEN round(list_aggregate(
-                           list_transform(toks, x -> len(x)), 'sum')
-                           * 1.0 / n, 4)
-                    ELSE 0.0 END AS mean_word_len,
-               (CASE WHEN n - 1 > 0
-                     THEN round(1.0 - len(list_distinct(bigrams)) * 1.0
-                                / (n - 1), 4)
-                     ELSE 0.0 END) <= 0.05
-               AND (CASE WHEN n > 0
-                         THEN round(list_aggregate(
-                                list_transform(toks, x -> len(x)), 'sum')
-                                * 1.0 / n, 4)
-                         ELSE 0.0 END) BETWEEN 3.0 AND 10.0 AS keep
-        FROM big
-    """,
-    "q56_mixture_plan": """
-        WITH counts AS (
-          SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
-        ), w AS (
-          SELECT source, n_docs,
-                 CASE WHEN regexp_extract(source, 'src(\\d+)', 1)::INT % 2 = 1
-                      THEN 3 ELSE 1 END AS w
-          FROM counts
-        ), g AS (
-          SELECT *, cast(sum(w) OVER () AS BIGINT) AS sumw FROM w
-        ), t AS (
-          SELECT *, cast(min(n_docs * sumw // w) OVER () AS BIGINT) AS t
-          FROM g
-        )
-        SELECT source, cast(n_docs AS INTEGER) AS n_docs,
-               round(w * 1.0 / sumw, 4) AS target_share,
-               cast(w * t // sumw AS INTEGER) AS take_n,
-               round((w * t // sumw) * 1.0 / n_docs, 4) AS rate
-        FROM t
-    """,
-    "q57_top_quality": f"""
-        WITH feats AS (
-          SELECT doc_id, lang,
-                 string_split_regex(trim(lower(text)), '\\s+') AS toks,
-                 length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-                   * 1.0 / length(text) AS punct_ratio
-          FROM documents
-        ), ratios AS (
-          SELECT doc_id, lang, punct_ratio,
-                 len(list_filter(toks, x -> x <> '')) AS n_tokens,
-                 len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
-                   * 1.0 / len(toks) AS stop_ratio
-          FROM feats
-        ), scored AS (
-          SELECT doc_id, lang,
-                 CASE WHEN stop_ratio > 0.04 THEN 'en' ELSE 'unk' END
-                   AS pred_lang,
-                 round(least(1.0, n_tokens / 120.0) * (1.0 - punct_ratio), 4)
-                   AS quality
-          FROM ratios
-        ), hist AS (
-          SELECT quality, count(*) AS n FROM scored GROUP BY 1
-        ), cum AS (
-          SELECT quality,
-                 cast(sum(n) OVER (ORDER BY quality DESC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS c
-          FROM hist
-        ), tot AS (
-          SELECT count(*) AS total FROM scored
-        ), thr AS (
-          SELECT max(quality) AS threshold FROM cum, tot
-          WHERE c * 10 >= 3 * total
-        )
-        SELECT s.doc_id, s.lang, s.pred_lang, s.quality, t.threshold
-        FROM scored s, thr t WHERE s.quality >= t.threshold
-    """,
-    "q58_curation_pipeline": """
-        WITH t AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                             x -> x <> '') AS toks
-          FROM documents
-        ), big AS (
-          SELECT doc_id, toks, len(toks) AS n,
-                 CASE WHEN len(toks) >= 2
-                      THEN list_transform(range(1, len(toks)),
-                             i -> concat_ws(' ', toks[i], toks[i+1]))
-                      ELSE [] END AS bigrams
-          FROM t
-        ), kept AS (
-          SELECT doc_id, n FROM big
-          WHERE (CASE WHEN n - 1 > 0
-                      THEN round(1.0 - len(list_distinct(bigrams)) * 1.0
-                                 / (n - 1), 4)
-                      ELSE 0.0 END) <= 0.05
-            AND (CASE WHEN n > 0
-                      THEN round(list_aggregate(
-                             list_transform(toks, x -> len(x)), 'sum')
-                             * 1.0 / n, 4)
-                      ELSE 0.0 END) BETWEEN 3.0 AND 10.0
-        ), b AS (
-          SELECT n,
-                 ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 100 AS bucket
-          FROM kept
-        )
-        SELECT CASE WHEN bucket < 80 THEN 'train'
-                    WHEN bucket < 90 THEN 'val'
-                    ELSE 'test' END AS split,
-               cast(count(*) AS INTEGER) AS n_docs,
-               cast(sum(n) AS BIGINT) AS n_tokens
-        FROM b GROUP BY 1
-    """,
-    "q59_tpch_local_supplier_volume": """
-        SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey
-                     AND s_nationkey = c_nationkey
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY n_name
-    """,
-    "q60_tpch_shipping_priority": """
-        SELECT l_orderkey,
-               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-               o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1997-06-30'
-          AND l_shipdate > TIMESTAMP '1997-06-30'
-        GROUP BY 1, 2, 3
-        ORDER BY revenue DESC, l_orderkey ASC
-        LIMIT 10
-    """,
-    "q61_change_compaction": """
-        WITH w AS (
-          SELECT user_id, epoch_us(ts) AS ts_us,
-                 CAST(floor(value) AS INTEGER) AS v,
-                 lag(CAST(floor(value) AS INTEGER)) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS pv
-          FROM events
-        )
-        SELECT user_id, ts_us, v FROM w WHERE pv IS NULL OR v <> pv
-    """,
-    "q62_gap_fill_ffill": """
-        WITH daily AS (
-          SELECT user_id, date_trunc('day', ts) AS day,
-                 round(avg(value) + 1e-9, 4) AS obs
-          FROM events WHERE event_type = 'error' GROUP BY 1, 2
-        ), span AS (
-          SELECT user_id, min(day) AS lo, max(day) AS hi
-          FROM daily GROUP BY 1
-        ), grid AS (
-          SELECT user_id,
-                 unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
-          FROM span
-        ), j AS (
-          SELECT g.user_id, g.day, d.obs
-          FROM grid g LEFT JOIN daily d
-            ON g.user_id = d.user_id AND g.day = d.day
-        )
-        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
-               last_value(obs IGNORE NULLS) OVER (
-                 PARTITION BY user_id ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
-               (obs IS NULL) AS was_gap
-        FROM j
-    """,
-    "q63_reaggregatable_partials": """
-        WITH daily AS (
-          SELECT user_id, date_trunc('day', ts) AS day,
-                 sum(value) AS psum, count(*) AS pcnt
-          FROM events GROUP BY 1, 2
-        )
-        SELECT user_id, strftime(day, '%Y-%m') AS month,
-               round(sum(psum) / sum(pcnt) + 1e-9, 4) AS mean_value,
-               CAST(sum(pcnt) AS BIGINT) AS n_events
-        FROM daily GROUP BY 1, 2
-    """,
-    "q64_funnel_conversion": """
-        WITH u AS (
-          SELECT user_id,
-                 min(epoch_us(ts)) FILTER (event_type = 'signup') AS s,
-                 min(epoch_us(ts)) FILTER (event_type = 'purchase') AS p
-          FROM events GROUP BY 1
-        )
-        SELECT CAST(count(*) AS INTEGER) AS n_users,
-               CAST(count(*) FILTER (s IS NOT NULL) AS INTEGER) AS n_signup,
-               CAST(count(*) FILTER (s IS NOT NULL AND p > s)
-                    AS INTEGER) AS n_converted,
-               round(100.0 * count(*) FILTER (s IS NOT NULL AND p > s)
-                     / count(*) FILTER (s IS NOT NULL), 2) AS conv_pct
-        FROM u
-    """,
-    "q65_retention_cohorts": """
-        WITH e AS (
-          SELECT user_id, date_trunc('day', ts) AS day FROM events
-        ), c AS (
-          SELECT user_id, day,
-                 min(day) OVER (PARTITION BY user_id) AS cday
-          FROM e
-        )
-        SELECT strftime(cday, '%Y-%m-%d') AS cohort_day,
-               CAST(date_diff('day', cday, day) AS INTEGER) AS day_offset,
-               CAST(count(DISTINCT user_id) AS INTEGER) AS n_users
-        FROM c GROUP BY 1, 2
-    """,
-    "q66_hopping_window": """
-        WITH e AS (
-          SELECT date_trunc('day', ts) AS day, event_type, value
-          FROM events
-        ), x AS (
-          SELECT day - unnest(generate_series(0, 6)) * INTERVAL 1 DAY
-                   AS win_start,
-                 event_type, value
-          FROM e
-        )
-        SELECT strftime(win_start, '%Y-%m-%d') AS win_start, event_type,
-               CAST(count(*) AS INTEGER) AS n_events,
-               round(sum(value), 2) AS sum_value
-        FROM x GROUP BY 1, 2
-    """,
-    "q67_period_over_period": """
-        WITH daily AS (
-          SELECT event_type, date_trunc('day', ts) AS day,
-                 round(sum(value), 2) AS v
-          FROM events GROUP BY 1, 2
-        )
-        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v,
-               round(100.0 * (v - lag(v, 7) OVER w) / lag(v, 7) OVER w, 2)
-                 AS wow_pct
-        FROM daily
-        WINDOW w AS (PARTITION BY event_type ORDER BY day)
-    """,
-    "q68_zscore_anomaly": """
-        WITH daily AS (
-          SELECT user_id, date_trunc('day', ts) AS day,
-                 round(avg(value) + 1e-9, 4) AS m
-          FROM events GROUP BY 1, 2
-        ), scored AS (
-          SELECT user_id, day, m,
-                 round((m - avg(m) OVER w) / stddev_samp(m) OVER w, 2) AS z
-          FROM daily
-          WINDOW w AS (PARTITION BY user_id ORDER BY day
-                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-        )
-        SELECT user_id, strftime(day, '%Y-%m-%d') AS day, m, z
-        FROM scored WHERE abs(z) > 2.0
-    """,
-    "q69_label_centroids": """
-        -- dims derived from the data via zipped unnests (q117's
-        -- convention), matching the Spark side's posexplode — never a
-        -- hardcoded embedding width
-        WITH dims AS (
-          SELECT label,
-                 unnest(range(0, len(embedding))) AS i,
-                 unnest(embedding) AS x
-          FROM embeddings
-        )
-        SELECT label, CAST(i AS INTEGER) AS dim,
-               round(avg(x) + 1e-9, 4) AS c,
-               CAST(count(*) AS INTEGER) AS n_vecs
-        FROM dims
-        GROUP BY 1, 2
-    """,
-    "q70_dau_wau_stickiness": """
-        WITH ud AS (
-          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
-        ), dau AS (
-          SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1
-        ), wx AS (
-          SELECT user_id,
-                 day + unnest(generate_series(0, 6)) * INTERVAL 1 DAY AS day
-          FROM ud
-        ), wau AS (
-          SELECT day, count(DISTINCT user_id) AS wau FROM wx GROUP BY 1
-        )
-        SELECT strftime(d.day, '%Y-%m-%d') AS day,
-               CAST(d.dau AS INTEGER) AS dau,
-               CAST(w.wau AS INTEGER) AS wau,
-               round(CAST(d.dau AS DOUBLE) / w.wau + 1e-9, 4) AS stickiness
-        FROM dau d JOIN wau w ON d.day = w.day
-    """,
-    "q71_transition_matrix": """
-        WITH s AS (
-          SELECT event_type,
-                 lag(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS from_type
-          FROM events
-        )
-        SELECT from_type, event_type AS to_type,
-               CAST(count(*) AS INTEGER) AS n
-        FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
-    """,
-    "q72_value_quartile_bands": """
-        WITH totals AS (
-          SELECT user_id, round(sum(value) + 1e-9, 2) AS total
-          FROM events GROUP BY 1
-        ), banded AS (
-          SELECT total,
-                 CAST(ntile(4) OVER (ORDER BY total DESC, user_id)
-                      AS INTEGER) AS band
-          FROM totals
-        )
-        SELECT band, CAST(count(*) AS INTEGER) AS n_users,
-               round(avg(total) + 1e-9, 4) AS avg_total,
-               min(total) AS min_total, max(total) AS max_total
-        FROM banded GROUP BY 1
-    """,
-    "q73_time_to_convert": """
-        WITH u AS (
-          SELECT user_id,
-                 min(epoch_us(ts)) FILTER (event_type = 'signup') AS s,
-                 min(epoch_us(ts)) FILTER (event_type = 'purchase') AS p
-          FROM events GROUP BY 1
-        )
-        SELECT CAST(least((p - s) // 3600000000, 24) AS INTEGER)
-                 AS hours_to_convert,
-               CAST(count(*) AS INTEGER) AS n_users
-        FROM u WHERE s IS NOT NULL AND p > s GROUP BY 1
-    """,
-    "q74_tpch_pricing_summary": """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                 AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                 AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-        GROUP BY l_returnflag, l_linestatus
-    """,
-    "q75_tpch_revenue_change": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate < TIMESTAMP '1998-01-01'
-          AND l_discount >= 0.05 AND l_discount <= 0.07
-          AND l_quantity < 24
-    """,
-    "q76_skew_salted_agg": """
-        SELECT event_type,
-               count(*) AS n_events,
-               round(sum(value), 2) AS sum_value,
-               round(sum(value) / count(*), 4) AS avg_value
-        FROM events
-        GROUP BY event_type
-    """,
-    "q77_scd2_intervals": """
-        WITH w AS (
-          SELECT user_id, ts, event_id, CAST(floor(value) AS INTEGER) AS v,
-                 lag(CAST(floor(value) AS INTEGER)) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS pv
-          FROM events
-        ), c AS (
-          SELECT user_id, ts, event_id, v FROM w WHERE pv IS NULL OR v <> pv
-        )
-        SELECT user_id,
-               epoch_us(ts) AS valid_from_us,
-               epoch_us(lead(ts) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id))
-                 AS valid_to_us,
-               v,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                 IS NULL AS is_current
-        FROM c
-    """,
-    "q78_full_outer_reconcile": """
-        WITH daily AS (
-          SELECT cast(ts AS DATE) AS date, event_type, count(*) AS n
-          FROM events WHERE event_type IN ('click', 'purchase')
-          GROUP BY 1, 2
-        ), c AS (
-          SELECT date, n AS n_clicks FROM daily WHERE event_type = 'click'
-        ), p AS (
-          SELECT date, n AS n_purchases FROM daily
-          WHERE event_type = 'purchase'
-        )
-        SELECT strftime(coalesce(c.date, p.date), '%Y-%m-%d') AS date,
-               coalesce(n_clicks, 0) AS n_clicks,
-               coalesce(n_purchases, 0) AS n_purchases,
-               CASE WHEN n_clicks IS NULL THEN 'purchases_only'
-                    WHEN n_purchases IS NULL THEN 'clicks_only'
-                    ELSE 'both' END AS status
-        FROM c FULL OUTER JOIN p ON c.date = p.date
-    """,
-    "q79_grouping_sets": """
-        SELECT event_type,
-               strftime(cast(ts AS DATE), '%Y-%m-%d') AS day,
-               CAST(grouping(event_type) * 2 + grouping(cast(ts AS DATE))
-                    AS INTEGER) AS gid,
-               count(*) AS n,
-               round(sum(value), 2) AS sum_value
-        FROM events
-        GROUP BY GROUPING SETS ((event_type, cast(ts AS DATE)), (event_type),
-                                (cast(ts AS DATE)))
-    """,
-    "q80_embedding_quantize": """
-        WITH m AS (
-          -- cast to DOUBLE: Spark promotes float32→float64 in arithmetic;
-          -- DuckDB would otherwise stay in float32 and round() is a no-op
-          SELECT vec_id, embedding,
-                 CAST(list_max(list_transform(embedding, x -> abs(x)))
-                      AS DOUBLE) AS m
-          FROM embeddings
-        ), q AS (
-          SELECT vec_id, len(embedding) AS n_dims,
-                 CASE WHEN m > 0 THEN round(127.0 / m, 6)
-                      ELSE 0.0 END AS scale_inv,
-                 CASE WHEN m > 0
-                      THEN list_transform(embedding,
-                             x -> round(CAST(x AS DOUBLE) * (127.0 / m), 0))
-                      ELSE list_transform(embedding,
-                             x -> CAST(x AS DOUBLE) * 0.0)
-                 END AS qv
-          FROM m
-        )
-        -- CASTs: list_aggregate('sum') over BIGINT yields HUGEINT →
-        -- float64 via fetchdf(); len() yields BIGINT where Spark's
-        -- size() is int32. Width/kind-match what Spark emits.
-        SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, scale_inv,
-               CAST(list_aggregate(list_transform(qv,
-                 x -> abs(CAST(x AS BIGINT))), 'sum') AS BIGINT) AS q_l1,
-               CAST(list_aggregate(list_transform(qv,
-                 x -> CAST(x AS BIGINT)), 'sum') AS BIGINT) AS q_sum
-        FROM q
-    """,
-    "q81_chunk_overlap": """
-        WITH t AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                             x -> x <> '') AS toks
-          FROM documents
-        ), s AS (
-          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
-        ), c AS (
-          SELECT doc_id, toks, n,
-                 unnest(range(1, greatest(1, n - 64 + 48) + 1, 48))
-                   AS start_tok
-          FROM s
-        )
-        SELECT doc_id,
-               CAST((start_tok - 1) // 48 AS INTEGER) AS chunk_id,
-               CAST(start_tok AS INTEGER) AS start_tok,
-               CAST(least(64, n - start_tok + 1) AS INTEGER) AS chunk_tokens,
-               substr(md5(array_to_string(
-                 list_slice(toks, start_tok, least(start_tok + 63, n)), ' ')),
-                 1, 8) AS chunk_fp
-        FROM c
-    """,
-    "q82_pseudonymize": """
-        SELECT md5('pepper1:' || CAST(user_id AS VARCHAR)) AS user_token,
-               count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
-        FROM events
-        GROUP BY user_id
-    """,
-    "q83_semantic_curation": """
-        WITH RECURSIVE base AS (
-          SELECT vec_id AS id, label AS bk, embedding::DOUBLE[] AS v,
-                 sqrt(list_dot_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[])) AS n
-          FROM embeddings
-        ), stride AS (
-          -- fallback anchor = min VALID id (mirrors the Spark side's
-          -- positive-norm guard; identical on any corpus with no
-          -- null/zero embeddings, such as this table)
-          SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s,
-                 min(CASE WHEN n > 0 THEN id END) AS mid
-          FROM base
-        ), anchors AS (
-          SELECT id AS aid, v AS av, n AS an
-          FROM base, stride
-          WHERE ('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 6))::BIGINT
-                  % s = 0
-             OR id = mid
-        ), probes AS (
-          SELECT id, bk, aid, v, n FROM (
-            SELECT b.id, b.bk, a.aid, b.v, b.n,
-                   row_number() OVER (
-                     PARTITION BY b.id
-                     ORDER BY round(list_dot_product(b.v, a.av)
-                                    / (b.n * a.an) + 1e-9, 4) DESC,
-                              a.aid ASC) AS p
-            FROM base b CROSS JOIN anchors a)
-          WHERE p <= 6
-        ), pairs AS (
-          SELECT DISTINCT pa.id AS id_a, pb.id AS id_b,
-                 round(list_dot_product(pa.v, pb.v) / (pa.n * pb.n), 6)
-                   AS sim
-          FROM probes pa JOIN probes pb
-            ON pa.bk = pb.bk AND pa.aid = pb.aid AND pa.id < pb.id
-          WHERE round(list_dot_product(pa.v, pb.v) / (pa.n * pb.n), 6)
-                  >= 0.35
-        ), edges AS (
-          SELECT id_a AS s, id_b AS d FROM pairs
-          UNION
-          SELECT id_b, id_a FROM pairs
-        ), reach(node, comp) AS (
-          SELECT DISTINCT s, s FROM edges
-          UNION
-          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
-        ), comp AS (
-          SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
-        ), quality AS (
-          SELECT doc_id,
-                 round(least(1.0, len(list_filter(
-                           string_split_regex(trim(lower(text)), '\\s+'),
-                           x -> x <> '')) / 120.0)
-                       * (1.0 - length(regexp_replace(lower(text),
-                                                      '[a-z0-9 ]', '', 'g'))
-                              * 1.0 / length(text)), 4) AS quality
-          FROM documents
-        ), members AS (
-          SELECT c.cluster_id, c.node, q.quality,
-                 cast(count(*) OVER (PARTITION BY c.cluster_id) AS INTEGER)
-                   AS cluster_size,
-                 row_number() OVER (PARTITION BY c.cluster_id
-                                    ORDER BY q.quality DESC, c.node ASC)
-                   AS rk
-          FROM comp c JOIN quality q ON c.node = q.doc_id
-        )
-        SELECT cluster_id, node AS kept_doc_id, quality AS kept_quality,
-               cluster_size
-        FROM members WHERE rk = 1
-    """,
-    "q84_inverted_index": """
-        WITH toks AS (
-          SELECT DISTINCT doc_id,
-                 unnest(list_filter(
-                   string_split_regex(trim(lower(text)), '\\s+'),
-                   x -> x <> '')) AS token
-          FROM documents
-        )
-        SELECT token,
-               array_to_string(list_sort(list(doc_id)), ',') AS postings,
-               CAST(count(*) AS INTEGER) AS df
-        FROM toks GROUP BY token HAVING count(*) >= 20
-    """,
-    "q85_winsorize": """
-        WITH b AS (
-          SELECT event_type,
-                 quantile_cont(value, 0.05) AS lo,
-                 quantile_cont(value, 0.99) AS hi
-          FROM events GROUP BY 1
-        )
-        SELECT e.event_type,
-               count(*) AS n,
-               count(*) FILTER (value < lo) AS n_clipped_low,
-               count(*) FILTER (value > hi) AS n_clipped_high,
-               round(avg(value), 4) AS mean_raw,
-               round(avg(least(greatest(value, lo), hi)), 4)
-                 AS mean_winsorized
-        FROM events e JOIN b USING (event_type)
-        GROUP BY e.event_type
-    """,
-    "q86_cdc_upsert_apply": """
-        WITH o AS (
-          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
-        ), changes AS (
-          SELECT o_orderkey,
-                 CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE 'D' END AS op,
-                 round(o_totalprice * 1.1 + 1e-9, 2) AS new_price
-          FROM o WHERE o_orderkey % 10 < 2
-          UNION ALL
-          SELECT o_orderkey + 10000000000, 'I', round(o_totalprice, 2)
-          FROM o WHERE o_orderkey % 1000 = 2
-        )
-        SELECT coalesce(o.o_orderkey, c.o_orderkey) AS o_orderkey,
-               CASE WHEN c.op IN ('U', 'I') THEN c.new_price
-                    ELSE round(o.o_totalprice, 2) END AS o_totalprice,
-               coalesce(o.o_orderstatus, 'N') AS o_orderstatus
-        FROM o FULL OUTER JOIN changes c ON o.o_orderkey = c.o_orderkey
-        WHERE coalesce(c.op, 'keep') <> 'D'
-    """,
-    "q87_distribution_windows": """
-        WITH per_nation AS (
-          SELECT c_nationkey, round(avg(c_acctbal), 4) AS avg_acctbal
-          FROM customer GROUP BY 1
-        )
-        SELECT n_name, avg_acctbal,
-               CAST(dense_rank() OVER w AS INTEGER) AS rk,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume
-        FROM per_nation JOIN nation ON c_nationkey = n_nationkey
-        WINDOW w AS (ORDER BY avg_acctbal DESC)
-    """,
-    "q88_frame_sample": """
-        -- documents.text is pure printable ASCII (verified both SFs),
-        -- so utf-8 payload bytes == characters and substr == slicing
-        WITH f AS (
-          SELECT doc_id, text,
-                 least(greatest(1, length(text) // 64), 8) AS n
-          FROM documents
-        ), e AS (
-          SELECT doc_id, text, unnest(range(0, n)) AS frame_idx FROM f
-        )
-        SELECT doc_id,
-               CAST(frame_idx AS INTEGER) AS frame_idx,
-               md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
-                 AS frame_md5,
-               CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER),
-                                  64)) AS INTEGER) AS frame_len
-        FROM e
-    """,
-    "q89_byte_histogram": """
-        WITH chars AS (
-          SELECT doc_id, text,
-                 unnest(range(1, length(text) + 1)) AS i
-          FROM documents
-        )
-        SELECT doc_id,
-               CAST(ord(substr(text, CAST(i AS INTEGER), 1)) // 4
-                    AS INTEGER) AS bin,
-               count(*) AS n
-        FROM chars
-        GROUP BY 1, 2
-    """,
-    "q90_pandas_udf_scalar": """
-        SELECT event_type,
-               round(avg(sqrt(abs(value))), 4) AS mean_sqrt_value,
-               count(*) AS n
-        FROM events
-        GROUP BY event_type
-    """,
-    "q91_stream_static_join": """
-        WITH dim(event_type, stage) AS (
-          VALUES ('view', 'awareness'), ('click', 'engagement'),
-                 ('signup', 'conversion'), ('purchase', 'conversion'),
-                 ('error', 'ops')
-        )
-        SELECT cast(date_trunc('day', ts) AS DATE) AS date, stage,
-               count(*) AS n, round(avg(value) + 1e-9, 4) AS avg_value
-        FROM events JOIN dim USING (event_type)
-        GROUP BY 1, 2
-    """,
-    "q28_stream_sessionize": """
-        WITH e AS (
-          SELECT event_id, user_id, value,
-                 epoch_ns(ts) // 1000000000 AS ts_s
-          FROM events
-        ), flagged AS (
-          SELECT user_id, event_id, value, ts_s,
-                 CASE WHEN lag(ts_s) OVER w IS NULL
-                           OR ts_s - lag(ts_s) OVER w > 1800
-                      THEN 1 ELSE 0 END AS b
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
-        ), sess AS (
-          -- CAST: HUGEINT sum would fetch as float64 (driver hash bomb)
-          SELECT user_id, value, ts_s,
-                 CAST(sum(b) OVER (PARTITION BY user_id
-                                   ORDER BY ts_s, event_id
-                                   ROWS UNBOUNDED PRECEDING)
-                      AS BIGINT) AS session_id
-          FROM flagged
-        ), s AS (
-          SELECT user_id, session_id, count(*) AS n_events,
-                 min(ts_s) AS start_s, max(ts_s) AS end_s,
-                 sum(CAST(round(value * 1e4) AS BIGINT)) / 1e4 AS sum_value,
-                 max(session_id) OVER (PARTITION BY user_id) AS last_sid
-          FROM sess GROUP BY 1, 2
-        ), wm AS (
-          -- final watermark: max event time, truncated to ms (0s delay)
-          SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events
-        )
-        SELECT user_id, session_id, n_events, start_s, end_s, sum_value
-        FROM s, wm
-        WHERE session_id < last_sid
-           OR (end_s + 1800) * 1000 < wm_ms
-    """,
-    "q92_stream_stream_join": """
-        WITH c AS (
-          SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
-          FROM events WHERE event_type = 'click'
-        ), e AS (
-          SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
-          FROM events WHERE event_type = 'error'
-        )
-        SELECT c.click_id, e.error_id, c.user_id,
-               e.e_us - c.c_us AS delta_us
-        FROM c JOIN e ON c.user_id = e.user_id
-                     AND e.e_us >= c.c_us
-                     AND e.e_us <= c.c_us + CAST(3600000000 AS BIGINT)
-    """,
-    "q93_tpch_promo_revenue": """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4)
-                 AS promo_revenue_pct,
-               count(*) AS n_lineitems
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-          AND l_shipdate < TIMESTAMP '1997-10-01'
-    """,
-    "q94_price_batch_status": _SALTED_SERVING_ORACLE,
-    # q98: stream-static serving — availableNow emission over a finite
-    # landing dir equals the batch scorer exactly; ONE shared oracle.
-    "q98_stream_price_status": _SALTED_SERVING_ORACLE,
-    # q95/q97: the Spark side routes through a real sink+source
-    # roundtrip (CSV / materialized parquet artifact); the oracle
-    # computes the same aggregate straight from the source tables —
-    # value parity proves the connector roundtrip is lossless.
-    "q95_csv_roundtrip": """
-        SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
-        FROM nation JOIN region ON n_regionkey = r_regionkey
-        GROUP BY 1
-    """,
-    "q96_json_relational": """
-        SELECT event_type,
-               count(cast(json_extract_string(props, '$.k') AS INTEGER))
-                 AS n_parsed,
-               CAST(sum(cast(json_extract_string(props, '$.k') AS INTEGER))
-                    AS BIGINT) AS sum_k,
-               min(cast(json_extract_string(props, '$.k') AS INTEGER))
-                 AS min_k,
-               max(cast(json_extract_string(props, '$.k') AS INTEGER))
-                 AS max_k
-        FROM events GROUP BY 1
-    """,
-    "q97_materialize_cache": """
-        WITH daily AS (
-          SELECT cast(ts AS DATE) AS date, event_type, count(*) AS n
-          FROM events GROUP BY 1, 2
-        )
-        SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
-               count(*) AS n_days
-        FROM daily GROUP BY 1
-    """,
-    "q99_bucketed_join": """
-        SELECT c_nationkey, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0
-                 AS sum_price
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY 1
-    """,
-    "q100_salted_join": """
-        WITH user_dim AS (
-          SELECT user_id,
-                 CASE WHEN count(*) >= 100 THEN 'heavy' ELSE 'light' END
-                   AS tier
-          FROM events GROUP BY 1
-        )
-        SELECT tier, count(*) AS n_clicks,
-               sum(CAST(round(value * 1e4) AS BIGINT)) / 1e4 AS sum_value
-        FROM events e JOIN user_dim USING (user_id)
-        WHERE event_type = 'click'
-        GROUP BY tier
-    """,
-    "q101_line_dedup": """
-        WITH src AS (
-          SELECT doc_id, string_split(text, '.') AS parts FROM documents
-        ), exploded AS (
-          SELECT doc_id,
-                 unnest(range(len(parts))) AS pos,
-                 unnest(parts) AS rawline
-          FROM src
-        ), lines AS (
-          SELECT doc_id, pos, trim(rawline) AS line
-          FROM exploded WHERE trim(rawline) <> ''
-        ), bp AS (
-          SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
-          GROUP BY line HAVING count(*) >= 10
-        ), kept AS (
-          SELECT l.* FROM lines l ANTI JOIN bp USING (line)
-        ), rebuilt AS (
-          SELECT doc_id, count(*) AS n_kept,
-                 md5(string_agg(line, '. ' ORDER BY pos)) AS text_md5
-          FROM kept GROUP BY doc_id
-        ), totals AS (
-          SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
-        )
-        SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
-               r.text_md5
-        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
-    """,
-    "q102_export_manifest": """
-        WITH per_doc AS (
-          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
-                        ::BIGINT % 16 AS INTEGER) AS shard,
-                 length(text) AS n_chars,
-                 md5(text) AS doc_md5
-          FROM documents
-        )
-        SELECT shard, count(*) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               md5(string_agg(doc_md5, '' ORDER BY doc_md5)) AS content_md5
-        FROM per_doc GROUP BY shard
-    """,
-    "q103_dataset_card": """
-        WITH dup AS (
-          SELECT text, count(*) AS n FROM documents GROUP BY text
-        ), langs AS (
-          SELECT string_agg(e, ',' ORDER BY e) AS langs FROM (
-            SELECT lang || ':' || CAST(count(*) AS VARCHAR) AS e
-            FROM documents GROUP BY lang)
-        ), s AS (
-          -- list_filter(x <> ''): a blank/whitespace-only doc splits to
-          -- [''] (1 token) in DuckDB where Spark's token_count yields 0
-          SELECT count(*) AS n_docs,
-                 CAST(sum(length(text)) AS BIGINT) AS total_chars,
-                 CAST(sum(len(list_filter(
-                        string_split_regex(trim(text), '\\s+'),
-                        x -> x <> ''))) AS BIGINT) AS total_tokens,
-                 count(DISTINCT source) AS n_sources
-          FROM documents
-        ), d AS (
-          SELECT CAST(((sum(n) - count(*)) * 10000) // sum(n) AS BIGINT)
-                   AS dup_permyriad
-          FROM dup
-        )
-        SELECT * FROM s, d, langs
-    """,
-    "q104_robust_outliers": """
-        WITH med AS (
-          SELECT event_type, quantile_cont(value, 0.5) AS m
-          FROM events GROUP BY 1
-        ), mad AS (
-          SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d,
-                 any_value(m) AS m
-          FROM events JOIN med USING (event_type) GROUP BY event_type
-        )
-        SELECT event_type, count(*) AS n,
-               CAST(sum(CASE WHEN 0.6745 * abs(value - m) / d > 3.5
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-               round(any_value(m), 4) AS median,
-               round(any_value(d), 4) AS mad
-        FROM events JOIN mad USING (event_type)
-        GROUP BY event_type
-    """,
-    "q105_session_funnel": """
-        WITH e AS (
-          SELECT event_id, user_id, event_type,
-                 epoch_ns(ts) // 1000000000 AS ts_s
-          FROM events
-        ), flagged AS (
-          SELECT user_id, event_id, event_type, ts_s,
-                 CASE WHEN lag(ts_s) OVER w IS NULL
-                           OR ts_s - lag(ts_s) OVER w > 1800
-                      THEN 1 ELSE 0 END AS b
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
-        ), sess AS (
-          SELECT user_id, event_type, ts_s,
-                 sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM flagged
-        ), per_session AS (
-          SELECT user_id, session_id,
-                 min(CASE WHEN event_type = 'click' THEN ts_s END)
-                   AS first_click,
-                 max(CASE WHEN event_type = 'purchase' THEN ts_s END)
-                   AS last_purchase
-          FROM sess GROUP BY 1, 2
-        )
-        SELECT count(*) AS n_sessions,
-               CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_with_click,
-               CAST(sum(CASE WHEN first_click IS NOT NULL
-                              AND last_purchase IS NOT NULL
-                              AND last_purchase >= first_click
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
-        FROM per_session
-    """,
-    "q106_pii_scrub": """
-        WITH salted AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 13 = 0
-                      THEN text || ' contact user' ||
-                           CAST(doc_id AS VARCHAR) || '@example.com now'
-                      ELSE text END AS text
-          FROM documents
-        )
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text,
-                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
-                 AS INTEGER) AS n_emails,
-               md5(regexp_replace(text,
-                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
-                 '<EMAIL>', 'g')) AS masked_md5
-        FROM salted
-    """,
-    "q108_rest_ingest": """
-        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
-               count(*) AS n_nations, min(n_name) AS first_nation
-        FROM nation GROUP BY 1
-    """,
-    "q107_equidepth_histogram": """
-        WITH edges AS (
-          SELECT event_type,
-                 quantile_cont(value, 0.2) AS p2,
-                 quantile_cont(value, 0.4) AS p4,
-                 quantile_cont(value, 0.6) AS p6,
-                 quantile_cont(value, 0.8) AS p8
-          FROM events GROUP BY 1
-        )
-        SELECT event_type,
-               CAST(CASE WHEN value < p2 THEN 0
-                         WHEN value < p4 THEN 1
-                         WHEN value < p6 THEN 2
-                         WHEN value < p8 THEN 3
-                         ELSE 4 END AS INTEGER) AS bin,
-               count(*) AS n,
-               round(min(p2), 4) AS p20,
-               round(min(p8), 4) AS p80
-        FROM events JOIN edges USING (event_type)
-        GROUP BY 1, 2
-    """,
-    "q109_unigram_lm_score": """
-        WITH toks AS (
-          SELECT doc_id, tok FROM (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-            FROM documents) t
-          WHERE tok <> ''
-        ), lm_counts AS (
-          SELECT tok, count(*) AS c
-          FROM toks
-          WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                  % 100 < 80
-          GROUP BY 1
-        ), consts AS (
-          SELECT sum(c) AS n, count(*) AS v FROM lm_counts
-        ), lm AS (
-          SELECT tok,
-                 cast(round(-ln((c + 1.0) / (n + v)) * 1000000) AS BIGINT)
-                   AS nll_s
-          FROM lm_counts CROSS JOIN consts
-        ), oov AS (
-          SELECT cast(round(-ln(1.0 / (n + v)) * 1000000) AS BIGINT)
-                   AS oov_s
-          FROM consts
-        ), doc_toks AS (
-          SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
-        )
-        SELECT doc_id, cast(sum(cnt) AS BIGINT) AS n_tokens,
-               round(cast(sum(cnt * coalesce(nll_s, oov_s)) AS DOUBLE)
-                     / sum(cnt) / 1000000, 4) AS avg_nll
-        FROM doc_toks LEFT JOIN lm USING (tok) CROSS JOIN oov
-        GROUP BY doc_id
-    """,
-    "q110_leakage_safe_split": """
-        WITH RECURSIVE toks AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, unnest(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
-                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                 ELSE [array_to_string(t, ' ')] END) AS sh
-          FROM toks
-        ), capped AS (
-          SELECT s.* FROM sh s JOIN (
-            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
-        ), sizes AS (
-          SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
-        ), inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ), pairs AS (
-          SELECT id_a, id_b
-          FROM inter
-          JOIN sizes sa ON id_a = sa.doc_id
-          JOIN sizes sb ON id_b = sb.doc_id
-          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
-        ), edges AS (
-          SELECT id_a AS s, id_b AS d FROM pairs
-          UNION
-          SELECT id_b, id_a FROM pairs
-        ), reach(node, comp) AS (
-          SELECT DISTINCT s, s FROM edges
-          UNION
-          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
-        ), comp AS (
-          SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
-        ), keyed AS (
-          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
-          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-        )
-        SELECT doc_id, group_key,
-               CASE WHEN ('0x' || substr(md5(cast(group_key AS VARCHAR)),
-                          1, 8))::BIGINT % 100 < 80 THEN 'train'
-                    WHEN ('0x' || substr(md5(cast(group_key AS VARCHAR)),
-                          1, 8))::BIGINT % 100 < 90 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM keyed
-    """,
-    "q111_bloom_semi_join": """
-        WITH keys AS (
-          SELECT o_orderkey FROM orders
-          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
-        )
-        SELECT l_returnflag, count(*) AS n_items,
-               cast(sum(cast(round(l_extendedprice * 100) AS BIGINT))
-                    AS BIGINT) / 100.0 AS sum_price,
-               cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        FROM lineitem
-        WHERE l_orderkey IN (SELECT o_orderkey FROM keys)
-        GROUP BY 1
-    """,
-    "q112_epoch_upsample": """
-        WITH c AS (
-          SELECT doc_id, lang,
-                 CASE lang WHEN 'fr' THEN 2.5 WHEN 'de' THEN 3.2
-                           WHEN 'es' THEN 0.5 ELSE 1.0 END AS e
-          FROM documents
-        ), n AS (
-          SELECT doc_id, lang,
-                 cast(floor(e) AS INT) +
-                 CASE WHEN ('0x' || substr(md5('ep' ||
-                            cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
-                        < cast(round((e - floor(e)) * 100) AS INT)
-                      THEN 1 ELSE 0 END AS n_copies
-          FROM c
-        )
-        SELECT doc_id, lang,
-               cast(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
-        FROM n WHERE n_copies > 0
-    """,
-    "q113_tpch_large_orders": """
-        WITH big AS (
-          SELECT l_orderkey,
-                 cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT)
-                   AS total_qty
-          FROM lineitem GROUP BY 1 HAVING total_qty > 250
-        )
-        SELECT c_name, o_orderkey,
-               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-               round(o_totalprice, 2) AS o_totalprice, total_qty
-        FROM big
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-    """,
-    "q114_tpch_churned_customers": """
-        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
-        FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderdate >= date '1998-01-01')
-    """,
-    "q115_pq_topk": """
-        SELECT CAST(5 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
-               true AS recall_ge_50pct
-    """,
-    "q116_stream_upsert": """
-        SELECT user_id, last_event_id, last_value, last_ts_us FROM (
-          SELECT user_id, event_id AS last_event_id, value AS last_value,
-                 epoch_ns(ts) // 1000 AS last_ts_us,
-                 row_number() OVER (PARTITION BY user_id
-                                    ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events) t
-        WHERE rn = 1
-    """,
-    "q117_embedding_standardize": """
-        WITH dims AS (
-          SELECT label, vec_id,
-                 unnest(range(1, len(embedding) + 1)) AS pos,
-                 unnest(embedding) AS x
-          FROM embeddings
-        ), stats AS (
-          SELECT label, pos,
-                 round(avg(x) * 1000000) / 1000000 AS mu,
-                 round(coalesce(stddev(x), 0) * 1000000) / 1000000 AS sigma
-          FROM dims GROUP BY 1, 2
-        ), z AS (
-          SELECT d.vec_id, d.label,
-                 CASE WHEN s.sigma > 0 THEN (d.x - s.mu) / s.sigma
-                      ELSE 0.0 END AS zd
-          FROM dims d JOIN stats s ON d.label = s.label AND d.pos = s.pos
-        )
-        SELECT vec_id, label,
-               cast(sum(cast(round(zd * 10000) AS BIGINT)) AS BIGINT)
-                 / 10000.0 AS zsum
-        FROM z GROUP BY 1, 2
-    """,
-    "q118_backfill_range": """
-        WITH daily AS (
-          SELECT r_name AS libelle_region, cast(ts AS DATE) AS date,
-                 round(avg(value) * 100, 4) AS conso_mwh
-          FROM events JOIN region ON cast(user_id % 5 AS INTEGER) = r_regionkey
-          GROUP BY 1, 2
-        ), idx AS (
-          SELECT date, row_number() OVER (ORDER BY date) - 1 AS rn,
-                 count(*) OVER () AS n
-          FROM (SELECT DISTINCT date FROM daily)
-        ), picks AS (
-          SELECT max(CASE WHEN rn = (n * 6) // 10 THEN date END) AS split_d,
-                 max(CASE WHEN rn = (n * 4) // 10 THEN date END) AS bf_start,
-                 max(CASE WHEN rn = least(n - 1, (n * 8) // 10) THEN date END)
-                   AS bf_end
-          FROM idx
-        )
-        SELECT libelle_region, strftime(date, '%Y-%m-%d') AS date, conso_mwh
-        FROM daily, picks
-        WHERE date < split_d OR date BETWEEN bf_start AND bf_end
-    """,
-    "q119_incremental_view": """
-        WITH new_orders AS (
-          SELECT o_orderkey, o_custkey,
-                 CASE WHEN o_orderkey % 7 = 3
-                      THEN round(o_totalprice * 1.05 + 1e-9, 2)
-                      ELSE o_totalprice END AS o_totalprice
-          FROM orders
-        ), new_customer AS (
-          SELECT c_custkey,
-                 CASE WHEN c_custkey % 11 = 2 THEN 'CHURNED'
-                      ELSE c_mktsegment END AS c_mktsegment
-          FROM customer
-        )
-        SELECT c_mktsegment, count(*) AS n_orders,
-               cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) / 100.0 AS sum_price
-        FROM new_orders JOIN new_customer ON o_custkey = c_custkey
-        GROUP BY 1
-    """,
-    "q120_cogroup_conversion": """
-        WITH e AS (
-          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
-          FROM events
-        ), c AS (
-          SELECT user_id, count(*) AS n_clicks, min(ts_us) AS first_click
-          FROM e WHERE event_type = 'click' GROUP BY 1
-        ), p AS (
-          SELECT user_id, count(*) AS n_purchases
-          FROM e WHERE event_type = 'purchase' GROUP BY 1
-        ), conv AS (
-          SELECT e.user_id,
-                 min(e.ts_us) - c.first_click AS convert_us
-          FROM e JOIN c USING (user_id)
-          WHERE e.event_type = 'purchase' AND e.ts_us >= c.first_click
-          GROUP BY e.user_id, c.first_click
-        )
-        SELECT coalesce(c.user_id, p.user_id) AS user_id,
-               coalesce(n_clicks, 0) AS n_clicks,
-               coalesce(n_purchases, 0) AS n_purchases,
-               conv.convert_us
-        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
-        LEFT JOIN conv ON coalesce(c.user_id, p.user_id) = conv.user_id
-    """,
-    "q121_tpch_order_priority": """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders o
-        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-          AND o_orderdate < TIMESTAMP '1996-10-01'
-          AND EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey
-                        AND l.l_returnflag = 'R')
-        GROUP BY 1
-    """,
-    "q122_tpch_volume_shipping": """
-        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               cast(year(l_shipdate) AS INTEGER) AS l_year,
-               round(cast(sum(cast(round(l_extendedprice
-                       * (1 - l_discount) * 1e4) AS BIGINT)) AS BIGINT)
-                     / 1e4, 2) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-          AND l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1998-01-01'
-        GROUP BY 1, 2, 3
-    """,
-    "q123_tpch_market_share": """
-        SELECT cast(year(o_orderdate) AS INTEGER) AS o_year,
-               round(
-                 cast(sum(CASE WHEN sn.n_name = 'NATION_5'
-                        THEN cast(round(l_extendedprice
-                               * (1 - l_discount) * 1e4) AS BIGINT)
-                        ELSE 0 END) AS DOUBLE)
-                 / cast(sum(cast(round(l_extendedprice
-                        * (1 - l_discount) * 1e4) AS BIGINT)) AS DOUBLE),
-                 6) AS mkt_share
-        FROM lineitem
-        JOIN part ON l_partkey = p_partkey
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation cn ON c_nationkey = cn.n_nationkey
-        JOIN region ON cn.n_regionkey = r_regionkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation sn ON s_nationkey = sn.n_nationkey
-        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
-        GROUP BY 1
-    """,
-    "q124_tpch_product_profit": """
-        SELECT n_name AS nation,
-               cast(year(o_orderdate) AS INTEGER) AS o_year,
-               round(cast(sum(
-                   cast(round(l_extendedprice * (1 - l_discount) * 1e4)
-                        AS BIGINT)
-                 - cast(round(p_retailprice * l_quantity * 1e3)
-                        AS BIGINT)) AS BIGINT) / 1e4, 2) AS profit
-        FROM lineitem
-        JOIN part ON l_partkey = p_partkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN orders ON l_orderkey = o_orderkey
-        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-        GROUP BY 1, 2
-    """,
-    "q125_tpch_customer_distribution": """
-        SELECT c_count, count(*) AS custdist FROM (
-          SELECT c_custkey, count(o_orderkey) AS c_count
-          FROM customer
-          LEFT JOIN orders ON c_custkey = o_custkey
-                          AND o_orderpriority <> '1-URGENT'
-          GROUP BY c_custkey)
-        GROUP BY 1
-    """,
-    "q126_tpch_top_supplier": """
-        WITH revenue AS (
-          SELECT l_suppkey,
-                 cast(sum(cast(round(l_extendedprice * (1 - l_discount)
-                                     * 1e4) AS BIGINT)) AS BIGINT)
-                   AS rev_e4
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-            AND l_shipdate < TIMESTAMP '1996-04-01'
-          GROUP BY 1
-        )
-        SELECT s_suppkey, s_name, round(rev_e4 / 1e4, 2) AS total_revenue
-        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-        WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
-    """,
-    "q127_tpch_small_quantity_revenue": """
-        WITH branded AS (
-          SELECT l_partkey, l_quantity, l_extendedprice
-          FROM lineitem JOIN part ON l_partkey = p_partkey
-          WHERE p_brand = 'Brand#23'
-        ), thr AS (
-          SELECT l_partkey,
-                 round(avg(l_quantity) * 0.2 * 1e6) / 1e6 AS thr
-          FROM branded GROUP BY 1
-        )
-        SELECT round(cast(sum(cast(round(l_extendedprice * 1e2) AS BIGINT))
-                          AS BIGINT) / 1e2 / 7.0, 2) AS avg_yearly
-        FROM branded JOIN thr USING (l_partkey)
-        WHERE l_quantity < thr
-    """,
-    "q128_tpch_disjunctive_revenue": """
-        SELECT round(coalesce(cast(sum(cast(round(l_extendedprice
-                 * (1 - l_discount) * 1e4) AS BIGINT)) AS BIGINT), 0)
-               / 1e4, 2) AS revenue
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-               AND l_quantity BETWEEN 1 AND 11)
-           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-               AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 20 AND 30)
-    """,
-    "q129_tpch_sole_returning_supplier": """
-        WITH n_supp AS (
-          SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
-          FROM lineitem GROUP BY 1
-        ), ret AS (
-          SELECT DISTINCT l_orderkey, l_suppkey
-          FROM lineitem WHERE l_returnflag = 'R'
-        ), n_ret AS (
-          SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_ret
-          FROM ret GROUP BY 1
-        )
-        SELECT s_suppkey, s_name, count(*) AS numwait
-        FROM ret
-        JOIN n_supp USING (l_orderkey)
-        JOIN n_ret USING (l_orderkey)
-        JOIN supplier ON l_suppkey = s_suppkey
-        WHERE n_supp > 1 AND n_ret = 1
-        GROUP BY 1, 2
-    """,
-    "q130_bm25_topk": """
-        WITH docs AS (
-          SELECT doc_id, trim(lower(text)) AS t FROM documents
-        ), lens AS (
-          SELECT doc_id,
-                 cast(len(list_filter(string_split_regex(t, '\\s+'),
-                                      x -> x <> '')) AS BIGINT) AS dl
-          FROM docs
-        ), qt AS (
-          SELECT doc_id,
-                 unnest(list_filter(string_split_regex(t, '\\s+'),
-                                    x -> x <> '')) AS tok
-          FROM docs
-        ), hits AS (
-          SELECT doc_id, tok FROM qt
-          WHERE tok IN ('spark', 'hash', 'window')
-        ), tf AS (
-          SELECT doc_id,
-            cast(sum(CASE WHEN tok='spark' THEN 1 ELSE 0 END) AS BIGINT)
-              AS tf_spark,
-            cast(sum(CASE WHEN tok='hash' THEN 1 ELSE 0 END) AS BIGINT)
-              AS tf_hash,
-            cast(sum(CASE WHEN tok='window' THEN 1 ELSE 0 END) AS BIGINT)
-              AS tf_window
-          FROM hits GROUP BY 1
-        ), stats AS (
-          SELECT cast(count(*) AS BIGINT) AS n,
-                 cast(sum(dl) AS BIGINT) AS sumdl
-          FROM lens
-        ), dfs AS (
-          SELECT
-            cast(sum(CASE WHEN tok='spark' THEN 1 ELSE 0 END) AS BIGINT)
-              AS df_spark,
-            cast(sum(CASE WHEN tok='hash' THEN 1 ELSE 0 END) AS BIGINT)
-              AS df_hash,
-            cast(sum(CASE WHEN tok='window' THEN 1 ELSE 0 END) AS BIGINT)
-              AS df_window
-          FROM (SELECT DISTINCT doc_id, tok FROM hits)
-        ), scored AS (
-          SELECT tf.doc_id,
-            cast(round((
-              ((cast(n AS DOUBLE) - cast(df_spark AS DOUBLE) + 0.5)
-                 / (cast(df_spark AS DOUBLE) + 0.5))
-                * (cast(tf_spark AS DOUBLE) * (1.2 + 1))
-                / (cast(tf_spark AS DOUBLE)
-                   + 1.2 * (0.25 + 0.75 * (cast(dl AS DOUBLE)
-                       / (cast(sumdl AS DOUBLE) / cast(n AS DOUBLE)))))
-              + ((cast(n AS DOUBLE) - cast(df_hash AS DOUBLE) + 0.5)
-                 / (cast(df_hash AS DOUBLE) + 0.5))
-                * (cast(tf_hash AS DOUBLE) * (1.2 + 1))
-                / (cast(tf_hash AS DOUBLE)
-                   + 1.2 * (0.25 + 0.75 * (cast(dl AS DOUBLE)
-                       / (cast(sumdl AS DOUBLE) / cast(n AS DOUBLE)))))
-              + ((cast(n AS DOUBLE) - cast(df_window AS DOUBLE) + 0.5)
-                 / (cast(df_window AS DOUBLE) + 0.5))
-                * (cast(tf_window AS DOUBLE) * (1.2 + 1))
-                / (cast(tf_window AS DOUBLE)
-                   + 1.2 * (0.25 + 0.75 * (cast(dl AS DOUBLE)
-                       / (cast(sumdl AS DOUBLE) / cast(n AS DOUBLE)))))
-            ) * 1e4) AS BIGINT) AS s_e4
-          FROM tf JOIN lens ON tf.doc_id = lens.doc_id, stats, dfs
-        )
-        SELECT doc_id, cast(rank AS INTEGER) AS rank,
-               round(s_e4 / 1e4, 4) AS score
-        FROM (SELECT doc_id, s_e4,
-                     row_number() OVER (ORDER BY s_e4 DESC, doc_id)
-                       AS rank
-              FROM scored) r
-        WHERE rank <= 20
-    """,
-    "q131_containment_dedup": """
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, unnest(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
-                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                 ELSE [array_to_string(t, ' ')] END) AS sh
-          FROM toks
-        ), capped AS (
-          SELECT s.* FROM sh s JOIN (
-            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
-        ), sizes AS (
-          SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
-        ), inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               round(inter * 1.0 / sa.n, 4) AS containment_a,
-               round(inter * 1.0 / sb.n, 4) AS containment_b
-        FROM inter
-        JOIN sizes sa ON id_a = sa.doc_id
-        JOIN sizes sb ON id_b = sb.doc_id
-        WHERE inter * 1.0 / sa.n >= 0.6 OR inter * 1.0 / sb.n >= 0.6
-    """,
-    "q132_mixture_temperature": """
-        WITH g AS (
-          SELECT lang, source, cast(count(*) AS BIGINT) AS n_docs
-          FROM documents GROUP BY 1, 2
-        ), w AS (
-          SELECT lang, source, n_docs,
-                 cast(round(sqrt(cast(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
-                   AS s
-          FROM g
-        ), t AS (
-          SELECT cast(sum(s) AS BIGINT) AS tot_s,
-                 cast(sum(n_docs) AS BIGINT) AS tot_n
-          FROM w
-        )
-        SELECT lang, source, n_docs,
-               round(cast(s AS DOUBLE) / cast(tot_s AS DOUBLE), 6)
-                 AS weight,
-               cast(round(cast(s AS DOUBLE) / cast(tot_s AS DOUBLE)
-                          * cast(tot_n AS DOUBLE)) AS BIGINT)
-                 AS target_docs
-        FROM w, t
-    """,
-    "q133_arrow_byte_stats": """
-        SELECT doc_id,
-               cast(strlen(text) AS BIGINT) AS n_bytes,
-               cast(len(text) - len(replace(text, ' ', '')) AS BIGINT)
-                 AS n_spaces
-        FROM documents
-    """,
-    "q134_pagerank_fixed": """
-        WITH pairs AS (
-          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ), edges AS (
-          SELECT src, dst FROM pairs
-          UNION ALL
-          SELECT dst AS src, src AS dst FROM pairs
-        ), deg AS (
-          SELECT src AS node, cast(count(*) AS BIGINT) AS deg
-          FROM edges GROUP BY 1
-        ), nn AS (
-          SELECT cast(count(*) AS BIGINT) AS n FROM deg
-        ), r0 AS (
-          SELECT node, deg,
-                 cast(round(1e9 / cast(n AS DOUBLE)) AS BIGINT) AS r
-          FROM deg, nn
-        ), c1 AS (
-          SELECT e.dst AS node,
-                 cast(sum(cast(round(cast(r AS DOUBLE)
-                       / cast(deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS i
-          FROM r0 JOIN edges e ON r0.node = e.src GROUP BY 1
-        ), r1 AS (
-          SELECT d.node, d.deg,
-                 cast(round(((1 - 0.85) * 1e9) / cast(n AS DOUBLE))
-                      AS BIGINT)
-                 + cast(round(0.85 * cast(coalesce(i, 0) AS DOUBLE))
-                        AS BIGINT) AS r
-          FROM deg d LEFT JOIN c1 ON d.node = c1.node, nn
-        ), c2 AS (
-          SELECT e.dst AS node,
-                 cast(sum(cast(round(cast(r AS DOUBLE)
-                       / cast(deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS i
-          FROM r1 JOIN edges e ON r1.node = e.src GROUP BY 1
-        ), r2 AS (
-          SELECT d.node, d.deg,
-                 cast(round(((1 - 0.85) * 1e9) / cast(n AS DOUBLE))
-                      AS BIGINT)
-                 + cast(round(0.85 * cast(coalesce(i, 0) AS DOUBLE))
-                        AS BIGINT) AS r
-          FROM deg d LEFT JOIN c2 ON d.node = c2.node, nn
-        ), c3 AS (
-          SELECT e.dst AS node,
-                 cast(sum(cast(round(cast(r AS DOUBLE)
-                       / cast(deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS i
-          FROM r2 JOIN edges e ON r2.node = e.src GROUP BY 1
-        ), r3 AS (
-          SELECT d.node, d.deg,
-                 cast(round(((1 - 0.85) * 1e9) / cast(n AS DOUBLE))
-                      AS BIGINT)
-                 + cast(round(0.85 * cast(coalesce(i, 0) AS DOUBLE))
-                        AS BIGINT) AS r
-          FROM deg d LEFT JOIN c3 ON d.node = c3.node, nn
-        )
-        SELECT node, round(r / 1e9, 9) AS rank FROM r3
-    """,
-    "q135_observed_metrics": """
-        SELECT cast(count(*) AS BIGINT) AS n_rows,
-               cast(sum(cast(round(value * 1e2) AS BIGINT)) AS BIGINT)
-                 AS value_sum_e2,
-               cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_null_value
-        FROM events
-    """,
-    "q136_schema_evolution": """
-        SELECT lang, count(*) AS n_docs,
-               cast(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_v1_rows,
-               cast(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100
-                             ELSE 0 END) AS BIGINT) AS score_sum
-        FROM documents GROUP BY 1
-    """,
-    "q137_ngram_novelty": """
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, unnest(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
-                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                 ELSE [array_to_string(t, ' ')] END) AS sh
-          FROM toks
-        ), first_seen AS (
-          SELECT sh, min(doc_id) AS first FROM sh GROUP BY 1
-        )
-        SELECT doc_id, count(*) AS n_shingles,
-               cast(sum(CASE WHEN first = doc_id THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_novel,
-               round(sum(CASE WHEN first = doc_id THEN 1 ELSE 0 END)
-                     * 1.0 / count(*), 4) AS novelty
-        FROM sh JOIN first_seen USING (sh)
-        GROUP BY doc_id
-    """,
-    "q138_unpivot_daily": """
-        WITH wide AS (
-          SELECT cast(ts AS DATE) AS d,
-                 cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                      AS BIGINT) AS click,
-                 cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                      AS BIGINT) AS view,
-                 cast(sum(CASE WHEN event_type = 'purchase' THEN 1
-                               ELSE 0 END) AS BIGINT) AS purchase
-          FROM events GROUP BY 1
-        )
-        SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n
-        FROM wide
-        UNPIVOT (n FOR event_type IN (click, view, purchase))
-    """,
-    "q139_table_checksum": """
-        WITH h AS (
-          SELECT l_returnflag, l_linestatus,
-                 ('0x' || substring(md5(concat_ws('|',
-                     cast(l_orderkey AS VARCHAR),
-                     cast(l_partkey AS VARCHAR),
-                     cast(l_suppkey AS VARCHAR),
-                     cast(l_linenumber AS VARCHAR),
-                     l_returnflag, l_linestatus)), 1, 12))::BIGINT AS d48
-          FROM lineitem
-        )
-        SELECT l_returnflag, l_linestatus,
-               count(*) AS n_rows,
-               cast(sum(d48 % 1000000007) % 1000000007 AS BIGINT)
-                 AS sum_mod,
-               bit_xor(d48) AS xor48
-        FROM h GROUP BY 1, 2
-    """,
-    "q140_set_ops_all": """
-        WITH e AS (
-          SELECT user_id, event_type, cast(ts AS DATE) AS d FROM events
-        ), early AS (
-          SELECT user_id, event_type FROM e WHERE d < DATE '2024-01-16'
-        ), late AS (
-          SELECT user_id, event_type FROM e WHERE d >= DATE '2024-01-16'
-        ), surv AS (
-          SELECT * FROM early EXCEPT ALL SELECT * FROM late
-        ), comm AS (
-          SELECT * FROM early INTERSECT ALL SELECT * FROM late
-        ), s AS (
-          SELECT user_id, event_type, count(*) AS n_survive
-          FROM surv GROUP BY 1, 2
-        ), c AS (
-          SELECT user_id, event_type, count(*) AS n_common
-          FROM comm GROUP BY 1, 2
-        )
-        SELECT coalesce(s.user_id, c.user_id) AS user_id,
-               coalesce(s.event_type, c.event_type) AS event_type,
-               coalesce(n_survive, 0) AS n_survive,
-               coalesce(n_common, 0) AS n_common
-        FROM s FULL OUTER JOIN c
-          ON s.user_id = c.user_id AND s.event_type = c.event_type
-    """,
-    "q141_lateral_topk": """
-        SELECT n.n_name, top.c_custkey, top.c_name,
-               round(top.c_acctbal, 2) AS c_acctbal
-        FROM nation n,
-        LATERAL (
-          SELECT c_custkey, c_name, c_acctbal
-          FROM customer c
-          WHERE c.c_nationkey = n.n_nationkey
-          ORDER BY c_acctbal DESC, c_custkey
-          LIMIT 3
-        ) AS top
-    """,
-    "q142_time_range_frame": """
-        WITH e AS (
-          SELECT event_id, user_id,
-                 epoch_ns(ts) // 1000000000 AS sec,
-                 cast(round(value * 1e2) AS BIGINT) AS v_e2
-          FROM events
-        )
-        SELECT event_id, user_id,
-               count(*) OVER w AS n_trailing_1h,
-               cast(sum(v_e2) OVER w AS BIGINT) AS sum_e2_trailing_1h
-        FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY sec
-                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
-    """,
-    "q143_window_funcs_complete": """
-        SELECT event_id, user_id,
-               lag(event_type, 1) OVER w AS prev_type,
-               lead(event_type, 1) OVER w AS next_type,
-               first_value(event_id) OVER wf AS first_event,
-               last_value(event_id) OVER wf AS last_event,
-               nth_value(event_id, 2) OVER wf AS second_event,
-               cast(rank() OVER w AS INTEGER) AS rnk,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume
-        FROM events
-        WINDOW w AS (PARTITION BY user_id
-                     ORDER BY epoch_ns(ts) // 1000, event_id),
-               wf AS (PARTITION BY user_id
-                      ORDER BY epoch_ns(ts) // 1000, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND UNBOUNDED FOLLOWING)
-    """,
-    "q144_nullsafe_join": """
-        WITH k AS (
-          SELECT CASE WHEN user_id % 7 = 0 THEN NULL
-                      ELSE user_id % 7 END AS bucket,
-                 event_type
-          FROM events
-        ), a AS (
-          SELECT bucket, count(*) AS n_all FROM k GROUP BY 1
-        ), p AS (
-          SELECT bucket AS pb, count(*) AS n_purchase
-          FROM k WHERE event_type = 'purchase' GROUP BY 1
-        )
-        SELECT bucket, n_all, n_purchase
-        FROM a JOIN p ON a.bucket IS NOT DISTINCT FROM p.pb
-    """,
-    "q145_bpe_pair_counts": """
-        WITH vocab AS (
-          SELECT tok, cast(count(*) AS BIGINT) AS cnt
-          FROM (
-            SELECT unnest(list_filter(
-              string_split_regex(trim(lower(text)), '\\s+'),
-              x -> x <> '')) AS tok
-            FROM documents)
-          GROUP BY 1 HAVING length(tok) >= 2
-        ), pairs AS (
-          SELECT unnest(list_transform(range(1, length(tok)),
-                        i -> tok[i : i + 1])) AS pair,
-                 cnt
-          FROM vocab
-        ), counted AS (
-          SELECT pair, cast(sum(cnt) AS BIGINT) AS n
-          FROM pairs GROUP BY 1
-        )
-        SELECT cast(row_number() OVER (ORDER BY n DESC, pair)
-                    AS INTEGER) AS merge_rank,
-               pair, n
-        FROM counted
-        ORDER BY n DESC, pair LIMIT 20
-    """,
-    "q146_market_basket": """
-        WITH baskets AS (
-          SELECT DISTINCT user_id, event_type FROM events
-        ), nu AS (
-          SELECT cast(count(DISTINCT user_id) AS BIGINT) AS n FROM baskets
-        ), tc AS (
-          SELECT event_type, cast(count(*) AS BIGINT) AS n_t
-          FROM baskets GROUP BY 1
-        ), pc AS (
-          SELECT a.event_type AS type_a, b.event_type AS type_b,
-                 cast(count(*) AS BIGINT) AS n_ab
-          FROM baskets a JOIN baskets b ON a.user_id = b.user_id
-          WHERE a.event_type < b.event_type
-          GROUP BY 1, 2
-        )
-        SELECT type_a, type_b, n_ab AS n_both,
-               round(n_ab * 1.0 / n, 6) AS support,
-               round(n_ab * 1.0 / ta.n_t, 6) AS conf_a_to_b,
-               round(n_ab * 1.0 / tb.n_t, 6) AS conf_b_to_a,
-               round((n_ab * n) * 1.0 / (ta.n_t * tb.n_t), 6) AS lift
-        FROM pc
-        JOIN tc ta ON pc.type_a = ta.event_type
-        JOIN tc tb ON pc.type_b = tb.event_type, nu
-    """,
-    "q147_python_datasource": """
-        WITH r AS (
-          SELECT unnest(range(0, 800)) AS rid
-        )
-        SELECT 'cat' || cast(rid % 5 AS VARCHAR) AS category,
-               count(*) AS n,
-               cast(count(DISTINCT rid // 100) AS BIGINT) AS n_pages,
-               sum((rid % 997) * 0.25) AS total_amount
-        FROM r GROUP BY 1
-    """,
-    "q148_variant_json": """
-        WITH k AS (
-          SELECT event_type,
-                 cast(json_extract(props, '$.k') AS BIGINT) AS kk
-          FROM events
-        )
-        SELECT event_type, count(*) AS n,
-               min(kk) AS k_min, max(kk) AS k_max,
-               cast(sum(kk) AS BIGINT) AS k_sum,
-               round(cast(sum(kk) AS DOUBLE) / cast(count(*) AS DOUBLE), 6)
-                 AS k_mean
-        FROM k GROUP BY 1
-    """,
-    "q149_bootstrap_ci": """
-        WITH grp AS (
-          SELECT event_type,
-                 cast(round(value * 1e2) AS BIGINT) AS v_e2,
-                 event_id,
-                 unnest(range(0, 13)) AS g
-          FROM events
-        ), dig AS (
-          SELECT event_type, v_e2, g,
-                 md5(cast(g AS VARCHAR) || ':' ||
-                     cast(event_id AS VARCHAR)) AS d
-          FROM grp
-        ), withu AS (
-          SELECT event_type, v_e2, g * 4 + j AS b,
-                 ('0x' || substring(d, 1 + 8 * cast(j AS INT), 8))::BIGINT
-                   / 4294967296.0 AS u
-          FROM dig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
-          WHERE g * 4 + j < 50
-        ), mults AS (
-          SELECT event_type, v_e2, b,
-                 cast(CASE WHEN u < 0.367879441 THEN 0
-                           WHEN u < 0.735758882 THEN 1
-                           WHEN u < 0.919698603 THEN 2
-                           WHEN u < 0.981011843 THEN 3
-                           WHEN u < 0.996340153 THEN 4
-                           WHEN u < 0.999405815 THEN 5
-                           ELSE 6 END AS BIGINT) AS m
-          FROM withu
-        ), means AS (
-          SELECT event_type, b,
-                 cast(sum(v_e2 * m) AS DOUBLE)
-                   / cast(sum(m) AS DOUBLE) / 100.0 AS mean
-          FROM mults GROUP BY 1, 2
-          HAVING sum(m) > 0
-        )
-        SELECT event_type, count(*) AS n_replicates,
-               round(quantile_cont(mean, 0.05), 6) AS mean_lo,
-               round(quantile_cont(mean, 0.95), 6) AS mean_hi
-        FROM means GROUP BY 1
-    """,
-    "q150_skew_diagnostics": """
-        WITH pk AS (
-          SELECT l_orderkey, cast(count(*) AS BIGINT) AS n
-          FROM lineitem GROUP BY 1
-        ), tot AS (
-          SELECT cast(sum(n) AS BIGINT) AS total,
-                 cast(max(n) AS BIGINT) AS mx
-          FROM pk
-        )
-        SELECT n AS rows_per_key, count(*) AS n_keys,
-               mx AS max_rows_per_key,
-               round(mx * 1.0 / total, 6) AS hot_key_share
-        FROM pk, tot GROUP BY 1, 3, 4
-    """,
-    "q151_filtered_ann": """
-        WITH q AS (
-          SELECT vec_id AS query_id, label AS q_label,
-                 embedding::DOUBLE[] AS qe
-          FROM embeddings WHERE vec_id < 5
-        ), c AS (
-          SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
-        ), sims AS (
-          SELECT q.query_id, c.vec_id,
-                 round(list_dot_product(qe, ce)
-                       / (sqrt(list_dot_product(qe, qe))
-                          * sqrt(list_dot_product(ce, ce))), 6) AS sim
-          FROM q JOIN c ON c.label = q.q_label
-        ), ranked AS (
-          SELECT query_id, vec_id, sim,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY sim DESC, vec_id ASC) AS rank
-          FROM sims
-        )
-        SELECT query_id, vec_id, sim, cast(rank AS INTEGER) AS rank
-        FROM ranked WHERE rank <= 5
-    """,
-    "q153_fk_integrity": """
-        SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
-               count(*) AS n_rows,
-               cast(sum(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-               cast(sum(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
-        FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
-          ON c.l_orderkey = p.o_orderkey
-        UNION ALL
-        SELECT 'lineitem.l_partkey->part' AS fk_edge,
-               count(*) AS n_rows,
-               cast(sum(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-               cast(sum(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
-        FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
-          ON c.l_partkey = p.p_partkey
-        UNION ALL
-        SELECT 'lineitem.l_suppkey->supplier' AS fk_edge,
-               count(*) AS n_rows,
-               cast(sum(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-               cast(sum(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
-        FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
-          ON c.l_suppkey = p.s_suppkey
-        UNION ALL
-        SELECT 'orders.o_custkey->customer' AS fk_edge,
-               count(*) AS n_rows,
-               cast(sum(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-               cast(sum(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
-        FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
-          ON c.o_custkey = p.c_custkey
-        UNION ALL
-        SELECT 'customer.c_nationkey->nation' AS fk_edge,
-               count(*) AS n_rows,
-               cast(sum(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-               cast(sum(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
-        FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p
-          ON c.c_nationkey = p.n_nationkey
-        UNION ALL
-        SELECT 'nation.n_regionkey->region' AS fk_edge,
-               count(*) AS n_rows,
-               cast(sum(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-               cast(sum(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) = 0 AS intact
-        FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) p
-          ON c.n_regionkey = p.r_regionkey
-    """,
-}
 
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
@@ -10287,4214 +7548,3 @@ def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q09_price_batch(spark, sf_dir)
-
-
-ORACLE_SQL["q152_rrf_hybrid"] = f"""
-    WITH bm AS (
-      SELECT doc_id AS l_id, rank AS l_rank
-      FROM ({ORACLE_SQL["q130_bm25_topk"]}) b
-    ), dn AS (
-      WITH q AS (
-        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
-      ), c AS (
-        SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
-      ), sims AS (
-        SELECT c.vec_id,
-               round(list_dot_product(qe, ce)
-                     / (sqrt(list_dot_product(qe, qe))
-                        * sqrt(list_dot_product(ce, ce))), 6) AS sim
-        FROM q CROSS JOIN c
-      ), ranked AS (
-        SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id ASC)
-                 AS rank
-        FROM sims
-      )
-      SELECT vec_id AS d_id, rank AS d_rank FROM ranked WHERE rank <= 20
-    ), fused AS (
-      SELECT coalesce(l_id, d_id) AS doc_id,
-             cast(round((coalesce(1.0 / (60 + l_rank), 0.0)
-                         + coalesce(1.0 / (60 + d_rank), 0.0)) * 1e6)
-                  AS BIGINT) AS s_e6
-      FROM bm FULL OUTER JOIN dn ON l_id = d_id
-    )
-    SELECT doc_id, cast(rank AS INTEGER) AS rank,
-           round(s_e6 / 1e6, 6) AS rrf_score
-    FROM (SELECT doc_id, s_e6,
-                 row_number() OVER (ORDER BY s_e6 DESC, doc_id) AS rank
-          FROM fused) r
-    WHERE rank <= 10
-"""
-
-
-ORACLE_SQL["q154_sorted_shards"] = """
-    WITH ranked AS (
-      SELECT doc_id, n_chars,
-             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
-      FROM documents
-    )
-    SELECT CAST((rn - 1) // 100 AS INTEGER) AS shard_id,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           arg_min(doc_id, rn) AS first_doc_id,
-           arg_max(doc_id, rn) AS last_doc_id
-    FROM ranked GROUP BY 1
-"""
-
-ORACLE_SQL["q155_weighted_sample"] = """
-    WITH keyed AS (
-      SELECT lang, doc_id, n_chars,
-             ln((('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15))
-                   ::BIGINT + 0.5) / 1152921504606846976.0)
-               / CAST(n_chars AS DOUBLE) AS sample_key
-      FROM documents WHERE n_chars > 0
-    ), ranked AS (
-      SELECT lang, doc_id, n_chars,
-             row_number() OVER (PARTITION BY lang
-                                ORDER BY sample_key DESC, doc_id ASC)
-               AS sample_rank
-      FROM keyed
-    )
-    SELECT lang, doc_id, n_chars, CAST(sample_rank AS INTEGER) AS sample_rank
-    FROM ranked WHERE sample_rank <= 20
-"""
-
-
-ORACLE_SQL["q156_corpus_diff"] = """
-    WITH v1 AS (
-      SELECT doc_id, lang, md5(text) AS h,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-               % 100 AS b
-      FROM documents
-    ), kept AS (
-      SELECT doc_id, lang,
-             CASE WHEN b < 30 THEN md5('edit:' || h) ELSE h END AS h
-      FROM v1 WHERE b >= 10
-    ), clones AS (
-      SELECT doc_id + 10000000000 AS doc_id, lang,
-             md5('clone:' || h) AS h
-      FROM v1 WHERE b % 20 = 0
-    ), v2 AS (
-      SELECT * FROM kept UNION ALL SELECT * FROM clones
-    ), joined AS (
-      SELECT coalesce(v1.lang, v2.lang) AS lang,
-             CASE WHEN v1.doc_id IS NULL THEN 'added'
-                  WHEN v2.doc_id IS NULL THEN 'removed'
-                  WHEN v1.h IS NOT DISTINCT FROM v2.h THEN 'unchanged'
-                  ELSE 'changed' END AS change
-      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-    )
-    SELECT change, lang, count(*) AS n_docs
-    FROM joined GROUP BY 1, 2
-"""
-
-
-ORACLE_SQL["q158_dup_spans"] = """
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-      FROM documents
-    ), sh AS (
-      SELECT doc_id, unnest(
-        CASE WHEN len(t) >= 4
-             THEN list_transform(range(1, len(t) - 2),
-                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))
-             ELSE [array_to_string(t, ' ')] END) AS sh
-      FROM toks
-    ), pairs AS (
-      SELECT doc_id,
-             ('0x' || substring(md5(sh), 1, 15))::BIGINT AS key,
-             count(*) AS n_occ
-      FROM sh GROUP BY 1, 2
-    ), dup AS (
-      SELECT key FROM pairs GROUP BY key HAVING count(*) >= 2
-    )
-    SELECT p.doc_id,
-           CAST(sum(p.n_occ) AS BIGINT) AS n_spans,
-           CAST(sum(CASE WHEN d.key IS NOT NULL THEN p.n_occ
-                         ELSE 0 END) AS BIGINT) AS n_dup_spans,
-           round(sum(CASE WHEN d.key IS NOT NULL THEN p.n_occ
-                          ELSE 0 END) * 1.0 / sum(p.n_occ) + 1e-9, 4)
-             AS dup_ratio
-    FROM pairs p LEFT JOIN dup d ON p.key = d.key
-    GROUP BY 1
-"""
-
-
-ORACLE_SQL["q159_importance_weights"] = """
-    WITH tok AS (
-      SELECT doc_id, lang = 'en' AS tgt,
-             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-      FROM documents
-    ), bucketed AS (
-      SELECT doc_id, tgt,
-             ('0x' || substring(md5(tok), 1, 8))::BIGINT % 512 AS bk
-      FROM tok WHERE tok <> ''
-    ), counts AS (
-      SELECT bk, count(*) AS cs,
-             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
-      FROM bucketed GROUP BY 1
-    ), consts AS (
-      SELECT sum(cs) AS ns, sum(ct) AS nt FROM counts
-    ), ratio AS (
-      SELECT bk,
-             CAST(round(ln(((ct + 1.0) / (nt + 512))
-                          / ((cs + 1.0) / (ns + 512))) * 1000000, 0)
-                  AS BIGINT) AS r
-      FROM counts, consts
-    )
-    SELECT b.doc_id, count(*) AS n_tokens,
-           round(sum(r) * 1.0 / count(*) / 1000000 + 1e-9, 6) AS imp
-    FROM bucketed b JOIN ratio USING (bk)
-    GROUP BY 1
-"""
-
-
-ORACLE_SQL["q157_byte_shards"] = """
-    WITH summed AS (
-      SELECT doc_id, n_chars,
-             sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
-                                ROWS UNBOUNDED PRECEDING) AS running_bytes
-      FROM documents
-    )
-    SELECT CAST((running_bytes - n_chars) // 50000 AS INTEGER) AS shard_id,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           struct_extract(min({'rb': running_bytes, 'id': doc_id}), 'id')
-             AS first_doc_id,
-           struct_extract(max({'rb': running_bytes, 'id': doc_id}), 'id')
-             AS last_doc_id
-    FROM summed GROUP BY 1
-"""
-
-
-ORACLE_SQL["q160_entity_resolution"] = """
-    WITH dirty AS (
-      SELECT c_custkey AS record_id, c_nationkey AS nationkey,
-             lower(replace(translate(c_name, '0', 'O'), '#', ''))
-               AS raw_name
-      FROM customer WHERE c_custkey % 7 = 3
-    ), dn AS (
-      SELECT record_id, nationkey,
-             translate(upper(raw_name), 'O', '0') AS norm_d
-      FROM dirty
-    ), cn AS (
-      SELECT c_custkey, c_nationkey,
-             translate(upper(c_name), 'O', '0') AS norm_c
-      FROM customer
-    ), cand AS (
-      SELECT dn.record_id, cn.c_custkey,
-             levenshtein(norm_d, norm_c) AS dist
-      FROM dn JOIN cn
-        ON dn.nationkey = cn.c_nationkey
-       AND right(norm_d, 3) = right(norm_c, 3)
-    ), ranked AS (
-      SELECT record_id, c_custkey, dist,
-             row_number() OVER (PARTITION BY record_id
-                                ORDER BY dist, c_custkey) AS rn
-      FROM cand
-    )
-    SELECT record_id, c_custkey AS matched_custkey, dist AS lev_distance
-    FROM ranked WHERE rn = 1 AND dist <= 2
-"""
-
-
-ORACLE_SQL["q161_heavy_hitters"] = """
-    WITH tk AS (
-      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-      FROM documents
-    ), t AS (
-      SELECT token FROM tk WHERE token <> ''
-    ), tot AS (
-      SELECT count(*) AS n FROM t
-    ), f AS (
-      SELECT token, count(*) AS freq FROM t GROUP BY token
-    )
-    SELECT token, freq FROM f, tot WHERE freq * 50 >= n
-"""
-
-
-ORACLE_SQL["q162_centroid_assign"] = """
-    WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS ve
-      FROM embeddings
-      WHERE embedding IS NOT NULL
-        AND sqrt(list_dot_product(embedding::DOUBLE[],
-                                  embedding::DOUBLE[])) > 0
-    ), comp AS (
-      SELECT label, unnest(range(len(ve))) AS pos, unnest(ve) AS val
-      FROM v
-    ), cent AS (
-      SELECT label AS cl, pos, round(avg(val), 6) AS cv
-      FROM comp GROUP BY 1, 2
-    ), cvecs AS (
-      SELECT cl, list(cv ORDER BY pos) AS cvec
-      FROM cent GROUP BY 1
-    ), scored AS (
-      SELECT v.vec_id, v.label, c.cl,
-             round(list_dot_product(ve, cvec)
-                   / (sqrt(list_dot_product(ve, ve))
-                      * sqrt(list_dot_product(cvec, cvec))), 6) AS sim
-      FROM v CROSS JOIN cvecs c
-    ), assigned AS (
-      SELECT vec_id, label, cl AS assigned_label,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY sim DESC, cl ASC) AS rn
-      FROM scored
-    )
-    SELECT label, cast(assigned_label AS INTEGER) AS assigned_label,
-           cast(count(*) AS BIGINT) AS n
-    FROM assigned WHERE rn = 1 GROUP BY 1, 2
-"""
-
-
-ORACLE_SQL["q163_token_fertility"] = """
-    WITH per_doc AS (
-      SELECT lang, source,
-             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                             x -> x <> '')) AS ws,
-             len(regexp_extract_all(lower(text),
-                 ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS bpe,
-             octet_length(encode(text)) AS nb,
-             length(text) AS nc
-      FROM documents
-    ), agg AS (
-      SELECT lang, source,
-             cast(count(*) AS BIGINT) AS n_docs,
-             cast(sum(ws) AS BIGINT) AS ws_tokens,
-             cast(sum(bpe) AS BIGINT) AS bpe_tokens,
-             cast(sum(nb) AS BIGINT) AS n_bytes,
-             cast(sum(nc) AS BIGINT) AS n_chars
-      FROM per_doc GROUP BY 1, 2
-    )
-    SELECT lang, source, n_docs, ws_tokens, bpe_tokens,
-           CASE WHEN ws_tokens > 0
-                THEN round(bpe_tokens * 1.0 / ws_tokens, 4) END AS fertility,
-           CASE WHEN bpe_tokens > 0
-                THEN round(n_bytes * 1.0 / bpe_tokens, 4) END
-             AS bytes_per_token,
-           CASE WHEN bpe_tokens > 0
-                THEN round(n_chars * 1.0 / bpe_tokens, 4) END
-             AS chars_per_token
-    FROM agg
-"""
-
-
-ORACLE_SQL["q164_dedup_eval"] = f"""
-    WITH cand AS (
-      SELECT id_a, id_b FROM ({ORACLE_SQL["q21_simhash_neardup"]})
-    ), truth AS (
-      SELECT id_a, id_b FROM ({ORACLE_SQL["q17_ngram_jaccard"]})
-    ), tp AS (
-      SELECT c.id_a FROM cand c JOIN truth t USING (id_a, id_b)
-    )
-    SELECT
-      (SELECT cast(count(*) AS BIGINT) FROM cand) AS n_candidates,
-      (SELECT cast(count(*) AS BIGINT) FROM truth) AS n_truth,
-      (SELECT cast(count(*) AS BIGINT) FROM tp) AS n_tp,
-      CASE WHEN (SELECT count(*) FROM cand) > 0
-           THEN round((SELECT count(*) FROM tp) * 1.0
-                      / (SELECT count(*) FROM cand), 4) END AS precision,
-      CASE WHEN (SELECT count(*) FROM truth) > 0
-           THEN round((SELECT count(*) FROM tp) * 1.0
-                      / (SELECT count(*) FROM truth), 4) END AS recall
-"""
-
-
-ORACLE_SQL["q165_incremental_dedup"] = """
-    WITH newd AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
-    ), corp AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
-    ), nfp AS (
-      SELECT doc_id, md5(lower(trim(text))) AS fp FROM newd
-    ), cfp AS (
-      SELECT DISTINCT md5(lower(trim(text))) AS fp FROM corp
-    ), exact AS (
-      SELECT doc_id FROM nfp JOIN cfp USING (fp)
-    ), ntoks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-      FROM newd
-    ), ctoks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-      FROM corp
-    ), nsh AS (
-      SELECT DISTINCT doc_id AS new_id, unnest(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-             ELSE [array_to_string(t, ' ')] END) AS sh
-      FROM ntoks
-    ), csh AS (
-      SELECT DISTINCT doc_id AS corp_id, unnest(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-             ELSE [array_to_string(t, ' ')] END) AS sh
-      FROM ctoks
-    ), hot AS (
-      SELECT sh FROM csh GROUP BY sh HAVING count(*) > 100
-    ), nsh2 AS (
-      SELECT * FROM nsh WHERE sh NOT IN (SELECT sh FROM hot)
-    ), csh2 AS (
-      SELECT * FROM csh WHERE sh NOT IN (SELECT sh FROM hot)
-    ), szn AS (
-      SELECT new_id, count(*) AS _na FROM nsh2 GROUP BY 1
-    ), szc AS (
-      SELECT corp_id, count(*) AS _nb FROM csh2 GROUP BY 1
-    ), inter AS (
-      SELECT new_id, corp_id, count(*) AS _i
-      FROM nsh2 JOIN csh2 USING (sh) GROUP BY 1, 2
-    ), near AS (
-      SELECT DISTINCT new_id AS doc_id
-      FROM inter JOIN szn USING (new_id) JOIN szc USING (corp_id)
-      WHERE _i * 1.0 / (_na + _nb - _i) >= 0.2
-    )
-    SELECT d.doc_id,
-           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
-                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
-                ELSE 'keep' END AS status
-    FROM newd d
-    LEFT JOIN exact e USING (doc_id)
-    LEFT JOIN near nr USING (doc_id)
-"""
-
-
-ORACLE_SQL["q166_int8_quant_error"] = """
-    WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS ve
-      FROM embeddings WHERE embedding IS NOT NULL
-    ), s AS (
-      SELECT vec_id, label, ve,
-             list_aggregate(list_transform(ve, x -> abs(x)), 'max')
-               / 127.0 AS scale
-      FROM v
-    ), r AS (
-      SELECT vec_id, label, ve,
-             list_transform(ve, x -> round(x / scale) * scale) AS rv
-      FROM s WHERE scale > 0
-    ), comp AS (
-      SELECT vec_id, unnest(ve) AS a, unnest(rv) AS b FROM r
-    ), err AS (
-      SELECT vec_id, round(max(abs(a - b)), 6) AS _err
-      FROM comp GROUP BY 1
-    ), cosv AS (
-      SELECT vec_id, label,
-             round(list_dot_product(ve, rv)
-                   / (sqrt(list_dot_product(ve, ve))
-                      * sqrt(list_dot_product(rv, rv))), 6) AS _cos
-      FROM r
-    )
-    SELECT label,
-           cast(count(*) AS BIGINT) AS n_vectors,
-           max(_err) AS max_abs_err,
-           round(sum(cast(round(_cos * 1000000) AS BIGINT))
-                 / (count(*) * 1000000.0), 6) AS mean_cos,
-           cast(sum(CASE WHEN _cos >= 0.999 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_high_fidelity
-    FROM cosv JOIN err USING (vec_id)
-    GROUP BY 1
-"""
-
-
-ORACLE_SQL["q167_column_profile"] = """
-    SELECT 'o_orderkey' AS col_name,
-           cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_nulls,
-           cast(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-           min(o_orderkey)::VARCHAR AS min_val,
-           max(o_orderkey)::VARCHAR AS max_val
-    FROM orders
-    UNION ALL
-    SELECT 'o_custkey',
-           cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           cast(count(DISTINCT o_custkey) AS BIGINT),
-           min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus',
-           cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT),
-           cast(count(DISTINCT o_orderstatus) AS BIGINT),
-           min(o_orderstatus), max(o_orderstatus)
-    FROM orders
-    UNION ALL
-    SELECT 'o_totalprice',
-           cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT),
-           cast(count(DISTINCT o_totalprice) AS BIGINT),
-           round(min(o_totalprice), 2)::VARCHAR,
-           round(max(o_totalprice), 2)::VARCHAR
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderdate',
-           cast(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT),
-           cast(count(DISTINCT o_orderdate) AS BIGINT),
-           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
-           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderpriority',
-           cast(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT),
-           cast(count(DISTINCT o_orderpriority) AS BIGINT),
-           min(o_orderpriority), max(o_orderpriority)
-    FROM orders
-"""
-
-
-ORACLE_SQL["q168_phrase_search"] = """
-    WITH post0 AS (
-      SELECT doc_id, unnest(t) AS token, unnest(range(len(t))) AS pos
-      FROM (SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\\s+') AS t
-            FROM documents)
-    ), p AS (
-      SELECT * FROM post0 WHERE token <> ''
-    ), w0 AS (
-      SELECT doc_id, pos AS strt FROM p WHERE token = 'big'
-    ), w1 AS (
-      SELECT doc_id, pos - 1 AS strt FROM p WHERE token = 'order'
-    ), w2 AS (
-      SELECT doc_id, pos - 2 AS strt FROM p WHERE token = 'scan'
-    ), hits AS (
-      SELECT doc_id, strt
-      FROM w0 JOIN w1 USING (doc_id, strt) JOIN w2 USING (doc_id, strt)
-    )
-    SELECT doc_id, cast(count(*) AS BIGINT) AS n_occurrences
-    FROM hits GROUP BY 1
-"""
-
-
-ORACLE_SQL["q169_pmi_collocations"] = """
-    WITH arr AS (
-      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                         x -> x <> '') AS t
-      FROM documents
-    ), unic AS (
-      SELECT tok, cast(count(*) AS BIGINT) AS f
-      FROM (SELECT unnest(t) AS tok FROM arr) GROUP BY 1
-    ), tot AS (
-      SELECT cast(sum(f) AS BIGINT) AS n FROM unic
-    ), bic AS (
-      SELECT tok_a, tok_b, cast(count(*) AS BIGINT) AS joint
-      FROM (SELECT unnest(t[1:-2]) AS tok_a, unnest(t[2:-1]) AS tok_b
-            FROM arr WHERE len(t) >= 2)
-      GROUP BY 1, 2 HAVING count(*) >= 5
-    )
-    SELECT tok_a, tok_b, joint,
-           round(joint::DOUBLE * n::DOUBLE
-                 / (fa.f::DOUBLE * fb.f::DOUBLE), 4) AS lift
-    FROM bic
-    CROSS JOIN tot
-    JOIN unic fa ON bic.tok_a = fa.tok
-    JOIN unic fb ON bic.tok_b = fb.tok
-    ORDER BY lift DESC, tok_a ASC, tok_b ASC
-    LIMIT 20
-"""
-
-
-def _hll_oracle() -> str:
-    from ..operators.sketches import hll_oracle_sql
-
-    return hll_oracle_sql("events", "user_id", "event_type")
-
-
-ORACLE_SQL["q170_hll_distinct"] = _hll_oracle()
-
-
-
-
-ORACLE_SQL["q172_stratified_split"] = """
-    WITH r AS (
-      SELECT lang, source, doc_id,
-             row_number() OVER (
-               PARTITION BY lang, source
-               ORDER BY md5('strat' || cast(doc_id AS VARCHAR)) ASC,
-                        doc_id ASC) AS rn,
-             count(*) OVER (PARTITION BY lang, source) AS n
-      FROM documents
-    )
-    SELECT lang, source,
-           CASE WHEN rn * 100 <= n * 80 THEN 'train'
-                WHEN rn * 100 <= n * 90 THEN 'val'
-                ELSE 'test' END AS split,
-           cast(count(*) AS BIGINT) AS n_docs,
-           cast(sum(doc_id) AS BIGINT) AS sum_doc_id
-    FROM r GROUP BY 1, 2, 3
-"""
-
-
-ORACLE_SQL["q173_knn_graph"] = """
-    WITH v AS (
-      SELECT label, vec_id, embedding::DOUBLE[] AS e,
-             sqrt(list_dot_product(embedding::DOUBLE[],
-                                   embedding::DOUBLE[])) AS n
-      FROM embeddings
-      WHERE sqrt(list_dot_product(embedding::DOUBLE[],
-                                  embedding::DOUBLE[])) > 0
-    ), scored AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS sim
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ), ranked AS (
-      SELECT src, dst, sim,
-             row_number() OVER (PARTITION BY src
-                                ORDER BY sim DESC, dst ASC) AS rank
-      FROM scored
-    ), edges AS (
-      SELECT src, dst, sim, cast(rank AS INTEGER) AS rank
-      FROM ranked WHERE rank <= 5
-    )
-    SELECT e.src, e.dst, e.sim, e.rank,
-           (r.src IS NOT NULL) AS mutual
-    FROM edges e
-    LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
-"""
-
-
-
-
-ORACLE_SQL["q175_token_budget"] = """
-    WITH t AS (
-      SELECT source AS g, doc_id,
-             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                             x -> x <> '')) AS tok
-      FROM documents
-    ), r AS (
-      SELECT g, doc_id, tok,
-             cast(sum(tok) OVER (PARTITION BY g
-                                 ORDER BY tok DESC, doc_id ASC
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND CURRENT ROW) AS BIGINT) AS cum
-      FROM t
-    )
-    SELECT g AS source,
-           cast(sum(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_selected,
-           cast(count(*) AS BIGINT) AS n_candidates,
-           cast(max(CASE WHEN cum <= 20000 THEN cum END) AS BIGINT)
-             AS tokens_used,
-           cast(20000 AS BIGINT) AS budget_tokens
-    FROM r GROUP BY 1
-"""
-
-
-ORACLE_SQL["q171_triangle_count"] = """
-    WITH v AS (
-      SELECT label, vec_id, embedding::DOUBLE[] AS e,
-             sqrt(list_dot_product(embedding::DOUBLE[],
-                                   embedding::DOUBLE[])) AS n
-      FROM embeddings
-      WHERE sqrt(list_dot_product(embedding::DOUBLE[],
-                                  embedding::DOUBLE[])) > 0
-    ), scored AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS sim
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ), ranked AS (
-      SELECT src, dst,
-             row_number() OVER (PARTITION BY src
-                                ORDER BY sim DESC, dst ASC) AS rank
-      FROM scored
-    ), edges AS (
-      SELECT src, dst FROM ranked WHERE rank <= 5
-    ), mut AS (
-      SELECT e.src, e.dst
-      FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
-    ), und AS (
-      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-      FROM mut
-    ), undl AS (
-      SELECT l.label AS part, u.a, u.b
-      FROM und u JOIN embeddings l ON l.vec_id = u.a
-    ), deg AS (
-      SELECT part, vtx, cast(count(*) AS BIGINT) AS d
-      FROM (SELECT part, a AS vtx FROM undl
-            UNION ALL SELECT part, b AS vtx FROM undl)
-      GROUP BY 1, 2
-    ), tri AS (
-      SELECT e1.part, cast(count(*) AS BIGINT) AS t
-      FROM undl e1
-      JOIN undl e2 ON e2.part = e1.part AND e2.a = e1.a AND e1.b < e2.b
-      JOIN undl e3 ON e3.part = e1.part AND e3.a = e1.b AND e3.b = e2.b
-      GROUP BY 1
-    ), nodes AS (
-      SELECT part, cast(count(*) AS BIGINT) AS n_nodes,
-             cast(sum(d * (d - 1)) AS BIGINT) AS dd
-      FROM deg GROUP BY 1
-    ), es AS (
-      SELECT part, cast(count(*) AS BIGINT) AS n_edges
-      FROM undl GROUP BY 1
-    )
-    SELECT es.part, n_nodes, n_edges,
-           cast(coalesce(t, 0) AS BIGINT) AS n_triangles,
-           cast(dd // 2 AS BIGINT) AS n_wedges,
-           CASE WHEN dd > 0
-                THEN round(coalesce(t, 0) * 6.0 / cast(dd AS DOUBLE), 6)
-           END AS clustering_coeff
-    FROM es JOIN nodes USING (part) LEFT JOIN tri USING (part)
-"""
-
-
-ORACLE_SQL["q174_multitouch_attribution"] = """
-    WITH conv AS (
-      SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cts
-      FROM events WHERE event_type = 'purchase'
-    ), touch AS (
-      SELECT user_id AS u, event_id AS tid, epoch_us(ts) AS tts,
-             'ch' || cast(cast(json_extract_string(props, '$.k') AS BIGINT)
-                          % 5 AS VARCHAR) AS chan
-      FROM events WHERE event_type IN ('click', 'view')
-    ), j AS (
-      SELECT chan, cid, tts, tid
-      FROM conv JOIN touch USING (u)
-      WHERE tts < cts AND tts >= cts - 86400000000
-    ), r AS (
-      SELECT chan, cid,
-             count(*) OVER (PARTITION BY cid) AS n,
-             row_number() OVER (PARTITION BY cid
-                                ORDER BY tts ASC, tid ASC) AS rk
-      FROM j
-    ), c AS (
-      SELECT chan, cid,
-             cast(1000000 // n AS BIGINT)
-             + CASE WHEN rk = 1 THEN cast(1000000 % n AS BIGINT)
-                    ELSE 0 END AS credit
-      FROM r
-    )
-    SELECT chan AS channel, cast(count(*) AS BIGINT) AS n_touches,
-           cast(sum(credit) AS BIGINT) AS credit_micro
-    FROM c GROUP BY 1
-    UNION ALL
-    SELECT '_total', cast(count(DISTINCT cid) AS BIGINT),
-           cast(sum(credit) AS BIGINT)
-    FROM c
-"""
-
-
-ORACLE_SQL["q176_ks_test"] = """
-    WITH cells AS (
-      SELECT round(value + 1e-9, 2) AS x,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
-      FROM events WHERE event_type IN ('click', 'purchase')
-      GROUP BY 1
-    ), cum AS (
-      SELECT sum(ca) OVER (ORDER BY x
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cuma,
-             sum(cb) OVER (ORDER BY x
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cumb
-      FROM cells
-    ), tot AS (
-      SELECT cast(max(cuma) AS BIGINT) AS n_a,
-             cast(max(cumb) AS BIGINT) AS n_b
-      FROM cum
-    ), dnum AS (
-      SELECT cast(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_numerator
-      FROM cum, tot
-    )
-    SELECT n_a, n_b, d_numerator,
-           round(d_numerator / (n_a::DOUBLE * n_b::DOUBLE), 6) AS ks_distance
-    FROM tot, dnum
-"""
-
-
-ORACLE_SQL["q177_zone_map"] = """
-    WITH r AS (
-      SELECT cast(o_orderdate AS VARCHAR) AS k, o_orderkey AS tb,
-             row_number() OVER (ORDER BY cast(o_orderdate AS VARCHAR) ASC,
-                                         o_orderkey ASC) AS rn
-      FROM orders
-    )
-    SELECT cast((rn - 1) // 1000 AS INT) AS shard_id,
-           cast(count(*) AS BIGINT) AS n_rows,
-           min(k) AS min_key, max(k) AS max_key,
-           (min(k) <= '1995-12-31' AND max(k) >= '1995-01-01')
-             AS overlaps_predicate
-    FROM r GROUP BY 1
-"""
-
-
-def _cms_oracle() -> str:
-    from ..operators.sketches import cms_oracle_sql
-
-    return cms_oracle_sql("events", "user_id", list(range(10)))
-
-
-ORACLE_SQL["q178_cms_sketch"] = _cms_oracle()
-
-
-ORACLE_SQL["q179_path_trigrams"] = """
-    WITH s AS (
-      SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
-    ), tri AS (
-      SELECT lag(event_type, 2) OVER w AS t1,
-             lag(event_type, 1) OVER w AS t2,
-             event_type AS t3
-      FROM s
-      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-    )
-    SELECT t1, t2, t3, cast(count(*) AS BIGINT) AS n
-    FROM tri WHERE t1 IS NOT NULL
-    GROUP BY 1, 2, 3
-    ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
-    LIMIT 10
-"""
-
-
-ORACLE_SQL["q180_chi2_ab"] = """
-    WITH u AS (
-      SELECT user_id, (user_id % 2 = 0) AS variant,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
-               AS outcome
-      FROM events GROUP BY 1, 2
-    ), cells AS (
-      SELECT
-        cast(sum(CASE WHEN variant AND outcome THEN 1 ELSE 0 END)
-             AS BIGINT) AS a,
-        cast(sum(CASE WHEN variant AND NOT outcome THEN 1 ELSE 0 END)
-             AS BIGINT) AS b,
-        cast(sum(CASE WHEN NOT variant AND outcome THEN 1 ELSE 0 END)
-             AS BIGINT) AS c,
-        cast(sum(CASE WHEN NOT variant AND NOT outcome THEN 1 ELSE 0 END)
-             AS BIGINT) AS d
-      FROM u
-    )
-    SELECT a, b, c, d,
-           round(a::DOUBLE / (a::DOUBLE + b::DOUBLE), 6) AS rate_variant,
-           round(c::DOUBLE / (c::DOUBLE + d::DOUBLE), 6) AS rate_control,
-           CASE WHEN (a::DOUBLE + b::DOUBLE) * (c::DOUBLE + d::DOUBLE)
-                     * (a::DOUBLE + c::DOUBLE) * (b::DOUBLE + d::DOUBLE) > 0
-                THEN round(
-                  (a::DOUBLE + b::DOUBLE + c::DOUBLE + d::DOUBLE)
-                  * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)
-                  * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)
-                  / ((a::DOUBLE + b::DOUBLE) * (c::DOUBLE + d::DOUBLE)
-                     * (a::DOUBLE + c::DOUBLE) * (b::DOUBLE + d::DOUBLE)), 6)
-           END AS chi2
-    FROM cells
-"""
-
-
-ORACLE_SQL["q181_rfm_segments"] = """
-    WITH conv AS (
-      SELECT * FROM events WHERE event_type = 'purchase'
-    ), pu AS (
-      SELECT user_id AS u, max(cast(ts AS DATE)) AS last_d,
-             count(*) AS freq,
-             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM conv GROUP BY 1
-    ), anchor AS (
-      SELECT max(last_d) AS a FROM pu
-    ), sc AS (
-      SELECT u, date_diff('day', last_d, a) AS rec, freq, cents
-      FROM pu, anchor
-    ), tiled AS (
-      SELECT u, cents,
-             ntile(5) OVER (ORDER BY rec ASC, u ASC) AS r,
-             ntile(5) OVER (ORDER BY freq DESC, u ASC) AS f,
-             ntile(5) OVER (ORDER BY cents DESC, u ASC) AS m
-      FROM sc
-    )
-    SELECT cast(r AS VARCHAR) || '-' || cast(f AS VARCHAR) || '-'
-             || cast(m AS VARCHAR) AS segment,
-           cast(count(*) AS BIGINT) AS n_users,
-           cast(sum(cents) AS BIGINT) AS total_cents
-    FROM tiled GROUP BY 1
-"""
-
-
-ORACLE_SQL["q182_mrl_audit"] = """
-    WITH dimsv AS (
-      SELECT * FROM (VALUES (0), (16), (32)) t(dims)
-    ), base AS (
-      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
-    ), sl AS (
-      SELECT dims, id,
-             list_slice(v, 1, CASE WHEN dims = 0 THEN 100000
-                                   ELSE dims END) AS s
-      FROM dimsv CROSS JOIN base
-    ), nn AS (
-      SELECT dims, id, s, sqrt(list_dot_product(s, s)) AS n FROM sl
-    ), q AS (
-      SELECT dims, id AS qid, s AS qs, n AS qn FROM nn WHERE id < 10
-    ), sc AS (
-      SELECT q.dims, q.qid, c.id,
-             round(list_dot_product(q.qs, c.s) / (q.qn * c.n), 6) AS sim
-      FROM q JOIN nn c ON c.dims = q.dims AND c.id <> q.qid
-      WHERE q.qn > 0 AND c.n > 0
-    ), rk AS (
-      SELECT dims, qid, id,
-             row_number() OVER (PARTITION BY dims, qid
-                                ORDER BY sim DESC, id ASC) AS rk
-      FROM sc
-    ), top AS (
-      SELECT * FROM rk WHERE rk <= 3
-    ), fullt AS (
-      SELECT qid, id AS fid, rk AS frk FROM top WHERE dims = 0
-    ), ov AS (
-      SELECT t.dims, t.qid, count(*) AS ovl,
-             sum(CASE WHEN t.rk = 1 AND f.frk = 1 THEN 1 ELSE 0 END) AS t1
-      FROM top t JOIN fullt f ON f.qid = t.qid AND f.fid = t.id
-      WHERE t.dims <> 0 GROUP BY 1, 2
-    )
-    SELECT dims, cast(count(*) AS BIGINT) AS n_queries,
-           cast(sum(ovl) AS BIGINT) AS sum_topk_overlap,
-           cast(sum(t1) AS BIGINT) AS n_top1_match
-    FROM ov GROUP BY 1
-"""
-
-
-ORACLE_SQL["q183_vocab_oov"] = """
-    WITH toks AS (
-      SELECT lang AS g,
-             unnest(list_filter(string_split_regex(trim(lower(text)),
-                                                   '\\s+'),
-                    x -> x <> '')) AS tok
-      FROM documents
-    ), freq AS (
-      SELECT tok, count(*) AS f FROM toks GROUP BY 1
-    ), vocab AS (
-      SELECT tok FROM (
-        SELECT tok, row_number() OVER (ORDER BY f DESC, tok ASC) AS rk
-        FROM freq
-      ) WHERE rk <= 1000
-    ), flagged AS (
-      SELECT g, t.tok, (v.tok IS NOT NULL) AS in_vocab
-      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
-    )
-    SELECT g AS lang, cast(count(*) AS BIGINT) AS n_tokens,
-           cast(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_oov,
-           round(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END)
-                 / count(*)::DOUBLE, 6) AS oov_rate
-    FROM flagged GROUP BY 1
-"""
-
-
-ORACLE_SQL["q184_centroid_drift"] = """
-    WITH e AS (
-      SELECT label AS l, (vec_id % 2 = 0) AS ha,
-             unnest(range(0, len(embedding))) AS dim,
-             unnest(embedding) AS x
-      FROM embeddings
-    ), cent AS (
-      SELECT l, dim, ha,
-             cast(round(round(avg(x) + 1e-9, 4) * 10000) AS BIGINT) AS mi,
-             count(*) AS cnt
-      FROM e GROUP BY 1, 2, 3
-    ), a AS (
-      SELECT l, dim, mi AS ma, cnt AS ca FROM cent WHERE ha
-    ), b AS (
-      SELECT l, dim, mi AS mb, cnt AS cb FROM cent WHERE NOT ha
-    ), folded AS (
-      SELECT l, max(ca) AS vca, max(cb) AS vcb,
-             cast(sum(ma * mb) AS BIGINT) AS dot,
-             cast(sum(ma * ma) AS BIGINT) AS nna,
-             cast(sum(mb * mb) AS BIGINT) AS nnb
-      FROM a JOIN b USING (l, dim) GROUP BY 1
-    )
-    SELECT l AS label, cast(vca AS BIGINT) AS n_a,
-           cast(vcb AS BIGINT) AS n_b,
-           CASE WHEN nna > 0 AND nnb > 0
-                THEN round(dot / (sqrt(nna::DOUBLE) * sqrt(nnb::DOUBLE)), 6)
-           END AS drift_cos
-    FROM folded
-"""
-
-
-ORACLE_SQL["q185_activity_streaks"] = """
-    WITH days AS (
-      SELECT DISTINCT user_id AS u,
-             date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) AS d
-      FROM events
-    ), isl AS (
-      SELECT u, d - row_number() OVER (PARTITION BY u ORDER BY d) AS g
-      FROM days
-    ), runs AS (
-      SELECT u, g, count(*) AS len FROM isl GROUP BY 1, 2
-    ), best AS (
-      SELECT u, max(len) AS streak_days FROM runs GROUP BY 1
-    )
-    SELECT cast(streak_days AS INT) AS streak_days,
-           cast(count(*) AS BIGINT) AS n_users
-    FROM best GROUP BY 1
-"""
-
-
-ORACLE_SQL["q186_hard_negatives"] = """
-    WITH base AS (
-      SELECT vec_id AS id, label AS lbl, embedding::DOUBLE[] AS v
-      FROM embeddings
-    ), n AS (
-      SELECT id, lbl, v, sqrt(list_dot_product(v, v)) AS nn FROM base
-    ), a AS (
-      SELECT id AS aid, lbl AS albl, v AS av, nn AS an
-      FROM n WHERE id < 10
-    ), p AS (
-      SELECT a.aid AS anchor_id, c.id AS neighbor_id,
-             c.lbl AS neighbor_label,
-             round(list_dot_product(a.av, c.v) / (a.an * c.nn), 6) AS sim
-      FROM a JOIN n c ON c.lbl <> a.albl
-      WHERE a.an > 0 AND c.nn > 0
-    ), r AS (
-      SELECT *, row_number() OVER (PARTITION BY anchor_id
-                                   ORDER BY sim DESC, neighbor_id ASC)
-                AS rk
-      FROM p
-    )
-    SELECT anchor_id, neighbor_id, neighbor_label, sim,
-           cast(rk AS INTEGER) AS rank
-    FROM r WHERE rk <= 5
-"""
-
-
-ORACLE_SQL["q187_cohort_retention"] = """
-    WITH weeks AS (
-      SELECT DISTINCT user_id AS u,
-             date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) // 7
-               AS w
-      FROM events
-    ), cohorted AS (
-      SELECT u, w, min(w) OVER (PARTITION BY u) AS cw FROM weeks
-    )
-    SELECT cast(cw AS INTEGER) AS cohort_week,
-           cast(w - cw AS INTEGER) AS week_offset,
-           cast(count(*) AS BIGINT) AS n_users
-    FROM cohorted GROUP BY 1, 2
-"""
-
-
-ORACLE_SQL["q188_calibration_bins"] = """
-    WITH snapped AS (
-      SELECT cast(round(((user_id * 2654435761) % 10001) / 10000.0
-                        * 10000) AS BIGINT) AS g,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events
-    ), binned AS (
-      SELECT least(g * 10 // 10000, 9) AS bin, g, y FROM snapped
-    )
-    SELECT cast(bin AS INTEGER) AS bin,
-           cast(count(*) AS BIGINT) AS n,
-           round(sum(g) / (10000.0 * count(*)), 6) AS mean_score,
-           round(sum(y) / cast(count(*) AS DOUBLE), 6) AS pos_rate
-    FROM binned GROUP BY 1
-"""
-
-
-ORACLE_SQL["q189_knn_label_agreement"] = """
-    WITH base AS (
-      SELECT vec_id AS id, label AS lbl, embedding::DOUBLE[] AS v
-      FROM embeddings
-    ), n AS (
-      SELECT id, lbl, v, sqrt(list_dot_product(v, v)) AS nn FROM base
-    ), a AS (
-      SELECT id AS aid, lbl AS albl, v AS av, nn AS an
-      FROM n WHERE id < 20
-    ), sims AS (
-      SELECT a.aid, a.albl, c.id AS nid, c.lbl AS nlbl,
-             round(list_dot_product(a.av, c.v) / (a.an * c.nn), 6) AS sim
-      FROM a JOIN n c ON c.id <> a.aid
-      WHERE a.an > 0 AND c.nn > 0
-    ), nbrs AS (
-      SELECT * FROM (
-        SELECT aid, albl, nid, nlbl,
-               row_number() OVER (PARTITION BY aid
-                                  ORDER BY sim DESC, nid ASC) AS rk
-        FROM sims
-      ) WHERE rk <= 5
-    ), votes AS (
-      SELECT aid, albl, nlbl, count(*) AS nv
-      FROM nbrs GROUP BY 1, 2, 3
-    ), pred AS (
-      SELECT aid, albl, nlbl,
-             row_number() OVER (PARTITION BY aid
-                                ORDER BY nv DESC, nlbl ASC) AS vr
-      FROM votes
-    )
-    SELECT albl AS label, cast(count(*) AS BIGINT) AS n_anchors,
-           cast(sum(CASE WHEN nlbl = albl THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_agree
-    FROM pred WHERE vr = 1 GROUP BY 1
-"""
-
-
-ORACLE_SQL["q190_normalized_dedup"] = """
-    WITH g AS (
-      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-               AS k,
-             count(*) AS size, count(DISTINCT text) AS variants
-      FROM documents GROUP BY 1
-    )
-    SELECT cast(size AS INTEGER) AS group_size,
-           cast(variants AS INTEGER) AS n_raw_variants,
-           cast(count(*) AS BIGINT) AS n_groups
-    FROM g GROUP BY 1, 2
-"""
-
-
-ORACLE_SQL["q191_nucleus_vocab"] = """
-    WITH toks AS (
-      SELECT lang AS g,
-             unnest(list_filter(string_split_regex(trim(lower(text)),
-                                                   '\\s+'),
-                    x -> x <> '')) AS tok
-      FROM documents
-    ), freq AS (
-      SELECT g, tok, count(*) AS f FROM toks GROUP BY 1, 2
-    ), levels AS (
-      SELECT g, f, count(*) AS n_at_f, f * count(*) AS mass
-      FROM freq GROUP BY 1, 2
-    ), cum AS (
-      SELECT g, f, n_at_f, mass,
-             sum(mass) OVER (PARTITION BY g ORDER BY f DESC
-                             ROWS UNBOUNDED PRECEDING) AS cum_mass,
-             sum(n_at_f) OVER (PARTITION BY g ORDER BY f DESC
-                               ROWS UNBOUNDED PRECEDING) AS cum_toks,
-             sum(mass) OVER (PARTITION BY g) AS total,
-             sum(n_at_f) OVER (PARTITION BY g) AS n_distinct
-      FROM levels
-    )
-    SELECT g AS lang, cast(total AS BIGINT) AS total_tokens,
-           cast(n_distinct AS BIGINT) AS distinct_tokens,
-           cast(cum_toks - n_at_f
-                + (90 * total - 100 * (cum_mass - mass) + 100 * f - 1)
-                  // (100 * f) AS BIGINT) AS nucleus_vocab
-    FROM cum
-    WHERE 100 * cum_mass >= 90 * total
-      AND 100 * (cum_mass - mass) < 90 * total
-"""
-
-
-ORACLE_SQL["q192_prefix_paths"] = """
-    WITH ranked AS (
-      SELECT user_id AS u, event_type AS et,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts ASC, event_id ASC) AS rn
-      FROM events
-    ), paths AS (
-      SELECT u, string_agg(et, '>' ORDER BY rn) AS path
-      FROM ranked WHERE rn <= 3 GROUP BY 1
-    )
-    SELECT path, cast(count(*) AS BIGINT) AS n_users
-    FROM paths GROUP BY 1
-"""
-
-
-ORACLE_SQL["q193_cohens_kappa"] = f"""
-    WITH feats AS (
-      SELECT (lang = 'en') AS ra,
-             string_split_regex(trim(lower(text)), '\\s+') AS toks
-      FROM documents
-    ), rated AS (
-      SELECT CASE WHEN ra THEN 1 ELSE 0 END AS a,
-             CASE WHEN len(list_filter(toks,
-                       x -> list_contains({_STOP_SQL}, x)))
-                    * 1.0 / len(toks) > 0.04
-                  THEN 1 ELSE 0 END AS b
-      FROM feats
-    ), cells AS (
-      SELECT count(*) AS n,
-             sum(a * b) AS tt, sum(a * (1 - b)) AS tf,
-             sum((1 - a) * b) AS ft, sum((1 - a) * (1 - b)) AS ff
-      FROM rated
-    )
-    SELECT cast(n AS BIGINT) AS n,
-           cast(tt + ff AS BIGINT) AS n_agree,
-           CASE WHEN n * n - ((tt + tf) * (tt + ft)
-                              + (ft + ff) * (tf + ff)) <> 0
-                THEN round(
-                  cast(n * (tt + ff) - ((tt + tf) * (tt + ft)
-                                        + (ft + ff) * (tf + ff))
-                       AS DOUBLE)
-                  / cast(n * n - ((tt + tf) * (tt + ft)
-                                  + (ft + ff) * (tf + ff)) AS DOUBLE),
-                  6)
-           END AS kappa
-    FROM cells
-"""
-
-
-ORACLE_SQL["q194_char_entropy"] = """
-    WITH chars AS (
-      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
-    ), counts AS (
-      SELECT doc_id, c, count(*) AS n
-      FROM chars WHERE c <> '' GROUP BY 1, 2
-    ), per_doc AS (
-      SELECT doc_id, sum(n) AS tot, sum(n * log2(n)) AS s
-      FROM counts GROUP BY 1
-    )
-    SELECT doc_id, cast(tot AS BIGINT) AS n_chars,
-           round(log2(tot) - s / tot + 1e-9, 4) AS entropy
-    FROM per_doc
-"""
-
-
-ORACLE_SQL["q196_degree_histogram"] = """
-    WITH pairs AS (
-      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ), sym AS (
-      SELECT src AS n FROM pairs UNION ALL SELECT dst FROM pairs
-    ), deg AS (
-      SELECT n, count(*) AS d FROM sym GROUP BY 1
-    )
-    SELECT cast(length(bin(d)) AS INTEGER) AS degree_bucket,
-           cast(min(d) AS BIGINT) AS min_degree,
-           cast(max(d) AS BIGINT) AS max_degree,
-           cast(count(*) AS BIGINT) AS n_nodes
-    FROM deg GROUP BY 1
-"""
-
-
-ORACLE_SQL["q197_bitmap_distinct"] = """
-    SELECT cast(ts AS DATE) AS date,
-           cast(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-    FROM events GROUP BY 1
-"""
-
-
-ORACLE_SQL["q195_canonical_docs"] = f"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-      FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id, unnest(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-             ELSE [array_to_string(t, ' ')] END) AS sh
-      FROM toks
-    ), capped AS (
-      SELECT s.* FROM sh s JOIN (
-        SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) r USING (sh)
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM capped GROUP BY 1
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT id_a, id_b
-      FROM inter
-      JOIN sizes sa ON id_a = sa.doc_id
-      JOIN sizes sb ON id_b = sb.doc_id
-      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
-    ), edges AS (
-      SELECT id_a AS s, id_b AS d FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ), reach(node, comp) AS (
-      SELECT DISTINCT s, s FROM edges
-      UNION
-      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
-    ), comp AS (
-      SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
-    ), clustered AS (
-      SELECT node AS doc_id, cluster_id,
-             cast(count(*) OVER (PARTITION BY cluster_id) AS INTEGER)
-               AS cluster_size
-      FROM comp
-    ), feats AS (
-      SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\\s+') AS tq,
-             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-               * 1.0 / length(text) AS punct_ratio
-      FROM documents
-    ), quality AS (
-      SELECT doc_id,
-             round(least(1.0, len(list_filter(tq, x -> x <> '')) / 120.0)
-                   * (1.0 - punct_ratio), 4) AS quality
-      FROM feats
-    ), ranked AS (
-      SELECT c.cluster_id, c.doc_id, q.quality, c.cluster_size,
-             row_number() OVER (PARTITION BY c.cluster_id
-                                ORDER BY q.quality DESC, c.doc_id ASC)
-               AS rk
-      FROM clustered c JOIN quality q USING (doc_id)
-    )
-    SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
-           cluster_size
-    FROM ranked WHERE rk = 1
-"""
-
-
-ORACLE_SQL["q198_cross_source_overlap"] = """
-    WITH keyed AS (
-      SELECT DISTINCT md5(text) AS h, source AS s FROM documents
-    )
-    SELECT a.s AS source_a, b.s AS source_b,
-           cast(count(*) AS BIGINT) AS n_shared_texts
-    FROM keyed a JOIN keyed b ON a.h = b.h AND a.s < b.s
-    GROUP BY 1, 2
-"""
-
-
-ORACLE_SQL["q199_char_trigram_profile"] = """
-    WITH grams AS (
-      SELECT lang AS g,
-             unnest(CASE WHEN length(lower(text)) >= 3
-                    THEN list_transform(
-                           range(1, length(lower(text)) - 1),
-                           i -> substr(lower(text), i, 3))
-                    ELSE []::VARCHAR[] END) AS tri
-      FROM documents
-    ), counts AS (
-      SELECT g, tri, count(*) AS n FROM grams GROUP BY 1, 2
-    ), ranked AS (
-      SELECT g, tri, n,
-             row_number() OVER (PARTITION BY g
-                                ORDER BY n DESC, tri ASC) AS rk
-      FROM counts
-    )
-    SELECT g AS lang, tri AS trigram, cast(n AS BIGINT) AS n,
-           cast(rk AS INTEGER) AS rank
-    FROM ranked WHERE rk <= 10
-"""
-
-
-ORACLE_SQL["q200_join_cardinality"] = """
-    WITH la AS (
-      SELECT l_orderkey AS k, count(*) AS ca,
-             sum(CASE WHEN ('0x' || substr(md5(
-                       l_orderkey || '-' || l_linenumber), 1, 6))::BIGINT
-                       % 100 < 10
-                 THEN 1 ELSE 0 END) AS cs
-      FROM lineitem GROUP BY 1
-    ), rb AS (
-      SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1
-    ), totals AS (
-      SELECT sum(ca * cb) AS actual, sum(cs * cb) AS sampled
-      FROM la JOIN rb USING (k)
-    )
-    SELECT cast(actual AS BIGINT) AS actual_rows,
-           cast(sampled * 100 / 10 AS BIGINT) AS estimated_rows,
-           CASE WHEN actual > 0
-                THEN round(abs(sampled * 100.0 / 10 - actual)
-                           / cast(actual AS DOUBLE), 6)
-           END AS rel_err
-    FROM totals
-"""
-
-
-ORACLE_SQL["q201_sparse_cosine_pairs"] = """
-    WITH tf AS (
-      SELECT doc_id AS id, tok, count(*) AS tf
-      FROM (
-        SELECT doc_id, unnest(
-          CASE WHEN len(t) >= 3
-               THEN list_transform(range(1, len(t) - 1),
-                                   i -> concat_ws(' ', t[i], t[i+1],
-                                                  t[i+2]))
-               ELSE [array_to_string(t, ' ')] END) AS tok
-        FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
-              FROM documents)
-      ) GROUP BY 1, 2
-    ), dfreq AS (
-      SELECT tok, count(*) AS df FROM tf GROUP BY 1
-    ), nd AS (
-      SELECT count(*) AS n FROM documents
-    ), weighted AS (
-      SELECT id, t.tok,
-             cast(round(round(t.tf * (ln((nd.n + 1.0) / (d.df + 1.0))
-                                      + 1.0), 4) * 10000) AS BIGINT)
-               AS w
-      FROM tf t JOIN dfreq d ON t.tok = d.tok AND d.df <= 100
-      CROSS JOIN nd
-    ), norms AS (
-      SELECT id, sum(w * w) AS nn FROM weighted GROUP BY 1
-    ), dots AS (
-      SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
-      FROM weighted a JOIN weighted b
-        ON a.tok = b.tok AND a.id < b.id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(dot / (sqrt(cast(na.nn AS DOUBLE))
-                        * sqrt(cast(nb.nn AS DOUBLE))), 6) AS cos
-    FROM dots
-    JOIN norms na ON na.id = id_a
-    JOIN norms nb ON nb.id = id_b
-    WHERE na.nn > 0 AND nb.nn > 0
-      AND round(dot / (sqrt(cast(na.nn AS DOUBLE))
-                       * sqrt(cast(nb.nn AS DOUBLE))), 6) >= 0.3
-"""
-
-
-ORACLE_SQL["q202_consistent_hash"] = """
-    WITH kh AS (
-      SELECT k, ('0x' || substr(md5(cast(k AS VARCHAR)), 1, 15))::BIGINT
-               AS khash
-      FROM (SELECT DISTINCT user_id AS k FROM events
-            WHERE user_id IS NOT NULL)
-    ), p0 AS (
-      SELECT cast(i AS INTEGER) AS sid,
-             ('0x' || substr(md5('shard-' || i), 1, 15))::BIGINT AS ph
-      FROM range(8) t(i)
-    ), p1 AS (
-      SELECT cast(i AS INTEGER) AS sid,
-             ('0x' || substr(md5('shard-' || i), 1, 15))::BIGINT AS ph
-      FROM range(9) t(i)
-    ), r0 AS (
-      SELECT k, coalesce(
-               arg_min(sid, CASE WHEN ph >= khash THEN ph END),
-               arg_min(sid, ph)) AS s
-      FROM kh CROSS JOIN p0 GROUP BY k
-    ), r1 AS (
-      SELECT k, coalesce(
-               arg_min(sid, CASE WHEN ph >= khash THEN ph END),
-               arg_min(sid, ph)) AS s
-      FROM kh CROSS JOIN p1 GROUP BY k
-    ), ring AS (
-      SELECT 'ring' AS scheme, count(*) AS n_keys,
-             sum(CASE WHEN r0.s <> r1.s THEN 1 ELSE 0 END) AS n_moved
-      FROM r0 JOIN r1 USING (k)
-    ), m AS (
-      SELECT 'mod' AS scheme, count(*) AS n_keys,
-             sum(CASE WHEN khash % 8 <> khash % 9 THEN 1 ELSE 0 END)
-               AS n_moved
-      FROM kh
-    )
-    SELECT scheme, cast(n_keys AS BIGINT) AS n_keys,
-           cast(n_moved AS BIGINT) AS n_moved,
-           round(n_moved / cast(n_keys AS DOUBLE), 6) AS moved_frac
-    FROM (SELECT * FROM ring UNION ALL SELECT * FROM m)
-"""
-
-
-ORACLE_SQL["q203_gap_histogram"] = """
-    WITH gaps AS (
-      SELECT (epoch_us(ts)
-              - lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                        ORDER BY epoch_us(ts), event_id))
-             // 1000000 AS gap_s
-      FROM events
-    )
-    SELECT cast(length(bin(gap_s + 1)) AS INTEGER) AS gap_bucket,
-           cast(count(*) AS BIGINT) AS n_gaps,
-           cast(min(gap_s) AS BIGINT) AS min_gap_s,
-           cast(max(gap_s) AS BIGINT) AS max_gap_s
-    FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
-"""
-
-
-ORACLE_SQL["q204_dim_variance"] = """
-    WITH e AS (
-      SELECT unnest(range(0, len(embedding))) AS dim,
-             cast(round(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS g
-      FROM embeddings
-    ), agg AS (
-      SELECT dim, count(*) AS n, sum(g) AS s, sum(g * g) AS ss
-      FROM e GROUP BY 1
-    ), scored AS (
-      SELECT dim, n,
-             round((n * ss - s * s) / (n * n * 1e8), 6) AS variance
-      FROM agg
-    )
-    SELECT cast(dim AS INTEGER) AS dim, cast(n AS BIGINT) AS n, variance,
-           cast(row_number() OVER (ORDER BY variance DESC, dim ASC)
-                AS INTEGER) AS rank
-    FROM scored
-"""
-
-
-ORACLE_SQL["q205_zipf_slope"] = """
-    WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
-                                                   '\\s+'),
-                    x -> x <> '')) AS tok
-      FROM documents
-    ), freq AS (
-      SELECT tok, count(*) AS f FROM toks GROUP BY 1
-    ), top AS (
-      SELECT tok, f FROM freq ORDER BY f DESC, tok ASC LIMIT 100
-    ), xy AS (
-      SELECT ln(cast(row_number() OVER (ORDER BY f DESC, tok ASC)
-                     AS DOUBLE)) AS x,
-             ln(cast(f AS DOUBLE)) AS y
-      FROM top
-    ), agg AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * y) AS sxy, sum(x * x) AS sxx
-      FROM xy
-    )
-    SELECT cast(n AS BIGINT) AS n_terms,
-           CASE WHEN n * sxx - sx * sx <> 0
-                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx)
-                           + 1e-9, 4)
-           END AS slope
-    FROM agg
-"""
-
-
-ORACLE_SQL["q206_distinctive_terms"] = """
-    WITH toks AS (
-      SELECT source AS g,
-             unnest(list_filter(string_split_regex(trim(lower(text)),
-                                                   '\\s+'),
-                    x -> x <> '')) AS tok
-      FROM documents
-    ), sc AS (
-      SELECT g, tok, count(*) AS c FROM toks GROUP BY 1, 2
-    ), cc AS (
-      SELECT tok, sum(c) AS ct FROM sc GROUP BY 1
-    ), st AS (
-      SELECT g, sum(c) AS ns FROM sc GROUP BY 1
-    ), v AS (
-      SELECT count(*) AS v, sum(ct) AS n FROM cc
-    ), scored AS (
-      SELECT g, tok, c,
-             round(ln((c + 1.0) / (ns + v) * (n + v) / (ct + 1.0))
-                   + 1e-9, 4) AS score
-      FROM sc JOIN cc USING (tok) JOIN st USING (g) CROSS JOIN v
-    ), ranked AS (
-      SELECT g, tok, c, score,
-             row_number() OVER (PARTITION BY g
-                                ORDER BY score DESC, tok ASC) AS rk
-      FROM scored
-    )
-    SELECT g AS source, tok AS token, cast(c AS BIGINT) AS n_in_slice,
-           score, cast(rk AS INTEGER) AS rank
-    FROM ranked WHERE rk <= 5
-"""
-
-
-ORACLE_SQL["q207_psi_drift"] = """
-    WITH base AS (
-      SELECT least(cast(round(least(greatest(value / 100.0, 0.0), 1.0)
-                              * 10000) AS BIGINT) * 10 // 10000,
-                   9) AS bin,
-             (event_type = 'click') AS is_a
-      FROM events WHERE event_type IN ('click', 'view')
-    ), cells AS (
-      SELECT bin,
-             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
-             sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
-      FROM base GROUP BY 1
-    ), totals AS (
-      SELECT sum(ca) AS na, sum(cb) AS nb FROM cells
-    ), terms AS (
-      SELECT na, nb,
-             ((ca + 1.0) / (na + 10.0) - (cb + 1.0) / (nb + 10.0))
-               * ln((ca + 1.0) / (na + 10.0)
-                    * (nb + 10.0) / (cb + 1.0)) AS term
-      FROM cells CROSS JOIN totals
-    )
-    SELECT cast(max(na) AS BIGINT) AS n_a,
-           cast(max(nb) AS BIGINT) AS n_b,
-           round(sum(term) + 1e-9, 6) AS psi
-    FROM terms
-"""
-
-
-ORACLE_SQL["q208_norm_audit"] = """
-    WITH norms AS (
-      SELECT vec_id AS id,
-             cast(round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]))
-                        * 10000) AS BIGINT) AS ne4
-      FROM embeddings
-    ), med AS (
-      SELECT cast(round(median(ne4)) AS BIGINT) AS m FROM norms
-    ), dev AS (
-      SELECT id, ne4, m, abs(ne4 - m) AS ad FROM norms CROSS JOIN med
-    ), mad AS (
-      SELECT cast(round(median(ad)) AS BIGINT) AS md FROM dev
-    ), fl AS (
-      SELECT * FROM dev CROSS JOIN mad
-    )
-    SELECT '_summary' AS kind, cast(NULL AS BIGINT) AS vec_id,
-           cast(NULL AS BIGINT) AS norm_e4,
-           cast(count(*) AS BIGINT) AS n,
-           max(m) AS median_e4, max(md) AS mad_e4
-    FROM fl
-    UNION ALL
-    SELECT 'outlier', id, ne4, cast(NULL AS BIGINT), m, md
-    FROM fl WHERE ad > 5 * md
-"""
-
-
-ORACLE_SQL["q209_session_durations"] = """
-    WITH e AS (
-      SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
-      FROM events
-    ), flagged AS (
-      SELECT user_id, event_id, ts_s,
-             CASE WHEN lag(ts_s) OVER w IS NULL
-                       OR ts_s - lag(ts_s) OVER w > 1800
-                  THEN 1 ELSE 0 END AS b
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
-    ), sess AS (
-      SELECT user_id, ts_s,
-             sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                          ROWS UNBOUNDED PRECEDING) AS sid
-      FROM flagged
-    ), durs AS (
-      SELECT max(ts_s) - min(ts_s) AS dur
-      FROM sess GROUP BY user_id, sid
-    )
-    SELECT cast(length(bin(dur + 1)) AS INTEGER) AS duration_bucket,
-           cast(count(*) AS BIGINT) AS n_sessions,
-           cast(min(dur) AS BIGINT) AS min_s,
-           cast(max(dur) AS BIGINT) AS max_s
-    FROM durs GROUP BY 1
-"""
-
-
-def _q210_oracle() -> str:
-    from ..operators.classifier import hashed_ngram_oracle_sql
-
-    return hashed_ngram_oracle_sql("documents", "source")
-
-
-ORACLE_SQL["q210_hashed_classifier"] = _q210_oracle()
-
-
-#: Shared mutual-kNN edge CTE text (the q173 oracle's core) — q211
-#: builds label propagation on the IDENTICAL edge set.
-_MUTUAL_KNN_CTE = """
-    v AS (
-      SELECT label, vec_id, embedding::DOUBLE[] AS e,
-             sqrt(list_dot_product(embedding::DOUBLE[],
-                                   embedding::DOUBLE[])) AS n
-      FROM embeddings
-      WHERE sqrt(list_dot_product(embedding::DOUBLE[],
-                                  embedding::DOUBLE[])) > 0
-    ), scored AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS sim
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ), ranked AS (
-      SELECT src, dst, sim,
-             row_number() OVER (PARTITION BY src
-                                ORDER BY sim DESC, dst ASC) AS rank
-      FROM scored
-    ), kedges AS (
-      SELECT src, dst FROM ranked WHERE rank <= 5
-    ), medges AS (
-      SELECT e.src, e.dst
-      FROM kedges e JOIN kedges r ON r.src = e.dst AND r.dst = e.src
-    )
-"""
-
-
-ORACLE_SQL["q211_label_propagation"] = f"""
-    WITH {_MUTUAL_KNN_CTE},
-    nodes AS (
-      SELECT vec_id AS id,
-             CASE WHEN vec_id % 10 < 3 THEN label END AS lab
-      FROM v
-    ), a0 AS (
-      SELECT id, lab AS label, 0 AS rnd FROM nodes WHERE lab IS NOT NULL
-    ), u0 AS (
-      SELECT id FROM nodes WHERE lab IS NULL
-    ), votes1 AS (
-      SELECT m.src AS id, a.label, count(*) AS nv
-      FROM medges m
-      JOIN a0 a ON m.dst = a.id
-      JOIN u0 ON m.src = u0.id
-      GROUP BY 1, 2
-    ), pick1 AS (
-      SELECT id, label FROM (
-        SELECT id, label,
-               row_number() OVER (PARTITION BY id
-                                  ORDER BY nv DESC, label ASC) AS rk
-        FROM votes1) WHERE rk = 1
-    ), a1 AS (
-      SELECT * FROM a0
-      UNION ALL SELECT id, label, 1 FROM pick1
-    ), u1 AS (
-      SELECT id FROM u0 WHERE id NOT IN (SELECT id FROM pick1)
-    ), votes2 AS (
-      SELECT m.src AS id, a.label, count(*) AS nv
-      FROM medges m
-      JOIN a1 a ON m.dst = a.id
-      JOIN u1 ON m.src = u1.id
-      GROUP BY 1, 2
-    ), pick2 AS (
-      SELECT id, label FROM (
-        SELECT id, label,
-               row_number() OVER (PARTITION BY id
-                                  ORDER BY nv DESC, label ASC) AS rk
-        FROM votes2) WHERE rk = 1
-    ), a2 AS (
-      SELECT * FROM a1
-      UNION ALL SELECT id, label, 2 FROM pick2
-    )
-    SELECT cast(coalesce(a.label, -1) AS INTEGER) AS label,
-           cast(count(*) AS BIGINT) AS n_nodes,
-           cast(sum(CASE WHEN a.rnd = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_seed,
-           cast(sum(CASE WHEN a.rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_round1,
-           cast(sum(CASE WHEN a.rnd = 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_round2
-    FROM nodes n LEFT JOIN a2 a ON n.id = a.id
-    GROUP BY 1
-"""
-
-
-ORACLE_SQL["q212_dpp_prune"] = """
-    SELECT cast(year(l_shipdate) AS INTEGER) AS ship_year,
-           cast(count(*) AS BIGINT) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem
-    WHERE year(l_shipdate) IN (
-      SELECT DISTINCT year(o_orderdate) FROM orders
-      WHERE year(o_orderdate) >= 1997
-    )
-    GROUP BY 1
-"""
-
-
-def _q213_oracle() -> str:
-    from ..operators.sketches import source_minhash_oracle_sql
-
-    return source_minhash_oracle_sql("documents", 3)
-
-
-ORACLE_SQL["q213_source_minhash"] = _q213_oracle()
-
-
-ORACLE_SQL["q214_transform_with_state"] = """
-    SELECT user_id,
-           cast(count(*) AS BIGINT) AS n_events,
-           cast(sum(coalesce(cast(round(value * 100) AS BIGINT), 0))
-                AS BIGINT) AS value_e2
-    FROM events
-    WHERE user_id IS NOT NULL
-    GROUP BY 1
-"""
-
-
-ORACLE_SQL["q215_pipe_syntax"] = """
-    SELECT o_orderpriority,
-           cast(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    WHERE c_mktsegment = 'BUILDING'
-    GROUP BY o_orderpriority
-"""
-
-
-ORACLE_SQL["q216_iter_pandas_udf"] = """
-    SELECT event_type,
-           cast(count(*) AS BIGINT) AS n,
-           cast(sum((cast(floor(least(greatest(coalesce(value, 0.0), 0.0),
-                                      99.0)) AS BIGINT)
-                     * 2654435761) % 2048 - 1024) AS BIGINT) AS weight_sum
-    FROM events
-    GROUP BY 1
-"""
-
-
-ORACLE_SQL["q217_recursive_cte"] = f"""
-    WITH RECURSIVE {_MUTUAL_KNN_CTE},
-    reach(id, depth) AS (
-      SELECT min(src), CAST(0 AS INTEGER) FROM medges
-      UNION ALL
-      SELECT e.dst, r.depth + 1
-      FROM reach r JOIN medges e ON e.src = r.id
-      WHERE r.depth < 3
-    )
-    SELECT depth, cast(count(*) AS BIGINT) AS n_nodes FROM (
-      SELECT id, min(depth) AS depth FROM reach GROUP BY id
-    ) GROUP BY depth
-"""
-
-
-def _q218_oracle() -> str:
-    bits, n_files = 8, 32
-    x_lo, x_hi, y_lo, y_hi = 64, 127, 32, 63
-    z_terms = " + ".join(
-        f"(((x >> {i}) & 1) * {1 << (2 * i)}"
-        f" + ((y >> {i}) & 1) * {1 << (2 * i + 1)})"
-        for i in range(bits)
-    )
-    return f"""
-        WITH keyed AS (
-          SELECT l_orderkey,
-                 l_partkey % {1 << bits} AS x,
-                 l_suppkey % {1 << bits} AS y
-          FROM lineitem
-        ), zk AS (
-          SELECT l_orderkey, x, y, cast({z_terms} AS BIGINT) AS z
-          FROM keyed
-        ), maxes AS (
-          SELECT max(l_orderkey) AS kmax, max(z) AS zmax FROM zk
-        ), tagged AS (
-          SELECT (l_orderkey * {n_files}) // (kmax + 1) AS nat_file,
-                 (z * {n_files}) // (zmax + 1) AS z_file
-          FROM zk CROSS JOIN maxes
-          WHERE x BETWEEN {x_lo} AND {x_hi}
-            AND y BETWEEN {y_lo} AND {y_hi}
-        ), per AS (
-          SELECT cast(count(DISTINCT nat_file) AS BIGINT) AS nat_files,
-                 cast(count(DISTINCT z_file) AS BIGINT) AS z_files,
-                 cast(count(*) AS BIGINT) AS n_match
-          FROM tagged
-        )
-        SELECT 'natural' AS layout, nat_files AS files_touched, n_match,
-               round(1 - nat_files / {float(n_files)!r}, 4) AS prune_fraction
-        FROM per
-        UNION ALL
-        SELECT 'zorder', z_files, n_match,
-               round(1 - z_files / {float(n_files)!r}, 4)
-        FROM per
-    """
-
-
-ORACLE_SQL["q218_zorder_audit"] = _q218_oracle()
-
-
-ORACLE_SQL["q219_delete_cascade"] = """
-    WITH targets AS (
-      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
-    ), orders_hit AS (
-      SELECT o_orderkey FROM orders
-      WHERE o_custkey IN (SELECT c_custkey FROM targets)
-    ), li_hit AS (
-      SELECT 1 AS x FROM lineitem
-      WHERE l_orderkey IN (SELECT o_orderkey FROM orders_hit)
-    )
-    SELECT 'customer' AS entity,
-           (SELECT cast(count(*) AS BIGINT) FROM targets) AS n_delete,
-           (SELECT cast(count(*) AS BIGINT) FROM customer) AS n_total,
-           round((SELECT count(*) FROM targets) * 1.0
-                 / (SELECT count(*) FROM customer), 6) AS delete_fraction
-    UNION ALL
-    SELECT 'orders',
-           (SELECT cast(count(*) AS BIGINT) FROM orders_hit),
-           (SELECT cast(count(*) AS BIGINT) FROM orders),
-           round((SELECT count(*) FROM orders_hit) * 1.0
-                 / (SELECT count(*) FROM orders), 6)
-    UNION ALL
-    SELECT 'lineitem',
-           (SELECT cast(count(*) AS BIGINT) FROM li_hit),
-           (SELECT cast(count(*) AS BIGINT) FROM lineitem),
-           round((SELECT count(*) FROM li_hit) * 1.0
-                 / (SELECT count(*) FROM lineitem), 6)
-"""
-
-
-ORACLE_SQL["q220_padding_waste"] = """
-    WITH lens AS (
-      SELECT len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                             x -> x <> '')) AS n
-      FROM documents
-    ), bs AS (
-      SELECT unnest([128, 256, 512]) AS b
-    ), agg AS (
-      SELECT cast(b AS INTEGER) AS seq_len,
-             cast(count(*) AS BIGINT) AS n_docs,
-             cast(sum(CASE WHEN n > 0 THEN (n + b - 1) // b ELSE 0 END)
-                  AS BIGINT) AS n_sequences,
-             cast(sum(n) AS BIGINT) AS total_tokens,
-             cast(sum(CASE WHEN n > 0 THEN (n + b - 1) // b ELSE 0 END) * b
-                  AS BIGINT) AS padded_tokens
-      FROM lens CROSS JOIN bs GROUP BY b
-    )
-    SELECT seq_len, n_docs, n_sequences, total_tokens, padded_tokens,
-           round(1 - total_tokens
-                     / nullif(padded_tokens::DOUBLE, 0.0) + 1e-9, 4)
-             AS waste_fraction
-    FROM agg
-"""
-
-
-def _q221_oracle() -> str:
-    from ..operators.textstats import bpe_merges_oracle_sql
-
-    return bpe_merges_oracle_sql("documents", 3)
-
-
-ORACLE_SQL["q221_bpe_train"] = _q221_oracle()
-
-
-ORACLE_SQL["q222_item_cooccurrence"] = """
-    WITH ui AS (
-      SELECT DISTINCT user_id AS u,
-             cast(json_extract_string(props, '$.k') AS INTEGER) AS item
-      FROM events
-      WHERE user_id IS NOT NULL
-        AND json_extract_string(props, '$.k') IS NOT NULL
-    ), capped AS (
-      SELECT u, item FROM (
-        SELECT u, item,
-               row_number() OVER (PARTITION BY u ORDER BY item ASC) AS rk
-        FROM ui) WHERE rk <= 200
-    ), freqs AS (
-      SELECT item, cast(count(*) AS BIGINT) AS freq FROM capped GROUP BY 1
-    ), pairs AS (
-      SELECT a.item AS item_a, b.item AS item_b,
-             cast(count(*) AS BIGINT) AS cooc
-      FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
-      GROUP BY 1, 2 HAVING count(*) >= 5
-    )
-    SELECT item_a, item_b, cooc, fa.freq AS freq_a, fb.freq AS freq_b,
-           round(cooc / sqrt((fa.freq * fb.freq)::DOUBLE), 4) AS cosine
-    FROM pairs
-    JOIN freqs fa ON pairs.item_a = fa.item
-    JOIN freqs fb ON pairs.item_b = fb.item
-    ORDER BY cosine DESC, item_a ASC, item_b ASC
-    LIMIT 20
-"""
-
-
-ORACLE_SQL["q223_fuzzy_vocab_join"] = """
-    WITH v AS (
-      SELECT DISTINCT unnest(list_filter(string_split(p_name, ' '),
-                                         x -> x <> '')) AS w
-      FROM part
-    )
-    SELECT a.w AS word_a, b.w AS word_b,
-           cast(levenshtein(a.w, b.w) AS INTEGER) AS dist
-    FROM v a JOIN v b ON a.w < b.w
-    WHERE levenshtein(a.w, b.w) <= 1
-"""
-
-
-ORACLE_SQL["q224_pareto_frontier"] = """
-    WITH toks AS (
-      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                         x -> x <> '') AS t
-      FROM documents
-    ), sc AS (
-      SELECT len(t) AS n_tokens,
-             (len(list_distinct(t)) * 10000) // len(t) AS diversity_e4
-      FROM toks WHERE len(t) > 0
-    ), lv AS (
-      SELECT n_tokens AS x, max(diversity_e4) AS y FROM sc GROUP BY 1
-    ), fr AS (
-      SELECT x, y,
-             max(y) OVER (ORDER BY x DESC
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING) AS b
-      FROM lv
-    ), pts AS (
-      SELECT x, y FROM fr WHERE b IS NULL OR y > b
-    ), cnt AS (
-      SELECT n_tokens AS x, diversity_e4 AS y,
-             cast(count(*) AS BIGINT) AS n_rows
-      FROM sc GROUP BY 1, 2
-    )
-    SELECT cast(p.x AS INTEGER) AS n_tokens,
-           cast(p.y AS BIGINT) AS diversity_e4,
-           n_rows
-    FROM pts p JOIN cnt USING (x, y)
-"""
-
-
-ORACLE_SQL["q225_quantile_normalize"] = """
-    WITH base AS (
-      SELECT event_type AS grp, cast(round(value * 100) AS BIGINT) AS v
-      FROM events WHERE value IS NOT NULL
-    ), pooled AS (
-      SELECT v, cast(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1
-    ), pooled_cdf AS (
-      SELECT v AS v_norm,
-             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
-               AS lo,
-             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi
-      FROM pooled
-    ), nt AS (
-      SELECT cast(count(*) AS BIGINT) AS n_total FROM base
-    ), glevels AS (
-      SELECT grp, v, cast(count(*) AS BIGINT) AS cnt
-      FROM base GROUP BY 1, 2
-    ), gsizes AS (
-      SELECT grp, cast(count(*) AS BIGINT) AS n_g FROM base GROUP BY 1
-    ), gcdf AS (
-      SELECT g.grp, g.v, g.cnt,
-             sum(g.cnt) OVER (PARTITION BY g.grp ORDER BY g.v
-                              ROWS UNBOUNDED PRECEDING) AS cum,
-             s.n_g, nt.n_total
-      FROM glevels g JOIN gsizes s ON g.grp = s.grp CROSS JOIN nt
-    ), matched AS (
-      SELECT grp, cnt, v AS v_orig, p.v_norm
-      FROM (SELECT *, (cum * n_total + n_g - 1) // n_g AS target
-            FROM gcdf) t
-      JOIN pooled_cdf p ON t.target > p.lo AND t.target <= p.hi
-    )
-    SELECT grp AS event_type,
-           cast(sum(cnt) AS BIGINT) AS n,
-           round(sum(v_orig * cnt) / (sum(cnt) * 100.0), 4) AS mean_value,
-           round(sum(v_norm * cnt) / (sum(cnt) * 100.0), 4)
-             AS mean_normalized
-    FROM matched GROUP BY 1
-"""
-
-
-ORACLE_SQL["q226_forecast_backtest"] = """
-    WITH yearly AS (
-      SELECT l_suppkey AS g, year(l_shipdate) AS x,
-             round(avg(l_quantity), 4) AS y
-      FROM lineitem GROUP BY 1, 2
-    ), st AS (
-      SELECT g, x, y,
-             count(*) OVER wpre AS n,
-             sum(x::DOUBLE) OVER wpre AS sx,
-             sum(y) OVER wpre AS sy,
-             sum(x::DOUBLE * y) OVER wpre AS sxy,
-             sum(x::DOUBLE * x::DOUBLE) OVER wpre AS sxx
-      FROM yearly
-      WINDOW wpre AS (PARTITION BY g ORDER BY x
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    ), fit AS (
-      SELECT x, y, n,
-             n * sxx - sx * sx AS varn,
-             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-             sx, sy
-      FROM st
-      WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
-        AND y IS NOT NULL AND y <> 0
-    ), ev AS (
-      SELECT x,
-             cast(round(abs(((sy - slope * sx) / n + slope * x::DOUBLE) - y)
-                        / abs(y) * 1e6 + 1e-9) AS BIGINT) AS ape_e6
-      FROM fit
-    )
-    SELECT cast(x AS INTEGER) AS annee,
-           cast(count(*) AS BIGINT) AS n_series,
-           round(sum(ape_e6) / (count(*) * 1e4), 4) AS mape_pct
-    FROM ev GROUP BY 1
-"""
-
-
-def _q227_oracle() -> str:
-    from ..operators.classifier import doc_scores_oracle_cte
-
-    return f"""
-        WITH {doc_scores_oracle_cte("documents", "lang")},
-        lv AS (
-          SELECT score AS s,
-                 cast(sum(CASE WHEN extra = 'en' THEN 1 ELSE 0 END)
-                      AS BIGINT) AS pos,
-                 cast(sum(CASE WHEN extra = 'en' THEN 0 ELSE 1 END)
-                      AS BIGINT) AS neg
-          FROM per_doc GROUP BY 1
-        ), terms AS (
-          SELECT pos, neg,
-                 pos * (2 * coalesce(sum(neg) OVER (
-                          ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
-                                              AND 1 PRECEDING), 0)
-                        + neg) AS u2
-          FROM lv
-        )
-        SELECT cast(sum(pos) AS BIGINT) AS n_pos,
-               cast(sum(neg) AS BIGINT) AS n_neg,
-               CASE WHEN sum(pos) > 0 AND sum(neg) > 0
-                    THEN round(sum(u2) / (2.0 * sum(pos) * sum(neg)), 6)
-               END AS auc
-        FROM terms
-    """
-
-
-ORACLE_SQL["q227_exact_auc"] = _q227_oracle()
-
-
-def _q228_oracle() -> str:
-    from ..operators.classifier import doc_scores_oracle_cte
-
-    return f"""
-        WITH {doc_scores_oracle_cte("documents", "lang")},
-        lv AS (
-          SELECT score AS s,
-                 cast(sum(CASE WHEN extra = 'en' THEN 1 ELSE 0 END)
-                      AS BIGINT) AS pos,
-                 cast(count(*) AS BIGINT) AS cnt
-          FROM per_doc GROUP BY 1
-        ), cum AS (
-          SELECT s,
-                 sum(cnt) OVER (ORDER BY s DESC
-                                ROWS UNBOUNDED PRECEDING) AS cum_ge,
-                 sum(pos) OVER (ORDER BY s DESC
-                                ROWS UNBOUNDED PRECEDING) AS pos_ge
-          FROM lv
-        ), tot AS (
-          SELECT max(cum_ge) AS n_total, max(pos_ge) AS n_pos FROM cum
-        ), dec AS (
-          SELECT d AS decile, n_total, n_pos,
-                 (d * n_total + 9) // 10 AS k
-          FROM (SELECT unnest(range(1, 11)) AS d) CROSS JOIN tot
-        ), picked AS (
-          SELECT decile, n_pos,
-                 min(struct_pack(cum_ge := cum_ge, pos_ge := pos_ge,
-                                 s := s)) AS m
-          FROM dec JOIN cum ON cum.cum_ge >= dec.k
-          GROUP BY 1, 2
-        )
-        SELECT cast(decile AS INTEGER) AS decile,
-               m.s AS threshold_score,
-               cast(m.cum_ge AS BIGINT) AS n_flagged,
-               cast(m.pos_ge AS BIGINT) AS n_pos_flagged,
-               round(m.pos_ge / m.cum_ge::DOUBLE, 6) AS precision,
-               CASE WHEN n_pos > 0
-                    THEN round(m.pos_ge / n_pos::DOUBLE, 6) END AS recall
-        FROM picked
-    """
-
-
-ORACLE_SQL["q228_pr_deciles"] = _q228_oracle()
-
-
-ORACLE_SQL["q229_merge_upsert"] = """
-    WITH t AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents,
-             max(o_orderdate) AS last_date
-      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
-    ), s AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents,
-             max(o_orderdate) AS last_date,
-             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
-      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
-    ), m AS (
-      SELECT coalesce(t.custkey, s.custkey) AS custkey,
-             t.custkey IS NOT NULL AND s.custkey IS NOT NULL AS matched,
-             t.custkey IS NULL AS src_only,
-             t.n_orders AS t_n, t.total_cents AS t_c, t.last_date AS t_d,
-             s.n_orders AS s_n, s.total_cents AS s_c, s.last_date AS s_d,
-             s.op
-      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
-    )
-    SELECT custkey,
-           cast(CASE WHEN matched THEN t_n + s_n
-                     WHEN src_only THEN s_n ELSE t_n END AS BIGINT)
-             AS n_orders,
-           round((CASE WHEN matched THEN t_c + s_c
-                       WHEN src_only THEN s_c ELSE t_c END) / 100.0, 2)
-             AS total_price,
-           strftime(CASE WHEN matched THEN greatest(t_d, s_d)
-                         WHEN src_only THEN s_d ELSE t_d END, '%Y-%m-%d')
-             AS last_date
-    FROM m
-    WHERE NOT (matched AND op = 'D') AND NOT (src_only AND op = 'D')
-"""
-
-
-ORACLE_SQL["q230_stream_dedup"] = """
-    SELECT cast(count(*) AS BIGINT) AS n_docs,
-           cast(count(DISTINCT md5(substr(trim(regexp_replace(
-                  lower(text), '\\s+', ' ', 'g')), 1, 40)))
-                AS BIGINT) AS n_kept,
-           cast(count(*) - count(DISTINCT md5(substr(trim(regexp_replace(
-                  lower(text), '\\s+', ' ', 'g')), 1, 40)))
-                AS BIGINT) AS n_dropped
-    FROM documents
-"""
-
-# The ledgered-replay digest: the CDC batch applied exactly ONCE
-# (replays with the same batch_id are skipped by the ledger), so the
-# summary is the plain one-application full-outer merge — which for an
-# unconditional additive upsert is the all-orders digest.
-ORACLE_SQL["q234_merge_ledger"] = """
-    WITH t AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents
-      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
-    ), s AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents
-      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
-    ), m AS (
-      SELECT coalesce(t.custkey, s.custkey) AS custkey,
-             coalesce(t.n_orders, 0) + coalesce(s.n_orders, 0) AS n_orders,
-             coalesce(t.total_cents, 0) + coalesce(s.total_cents, 0)
-               AS total_cents
-      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
-    )
-    SELECT cast(count(*) AS BIGINT) AS n_keys,
-           cast(sum(n_orders) AS BIGINT) AS sum_orders,
-           round(sum(total_cents) / 100.0, 2) AS total_price_sum,
-           CAST(1 AS INTEGER) AS n_applied,
-           CAST(2 AS INTEGER) AS n_skipped
-    FROM m
-"""
-
-ORACLE_SQL["q235_merge_cdf"] = """
-    WITH t AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents,
-             max(o_orderdate) AS last_date
-      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
-    ), s AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents,
-             max(o_orderdate) AS last_date,
-             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
-      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
-    ), m AS (
-      SELECT coalesce(t.custkey, s.custkey) AS custkey,
-             t.custkey IS NOT NULL AND s.custkey IS NOT NULL AS matched,
-             t.custkey IS NULL AS src_only,
-             t.n_orders AS t_n, t.total_cents AS t_c, t.last_date AS t_d,
-             s.n_orders AS s_n, s.total_cents AS s_c, s.last_date AS s_d,
-             s.op
-      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
-    )
-    SELECT custkey,
-           cast(CASE WHEN matched AND op = 'D' THEN t_n
-                     WHEN matched THEN t_n + s_n
-                     ELSE s_n END AS BIGINT) AS n_orders,
-           round((CASE WHEN matched AND op = 'D' THEN t_c
-                       WHEN matched THEN t_c + s_c
-                       ELSE s_c END) / 100.0, 2) AS total_price,
-           strftime(CASE WHEN matched AND op = 'D' THEN t_d
-                         WHEN matched THEN greatest(t_d, s_d)
-                         ELSE s_d END, '%Y-%m-%d') AS last_date,
-           CASE WHEN matched AND op = 'D' THEN 'delete'
-                WHEN matched THEN 'update'
-                ELSE 'insert' END AS _change_type
-    FROM m
-    WHERE op IS NOT NULL AND NOT (src_only AND op = 'D')
-"""
-
-
-# q236: the v1 snapshot the changelog replay must reconstruct — the
-# direct relational merge of the v0 base (pre-1996) with the first CDC
-# epoch [1996-01-01, 1997-06-01); rows the replay never touched
-# (keys whose orders all fall past the epoch) simply aren't in v1.
-ORACLE_SQL["q236_time_travel"] = """
-    WITH t AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents,
-             max(o_orderdate) AS last_date
-      FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
-    ), s AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents,
-             max(o_orderdate) AS last_date,
-             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
-      FROM orders
-      WHERE o_orderdate >= DATE '1996-01-01'
-        AND o_orderdate < DATE '1997-06-01'
-      GROUP BY 1
-    ), m AS (
-      SELECT coalesce(t.custkey, s.custkey) AS custkey,
-             t.custkey IS NOT NULL AND s.custkey IS NOT NULL AS matched,
-             t.custkey IS NULL AS src_only,
-             t.n_orders AS t_n, t.total_cents AS t_c, t.last_date AS t_d,
-             s.n_orders AS s_n, s.total_cents AS s_c, s.last_date AS s_d,
-             s.op
-      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
-    )
-    SELECT custkey,
-           cast(CASE WHEN matched THEN t_n + s_n
-                     WHEN src_only THEN s_n ELSE t_n END AS BIGINT)
-             AS n_orders,
-           round((CASE WHEN matched THEN t_c + s_c
-                       WHEN src_only THEN s_c ELSE t_c END) / 100.0, 2)
-             AS total_price,
-           strftime(CASE WHEN matched THEN greatest(t_d, s_d)
-                         WHEN src_only THEN s_d ELSE t_d END, '%Y-%m-%d')
-             AS last_date
-    FROM m
-    WHERE NOT (matched AND op = 'D') AND NOT (src_only AND op = 'D')
-"""
-
-# q237: the view recomputed DIRECTLY from the merged final state —
-# if the Spark side's retraction math (pre-image subtraction) dropped
-# or double-counted anything, the per-segment sums diverge.
-ORACLE_SQL["q237_incremental_agg_cdf"] = """
-    WITH t AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents
-      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
-    ), s AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents,
-             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
-      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
-    ), m AS (
-      SELECT coalesce(t.custkey, s.custkey) AS custkey,
-             t.custkey IS NOT NULL AND s.custkey IS NOT NULL AS matched,
-             t.custkey IS NULL AS src_only,
-             t.n_orders AS t_n, t.total_cents AS t_c,
-             s.n_orders AS s_n, s.total_cents AS s_c, s.op
-      FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
-    ), final AS (
-      SELECT custkey,
-             CASE WHEN matched THEN t_n + s_n
-                  WHEN src_only THEN s_n ELSE t_n END AS n_orders,
-             CASE WHEN matched THEN t_c + s_c
-                  WHEN src_only THEN s_c ELSE t_c END AS total_cents
-      FROM m
-      WHERE NOT (matched AND op = 'D') AND NOT (src_only AND op = 'D')
-    )
-    SELECT cast(custkey % 8 AS INTEGER) AS segment,
-           cast(count(*) AS BIGINT) AS n_keys,
-           cast(sum(n_orders) AS BIGINT) AS sum_orders,
-           round(sum(total_cents) / 100.0, 2) AS total_price_sum
-    FROM final GROUP BY 1
-"""
-
-# Same oracle as q230: with the registered delay above every fixture
-# duplicate id-span, the watermarked kept-set equals the exact
-# distinct non-null fingerprint count.
-ORACLE_SQL["q232_stream_dedup_watermarked"] = ORACLE_SQL["q230_stream_dedup"]
-
-# z-value interleave for the q233 oracle: x bit i -> position 2i+1,
-# y bit i -> position 2i (generated from the same bits=8 the Spark
-# side uses, so the two cannot drift).
-_Z_TERMS = " + ".join(
-    f"(((gx >> {i}) & 1) * {1 << (2 * i + 1)}) "
-    f"+ (((gy >> {i}) & 1) * {1 << (2 * i)})"
-    for i in range(8)
-)
-ORACLE_SQL["q233_sort_vs_zorder"] = f"""
-    WITH base AS (
-      SELECT event_id AS id, user_id AS x,
-             CAST(round(value * 100) AS BIGINT) AS y
-      FROM events
-      WHERE user_id IS NOT NULL AND value IS NOT NULL
-    ), b AS (
-      SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
-      FROM base
-    ), g AS (
-      SELECT id,
-             ((x - xlo) * 256) // (xhi - xlo + 1) AS gx,
-             ((y - ylo) * 256) // (yhi - ylo + 1) AS gy
-      FROM base, b
-    ), gz AS (
-      SELECT id, gx, gy, {_Z_TERMS} AS z FROM g
-    ), tiled AS (
-      SELECT gx, gy,
-             ntile(64) OVER (ORDER BY gx, gy, id) AS zone_lin,
-             ntile(64) OVER (ORDER BY z, id) AS zone_z
-      FROM gz
-    ), probes AS (
-      SELECT DISTINCT
-             (gx // 32) * 32 AS plo_x, (gx // 32) * 32 + 31 AS phi_x,
-             (gy // 32) * 32 AS plo_y, (gy // 32) * 32 + 31 AS phi_y
-      FROM tiled
-    ), zl AS (
-      SELECT zone_lin AS zone,
-             min(gx) AS zlo_x, max(gx) AS zhi_x,
-             min(gy) AS zlo_y, max(gy) AS zhi_y
-      FROM tiled GROUP BY 1
-    ), zz AS (
-      SELECT zone_z AS zone,
-             min(gx) AS zlo_x, max(gx) AS zhi_x,
-             min(gy) AS zlo_y, max(gy) AS zhi_y
-      FROM tiled GROUP BY 1
-    ), tl AS (
-      SELECT p.plo_x, p.plo_y, count(*) AS nz
-      FROM probes p JOIN zl z
-        ON z.zlo_x <= p.phi_x AND z.zhi_x >= p.plo_x
-       AND z.zlo_y <= p.phi_y AND z.zhi_y >= p.plo_y
-      GROUP BY 1, 2
-    ), tz AS (
-      SELECT p.plo_x, p.plo_y, count(*) AS nz
-      FROM probes p JOIN zz z
-        ON z.zlo_x <= p.phi_x AND z.zhi_x >= p.plo_x
-       AND z.zlo_y <= p.phi_y AND z.zhi_y >= p.plo_y
-      GROUP BY 1, 2
-    )
-    SELECT 'linear_xy' AS layout, CAST(64 AS INTEGER) AS n_zones,
-           CAST(count(*) AS BIGINT) AS n_probes,
-           round(avg(nz), 4) AS avg_zones_touched
-    FROM tl
-    UNION ALL
-    SELECT 'zorder', CAST(64 AS INTEGER), CAST(count(*) AS BIGINT),
-           round(avg(nz), 4)
-    FROM tz
-"""
-
-# q14's exact pair SQL restricted to the deterministic md5 id-hash
-# panel (24-bit md5 prefix ≡ 0 mod 2) — the identical predicate the
-# Spark side's audit_sample applies, so sample membership is pinned
-# engine-independently.
-ORACLE_SQL["q231_neardup_audit_panel"] = """
-    WITH panel AS (
-      SELECT vec_id, label, embedding
-      FROM embeddings
-      WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 6))::BIGINT
-            % 2 = 0
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 6) AS sim
-    FROM panel a JOIN panel b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                6) >= 0.35
-"""
-
-# q238: the 16×64 ±1 JL matrix regenerated from the SAME pure helper
-# the Spark plan uses (md5-derived, no RNG state) and inlined as
-# list_dot_product literals — the two sides cannot drift.
-_JL_D, _JL_K = 64, 16
-
-
-def _jl_oracle_sql() -> str:
-    from ..operators.similarity import jl_signs
-
-    signs = jl_signs(_JL_D, _JL_K)
-    proj_cols = ",\n             ".join(
-        "list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(f"{float(s)}" for s in row)
-        + f"]) AS p{j}"
-        for j, row in enumerate(signs)
-    )
-    d2p = " + ".join(f"(a.p{j} - b.p{j}) ^ 2" for j in range(_JL_K))
-    return f"""
-    WITH panel AS (
-      SELECT vec_id AS id, label, embedding::DOUBLE[] AS e,
-             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS aa,
-             {proj_cols}
-      FROM embeddings WHERE vec_id % 5 = 0
-    ), pairs AS (
-      SELECT a.label AS label,
-             round(sqrt(({d2p}) * {_JL_D / _JL_K}
-                        / (a.aa - 2 * list_dot_product(a.e, b.e) + b.aa)),
-                   6) AS ratio
-      FROM panel a JOIN panel b ON a.label = b.label AND a.id < b.id
-      WHERE a.aa - 2 * list_dot_product(a.e, b.e) + b.aa > 1e-12
-    )
-    SELECT label, cast(count(*) AS BIGINT) AS n_pairs,
-           round(avg(ratio), 4) AS mean_ratio,
-           round(min(ratio), 6) AS min_ratio,
-           round(max(ratio), 6) AS max_ratio
-    FROM pairs GROUP BY 1
-    """
-
-
-ORACLE_SQL["q238_jl_distortion"] = _jl_oracle_sql()
-
-# q240: the post-evolution state recomputed relationally — a key's
-# last_date is the batch's date iff a batch row touched it (matched
-# update or insert), NULL for pre-evolution keys the CDC never saw.
-ORACLE_SQL["q240_merge_schema_evolution"] = """
-    WITH t AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders
-      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
-    ), s AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             max(o_orderdate) AS last_date
-      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
-    )
-    SELECT coalesce(t.custkey, s.custkey) AS custkey,
-           cast(coalesce(t.n_orders, 0) + coalesce(s.n_orders, 0)
-                AS BIGINT) AS n_orders,
-           strftime(s.last_date, '%Y-%m-%d') AS last_date
-    FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
-"""
-
-# q241: the three-epoch CDC chain replayed relationally — per epoch,
-# the Delta-CDF row set against the running state (insert /
-# update_preimage / update_postimage / delete), summarized per
-# (epoch, change type). A mis-ordered stream, a skipped retraction,
-# or a double-applied replay all change these sums.
-ORACLE_SQL["q241_stream_cdc_feed"] = """
-    WITH e0 AS (
-      SELECT o_custkey AS k, cast(count(*) AS BIGINT) AS n,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS c,
-             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
-      FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
-    ), e1 AS (
-      SELECT o_custkey AS k, cast(count(*) AS BIGINT) AS n,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS c,
-             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
-      FROM orders
-      WHERE o_orderdate >= DATE '1996-01-01'
-        AND o_orderdate < DATE '1997-06-01'
-      GROUP BY 1
-    ), e2 AS (
-      SELECT o_custkey AS k, cast(count(*) AS BIGINT) AS n,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS c,
-             CASE WHEN o_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
-      FROM orders WHERE o_orderdate >= DATE '1997-06-01' GROUP BY 1
-    ), c0 AS (
-      SELECT 0 AS batch_id, 'insert' AS ct, k, n, c FROM e0 WHERE op <> 'D'
-    ), s0 AS (
-      SELECT k, n, c FROM e0 WHERE op <> 'D'
-    ), j1 AS (
-      SELECT s0.k AS tk, e1.k AS sk, s0.n AS tn, s0.c AS tc,
-             e1.n AS sn, e1.c AS sc, e1.op
-      FROM s0 FULL OUTER JOIN e1 ON s0.k = e1.k
-    ), c1 AS (
-      SELECT 1 AS batch_id, 'delete' AS ct, tk AS k, tn AS n, tc AS c
-      FROM j1 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op = 'D'
-      UNION ALL
-      SELECT 1, 'update_preimage', tk, tn, tc
-      FROM j1 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
-      UNION ALL
-      SELECT 1, 'update_postimage', tk, tn + sn, tc + sc
-      FROM j1 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
-      UNION ALL
-      SELECT 1, 'insert', sk, sn, sc
-      FROM j1 WHERE tk IS NULL AND op <> 'D'
-    ), s1 AS (
-      SELECT tk AS k, tn AS n, tc AS c FROM j1
-      WHERE tk IS NOT NULL AND sk IS NULL
-      UNION ALL
-      SELECT tk, tn + sn, tc + sc FROM j1
-      WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
-      UNION ALL
-      SELECT sk, sn, sc FROM j1 WHERE tk IS NULL AND op <> 'D'
-    ), j2 AS (
-      SELECT s1.k AS tk, e2.k AS sk, s1.n AS tn, s1.c AS tc,
-             e2.n AS sn, e2.c AS sc, e2.op
-      FROM s1 FULL OUTER JOIN e2 ON s1.k = e2.k
-    ), c2 AS (
-      SELECT 2 AS batch_id, 'delete' AS ct, tk AS k, tn AS n, tc AS c
-      FROM j2 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op = 'D'
-      UNION ALL
-      SELECT 2, 'update_preimage', tk, tn, tc
-      FROM j2 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
-      UNION ALL
-      SELECT 2, 'update_postimage', tk, tn + sn, tc + sc
-      FROM j2 WHERE tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D'
-      UNION ALL
-      SELECT 2, 'insert', sk, sn, sc
-      FROM j2 WHERE tk IS NULL AND op <> 'D'
-    ), feed AS (
-      SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL
-      SELECT * FROM c2
-    )
-    SELECT cast(batch_id AS INTEGER) AS batch_id, ct AS _change_type,
-           cast(count(*) AS BIGINT) AS n_rows,
-           cast(sum(n) AS BIGINT) AS sum_orders,
-           round(sum(c) / 100.0, 2) AS total_price_sum
-    FROM feed GROUP BY 1, 2
-"""
-
-# q239: the per-bucket digest straight from orders; the fragmentation
-# booleans are in-plan assertions (q15 pattern) — a compaction that
-# dropped/duplicated rows breaks n_keys/sums, one that failed to
-# compact (or found nothing to compact) flips a boolean.
-ORACLE_SQL["q239_compact_optimize"] = """
-    WITH d AS (
-      SELECT o_custkey AS custkey,
-             cast(count(*) AS BIGINT) AS n_orders,
-             cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS total_cents
-      FROM orders GROUP BY 1
-    )
-    SELECT cast(custkey % 8 AS INTEGER) AS bucket,
-           cast(count(*) AS BIGINT) AS n_keys,
-           cast(sum(n_orders) AS BIGINT) AS sum_orders,
-           round(sum(total_cents) / 100.0, 2) AS total_price_sum,
-           true AS was_fragmented,
-           true AS single_file_after
-    FROM d GROUP BY 1
-"""
-
-
-# q242: the recursive CTE replays EXACTLY the codegen fold — s_1 = v_1,
-# s_t = 0.3·v_t + 0.7·s_{t−1} over 4-dp-rounded daily means, so every
-# intermediate s_t is bit-identical across engines before the final
-# round.
-ORACLE_SQL["q242_ewma_smoothing"] = """
-    WITH RECURSIVE daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             round(avg(value) + 1e-9, 4) AS v
-      FROM events GROUP BY 1, 2
-    ), d AS (
-      SELECT event_type, day, v,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY day) AS rn
-      FROM daily
-    ), sc AS (
-      SELECT event_type, rn, day, v, v AS s FROM d WHERE rn = 1
-      UNION ALL
-      SELECT d.event_type, d.rn, d.day, d.v, 0.3 * d.v + 0.7 * sc.s
-      FROM sc JOIN d ON d.event_type = sc.event_type
-                    AND d.rn = sc.rn + 1
-    )
-    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v,
-           round(s + 1e-9, 4) AS ewma
-    FROM sc
-"""
-
-
-# q243: identical central-moment expansions, identical association
-# order — the only cross-engine difference is partial-sum order on
-# S1..S4, absorbed by the terminal 4-dp round.
-ORACLE_SQL["q243_grouped_moments"] = """
-    WITH s AS (
-      SELECT event_type, count(*) AS n, sum(value) AS s1,
-             sum(value * value) AS s2,
-             sum(value * value * value) AS s3,
-             sum(value * value * value * value) AS s4
-      FROM events WHERE value IS NOT NULL GROUP BY 1
-    )
-    SELECT event_type, CAST(n AS BIGINT) AS n,
-           round(s1 / n + 1e-9, 4) AS mean,
-           round((s2 / n - (s1 / n) * (s1 / n)) + 1e-9, 4) AS var_pop,
-           CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
-             round((s3 / n - 3 * (s1 / n) * (s2 / n)
-                    + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-                   / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)
-                   + 1e-9, 4)
-           END AS skewness,
-           CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
-             round((s4 / n - 4 * (s1 / n) * (s3 / n)
-                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
-                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-                   / pow(s2 / n - (s1 / n) * (s1 / n), 2)
-                   - 3 + 1e-9, 4)
-           END AS kurtosis
-    FROM s
-"""
-
-
-# q244: the flat lateral-unnest self-join is the RELATIONAL statement
-# of Xᵀ X (n·d(d+1)/2 intermediate rows — fine for an oracle at
-# sf0.01, exactly what the Spark plan's per-partition dgemm partials
-# avoid shuffling at scale). float32 entries widen exactly to double
-# on both engines, so per-pair products are bit-identical and only
-# summation order differs.
-ORACLE_SQL["q244_gram_matrix"] = """
-    WITH flat AS (
-      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, generate_series(1, 64) AS t(i)
-      WHERE embedding IS NOT NULL
-    )
-    SELECT f1.i AS i, f2.i AS j,
-           round(sum(f1.x * f2.x) + 1e-9, 4) AS g
-    FROM flat f1 JOIN flat f2 USING (vec_id)
-    WHERE f2.i >= f1.i
-    GROUP BY 1, 2
-"""
-
-
-# q245: the oracle replays the identical fixed-point recurrence
-# sequentially — list_prepend(0.0) makes list_reduce start from the
-# zero init, and each step is the same (α·x + (1−α)·s, +1e-9, round 4)
-# on 1e-4-grid rationals, so every intermediate state is the same
-# double on both engines regardless of Spark's partitioning.
-ORACLE_SQL["q245_ewma_scan"] = """
-    WITH d AS (
-      SELECT epoch_us(ts) AS us, event_id, round(value + 1e-9, 4) AS v
-      FROM events WHERE value IS NOT NULL
-    )
-    SELECT cast(count(*) AS BIGINT) AS n_rows,
-           list_reduce(
-             list_prepend(CAST(0 AS DOUBLE),
-                          list(v ORDER BY us, event_id)),
-             (acc, x) -> round(0.3 * x + 0.7 * acc + 1e-9, 4)
-           ) AS ewma_final
-    FROM d
-"""
-
-
-# q246: identical integer-count algebra — one (x, y) cell agg,
-# marginals re-aggregated from the cell table, ln args computed as
-# DOUBLE products on both engines (N·c overflows int64 at N² > 9.2e18;
-# HUGEINT would silently diverge from ANSI Spark).
-ORACLE_SQL["q246_mutual_info"] = """
-    WITH cells AS (
-      SELECT coalesce(CAST(lang AS VARCHAR), '∅') AS x,
-             coalesce(CAST(source AS VARCHAR), '∅') AS y,
-             count(*) AS c
-      FROM documents GROUP BY 1, 2
-    ), cx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
-    cy AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
-    tot AS (SELECT sum(c) AS n, count(*) AS cells FROM cells),
-    mi AS (
-      SELECT sum(c / n * ln(CAST(n AS DOUBLE) * c
-                            / (CAST(cx AS DOUBLE) * cy))) AS mi
-      FROM cells JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
-    ),
-    hx AS (
-      SELECT sum(-(cx / n) * ln(cx / n)) AS hx FROM cx CROSS JOIN tot
-    ),
-    hy AS (
-      SELECT sum(-(cy / n) * ln(cy / n)) AS hy FROM cy CROSS JOIN tot
-    )
-    SELECT cast(n AS BIGINT) AS n, cast(cells AS BIGINT) AS n_cells,
-           round(mi + 1e-9, 4) AS mi_nats,
-           round(hx + 1e-9, 4) AS h_x,
-           round(hy + 1e-9, 4) AS h_y,
-           CASE WHEN hx > 0 AND hy > 0
-                THEN round(mi / sqrt(hx * hy) + 1e-9, 4) END AS nmi
-    FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
-"""
-
-
-# q247: the leading digit comes from the decimal string of exact
-# integer cents on both engines — never floor(log10(x)).
-ORACLE_SQL["q247_benford_audit"] = """
-    WITH c AS (
-      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                              AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-             count(*) AS n
-      FROM orders WHERE o_totalprice > 0 GROUP BY 1
-    ), t AS (SELECT sum(n) AS tot FROM c)
-    SELECT digit, CAST(n AS BIGINT) AS n,
-           round(n / tot + 1e-9, 4) AS freq,
-           round(ln(1 + 1.0 / digit) / ln(10.0) + 1e-9, 4) AS benford,
-           round(n / tot - ln(1 + 1.0 / digit) / ln(10.0) + 1e-9, 4)
-             AS gap
-    FROM c CROSS JOIN t
-"""
-
-
-# q248: the oracle states the same integer construction relationally —
-# window prefix sums over the cents-grid level table, lower-quantile
-# pick via the cross-multiplied integer test.
-ORACLE_SQL["q248_weighted_percentiles"] = """
-    WITH lv AS (
-      SELECT l_returnflag AS flag,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-      FROM lineitem GROUP BY 1, 2
-    ), cum AS (
-      SELECT flag, vc, w,
-             sum(w) OVER (PARTITION BY flag ORDER BY vc
-                          ROWS UNBOUNDED PRECEDING) AS cw,
-             sum(w) OVER (PARTITION BY flag) AS tw
-      FROM lv
-    )
-    SELECT flag, CAST(max(tw) AS BIGINT) AS w_total,
-           round(min(CASE WHEN cw * 100 >= 50 * tw THEN vc END)
-                 / 100.0, 2) AS wp50,
-           round(min(CASE WHEN cw * 100 >= 90 * tw THEN vc END)
-                 / 100.0, 2) AS wp90
-    FROM cum GROUP BY 1
-"""
-
-
-# q249: recursive CTE replays the identical KM fold — at-risk counts
-# by exact integer subtraction, survival as the same sequence of
-# double multiplies (base case multiplies by 1.0, an FP identity), so
-# S(d) is bit-stable before the 4-dp round. Recursion depth =
-# #distinct duration days (calendar-bounded).
-ORACLE_SQL["q249_survival_km"] = """
-    WITH RECURSIVE per_user AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'signup'
-                      THEN epoch_us(ts) END) AS s,
-             min(CASE WHEN event_type = 'purchase'
-                      THEN epoch_us(ts) END) AS p
-      FROM events GROUP BY 1
-    ), oe AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
-    subj AS (
-      SELECT CASE WHEN p > s THEN (p - s) // 86400000000
-                  ELSE (end_us - s) // 86400000000 END AS dur,
-             CASE WHEN p > s THEN 1 ELSE 0 END AS event
-      FROM per_user CROSS JOIN oe WHERE s IS NOT NULL
-    ), lv AS (
-      SELECT CAST(dur AS INTEGER) AS day,
-             CAST(sum(event) AS BIGINT) AS ev,
-             CAST(sum(1 - event) AS BIGINT) AS cen
-      FROM subj GROUP BY 1
-    ), tot AS (SELECT CAST(sum(ev + cen) AS BIGINT) AS n FROM lv),
-    d AS (
-      SELECT day, ev, cen,
-             row_number() OVER (ORDER BY day) AS rn
-      FROM lv
-    ), sc AS (
-      SELECT rn, day, ev, cen, n AS nr,
-             1.0 * (1.0 - ev / n) AS surv,
-             n - ev - cen AS rem
-      FROM d CROSS JOIN tot WHERE rn = 1
-      UNION ALL
-      SELECT d.rn, d.day, d.ev, d.cen, sc.rem AS nr,
-             sc.surv * (1.0 - d.ev / sc.rem) AS surv,
-             sc.rem - d.ev - d.cen AS rem
-      FROM sc JOIN d ON d.rn = sc.rn + 1
-    )
-    SELECT day, CAST(nr AS BIGINT) AS n_risk, ev AS n_events,
-           cen AS n_censored,
-           round(surv + 1e-9, 4) AS survival
-    FROM sc WHERE ev > 0
-"""
-
-
-# q250: the oracle runs the identical sweep relationally — running max
-# of span ends over PRECEDING rows opens islands, boundary ±1 events
-# running-summed in (b, delta) order give peak concurrency. Integer
-# day numbers end-to-end; ties in (lo, hi) are between identical rows,
-# so every window aggregate is permutation-invariant.
-ORACLE_SQL["q250_interval_coverage"] = """
-    WITH spans AS (
-      SELECT l_suppkey AS suppkey,
-             datediff('day', DATE '1992-01-01', l_shipdate) AS lo,
-             datediff('day', DATE '1992-01-01', l_shipdate)
-               + CAST(l_quantity AS INTEGER) AS hi
-      FROM lineitem
-    ), flagged AS (
-      SELECT suppkey, lo, hi,
-             CASE WHEN max(hi) OVER (PARTITION BY suppkey
-                                     ORDER BY lo, hi
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING) IS NULL
-                       OR lo >= max(hi) OVER (PARTITION BY suppkey
-                                              ORDER BY lo, hi
-                                              ROWS BETWEEN UNBOUNDED
-                                              PRECEDING AND 1 PRECEDING)
-                  THEN 1 ELSE 0 END AS new_island
-      FROM spans
-    ), isl AS (
-      SELECT suppkey, lo, hi,
-             sum(new_island) OVER (PARTITION BY suppkey ORDER BY lo, hi
-                                   ROWS UNBOUNDED PRECEDING) AS island
-      FROM flagged
-    ), per_island AS (
-      SELECT suppkey, island, min(lo) AS island_lo, max(hi) AS island_hi,
-             count(*) AS n_spans
-      FROM isl GROUP BY 1, 2
-    ), cover AS (
-      SELECT suppkey,
-             CAST(sum(n_spans) AS BIGINT) AS n_spans,
-             CAST(sum(island_hi - island_lo) AS BIGINT) AS covered_days,
-             CAST(count(*) AS BIGINT) AS n_islands
-      FROM per_island GROUP BY 1
-    ), bounds AS (
-      SELECT suppkey, lo AS b, 1 AS delta FROM spans
-      UNION ALL
-      SELECT suppkey, hi AS b, -1 AS delta FROM spans
-    ), peak AS (
-      SELECT suppkey,
-             CAST(max(open) AS BIGINT) AS peak_concurrency
-      FROM (
-        SELECT suppkey,
-               sum(delta) OVER (PARTITION BY suppkey ORDER BY b, delta
-                                ROWS UNBOUNDED PRECEDING) AS open
-        FROM bounds
-      ) GROUP BY 1
-    )
-    SELECT cover.suppkey, n_spans, covered_days, n_islands,
-           peak_concurrency
-    FROM cover JOIN peak ON cover.suppkey = peak.suppkey
-"""
-
-
-# q251: the oracle states the identical minimax relationally — integer
-# bin sums, (i, j) segment rates as single BIGINT/BIGINT -> DOUBLE
-# divisions, then min-over-j / max-over-i. Same +1e-9 nudge pre-round
-# on bit-identical doubles.
-ORACLE_SQL["q251_isotonic_calibration"] = """
-    WITH snapped AS (
-      SELECT greatest(0, least(10000,
-               CAST(round(((user_id * 2654435761) % 10001) / 10000.0
-                          * 10000) AS BIGINT))) AS g,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events
-    ), bins AS (
-      SELECT CAST(least(g * 10 // 10000, 9) AS INTEGER) AS bin,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(y) AS BIGINT) AS sy
-      FROM snapped GROUP BY 1
-    ), seg AS (
-      SELECT i.bin AS i, j.bin AS j,
-             CAST(sum(b.sy) AS DOUBLE) / CAST(sum(b.n) AS DOUBLE)
-               AS rate
-      FROM bins i JOIN bins j ON i.bin <= j.bin
-      JOIN bins b ON b.bin BETWEEN i.bin AND j.bin
-      GROUP BY 1, 2
-    ), inner_min AS (
-      SELECT k.bin AS k, seg.i, min(seg.rate) AS mr
-      FROM bins k JOIN seg ON seg.i <= k.bin AND seg.j >= k.bin
-      GROUP BY 1, 2
-    ), iso AS (
-      SELECT k, max(mr) AS iso FROM inner_min GROUP BY 1
-    )
-    SELECT bins.bin, bins.n,
-           round(CAST(bins.sy AS DOUBLE) / CAST(bins.n AS DOUBLE)
-                 + 1e-9, 6) AS pos_rate,
-           round(iso.iso + 1e-9, 6) AS iso_rate
-    FROM bins JOIN iso ON bins.bin = iso.k
-"""
-
-
-# q252: recursive CTE replays Holt's identical double-op sequence —
-# b_t's dependence on l_t is spelled by repeating l_t's expression
-# exactly as the Spark fold does (bit-identical), so level/trend are
-# stable before the terminal 4-dp rounds.
-ORACLE_SQL["q252_holt_trend"] = """
-    WITH RECURSIVE daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             round(CAST(sum(CAST(round(value * 1e4) AS BIGINT))
-                        AS DOUBLE)
-                   / CAST(count(value) AS DOUBLE) / 1e4 + 1e-9,
-                   4) AS v
-      FROM events GROUP BY 1, 2
-    ), d AS (
-      SELECT event_type, day, v,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY day) AS rn
-      FROM daily
-    ), sc AS (
-      SELECT event_type, rn, day, v, v AS l,
-             CAST(0.0 AS DOUBLE) AS b
-      FROM d WHERE rn = 1
-      UNION ALL
-      SELECT d.event_type, d.rn, d.day, d.v,
-             0.3 * d.v + 0.7 * (sc.l + sc.b) AS l,
-             0.2 * ((0.3 * d.v + 0.7 * (sc.l + sc.b)) - sc.l)
-               + 0.8 * sc.b AS b
-      FROM sc JOIN d ON d.event_type = sc.event_type
-                    AND d.rn = sc.rn + 1
-    )
-    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v,
-           round(l + 1e-9, 4) AS level,
-           round(b + 1e-9, 4) AS trend,
-           round(l + b + 1e-9, 4) AS forecast
-    FROM sc
-"""
-
-
-# q253: the oracle builds the same three KMV sketches relationally —
-# 52-bit md5-slice hashes, ORDER BY h LIMIT k per set — and spells the
-# estimator with the identical double-op sequence (255.0 * 2^52 first,
-# then the divide), so estimates are bit-stable pre-round.
-ORACLE_SQL["q253_kmv_set_ops"] = """
-    WITH pairs AS (
-      SELECT DISTINCT l_returnflag AS s,
-             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 13))
-               ::BIGINT AS h
-      FROM lineitem WHERE l_returnflag IN ('A', 'R')
-    ),
-    sk_a AS (SELECT h FROM pairs WHERE s = 'A' ORDER BY h LIMIT 256),
-    sk_b AS (SELECT h FROM pairs WHERE s = 'R' ORDER BY h LIMIT 256),
-    sk_u AS (SELECT DISTINCT h FROM pairs ORDER BY h LIMIT 256),
-    ex AS (
-      SELECT
-        (SELECT count(*) FROM (SELECT DISTINCT h FROM pairs
-                               WHERE s = 'A')) AS xa,
-        (SELECT count(*) FROM (SELECT DISTINCT h FROM pairs
-                               WHERE s = 'R')) AS xb,
-        (SELECT count(DISTINCT h) FROM pairs) AS xu,
-        (SELECT count(*) FROM (SELECT h FROM pairs GROUP BY h
-                               HAVING count(DISTINCT s) = 2)) AS xi,
-        (SELECT count(*) FROM sk_a) AS na,
-        (SELECT count(*) FROM sk_b) AS nb,
-        (SELECT count(*) FROM sk_u) AS nu,
-        (SELECT max(h) FROM sk_a) AS ha,
-        (SELECT max(h) FROM sk_b) AS hb,
-        (SELECT max(h) FROM sk_u) AS hu,
-        (SELECT count(*) FROM sk_u
-         WHERE h IN (SELECT h FROM pairs GROUP BY h
-                     HAVING count(DISTINCT s) = 2)) AS mi
-    )
-    SELECT 'distinct_a' AS metric,
-           round(CASE WHEN na < 256 THEN CAST(xa AS DOUBLE)
-                 ELSE (255e0 * 4503599627370496e0) / CAST(ha AS DOUBLE)
-                 END + 1e-9, 2) AS est,
-           CAST(xa AS BIGINT) AS exact FROM ex
-    UNION ALL
-    SELECT 'distinct_b',
-           round(CASE WHEN nb < 256 THEN CAST(xb AS DOUBLE)
-                 ELSE (255e0 * 4503599627370496e0) / CAST(hb AS DOUBLE)
-                 END + 1e-9, 2),
-           CAST(xb AS BIGINT) FROM ex
-    UNION ALL
-    SELECT 'union',
-           round(CASE WHEN nu < 256 THEN CAST(xu AS DOUBLE)
-                 ELSE (255e0 * 4503599627370496e0) / CAST(hu AS DOUBLE)
-                 END + 1e-9, 2),
-           CAST(xu AS BIGINT) FROM ex
-    UNION ALL
-    SELECT 'intersection',
-           round(CASE WHEN nu < 256 THEN CAST(xi AS DOUBLE)
-                 ELSE CAST(mi AS DOUBLE) * 255e0 * 4503599627370496e0
-                      / CAST(256 * hu AS DOUBLE)
-                 END + 1e-9, 2),
-           CAST(xi AS BIGINT) FROM ex
-"""
-
-
-# q254: the oracle accumulates the same nine sufficient statistics
-# (HUGEINT-exact, matching Spark's decimal(38,0) sums), casts to
-# DOUBLE, and spells the identical Cramer expansion, so betas are
-# bit-stable pre-round.
-ORACLE_SQL["q254_grouped_ridge"] = """
-    WITH base AS (
-      SELECT l_returnflag AS flag,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
-             CAST(round(l_quantity) AS BIGINT) AS x1,
-             CAST(round(l_discount * 100) AS BIGINT) AS x2
-      FROM lineitem
-    ), s AS (
-      SELECT flag, CAST(count(*) AS BIGINT) AS n,
-             sum(x1) AS s1, sum(x2) AS s2,
-             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
-             sum(x2 * x2) AS s22,
-             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
-      FROM base GROUP BY 1
-    ), m AS (
-      SELECT flag, n,
-             CAST(n AS DOUBLE) AS a11,
-             CAST(s1 AS DOUBLE) AS a12, CAST(s2 AS DOUBLE) AS a13,
-             CAST(s1 AS DOUBLE) AS a21,
-             CAST(s11 AS DOUBLE) + 1000.0 AS a22,
-             CAST(s12 AS DOUBLE) AS a23,
-             CAST(s2 AS DOUBLE) AS a31, CAST(s12 AS DOUBLE) AS a32,
-             CAST(s22 AS DOUBLE) + 1000.0 AS a33,
-             CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
-             CAST(s2y AS DOUBLE) AS b3
-      FROM s
-    )
-    SELECT flag, n,
-           round((b1 * (a22 * a33 - a23 * a32)
-                  - a12 * (b2 * a33 - a23 * b3)
-                  + a13 * (b2 * a32 - a22 * b3))
-                 / (a11 * (a22 * a33 - a23 * a32)
-                    - a12 * (a21 * a33 - a23 * a31)
-                    + a13 * (a21 * a32 - a22 * a31)) + 1e-9, 6)
-             AS beta0,
-           round((a11 * (b2 * a33 - a23 * b3)
-                  - b1 * (a21 * a33 - a23 * a31)
-                  + a13 * (a21 * b3 - b2 * a31))
-                 / (a11 * (a22 * a33 - a23 * a32)
-                    - a12 * (a21 * a33 - a23 * a31)
-                    + a13 * (a21 * a32 - a22 * a31)) + 1e-9, 6)
-             AS beta1,
-           round((a11 * (a22 * b3 - b2 * a32)
-                  - a12 * (a21 * b3 - b2 * a31)
-                  + b1 * (a21 * a32 - a22 * a31))
-                 / (a11 * (a22 * a33 - a23 * a32)
-                    - a12 * (a21 * a33 - a23 * a31)
-                    + a13 * (a21 * a32 - a22 * a31)) + 1e-9, 6)
-             AS beta2
-    FROM m
-"""
-
-
-# q255: HUGEINT-exact grid sums cast to DOUBLE, then the identical
-# double-op sequence (variance via the sum-of-squares identity, sqrt
-# IEEE-correctly-rounded) — t and df bit-stable pre-round.
-ORACLE_SQL["q255_welch_ttest"] = """
-    WITH snapped AS (
-      SELECT event_type AS arm,
-             CAST(round(value * 1e4) AS BIGINT) AS v
-      FROM events
-      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
-    ), arms AS (
-      SELECT arm, CAST(count(*) AS BIGINT) AS n,
-             sum(v) AS sv, sum(v * v) AS svv
-      FROM snapped GROUP BY 1
-    ), j AS (
-      SELECT a.n AS na, CAST(a.sv AS DOUBLE) AS sva,
-             CAST(a.svv AS DOUBLE) AS svva,
-             b.n AS nb, CAST(b.sv AS DOUBLE) AS svb,
-             CAST(b.svv AS DOUBLE) AS svvb
-      FROM (SELECT * FROM arms WHERE arm = 'click') a
-      CROSS JOIN (SELECT * FROM arms WHERE arm = 'view') b
-    ), m AS (
-      SELECT na, nb,
-             sva / CAST(na AS DOUBLE) / 1e4 AS ma,
-             svb / CAST(nb AS DOUBLE) / 1e4 AS mb,
-             (svva - sva * sva / CAST(na AS DOUBLE))
-               / (CAST(na AS DOUBLE) - 1.0) / (1e4 * 1e4)
-               / CAST(na AS DOUBLE) AS se2a,
-             (svvb - svb * svb / CAST(nb AS DOUBLE))
-               / (CAST(nb AS DOUBLE) - 1.0) / (1e4 * 1e4)
-               / CAST(nb AS DOUBLE) AS se2b
-      FROM j
-    )
-    SELECT na AS n_a, nb AS n_b,
-           round(ma + 1e-9, 6) AS mean_a,
-           round(mb + 1e-9, 6) AS mean_b,
-           round(CASE WHEN na > 1 AND nb > 1 AND se2a + se2b > 0 THEN
-                   (ma - mb) / sqrt(se2a + se2b)
-                 END + 1e-9, 6) AS t_stat,
-           round(CASE WHEN na > 1 AND nb > 1 AND se2a + se2b > 0 THEN
-                   ((se2a + se2b) * (se2a + se2b))
-                   / (se2a * se2a / (CAST(na AS DOUBLE) - 1.0)
-                      + se2b * se2b / (CAST(nb AS DOUBLE) - 1.0))
-                 END + 1e-9, 6) AS welch_df
-    FROM m
-"""
-
-
-# q256: the oracle unrolls the identical 4 simultaneous peel rounds —
-# per round, degrees over edges with BOTH endpoints surviving, filter
-# >= k. Exact integers; src (even) and dst (odd) ids never collide so
-# the symmetric edge list is a plain UNION ALL.
-ORACLE_SQL["q256_kcore"] = """
-    WITH pairs AS (
-      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ), edges AS (
-      SELECT src, dst FROM pairs
-      UNION ALL
-      SELECT dst, src FROM pairs
-    ), a0 AS (SELECT DISTINCT src AS node FROM edges),
-    d1 AS (
-      SELECT src, count(*) AS deg FROM edges
-      WHERE src IN (SELECT node FROM a0)
-        AND dst IN (SELECT node FROM a0)
-      GROUP BY 1 HAVING count(*) >= 12
-    ), a1 AS (SELECT src AS node FROM d1),
-    d2 AS (
-      SELECT src, count(*) AS deg FROM edges
-      WHERE src IN (SELECT node FROM a1)
-        AND dst IN (SELECT node FROM a1)
-      GROUP BY 1 HAVING count(*) >= 12
-    ), a2 AS (SELECT src AS node FROM d2),
-    d3 AS (
-      SELECT src, count(*) AS deg FROM edges
-      WHERE src IN (SELECT node FROM a2)
-        AND dst IN (SELECT node FROM a2)
-      GROUP BY 1 HAVING count(*) >= 12
-    ), a3 AS (SELECT src AS node FROM d3),
-    d4 AS (
-      SELECT src, count(*) AS deg FROM edges
-      WHERE src IN (SELECT node FROM a3)
-        AND dst IN (SELECT node FROM a3)
-      GROUP BY 1 HAVING count(*) >= 12
-    )
-    SELECT src AS node, CAST(deg AS BIGINT) AS core_deg FROM d4
-"""
-
-
-# q257: HUGEINT-exact per-group grid sums; the cross-group float terms
-# fold via list_reduce over list(... ORDER BY grp) — the same left
-# fold, same op order, as Spark's sorted-collect_list aggregate.
-ORACLE_SQL["q257_anova_f"] = """
-    WITH snapped AS (
-      SELECT CAST(event_type AS VARCHAR) AS grp,
-             CAST(round(value * 1e4) AS BIGINT) AS v
-      FROM events
-      WHERE value IS NOT NULL AND event_type IS NOT NULL
-    ), grps AS (
-      SELECT grp, CAST(count(*) AS BIGINT) AS n,
-             sum(v) AS s, sum(v * v) AS q
-      FROM snapped GROUP BY 1
-    ), terms AS (
-      SELECT grp, n, s,
-             CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-               AS tb,
-             CAST(q AS DOUBLE)
-               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                 / CAST(n AS DOUBLE) AS tw
-      FROM grps
-    ), folded AS (
-      SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(n) AS BIGINT) AS n_total,
-             CAST(sum(s) AS DOUBLE) AS s_tot,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                      list(tb ORDER BY grp)),
-                         (acc, x) -> acc + x) AS sum_tb,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                      list(tw ORDER BY grp)),
-                         (acc, x) -> acc + x) AS sum_tw
-      FROM terms
-    )
-    SELECT k, n_total,
-           round((sum_tb - s_tot * s_tot / CAST(n_total AS DOUBLE))
-                 / (1e4 * 1e4) + 1e-9, 6) AS ss_between,
-           round(sum_tw / (1e4 * 1e4) + 1e-9, 6) AS ss_within,
-           round(CASE WHEN k > 1 AND n_total > k AND sum_tw > 0
-                 THEN ((sum_tb - s_tot * s_tot / CAST(n_total AS DOUBLE))
-                       / (1e4 * 1e4) / (CAST(k AS DOUBLE) - 1.0))
-                      / ((sum_tw / (1e4 * 1e4))
-                         / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
-                 END + 1e-9, 6) AS f_stat
-    FROM folded
-"""
-
-
-# q258: identical integer level algebra — 2·U = Σ c_a·(2·cum_b − c_b)
-# summed exactly; tie term Σ(t³−t); z spelled with the same double-op
-# sequence and the same variance-0 NULL guard.
-ORACLE_SQL["q258_mann_whitney"] = """
-    WITH cells AS (
-      SELECT round(value + 1e-9, 2) AS x,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS ca,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-               AS cb
-      FROM events
-      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
-      GROUP BY 1
-    ), cum AS (
-      SELECT ca, cb,
-             sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
-               AS cumb
-      FROM cells
-    ), agg AS (
-      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-             CAST(sum(cb) AS BIGINT) AS n_b,
-             CAST(sum(ca * (2 * cumb - cb)) AS BIGINT) AS u2_a,
-             CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
-                  AS BIGINT) AS tie3
-      FROM cum
-    )
-    SELECT n_a, n_b, u2_a,
-           round(CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
-                       AND (CAST(n_a + n_b AS DOUBLE) + 1.0)
-                           * CAST(n_a + n_b AS DOUBLE)
-                           * (CAST(n_a + n_b AS DOUBLE) - 1.0)
-                           > CAST(tie3 AS DOUBLE) THEN
-                   (CAST(u2_a AS DOUBLE) / 2.0
-                    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
-                   / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                          / 12.0
-                          * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
-                             - CAST(tie3 AS DOUBLE)
-                               / (CAST(n_a + n_b AS DOUBLE)
-                                  * (CAST(n_a + n_b AS DOUBLE)
-                                     - 1.0))))
-                 END + 1e-9, 6) AS z
-    FROM agg
-"""
-
-
-# q259: identical per-term double expressions from exact counts (ln
-# args as pure-double products, q246 discipline), snapped to the 1e-12
-# grid, summed HUGEINT-exact — order-free over any vocabulary size.
-ORACLE_SQL["q259_js_divergence"] = """
-    WITH toks AS (
-      SELECT (source = 'src0') AS is_a,
-             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-      FROM documents
-      WHERE source IN ('src0', 'src1') AND text IS NOT NULL
-    ), cells AS (
-      SELECT tok,
-             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
-             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
-      FROM toks WHERE tok <> '' GROUP BY 1
-    ), tot AS (
-      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
-      FROM cells
-    ), terms AS (
-      SELECT a, b,
-             CAST(round(CASE WHEN a > 0 AND tb > 0 THEN
-               CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
-               * ln(2e0 * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
-                    / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
-                       + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)))
-               ELSE 0e0 END * 1e12) AS HUGEINT) AS qa,
-             CAST(round(CASE WHEN b > 0 AND ta > 0 THEN
-               CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)
-               * ln(2e0 * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
-                    / (CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
-                       + CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)))
-               ELSE 0e0 END * 1e12) AS HUGEINT) AS qb
-      FROM cells CROSS JOIN tot
-    )
-    SELECT CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS vocab_a,
-           CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS vocab_b,
-           CAST(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS vocab_common,
-           round(CASE WHEN sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) > 0
-                       AND sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) > 0
-                 THEN CAST(sum(qa) + sum(qb) AS DOUBLE) / 2e12
-                 END + 1e-9, 6) AS js_nats
-    FROM terms
-"""
-
-
-# q260: identical doubled-average-rank algebra — window prefix counts
-# over the level tables, HUGEINT-exact rank sums, the same Pearson
-# double sequence with the zero-variance NULL guard.
-ORACLE_SQL["q260_spearman_rho"] = """
-    WITH rows_ AS (
-      SELECT CAST(round(l_quantity) AS BIGINT) AS vx,
-             CAST(round(l_extendedprice) AS BIGINT) AS vy
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-    ), lx AS (
-      SELECT vx, count(*) AS c FROM rows_ GROUP BY 1
-    ), rx AS (
-      SELECT vx,
-             2 * sum(c) OVER (ORDER BY vx ROWS UNBOUNDED PRECEDING)
-               - c + 1 AS r2x
-      FROM lx
-    ), ly AS (
-      SELECT vy, count(*) AS c FROM rows_ GROUP BY 1
-    ), ry AS (
-      SELECT vy,
-             2 * sum(c) OVER (ORDER BY vy ROWS UNBOUNDED PRECEDING)
-               - c + 1 AS r2y
-      FROM ly
-    ), ranked AS (
-      SELECT r2x, r2y FROM rows_
-      JOIN rx USING (vx) JOIN ry USING (vy)
-    ), agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             sum(r2x) AS sx, sum(r2y) AS sy,
-             sum(r2x * r2x) AS sxx, sum(r2y * r2y) AS syy,
-             sum(r2x * r2y) AS sxy
-      FROM ranked
-    )
-    SELECT n,
-           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                                - CAST(sy AS DOUBLE)
-                                  * CAST(sy AS DOUBLE)))
-                 END + 1e-9, 6) AS rho
-    FROM agg
-"""
-
-
-# q261: identical level-table Gini — exclusive prefix counts per
-# group, exact rank-weighted sums v·(2cK + c(c+1)) in HUGEINT, one
-# division, zero-total NULL guard.
-ORACLE_SQL["q261_gini_concentration"] = """
-    WITH levels AS (
-      SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
-             count(*) AS c
-      FROM documents WHERE n_chars IS NOT NULL
-      GROUP BY 1, 2
-    ), with_k AS (
-      SELECT grp, v, c,
-             coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING), 0) AS k
-      FROM levels
-    ), agg AS (
-      SELECT grp, CAST(sum(c) AS BIGINT) AS n,
-             sum(v * c) AS s,
-             sum(v * (2 * c * k + c * (c + 1))) AS t2
-      FROM with_k GROUP BY 1
-    )
-    SELECT grp AS source, n AS n_docs,
-           CAST(s AS BIGINT) AS total_chars,
-           round(CASE WHEN s > 0 AND n > 0 THEN
-                   (CAST(t2 AS DOUBLE)
-                    - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
-                   / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
-                 END + 1e-9, 6) AS gini
-    FROM agg
-"""
-
-
-# q262: unrolled power iterations (aggregates are not allowed in a
-# recursive CTE term — the q134 unroll precedent); identical 1e-9
-# integer-grid recurrence, every neighbor-sum a sum of BIGINTs.
-ORACLE_SQL["q262_markov_stationary"] = """
-    WITH s AS (
-      SELECT event_type,
-             lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
-      FROM events
-    ), pairs AS (
-      SELECT from_type, event_type AS to_type,
-             CAST(count(*) AS BIGINT) AS n
-      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
-    ), rt AS (
-      SELECT from_type, sum(n) AS rt FROM pairs GROUP BY 1
-    ), p AS (
-      SELECT pairs.from_type AS src, to_type AS dst,
-             CAST(round(1e9 * CAST(n AS DOUBLE) / CAST(rt AS DOUBLE))
-                  AS BIGINT) AS p_e9
-      FROM pairs JOIN rt ON pairs.from_type = rt.from_type
-    ), states AS (
-      SELECT src AS state FROM p UNION SELECT dst FROM p
-    ), kk AS (SELECT count(*) AS k FROM states),
-    pi0 AS (
-      SELECT state,
-             CAST(round(1e9 / CAST(k AS DOUBLE)) AS BIGINT) AS pi_e9
-      FROM states CROSS JOIN kk
-    ),
-    pi1 AS (
-      SELECT dst AS state,
-             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
-                                 * CAST(p_e9 AS DOUBLE) / 1e9)
-                           AS BIGINT)) AS BIGINT) AS pi_e9
-      FROM pi0 JOIN p ON pi0.state = p.src GROUP BY 1
-    ),
-    pi2 AS (
-      SELECT dst AS state,
-             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
-                                 * CAST(p_e9 AS DOUBLE) / 1e9)
-                           AS BIGINT)) AS BIGINT) AS pi_e9
-      FROM pi1 JOIN p ON pi1.state = p.src GROUP BY 1
-    ),
-    pi3 AS (
-      SELECT dst AS state,
-             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
-                                 * CAST(p_e9 AS DOUBLE) / 1e9)
-                           AS BIGINT)) AS BIGINT) AS pi_e9
-      FROM pi2 JOIN p ON pi2.state = p.src GROUP BY 1
-    ),
-    pi4 AS (
-      SELECT dst AS state,
-             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
-                                 * CAST(p_e9 AS DOUBLE) / 1e9)
-                           AS BIGINT)) AS BIGINT) AS pi_e9
-      FROM pi3 JOIN p ON pi3.state = p.src GROUP BY 1
-    ),
-    pi5 AS (
-      SELECT dst AS state,
-             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
-                                 * CAST(p_e9 AS DOUBLE) / 1e9)
-                           AS BIGINT)) AS BIGINT) AS pi_e9
-      FROM pi4 JOIN p ON pi4.state = p.src GROUP BY 1
-    ),
-    pi6 AS (
-      SELECT dst AS state,
-             CAST(sum(CAST(round(CAST(pi_e9 AS DOUBLE)
-                                 * CAST(p_e9 AS DOUBLE) / 1e9)
-                           AS BIGINT)) AS BIGINT) AS pi_e9
-      FROM pi5 JOIN p ON pi5.state = p.src GROUP BY 1
-    )
-    SELECT state, pi_e9,
-           round(CAST(pi_e9 AS DOUBLE) / 1e9, 6) AS pi
-    FROM pi6 ORDER BY pi_e9 DESC, state ASC
-"""
-
-
-# q263: HUGEINT-exact (key, isodow) grid sums; index = one division of
-# double products of exact integers. isodow(Monday=1) matches the
-# plan's normalized Spark dayofweek.
-ORACLE_SQL["q263_weekday_seasonality"] = """
-    WITH cells AS (
-      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INTEGER)
-               AS dow,
-             CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(round(value * 1e4) AS BIGINT)) AS s
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-    ), totals AS (
-      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_key,
-             sum(s) AS s_key
-      FROM cells GROUP BY 1
-    )
-    SELECT cells.event_type, dow, n,
-           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e4 + 1e-9, 6)
-             AS mean_dow,
-           round(CASE WHEN s_key <> 0 THEN
-                   (CAST(s AS DOUBLE) * CAST(n_key AS DOUBLE))
-                   / (CAST(s_key AS DOUBLE) * CAST(n AS DOUBLE))
-                 END + 1e-9, 6) AS seasonal_index
-    FROM cells JOIN totals ON cells.event_type = totals.event_type
-"""
-
-
-# q264: full r×c grid (margins cross join, LEFT JOIN observed), per-
-# cell (c−e)²/e from exact counts, list_reduce fold in (x, y) order —
-# the same left fold, same op order, as the Spark sorted-struct
-# aggregate. Degenerate 1×c / r×1 tables NULL out V.
-ORACLE_SQL["q264_cramers_v"] = """
-    WITH cells AS (
-      SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
-             CAST(count(*) AS BIGINT) AS c
-      FROM documents
-      WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
-    ), rows_m AS (
-      SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1
-    ), cols_m AS (
-      SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1
-    ), grid AS (
-      SELECT rows_m.x, cols_m.y, coalesce(cells.c, 0) AS c, cx, cy
-      FROM rows_m CROSS JOIN cols_m
-      LEFT JOIN cells ON cells.x = rows_m.x AND cells.y = cols_m.y
-    ), agg AS (
-      SELECT CAST(sum(c) AS BIGINT) AS n,
-             CAST(count(DISTINCT x) AS BIGINT) AS r,
-             CAST(count(DISTINCT y) AS BIGINT) AS cc,
-             list_reduce(
-               list_prepend(CAST(0 AS DOUBLE),
-                 list((CAST(c AS DOUBLE)
-                       - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
-                         / CAST(n2.n AS DOUBLE))
-                      * (CAST(c AS DOUBLE)
-                         - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
-                           / CAST(n2.n AS DOUBLE))
-                      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
-                         / CAST(n2.n AS DOUBLE))
-                      ORDER BY x, y)),
-               (acc, t) -> acc + t) AS chi2
-      FROM grid CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS n
-                            FROM cells) n2
-    )
-    SELECT n, r, cc AS c,
-           round(chi2 + 1e-9, 6) AS chi2,
-           round(CASE WHEN r > 1 AND cc > 1 AND n > 0 THEN
-                   sqrt(chi2 / (CAST(n AS DOUBLE)
-                                * CAST(least(r - 1, cc - 1) AS DOUBLE)))
-                 END + 1e-9, 6) AS cramers_v
-    FROM agg
-"""
-
-
-# q265: q259's identical snapped terms kept per token; top-k by the
-# exact integer contribution with a token tiebreak — deterministic on
-# both engines.
-ORACLE_SQL["q265_js_attribution"] = """
-    WITH toks AS (
-      SELECT (source = 'src0') AS is_a,
-             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-      FROM documents
-      WHERE source IN ('src0', 'src1') AND text IS NOT NULL
-    ), cells AS (
-      SELECT tok,
-             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
-             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
-      FROM toks WHERE tok <> '' GROUP BY 1
-    ), tot AS (
-      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
-      FROM cells
-    ), terms AS (
-      SELECT tok, CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
-             CAST(round(CASE WHEN a > 0 AND tb > 0 THEN
-               CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
-               * ln(2e0 * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
-                    / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
-                       + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)))
-               ELSE 0e0 END * 1e12) AS BIGINT)
-             + CAST(round(CASE WHEN b > 0 AND ta > 0 THEN
-               CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)
-               * ln(2e0 * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
-                    / (CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
-                       + CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)))
-               ELSE 0e0 END * 1e12) AS BIGINT) AS q
-      FROM cells CROSS JOIN tot
-    )
-    SELECT tok, n_a, n_b,
-           round(CAST(q AS DOUBLE) / 2e12 + 1e-9, 6) AS contrib_nats
-    FROM terms ORDER BY q DESC, tok ASC LIMIT 20
-"""
-
-
-# q266: the oracle states the identical reflection identity with two
-# plain windows — exact BIGINT prefix sum and prefix min over (us,
-# event_id) order; the least(0, ...) encodes the virtual D_0 = 0
-# reset point exactly as the Spark carry fold does.
-ORACLE_SQL["q266_cusum_scan"] = """
-    WITH d AS (
-      SELECT epoch_us(ts) AS us, event_id,
-             CAST(round(value * 100) AS BIGINT) - 5500 AS d
-      FROM events WHERE value IS NOT NULL
-    ), sc AS (
-      SELECT us, event_id,
-             sum(d) OVER (ORDER BY us, event_id
-                          ROWS UNBOUNDED PRECEDING) AS D
-      FROM d
-    ), s AS (
-      SELECT us, event_id,
-             D - least(0, min(D) OVER (ORDER BY us, event_id
-                                       ROWS UNBOUNDED PRECEDING)) AS S
-      FROM sc
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN S > 100000 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_alarms,
-           CAST(max(S) AS BIGINT) AS max_s,
-           CAST((SELECT S FROM s ORDER BY us DESC, event_id DESC
-                 LIMIT 1) AS BIGINT) AS final_s
-    FROM s
-"""
-
-# q267: the oracle recomputes every post-decode statistic CLOSED-FORM
-# from the synthetic pixel law pixel(x,y) = (3x + 7y + id) mod 256 over
-# generate_series grids — if the vendored decoder mis-unfilters a single
-# scanline or the resize samples one wrong coordinate, a sum moves and
-# the value hash breaks. Resized sampling is (x2*w)//w2, the exact
-# integer law of pngcodec.resize_nearest.
-ORACLE_SQL["q267_png_decode_stats"] = """
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(4 + doc_id % 13 AS INT) AS width,
-             CAST(4 + (doc_id // 13) % 11 AS INT) AS height,
-             CAST(greatest(1, (4 + doc_id % 13) // 2) AS INT) AS rs_width,
-             CAST(greatest(1, (4 + (doc_id // 13) % 11) // 2) AS INT)
-               AS rs_height
-      FROM documents
-      WHERE doc_id IS NOT NULL AND doc_id % 7 = 0
-    ), g AS (
-      -- fixed max grid (width <= 16, height <= 14); per-doc bounds are
-      -- filtered in the aggregates (generate_series cannot be lateral)
-      SELECT gx.x AS x, gy.y AS y
-      FROM generate_series(0, 15) gx(x), generate_series(0, 13) gy(y)
-    )
-    SELECT d.doc_id, d.width, d.height,
-           CAST(sum(CASE WHEN g.x < d.width AND g.y < d.height THEN
-                  (3 * g.x + 7 * g.y + d.doc_id) % 256 END)
-                AS BIGINT) AS pixel_sum,
-           d.rs_width, d.rs_height,
-           CAST(sum(CASE WHEN g.x < d.rs_width AND g.y < d.rs_height THEN
-                  (3 * ((g.x * d.width) // d.rs_width)
-                   + 7 * ((g.y * d.height) // d.rs_height)
-                   + d.doc_id) % 256 END)
-                AS BIGINT) AS pixel_sum_resized
-    FROM dims d CROSS JOIN g
-    GROUP BY d.doc_id, d.width, d.height, d.rs_width, d.rs_height
-"""
-
-# q268: the oracle replays the identical pairwise-slope construction —
-# exact cents/day integers, one correctly-rounded IEEE division per
-# slope (bit-equal across engines for equal rationals), rank-selected
-# medians with the (lo+hi)/2 even rule. DOUBLE literals are spelled
-# scientific (1e2/2e0) — DuckDB parses 100.0 as DECIMAL, which would
-# quantize the whole slope expression.
-ORACLE_SQL["q268_theil_sen"] = """
-    WITH daily AS (
-      SELECT event_type AS k,
-             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM events WHERE value IS NOT NULL
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT a.k,
-             CAST(b.cents - a.cents AS DOUBLE)
-               / CAST(b.t - a.t AS DOUBLE) / 1e2 AS slope
-      FROM daily a JOIN daily b ON a.k = b.k AND a.t < b.t
-    ), sr AS (
-      SELECT k, slope,
-             row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
-             count(*) OVER (PARTITION BY k) AS cnt
-      FROM pairs
-    ), sm AS (
-      SELECT k, (min(slope) + max(slope)) / 2e0 AS slope_med
-      FROM sr WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
-      GROUP BY k
-    ), np AS (
-      SELECT k, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY k
-    ), nd AS (
-      SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY k
-    ), resid AS (
-      SELECT d.k,
-             CAST(d.cents AS DOUBLE) / 1e2
-               - s.slope_med * CAST(d.t AS DOUBLE) AS resid
-      FROM daily d JOIN sm s ON d.k = s.k
-    ), rr AS (
-      SELECT k, resid,
-             row_number() OVER (PARTITION BY k ORDER BY resid) AS rn,
-             count(*) OVER (PARTITION BY k) AS cnt
-      FROM resid
-    ), im AS (
-      SELECT k, (min(resid) + max(resid)) / 2e0 AS intercept_med
-      FROM rr WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
-      GROUP BY k
-    )
-    SELECT nd.k AS event_type, nd.n_days,
-           COALESCE(np.n_pairs, 0) AS n_pairs,
-           round(sm.slope_med + 1e-9, 6) AS slope_med,
-           round(im.intercept_med + 1e-9, 6) AS intercept_med
-    FROM nd
-    LEFT JOIN np ON nd.k = np.k
-    LEFT JOIN sm ON nd.k = sm.k
-    LEFT JOIN im ON nd.k = im.k
-"""
-
-# q269: identical cell-level construction in SQL — ordered cell
-# self-join for C/D (exact HUGEINT products), margin tie terms, τ-b
-# as the same double sequence (C−D)/(sqrt(n0−n1)·sqrt(n0−n2)).
-ORACLE_SQL["q269_kendall_tau"] = """
-    WITH cells AS (
-      SELECT CAST(round(l_quantity) AS BIGINT) AS vx,
-             CAST(round(l_discount * 100) AS BIGINT) AS vy,
-             CAST(count(*) AS BIGINT) AS c
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
-      GROUP BY 1, 2
-    ), cd AS (
-      SELECT
-        sum(CASE WHEN b.vy > a.vy THEN a.c * b.c ELSE 0 END) AS conc,
-        sum(CASE WHEN b.vy < a.vy THEN a.c * b.c ELSE 0 END) AS disc
-      FROM cells a JOIN cells b ON a.vx < b.vx
-    ), tx AS (
-      SELECT sum(t * (t - 1) // 2) AS n1, CAST(sum(t) AS BIGINT) AS n
-      FROM (SELECT sum(c) AS t FROM cells GROUP BY vx)
-    ), ty AS (
-      SELECT sum(t * (t - 1) // 2) AS n2
-      FROM (SELECT sum(c) AS t FROM cells GROUP BY vy)
-    )
-    SELECT tx.n,
-           COALESCE(CAST(cd.conc AS BIGINT), 0) AS concordant,
-           COALESCE(CAST(cd.disc AS BIGINT), 0) AS discordant,
-           round(CASE WHEN tx.n * (tx.n - 1) // 2 - tx.n1 > 0
-                       AND tx.n * (tx.n - 1) // 2 - ty.n2 > 0 THEN
-               CAST(cd.conc - cd.disc AS DOUBLE)
-               / (sqrt(CAST(tx.n * (tx.n - 1) // 2 - tx.n1 AS DOUBLE))
-                  * sqrt(CAST(tx.n * (tx.n - 1) // 2 - ty.n2 AS DOUBLE)))
-             END + 1e-9, 6) AS tau_b
-    FROM cd, tx, ty
-"""
-
-# q270: matched rows = q92's interval join; unmatched-click emission is
-# gated by the FINAL WATERMARK rule — wm = min(max c_us, max e_us) −
-# delay(1h); a click emits NULLs iff its window closed strictly before
-# wm AND no in-window error exists. Clicks still in-window at
-# end-of-input are (correctly) absent from both sides.
-ORACLE_SQL["q270_stream_outer_join"] = """
-    WITH c AS (
-      SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
-      FROM events WHERE event_type = 'click'
-    ), e AS (
-      SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
-      FROM events WHERE event_type = 'error'
-    ), wm AS (
-      SELECT least((SELECT max(c_us) FROM c), (SELECT max(e_us) FROM e))
-             - CAST(3600000000 AS BIGINT) AS w_us
-    )
-    SELECT c.click_id, e.error_id, c.user_id,
-           e.e_us - c.c_us AS delta_us
-    FROM c JOIN e ON c.user_id = e.user_id
-                 AND e.e_us >= c.c_us
-                 AND e.e_us <= c.c_us + CAST(3600000000 AS BIGINT)
-    UNION ALL
-    SELECT c.click_id, CAST(NULL AS BIGINT) AS error_id, c.user_id,
-           CAST(NULL AS BIGINT) AS delta_us
-    FROM c, wm
-    WHERE c.c_us + CAST(3600000000 AS BIGINT) < wm.w_us
-      AND NOT EXISTS (
-        SELECT 1 FROM e
-        WHERE e.user_id = c.user_id
-          AND e.e_us >= c.c_us
-          AND e.e_us <= c.c_us + CAST(3600000000 AS BIGINT)
-      )
-"""
-
-# q271: identical trapezoid construction — lead over the (µs, event_id)
-# total order, exact (c_i + c_{i+1})·Δus HUGEINT terms, TWA =
-# N / (2·span) / 100 as the same double sequence (scientific literals:
-# DuckDB parses 100.0 as DECIMAL).
-ORACLE_SQL["q271_time_weighted_avg"] = """
-    WITH pts AS (
-      SELECT user_id, epoch_us(ts) AS us, event_id,
-             CAST(round(value * 100) AS BIGINT) AS c
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-    ), seg AS (
-      SELECT user_id, c, us,
-             lead(us) OVER (PARTITION BY user_id
-                            ORDER BY us, event_id) AS us2,
-             lead(c) OVER (PARTITION BY user_id
-                           ORDER BY us, event_id) AS c2
-      FROM pts
-    ), agg AS (
-      SELECT user_id,
-             CAST(count(*) AS BIGINT) AS n_events,
-             CAST(COALESCE(sum(CASE WHEN us2 IS NOT NULL
-                                    THEN us2 - us END), 0) AS BIGINT)
-               AS span_us,
-             sum(CASE WHEN us2 IS NOT NULL
-                      THEN (c + c2) * (us2 - us) ELSE 0 END) AS num
-      FROM seg GROUP BY 1
-    )
-    SELECT user_id, n_events, span_us,
-           round(CASE WHEN span_us > 0 THEN
-               CAST(num AS DOUBLE)
-                 / (2e0 * CAST(span_us AS DOUBLE)) / 1e2
-             END + 1e-9, 6) AS twa
-    FROM agg
-"""
-
-# q272: the lag spine is generate_series(-3, 3); everything else is the
-# q268-family discipline — exact cent totals, HUGEINT sufficient
-# statistics, one double sequence for r.
-ORACLE_SQL["q272_lag_cross_correlation"] = """
-    WITH daily AS (
-      SELECT event_type AS k,
-             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS c
-      FROM events
-      WHERE value IS NOT NULL AND event_type IN ('click', 'error')
-      GROUP BY 1, 2
-    ), a AS (SELECT t AS ta, c AS ca FROM daily WHERE k = 'click'),
-    b AS (SELECT t AS tb, c AS cb FROM daily WHERE k = 'error'),
-    j AS (
-      SELECT g.lag, a.ca, b.cb
-      FROM generate_series(-3, 3) g(lag), a
-      JOIN b ON a.ta + g.lag = b.tb
-    ), agg AS (
-      SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
-             sum(ca) AS sa, sum(cb) AS sb,
-             sum(ca * ca) AS saa, sum(cb * cb) AS sbb,
-             sum(ca * cb) AS sab
-      FROM j GROUP BY 1
-    )
-    SELECT lag, n_days,
-           round(CASE WHEN
-                   CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
-                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
-                   AND CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
-                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
-                 THEN
-                   (CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
-                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-                   / (sqrt(CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
-                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-                      * sqrt(CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
-                             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
-                 END + 1e-9, 6) AS r
-    FROM agg
-"""
-
-# q273: identical level-table construction — cumulative counts over the
-# 1e2 grid, per-interval |cumA·n_b − cumB·n_a|·Δx as exact HUGEINT
-# terms, W₁ = S/(n_a·n_b)/100 with scientific double literals.
-ORACLE_SQL["q273_wasserstein_drift"] = """
-    WITH cells AS (
-      SELECT CAST(round(value * 100) AS BIGINT) AS x,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
-      FROM events
-      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-      GROUP BY 1
-    ), cum AS (
-      SELECT x,
-             sum(ca) OVER w AS cuma,
-             sum(cb) OVER w AS cumb,
-             lead(x) OVER (ORDER BY x) AS xn,
-             row_number() OVER (ORDER BY x) AS idx
-      FROM cells
-      WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
-    ), tot AS (
-      SELECT max(cuma) AS na, max(cumb) AS nb, max(idx) AS nl FROM cum
-    ), s AS (
-      SELECT sum(CASE WHEN xn IS NOT NULL THEN
-                   abs(cuma * tot.nb - cumb * tot.na) * (xn - x)
-                 ELSE 0 END) AS sv
-      FROM cum, tot
-    )
-    SELECT CAST(tot.na AS BIGINT) AS n_a,
-           CAST(tot.nb AS BIGINT) AS n_b,
-           CAST(tot.nl AS BIGINT) AS n_levels,
-           round(CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
-               CAST(s.sv AS DOUBLE)
-                 / (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE))
-                 / 1e2
-             END + 1e-9, 6) AS w1
-    FROM s, tot
-"""
-
-# q274: identical md5 registers, identical (day × register) spine +
-# trailing RANGE-window merge, identical integer harmonic sum and the
-# single division — the hll_oracle_sql construction extended over the
-# rolling window.
-from ..operators.sketches import _ALPHA_256 as _HLL_A  # noqa: E402
-from ..operators.sketches import _M as _HLL_M  # noqa: E402
-from ..operators.sketches import _SCALE as _HLL_SCALE  # noqa: E402
-from ..operators.sketches import _WBITS as _HLL_W  # noqa: E402
-
-ORACLE_SQL["q274_rolling_hll"] = f"""
-    WITH base AS (
-      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
-             user_id AS k
-      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    ), h AS (
-      SELECT d,
-             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 2))::INT AS reg,
-             ('0x' || substr(md5(CAST(k AS VARCHAR)), 3, 13))::BIGINT AS w
-      FROM base
-    ), regs AS (
-      SELECT d, reg,
-             max(CASE WHEN w = 0 THEN {_HLL_W + 1}
-                      ELSE {_HLL_W + 1} - length(bin(w)) END) AS max_rho
-      FROM h GROUP BY 1, 2
-    ), days AS (SELECT DISTINCT d FROM regs),
-    allregs AS (SELECT DISTINCT reg FROM regs),
-    joined AS (
-      SELECT s.d, s.reg, r.max_rho
-      FROM (SELECT days.d, allregs.reg FROM days, allregs) s
-      LEFT JOIN regs r ON r.d = s.d AND r.reg = s.reg
-    ), rolled AS (
-      SELECT d, reg,
-             max(max_rho) OVER (PARTITION BY reg ORDER BY d
-                                RANGE BETWEEN 6 PRECEDING
-                                          AND CURRENT ROW) AS roll_rho
-      FROM joined
-    ), sk AS (
-      SELECT d, CAST(count(*) AS INT) AS n_registers,
-             CAST(sum(1::BIGINT << ({_HLL_W + 1} - roll_rho)) AS BIGINT)
-               AS s_present
-      FROM rolled WHERE roll_rho IS NOT NULL GROUP BY 1
-    ), pairs AS (SELECT DISTINCT d, k FROM base),
-    ex AS (
-      SELECT days.d AS td,
-             CAST(count(DISTINCT p.k) AS BIGINT) AS exact_distinct
-      FROM days JOIN pairs p ON p.d <= days.d AND p.d > days.d - 7
-      GROUP BY 1
-    )
-    SELECT strftime(DATE '1970-01-01' + sk.d * INTERVAL 1 DAY,
-                    '%Y-%m-%d') AS day,
-           n_registers,
-           round(({_HLL_A * _HLL_M * _HLL_M}::DOUBLE
-                  * {_HLL_SCALE!r}::DOUBLE)
-                 / CAST(s_present
-                        + ({_HLL_M} - n_registers)::BIGINT
-                          * {1 << (_HLL_W + 1)}::BIGINT AS DOUBLE), 2)
-             AS est_distinct,
-           exact_distinct,
-           round(abs(round(({_HLL_A * _HLL_M * _HLL_M}::DOUBLE
-                            * {_HLL_SCALE!r}::DOUBLE)
-                 / CAST(s_present
-                        + ({_HLL_M} - n_registers)::BIGINT
-                          * {1 << (_HLL_W + 1)}::BIGINT AS DOUBLE), 2)
-                     - exact_distinct)
-                 / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
-    FROM sk JOIN ex ON ex.td = sk.d
-"""
-
-# q275: identical construction — grid-snapped integer daily means,
-# exact-integer window prefix sums (order-free), the same
-# (Q − S²/n)-shaped double sequence per candidate, argmin by
-# row_number ORDER BY (sse, b). Scientific double literals throughout.
-ORACLE_SQL["q275_changepoint"] = """
-    WITH daily AS (
-      SELECT event_type AS k, CAST(ts AS DATE) AS day,
-             CAST(round(
-               CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
-               / CAST(count(value) AS DOUBLE) + 1e-9) AS BIGINT) AS v
-      FROM events WHERE value IS NOT NULL
-      GROUP BY 1, 2
-    ), cums AS (
-      SELECT k, day,
-             row_number() OVER (PARTITION BY k ORDER BY day) AS b,
-             sum(v) OVER (PARTITION BY k ORDER BY day
-                          ROWS UNBOUNDED PRECEDING) AS cs,
-             sum(v * v) OVER (PARTITION BY k ORDER BY day
-                              ROWS UNBOUNDED PRECEDING) AS cq
-      FROM daily
-    ), tot AS (
-      SELECT k, CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(v) AS BIGINT) AS s_tot,
-             CAST(sum(v * v) AS BIGINT) AS q_tot
-      FROM daily GROUP BY 1
-    ), cand AS (
-      SELECT c.k, c.day, c.b,
-             (CAST(c.cq AS DOUBLE)
-              - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)
-                / CAST(c.b AS DOUBLE))
-             + ((CAST(t.q_tot AS DOUBLE) - CAST(c.cq AS DOUBLE))
-                - (CAST(t.s_tot AS DOUBLE) - CAST(c.cs AS DOUBLE))
-                  * (CAST(t.s_tot AS DOUBLE) - CAST(c.cs AS DOUBLE))
-                  / (CAST(t.n_days AS DOUBLE) - CAST(c.b AS DOUBLE)))
-               AS sse
-      FROM cums c JOIN tot t ON c.k = t.k
-      WHERE c.b < t.n_days
-    ), best AS (
-      SELECT k, day, sse FROM (
-        SELECT k, day, sse,
-               row_number() OVER (PARTITION BY k ORDER BY sse, b) AS rn
-        FROM cand
-      ) WHERE rn = 1
-    )
-    SELECT t.k AS event_type, t.n_days,
-           strftime(best.day, '%Y-%m-%d') AS break_day,
-           round((CAST(t.q_tot AS DOUBLE)
-                  - CAST(t.s_tot AS DOUBLE) * CAST(t.s_tot AS DOUBLE)
-                    / CAST(t.n_days AS DOUBLE)) / 1e8 + 1e-9, 4)
-             AS sse_total,
-           round(best.sse / 1e8 + 1e-9, 4) AS sse_best,
-           round(((CAST(t.q_tot AS DOUBLE)
-                   - CAST(t.s_tot AS DOUBLE) * CAST(t.s_tot AS DOUBLE)
-                     / CAST(t.n_days AS DOUBLE)) - best.sse) / 1e8
-                 + 1e-9, 4) AS gain
-    FROM tot t LEFT JOIN best ON best.k = t.k
-"""
-
-# q276: identical RANGE-window count over integer epoch seconds and
-# the same (−burst, second) argmin tie-break.
-ORACLE_SQL["q276_burst_detection"] = """
-    WITH pts AS (
-      SELECT user_id, epoch_us(ts) // 1000000 AS sec
-      FROM events WHERE ts IS NOT NULL
-    ), counted AS (
-      SELECT user_id, sec,
-             count(*) OVER (PARTITION BY user_id ORDER BY sec
-                            RANGE BETWEEN 59 PRECEDING
-                                      AND CURRENT ROW) AS burst
-      FROM pts
-    ), best AS (
-      SELECT user_id, burst, sec FROM (
-        SELECT user_id, burst, sec,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY burst DESC, sec) AS rn
-        FROM counted
-      ) WHERE rn = 1
-    )
-    SELECT c.user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(any_value(b.burst) AS BIGINT) AS max_burst,
-           CAST(any_value(b.sec) AS BIGINT) AS peak_second
-    FROM counted c JOIN best b ON b.user_id = c.user_id
-    GROUP BY 1
-"""
-
-# q277: identical integer water-level construction — (count, name)
-# order, prefix sums, feasibility flags, k*, div/mod level split.
-ORACLE_SQL["q277_water_filling"] = """
-    WITH src AS (
-      SELECT source AS src, CAST(count(*) AS BIGINT) AS c
-      FROM documents WHERE source IS NOT NULL GROUP BY 1
-    ), tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST((sum(c) * 3) // 5 AS BIGINT) AS b
-      FROM src
-    ), ranked AS (
-      SELECT src, c,
-             row_number() OVER (ORDER BY c, src) AS idx,
-             CAST(sum(c) OVER (ORDER BY c, src
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
-      FROM src
-    ), flagged AS (
-      SELECT r.src, r.c, r.idx, r.p, t.n, t.b,
-             r.p + (t.n - r.idx) * r.c <= t.b AS full_ok
-      FROM ranked r CROSS JOIN tot t
-    ), kst AS (
-      SELECT min(CASE WHEN NOT full_ok THEN idx END) AS k FROM flagged
-    ), level AS (
-      SELECT kst.k AS k2,
-             CAST((f.b - (f.p - f.c)) // (f.n - kst.k + 1) AS BIGINT)
-               AS lam,
-             CAST((f.b - (f.p - f.c)) % (f.n - kst.k + 1) AS BIGINT)
-               AS rem
-      FROM flagged f CROSS JOIN kst WHERE f.idx = kst.k
-    )
-    SELECT f.src AS source, f.c AS n_docs,
-           CAST(CASE WHEN kst.k IS NULL OR f.idx < kst.k THEN f.c
-                ELSE level.lam
-                     + CASE WHEN f.idx - kst.k + 1 <= level.rem
-                            THEN 1 ELSE 0 END
-                END AS BIGINT) AS alloc,
-           (kst.k IS NOT NULL AND f.idx >= kst.k) AS capped
-    FROM flagged f
-    CROSS JOIN kst
-    LEFT JOIN level ON level.k2 = kst.k
-"""
-
-# q278: identical cell construction (NULL quasi values group as their
-# own cell in both engines) and the single terminal division.
-ORACLE_SQL["q278_k_anonymity"] = """
-    WITH cells AS (
-      SELECT lang AS grp, source, n_chars // 500 AS band,
-             count(*) AS n
-      FROM documents GROUP BY 1, 2, 3
-    )
-    SELECT grp,
-           CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_small_cells,
-           CAST(sum(n) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
-             AS n_rows_at_risk,
-           round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(n) AS DOUBLE) + 1e-9, 4) AS risk_fraction
-    FROM cells GROUP BY 1
-"""
-
-# q279: identical construction — grid-integer daily means, exact
-# ROWS ±3 window sums restricted to complete windows, HUGEINT
-# Σ(7v − S7) per (key, isodow), one terminal division.
-ORACLE_SQL["q279_stl_lite"] = """
-    WITH daily AS (
-      SELECT event_type AS k, CAST(ts AS DATE) AS day,
-             CAST(round(
-               CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
-               / CAST(count(value) AS DOUBLE) + 1e-9) AS BIGINT) AS v
-      FROM events WHERE value IS NOT NULL
-      GROUP BY 1, 2
-    ), trended AS (
-      SELECT k, day, v,
-             sum(v) OVER (PARTITION BY k ORDER BY day
-                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-               AS s7,
-             count(*) OVER (PARTITION BY k ORDER BY day
-                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-               AS w7
-      FROM daily
-    )
-    SELECT k AS event_type,
-           CAST(isodow(day) AS INTEGER) AS dow,
-           CAST(count(*) AS BIGINT) AS n_days,
-           round(CAST(sum(7 * v - s7) AS DOUBLE)
-                 / (7e0 * CAST(count(*) AS DOUBLE)) / 1e4
-                 + 1e-9, 4) AS seasonal
-    FROM trended WHERE w7 = 7
-    GROUP BY 1, 2
-"""
-
-# q280: identical construction — (t, v, event_id) total order, 32
-# positional buckets, centroid stats, the SAME parenthesized double
-# area sequence, argmax by (area DESC, rn), endpoint rule, final
-# (t, v)-min dedup belt.
-ORACLE_SQL["q280_lttb_downsample"] = """
-    WITH pts AS (
-      SELECT event_type AS k,
-             epoch_us(ts) // 1000000 AS t,
-             CAST(round(value * 100) AS BIGINT) AS v,
-             event_id AS eid
-      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-    ), rn AS (
-      SELECT k, t, v,
-             row_number() OVER (PARTITION BY k ORDER BY t, v, eid)
-               AS rn,
-             count(*) OVER (PARTITION BY k) AS n
-      FROM pts
-    ), b AS (
-      SELECT k, t, v, rn, n,
-             CAST(((rn - 1) * 32) // n AS INTEGER) AS bucket
-      FROM rn
-    ), stats AS (
-      SELECT k, bucket, CAST(count(*) AS BIGINT) AS bn,
-             CAST(sum(t) AS BIGINT) AS bt,
-             CAST(sum(v) AS BIGINT) AS bv
-      FROM b GROUP BY 1, 2
-    ), interior AS (
-      SELECT p.k, p.bucket, p.rn, p.t, p.v,
-             abs((CAST(p.t AS DOUBLE) * CAST(s1.bn AS DOUBLE)
-                  - CAST(s1.bt AS DOUBLE))
-                 * (CAST(s2.bv AS DOUBLE) * CAST(s1.bn AS DOUBLE)
-                    - CAST(s1.bv AS DOUBLE) * CAST(s2.bn AS DOUBLE))
-               - (CAST(p.v AS DOUBLE) * CAST(s1.bn AS DOUBLE)
-                  - CAST(s1.bv AS DOUBLE))
-                 * (CAST(s2.bt AS DOUBLE) * CAST(s1.bn AS DOUBLE)
-                    - CAST(s1.bt AS DOUBLE) * CAST(s2.bn AS DOUBLE)))
-               AS area
-      FROM b p
-      JOIN stats s1 ON s1.k = p.k AND s1.bucket = p.bucket - 1
-      JOIN stats s2 ON s2.k = p.k AND s2.bucket = p.bucket + 1
-    ), best AS (
-      SELECT k, bucket, t, v FROM (
-        SELECT k, bucket, t, v,
-               row_number() OVER (PARTITION BY k, bucket
-                                  ORDER BY area DESC, rn) AS r
-        FROM interior
-      ) WHERE r = 1
-    ), ends AS (
-      SELECT DISTINCT k, bucket, t, v FROM b WHERE rn = 1 OR rn = n
-    ), small AS (
-      SELECT k, bucket, t, v FROM b WHERE n <= 32
-    ), uni AS (
-      SELECT * FROM best UNION ALL SELECT * FROM ends
-      UNION ALL SELECT * FROM small
-    )
-    SELECT k AS event_type, bucket, t AS t_sec, v AS v_cents FROM (
-      SELECT k, bucket, t, v,
-             row_number() OVER (PARTITION BY k, bucket
-                                ORDER BY t, v) AS r
-      FROM uni
-    ) WHERE r = 1
-"""
-
-# q281: q226's window construction verbatim, |residual| (not APE) on
-# the 1e-6 grid, then the conformal order statistic k =
-# ⌈(m+1)·4/5⌉ selected from the per-series ordered residual list
-# (NULL when k > m). y <> 0 is NOT required here — absolute error is
-# defined at zero.
-ORACLE_SQL["q281_conformal_interval"] = """
-    WITH yearly AS (
-      SELECT l_suppkey AS g, year(l_shipdate) AS x,
-             round(avg(l_quantity), 4) AS y
-      FROM lineitem GROUP BY 1, 2
-    ), st AS (
-      SELECT g, x, y,
-             count(*) OVER wpre AS n,
-             sum(x::DOUBLE) OVER wpre AS sx,
-             sum(y) OVER wpre AS sy,
-             sum(x::DOUBLE * y) OVER wpre AS sxy,
-             sum(x::DOUBLE * x::DOUBLE) OVER wpre AS sxx
-      FROM yearly
-      WINDOW wpre AS (PARTITION BY g ORDER BY x
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    ), fit AS (
-      SELECT g, x, y, n,
-             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-             sx, sy
-      FROM st
-      WHERE n >= 2 AND (n * sxx - sx * sx) <> 0 AND y IS NOT NULL
-    ), ev AS (
-      SELECT g,
-             cast(round(abs(((sy - slope * sx) / n + slope * x::DOUBLE)
-                            - y) * 1e6 + 1e-9) AS BIGINT) AS r
-      FROM fit
-    ), packed AS (
-      SELECT g, CAST(count(*) AS BIGINT) AS n_folds,
-             list(r ORDER BY r) AS rs
-      FROM ev GROUP BY 1
-    )
-    SELECT g AS l_suppkey, n_folds,
-           round(CASE WHEN ((n_folds + 1) * 4 + 4) // 5 <= n_folds
-                 THEN CAST(rs[CAST(((n_folds + 1) * 4 + 4) // 5
-                                   AS INTEGER)] AS DOUBLE)
-                 END / 1e6 + 1e-9, 6) AS q_halfwidth
-    FROM packed
-"""
-
-# q282: the panel + planting replayed relationally; exact copies make
-# LSH recall structurally 100 %, so the oracle pins n_hit == n_exact —
-# any banding/signature/verify regression drops the Spark-side n_hit
-# and the value hash mismatches.
-ORACLE_SQL["q282_lsh_neardup_recall"] = """
-    WITH panel AS (
-      SELECT vec_id, embedding FROM embeddings
-      WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 6))::BIGINT
-            % 4 = 0
-    ), corpus AS (
-      SELECT vec_id, embedding FROM panel
-      UNION ALL
-      SELECT vec_id + 10000000000 AS vec_id, embedding
-      FROM panel WHERE vec_id % 10 = 0
-    ), exact AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-      WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                  6) >= 0.9
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(count(*) AS BIGINT) AS n_hit,
-           count(*) >= count(*) * 0.9 AS recall_ge_90pct
-    FROM exact
-"""
-
-# q283: the label-restricted exact top-5 (rounded-sim + shared
-# tie-break) computed directly; the production equi-join plan must
-# recover every row of it, so the oracle pins n_hit == n_exact.
-ORACLE_SQL["q283_filtered_ann_recall"] = """
-    WITH q AS (
-      SELECT vec_id AS query_id, label, embedding
-      FROM embeddings WHERE vec_id < 5
-    ), ranked AS (
-      SELECT q.query_id, c.vec_id,
-             row_number() OVER (
-               PARTITION BY q.query_id
-               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
-                              / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-                                 * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
-                              6) DESC,
-                        c.vec_id
-             ) AS r
-      FROM q JOIN embeddings c ON c.label = q.label
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(count(*) AS BIGINT) AS n_hit,
-           count(*) >= count(*) * 0.9 AS recall_ge_90pct
-    FROM ranked WHERE r <= 5
-"""
