@@ -1704,3 +1704,103 @@ def wasserstein_1d(
     return s.select(
         "n_a", "n_b", "n_levels", F.round(w1 + 1e-9, 6).alias("w1")
     )
+
+
+def sprt_daily_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    success_cents: int = 50,
+    boundary: int = 8,
+) -> DataFrame:
+    """Wald sequential probability-ratio test (SPRT) for each key's
+    Bernoulli success rate, monitored on the DAILY peeking schedule —
+    the "stop the experiment as soon as the evidence is in" scan an
+    always-on A/B monitor runs instead of a fixed-horizon test
+    (q180's chi-square is the fixed-horizon twin).
+
+    Integer reduction (why there are no transcendentals): for the
+    symmetric test H0: p = 0.4 vs H1: p = 0.6 the per-observation
+    log-likelihood ratio is ±ln(1.5) (a success adds ln(0.6/0.4), a
+    failure adds ln(0.4/0.6)), so the cumulative LLR after n
+    observations with k successes is (2k − n)·ln 1.5 — a RANDOM WALK
+    in the exact integer d = 2k − n. The Wald thresholds
+    ±ln((1−β)/α) at α = β = 0.05 are ±ln 19, and ln 19 / ln 1.5 ≈
+    7.26, so the decision rule is exactly the integer boundary
+    |d| ≥ ``boundary`` (= ⌈7.26⌉ = 8 — conservative: stopping is
+    declared only when the evidence is at LEAST the Wald bound).
+    Success = round(value·100) ≥ ``success_cents``.
+
+    Plan shape: one (key, day) hash agg collapses the stream to the
+    calendar-bounded daily table (per day: n, k — partial-agg
+    combined map-side, the exchange carries days, not events); the
+    walk is a key-partitioned cumulative window over DAYS (bounded by
+    the calendar, never a per-event ordered scan); the first boundary
+    crossing is a struct-min on (day). Daily granularity means a
+    within-day overshoot is attributed to that day — exactly how a
+    daily-peeking monitor behaves.
+
+    Output: one row per key — (key, n_obs, k_obs, n_days, d_final,
+    decision ∈ {'accept_high','accept_low','continue'}, cross_day);
+    cross_day is NULL while the test continues.
+    """
+    if boundary < 1:
+        raise ValueError(f"boundary must be >= 1, got {boundary}")
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, F.to_date(ts_col).alias("_day"))
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(
+                (
+                    F.round(F.col(value_col) * 100).cast("long")
+                    >= success_cents
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("_k"),
+        )
+        .select(
+            key_col,
+            "_day",
+            "_n",
+            "_k",
+            (2 * F.col("_k") - F.col("_n")).alias("_step"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = daily.withColumn("_d", F.sum("_step").over(w))
+    crossings = (
+        walk.filter(F.abs(F.col("_d")) >= boundary)
+        .groupBy(key_col)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_day").alias("day"), F.col("_d").alias("d")
+                )
+            ).alias("_c")
+        )
+    )
+    totals = daily.groupBy(key_col).agg(
+        F.sum("_n").cast("long").alias("n_obs"),
+        F.sum("_k").cast("long").alias("k_obs"),
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("_step").cast("long").alias("d_final"),
+    )
+    return totals.join(F.broadcast(crossings), key_col, "left").select(
+        key_col,
+        "n_obs",
+        "k_obs",
+        "n_days",
+        "d_final",
+        F.when(F.col("_c").isNull(), "continue")
+        .when(F.col("_c.d") >= boundary, "accept_high")
+        .otherwise("accept_low")
+        .alias("decision"),
+        F.date_format(F.col("_c.day"), "yyyy-MM-dd").alias("cross_day"),
+    )

@@ -1279,3 +1279,68 @@ def js_attribution(
             ),
         )
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity profile: type/token counts, hapax
+    (frequency-1) share, and Herdan's C — the corpus-health panel a
+    training-data curator reads next to q205's Zipf slope ("is this
+    source templated boilerplate or genuinely varied text?"). A
+    near-zero hapax share with low TTR flags machine-generated or
+    deduplicable boilerplate; Herdan's C (log-log type/token ratio)
+    is the size-robust comparison across sources of different volume.
+
+    Tokenization is the module's shared whitespace convention
+    (:func:`..functions.text.tokens`, lowercased, empties dropped) —
+    the SAME definition q38/q183 use, so vocabularies reconcile
+    across the text panel.
+
+    Exactness: every count is an exact integer from ONE
+    (group, token) hash agg (partial-combined — the exchange carries
+    each group's VOCABULARY, not its token stream; at 100 TB that is
+    the difference between shuffling ~10⁶ distinct tokens per group
+    and shuffling the corpus); ttr / hapax_ratio / herdan_c are
+    terminal single-division (or single ln-ratio) double sequences,
+    6 dp.
+
+    Output: one row per group — (group, n_tokens, n_types, n_hapax,
+    ttr, hapax_ratio, herdan_c); herdan_c is NULL for groups with
+    ≤ 1 token (ln 1 = 0 denominator).
+    """
+    toks = (
+        docs.select(
+            group_col,
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+    )
+    freq = toks.groupBy(group_col, "_tok").agg(
+        F.count("*").cast("long").alias("_f")
+    )
+    agg = freq.groupBy(group_col).agg(
+        F.sum("_f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("_f") == 1).cast("long"))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    ny = F.col("n_types").cast("double")
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(ny / nt + 1e-9, 6).alias("ttr"),
+        F.round(
+            F.col("n_hapax").cast("double") / ny + 1e-9, 6
+        ).alias("hapax_ratio"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(F.log(ny) / F.log(nt) + 1e-9, 6),
+        ).alias("herdan_c"),
+    )

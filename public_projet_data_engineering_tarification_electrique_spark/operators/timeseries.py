@@ -1274,3 +1274,89 @@ def lttb_downsample(
             F.col("_p.v").alias("v_cents"),
         )
     )
+
+
+def acf_daily(
+    events: DataFrame,
+    max_lag: int = 7,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key sample autocorrelation of the daily cent-total series
+    at lags 1..``max_lag`` — the seasonality probe that answers "does
+    today's volume predict next week's?" (a spike at lag 7 is the
+    weekly cycle; q263 reads the same signal as per-weekday indices).
+
+    Variant note: this is the PER-LAG Pearson form (each lag's r is
+    the correlation of the series with its own lag over the
+    OVERLAPPING days, each lag re-centred on its own overlap means —
+    the cross-correlogram convention of :func:`lag_cross_correlation`
+    applied to self), not the classical single-mean ACF; the two agree
+    as overlap → series and the per-lag form is exact under missing
+    calendar days.
+
+    Exact construction, the q272 discipline verbatim: daily totals in
+    cents (one (key, day) hash agg, exact long sums); ONE lag spine
+    replication (a literal 1..max_lag array exploded onto the bounded
+    daily table) joined back to the same table on (key, day+lag); the
+    five Pearson sufficient statistics accumulate as decimal(38,0)
+    with decimal-operand products; r is one double sequence per
+    (key, lag). Never a per-key ordered window over raw events — every
+    stage is calendar-bounded.
+
+    Output: one row per (key, lag) with ≥ 1 overlapping day —
+    (key, lag, n_days, r 6 dp); r is NULL when either margin is
+    constant over the overlap.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(1, max_lag + 1)])
+    ).alias("lag")
+    ax = daily.select("k", "t", F.col("c").alias("ca"), lags)
+    b = daily.select(
+        F.col("k").alias("kb"), F.col("t").alias("tb"),
+        F.col("c").alias("cb"),
+    )
+    j = ax.join(
+        b, (ax.k == b.kb) & (ax.t + F.col("lag") == b.tb)
+    )
+    ca_d = F.col("ca").cast("decimal(19,0)")
+    cb_d = F.col("cb").cast("decimal(19,0)")
+
+    def s(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).alias(name)
+
+    agg = j.groupBy("k", "lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        s(ca_d, "sa"),
+        s(cb_d, "sb"),
+        s(ca_d * ca_d, "saa"),
+        s(cb_d * cb_d, "sbb"),
+        s(ca_d * cb_d, "sab"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n_d = F.col("n_days").cast("double")
+    cov = n_d * d("sab") - d("sa") * d("sb")
+    va = n_d * d("saa") - d("sa") * d("sa")
+    vb = n_d * d("sbb") - d("sb") * d("sb")
+    r = F.when((va > 0) & (vb > 0), cov / (F.sqrt(va) * F.sqrt(vb)))
+    return agg.select(
+        F.col("k").alias(key_col),
+        "lag",
+        "n_days",
+        F.round(r + 1e-9, 6).alias("r"),
+    )

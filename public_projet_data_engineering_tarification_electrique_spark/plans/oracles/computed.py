@@ -871,3 +871,200 @@ ORACLE_SQL["q274_rolling_hll"] = f"""
 
 
 
+
+
+def _q284_oracle() -> str:
+    """nDCG@10 oracle on the SAME integer-millionths discount grid as
+    the Spark plan — the gain/prefix literals are imported from
+    operators.ranking_eval at module load, so the two engines cannot
+    disagree on the grid by construction."""
+    from ...operators.ranking_eval import _DCG_GAIN_U, _IDCG_U, NDCG_K
+
+    gains = ", ".join(
+        f"({d + 1}, {g})" for d, g in enumerate(_DCG_GAIN_U)
+    )
+    prefix = ", ".join(
+        f"({m}, {_IDCG_U[m]})" for m in range(1, NDCG_K + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS ql,
+             embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+    ), sims AS (
+      SELECT q.query_id, q.ql, c.vec_id, c.label,
+             round(list_dot_product(qe, ce)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(ce, ce))), 6) AS sim
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, ql, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM sims
+    ), run AS (
+      SELECT query_id, rank,
+             CASE WHEN label = ql THEN 1 ELSE 0 END AS rel
+      FROM ranked WHERE rank <= {NDCG_K}
+    ), gains(rank, gain) AS (VALUES {gains}),
+    pre(m, idcg) AS (VALUES {prefix}),
+    dcg AS (
+      SELECT query_id, CAST(sum(rel * gain) AS BIGINT) AS dcg_u
+      FROM run JOIN gains USING (rank) GROUP BY 1
+    ), pool AS (
+      SELECT q.query_id,
+             CAST(count(*) AS BIGINT) AS n_rel_pool
+      FROM q JOIN c ON c.label = q.ql GROUP BY 1
+    ), base AS (
+      SELECT p.query_id, p.n_rel_pool,
+             COALESCE(d.dcg_u, 0) AS dcg_u,
+             CASE WHEN p.n_rel_pool > 0 THEN
+               (SELECT idcg FROM pre
+                WHERE m = least(p.n_rel_pool, {NDCG_K}))
+             END AS idcg_u
+      FROM pool p LEFT JOIN dcg d USING (query_id)
+    )
+    SELECT query_id, n_rel_pool, dcg_u,
+           CAST(idcg_u AS BIGINT) AS idcg_u,
+           round(CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE)
+                 + 1e-9, 6) AS ndcg
+    FROM base ORDER BY query_id
+"""
+
+
+ORACLE_SQL["q284_ndcg_label_match"] = _q284_oracle()
+
+
+def _q285_oracle() -> str:
+    """RBO oracle with the SAME exact-integer rational-p weights as
+    operators.ranking_eval (imported, not re-derived); the quantized
+    run's integer dot products are exactly representable in DuckDB's
+    double list_dot_product, so both engines rank identical keys."""
+    from ...operators.ranking_eval import _RBO_DIV, _RBO_W, RBO_K
+
+    weights = ", ".join(
+        f"({d + 1}, {w})" for d, w in enumerate(_RBO_W)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+    ), sa AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(qe, ce)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(ce, ce))), 6) AS sim
+      FROM q CROSS JOIN c
+    ), ra AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS ra
+      FROM sa
+    ), qq AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 10) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), cq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 10) AS BIGINT)) AS cv
+      FROM embeddings
+    ), sb AS (
+      SELECT qq.query_id, cq.vec_id,
+             list_dot_product(qv, cv) AS sim
+      FROM qq CROSS JOIN cq
+    ), rb AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rb
+      FROM sb
+    ), common AS (
+      SELECT a.query_id, greatest(a.ra, b.rb) AS d0
+      FROM (SELECT * FROM ra WHERE ra <= {RBO_K}) a
+      JOIN (SELECT * FROM rb WHERE rb <= {RBO_K}) b
+        USING (query_id, vec_id)
+    ), w(d, wt) AS (VALUES {weights}),
+    terms AS (
+      SELECT query_id, CAST(sum(wt) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN d = {RBO_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS overlap_at_k
+      FROM common, w WHERE w.d >= common.d0 GROUP BY 1
+    )
+    SELECT qs.query_id,
+           COALESCE(t.overlap_at_k, 0) AS overlap_at_k,
+           round(CAST(COALESCE(t.s, 0) AS DOUBLE)
+                 / {float(_RBO_DIV)!r} + 1e-9, 6) AS rbo_min
+    FROM (SELECT DISTINCT query_id FROM ra) qs
+    LEFT JOIN terms t USING (query_id)
+    ORDER BY qs.query_id
+"""
+
+
+ORACLE_SQL["q285_rbo_cosine_vs_dot"] = _q285_oracle()
+
+
+def _q289_oracle(iters: int = 6) -> str:
+    """Generated power-iteration oracle: the 6 integer-renormalized
+    steps unroll to chained CTEs, each the exact mirror of one Spark
+    matvec + renormalization (HUGEINT sums = decimal(38,0) sums; the
+    one double sequence per step is byte-identical). Grid constants
+    imported from operators.spectral."""
+    from ...operators.spectral import GRID_DP, V_UNIT
+
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    u{t} AS MATERIALIZED (
+      SELECT g.i, sum(g.g * {prev}.v) AS u
+      FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY 1
+    ), m{t} AS (SELECT max(abs(u)) AS m FROM u{t}),
+    v{t} AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(round(CAST(u AS DOUBLE) / CAST(m AS DOUBLE)
+                        * {V_UNIT}) AS BIGINT) AS v
+      FROM u{t}, m{t}
+    )""")
+        prev = f"v{t}"
+    chain = ",".join(steps)
+    return f"""
+    WITH xq AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                        * {10 ** GRID_DP}) AS BIGINT) AS xi
+      FROM embeddings
+    ), g AS MATERIALIZED (
+      SELECT a.i, b.i AS j, sum(a.xi * b.xi) AS g
+      FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2
+    ), v0 AS (
+      SELECT DISTINCT j, CAST({V_UNIT} AS BIGINT) AS v FROM g
+    ),{chain},
+    uf AS (
+      SELECT g.i, sum(g.g * {prev}.v) AS u
+      FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY 1
+    ), st AS (
+      SELECT sum(CAST(v.v AS HUGEINT) * uf.u) AS num,
+             sum(CAST(v.v AS HUGEINT) * v.v) AS den
+      FROM uf JOIN {prev} v ON uf.i = v.j
+    ), sg AS (
+      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      FROM {prev} WHERE v <> 0 ORDER BY j LIMIT 1
+    )
+    SELECT CAST(v.j AS INTEGER) AS i,
+           round(sg.sgn * CAST(v.v AS DOUBLE)
+                 / sqrt(CAST(st.den AS DOUBLE)) + 1e-9, 6) AS loading,
+           round(CAST(st.num AS DOUBLE) / CAST(st.den AS DOUBLE)
+                 / {float(10 ** (2 * GRID_DP))!r} + 1e-9, 6)
+             AS eigenvalue,
+           CAST({iters} AS INTEGER) AS iters
+    FROM {prev} v, st, sg
+    ORDER BY i
+"""
+
+
+ORACLE_SQL["q289_top_principal_component"] = _q289_oracle()

@@ -2473,3 +2473,116 @@ ORACLE_SQL["q283_filtered_ann_recall"] = """
            count(*) >= count(*) * 0.9 AS recall_ge_90pct
     FROM ranked WHERE r <= 5
 """
+
+
+# q286: the integer-reduced Wald SPRT — the ±ln 19 thresholds at
+# ln 1.5 per observation collapse to the exact integer boundary
+# |2k − n| >= 8, so the whole monitor is integer arithmetic plus a
+# calendar-bounded running sum; first crossing via row_number.
+ORACLE_SQL["q286_sprt_monitor"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                             >= 3600 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), walk AS (
+      SELECT event_type, day,
+             sum(2 * k - n) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS d
+      FROM daily
+    ), cr AS (
+      SELECT event_type, day, d,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY day) AS rn
+      FROM walk WHERE abs(d) >= 8
+    ), tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_obs,
+             CAST(sum(k) AS BIGINT) AS k_obs,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(2 * k - n) AS BIGINT) AS d_final
+      FROM daily GROUP BY 1
+    )
+    SELECT t.event_type, t.n_obs, t.k_obs, t.n_days, t.d_final,
+           CASE WHEN f.day IS NULL THEN 'continue'
+                WHEN f.d >= 8 THEN 'accept_high'
+                ELSE 'accept_low' END AS decision,
+           strftime(f.day, '%Y-%m-%d') AS cross_day
+    FROM tot t LEFT JOIN (SELECT * FROM cr WHERE rn = 1) f
+      USING (event_type)
+    ORDER BY t.event_type
+"""
+
+# q287: q272's cross-correlogram applied to self, grouped by key — the
+# 1..7 lag spine replicates the daily table once, HUGEINT sufficient
+# statistics, one double sequence per (key, lag).
+ORACLE_SQL["q287_acf_daily"] = """
+    WITH daily AS (
+      SELECT event_type AS k,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT a.k, g.lag, a.c AS ca, b.c AS cb
+      FROM generate_series(1, 7) g(lag), daily a
+      JOIN daily b ON a.k = b.k AND a.t + g.lag = b.t
+    ), agg AS (
+      SELECT k, lag, CAST(count(*) AS BIGINT) AS n_days,
+             sum(ca) AS sa, sum(cb) AS sb,
+             sum(ca * ca) AS saa, sum(cb * cb) AS sbb,
+             sum(ca * cb) AS sab
+      FROM j GROUP BY 1, 2
+    )
+    SELECT k AS event_type, CAST(lag AS INTEGER) AS lag, n_days,
+           round(CASE WHEN
+                   CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+                   AND CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+                 THEN
+                   (CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                   / (sqrt(CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                      * sqrt(CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                 END + 1e-9, 6) AS r
+    FROM agg
+    ORDER BY event_type, lag
+"""
+
+# q288: q38's tokenization convention; every count from one
+# (source, token) hash agg, terminal divisions, natural-log Herdan C.
+ORACLE_SQL["q288_lexical_diversity"] = """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS tok
+      FROM documents
+    ), f AS (
+      SELECT source, tok, count(*) AS f
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), agg AS (
+      SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM f GROUP BY 1
+    )
+    SELECT source, n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 + 1e-9, 6) AS ttr,
+           round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+                 + 1e-9, 6) AS hapax_ratio,
+           CASE WHEN n_tokens > 1 THEN
+             round(ln(CAST(n_types AS DOUBLE))
+                   / ln(CAST(n_tokens AS DOUBLE)) + 1e-9, 6)
+           END AS herdan_c
+    FROM agg
+    ORDER BY source
+"""

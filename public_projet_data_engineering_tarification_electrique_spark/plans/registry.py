@@ -7079,6 +7079,158 @@ def q132_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q284_ndcg_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the exact cosine ranking against binary label-match
+    relevance — "does embedding similarity retrieve same-label
+    items?", the graded-retrieval twin of q283's recall row. Run =
+    q13's cosine top-10 (rounded-sim rank keys, so the ranking is
+    cross-engine stable); rel = candidate label == query label; the
+    ideal pool is the query's label count in the WHOLE corpus. DCG on
+    the integer-millionths discount grid (exact integer sums, one
+    terminal division — see operators.ranking_eval)."""
+    from ..operators.ranking_eval import ndcg_binary_at_k
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    run = cosine_topk(emb, queries, k=10)
+    cl = emb.select("vec_id", F.col("label").alias("_cl"))
+    ql = queries.select(
+        F.col("query_id").alias("_qid"), F.col("label").alias("_ql")
+    )
+    graded = (
+        run.join(cl, "vec_id")
+        .join(ql, run["query_id"] == ql["_qid"])
+        .select(
+            "query_id",
+            "rank",
+            (F.col("_cl") == F.col("_ql")).cast("int").alias("rel"),
+        )
+    )
+    pool = ql.join(
+        F.broadcast(
+            emb.groupBy("label").agg(
+                F.count("*").cast("long").alias("n_rel_pool")
+            )
+        ),
+        ql["_ql"] == F.col("label"),
+    ).select(F.col("_qid").alias("query_id"), "n_rel_pool")
+    return ndcg_binary_at_k(graded, pool).orderBy("query_id")
+
+
+def q285_rbo_cosine_vs_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p = 0.9, truncated lower bound) between
+    the exact cosine top-10 and a SCALAR-QUANTIZED dot-product
+    retriever's top-10 (coordinates snapped to the 1e-1 grid — the
+    cheap int-grid ranker a memory-bound serving tier would run) —
+    "where in the ranking does quantization actually disagree?", the
+    rank-weighted twin of q166's per-vector quantization error.
+    The quantized scores are EXACT integer dot products (no float
+    fold to drift), the cosine run reuses q13's rounded-sim
+    contract, and the RBO weights are exact integers (rational p —
+    see operators.ranking_eval); one terminal division per query."""
+    from ..operators.ranking_eval import rbo_min_overlap
+    from ..operators.similarity import cosine_topk
+    from ..operators.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run_a = cosine_topk(emb, queries, k=10)
+    # float32 → float64 BEFORE the grid multiply (the embedding-ops
+    # convention; a float32 product can snap onto an exact .5 and
+    # flip the grid cell vs the oracle's DOUBLE[] arithmetic)
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * 10).cast("long")
+    )
+    q = queries.select(
+        "query_id", quant(F.col("embedding")).alias("_qq")
+    )
+    c = ensure_parallelism(emb).select(
+        "vec_id", quant(F.col("embedding")).alias("_cq")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("_qq"), F.col("_cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", int_dot.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    run_b = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+    return rbo_min_overlap(run_a, run_b).orderBy("query_id")
+
+
+def q286_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT (H0: p=0.4 vs H1: p=0.6, α=β=0.05) on each event
+    type's daily success stream (success = value ≥ 36.00, the global
+    median — a near-fair coin, so the walk genuinely wanders before
+    any boundary hit) — the always-on sequential monitor that stops
+    as soon as |2k−n| hits the integer Wald boundary 8 (the ±ln 19
+    thresholds reduce to an exact integer random walk; see
+    operators.stats). First-crossing day and final decision per
+    type; daily peeking schedule."""
+    from ..operators.stats import sprt_daily_monitor
+
+    events = load_table(spark, sf_dir, "events")
+    return sprt_daily_monitor(events, success_cents=3600).orderBy(
+        "event_type"
+    )
+
+
+def q287_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type sample autocorrelation of the daily cent-total series
+    at lags 1..7 (per-lag Pearson over overlapping days — q272's
+    cross-correlogram applied to self; lag 7 reads the weekly cycle
+    next to q263's weekday indices). One (type, day) hash agg, one
+    lag-spine replication into a single grouped agg, decimal-exact
+    sufficient statistics, one double sequence per (type, lag)."""
+    from ..operators.timeseries import acf_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return acf_daily(events, max_lag=7).orderBy("event_type", "lag")
+
+
+def q288_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity panel: token/type/hapax counts,
+    TTR, hapax share, Herdan's C — the boilerplate-vs-varied-text
+    audit a curator reads next to q205's Zipf slope. One
+    (source, token) hash agg (the exchange carries vocabularies, not
+    token streams), exact integer counts, terminal divisions."""
+    from ..operators.textstats import lexical_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_diversity(docs).orderBy("source")
+
+
+def q289_top_principal_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant eigenpair of the embedding Gram matrix by 6
+    integer-renormalized power-iteration steps — the anisotropy audit
+    ("how much variance-mass does ONE axis carry?") next to q204's
+    per-dimension variances and q244's Gram. The corpus is read ONCE
+    (exact integer Gram on the 1e-4 grid, d² cells, map-side partial
+    agg); the iteration is 6 broadcast matvecs over the d-row vector
+    plan with exact decimal sums and a deterministic ±10⁶ integer
+    renormalization per step — no driver collect, reproducible
+    bit-for-bit in the DuckDB oracle (see operators.spectral)."""
+    from ..operators.spectral import top_principal_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return top_principal_component(emb, iters=6).orderBy("i")
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -7363,6 +7515,12 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q281_conformal_interval": q281_conformal_interval,
     "q282_lsh_neardup_recall": q282_lsh_neardup_recall,
     "q283_filtered_ann_recall": q283_filtered_ann_recall,
+    "q284_ndcg_label_match": q284_ndcg_label_match,
+    "q285_rbo_cosine_vs_dot": q285_rbo_cosine_vs_dot,
+    "q286_sprt_monitor": q286_sprt_monitor,
+    "q287_acf_daily": q287_acf_daily,
+    "q288_lexical_diversity": q288_lexical_diversity,
+    "q289_top_principal_component": q289_top_principal_component,
 }
 
 

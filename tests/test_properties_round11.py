@@ -1,0 +1,408 @@
+"""Round-11 property tests: each new operator vs a plain-Python model
+on adversarial hypothesis inputs (the registry oracle gate is the
+cross-engine check; these pin the SEMANTICS — boundary crossings on
+day one, empty overlaps, all-relevant runs, rank-1 spectra)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.ranking_eval import (
+    _DCG_GAIN_U,
+    _IDCG_U,
+    _RBO_DIV,
+    _RBO_W,
+    ndcg_binary_at_k,
+    rbo_min_overlap,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.spectral import (
+    top_principal_component,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+    sprt_daily_monitor,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (
+    lexical_diversity,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (
+    acf_daily,
+)
+
+# ---------------------------------------------------------------- nDCG
+
+
+def test_dcg_grid_constants():
+    # the committed millionths grid: spot-pin the endpoints so a
+    # regeneration with a different formula cannot slip through
+    assert _DCG_GAIN_U[0] == 1_000_000  # 1/log2(2)
+    assert _DCG_GAIN_U[1] == round(1e6 / math.log2(3))
+    assert _IDCG_U[1] == 1_000_000
+    assert _IDCG_U[10] == sum(_DCG_GAIN_U)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # query
+            st.integers(min_value=1, max_value=10),  # rank
+            st.integers(min_value=0, max_value=1),  # rel
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=3, max_size=3
+    ),
+)
+def test_ndcg_matches_python_model(spark, run_rows, pools):
+    run = spark.createDataFrame(
+        run_rows, "query_id int, rank int, rel int"
+    )
+    pool = spark.createDataFrame(
+        [(q, n) for q, n in enumerate(pools)],
+        "query_id int, n_rel_pool int",
+    )
+    got = {
+        r["query_id"]: (r["n_rel_pool"], r["dcg_u"], r["idcg_u"], r["ndcg"])
+        for r in ndcg_binary_at_k(run, pool).collect()
+    }
+    for q, n_pool in enumerate(pools):
+        dcg = sum(
+            _DCG_GAIN_U[rank - 1]
+            for qq, rank, rel in run_rows
+            if qq == q and rel
+        )
+        idcg = _IDCG_U[min(n_pool, 10)] if n_pool > 0 else None
+        ndcg = (
+            round(dcg / idcg + 1e-9, 6) if idcg else None
+        )
+        assert got[q] == (n_pool, dcg, idcg, ndcg)
+
+
+# ----------------------------------------------------------------- RBO
+
+
+def _rbo_model(perm_a, perm_b):
+    """perm_a/b: ranked item lists (index = rank-1)."""
+    ra = {x: i + 1 for i, x in enumerate(perm_a[:10])}
+    rb = {x: i + 1 for i, x in enumerate(perm_b[:10])}
+    common = {x: max(ra[x], rb[x]) for x in ra if x in rb}
+    s = sum(
+        _RBO_W[d - 1]
+        for x, d0 in common.items()
+        for d in range(d0, 11)
+    )
+    return len(common), round(s / _RBO_DIV + 1e-9, 6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.permutations(list(range(14))), st.permutations(list(range(14))))
+def test_rbo_matches_python_model(spark, perm_a, perm_b):
+    run_a = spark.createDataFrame(
+        [(0, x, i + 1) for i, x in enumerate(perm_a[:10])],
+        "query_id int, vec_id int, rank int",
+    )
+    run_b = spark.createDataFrame(
+        [(0, x, i + 1) for i, x in enumerate(perm_b[:10])],
+        "query_id int, vec_id int, rank int",
+    )
+    row = rbo_min_overlap(run_a, run_b).collect()[0]
+    ov, rbo = _rbo_model(list(perm_a), list(perm_b))
+    assert (row["overlap_at_k"], row["rbo_min"]) == (ov, rbo)
+
+
+def test_rbo_identical_rankings_closed_form(spark):
+    # identical lists: overlap_d = d, so RBO_min = (1/9)·Σ(9/10)^d
+    run = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(10)],
+        "query_id int, vec_id int, rank int",
+    )
+    row = rbo_min_overlap(run, run).collect()[0]
+    expected = round(
+        sum(0.9**d for d in range(1, 11)) / 9 + 1e-9, 6
+    )
+    assert row["overlap_at_k"] == 10
+    assert abs(row["rbo_min"] - expected) < 2e-6
+
+
+# ---------------------------------------------------------------- SPRT
+
+
+def _sprt_model(rows, cents=50, boundary=8):
+    """rows: (key, day_off, value). Returns per-key
+    (n_obs, k_obs, n_days, d_final, decision, cross_day_off)."""
+    daily = {}
+    for k, d, v in rows:
+        n, kk = daily.get((k, d), (0, 0))
+        daily[(k, d)] = (n + 1, kk + (1 if round(v * 100) >= cents else 0))
+    out = {}
+    for key in sorted({k for k, _ in daily}):
+        days = sorted(d for k, d in daily if k == key)
+        tot_n = tot_k = walk = 0
+        cross = None
+        for d in days:
+            n, kk = daily[(key, d)]
+            tot_n += n
+            tot_k += kk
+            walk += 2 * kk - n
+            if cross is None and abs(walk) >= boundary:
+                cross = (d, "accept_high" if walk >= boundary else "accept_low")
+        out[key] = (
+            tot_n,
+            tot_k,
+            len(days),
+            walk,
+            cross[1] if cross else "continue",
+            cross[0] if cross else None,
+        )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=15),
+            st.floats(
+                min_value=0.0,
+                max_value=2.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sprt_matches_python_model(spark, rows):
+    base = dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (f"k{k}", dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=d), v)
+            for k, d, v in rows
+        ],
+        "event_type string, ts timestamp, value double",
+    ).repartition(5)
+    got = {
+        r["event_type"]: (
+            r["n_obs"],
+            r["k_obs"],
+            r["n_days"],
+            r["d_final"],
+            r["decision"],
+            r["cross_day"],
+        )
+        for r in sprt_daily_monitor(df).collect()
+    }
+    model = _sprt_model(rows)
+    assert set(got) == {f"k{k}" for k in model}
+    for key, (n, kk, nd, df_, dec, cd) in model.items():
+        cds = (
+            (base + dt.timedelta(days=cd)).strftime("%Y-%m-%d")
+            if cd is not None
+            else None
+        )
+        assert got[f"k{key}"] == (n, kk, nd, df_, dec, cds)
+
+
+def test_sprt_boundary_validation(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="boundary"):
+        sprt_daily_monitor(df, boundary=0)
+
+
+# ----------------------------------------------------------------- ACF
+
+
+def test_acf_linear_series_perfect_lag_correlation(spark):
+    # value(day t) = t: every lagged overlap is a perfect line, r = 1
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=t), float(t))
+            for t in range(1, 15)
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = {(r["event_type"], r["lag"]): r for r in acf_daily(df, max_lag=3).collect()}
+    for lag in (1, 2, 3):
+        r = rows[("a", lag)]
+        assert r["n_days"] == 14 - lag
+        assert r["r"] == 1.0
+
+
+def _pearson(pairs):
+    n = len(pairs)
+    sa = sum(a for a, _ in pairs)
+    sb = sum(b for _, b in pairs)
+    saa = sum(a * a for a, _ in pairs)
+    sbb = sum(b * b for _, b in pairs)
+    sab = sum(a * b for a, b in pairs)
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    if va <= 0 or vb <= 0:
+        return None
+    return round(
+        (n * sab - sa * sb) / (math.sqrt(va) * math.sqrt(vb)) + 1e-9, 6
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.floats(
+                min_value=-50,
+                max_value=50,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_acf_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), v)
+            for d, v in rows
+        ],
+        "event_type string, ts timestamp, value double",
+    ).repartition(3)
+    got = {
+        r["lag"]: (r["n_days"], r["r"])
+        for r in acf_daily(df, max_lag=4).collect()
+    }
+    cents = {d: round(v * 100) for d, v in rows}
+    for lag in (1, 2, 3, 4):
+        pairs = [
+            (cents[d], cents[d + lag]) for d in cents if d + lag in cents
+        ]
+        if not pairs:
+            assert lag not in got
+        else:
+            assert got[lag] == (len(pairs), _pearson(pairs))
+
+
+# ---------------------------------------------- lexical diversity
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "Dd", "e"]),
+                min_size=0,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_lexical_diversity_matches_python_model(spark, docs):
+    df = spark.createDataFrame(
+        [(f"s{g}", " ".join(toks)) for g, toks in docs],
+        "source string, text string",
+    ).repartition(3)
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["n_types"],
+            r["n_hapax"],
+            r["ttr"],
+            r["hapax_ratio"],
+            r["herdan_c"],
+        )
+        for r in lexical_diversity(df).collect()
+    }
+    freq: dict[tuple[str, str], int] = {}
+    for g, toks in docs:
+        for t in toks:
+            kk = (f"s{g}", t.lower())
+            freq[kk] = freq.get(kk, 0) + 1
+    for src in {f"s{g}" for g, _ in docs}:
+        fs = {t: c for (s, t), c in freq.items() if s == src}
+        if not fs:
+            assert src not in got  # all-blank source emits no row
+            continue
+        n_tok = sum(fs.values())
+        n_typ = len(fs)
+        n_hap = sum(1 for c in fs.values() if c == 1)
+        herdan = (
+            round(math.log(n_typ) / math.log(n_tok) + 1e-9, 6)
+            if n_tok > 1
+            else None
+        )
+        assert got[src] == (
+            n_tok,
+            n_typ,
+            n_hap,
+            round(n_typ / n_tok + 1e-9, 6),
+            round(n_hap / n_typ + 1e-9, 6),
+            herdan,
+        )
+
+
+# ------------------------------------------------- power iteration
+
+
+def test_top_pc_rank_one_spectrum(spark):
+    # all vectors parallel to w: G = (Σ aᵢ²)·ŵŵᵀ exactly rank-1, so
+    # one step already lands on ŵ; loadings = ±ŵ with first nonzero
+    # positive, eigenvalue = Σ|aᵢ·w|² (on the 1e-4 grid)
+    w = [3.0, 0.0, -4.0]
+    scales = [1.0, -2.0, 0.5]
+    df = spark.createDataFrame(
+        [(i, [a * x for x in w]) for i, a in enumerate(scales)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {
+        r["i"]: r for r in top_principal_component(df, iters=4).collect()
+    }
+    norm = math.sqrt(sum(x * x for x in w))
+    expect = [x / norm for x in w]  # first nonzero (3.0) positive
+    for i, e in enumerate(expect, start=1):
+        assert abs(rows[i]["loading"] - e) < 1e-5
+    lam = sum(a * a for a in scales) * sum(x * x for x in w)
+    assert abs(rows[1]["eigenvalue"] - lam) < 1e-3
+
+
+def test_top_pc_sign_convention_flips_negative_lead(spark):
+    # dominant axis with a NEGATIVE first nonzero component gets
+    # flipped positive
+    df = spark.createDataFrame(
+        [(0, [-2.0, 1.0]), (1, [-4.0, 2.0]), (2, [-2.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {
+        r["i"]: r["loading"]
+        for r in top_principal_component(df, iters=3).collect()
+    }
+    assert rows[1] > 0  # flipped
+    assert abs(rows[1] - 2 / math.sqrt(5)) < 1e-5
+    assert abs(rows[2] - (-1 / math.sqrt(5))) < 1e-5
+
+
+def test_top_pc_iters_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        top_principal_component(df, iters=0)
