@@ -46,49 +46,104 @@ GRID_DP = 4
 V_UNIT = 1_000_000
 
 
+def _quantized(
+    emb: DataFrame, vec_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """1e-4 grid snap of the embedding array, JVM-side. float32 →
+    float64 BEFORE the grid multiply (the module-wide embedding
+    convention): a float32 product can snap x·10⁴ onto an exact .5
+    that the float64 product is strictly inside of, flipping the
+    rounded grid cell between engines. Snapping HERE (one built-in
+    expression, HALF_UP) also means the Arrow path below never
+    rounds in Python — numpy's bankers' rounding would disagree on
+    exact halves."""
+    return emb.select(
+        *keep,
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * 10**GRID_DP).cast("long"),
+        ).alias("_xq"),
+    )
+
+
 def gram_long(
     emb: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact integer Gram matrix of the 1e-4-snapped embeddings:
     (i, j, g) with g = Σ_n round(x_i·10⁴)·round(x_j·10⁴) as
-    decimal(38,0) (units 1e-8·value²), i/j 1-based. One posexplode,
-    one id-equi self-join (64× fan-out BEFORE the map-side partial
-    agg — the exchange carries ≤ d² rows per map partition), one
-    (i, j) hash agg."""
-    # float32 → float64 BEFORE the grid multiply (the module-wide
-    # embedding convention): a float32 product can snap x·10⁴ onto an
-    # exact .5 that the float64 product is strictly inside of, flipping
-    # the rounded grid cell between engines.
-    x = emb.select(
-        id_col, F.posexplode(vec_col).alias("_p", "_x")
-    ).select(
-        id_col,
-        (F.col("_p") + 1).alias("_i"),
-        F.round(F.col("_x").cast("double") * 10**GRID_DP)
-        .cast("long")
-        .alias("_xi"),
-    )
-    b = x.select(
-        F.col(id_col).alias("_rid"),
-        F.col("_i").alias("_j"),
-        F.col("_xi").alias("_xj"),
-    )
-    return (
-        x.join(b, x[id_col] == b["_rid"])
-        .groupBy(F.col("_i").alias("i"), F.col("_j").alias("j"))
-        .agg(
-            F.sum(
-                (F.col("_xi") * F.col("_xj")).cast("decimal(38,0)")
-            ).alias("g")
+    decimal(38,0) (units 1e-8·value²), i/j 1-based.
+
+    ``impl="arrow"`` (default, the scale path): one mapInPandas pass
+    emits each Arrow batch's d×d PARTIAL Gram as exact int64 XᵀX
+    (numpy integer matmul of the JVM-quantized codes — no float, no
+    Python rounding; per-batch sums bounded by batch_rows·(xmax·10⁴)²
+    ≪ 2⁶³), so the exchange carries d² rows per batch instead of the
+    d² per-ROW fan-out a join would ship; one (i, j) hash agg merges
+    partials in decimal. This is the canonical distributed Gram at
+    100 TB: corpus-sized scan, dimension-sized shuffle.
+
+    ``impl="explode"`` (the built-in twin, kept for the cross-impl
+    equality test): posexplode + id-equi self-join (d× fan-out before
+    the map-side partial agg), one (i, j) hash agg. Identical exact
+    integers by construction — it re-associates the same integer sum.
+    """
+    if impl == "explode":
+        x = _quantized(emb, vec_col, keep=(id_col,)).select(
+            F.col(id_col).alias("_rid0"),
+            F.posexplode("_xq").alias("_p", "_xi"),
+        ).select(
+            "_rid0", (F.col("_p") + 1).alias("_i"), "_xi"
         )
+        b = x.select(
+            F.col("_rid0").alias("_rid"),
+            F.col("_i").alias("_j"),
+            F.col("_xi").alias("_xj"),
+        )
+        return (
+            x.join(b, x["_rid0"] == b["_rid"])
+            .groupBy(F.col("_i").alias("i"), F.col("_j").alias("j"))
+            .agg(
+                F.sum(
+                    (F.col("_xi") * F.col("_xj")).cast("decimal(38,0)")
+                ).alias("g")
+            )
+        )
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'arrow' or 'explode', got {impl!r}")
+    q = _quantized(emb, vec_col)
+
+    def _partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["_xq"].to_numpy()).astype("int64")
+            gg = mat.T @ mat  # exact int64 partial
+            d = gg.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel(),
+                    "j": (jj + 1).ravel(),
+                    "gp": gg.ravel(),
+                }
+            )
+
+    partials = q.mapInPandas(
+        _partial_gram, schema="i int, j int, gp long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("gp").cast("decimal(38,0)")).alias("g")
     )
 
 
 def top_principal_component(
     emb: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 6,
 ) -> DataFrame:
@@ -110,9 +165,14 @@ def top_principal_component(
     # fully lazy loop would re-derive the whole upstream subtree 2^t
     # times (measured: 6 lazy iterations re-ran the corpus Gram ~64×,
     # 100 s on a 500-row input). Same for the d-row v each step.
+    # d² rows in ONE partition: the iteration's matvecs are trivial
+    # single-task work, and leaving them on the session's shuffle
+    # partitioning costs ~32 empty tasks × 2 stages × iters of pure
+    # scheduling overhead (measured 8.3 s → ~2 s at sf0.1).
     g = (
-        gram_long(emb, id_col, vec_col)
+        gram_long(emb, vec_col)
         .select("i", "j", F.col("g").cast("decimal(20,0)").alias("g"))
+        .coalesce(1)
         .localCheckpoint()
     )
     # the d-vector as a d-row plan; all-ones start on the 1e6 grid
@@ -124,6 +184,7 @@ def top_principal_component(
             g.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("g") * F.col("v")).alias("u"))
+            .coalesce(1)
         )
         m = u.agg(F.max(F.abs(F.col("u"))).alias("_m"))
         v = (

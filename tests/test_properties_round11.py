@@ -406,3 +406,38 @@ def test_top_pc_iters_validation(spark):
     )
     with pytest.raises(ValueError, match="iters"):
         top_principal_component(df, iters=0)
+
+
+def test_gram_impls_identical(spark):
+    # the Arrow partial-XᵀX path and the built-in explode/join twin
+    # re-associate the SAME exact integer sum — must agree cell-exactly
+    from public_projet_data_engineering_tarification_electrique_spark.operators.spectral import (
+        gram_long,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [((i * 7 + j * 3) % 11 - 5) / 7.0 for j in range(5)])
+            for i in range(40)
+        ],
+        "vec_id int, embedding array<double>",
+    ).repartition(4)
+    a = {(r["i"], r["j"]): int(r["g"]) for r in gram_long(df).collect()}
+    b = {
+        (r["i"], r["j"]): int(r["g"])
+        for r in gram_long(df, impl="explode").collect()
+    }
+    assert a == b
+    assert len(a) == 25
+
+
+def test_gram_impl_validation(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.spectral import (
+        gram_long,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="impl"):
+        gram_long(df, impl="nope")
