@@ -251,3 +251,99 @@ def top_principal_component(
             F.lit(iters).cast("int").alias("iters"),
         )
     )
+
+
+def whitening_audit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    corr_floor: float = 0.1,
+) -> DataFrame:
+    """Cross-dimension correlation audit of the embedding cloud — the
+    "is this representation whitened?" panel next to q289's dominant
+    eigenpair and q204's per-dimension variances: how much
+    second-moment mass lives OFF the Gram diagonal, how many
+    dimension pairs are materially correlated, and which pair is
+    worst. An ideally whitened space reports ratio ≈ 0 and no pairs
+    above the floor; a collapsed/anisotropic one lights up here
+    before it degrades ANN recall.
+
+    Exactness: one corpus pass builds the exact integer Gram
+    (:func:`gram_long`); every squared entry and both Frobenius sums
+    stay exact decimals; each pair's |cosine between dimensions|
+    |G_ij|/√(G_ii·G_jj) is ONE double sequence snapped to the 1e-6
+    grid, so the threshold count and the struct-ordered argmax are
+    engine-stable. Everything after the Gram is d²-bounded
+    (structural, not data-shaped).
+
+    Output: one row — (n_dims, n_pairs, n_corr_ge_floor,
+    max_abs_corr 6 dp, max_i, max_j, off_to_diag_fro2 6 dp).
+    """
+    g = gram_long(emb, vec_col)
+    diag = g.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_di"), F.col("g").alias("_gd")
+    )
+    off = (
+        g.filter(F.col("i") < F.col("j"))
+        .join(
+            F.broadcast(diag.select(F.col("_di"), F.col("_gd").alias("_gii"))),
+            F.col("i") == F.col("_di"),
+        )
+        .drop("_di")
+        .join(
+            F.broadcast(diag.select(F.col("_di"), F.col("_gd").alias("_gjj"))),
+            F.col("j") == F.col("_di"),
+        )
+        .drop("_di")
+    )
+    corr6 = F.round(
+        F.abs(F.col("g").cast("double"))
+        / F.sqrt(
+            F.col("_gii").cast("double") * F.col("_gjj").cast("double")
+        )
+        + 1e-9,
+        6,
+    )
+    cells = off.select(
+        "i",
+        "j",
+        corr6.alias("_c"),
+        (F.col("g") * F.col("g")).cast("decimal(38,0)").alias("_g2"),
+    )
+    offstats = cells.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("_c") >= corr_floor).cast("long"))
+        .cast("long")
+        .alias("n_corr_ge_floor"),
+        F.min(
+            F.struct(
+                (-F.col("_c")).alias("nc"),
+                F.col("i").alias("i"),
+                F.col("j").alias("j"),
+            )
+        ).alias("_mx"),
+        F.sum("_g2").alias("_off2"),
+    )
+    dstats = diag.agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum((F.col("_gd") * F.col("_gd")).cast("decimal(38,0)")).alias(
+            "_d2"
+        ),
+    )
+    return (
+        dstats.crossJoin(F.broadcast(offstats))
+        .select(
+            "n_dims",
+            "n_pairs",
+            "n_corr_ge_floor",
+            (-F.col("_mx.nc")).alias("max_abs_corr"),
+            F.col("_mx.i").alias("max_i"),
+            F.col("_mx.j").alias("max_j"),
+            F.round(
+                F.lit(2.0)
+                * F.col("_off2").cast("double")
+                / F.col("_d2").cast("double")
+                + 1e-9,
+                6,
+            ).alias("off_to_diag_fro2"),
+        )
+    )

@@ -1804,3 +1804,230 @@ def sprt_daily_monitor(
         .alias("decision"),
         F.date_format(F.col("_c.day"), "yyyy-MM-dd").alias("cross_day"),
     )
+
+
+def grouped_huber_irls(
+    events: DataFrame,
+    delta_cents: int = 5000,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key robust linear trend (Huber loss, one IRLS reweight) of
+    the daily cent-total series — the outlier-resistant twin of the
+    OLS fit (q08's closed form) next to q268's nonparametric
+    Theil–Sen: a single corrupted day drags OLS but gets its weight
+    clipped to δ/|r| here. One reweight step is the defined
+    semantics (not iterate-to-convergence) — deterministic, and in
+    practice one step removes most of the leverage.
+
+    Exact construction: (1) OLS on the calendar-bounded daily level
+    table from decimal(38,0) sufficient statistics, slope/intercept
+    as ONE double sequence per key; (2) residuals r = y − ŷ per day
+    (one double sequence from exact ints); Huber weights snap to the
+    1e-6 integer grid (w = 1e6 when |r| ≤ δ else round(δ/|r|·1e6)),
+    so (3) the weighted refit's five sufficient statistics are again
+    EXACT integer products (w·x·y etc.) in decimal, and the final
+    slope/intercept is one more double sequence. Two hash aggs + one
+    broadcast params join — never a per-key collect.
+
+    Output: one row per key with ≥ 2 days — (key, n_days,
+    n_downweighted, slope_ols, slope_huber, intercept_huber), slopes
+    in value units/day (cents divided out), 6 dp; keys whose x or
+    weighted x margin is degenerate report NULL fits.
+    """
+    if delta_cents <= 0:
+        raise ValueError(f"delta_cents must be > 0, got {delta_cents}")
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+
+    def dsum(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).alias(name)
+
+    td = F.col("t").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    ols = daily.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_days"),
+        dsum(td, "sx"),
+        dsum(yd, "sy"),
+        dsum(td * td, "sxx"),
+        dsum(td * yd, "sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n_d = F.col("n_days").cast("double")
+    det = n_d * d("sxx") - d("sx") * d("sx")
+    slope0 = F.when(
+        (F.col("n_days") >= 2) & (det != 0.0),
+        (n_d * d("sxy") - d("sx") * d("sy")) / det,
+    )
+    params = ols.select(
+        F.col("k").alias("_pk"),
+        "n_days",
+        slope0.alias("_b0"),
+        ((d("sy") - slope0 * d("sx")) / n_d).alias("_a0"),
+    )
+    resid = daily.join(
+        F.broadcast(params), daily["k"] == F.col("_pk")
+    ).select(
+        "k",
+        "t",
+        "y",
+        "n_days",
+        "_b0",
+        "_a0",
+        (
+            F.col("y").cast("double")
+            - (
+                F.col("_a0")
+                + F.col("_b0") * F.col("t").cast("double")
+            )
+        ).alias("_r"),
+    )
+    w6 = F.when(F.col("_r").isNull(), F.lit(None).cast("long")).when(
+        F.abs(F.col("_r")) <= delta_cents, F.lit(1_000_000)
+    ).otherwise(
+        F.round(F.lit(float(delta_cents)) / F.abs(F.col("_r")) * 1e6)
+        .cast("long")
+    )
+    weighted = resid.select(
+        "k", "t", "y", "n_days", "_b0", w6.alias("_w")
+    )
+    wd = F.col("_w").cast("decimal(19,0)")
+    refit = weighted.groupBy("k", "n_days", "_b0").agg(
+        F.sum((F.col("_w") < 1_000_000).cast("long"))
+        .cast("long")
+        .alias("n_downweighted"),
+        dsum(wd, "sw"),
+        dsum(wd * td, "swx"),
+        dsum(wd * yd, "swy"),
+        dsum(wd * td * td, "swxx"),
+        dsum(wd * td * yd, "swxy"),
+    )
+    detw = d("sw") * d("swxx") - d("swx") * d("swx")
+    slope1 = F.when(
+        (F.col("n_days") >= 2) & (detw != 0.0) & F.col("_b0").isNotNull(),
+        (d("sw") * d("swxy") - d("swx") * d("swy")) / detw,
+    )
+    icept1 = (d("swy") - slope1 * d("swx")) / d("sw")
+    return refit.select(
+        F.col("k").alias(key_col),
+        "n_days",
+        F.when(
+            F.col("_b0").isNotNull(), F.col("n_downweighted")
+        ).alias("n_downweighted"),
+        F.round(F.col("_b0") / 100.0 + 1e-9, 6).alias("slope_ols"),
+        F.round(slope1 / 100.0 + 1e-9, 6).alias("slope_huber"),
+        F.round(icept1 / 100.0 + 1e-9, 6).alias("intercept_huber"),
+    )
+
+
+def mann_kendall_daily(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann–Kendall trend test per key on the daily cent-total series
+    — the distribution-free "is there a monotone trend?" gate whose
+    SLOPE twin is q268's Theil–Sen (MK gives the direction + normal
+    score; Theil–Sen gives the magnitude). S = Σ_{i<j} sign(v_j−v_i)
+    over day-ordered pairs; variance with the standard tie
+    correction; z uses the ±1 continuity correction.
+
+    Everything before z is EXACT integer arithmetic: S from the
+    calendar-bounded daily table's pair self-join (≤ days² per key —
+    bounded by the CALENDAR, not the corpus; the corpus collapses in
+    the (key, day) hash agg first), the tie term from the per-value
+    level counts, var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) kept as the
+    18-scaled integer. z = (S∓1)/√(var18/18) is one double sequence,
+    6 dp; trend thresholds on ``z_crit``.
+
+    Output: one row per key — (key, n_days, s_stat, var18, z, trend ∈
+    {'increasing','decreasing','no_trend'}); keys with < 2 days or
+    zero variance (all days equal) report NULL z and 'no_trend'.
+    """
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    b = daily.select(
+        F.col("k").alias("kb"), F.col("t").alias("tb"),
+        F.col("v").alias("vb"),
+    )
+    s = (
+        daily.join(b, (daily.k == b.kb) & (daily.t < b.tb))
+        .groupBy("k")
+        .agg(
+            F.sum(F.signum(F.col("vb") - F.col("v")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("k", "v")
+        .agg(F.count("*").cast("long").alias("_t"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("_n_levels"),
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            )
+            .cast("long")
+            .alias("_tie18"),
+        )
+    )
+    tot = daily.groupBy("k").agg(F.count("*").cast("long").alias("n_days"))
+    base = (
+        tot.join(s, "k", "left")
+        .join(ties, "k")
+        .select(
+            "k",
+            "n_days",
+            F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("_tie18")
+            ).alias("var18"),
+        )
+    )
+    sd = F.col("s_stat").cast("double")
+    denom = F.sqrt(F.col("var18").cast("double") / 18.0)
+    z = F.when(
+        (F.col("n_days") >= 2) & (F.col("var18") > 0),
+        F.when(F.col("s_stat") > 0, (sd - 1) / denom)
+        .when(F.col("s_stat") < 0, (sd + 1) / denom)
+        .otherwise(F.lit(0.0)),
+    )
+    zr = F.round(z + 1e-9, 6)
+    return base.select(
+        F.col("k").alias(key_col),
+        "n_days",
+        "s_stat",
+        "var18",
+        zr.alias("z"),
+        F.when(zr >= z_crit, "increasing")
+        .when(zr <= -z_crit, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )

@@ -1360,3 +1360,96 @@ def acf_daily(
         "n_days",
         F.round(r + 1e-9, 6).alias("r"),
     )
+
+
+def seasonal_naive_mase(
+    events: DataFrame,
+    season: int = 7,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """MASE of the one-day-naive forecaster against the seasonal-naive
+    scale per key — the scale-free forecast-quality number (Hyndman &
+    Koehler) read next to q226's MAPE backtest: MASE < 1 says
+    "yesterday's value beats last-``season``-day's value", i.e. the
+    series carries day-to-day signal beyond its weekly cycle.
+
+    mase = mean|v_t − v_{t−1}| / mean|v_t − v_{t−season}| over the
+    days where the respective lag exists; computed as
+    (sad1·n_s)/(sad_s·n1) so everything stays an EXACT integer (cent
+    absolute-difference sums from the calendar-bounded daily level
+    table) until the one terminal division. Both lags come from ONE
+    spine-replicated equi-join (the q272/q287 shape: a literal
+    {1, season} array exploded onto the daily table, one grouped agg
+    — not two jobs).
+
+    Output: one row per key WITH ≥ 1 DAY (keys whose two lag overlaps
+    are both empty still appear, with NULL stats) — (key, n1,
+    sad1_cents, n_s, sad_s_cents, mase 6 dp); mase is NULL when
+    either overlap is empty or the seasonal differences are all zero
+    (a perfectly periodic series — the denominator is 0 and the
+    statistic is undefined).
+    """
+    if season < 2:
+        raise ValueError(f"season must be >= 2, got {season}")
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    lags = F.explode(
+        F.array(F.lit(1), F.lit(int(season)))
+    ).alias("lag")
+    ax = daily.select("k", "t", F.col("c").alias("ca"), lags)
+    b = daily.select(
+        F.col("k").alias("kb"), F.col("t").alias("tb"),
+        F.col("c").alias("cb"),
+    )
+    j = ax.join(b, (ax.k == b.kb) & (ax.t + F.col("lag") == b.tb))
+    per_lag = j.groupBy("k", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("cb") - F.col("ca")))
+        .cast("long")
+        .alias("sad"),
+    )
+    one = daily.select("k").distinct().join(
+        per_lag.groupBy("k").agg(
+            F.max(F.when(F.col("lag") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("lag") == 1, F.col("sad"))).alias(
+                "sad1_cents"
+            ),
+            F.max(F.when(F.col("lag") == season, F.col("n"))).alias("n_s"),
+            F.max(F.when(F.col("lag") == season, F.col("sad"))).alias(
+                "sad_s_cents"
+            ),
+        ),
+        "k",
+        "left",
+    )
+    mase = F.when(
+        (F.col("n1") > 0) & (F.col("n_s") > 0) & (F.col("sad_s_cents") > 0),
+        (
+            F.col("sad1_cents").cast("double")
+            * F.col("n_s").cast("double")
+        )
+        / (
+            F.col("sad_s_cents").cast("double")
+            * F.col("n1").cast("double")
+        ),
+    )
+    return one.select(
+        F.col("k").alias(key_col),
+        "n1",
+        "sad1_cents",
+        "n_s",
+        "sad_s_cents",
+        F.round(mase + 1e-9, 6).alias("mase"),
+    )

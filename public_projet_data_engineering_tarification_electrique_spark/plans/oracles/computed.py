@@ -1068,3 +1068,63 @@ def _q289_oracle(iters: int = 6) -> str:
 
 
 ORACLE_SQL["q289_top_principal_component"] = _q289_oracle()
+
+
+def _q291_oracle() -> str:
+    """Whitening-audit oracle: the same exact-integer Gram CTE as
+    q289 (grid constants imported from operators.spectral), then
+    d²-bounded correlation arithmetic — each |dimension cosine| is
+    the identical double sequence, the argmax is a deterministic
+    (corr DESC, i, j) row_number."""
+    from ...operators.spectral import GRID_DP
+
+    return f"""
+    WITH xq AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                        * {10 ** GRID_DP}) AS BIGINT) AS xi
+      FROM embeddings
+    ), g AS MATERIALIZED (
+      SELECT a.i, b.i AS j, sum(a.xi * b.xi) AS g
+      FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2
+    ), diag AS (
+      SELECT i, g AS gd FROM g WHERE i = j
+    ), offc AS (
+      SELECT g.i, g.j, g.g, d1.gd AS gii, d2.gd AS gjj
+      FROM g JOIN diag d1 ON g.i = d1.i JOIN diag d2 ON g.j = d2.i
+      WHERE g.i < g.j
+    ), cells AS (
+      SELECT i, j,
+             round(abs(CAST(g AS DOUBLE))
+                   / sqrt(CAST(gii AS DOUBLE) * CAST(gjj AS DOUBLE))
+                   + 1e-9, 6) AS c,
+             g * g AS g2
+      FROM offc
+    ), best AS (
+      SELECT c, i, j FROM (
+        SELECT c, i, j,
+               row_number() OVER (ORDER BY c DESC, i, j) AS rn
+        FROM cells) r
+      WHERE rn = 1
+    ), offs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN c >= 0.1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_corr_ge_floor,
+             sum(g2) AS off2
+      FROM cells
+    ), ds AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dims, sum(gd * gd) AS d2
+      FROM diag
+    )
+    SELECT ds.n_dims, offs.n_pairs, offs.n_corr_ge_floor,
+           best.c AS max_abs_corr,
+           CAST(best.i AS INTEGER) AS max_i,
+           CAST(best.j AS INTEGER) AS max_j,
+           round(2.0 * CAST(offs.off2 AS DOUBLE)
+                 / CAST(ds.d2 AS DOUBLE) + 1e-9, 6)
+             AS off_to_diag_fro2
+    FROM ds, offs, best
+"""
+
+
+ORACLE_SQL["q291_whitening_audit"] = _q291_oracle()

@@ -2586,3 +2586,170 @@ ORACLE_SQL["q288_lexical_diversity"] = """
     FROM agg
     ORDER BY source
 """
+
+
+# q290: the {1,7} lag spine replicated into one grouped agg; exact
+# cent absolute-difference sums; mase = (sad1·n7)/(sad7·n1), one
+# terminal division; NULL on empty overlap or a perfectly periodic
+# denominator.
+ORACLE_SQL["q290_seasonal_mase"] = """
+    WITH daily AS (
+      SELECT event_type AS k,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT a.k, g.lag, a.c AS ca, b.c AS cb
+      FROM (VALUES (1), (7)) g(lag), daily a
+      JOIN daily b ON a.k = b.k AND a.t + g.lag = b.t
+    ), per AS (
+      SELECT k, lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(cb - ca)) AS BIGINT) AS sad
+      FROM j GROUP BY 1, 2
+    ), agg AS (
+      SELECT k,
+             max(CASE WHEN lag = 1 THEN n END) AS n1,
+             max(CASE WHEN lag = 1 THEN sad END) AS sad1_cents,
+             max(CASE WHEN lag = 7 THEN n END) AS n_s,
+             max(CASE WHEN lag = 7 THEN sad END) AS sad_s_cents
+      FROM per GROUP BY 1
+    ), one AS (
+      SELECT d.k, a.n1, a.sad1_cents, a.n_s, a.sad_s_cents
+      FROM (SELECT DISTINCT k FROM daily) d
+      LEFT JOIN agg a ON d.k = a.k
+    )
+    SELECT k AS event_type, n1, sad1_cents, n_s, sad_s_cents,
+           round(CASE WHEN n1 > 0 AND n_s > 0 AND sad_s_cents > 0
+                 THEN (CAST(sad1_cents AS DOUBLE) * CAST(n_s AS DOUBLE))
+                      / (CAST(sad_s_cents AS DOUBLE)
+                         * CAST(n1 AS DOUBLE))
+                 END + 1e-9, 6) AS mase
+    FROM one ORDER BY event_type
+"""
+
+# q292: OLS pass from exact sufficient statistics, Huber weights on
+# the 1e-6 integer grid, exact-integer weighted refit — every double
+# sequence mirrors the Spark expression order token-for-token.
+ORACLE_SQL["q292_huber_trend"] = """
+    WITH daily AS (
+      SELECT event_type AS k,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), ols AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+             sum(t) AS sx, sum(y) AS sy,
+             sum(t * t) AS sxx, sum(t * y) AS sxy
+      FROM daily GROUP BY 1
+    ), params AS (
+      SELECT k, n_days,
+             CASE WHEN n_days >= 2
+                   AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+                  THEN (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END AS b0,
+             sy, sx
+      FROM ols
+    ), pa AS (
+      SELECT k, n_days, b0,
+             (CAST(sy AS DOUBLE) - b0 * CAST(sx AS DOUBLE))
+               / CAST(n_days AS DOUBLE) AS a0
+      FROM params
+    ), resid AS (
+      SELECT d.k, d.t, d.y, p.n_days, p.b0,
+             CAST(d.y AS DOUBLE)
+               - (p.a0 + p.b0 * CAST(d.t AS DOUBLE)) AS r
+      FROM daily d JOIN pa p ON d.k = p.k
+    ), weighted AS (
+      SELECT k, t, y, n_days, b0,
+             CASE WHEN r IS NULL THEN NULL
+                  WHEN abs(r) <= 5000 THEN 1000000
+                  ELSE CAST(round(5000.0 / abs(r) * 1e6) AS BIGINT)
+             END AS w
+      FROM resid
+    ), refit AS (
+      SELECT k, n_days, b0,
+             CAST(sum(CASE WHEN w < 1000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_downweighted,
+             sum(w) AS sw, sum(w * t) AS swx, sum(w * y) AS swy,
+             sum(w * t * t) AS swxx, sum(w * t * y) AS swxy
+      FROM weighted GROUP BY 1, 2, 3
+    ), fit AS (
+      SELECT k, n_days, b0, n_downweighted,
+             CASE WHEN n_days >= 2
+                   AND CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                       - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)
+                       <> 0.0
+                   AND b0 IS NOT NULL
+                  THEN (CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                        - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                       / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))
+             END AS b1,
+             sw, swx, swy
+      FROM refit
+    )
+    SELECT k AS event_type, n_days,
+           CASE WHEN b0 IS NOT NULL THEN n_downweighted END
+             AS n_downweighted,
+           round(b0 / 100.0 + 1e-9, 6) AS slope_ols,
+           round(b1 / 100.0 + 1e-9, 6) AS slope_huber,
+           round((CAST(swy AS DOUBLE) - b1 * CAST(swx AS DOUBLE))
+                 / CAST(sw AS DOUBLE) / 100.0 + 1e-9, 6)
+             AS intercept_huber
+    FROM fit ORDER BY event_type
+"""
+
+# q293: S and the tie-corrected 18-scaled variance as exact integers
+# from the calendar-bounded daily table; z with the ±1 continuity
+# correction, one double sequence.
+ORACLE_SQL["q293_mann_kendall"] = """
+    WITH daily AS (
+      SELECT event_type AS k,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT a.k, CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.k = b.k AND a.t < b.t
+      GROUP BY 1
+    ), ties AS (
+      SELECT k, CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+               AS tie18
+      FROM (SELECT k, v, count(*) AS tt FROM daily GROUP BY 1, 2) lv
+      GROUP BY 1
+    ), tot AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    ), base AS (
+      SELECT t.k, t.n_days, COALESCE(s.s_stat, 0) AS s_stat,
+             t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - ties.tie18
+               AS var18
+      FROM tot t LEFT JOIN s ON t.k = s.k JOIN ties ON t.k = ties.k
+    ), scored AS (
+      SELECT k, n_days, s_stat, var18,
+             round(CASE WHEN n_days >= 2 AND var18 > 0 THEN
+                     CASE WHEN s_stat > 0 THEN
+                            (CAST(s_stat AS DOUBLE) - 1)
+                            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                          WHEN s_stat < 0 THEN
+                            (CAST(s_stat AS DOUBLE) + 1)
+                            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                          ELSE 0.0 END
+                   END + 1e-9, 6) AS z
+      FROM base
+    )
+    SELECT k AS event_type, n_days, s_stat, var18, z,
+           CASE WHEN z >= 1.96 THEN 'increasing'
+                WHEN z <= -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM scored ORDER BY event_type
+"""

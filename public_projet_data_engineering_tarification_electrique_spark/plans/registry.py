@@ -7231,6 +7231,60 @@ def q289_top_principal_component(
     return top_principal_component(emb, iters=6).orderBy("i")
 
 
+def q290_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the 1-day-naive forecaster against the 7-day
+    seasonal-naive scale per event type — the scale-free forecast
+    metric next to q226's MAPE backtest (< 1 ⇒ day-to-day signal
+    beyond the weekly cycle). Exact integer absolute-difference sums
+    from ONE {1,7}-spine equi-join on the daily cent table; one
+    terminal division (see operators.timeseries)."""
+    from ..operators.timeseries import seasonal_naive_mase
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_naive_mase(events, season=7).orderBy("event_type")
+
+
+def q291_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dimension correlation audit of the embedding space:
+    off-diagonal-to-diagonal Gram Frobenius ratio, count of dimension
+    pairs with |corr| ≥ 0.1, and the worst pair — "is this
+    representation whitened?" next to q289's dominant eigenpair. One
+    exact-integer Gram pass (the Arrow partial-XᵀX path), then
+    d²-bounded arithmetic (see operators.spectral)."""
+    from ..operators.spectral import whitening_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return whitening_audit(emb)
+
+
+def q292_huber_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust daily trend via Huber loss with ONE IRLS
+    reweight (δ = 50.00) — the outlier-clipped twin of the OLS fit
+    between q08's closed form and q268's Theil–Sen. OLS from decimal
+    sufficient statistics, residual-driven weights snapped to the
+    1e-6 integer grid, exact-integer weighted refit; both slopes
+    reported so the downweighting is visible (see operators.stats)."""
+    from ..operators.stats import grouped_huber_irls
+
+    events = load_table(spark, sf_dir, "events")
+    return grouped_huber_irls(events, delta_cents=5000).orderBy(
+        "event_type"
+    )
+
+
+def q293_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per event type on the daily
+    cent series — direction + tie-corrected normal score whose slope
+    twin is q268's Theil–Sen. S and the 18-scaled variance are exact
+    integers from the calendar-bounded daily table (pair join ≤
+    days², never the corpus); z is one double sequence (see
+    operators.stats)."""
+    from ..operators.stats import mann_kendall_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return mann_kendall_daily(events).orderBy("event_type")
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -7521,6 +7575,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q287_acf_daily": q287_acf_daily,
     "q288_lexical_diversity": q288_lexical_diversity,
     "q289_top_principal_component": q289_top_principal_component,
+    "q290_seasonal_mase": q290_seasonal_mase,
+    "q291_whitening_audit": q291_whitening_audit,
+    "q292_huber_trend": q292_huber_trend,
+    "q293_mann_kendall": q293_mann_kendall,
 }
 
 

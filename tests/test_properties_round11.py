@@ -441,3 +441,233 @@ def test_gram_impl_validation(spark):
     )
     with pytest.raises(ValueError, match="impl"):
         gram_long(df, impl="nope")
+
+
+# ---------------------------------------------------------------- MASE
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (  # noqa: E402
+    seasonal_naive_mase,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.floats(
+                min_value=-40,
+                max_value=40,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_mase_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), v)
+            for d, v in rows
+        ],
+        "event_type string, ts timestamp, value double",
+    ).repartition(3)
+    got = seasonal_naive_mase(df, season=3).collect()
+    cents = {d: round(v * 100) for d, v in rows}
+
+    def lag_stats(lag):
+        pairs = [
+            abs(cents[d + lag] - cents[d]) for d in cents if d + lag in cents
+        ]
+        return len(pairs), sum(pairs)
+
+    n1, sad1 = lag_stats(1)
+    ns, sads = lag_stats(3)
+    mase = (
+        round(sad1 * ns / (sads * n1) + 1e-9, 6)
+        if n1 > 0 and ns > 0 and sads > 0
+        else None
+    )
+    assert len(got) == 1
+    r = got[0]
+    assert (
+        r["n1"],
+        r["sad1_cents"],
+        r["n_s"],
+        r["sad_s_cents"],
+        r["mase"],
+    ) == (n1 or None, sad1 if n1 else None, ns or None,
+          sads if ns else None, mase)
+
+
+def test_mase_season_validation(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="season"):
+        seasonal_naive_mase(df, season=1)
+
+
+# ------------------------------------------------- whitening audit
+
+
+def test_whitening_audit_orthogonal_and_duplicated_dims(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.spectral import (
+        whitening_audit,
+    )
+
+    # dims 1 and 2 perfectly correlated (duplicated), dim 3 orthogonal
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0, 0.0]),
+            (1, [-2.0, -2.0, 0.0]),
+            (2, [0.0, 0.0, 3.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    r = whitening_audit(df).collect()[0]
+    assert r["n_dims"] == 3
+    assert r["n_pairs"] == 3
+    assert (r["max_i"], r["max_j"]) == (1, 2)
+    assert r["max_abs_corr"] == 1.0
+    assert r["n_corr_ge_floor"] == 1  # only the duplicated pair
+
+
+# ----------------------------------------------------------- Huber
+
+
+def test_huber_no_outliers_equals_ols(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        grouped_huber_irls,
+    )
+
+    # exact line: residuals are all 0 <= delta, so weights stay 1e6
+    # and the weighted refit IS the OLS fit
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=t), 10.0 + 2.0 * t)
+            for t in range(12)
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    r = grouped_huber_irls(df).collect()[0]
+    assert r["n_downweighted"] == 0
+    assert r["slope_huber"] == r["slope_ols"] == 2.0
+
+
+def test_huber_downweights_single_outlier(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        grouped_huber_irls,
+    )
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=t), 10.0 + 2.0 * t)
+        for t in range(20)
+    ]
+    rows[10] = ("a", rows[10][1], 100000.0)  # one wild day
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    r = grouped_huber_irls(df).collect()[0]
+    assert r["n_downweighted"] >= 1
+    # the robust slope is closer to the true 2.0 than OLS is
+    assert abs(r["slope_huber"] - 2.0) < abs(r["slope_ols"] - 2.0)
+
+
+def test_huber_delta_validation(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (
+        grouped_huber_irls,
+    )
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="delta"):
+        grouped_huber_irls(df, delta_cents=0)
+
+
+# ---------------------------------------------------- Mann-Kendall
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (  # noqa: E402
+    mann_kendall_daily,
+)
+
+
+def test_mann_kendall_monotone_and_constant(spark):
+    rows = [
+        ("up", dt.datetime(2024, 1, 1) + dt.timedelta(days=t), float(t + 1))
+        for t in range(12)
+    ] + [
+        ("flat", dt.datetime(2024, 1, 1) + dt.timedelta(days=t), 5.0)
+        for t in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    got = {r["event_type"]: r for r in mann_kendall_daily(df).collect()}
+    up = got["up"]
+    assert up["s_stat"] == 12 * 11 // 2  # every pair concordant
+    assert up["trend"] == "increasing"
+    flat = got["flat"]
+    assert flat["s_stat"] == 0
+    assert flat["var18"] == 0  # the tie term swallows everything
+    assert flat["z"] is None
+    assert flat["trend"] == "no_trend"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_mann_kendall_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), float(v))
+            for d, v in rows
+        ],
+        "event_type string, ts timestamp, value double",
+    ).repartition(3)
+    r = mann_kendall_daily(df).collect()[0]
+    pts = sorted((d, v * 100) for d, v in rows)
+    n = len(pts)
+    s = sum(
+        (0 < pts[j][1] - pts[i][1]) - (pts[j][1] - pts[i][1] < 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie18 = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(v for _, v in pts).values()
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    if var18 > 0:
+        z = round(
+            ((s - 1) if s > 0 else (s + 1) if s < 0 else 0)
+            / math.sqrt(var18 / 18.0)
+            * (1 if s != 0 else 0)
+            + 1e-9,
+            6,
+        ) if s != 0 else 0.0
+    else:
+        z = None
+    assert (r["n_days"], r["s_stat"], r["var18"], r["z"]) == (
+        n,
+        s,
+        var18,
+        z,
+    )
