@@ -2031,3 +2031,177 @@ def mann_kendall_daily(
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+def cuped_variance_reduction(
+    events: DataFrame,
+    split_day: str = "2024-01-16",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """CUPED pre-period covariate adjustment audit per key — "how much
+    experiment variance does the pre-period buy us?" (Deng et al.'s
+    θ = cov(pre, post)/var(pre); the post-metric variance shrinks by
+    exactly corr²). Run BEFORE an experiment to size it: a 40%
+    reduction means the same power at 60% of the traffic. The A/B
+    suite companion of q180 (fixed-horizon χ²) and q286 (sequential).
+
+    Exact construction: ONE (key, user) hash agg builds each user's
+    pre/post cent totals (conditional sums against the literal
+    ``split_day``, absent periods count 0 — users are the UNITS, so
+    the exchange carries users, not events); the five second-moment
+    statistics accumulate as decimal(38,0); θ and corr² are one
+    double sequence per key. θ is NULL when the pre-period is
+    degenerate (var(x) = 0), corr² additionally needs var(y) > 0.
+
+    Output: one row per key — (key, n_users, theta 6 dp,
+    var_reduction_pct 4 dp = 100·corr²).
+    """
+    pre = F.col("_t") < F.lit(split_day).cast("date")
+    per_user = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.col(user_col).alias("u"),
+            F.to_date(ts_col).alias("_t"),
+            F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+        )
+        .groupBy("k", "u")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(pre, F.col("_c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(~pre, F.col("_c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+
+    def dsum(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).alias(name)
+
+    agg = per_user.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_users"),
+        dsum(xd, "sx"),
+        dsum(yd, "sy"),
+        dsum(xd * xd, "sxx"),
+        dsum(yd * yd, "syy"),
+        dsum(xd * yd, "sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n_d = F.col("n_users").cast("double")
+    cov = n_d * d("sxy") - d("sx") * d("sy")
+    vx = n_d * d("sxx") - d("sx") * d("sx")
+    vy = n_d * d("syy") - d("sy") * d("sy")
+    theta = F.when(vx > 0, cov / vx)
+    corr2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_users",
+        F.round(theta + 1e-9, 6).alias("theta"),
+        F.round(corr2 * 100.0 + 1e-9, 4).alias("var_reduction_pct"),
+    )
+
+
+def srm_daily_check(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    chi2_crit: float = 3.841459,
+) -> DataFrame:
+    """Daily sample-ratio-mismatch guardrail for a 50/50 hash split —
+    the first thing an experimentation platform checks before trusting
+    any A/B readout: if the md5 arm assignment (q48's portable bucket
+    construction, mod 2) doesn't land the UNITS 50/50 each day,
+    something upstream is dropping or duplicating one arm. χ² =
+    (n_a − n_b)²/(n_a + n_b) against the α=0.05 critical value.
+
+    Exact: arms from the shared portable hash (pure function of
+    user id); per-day DISTINCT-user counts (the unit of analysis —
+    one shuffle keyed (day, user) then a day-level conditional agg);
+    χ² is one terminal division, 6 dp.
+
+    Output: one row per day — (day, n_a, n_b, chi2, srm_flag).
+    """
+    from .sampling import hash_bucket
+
+    units = (
+        events.select(
+            F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"),
+            F.col(user_col).alias("u"),
+        )
+        .distinct()
+        .select(
+            "day", (hash_bucket(F.col("u"), 2) == 0).alias("_is_a")
+        )
+    )
+    agg = units.groupBy("day").agg(
+        F.sum(F.col("_is_a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("_is_a")).cast("long")).cast("long").alias("n_b"),
+    )
+    diff = (F.col("n_a") - F.col("n_b")).cast("double")
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    chi2 = F.round(diff * diff / tot + 1e-9, 6)
+    return agg.select(
+        "day",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > chi2_crit).alias("srm_flag"),
+    )
+
+
+def dispersion_index(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Variance-to-mean ratio of each key's daily EVENT COUNTS — the
+    overdispersion check that decides whether a Poisson rate model is
+    usable ("index ≈ 1 ⇒ Poisson; ≫ 1 ⇒ bursty/clumped arrivals,
+    use a negative-binomial or the q276 burst scan"). Counts are
+    exact integers off the calendar-bounded daily level table; the
+    unbiased sample variance-to-mean ratio
+    n·(n·Σc² − (Σc)²) / ((n−1)·(Σc)·n)… is evaluated as ONE double
+    sequence from the three exact sums, 6 dp.
+
+    Output: one row per key — (key, n_days, mean_per_day, dispersion,
+    overdispersed); NULL dispersion for keys with < 2 days or zero
+    events.
+    """
+    daily = (
+        events.groupBy(
+            F.col(key_col).alias("k"), F.to_date(ts_col).alias("_d")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = daily.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    n_d = F.col("n_days").cast("double")
+    sc_d = F.col("sc").cast("double")
+    scc_d = F.col("scc").cast("double")
+    mean = sc_d / n_d
+    vars = (n_d * scc_d - sc_d * sc_d) / (n_d * (n_d - 1))
+    disp = F.when(
+        (F.col("n_days") >= 2) & (F.col("sc") > 0), vars / mean
+    )
+    dispr = F.round(disp + 1e-9, 6)
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_days",
+        F.round(mean + 1e-9, 6).alias("mean_per_day"),
+        dispr.alias("dispersion"),
+        (dispr > threshold).alias("overdispersed"),
+    )

@@ -2753,3 +2753,106 @@ ORACLE_SQL["q293_mann_kendall"] = """
                 ELSE 'no_trend' END AS trend
     FROM scored ORDER BY event_type
 """
+
+
+# q294: users are the units — one (type, user) agg with conditional
+# pre/post cent sums (absent period = 0), HUGEINT second moments, one
+# double sequence for theta / corr^2.
+ORACLE_SQL["q294_cuped_audit"] = """
+    WITH per_user AS (
+      SELECT event_type AS k, user_id AS u,
+             CAST(COALESCE(sum(CASE WHEN CAST(ts AS DATE)
+                                      < DATE '2024-01-16'
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS x,
+             CAST(COALESCE(sum(CASE WHEN NOT (CAST(ts AS DATE)
+                                      < DATE '2024-01-16')
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_users,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM per_user GROUP BY 1
+    ), fit AS (
+      SELECT k, n_users,
+             CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      FROM agg
+    )
+    SELECT k AS event_type, n_users,
+           round(CASE WHEN vx > 0 THEN cov / vx END + 1e-9, 6)
+             AS theta,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN cov * cov / (vx * vy) END * 100.0 + 1e-9, 4)
+             AS var_reduction_pct
+    FROM fit ORDER BY event_type
+"""
+
+# q295: q48's portable md5 bucket mod 2; per-day DISTINCT users per
+# arm; chi^2 one terminal division.
+ORACLE_SQL["q295_srm_check"] = """
+    WITH units AS (
+      SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             user_id AS u
+      FROM events
+    ), arms AS (
+      SELECT day,
+             (('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8))::BIGINT
+              % 2 = 0) AS is_a
+      FROM units
+    ), agg AS (
+      SELECT day,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b
+      FROM arms GROUP BY 1
+    )
+    SELECT day, n_a, n_b,
+           round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE) + 1e-9, 6) AS chi2,
+           round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE) + 1e-9, 6) > 3.841459
+             AS srm_flag
+    FROM agg ORDER BY day
+"""
+
+# q296: exact integer daily counts; the unbiased variance-to-mean
+# ratio as one double sequence.
+ORACLE_SQL["q296_dispersion_index"] = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc
+      FROM daily GROUP BY 1
+    )
+    SELECT k AS event_type, n_days,
+           round(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 + 1e-9, 6) AS mean_per_day,
+           round(CASE WHEN n_days >= 2 AND sc > 0 THEN
+                   ((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE)
+                       * (CAST(n_days AS DOUBLE) - 1)))
+                   / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 END + 1e-9, 6) AS dispersion,
+           round(CASE WHEN n_days >= 2 AND sc > 0 THEN
+                   ((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE)
+                       * (CAST(n_days AS DOUBLE) - 1)))
+                   / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 END + 1e-9, 6) > 1.5 AS overdispersed
+    FROM agg ORDER BY event_type
+"""

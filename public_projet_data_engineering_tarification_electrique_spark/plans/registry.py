@@ -7285,6 +7285,43 @@ def q293_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall_daily(events).orderBy("event_type")
 
 
+def q294_cuped_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-period adjustment audit per event type (calendar
+    split at Jan 16): θ = cov(pre, post)/var(pre) over per-USER cent
+    totals and the variance reduction 100·corr² it buys — the
+    experiment-sizing number next to q180's χ² and q286's SPRT. One
+    (type, user) hash agg, decimal second moments, one double
+    sequence per type (see operators.stats)."""
+    from ..operators.stats import cuped_variance_reduction
+
+    events = load_table(spark, sf_dir, "events")
+    return cuped_variance_reduction(events).orderBy("event_type")
+
+
+def q295_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily sample-ratio-mismatch guardrail: md5-bucket (q48's
+    portable hash, mod 2) 50/50 user split, per-day distinct-user
+    counts per arm, χ² = (n_a−n_b)²/(n_a+n_b) vs the α=0.05 critical
+    value — the trust gate every A/B readout runs first (see
+    operators.stats)."""
+    from ..operators.stats import srm_daily_check
+
+    events = load_table(spark, sf_dir, "events")
+    return srm_daily_check(events).orderBy("day")
+
+
+def q296_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of daily event counts per type — the
+    Poisson-vs-bursty overdispersion check read before rate modeling
+    (≫ 1 ⇒ negative-binomial / q276's burst scan). Exact integer
+    daily counts, one double sequence per type (see
+    operators.stats)."""
+    from ..operators.stats import dispersion_index
+
+    events = load_table(spark, sf_dir, "events")
+    return dispersion_index(events).orderBy("event_type")
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -7579,6 +7616,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q291_whitening_audit": q291_whitening_audit,
     "q292_huber_trend": q292_huber_trend,
     "q293_mann_kendall": q293_mann_kendall,
+    "q294_cuped_audit": q294_cuped_audit,
+    "q295_srm_check": q295_srm_check,
+    "q296_dispersion_index": q296_dispersion_index,
 }
 
 

@@ -671,3 +671,158 @@ def test_mann_kendall_matches_python_model(spark, rows):
         var18,
         z,
     )
+
+
+# ----------------------------------------------------------- CUPED
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (  # noqa: E402
+    cuped_variance_reduction,
+    dispersion_index,
+    srm_daily_check,
+)
+
+
+def test_cuped_perfectly_predictive_pre_period(spark):
+    # post = 2·pre exactly → corr² = 1, θ = 2
+    rows = []
+    for u in range(8):
+        rows.append(("a", u, dt.datetime(2024, 1, 5), float(u + 1)))
+        rows.append(("a", u, dt.datetime(2024, 1, 20), 2.0 * (u + 1)))
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts timestamp, value double"
+    )
+    r = cuped_variance_reduction(df).collect()[0]
+    assert r["n_users"] == 8
+    assert r["theta"] == 2.0
+    assert r["var_reduction_pct"] == 100.0
+
+
+def test_cuped_constant_pre_period_null_theta(spark):
+    rows = []
+    for u in range(5):
+        rows.append(("a", u, dt.datetime(2024, 1, 5), 3.0))  # constant pre
+        rows.append(("a", u, dt.datetime(2024, 1, 20), float(u)))
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts timestamp, value double"
+    )
+    r = cuped_variance_reduction(df).collect()[0]
+    assert r["theta"] is None
+    assert r["var_reduction_pct"] is None
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # user
+            st.integers(min_value=1, max_value=28),  # day
+            st.floats(
+                min_value=-20,
+                max_value=20,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cuped_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [
+            ("a", u, dt.datetime(2024, 1, d, 9), v)
+            for u, d, v in rows
+        ],
+        "event_type string, user_id long, ts timestamp, value double",
+    ).repartition(4)
+    r = cuped_variance_reduction(df).collect()[0]
+    per = {}
+    for u, d, v in rows:
+        x, y = per.get(u, (0, 0))
+        if d < 16:
+            x += round(v * 100)
+        else:
+            y += round(v * 100)
+        per[u] = (x, y)
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    syy = sum(y * y for _, y in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    theta = round(cov / vx + 1e-9, 6) if vx > 0 else None
+    vr = (
+        round(cov * cov / (vx * vy) * 100.0 + 1e-9, 4)
+        if vx > 0 and vy > 0
+        else None
+    )
+    assert (r["n_users"], r["theta"], r["var_reduction_pct"]) == (
+        n,
+        theta,
+        vr,
+    )
+
+
+# ------------------------------------------------------------- SRM
+
+
+def test_srm_counts_distinct_units_and_flags(spark):
+    # 40 users on day 1 (hash-split arms), the same 40 duplicated
+    # 3× (events, not units — must not change counts); day 2 gets
+    # only arm-a users (forced mismatch → flag)
+    import hashlib
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    d1 = [
+        ("e", u, dt.datetime(2024, 1, 1, h), 1.0)
+        for u in range(40)
+        for h in (1, 2, 3)
+    ]
+    d2 = [
+        ("e", u, dt.datetime(2024, 1, 2), 1.0)
+        for u in range(200)
+        if arm(u) == 0
+    ]
+    df = spark.createDataFrame(
+        d1 + d2, "event_type string, user_id long, ts timestamp, value double"
+    )
+    got = {r["day"]: r for r in srm_daily_check(df).collect()}
+    n_a1 = sum(1 for u in range(40) if arm(u) == 0)
+    assert (got["2024-01-01"]["n_a"], got["2024-01-01"]["n_b"]) == (
+        n_a1,
+        40 - n_a1,
+    )
+    assert got["2024-01-02"]["n_b"] == 0
+    assert bool(got["2024-01-02"]["srm_flag"]) is True
+
+
+# ------------------------------------------------------ dispersion
+
+
+def test_dispersion_poisson_vs_bursty(spark):
+    # constant 5 events/day → variance 0 → index 0 (not overdispersed);
+    # alternating 1/19 → strongly overdispersed
+    rows = []
+    for d in range(10):
+        for i in range(5):
+            rows.append(("flat", dt.datetime(2024, 1, d + 1, i + 1), 1.0))
+        burst = 19 if d % 2 == 0 else 1
+        for i in range(burst):
+            rows.append(
+                ("bursty", dt.datetime(2024, 1, d + 1, (i % 23) + 1, i), 1.0)
+            )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    got = {r["event_type"]: r for r in dispersion_index(df).collect()}
+    assert got["flat"]["dispersion"] == 0.0
+    assert bool(got["flat"]["overdispersed"]) is False
+    assert got["bursty"]["mean_per_day"] == 10.0
+    # var of {19,1}×5 = (10·(5·361+5·1)−100²)/(10·9) = 9
+    assert got["bursty"]["dispersion"] == 9.0
+    assert bool(got["bursty"]["overdispersed"]) is True
