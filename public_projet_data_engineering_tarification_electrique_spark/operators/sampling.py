@@ -515,3 +515,44 @@ def water_fill_allocation(
         )
     )
     return out
+
+
+def effective_sample_size(
+    weighted: DataFrame,
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Kish effective sample size of a weighting scheme —
+    ESS = (Σw)²/Σw², the "how many units is this weighted sample
+    really worth?" audit run on any importance/mixture weighting
+    (q132's temperature weights, q159's DSIR scores after
+    exponentiation, survey weights): ESS = n for uniform weights and
+    collapses toward 1 as the mass concentrates; ESS/n is the
+    standard design-effect ratio.
+
+    Exact when ``weight_col`` is integral (the module's grid
+    convention — snap weights to a 1e-6 integer grid FIRST): both
+    sums accumulate as decimal(38,0) and ESS is one terminal double
+    sequence. One hash agg; with ``group_cols`` one row per group.
+
+    Output: (group_cols…, n_rows, ess 6 dp, ess_ratio 6 dp); NULL
+    when the weight mass is zero.
+    """
+    wd = F.col(weight_col).cast("decimal(19,0)")
+    agg = weighted.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(wd.cast("decimal(38,0)")).alias("_sw"),
+        F.sum((wd * wd).cast("decimal(38,0)")).alias("_sww"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ess = F.when(
+        F.col("_sww") > 0, d("_sw") * d("_sw") / d("_sww")
+    )
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.round(ess + 1e-9, 6).alias("ess"),
+        F.round(
+            ess / F.col("n_rows").cast("double") + 1e-9, 6
+        ).alias("ess_ratio"),
+    )

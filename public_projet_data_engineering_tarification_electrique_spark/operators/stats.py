@@ -2205,3 +2205,149 @@ def dispersion_index(
         dispr.alias("dispersion"),
         (dispr > threshold).alias("overdispersed"),
     )
+
+
+# z-quantile literals for the power table (two-sided α=0.05, power
+# 80%) — embedded identically in the DuckDB oracle so neither engine
+# ever evaluates an inverse normal CDF.
+Z_ALPHA_2 = 1.959964
+Z_BETA_80 = 0.841621
+
+
+def mde_power_table(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Minimal detectable effect per key for a 50/50 user-randomized
+    experiment at α=0.05 (two-sided) / 80% power — the experiment-
+    sizing table read WITH q294's CUPED audit (CUPED multiplies these
+    MDEs by √(1−corr²)): MDE = (z_{α/2}+z_β)·σ·√(2/(n/2)) over the
+    per-user metric (total cents in the window).
+
+    Exact: one (key, user) hash agg (units exchange), variance from
+    decimal second moments, the z-quantiles are shared LITERALS
+    (``Z_ALPHA_2``/``Z_BETA_80`` — no inverse-CDF transcendentals),
+    one double sequence per key.
+
+    Output: one row per key — (key, n_users, mean_per_user,
+    sd_per_user, mde_abs, mde_rel_pct), value units, 6/4 dp; NULL
+    MDE for keys with < 2 users or zero variance (and mde_rel
+    additionally needs a nonzero mean).
+    """
+    per_user = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), F.col(user_col).alias("u"))
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    agg = per_user.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(xd.cast("decimal(38,0)")).alias("sx"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n_d = F.col("n_users").cast("double")
+    mean = d("sx") / n_d
+    var = (n_d * d("sxx") - d("sx") * d("sx")) / (n_d * (n_d - 1.0))
+    sd = F.sqrt(var)
+    mde = F.when(
+        (F.col("n_users") >= 2) & (var > 0),
+        F.lit(Z_ALPHA_2 + Z_BETA_80)
+        * sd
+        * F.sqrt(F.lit(2.0) / (n_d / 2.0)),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_users",
+        F.round(mean / 100.0 + 1e-9, 6).alias("mean_per_user"),
+        F.round(
+            F.when((F.col("n_users") >= 2) & (var > 0), sd) / 100.0
+            + 1e-9,
+            6,
+        ).alias("sd_per_user"),
+        F.round(mde / 100.0 + 1e-9, 6).alias("mde_abs"),
+        F.round(
+            F.when(mean != 0.0, mde / mean * 100.0) + 1e-9, 4
+        ).alias("mde_rel_pct"),
+    )
+
+
+def ratio_metric_ci(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Delta-method 95% CI for the RATIO metric cents-per-event with
+    per-user clustering — the correct interval for the metrics every
+    dashboard actually ships (revenue per click, sessions per user):
+    R = Σy_u/Σn_u is NOT a mean of per-user ratios, and the naive
+    per-event variance ignores that users, not events, are the
+    randomization unit. var(R) ≈ (s_yy − 2R·s_yn + R²·s_nn)/(k·n̄²)
+    with per-user (y=cents, n=events) sample (co)variances.
+
+    Exact: one (key, user) hash agg; five decimal second moments;
+    R, the delta variance, and the ±``Z_ALPHA_2``·se interval are one
+    double sequence per key (z literal shared with the oracle).
+
+    Output: one row per key — (key, n_users, n_events, ratio, se,
+    ci_lo, ci_hi) in value units per event, 6 dp; NULL se/CI for
+    keys with < 2 users.
+    """
+    per_user = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), F.col(user_col).alias("u"))
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    nd_ = F.col("n").cast("decimal(19,0)")
+
+    def dsum(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).alias(name)
+
+    agg = per_user.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_users"),
+        dsum(yd, "sy"),
+        dsum(nd_, "sn"),
+        dsum(yd * yd, "syy"),
+        dsum(nd_ * nd_, "snn"),
+        dsum(yd * nd_, "syn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    k_d = F.col("n_users").cast("double")
+    r = d("sy") / d("sn")
+    nbar = d("sn") / k_d
+    s_yy = (k_d * d("syy") - d("sy") * d("sy")) / (k_d * (k_d - 1.0))
+    s_nn = (k_d * d("snn") - d("sn") * d("sn")) / (k_d * (k_d - 1.0))
+    s_yn = (k_d * d("syn") - d("sy") * d("sn")) / (k_d * (k_d - 1.0))
+    var_r = (
+        (s_yy - 2.0 * r * s_yn + r * r * s_nn)
+        / (k_d * nbar * nbar)
+    )
+    se = F.when(F.col("n_users") >= 2, F.sqrt(var_r))
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_users",
+        F.col("sn").cast("long").alias("n_events"),
+        F.round(r / 100.0 + 1e-9, 6).alias("ratio"),
+        F.round(se / 100.0 + 1e-9, 6).alias("se"),
+        F.round((r - F.lit(Z_ALPHA_2) * se) / 100.0 + 1e-9, 6).alias(
+            "ci_lo"
+        ),
+        F.round((r + F.lit(Z_ALPHA_2) * se) / 100.0 + 1e-9, 6).alias(
+            "ci_hi"
+        ),
+    )

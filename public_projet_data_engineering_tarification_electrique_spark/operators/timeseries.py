@@ -1453,3 +1453,90 @@ def seasonal_naive_mase(
         "sad_s_cents",
         F.round(mase + 1e-9, 6).alias("mase"),
     )
+
+
+def page_hinkley_daily(
+    events: DataFrame,
+    delta_cents: int = 500,
+    lambda_cents: int = 10000,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Page–Hinkley mean-shift detector per key on the daily cent
+    series — the ONLINE drift alarm beside q266's CUSUM (CUSUM
+    deviates from the GLOBAL mean, so it needs the whole window;
+    Page–Hinkley deviates from the RUNNING mean, the form a streaming
+    monitor can actually run): dev_t = x_t − x̄_t − δ,
+    m_T = Σ dev_t, PH_T = m_T − min_{t≤T} m_t, alarm when PH > λ.
+
+    Exactness: x̄_t = S_t/t from exact integer prefix sums; each
+    dev_t snaps to the integer cent grid (ONE double sequence per
+    row — the only float step), so the running m, its running min,
+    and PH are all EXACT integer window arithmetic; the alarm day is
+    a deterministic first-crossing. All windows are key-partitioned
+    over the calendar-bounded daily table.
+
+    Output: one row per key — (key, n_days, ph_max_cents, alarmed,
+    alarm_day); alarm_day NULL when PH never exceeds λ.
+    """
+    if lambda_cents <= 0:
+        raise ValueError(f"lambda_cents must be > 0, got {lambda_cents}")
+    daily = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"), F.to_date(ts_col).alias("_day")
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    widx = Window.partitionBy("k").orderBy("_day")
+    cum = daily.select(
+        "k",
+        "_day",
+        "x",
+        F.sum("x").over(w).alias("_s"),
+        F.row_number().over(widx).alias("_t"),
+    )
+    dev = cum.select(
+        "k",
+        "_day",
+        (
+            F.round(
+                F.col("x").cast("double")
+                - F.col("_s").cast("double") / F.col("_t").cast("double")
+            ).cast("long")
+            - delta_cents
+        ).alias("_dev"),
+    )
+    walk = dev.select(
+        "k", "_day", F.sum("_dev").over(w).alias("_m")
+    ).select(
+        "k",
+        "_day",
+        (F.col("_m") - F.min("_m").over(w)).alias("_ph"),
+    )
+    crossings = (
+        walk.filter(F.col("_ph") > lambda_cents)
+        .groupBy("k")
+        .agg(F.min("_day").alias("_aday"))
+    )
+    tot = walk.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("_ph").cast("long").alias("ph_max_cents"),
+    )
+    return tot.join(F.broadcast(crossings), "k", "left").select(
+        F.col("k").alias(key_col),
+        "n_days",
+        "ph_max_cents",
+        F.col("_aday").isNotNull().alias("alarmed"),
+        F.date_format(F.col("_aday"), "yyyy-MM-dd").alias("alarm_day"),
+    )

@@ -1128,3 +1128,107 @@ def _q291_oracle() -> str:
 
 
 ORACLE_SQL["q291_whitening_audit"] = _q291_oracle()
+
+
+def _q297_oracle() -> str:
+    """MDE oracle with the z-quantile literals imported from
+    operators.stats (Z_ALPHA_2 + Z_BETA_80 pre-summed in Python so
+    both engines see ONE literal, not a sum)."""
+    from ...operators.stats import Z_ALPHA_2, Z_BETA_80
+
+    zsum = Z_ALPHA_2 + Z_BETA_80
+    return f"""
+    WITH per_user AS (
+      SELECT event_type AS k, user_id AS u,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_users,
+             sum(x) AS sx, sum(x * x) AS sxx
+      FROM per_user GROUP BY 1
+    ), fit AS (
+      SELECT k, n_users,
+             CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean,
+             (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n_users AS DOUBLE)
+                * (CAST(n_users AS DOUBLE) - 1.0)) AS var
+      FROM agg
+    ), m AS (
+      SELECT k, n_users, mean, var,
+             CASE WHEN n_users >= 2 AND var > 0 THEN
+               {zsum!r} * sqrt(var)
+               * sqrt(2.0 / (CAST(n_users AS DOUBLE) / 2.0))
+             END AS mde
+      FROM fit
+    )
+    SELECT k AS event_type, n_users,
+           round(mean / 100.0 + 1e-9, 6) AS mean_per_user,
+           round(CASE WHEN n_users >= 2 AND var > 0
+                 THEN sqrt(var) END / 100.0 + 1e-9, 6)
+             AS sd_per_user,
+           round(mde / 100.0 + 1e-9, 6) AS mde_abs,
+           round(CASE WHEN mean <> 0.0 THEN mde / mean * 100.0 END
+                 + 1e-9, 4) AS mde_rel_pct
+    FROM m ORDER BY event_type
+"""
+
+
+ORACLE_SQL["q297_mde_power"] = _q297_oracle()
+
+
+def _q298_oracle() -> str:
+    """Delta-method ratio-CI oracle; z literal imported from
+    operators.stats, every double sequence mirrored token-for-token."""
+    from ...operators.stats import Z_ALPHA_2
+
+    return f"""
+    WITH per_user AS (
+      SELECT event_type AS k, user_id AS u,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_users,
+             sum(y) AS sy, sum(n) AS sn, sum(y * y) AS syy,
+             sum(n * n) AS snn, sum(y * n) AS syn
+      FROM per_user GROUP BY 1
+    ), fit AS (
+      SELECT k, n_users, CAST(sn AS BIGINT) AS n_events,
+             CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS r,
+             CAST(sn AS DOUBLE) / CAST(n_users AS DOUBLE) AS nbar,
+             (CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_users AS DOUBLE)
+                * (CAST(n_users AS DOUBLE) - 1.0)) AS s_yy,
+             (CAST(n_users AS DOUBLE) * CAST(snn AS DOUBLE)
+              - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+             / (CAST(n_users AS DOUBLE)
+                * (CAST(n_users AS DOUBLE) - 1.0)) AS s_nn,
+             (CAST(n_users AS DOUBLE) * CAST(syn AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sn AS DOUBLE))
+             / (CAST(n_users AS DOUBLE)
+                * (CAST(n_users AS DOUBLE) - 1.0)) AS s_yn
+      FROM agg
+    ), se AS (
+      SELECT k, n_users, n_events, r,
+             CASE WHEN n_users >= 2 THEN
+               sqrt((s_yy - 2.0 * r * s_yn + r * r * s_nn)
+                    / (CAST(n_users AS DOUBLE) * nbar * nbar))
+             END AS se
+      FROM fit
+    )
+    SELECT k AS event_type, n_users, n_events,
+           round(r / 100.0 + 1e-9, 6) AS ratio,
+           round(se / 100.0 + 1e-9, 6) AS se,
+           round((r - {Z_ALPHA_2!r} * se) / 100.0 + 1e-9, 6) AS ci_lo,
+           round((r + {Z_ALPHA_2!r} * se) / 100.0 + 1e-9, 6) AS ci_hi
+    FROM se ORDER BY event_type
+"""
+
+
+ORACLE_SQL["q298_ratio_metric_ci"] = _q298_oracle()

@@ -2856,3 +2856,74 @@ ORACLE_SQL["q296_dispersion_index"] = """
                  END + 1e-9, 6) > 1.5 AS overdispersed
     FROM agg ORDER BY event_type
 """
+
+
+# q299: q132's exact 1e-6 sqrt-grid weights; Kish ESS as exact
+# integer sums + one terminal division.
+ORACLE_SQL["q299_mixture_ess"] = """
+    WITH groups AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), w AS (
+      SELECT CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+               AS s
+      FROM groups
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             sum(s) AS sw, sum(s * s) AS sww
+      FROM w
+    )
+    SELECT n_rows,
+           round(CASE WHEN sww > 0 THEN
+                   CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sww AS DOUBLE) END + 1e-9, 6) AS ess,
+           round(CASE WHEN sww > 0 THEN
+                   CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sww AS DOUBLE) END
+                 / CAST(n_rows AS DOUBLE) + 1e-9, 6) AS ess_ratio
+    FROM agg
+"""
+
+# q300: running-mean deviations snapped to the cent grid per row (the
+# only float step); the walk, its running min, PH, and the first
+# lambda-crossing are exact integer window arithmetic.
+ORACLE_SQL["q300_page_hinkley"] = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT k, d, x,
+             sum(x) OVER w AS s,
+             row_number() OVER (PARTITION BY k ORDER BY d) AS t
+      FROM daily
+      WINDOW w AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)
+    ), dev AS (
+      SELECT k, d,
+             CAST(round(CAST(x AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+                  AS BIGINT) - 500 AS dev
+      FROM cum
+    ), walk AS (
+      SELECT k, d, sum(dev) OVER w AS m
+      FROM dev
+      WINDOW w AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)
+    ), ph AS (
+      SELECT k, d, m - min(m) OVER w AS ph
+      FROM walk
+      WINDOW w AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)
+    ), cr AS (
+      SELECT k, min(d) AS aday FROM ph WHERE ph > 10000 GROUP BY 1
+    ), tot AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(max(ph) AS BIGINT) AS ph_max_cents
+      FROM ph GROUP BY 1
+    )
+    SELECT t.k AS event_type, t.n_days, t.ph_max_cents,
+           cr.aday IS NOT NULL AS alarmed,
+           strftime(cr.aday, '%Y-%m-%d') AS alarm_day
+    FROM tot t LEFT JOIN cr ON t.k = cr.k
+    ORDER BY event_type
+"""

@@ -7322,6 +7322,66 @@ def q296_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispersion_index(events).orderBy("event_type")
 
 
+def q297_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-sizing table per event type: the minimal detectable
+    effect of a 50/50 user-randomized test at α=0.05 / 80% power over
+    per-user cent totals — read WITH q294 (CUPED multiplies these by
+    √(1−corr²)). Units exchange, decimal second moments, shared
+    z-quantile literals (no inverse-CDF transcendentals); one double
+    sequence per type (see operators.stats)."""
+    from ..operators.stats import mde_power_table
+
+    events = load_table(spark, sf_dir, "events")
+    return mde_power_table(events).orderBy("event_type")
+
+
+def q298_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% CI for cents-per-event with per-USER
+    clustering — the correct interval for ratio metrics (revenue per
+    click), where users, not events, are the randomization unit. One
+    (type, user) hash agg, five decimal second moments, one double
+    sequence (see operators.stats)."""
+    from ..operators.stats import ratio_metric_ci
+
+    events = load_table(spark, sf_dir, "events")
+    return ratio_metric_ci(events).orderBy("event_type")
+
+
+def q299_mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of q132's temperature-sampling
+    mixture weights (α=0.5 over (lang, source) groups): ESS =
+    (Σw)²/Σw² and the design-effect ratio ESS/n — "how many
+    effectively-distinct groups does this mixture sample from?".
+    Weights on q132's exact 1e-6 sqrt grid, decimal sums, one
+    terminal division (see operators.sampling)."""
+    from ..operators.sampling import effective_sample_size
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    weighted = groups.select(
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("_s")
+    )
+    return effective_sample_size(weighted, "_s")
+
+
+def q300_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley mean-shift alarm per event type on the daily cent
+    series (δ=5.00, λ=100.00) — the running-mean online drift
+    detector beside q266's global-mean CUSUM and q275's offline
+    changepoint. Per-row cent snap is the only float step; the
+    running deviation, its running min, and the first λ-crossing are
+    exact integer window arithmetic over the calendar-bounded daily
+    table (see operators.timeseries)."""
+    from ..operators.timeseries import page_hinkley_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return page_hinkley_daily(events).orderBy("event_type")
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -7619,6 +7679,10 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q294_cuped_audit": q294_cuped_audit,
     "q295_srm_check": q295_srm_check,
     "q296_dispersion_index": q296_dispersion_index,
+    "q297_mde_power": q297_mde_power,
+    "q298_ratio_metric_ci": q298_ratio_metric_ci,
+    "q299_mixture_ess": q299_mixture_ess,
+    "q300_page_hinkley": q300_page_hinkley,
 }
 
 

@@ -826,3 +826,129 @@ def test_dispersion_poisson_vs_bursty(spark):
     # var of {19,1}×5 = (10·(5·361+5·1)−100²)/(10·9) = 9
     assert got["bursty"]["dispersion"] == 9.0
     assert bool(got["bursty"]["overdispersed"]) is True
+
+
+# ---------------------------------------------------- MDE / ratio CI
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.stats import (  # noqa: E402
+    Z_ALPHA_2,
+    Z_BETA_80,
+    mde_power_table,
+    ratio_metric_ci,
+)
+
+
+def test_mde_closed_form_two_point_metric(spark):
+    # users alternate 10.00 / 20.00 → mean 15, var = 25.something
+    rows = [
+        ("a", u, dt.datetime(2024, 1, 5), 10.0 if u % 2 == 0 else 20.0)
+        for u in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts timestamp, value double"
+    )
+    r = mde_power_table(df).collect()[0]
+    assert r["n_users"] == 10
+    assert r["mean_per_user"] == 15.0
+    # sample var of five 1000s and five 2000s (cents)
+    var = (10 * (5 * 1000**2 + 5 * 2000**2) - 15000**2) / (10 * 9)
+    mde = (Z_ALPHA_2 + Z_BETA_80) * math.sqrt(var) * math.sqrt(2 / 5)
+    assert abs(r["mde_abs"] - round(mde / 100 + 1e-9, 6)) < 1e-9
+    assert r["mde_rel_pct"] == round(
+        mde / (15000 / 10) / 10 * 100.0 + 1e-9, 4
+    ) or r["mde_rel_pct"] is not None  # closed-form spot below
+    # exact recompute of the rel form used by the operator
+    mean_c = 15000 / 10
+    assert r["mde_rel_pct"] == round(mde / mean_c * 100.0 + 1e-9, 4)
+
+
+def test_mde_single_user_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1, dt.datetime(2024, 1, 5), 3.0)],
+        "event_type string, user_id long, ts timestamp, value double",
+    )
+    r = mde_power_table(df).collect()[0]
+    assert r["mde_abs"] is None and r["sd_per_user"] is None
+
+
+def test_ratio_ci_constant_per_user_ratio(spark):
+    # every user: 3 events of 2.00 → R = 2.00 exactly; per-user
+    # (y, n) all equal → zero delta variance → CI collapses to R
+    rows = [
+        ("a", u, dt.datetime(2024, 1, 5, h), 2.0)
+        for u in range(6)
+        for h in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts timestamp, value double"
+    )
+    r = ratio_metric_ci(df).collect()[0]
+    assert (r["n_users"], r["n_events"]) == (6, 18)
+    assert r["ratio"] == 2.0
+    assert r["se"] == 0.0
+    assert r["ci_lo"] == r["ci_hi"] == 2.0
+
+
+# ------------------------------------------------------------- ESS
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (  # noqa: E402
+    effective_sample_size,
+)
+
+
+def test_ess_uniform_and_concentrated(spark):
+    uni = spark.createDataFrame(
+        [(1_000_000,)] * 8, "w long"
+    )
+    r = effective_sample_size(uni, "w").collect()[0]
+    assert (r["n_rows"], r["ess"], r["ess_ratio"]) == (8, 8.0, 1.0)
+    conc = spark.createDataFrame(
+        [(1_000_000,)] + [(0,)] * 7, "w long"
+    )
+    r2 = effective_sample_size(conc, "w").collect()[0]
+    assert (r2["n_rows"], r2["ess"]) == (8, 1.0)
+
+
+# ----------------------------------------------------- Page-Hinkley
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.timeseries import (  # noqa: E402
+    page_hinkley_daily,
+)
+
+
+def test_page_hinkley_detects_level_shift(spark):
+    # 10 days at 100.00 then 10 days at 400.00: the running-mean
+    # deviation accumulates ~300·k/2 cents — crosses λ=100.00 fast
+    rows = [
+        ("a", dt.datetime(2024, 1, d + 1), 100.0 if d < 10 else 400.0)
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    r = page_hinkley_daily(df).collect()[0]
+    assert bool(r["alarmed"]) is True
+    assert r["alarm_day"] >= "2024-01-11"  # can only fire post-shift
+    assert r["ph_max_cents"] > 10000
+
+
+def test_page_hinkley_flat_series_silent(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, d + 1), 50.0) for d in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    r = page_hinkley_daily(df).collect()[0]
+    assert bool(r["alarmed"]) is False
+    assert r["alarm_day"] is None
+    assert r["ph_max_cents"] == 0  # dev = -delta every day, min tracks
+
+
+def test_page_hinkley_lambda_validation(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="lambda"):
+        page_hinkley_daily(df, lambda_cents=0)
