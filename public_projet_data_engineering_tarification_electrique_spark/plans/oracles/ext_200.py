@@ -2927,3 +2927,35 @@ ORACLE_SQL["q300_page_hinkley"] = """
     FROM tot t LEFT JOIN cr ON t.k = cr.k
     ORDER BY event_type
 """
+
+
+# q301: the oracle recomputes every post-decode statistic from the
+# closed-form sample arithmetic over a bounded spine (n <= 128, so a
+# fixed range + filter replaces the lateral DuckDB's range() cannot
+# bind) — value parity proves the WAV container round-trip
+# reconstructed every int16 sample exactly.
+ORACLE_SQL["q301_wav_decode_stats"] = """
+    WITH ids AS (
+      SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0
+    ), spine AS (
+      SELECT d, CAST(32 + d % 97 AS BIGINT) AS n FROM ids
+    ), samples AS (
+      SELECT s.d, s.n,
+             ((1234 * t.t + 57 * s.d) % 4096) - 2048 AS v
+      FROM spine s, range(0, 129) t(t)
+      WHERE t.t < s.n
+    ), agg AS (
+      SELECT d, n,
+             CAST(sum(v) AS BIGINT) AS sum_samples,
+             CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+             CAST(sum(v * v) AS BIGINT) AS energy
+      FROM samples GROUP BY 1, 2
+    )
+    SELECT d AS doc_id, n AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           sum_samples, sum_abs, peak_abs, energy,
+           CAST(CASE WHEN n >= 16 THEN 1 + (n - 16) // 8
+                     ELSE 0 END AS BIGINT) AS n_frames
+    FROM agg
+"""

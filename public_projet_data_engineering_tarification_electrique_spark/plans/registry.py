@@ -7382,6 +7382,26 @@ def q300_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_hinkley_daily(events).orderBy("event_type")
 
 
+def q301_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the q267 PNG contract, audio
+    edition): every 5th document becomes a genuine RIFF/WAVE 16-bit
+    PCM container (stdlib ``wave`` writer, closed-form samples
+    s(t) = ((1234t + 57·id) mod 4096) − 2048), which
+    ``decode_wav_stats`` then fully parses back (stdlib chunk walk —
+    truncated containers raise) into exact integer stats + the
+    50%-overlap frame count. The oracle never sees a byte: it
+    recomputes every sum from the same arithmetic over a bounded
+    sample spine. The payload column never shuffles — both
+    mapInPandas steps run on the scan's partitions and only
+    8-integer stat rows flow on."""
+    from ..operators.multimodal import decode_wav_stats, synth_wav_corpus
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return decode_wav_stats(synth_wav_corpus(docs))
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -7683,6 +7703,7 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q298_ratio_metric_ci": q298_ratio_metric_ci,
     "q299_mixture_ess": q299_mixture_ess,
     "q300_page_hinkley": q300_page_hinkley,
+    "q301_wav_decode_stats": q301_wav_decode_stats,
 }
 
 

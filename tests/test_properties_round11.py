@@ -952,3 +952,66 @@ def test_page_hinkley_lambda_validation(spark):
     )
     with pytest.raises(ValueError, match="lambda"):
         page_hinkley_daily(df, lambda_cents=0)
+
+
+# ------------------------------------------------------------- WAV
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.multimodal import (  # noqa: E402
+    decode_wav_stats,
+    synth_wav_corpus,
+)
+
+
+def test_wav_roundtrip_matches_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(d,) for d in (0, 5, 123, 96)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decode_wav_stats(synth_wav_corpus(docs)).collect()
+    }
+    for d in (0, 5, 123, 96):
+        n = 32 + d % 97
+        s = [((1234 * t + 57 * d) % 4096) - 2048 for t in range(n)]
+        r = got[d]
+        assert r["n_samples"] == n
+        assert r["sample_rate"] == 8000
+        assert r["sum_samples"] == sum(s)
+        assert r["sum_abs"] == sum(abs(v) for v in s)
+        assert r["peak_abs"] == max(abs(v) for v in s)
+        assert r["energy"] == sum(v * v for v in s)
+        assert r["n_frames"] == (1 + (n - 16) // 8 if n >= 16 else 0)
+
+
+def test_wav_decode_rejects_garbage_and_stereo(spark):
+    import io
+    import wave as _wave
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a riff container"))],
+        "doc_id long, payload binary",
+    )
+    # the worker-side wave.Error surfaces as a PySpark-wrapped
+    # exception; match the specific parser message so this is not a
+    # vacuous any-exception assertion
+    with pytest.raises(Exception, match="RIFF"):
+        decode_wav_stats(bad).collect()
+
+    buf = io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(b"\x00\x00\x00\x00" * 4)
+    w.close()
+    stereo = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="16-bit mono"):
+        decode_wav_stats(stereo).collect()
+
+
+def test_wav_frame_params_validation(spark):
+    df = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="frame_len"):
+        decode_wav_stats(df, frame_len=0)
