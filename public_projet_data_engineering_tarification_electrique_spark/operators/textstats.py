@@ -1344,3 +1344,128 @@ def lexical_diversity(
             F.round(F.log(ny) / F.log(nt) + 1e-9, 6),
         ).alias("herdan_c"),
     )
+
+
+def bigram_lm_lang_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    train_pct: int = 80,
+    nll_scale: int = 1_000_000,
+) -> DataFrame:
+    """Bigram language-model scoring per language slice — the
+    context-aware upgrade of :func:`unigram_lm_scores` (q109): train
+    an add-one-smoothed bigram LM p(b|a) = (c₂(a,b)+1)/(c₁(a)+V) on
+    the deterministic hash-split train partition, then report each
+    LANGUAGE's mean bigram NLL over the whole corpus — the slice-level
+    "which language does this corpus model actually speak?" panel
+    (a language scoring far above the rest is under-represented or
+    noisy). Unseen bigrams and unseen contexts fall out of the same
+    formula with c₂ = 0 / c₁ = 0 (OOV context ⇒ p = 1/V).
+
+    Cross-engine parity, the q109 discipline one level up: each
+    DISTINCT (a, b) bigram's NLL snaps once to the integer
+    ``nll_scale`` grid on the level table — round(ln((c₁+V)/(c₂+1))·
+    scale) — so every corpus aggregation is order-free exact integer
+    arithmetic (occurrence count × grid NLL), with ONE terminal
+    division per language.
+
+    Plan shape: bigrams via the in-array adjacent-pair transform (no
+    token self-join); one (a, b) hash agg for the train LM and one
+    (lang, a, b) hash agg for scoring — both exchanges carry DISTINCT
+    bigrams, never the token stream; c₁ re-aggregates from c₂; the
+    V/broadcast scalars ride 1-row cross joins.
+
+    Output: one row per language with ≥ 1 scored bigram —
+    (lang, n_docs, n_bigrams, sum_nll6, avg_nll 6 dp).
+    """
+    from .sampling import hash_bucket
+
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda x: x != ""
+    )
+    base = ensure_parallelism(docs).select(
+        id_col,
+        lang_col,
+        (hash_bucket(F.col(id_col), 100) < train_pct).alias("_train"),
+        toks.alias("_t"),
+    )
+    pairs = base.select(
+        id_col,
+        lang_col,
+        "_train",
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("a"),
+                        F.element_at("_t", i + F.lit(1)).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("_bg"),
+    ).select(
+        id_col, lang_col, "_train",
+        F.col("_bg.a").alias("_a"), F.col("_bg.b").alias("_b"),
+    )
+    c2 = (
+        pairs.filter(F.col("_train"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").cast("long").alias("_c2"))
+    )
+    c1 = c2.groupBy("_a").agg(F.sum("_c2").cast("long").alias("_c1"))
+    vocab = (
+        pairs.filter(F.col("_train"))
+        .select(F.explode(F.array("_a", "_b")).alias("_tok"))
+        .agg(F.count_distinct("_tok").cast("long").alias("_v"))
+    )
+    scored_counts = pairs.groupBy(lang_col, "_a", "_b").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    lm = (
+        scored_counts.join(F.broadcast(c2), ["_a", "_b"], "left")
+        .join(F.broadcast(c1), "_a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            lang_col,
+            "_n",
+            F.round(
+                F.log(
+                    (
+                        F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")
+                    ).cast("double")
+                    / (
+                        F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(1)
+                    ).cast("double")
+                )
+                * nll_scale,
+                0,
+            )
+            .cast("long")
+            .alias("_nll6"),
+        )
+    )
+    ndocs = (
+        pairs.groupBy(lang_col)
+        .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
+    )
+    agg = lm.groupBy(lang_col).agg(
+        F.sum("_n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("_n") * F.col("_nll6")).cast("long").alias("sum_nll6"),
+    )
+    return ndocs.join(agg, lang_col).select(
+        lang_col,
+        "n_docs",
+        "n_bigrams",
+        "sum_nll6",
+        F.round(
+            F.col("sum_nll6").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / nll_scale
+            + 1e-9,
+            6,
+        ).alias("avg_nll"),
+    )

@@ -2959,3 +2959,95 @@ ORACLE_SQL["q301_wav_decode_stats"] = """
                      ELSE 0 END AS BIGINT) AS n_frames
     FROM agg
 """
+
+
+# q302: q109's integer-NLL-grid discipline one context level up — the
+# adjacent-pair transform mirrors the Spark in-array construction
+# (q16's shingle precedent); c1 re-aggregates from the c2 level table;
+# every corpus sum is occurrence-count x grid-NLL exact integers.
+ORACLE_SQL["q302_bigram_lm_lang"] = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 100) < 80 AS train,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, lang, train, p[1] AS a, p[2] AS b
+      FROM (
+        SELECT doc_id, lang, train,
+               unnest(CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)),
+                                          i -> [t[i], t[i + 1]])
+                      ELSE CAST([] AS VARCHAR[][]) END) AS p
+        FROM base) u
+    ), c2 AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c2
+      FROM pairs WHERE train GROUP BY 1, 2
+    ), c1 AS (
+      SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest([a, b]) AS tok FROM pairs WHERE train) t
+    ), sc AS (
+      SELECT lang, a, b, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2, 3
+    ), lm AS (
+      SELECT sc.lang, sc.n,
+             CAST(round(ln(CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)
+                           / CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS nll6
+      FROM sc
+      LEFT JOIN c2 ON sc.a = c2.a AND sc.b = c2.b
+      LEFT JOIN c1 ON sc.a = c1.a
+      CROSS JOIN v
+    ), nd AS (
+      SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM pairs GROUP BY 1
+    ), agg AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(sum(n * nll6) AS BIGINT) AS sum_nll6
+      FROM lm GROUP BY 1
+    )
+    SELECT nd.lang, nd.n_docs, agg.n_bigrams, agg.sum_nll6,
+           round(CAST(agg.sum_nll6 AS DOUBLE)
+                 / CAST(agg.n_bigrams AS DOUBLE) / 1000000
+                 + 1e-9, 6) AS avg_nll
+    FROM nd JOIN agg ON nd.lang = agg.lang
+    ORDER BY nd.lang
+"""
+
+
+# q303: the batch twin of the streaming SRM — distinct (day, user)
+# units, the portable md5 arm, chi^2, AND the availableNow emission
+# cutoff (window end <= max(ts) - 1 day): value parity pins the
+# multi-stateful pipeline's eviction arithmetic, not just the counts.
+ORACLE_SQL["q303_stream_srm"] = """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    units AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+      FROM events
+    ), arms AS (
+      SELECT day,
+             (('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8))::BIGINT
+              % 2 = 0) AS is_a
+      FROM units
+    ), agg AS (
+      SELECT day,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b
+      FROM arms GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_a, n_b,
+           round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE) + 1e-9, 6) AS chi2,
+           round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE) + 1e-9, 6) > 3.841459
+             AS srm_flag
+    FROM agg, mx
+    WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+          <= mx.m - INTERVAL 1 DAY
+"""

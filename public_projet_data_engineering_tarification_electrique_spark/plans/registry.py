@@ -7402,6 +7402,35 @@ def q301_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_stats(synth_wav_corpus(docs))
 
 
+def q302_bigram_lm_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring per language slice (q109's KenLM-shaped
+    filter, one context level up): add-one-smoothed p(b|a) trained on
+    the md5 train split, every language scored by its mean bigram NLL
+    — the "which language does this corpus model actually speak?"
+    panel. Each distinct bigram's NLL snaps once to the 1e-6 integer
+    grid on the level table, so all corpus sums are order-free exact
+    integers; one terminal division per language (see
+    operators.textstats.bigram_lm_lang_scores)."""
+    from ..operators.textstats import bigram_lm_lang_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_lang_scores(docs).orderBy("lang")
+
+
+def q303_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q295's SRM guardrail as an always-on STREAM: per-(day, user)
+    exactly-once units (dropDuplicatesWithinWatermark) chained into a
+    watermark-gated daily window count per md5 arm — two stateful
+    operators in one query, the Spark 4 multi-stateful pipeline —
+    then χ² on the emitted windows. The oracle reproduces the dedup,
+    the split, the χ², AND the availableNow cutoff (window end ≤
+    max(ts) − 1 day), pinning the eviction arithmetic (the q270
+    convention)."""
+    from ..streaming.dedup import stream_srm_daily
+
+    return stream_srm_daily(spark, f"{sf_dir}/events.parquet")
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -7704,6 +7733,8 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q299_mixture_ess": q299_mixture_ess,
     "q300_page_hinkley": q300_page_hinkley,
     "q301_wav_decode_stats": q301_wav_decode_stats,
+    "q302_bigram_lm_lang": q302_bigram_lm_lang,
+    "q303_stream_srm": q303_stream_srm,
 }
 
 

@@ -57,3 +57,77 @@ def stream_dedup_events(
             .awaitTermination()
         )
     return spark.table(table)
+
+
+def stream_srm_daily(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "1 day",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming daily sample-ratio-mismatch guardrail — q295's A/B
+    trust gate as an ALWAYS-ON monitor: exactly-once per-(day, user)
+    units via ``dropDuplicatesWithinWatermark`` CHAINED into a
+    watermark-gated 1-day window count per md5 arm (two stateful
+    operators in one query — the Spark 4 multi-stateful pipeline),
+    then the χ² arithmetic on the emitted windows. Duplicate event
+    deliveries cannot move the counts (the dedup state absorbs them);
+    a day's row emits only once the watermark PROVES the day closed.
+
+    Determinism over a finite availableNow landing (the q270
+    convention): the final watermark is max(ts) − delay, so the
+    emitted set is exactly the days whose window end ≤ that cutoff —
+    the batch oracle reproduces the dedup, the split, the χ², AND the
+    cutoff rule, pinning Spark's eviction arithmetic.
+
+    Output: (day, n_a, n_b, chi2, srm_flag) for each closed day.
+    """
+    from ..operators.sampling import hash_bucket
+
+    configure(spark)
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_srm_")
+    table = f"srm_{uuid.uuid4().hex[:8]}"
+    src = events_stream(spark, stage_landing(events_path, "landing_srm_"))
+    units = (
+        src.select("ts", F.col("user_id").alias("u"))
+        .withColumn("_day", F.to_date("ts"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_day", "u"])
+    )
+    counts = units.groupBy(
+        F.window("ts", "1 day").alias("_w"),
+        (hash_bucket(F.col("u"), 2) == 0).alias("_is_a"),
+    ).agg(F.count("*").cast("long").alias("_n"))
+    with stream_shuffle_partitions(spark, state_partitions):
+        (
+            counts.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    emitted = spark.table(table)
+    agg = emitted.groupBy(
+        F.date_format(F.col("_w.start"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_is_a"), F.col("_n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_is_a"), F.col("_n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff = (F.col("n_a") - F.col("n_b")).cast("double")
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    chi2 = F.round(diff * diff / tot + 1e-9, 6)
+    return agg.select(
+        "day", "n_a", "n_b", chi2.alias("chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )

@@ -1015,3 +1015,125 @@ def test_wav_frame_params_validation(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, payload binary")
     with pytest.raises(ValueError, match="frame_len"):
         decode_wav_stats(df, frame_len=0)
+
+
+# ----------------------------------------------------- bigram LM
+
+from public_projet_data_engineering_tarification_electrique_spark.operators.sampling import (  # noqa: E402
+    hash_bucket,
+)
+from public_projet_data_engineering_tarification_electrique_spark.operators.textstats import (  # noqa: E402
+    bigram_lm_lang_scores,
+)
+
+
+def test_bigram_lm_matches_python_model(spark):
+    import hashlib
+
+    docs = [
+        (0, "en", "a b a b c"),
+        (1, "en", "a b"),
+        (2, "fr", "c c c a"),
+        (3, "fr", "b a b"),
+        (4, "en", "solo"),  # no bigrams — excluded from n_docs
+        (5, "fr", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: (r["n_docs"], r["n_bigrams"], r["sum_nll6"], r["avg_nll"])
+        for r in bigram_lm_lang_scores(df).collect()
+    }
+
+    def train(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100 < 80
+
+    import math as _m
+
+    pairs = []
+    for d, lang, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        for i in range(len(toks) - 1):
+            pairs.append((d, lang, train(d), toks[i], toks[i + 1]))
+    c2: dict = {}
+    vocab = set()
+    for d, lang, tr, a, b in pairs:
+        if tr:
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            vocab |= {a, b}
+    c1: dict = {}
+    for (a, _), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+    v = len(vocab)
+    model: dict = {}
+    for lang in ("en", "fr"):
+        lp = [p for p in pairs if p[1] == lang]
+        if not lp:
+            continue
+        # per-distinct-bigram grid NLL, occurrence-weighted
+        from collections import Counter
+
+        n_by_bg = Counter((a, b) for _, _, _, a, b in lp)
+        s = sum(
+            n
+            * round(
+                _m.log((c1.get(a, 0) + v) / (c2.get((a, b), 0) + 1)) * 1e6
+            )
+            for (a, b), n in n_by_bg.items()
+        )
+        nb = sum(n_by_bg.values())
+        nd = len({d for d, l, *_ in lp if l == lang})
+        model[lang] = (nd, nb, s, round(s / nb / 1e6 + 1e-9, 6))
+    assert got == model
+
+
+# -------------------------------------------------- streaming SRM
+
+
+def test_stream_srm_equals_batch_with_duplicates_and_cutoff(
+    spark, tmp_path
+):
+    import hashlib
+
+    from public_projet_data_engineering_tarification_electrique_spark.streaming.dedup import (
+        stream_srm_daily,
+    )
+
+    # 6 days of users; day 3's users delivered TWICE (duplicate
+    # deliveries must not move unit counts); watermark 1 day holds
+    # back the last day's window
+    rows = []
+    eid = 0
+    for d in range(6):
+        for u in range(10 + d):
+            for rep in range(2 if d == 2 else 1):
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 3, 1 + d, 10 + rep),
+                        u,
+                        "click",
+                        1.0,
+                    )
+                )
+                eid += 1
+    src = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.parquet(src)
+    got = {
+        r["day"]: (r["n_a"], r["n_b"])
+        for r in stream_srm_daily(spark, src).collect()
+    }
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    # max ts = Mar 6 10:00; watermark cutoff = Mar 5 10:00; emitted
+    # windows end <= cutoff → days Mar 1..4 only
+    expect = {}
+    for d in range(4):
+        us = list(range(10 + d))
+        na = sum(1 for u in us if arm(u) == 0)
+        expect[f"2024-03-0{1 + d}"] = (na, len(us) - na)
+    assert got == expect
