@@ -544,12 +544,14 @@ def merge_write_cdf(
     state_cols = spark.createDataFrame([], state_schema).columns
 
     fs, hpath = hadoop_fs(spark, state_dir)
+    # the batch feeds TWO consumers (affected-bucket discovery and the
+    # merge join) — persist it once, the merge_write convention, so
+    # neither pays a second scan of the batch's upstream lineage
+    src_b = source.withColumn("_bucket", bucket).persist()
     if fs.exists(hpath):
         affected = [
             r["_bucket"]
-            for r in source.select(bucket.alias("_bucket"))
-            .distinct()
-            .collect()
+            for r in src_b.select("_bucket").distinct().collect()
         ]
         target = (
             spark.read.schema(state_schema + ", _bucket int")
@@ -570,7 +572,7 @@ def merge_write_cdf(
     # bucket discovery, the changelog write, and the state write.
     n_out = max(len(affected) if affected else int(n_buckets), 1)
     joined = (
-        _merge_join(target, source, keys)
+        _merge_join(target, src_b.drop("_bucket"), keys)
         .withColumn("_bucket", bucket)
         .repartition(n_out, "_bucket")
         .localCheckpoint(eager=False)
@@ -629,6 +631,7 @@ def merge_write_cdf(
                 {"last_batch_id": int(batch_id)},
             )
     finally:
+        src_b.unpersist()
         if prev is None:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:

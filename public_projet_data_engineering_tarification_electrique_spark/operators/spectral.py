@@ -57,7 +57,11 @@ def _quantized(
     expression, HALF_UP) also means the Arrow path below never
     rounds in Python — numpy's bankers' rounding would disagree on
     exact halves."""
-    return emb.select(
+    # NULL embeddings drop HERE so both gram impls see the same rows
+    # (posexplode skips NULL arrays silently; np.stack on a None
+    # crashes the Arrow path — the twin contract requires one shared
+    # convention, enforced at the shared entry)
+    return emb.filter(F.col(vec_col).isNotNull()).select(
         *keep,
         F.transform(
             F.col(vec_col).cast("array<double>"),
@@ -191,12 +195,25 @@ def top_principal_component(
             u.crossJoin(F.broadcast(m))
             .select(
                 F.col("i").alias("j"),
-                F.round(
-                    F.col("u").cast("double")
-                    / F.col("_m").cast("double")
-                    * V_UNIT
+                # an all-zero Gram makes max|u| = 0 and the
+                # renormalization 0/0 = NaN, which the ANSI long cast
+                # would kill far from the root cause — fail loudly at
+                # the actual defect (every snapped coordinate is zero
+                # at this grid)
+                F.when(
+                    F.col("_m") > 0,
+                    F.round(
+                        F.col("u").cast("double")
+                        / F.col("_m").cast("double")
+                        * V_UNIT
+                    ).cast("long"),
                 )
-                .cast("long")
+                .otherwise(
+                    F.raise_error(
+                        "top_principal_component: Gram is all zeros — "
+                        "embeddings quantize to zero on the 1e-4 grid"
+                    ).cast("long")
+                )
                 .cast("decimal(10,0)")
                 .alias("v"),
             )
@@ -295,13 +312,22 @@ def whitening_audit(
         )
         .drop("_di")
     )
-    corr6 = F.round(
-        F.abs(F.col("g").cast("double"))
-        / F.sqrt(
-            F.col("_gii").cast("double") * F.col("_gjj").cast("double")
-        )
-        + 1e-9,
-        6,
+    # a zero-variance dimension makes |G_ij|/sqrt(G_ii·G_jj) = 0/0 =
+    # NaN, and Spark orders NaN ABOVE every number — an unguarded
+    # count/argmax would report a degenerate dimension as "heavily
+    # correlated". Undefined pairs carry NULL corr: excluded from the
+    # floor count and the argmax (F.min skips NULL structs).
+    corr6 = F.when(
+        (F.col("_gii") > 0) & (F.col("_gjj") > 0),
+        F.round(
+            F.abs(F.col("g").cast("double"))
+            / F.sqrt(
+                F.col("_gii").cast("double")
+                * F.col("_gjj").cast("double")
+            )
+            + 1e-9,
+            6,
+        ),
     )
     cells = off.select(
         "i",
@@ -311,14 +337,19 @@ def whitening_audit(
     )
     offstats = cells.agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.sum((F.col("_c") >= corr_floor).cast("long"))
+        F.coalesce(
+            F.sum((F.col("_c") >= corr_floor).cast("long")), F.lit(0)
+        )
         .cast("long")
         .alias("n_corr_ge_floor"),
         F.min(
-            F.struct(
-                (-F.col("_c")).alias("nc"),
-                F.col("i").alias("i"),
-                F.col("j").alias("j"),
+            F.when(
+                F.col("_c").isNotNull(),
+                F.struct(
+                    (-F.col("_c")).alias("nc"),
+                    F.col("i").alias("i"),
+                    F.col("j").alias("j"),
+                ),
             )
         ).alias("_mx"),
         F.sum("_g2").alias("_off2"),

@@ -1831,24 +1831,18 @@ def grouped_huber_irls(
     slope/intercept is one more double sequence. Two hash aggs + one
     broadcast params join — never a per-key collect.
 
-    Output: one row per key with ≥ 2 days — (key, n_days,
-    n_downweighted, slope_ols, slope_huber, intercept_huber), slopes
-    in value units/day (cents divided out), 6 dp; keys whose x or
-    weighted x margin is degenerate report NULL fits.
+    Output: one row per key — (key, n_days, n_downweighted,
+    slope_ols, slope_huber, intercept_huber), slopes in value
+    units/day (cents divided out), 6 dp; keys with < 2 days or a
+    degenerate (weighted) x margin report NULL fits (the row still
+    appears, with NULL fit columns).
     """
     if delta_cents <= 0:
         raise ValueError(f"delta_cents must be > 0, got {delta_cents}")
-    daily = (
-        events.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).alias("k"),
-            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
-        )
-        .agg(
-            F.sum(F.round(F.col(value_col) * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
+    from .util import daily_cent_totals
+
+    daily = daily_cent_totals(
+        events, key_col, ts_col, value_col, day_as_int=True, out_val="y"
     )
 
     def dsum(expr, name):
@@ -1957,17 +1951,10 @@ def mann_kendall_daily(
     {'increasing','decreasing','no_trend'}); keys with < 2 days or
     zero variance (all days equal) report NULL z and 'no_trend'.
     """
-    daily = (
-        events.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).alias("k"),
-            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
-        )
-        .agg(
-            F.sum(F.round(F.col(value_col) * 100).cast("long"))
-            .cast("long")
-            .alias("v")
-        )
+    from .util import daily_cent_totals
+
+    daily = daily_cent_totals(
+        events, key_col, ts_col, value_col, day_as_int=True, out_val="v"
     )
     b = daily.select(
         F.col("k").alias("kb"), F.col("t").alias("tb"),
@@ -2333,9 +2320,14 @@ def ratio_metric_ci(
     s_yy = (k_d * d("syy") - d("sy") * d("sy")) / (k_d * (k_d - 1.0))
     s_nn = (k_d * d("snn") - d("sn") * d("sn")) / (k_d * (k_d - 1.0))
     s_yn = (k_d * d("syn") - d("sy") * d("sn")) / (k_d * (k_d - 1.0))
-    var_r = (
+    # clamp: the double-cast second moments can cancel a few ulps
+    # below zero for near-constant per-user pairs, and sqrt(-eps)
+    # would emit NaN instead of the correct 0-width CI (the same
+    # guard the file's other variance consumers apply)
+    var_r = F.greatest(
         (s_yy - 2.0 * r * s_yn + r * r * s_nn)
-        / (k_d * nbar * nbar)
+        / (k_d * nbar * nbar),
+        F.lit(0.0),
     )
     se = F.when(F.col("n_users") >= 2, F.sqrt(var_r))
     return agg.select(

@@ -1425,6 +1425,17 @@ def bigram_lm_lang_scores(
     scored_counts = pairs.groupBy(lang_col, "_a", "_b").agg(
         F.count("*").cast("long").alias("_n")
     )
+    # fail LOUDLY on an empty LM (every doc hashed out of the train
+    # split): V = 0 would make every NLL ln(0) = -inf and die in the
+    # ANSI long cast far from the root cause — the unigram sibling's
+    # assert_true convention
+    lm_nonempty = F.assert_true(
+        F.col("_v") > 0,
+        F.lit(
+            "bigram LM train split is empty — check train_pct against "
+            "the corpus"
+        ),
+    )
     lm = (
         scored_counts.join(F.broadcast(c2), ["_a", "_b"], "left")
         .join(F.broadcast(c1), "_a", "left")
@@ -1432,20 +1443,22 @@ def bigram_lm_lang_scores(
         .select(
             lang_col,
             "_n",
-            F.round(
-                F.log(
-                    (
-                        F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")
-                    ).cast("double")
-                    / (
-                        F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(1)
-                    ).cast("double")
-                )
-                * nll_scale,
-                0,
-            )
-            .cast("long")
-            .alias("_nll6"),
+            F.when(
+                lm_nonempty.isNull(),
+                F.round(
+                    F.log(
+                        (
+                            F.coalesce(F.col("_c1"), F.lit(0))
+                            + F.col("_v")
+                        ).cast("double")
+                        / (
+                            F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(1)
+                        ).cast("double")
+                    )
+                    * nll_scale,
+                    0,
+                ).cast("long"),
+            ).alias("_nll6"),
         )
     )
     ndocs = (

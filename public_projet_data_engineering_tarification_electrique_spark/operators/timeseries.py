@@ -1311,17 +1311,10 @@ def acf_daily(
     """
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
-    daily = (
-        events.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).alias("k"),
-            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
-        )
-        .agg(
-            F.sum(F.round(F.col(value_col) * 100).cast("long"))
-            .cast("long")
-            .alias("c")
-        )
+    from .util import daily_cent_totals
+
+    daily = daily_cent_totals(
+        events, key_col, ts_col, value_col, day_as_int=True
     )
     lags = F.explode(
         F.array(*[F.lit(l) for l in range(1, max_lag + 1)])
@@ -1393,17 +1386,10 @@ def seasonal_naive_mase(
     """
     if season < 2:
         raise ValueError(f"season must be >= 2, got {season}")
-    daily = (
-        events.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).alias("k"),
-            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("t"),
-        )
-        .agg(
-            F.sum(F.round(F.col(value_col) * 100).cast("long"))
-            .cast("long")
-            .alias("c")
-        )
+    from .util import daily_cent_totals
+
+    daily = daily_cent_totals(
+        events, key_col, ts_col, value_col, day_as_int=True
     )
     lags = F.explode(
         F.array(F.lit(1), F.lit(int(season)))
@@ -1482,16 +1468,11 @@ def page_hinkley_daily(
     """
     if lambda_cents <= 0:
         raise ValueError(f"lambda_cents must be > 0, got {lambda_cents}")
-    daily = (
-        events.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).alias("k"), F.to_date(ts_col).alias("_day")
-        )
-        .agg(
-            F.sum(F.round(F.col(value_col) * 100).cast("long"))
-            .cast("long")
-            .alias("x")
-        )
+    from .util import daily_cent_totals
+
+    daily = daily_cent_totals(
+        events, key_col, ts_col, value_col,
+        out_day="_day", out_val="x",
     )
     w = (
         Window.partitionBy("k")

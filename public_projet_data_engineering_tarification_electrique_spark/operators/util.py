@@ -206,3 +206,40 @@ def hadoop_fs(spark, path: str):
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, hpath
+
+
+def daily_cent_totals(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    day_as_int: bool = False,
+    out_key: str = "k",
+    out_day: str = "t",
+    out_val: str = "c",
+) -> DataFrame:
+    """THE shared daily cent-total level table: filter NULL values,
+    one (key, day) hash agg, exact long cent sums — the construction
+    every daily time-series/trend operator starts from (ACF, MASE,
+    SPRT, Huber, Mann–Kendall, Page–Hinkley, …). One definition so
+    the cent snap and the NULL convention cannot drift between them.
+
+    ``day_as_int`` emits the day as days-since-1970 (the lag-join
+    spine form); otherwise a DATE column.
+    """
+    from pyspark.sql import functions as F
+
+    day = (
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        if day_as_int
+        else F.to_date(ts_col)
+    )
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias(out_key), day.alias(out_day))
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias(out_val)
+        )
+    )

@@ -1095,16 +1095,18 @@ def _q291_oracle() -> str:
       WHERE g.i < g.j
     ), cells AS (
       SELECT i, j,
-             round(abs(CAST(g AS DOUBLE))
-                   / sqrt(CAST(gii AS DOUBLE) * CAST(gjj AS DOUBLE))
-                   + 1e-9, 6) AS c,
+             CASE WHEN gii > 0 AND gjj > 0 THEN
+               round(abs(CAST(g AS DOUBLE))
+                     / sqrt(CAST(gii AS DOUBLE) * CAST(gjj AS DOUBLE))
+                     + 1e-9, 6)
+             END AS c,
              g * g AS g2
       FROM offc
     ), best AS (
       SELECT c, i, j FROM (
         SELECT c, i, j,
                row_number() OVER (ORDER BY c DESC, i, j) AS rn
-        FROM cells) r
+        FROM cells WHERE c IS NOT NULL) r
       WHERE rn = 1
     ), offs AS (
       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1217,8 +1219,9 @@ def _q298_oracle() -> str:
     ), se AS (
       SELECT k, n_users, n_events, r,
              CASE WHEN n_users >= 2 THEN
-               sqrt((s_yy - 2.0 * r * s_yn + r * r * s_nn)
-                    / (CAST(n_users AS DOUBLE) * nbar * nbar))
+               sqrt(greatest((s_yy - 2.0 * r * s_yn + r * r * s_nn)
+                             / (CAST(n_users AS DOUBLE) * nbar * nbar),
+                             0.0))
              END AS se
       FROM fit
     )

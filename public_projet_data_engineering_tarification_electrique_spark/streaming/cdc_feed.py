@@ -110,6 +110,14 @@ def stream_cdc_changelog(
     ).write.mode("overwrite").partitionBy("_ep").parquet(staged)
     for i in range(n_epochs):
         ep_dir = os.path.join(staged, f"_ep={i}")
+        # partitionBy writes no dir for a zero-row epoch — fail at the
+        # actual defect (cuts outside the data range) instead of a
+        # FileNotFoundError deep in the staging loop
+        if not os.path.isdir(ep_dir):
+            raise ValueError(
+                f"epoch {i} slice is empty — epoch_cuts {epoch_cuts} "
+                "leave a cut interval with no orders"
+            )
         part = next(
             f for f in sorted(os.listdir(ep_dir)) if f.endswith(".parquet")
         )

@@ -1137,3 +1137,61 @@ def test_stream_srm_equals_batch_with_duplicates_and_cutoff(
         na = sum(1 for u in us if arm(u) == 0)
         expect[f"2024-03-0{1 + d}"] = (na, len(us) - na)
     assert got == expect
+
+
+# ------------------------------------- review-fix regression pins
+
+
+def test_whitening_zero_variance_dim_not_counted(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.spectral import (
+        whitening_audit,
+    )
+
+    # dim 3 is all-zero: its pairs have undefined correlation (0/0)
+    # and must be EXCLUDED from the floor count and the argmax, not
+    # reported as "heavily correlated" via NaN ordering
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0, 0.0]), (1, [2.0, -1.0, 0.0]), (2, [1.0, 0.5, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    r = whitening_audit(df).collect()[0]
+    assert r["n_pairs"] == 3  # all pairs counted
+    assert (r["max_i"], r["max_j"]) == (1, 2)  # only the defined pair
+    assert r["max_abs_corr"] is not None
+    assert r["max_abs_corr"] == r["max_abs_corr"]  # not NaN
+
+
+def test_gram_null_embedding_both_impls_skip(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.spectral import (
+        gram_long,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])],
+        "vec_id int, embedding array<double>",
+    )
+    a = {(r["i"], r["j"]): int(r["g"]) for r in gram_long(df).collect()}
+    b = {
+        (r["i"], r["j"]): int(r["g"])
+        for r in gram_long(df, impl="explode").collect()
+    }
+    assert a == b
+    # only rows 0 and 2 contribute
+    assert a[(1, 1)] == 10000**2 + 30000**2
+
+
+def test_top_pc_all_zero_gram_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [1e-9, -1e-9]), (1, [2e-9, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="all zeros"):
+        top_principal_component(df, iters=2).collect()
+
+
+def test_bigram_lm_empty_train_split_raises(spark):
+    df = spark.createDataFrame(
+        [(0, "en", "a b c")], "doc_id long, lang string, text string"
+    )
+    with pytest.raises(Exception, match="train split is empty"):
+        bigram_lm_lang_scores(df, train_pct=0).collect()

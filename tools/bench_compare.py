@@ -15,10 +15,17 @@ biggest normalized movers in each direction with their raw twins.
 
 ``--gate [RATIO]`` (default 1.5) is the committed cross-round
 regression contract (VERDICT r10 item 3): after the report, exit
-non-zero if any common query ≥200 ms grew more than RATIO× on the
-normalized series — the loud failure a silent perf decay must hit
-before a round closes. ``--markdown`` appends a compact markdown
-ratio table (for PLANS.md §2) after the plain report.
+non-zero if any common query ≥200 ms grew more than RATIO× on BOTH
+the normalized AND the raw series — the loud failure a silent perf
+decay must hit before a round closes. (Two series because the old
+artifact's probe spread deflates its normalized baselines: a query
+measured under 10× load shows a phantom norm-only regression next
+round even when its raw time improved; a genuine regression moves
+both series. Norm-only movers print as a note.) RATIO must be
+written with a decimal point (``--gate 2.0``) — a bare integer after
+``--gate`` is taken as the positional top_n, not the ratio.
+``--markdown`` appends a compact markdown ratio table (for PLANS.md
+§2) after the plain report.
 """
 
 from __future__ import annotations
@@ -47,9 +54,16 @@ def main() -> None:
     if "--gate" in argv:
         i = argv.index("--gate")
         argv.pop(i)
-        if i < len(argv) and not argv[i].endswith(".json") and argv[
-            i
-        ].replace(".", "").isdigit():
+        # only a dotted number is a ratio — a bare integer after
+        # --gate is the positional top_n ("... 20 --gate" reordered),
+        # and silently reading it as a 20x ratio would disable the
+        # regression check without any warning
+        if (
+            i < len(argv)
+            and "." in argv[i]
+            and not argv[i].endswith(".json")
+            and argv[i].replace(".", "", 1).isdigit()
+        ):
             gate_ratio = float(argv.pop(i))
         else:
             gate_ratio = 1.5
