@@ -548,96 +548,102 @@ def merge_write_cdf(
     # merge join) — persist it once, the merge_write convention, so
     # neither pays a second scan of the batch's upstream lineage
     src_b = source.withColumn("_bucket", bucket).persist()
-    if fs.exists(hpath):
-        affected = [
-            r["_bucket"]
-            for r in src_b.select("_bucket").distinct().collect()
-        ]
-        target = (
-            spark.read.schema(state_schema + ", _bucket int")
-            .parquet(state_dir)
-            .filter(F.col("_bucket").isin(affected))
-            .drop("_bucket")
-        )
-    else:
-        affected = []
-        target = spark.createDataFrame([], state_schema)
-
-    # ONE materialization per batch: the joined frame (affected
-    # buckets + batch, never the table), already clustered on
-    # _bucket so the state write below is shuffle-free and keeps the
-    # one-file-per-bucket invariant. The checkpoint is LAZY — the
-    # changelog append (the first action) materializes it as a side
-    # effect, so the batch runs exactly three jobs: the affected-
-    # bucket discovery, the changelog write, and the state write.
-    n_out = max(len(affected) if affected else int(n_buckets), 1)
-    joined = (
-        _merge_join(target, src_b.drop("_bucket"), keys)
-        .withColumn("_bucket", bucket)
-        .repartition(n_out, "_bucket")
-        .localCheckpoint(eager=False)
-    )
-
-    changes = _changes_projection(
-        joined,
-        state_cols,
-        keys,
-        update_set,
-        delete_when,
-        insert_when,
-        include_preimages,
-    )
-    if batch_id is not None:
-        changes = changes.withColumn(
-            "_batch_id", F.lit(int(batch_id)).cast("int")
-        )
-    changes.write.mode("append").parquet(changelog_dir)
-
-    merged = _into_projection(
-        joined, state_cols, keys, update_set, delete_when, insert_when
-    ).withColumn("_bucket", bucket)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # the frame is checkpoint-backed so the dynamic overwrite of
-        # the dirs it came from is safe; an Observation on the write
-        # job reports which buckets actually received rows — the
-        # empties check below costs NO extra job.
-        observation = Observation()
-        merged = merged.observe(
-            observation, F.collect_set("_bucket").alias("present")
-        )
-        merged.write.mode("overwrite").partitionBy("_bucket").parquet(
-            state_dir
-        )
-        commit_layout()
-        if affected:
-            # dynamic overwrite cannot DELETE a partition by writing
-            # zero rows to it: an affected bucket whose every key was
-            # deleted keeps its stale files unless dropped explicitly
-            # (≤ n_buckets driver-side dirs — bounded).
-            present = set(observation.get["present"])
-            for b in affected:
-                if b not in present:
-                    sub_fs, sub_path = hadoop_fs(
-                        spark, os.path.join(state_dir, f"_bucket={b}")
-                    )
-                    sub_fs.delete(sub_path, True)
-        if batch_id is not None:
-            write_json_marker(
-                spark,
-                state_dir,
-                "_merge_ledger.json",
-                {"last_batch_id": int(batch_id)},
+        if fs.exists(hpath):
+            affected = [
+                r["_bucket"]
+                for r in src_b.select("_bucket").distinct().collect()
+            ]
+            target = (
+                spark.read.schema(state_schema + ", _bucket int")
+                .parquet(state_dir)
+                .filter(F.col("_bucket").isin(affected))
+                .drop("_bucket")
             )
-    finally:
-        src_b.unpersist()
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
+            affected = []
+            target = spark.createDataFrame([], state_schema)
+
+        # ONE materialization per batch: the joined frame (affected
+        # buckets + batch, never the table), already clustered on
+        # _bucket so the state write below is shuffle-free and keeps the
+        # one-file-per-bucket invariant. The checkpoint is LAZY — the
+        # changelog append (the first action) materializes it as a side
+        # effect, so the batch runs exactly three jobs: the affected-
+        # bucket discovery, the changelog write, and the state write.
+        n_out = max(len(affected) if affected else int(n_buckets), 1)
+        joined = (
+            _merge_join(target, src_b.drop("_bucket"), keys)
+            .withColumn("_bucket", bucket)
+            .repartition(n_out, "_bucket")
+            .localCheckpoint(eager=False)
+        )
+
+        changes = _changes_projection(
+            joined,
+            state_cols,
+            keys,
+            update_set,
+            delete_when,
+            insert_when,
+            include_preimages,
+        )
+        if batch_id is not None:
+            changes = changes.withColumn(
+                "_batch_id", F.lit(int(batch_id)).cast("int")
             )
+        changes.write.mode("append").parquet(changelog_dir)
+
+        merged = _into_projection(
+            joined, state_cols, keys, update_set, delete_when, insert_when
+        ).withColumn("_bucket", bucket)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # the frame is checkpoint-backed so the dynamic overwrite of
+            # the dirs it came from is safe; an Observation on the write
+            # job reports which buckets actually received rows — the
+            # empties check below costs NO extra job.
+            observation = Observation()
+            merged = merged.observe(
+                observation, F.collect_set("_bucket").alias("present")
+            )
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(
+                state_dir
+            )
+            commit_layout()
+            if affected:
+                # dynamic overwrite cannot DELETE a partition by writing
+                # zero rows to it: an affected bucket whose every key was
+                # deleted keeps its stale files unless dropped explicitly
+                # (≤ n_buckets driver-side dirs — bounded).
+                present = set(observation.get["present"])
+                for b in affected:
+                    if b not in present:
+                        sub_fs, sub_path = hadoop_fs(
+                            spark, os.path.join(state_dir, f"_bucket={b}")
+                        )
+                        sub_fs.delete(sub_path, True)
+            if batch_id is not None:
+                write_json_marker(
+                    spark,
+                    state_dir,
+                    "_merge_ledger.json",
+                    {"last_batch_id": int(batch_id)},
+                )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+    finally:
+        # unpersist on EVERY exit path: merge_write_cdf calls
+        # this once per micro-batch, so a raise between the
+        # persist and the old late try/finally would leak one
+        # cached batch per failed batch (ADVICE r11)
+        src_b.unpersist()
     return True
 
 

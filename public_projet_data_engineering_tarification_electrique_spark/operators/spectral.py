@@ -127,6 +127,20 @@ def gram_long(
             if pdf.empty:
                 continue
             mat = np.stack(pdf["_xq"].to_numpy()).astype("int64")
+            # numpy int64 matmul wraps silently on overflow — enforce
+            # the docstring bound at runtime: the largest partial entry
+            # is ≤ max|x|² × batch_rows, which must stay under 2^62
+            # (ADVICE r11). At the 1e4 grid this allows coordinate
+            # magnitudes up to ~3e3 at 10k-row batches — far beyond
+            # unit-norm embeddings; a violation means bad input, not a
+            # tighter batch, so fail loudly.
+            amax = int(np.abs(mat).max()) if mat.size else 0
+            if amax and amax * amax * len(mat) >= 2**62:
+                raise ValueError(
+                    "gram partial would overflow int64: max |snapped "
+                    f"coordinate| {amax} over {len(mat)} rows exceeds "
+                    "the 2^62 per-batch bound"
+                )
             gg = mat.T @ mat  # exact int64 partial
             d = gg.shape[0]
             ii, jj = np.indices((d, d))

@@ -67,6 +67,16 @@ def main() -> None:
             gate_ratio = float(argv.pop(i))
         else:
             gate_ratio = 1.5
+            if (
+                i < len(argv)
+                and argv[i].isdigit()
+                and not argv[i].endswith(".json")
+            ):
+                print(
+                    f"note: '{argv[i]}' after --gate taken as top_n, "
+                    "gate ratio defaulting to 1.5 — write --gate "
+                    f"{argv[i]}.0 for a ratio"
+                )
     markdown = "--markdown" in argv
     if markdown:
         argv.remove("--markdown")
@@ -179,12 +189,26 @@ def main() -> None:
             raise SystemExit(2)
         else:
             if norm_only:
+                # print each raw ratio: "raw under the gate" spans
+                # genuinely-flat (<=1.0x) and borderline growth
+                # (1.0..gate) — a 1.4x raw mover at gate 1.5 is a real
+                # borderline regression, not noise (ADVICE r11)
                 print(
                     f"\ngate note: {len(norm_only)} queries grew "
                     f">{gate_ratio}x on the normalized series only "
-                    "(raw flat-or-better) — normalization artifact of "
-                    "the old run's probe spread, not a regression"
+                    "(raw under the gate — per-query raw ratios "
+                    "below; >1.0x raw is borderline growth, not flat):"
                 )
+                for r, q in sorted(norm_only, reverse=True):
+                    rr = (
+                        n_raw.get(q, 0) / o_raw[q]
+                        if o_raw.get(q)
+                        else float("nan")
+                    )
+                    print(
+                        f"  norm {r:5.2f}x raw {rr:5.2f}x  {q}: "
+                        f"raw {o_raw.get(q, 0):.2f}->{n_raw.get(q, 0):.2f}"
+                    )
             print(
                 f"\nGATE PASS: no query grew >{gate_ratio}x on both "
                 "raw and normalized series"

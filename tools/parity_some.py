@@ -47,14 +47,30 @@ def main() -> None:
     # bare prefixes resolve: "q252" -> "q252_holt_trend"
     qmap = registry.QUERIES()
     resolved = []
+    bad: list[str] = []
     for n in names:
         if n in qmap:
             resolved.append(n)
             continue
         hits = [q for q in qmap if q.startswith(n + "_") or q == n]
         if len(hits) != 1:
-            raise SystemExit(f"ambiguous or unknown query {n!r}: {hits}")
+            # a verification tool must fail LOUDLY when it verified
+            # nothing: report every unresolved name, then exit 2
+            # (VERDICT r11 item 3 — a typo must never look green)
+            print(
+                f"ERROR: ambiguous or unknown query {n!r}: {hits}",
+                file=sys.stderr,
+            )
+            bad.append(n)
+            continue
         resolved.append(hits[0])
+    if bad or not resolved:
+        print(
+            f"FAIL: {len(bad)} unresolved name(s), nothing verified "
+            f"for them — refusing to run",
+            file=sys.stderr,
+        )
+        sys.exit(2)
 
     spark = get_spark(app_name="parity-some")
     for sf_dir in sf_dirs:
