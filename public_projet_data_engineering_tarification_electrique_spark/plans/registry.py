@@ -7431,6 +7431,335 @@ def q303_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_srm_daily(spark, f"{sf_dir}/events.parquet")
 
 
+def q304_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration distributed Lloyd k-means (k=8, 2 update
+    rounds, deterministic mod-k init — the q134 fixed-iteration
+    convention) over the embedding corpus: per-cluster size + exact
+    1e-6-grid inertia. The IVF codebook trainer (q27) promoted to a
+    first-class, oracle-audited operator; per round the corpus is
+    scanned map-side against broadcast k×d centroids and only
+    k·d-sized partials shuffle (see operators/clustering.py)."""
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, iters=2)
+
+
+def q305_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: (lang, length-band, prefix)
+    blocking → exact JVM Levenshtein verify on survivors only, sim =
+    1 − lev/max(len) ≥ 0.9 over the lowercased first 120 chars — the
+    exact verify stage the fingerprint blockers (q16/q21) hand their
+    candidates to. 6.2k scored pairs vs 12.5M all-pairs at sf0.1."""
+    from ..operators.dedup import editdist_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return editdist_neardup(docs)
+
+
+def q306_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette per label: a/b squared
+    distances to own/nearest-other label centroid, s=(b−a)/max(a,b),
+    snapped means on the 1e-6 integer grid — the O(N·k) clustering
+    quality audit that replaces the O(N²) classic at corpus scale."""
+    from ..operators.clustering import silhouette_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return silhouette_audit(emb)
+
+
+def q307_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the mutual-kNN semantic graph
+    (q173's edges): score non-edges by Σ 1/ln(deg) over common
+    neighbors, 1e-6-grid exact sums, top 20 — which near-misses
+    should the kNN have connected?"""
+    from ..operators.graph import adamic_adar_linkpred
+    from ..operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=5).filter(F.col("mutual")).select(
+        "src", "dst"
+    )
+    return adamic_adar_linkpred(edges, top_n=20)
+
+
+def q308_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio + pair completeness of the q305 blocking
+    scheme, measured against all-pairs exact Levenshtein ground truth
+    on the deterministic 1/4 id-hash audit panel (the q282
+    recall-record pattern): one summary row with integer counts and
+    two terminal-division ratios."""
+    from ..operators.dedup import blocking_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocking_quality(docs, audit_mod=4)
+
+
+def q309_tpch_potential_promotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted to the
+    lineitem-observed supply relation (no partsupp table in this
+    schema): per nation, the suppliers whose 1999 shipped quantity of
+    PROMO-type parts exceeds half the per-supplier average — the
+    candidates who can stock a promotion. Quantities ride the exact
+    1e-2 grid; the scalar threshold is one exact integer ratio
+    broadcast to a map-side filter; part and nation broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1999-01-01")
+        & (F.col("l_shipdate") < "2000-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qty_e2 = F.round(F.col("l_quantity") * 1e2, 0).cast("long")
+    per_supp = (
+        lineitem.join(
+            F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(qty_e2).alias("_q"))
+    )
+    thresh = per_supp.agg(
+        (0.5 * F.sum("_q") / F.count(F.lit(1))).alias("_thr")
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(thresh))
+        .filter(F.col("_q").cast("double") > F.col("_thr"))
+        .join(
+            F.broadcast(supplier),
+            per_supp["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numsupp"),
+            F.sum("_q").alias("_tq"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "numsupp",
+            F.round(F.col("_tq") / 1e2, 2).alias("total_qty"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q310_stream_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming per-day top-3 event types: watermark-gated 1-day
+    window counts in append mode (a day emits once, when the
+    watermark proves it closed) + a per-day rank over the emitted
+    rows — q161's heavy-hitter report as an always-on monitor with
+    watermark-bounded state. The oracle reproduces the counts, the
+    rank, AND the availableNow cutoff (the q270/q303 convention)."""
+    from ..streaming.dedup import stream_heavy_hitters
+
+    return stream_heavy_hitters(spark, f"{sf_dir}/events.parquet", k=3)
+
+
+def q311_tpch_returned_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape (returned item reporting): top-20 customers by
+    lost revenue on returned lineitems (l_returnflag = 'R') for
+    orders in 1999-H1, with nation attached. Fact-side filters push
+    to the scans; customer/nation broadcast; 1e-4-grid revenue."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1999-01-01")
+        & (F.col("o_orderdate") < "1999-07-01")
+    ).select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4, 0
+    ).cast("long")
+    return (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev_e4).alias("_r"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("_r") / 1e4, 2).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+def q312_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over the corpus:
+    per-lang stratum size and exact-grid population std of n_chars,
+    then n_h = ⌊1000 · N_h·σ_h / Σ N_h·σ_h⌋ — the variance-optimal
+    sampling plan (vs q172's plain proportional split) every
+    corpus-QA sampler should start from. Stratum moments are exact
+    integer sums; σ snaps to 6 dp; the N·σ products ride the 1e-6
+    grid as exact longs so the allocation denominator is
+    order-free."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("_sx"),
+        F.sum(
+            (F.col("n_chars") * F.col("n_chars")).cast("long")
+        ).alias("_sx2"),
+    )
+    var = (
+        F.col("n_docs") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    ).cast("double") / (F.col("n_docs") * F.col("n_docs")).cast(
+        "double"
+    )
+    sd = F.round(F.sqrt(var), 6)
+    weighted = strata.select(
+        "lang",
+        "n_docs",
+        sd.alias("sd_chars"),
+        (
+            F.round(sd * 1e6, 0).cast("long") * F.col("n_docs")
+        ).alias("_w"),
+    )
+    denom = weighted.agg(F.sum("_w").alias("_wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "lang",
+            "n_docs",
+            "sd_chars",
+            F.round(
+                F.col("_w").cast("double") / F.col("_wsum"), 6
+            ).alias("alloc_share"),
+            F.floor(1000 * F.col("_w") / F.col("_wsum"))
+            .cast("long")
+            .alias("alloc_n"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q313_tpch_parts_supplier_relation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier count per (p_brand, p_size) over the lineitem-observed
+    part↔supplier associations, excluding Brand#1 and suppliers in
+    deficit (s_acctbal < 0 — the complaints-list analog, a NOT-IN
+    rewritten as a broadcast anti-join). The association dedup is one
+    hash agg on (partkey, suppkey) — never an all-pairs step."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    ).select("p_partkey", "p_brand", "p_size")
+    supplier_bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("_bad"))
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        assoc.join(
+            F.broadcast(supplier_bad),
+            assoc["l_suppkey"] == F.col("_bad"),
+            how="left_anti",
+        )
+        .join(
+            F.broadcast(part), assoc["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").cast("int").alias("size"),
+            "supplier_cnt",
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("brand").asc(),
+            F.col("size").asc(),
+        )
+    )
+
+
+def q314_tpch_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): per-nation count +
+    total balance of customers with above-average positive balance
+    and NO orders at all (broadcast-threshold scalar + anti-join).
+    The threshold is an exact integer ratio (1e-4-grid sum / count)
+    so the comparison is reproducible; balances sum on the same
+    grid."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    bal_e4 = F.round(F.col("c_acctbal") * 1e4, 0).cast("long")
+    thresh = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal_e4) / (1e4 * F.count(F.lit(1)))).alias("_avg")
+    )
+    return (
+        customer.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(
+            orders,
+            customer["c_custkey"] == orders["o_custkey"],
+            how="left_anti",
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(bal_e4).alias("_b"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "numcust",
+            F.round(F.col("_b") / 1e4, 2).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -7735,6 +8064,17 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q301_wav_decode_stats": q301_wav_decode_stats,
     "q302_bigram_lm_lang": q302_bigram_lm_lang,
     "q303_stream_srm": q303_stream_srm,
+    "q304_kmeans_lloyd": q304_kmeans_lloyd,
+    "q305_editdist_neardup": q305_editdist_neardup,
+    "q306_silhouette_audit": q306_silhouette_audit,
+    "q307_adamic_adar": q307_adamic_adar,
+    "q308_blocking_quality": q308_blocking_quality,
+    "q309_tpch_potential_promotion": q309_tpch_potential_promotion,
+    "q310_stream_heavy_hitters": q310_stream_heavy_hitters,
+    "q311_tpch_returned_items": q311_tpch_returned_items,
+    "q312_neyman_allocation": q312_neyman_allocation,
+    "q313_tpch_parts_supplier_relation": q313_tpch_parts_supplier_relation,
+    "q314_tpch_sales_opportunity": q314_tpch_sales_opportunity,
 }
 
 

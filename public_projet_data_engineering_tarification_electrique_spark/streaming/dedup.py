@@ -131,3 +131,66 @@ def stream_srm_daily(
         "day", "n_a", "n_b", chi2.alias("chi2"),
         (chi2 > 3.841459).alias("srm_flag"),
     )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    events_path: str,
+    k: int = 3,
+    watermark: str = "1 day",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming per-day top-k heavy hitters: watermark-gated 1-day
+    window counts per event_type (append mode — a day's counts emit
+    exactly once, when the watermark proves the day closed), then a
+    per-day rank over the EMITTED rows. The always-on flavor of q161's
+    batch heavy-hitter report: the state store holds only the open
+    windows' (day × |event_type|) partial counts — bounded by the
+    watermark, never by the stream's history.
+
+    Determinism over a finite availableNow landing (the q270/q303
+    convention): emitted days are exactly those whose window end ≤
+    max(ts) − watermark; the batch oracle reproduces the counts, the
+    rank, AND that cutoff rule. The rank window partitions by day —
+    per-key, never a data-shaped single partition.
+
+    Output: (day, event_type, n, rank ≤ k), one block per closed day.
+    """
+    from pyspark.sql import Window
+
+    configure(spark)
+    checkpoint = checkpoint_dir or scratch_dir("ckpt_hh_")
+    table = f"hh_{uuid.uuid4().hex[:8]}"
+    src = events_stream(spark, stage_landing(events_path, "landing_hh_"))
+    counts = (
+        src.select("ts", "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("_w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    with stream_shuffle_partitions(spark, state_partitions):
+        (
+            counts.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    emitted = spark.table(table).select(
+        F.date_format(F.col("_w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("day").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+    )
+    return (
+        emitted.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .orderBy("day", "rank")
+    )
