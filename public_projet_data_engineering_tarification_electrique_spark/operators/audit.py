@@ -571,3 +571,67 @@ def k_anonymity_audit(
             ).alias("risk_fraction"),
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a
+    quasi-identifier cell can hold ≥ k rows yet still leak the
+    sensitive attribute if every row in it shares one sensitive value.
+    A cell is DIVERSE when it contains at least ``l`` distinct
+    sensitive values; rows in non-diverse cells are attribute-
+    disclosure risks even after a k-anonymous release.
+
+    Same two-agg shape as :func:`k_anonymity_audit`: one hash agg to
+    the (cell × sensitive) level, one re-agg to cells (distinct
+    sensitive count per cell falls out of the level table for free —
+    never a countDistinct over raw rows), one re-agg to the
+    first-quasi-column summary. Cells never leave the executors.
+
+    Output per first-column value: (grp, n_cells, n_risky_cells,
+    n_rows, n_rows_at_risk, risk_fraction 4-dp).
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    level = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col)
+    ).agg(F.count("*").alias("_n"))
+    cells = level.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").alias("_l"),  # distinct sensitive values
+        F.sum("_n").alias("_rows"),
+    )
+    head = quasi_cols[0]
+    return (
+        cells.groupBy(F.col(head).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(F.when(F.col("_l") < l, 1).otherwise(0))
+            .cast("long")
+            .alias("n_risky_cells"),
+            F.sum("_rows").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("_l") < l, F.col("_rows")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+        )
+        .select(
+            "grp",
+            "n_cells",
+            "n_risky_cells",
+            "n_rows",
+            "n_rows_at_risk",
+            F.round(
+                F.col("n_rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double")
+                + 1e-9,
+                4,
+            ).alias("risk_fraction"),
+        )
+    )

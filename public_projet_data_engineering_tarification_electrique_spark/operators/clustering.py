@@ -242,3 +242,262 @@ def silhouette_audit(
         )
         .orderBy("label")
     )
+
+
+def geometric_median(
+    emb: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label geometric median by ``iters`` fixed Weiszfeld steps
+    from the quantized mean — the robust centroid (minimizes Σ‖x−m‖,
+    not Σ‖x−m‖²), immune to the embedding outliers that drag a mean.
+
+    Exactness: per-step weights w = round(1e3/max(d, 1e-3)) ride a
+    1e-3 grid as longs (the ε-clamp is also Weiszfeld's standard
+    singularity guard); numerators Σ w·xq are exact long sums
+    (|w| ≤ 1e6, |xq| ≲ 4e6, N ≤ 1e5 per label ⇒ < 2^62), ONE terminal
+    division per (label, dim); distances re-snap to 6 dp each step.
+
+    Scale shape: per step, one broadcast of the k×d median table to a
+    map-side distance projection, one (label, dim) hash agg — same
+    shuffle economics as kmeans_lloyd. Lazy linear lineage (the q134
+    layout); the prepared corpus checkpoints once.
+
+    Output per label: (label, n, med_norm, mean_dist) — mean distance
+    to the final median on the 1e-6 grid.
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    q = _prepared(
+        emb,
+        id_col,
+        vec_col,
+        keep=(F.col(label_col).cast("int").alias("_cl"),),
+    ).localCheckpoint(eager=True)
+    med = _centroids_from(q.select("_cl", "_xq"))
+
+    def _dist(df):
+        return F.round(
+            F.col("_vv")
+            - 2 * dot_product(F.col("_ve"), F.col("_cvec"))
+            + F.col("_cc"),
+            6,
+        )
+
+    for _ in range(iters):
+        joined = q.join(F.broadcast(med), on="_cl")
+        d = F.sqrt(F.greatest(_dist(joined), F.lit(0.0)))
+        w = F.round(1e3 / F.greatest(d, F.lit(1e-3)), 0).cast("long")
+        comp = (
+            joined.select(
+                "_cl", w.alias("_w"),
+                F.posexplode("_xq").alias("_pos", "_val"),
+            )
+            .groupBy("_cl", "_pos")
+            .agg(
+                F.sum(F.col("_w") * F.col("_val")).alias("_num"),
+                F.sum("_w").alias("_den"),
+            )
+            .select(
+                "_cl",
+                "_pos",
+                F.round(
+                    F.col("_num") / (F.lit(GRID) * F.col("_den")), 6
+                ).alias("_cv"),
+            )
+        )
+        cvec = F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_cv"))),
+            lambda s: s["_cv"],
+        )
+        med = comp.groupBy("_cl").agg(cvec.alias("_cvec")).select(
+            "_cl",
+            "_cvec",
+            dot_product(F.col("_cvec"), F.col("_cvec")).alias("_cc"),
+        )
+    final = q.join(F.broadcast(med), on="_cl")
+    d_fin = F.sqrt(F.greatest(_dist(final), F.lit(0.0)))
+    return (
+        final.select(
+            "_cl",
+            F.col("_cc"),
+            F.round(F.round(d_fin, 6) * GRID, 0)
+            .cast("long")
+            .alias("_dg"),
+        )
+        .groupBy("_cl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sqrt(F.min("_cc")), 6).alias("med_norm"),
+            F.round(
+                F.sum("_dg") / (F.lit(GRID) * F.count(F.lit(1))), 6
+            ).alias("mean_dist"),
+        )
+        .select(
+            F.col("_cl").alias("label"), "n", "med_norm", "mean_dist"
+        )
+        .orderBy("label")
+    )
+
+
+def mahalanobis_outliers(
+    emb: DataFrame,
+    top_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-N embedding outliers by diagonal-covariance Mahalanobis
+    distance: score = Σ_i (x_i − μ_i)²/σ²_i over dims with σ² > 0 —
+    the cheap whitened-distance screen (full covariance needs the
+    q244 Gram; the diagonal is one hash agg) every embedding-quality
+    triage starts with.
+
+    Exactness: μ_i snaps to 6 dp via quantize-sum-divide; σ²_i comes
+    from exact integer component moments through one deterministic
+    scalar-double expression, snapped to 6 dp; each dim's term snaps
+    to the 1e-6 grid as a long so the per-vector score sum is
+    order-free; ONE terminal division.
+
+    Scale shape: the d-row stats table aggregates map-side and
+    broadcasts back to a second map-side pass; top-N via TakeOrdered.
+
+    Output: (vec_id, label, score) desc, ties by vec_id.
+    """
+    q = _prepared(
+        emb,
+        id_col,
+        vec_col,
+        keep=(F.col("label").cast("int").alias("_lab"),),
+    )
+    ex = q.select(
+        "_vid", "_lab", F.posexplode("_xq").alias("_pos", "_val")
+    )
+    mu = F.round(F.col("_sx") / (F.lit(GRID) * F.col("_n")), 6)
+    # var in VALUE units: E[xq²]/n and (E[xq]/n)² are exact-integer /
+    # double divisions (deterministic on both engines), /1e12 rescales
+    # the 1e-6 grid to values; snap once
+    var = F.round(
+        (
+            F.col("_sx2") / F.col("_n")
+            - (F.col("_sx") / F.col("_n")) * (F.col("_sx") / F.col("_n"))
+        )
+        / F.lit(1e12),
+        6,
+    )
+    stats = (
+        ex.groupBy("_pos")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_val").alias("_sx"),
+            F.sum(F.col("_val") * F.col("_val")).alias("_sx2"),
+        )
+        .select("_pos", mu.alias("_mu"), var.alias("_var"))
+        .localCheckpoint(eager=False)
+    )
+    dx = F.col("_val") / F.lit(GRID) - F.col("_mu")
+    term = F.round(dx * dx / F.col("_var"), 6)
+    return (
+        ex.join(F.broadcast(stats), on="_pos")
+        .filter(F.col("_var") > 0)
+        .select(
+            "_vid",
+            "_lab",
+            F.round(term * GRID, 0).cast("long").alias("_tg"),
+        )
+        .groupBy("_vid", "_lab")
+        .agg(F.sum("_tg").alias("_sg"))
+        .select(
+            F.col("_vid").alias(id_col),
+            F.col("_lab").alias("label"),
+            F.round(F.col("_sg") / GRID, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_n)
+    )
+
+
+def robust_dim_scaler(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension robust-scaling audit: exact discrete median, IQR
+    and 1.5·IQR outlier count for every embedding dimension — the
+    median/IQR twin of q204's mean/variance panel, robust to the very
+    outliers q204 is blind to.
+
+    Quantiles are DISCRETE k-th smallest values on the 1e-6 component
+    grid (k = ⌈p·n⌉, 1-based) — no interpolation arithmetic to drift
+    between engines — and the outlier test runs entirely in integers
+    (2·v < 2·q1 − 3·IQR ∨ 2·v > 2·q3 + 3·IQR). The rank window
+    partitions by dimension (d partitions of n rows — the honest cost
+    of EXACT per-dim quantiles; the approx path at corpus scale is
+    q31's approx_percentile).
+
+    Output per dim: (pos 0-based, n, median, iqr, n_outliers).
+    """
+    q = _prepared(emb, id_col, vec_col)
+    ex = q.select(
+        "_vid", F.posexplode("_xq").alias("_pos", "_val")
+    )
+    n_by = ex.groupBy("_pos").agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("_pos").orderBy(F.col("_val").asc())
+    )
+    ranked = ex.join(F.broadcast(n_by), on="_pos").withColumn(
+        "_rn", rn
+    )
+    k1 = F.ceil(0.25 * F.col("_n"))
+    k2 = F.ceil(0.5 * F.col("_n"))
+    k3 = F.ceil(0.75 * F.col("_n"))
+    qs = (
+        ranked.filter(
+            (F.col("_rn") == k1)
+            | (F.col("_rn") == k2)
+            | (F.col("_rn") == k3)
+        )
+        .groupBy("_pos")
+        .agg(
+            F.min(F.when(F.col("_rn") == k1, F.col("_val"))).alias(
+                "_q1"
+            ),
+            F.min(F.when(F.col("_rn") == k2, F.col("_val"))).alias(
+                "_med"
+            ),
+            F.min(F.when(F.col("_rn") == k3, F.col("_val"))).alias(
+                "_q3"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    out_lo = 2 * F.col("_val") < 2 * F.col("_q1") - 3 * iqr
+    out_hi = 2 * F.col("_val") > 2 * F.col("_q3") + 3 * iqr
+    return (
+        ex.join(F.broadcast(qs), on="_pos")
+        .groupBy("_pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("_med").alias("_m"),
+            F.min("_q1").alias("_l"),
+            F.min("_q3").alias("_u"),
+            F.sum(F.when(out_lo | out_hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("_pos").cast("int").alias("pos"),
+            "n",
+            F.round(F.col("_m") / GRID, 6).alias("median"),
+            F.round((F.col("_u") - F.col("_l")) / GRID, 6).alias(
+                "iqr"
+            ),
+            "n_outliers",
+        )
+        .orderBy("pos")
+    )

@@ -354,3 +354,246 @@ ORACLE_SQL["q314_tpch_sales_opportunity"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+# q315: l-diversity (l=2) over (lang, n_chars div 500) with source
+# as the sensitive attribute. Mirrors operators/audit.l_diversity_audit.
+ORACLE_SQL["q315_l_diversity"] = """
+    WITH level AS (
+      SELECT lang, n_chars // 500 AS band, source,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2, 3
+    ), cells AS (
+      SELECT lang, band, count(*) AS l, sum(n) AS rws
+      FROM level GROUP BY 1, 2
+    )
+    SELECT lang AS grp,
+           cast(count(*) AS BIGINT) AS n_cells,
+           cast(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_cells,
+           cast(sum(rws) AS BIGINT) AS n_rows,
+           cast(sum(CASE WHEN l < 2 THEN rws ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           round(cast(sum(CASE WHEN l < 2 THEN rws ELSE 0 END)
+                      AS DOUBLE)
+                 / cast(sum(rws) AS DOUBLE) + 1e-9, 4)
+             AS risk_fraction
+    FROM cells GROUP BY 1 ORDER BY 1
+"""
+
+# q316: per-label geometric median, 2 unrolled Weiszfeld steps from
+# the quantized mean. Mirrors operators/clustering.geometric_median.
+ORACLE_SQL["q316_geometric_median"] = """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id AS vid, cast(label AS INTEGER) AS cl,
+             embedding::DOUBLE[] AS ve,
+             list_transform(embedding::DOUBLE[],
+                            x -> cast(round(x * 1e6) AS BIGINT)) AS xq,
+             list_dot_product(embedding::DOUBLE[],
+                              embedding::DOUBLE[]) AS vv
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), comp0 AS (
+      SELECT cl, unnest(range(len(xq))) AS pos, unnest(xq) AS val
+      FROM v
+    ), cs0 AS (
+      SELECT cl, pos, round(sum(val) / (1e6 * count(*)), 6) AS cv
+      FROM comp0 GROUP BY 1, 2
+    ), m0 AS MATERIALIZED (
+      SELECT cl, list(cv ORDER BY pos) AS cvec FROM cs0 GROUP BY 1
+    ), j1 AS (
+      SELECT v.cl,
+             cast(round(1e3 / greatest(
+               sqrt(greatest(round(v.vv
+                 - 2 * list_dot_product(v.ve, m.cvec)
+                 + list_dot_product(m.cvec, m.cvec), 6), 0.0)),
+               1e-3)) AS BIGINT) AS w,
+             v.xq
+      FROM v JOIN m0 m ON v.cl = m.cl
+    ), e1 AS (
+      SELECT cl, w, unnest(range(len(xq))) AS pos, unnest(xq) AS val
+      FROM j1
+    ), cs1 AS (
+      SELECT cl, pos,
+             round(cast(sum(w * val) AS BIGINT)
+                   / (1e6 * cast(sum(w) AS BIGINT)), 6) AS cv
+      FROM e1 GROUP BY 1, 2
+    ), m1 AS MATERIALIZED (
+      SELECT cl, list(cv ORDER BY pos) AS cvec FROM cs1 GROUP BY 1
+    ), j2 AS (
+      SELECT v.cl,
+             cast(round(1e3 / greatest(
+               sqrt(greatest(round(v.vv
+                 - 2 * list_dot_product(v.ve, m.cvec)
+                 + list_dot_product(m.cvec, m.cvec), 6), 0.0)),
+               1e-3)) AS BIGINT) AS w,
+             v.xq
+      FROM v JOIN m1 m ON v.cl = m.cl
+    ), e2 AS (
+      SELECT cl, w, unnest(range(len(xq))) AS pos, unnest(xq) AS val
+      FROM j2
+    ), cs2 AS (
+      SELECT cl, pos,
+             round(cast(sum(w * val) AS BIGINT)
+                   / (1e6 * cast(sum(w) AS BIGINT)), 6) AS cv
+      FROM e2 GROUP BY 1, 2
+    ), m2 AS MATERIALIZED (
+      SELECT cl, list(cv ORDER BY pos) AS cvec,
+             list_dot_product(list(cv ORDER BY pos),
+                              list(cv ORDER BY pos)) AS cc
+      FROM cs2 GROUP BY 1
+    ), fin AS (
+      SELECT v.cl, m.cc,
+             cast(round(round(sqrt(greatest(round(v.vv
+               - 2 * list_dot_product(v.ve, m.cvec)
+               + list_dot_product(m.cvec, m.cvec), 6), 0.0)), 6)
+               * 1e6) AS BIGINT) AS dg
+      FROM v JOIN m2 m ON v.cl = m.cl
+    )
+    SELECT cl AS label, cast(count(*) AS BIGINT) AS n,
+           round(sqrt(min(cc)), 6) AS med_norm,
+           round(cast(sum(dg) AS BIGINT) / (1e6 * count(*)), 6)
+             AS mean_dist
+    FROM fin GROUP BY 1 ORDER BY 1
+"""
+
+# q317: diagonal-covariance Mahalanobis top-20. Mirrors
+# operators/clustering.mahalanobis_outliers.
+ORACLE_SQL["q317_mahalanobis_outliers"] = """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id AS vid, cast(label AS INTEGER) AS lab,
+             list_transform(embedding::DOUBLE[],
+                            x -> cast(round(x * 1e6) AS BIGINT)) AS xq
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), ex AS (
+      SELECT vid, lab, unnest(range(len(xq))) AS pos,
+             unnest(xq) AS val
+      FROM v
+    ), st AS MATERIALIZED (
+      SELECT pos,
+             round(cast(sum(val) AS BIGINT)
+                   / (1e6 * count(*)), 6) AS mu,
+             round((cast(sum(val * val) AS BIGINT) / count(*)
+                    - (cast(sum(val) AS BIGINT) / count(*))
+                      * (cast(sum(val) AS BIGINT) / count(*)))
+                   / 1e12, 6) AS var
+      FROM ex GROUP BY 1
+    ), terms AS (
+      SELECT ex.vid, ex.lab,
+             cast(round(round((ex.val / 1e6 - st.mu)
+                              * (ex.val / 1e6 - st.mu) / st.var, 6)
+                        * 1e6) AS BIGINT) AS tg
+      FROM ex JOIN st ON ex.pos = st.pos
+      WHERE st.var > 0
+    )
+    SELECT vid AS vec_id, lab AS label,
+           round(cast(sum(tg) AS BIGINT) / 1e6, 6) AS score
+    FROM terms GROUP BY 1, 2
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 20
+"""
+
+# q318: Simpson's-paradox screen — exact integer delta signs, exact
+# cent-ratio means, md5 arm split (q48/q295 convention).
+ORACLE_SQL["q318_simpson_audit"] = """
+    WITH base AS (
+      SELECT event_type AS segment,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              ::BIGINT % 2 = 0) AS is_a,
+             cast(round(value * 1e2) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), seg AS (
+      SELECT segment,
+             cast(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             cast(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b,
+             cast(sum(CASE WHEN is_a THEN c ELSE 0 END) AS BIGINT)
+               AS sa,
+             cast(sum(CASE WHEN is_a THEN 0 ELSE c END) AS BIGINT)
+               AS sb
+      FROM base GROUP BY 1
+    ), pooled AS (
+      SELECT cast(sum(n_a) AS BIGINT) AS pna,
+             cast(sum(n_b) AS BIGINT) AS pnb,
+             cast(sum(sa) AS BIGINT) AS psa,
+             cast(sum(sb) AS BIGINT) AS psb
+      FROM seg
+    )
+    SELECT segment, n_a, n_b,
+           CASE WHEN n_a > 0
+                THEN round(sa / (1e2 * n_a), 6) END AS mean_a,
+           CASE WHEN n_b > 0
+                THEN round(sb / (1e2 * n_b), 6) END AS mean_b,
+           cast(sign(cast(sa * n_b - sb * n_a AS DOUBLE))
+                AS INTEGER) AS seg_sign,
+           cast(sign(cast(psa * pnb - psb * pna AS DOUBLE))
+                AS INTEGER) AS pooled_sign,
+           (cast(sign(cast(sa * n_b - sb * n_a AS DOUBLE))
+                 AS INTEGER)
+            * cast(sign(cast(psa * pnb - psb * pna AS DOUBLE))
+                   AS INTEGER) < 0) AS simpson_flag
+    FROM seg CROSS JOIN pooled
+    ORDER BY segment
+"""
+
+# q319: per-dim discrete median/IQR + integer 1.5*IQR outlier count.
+# Mirrors operators/clustering.robust_dim_scaler.
+ORACLE_SQL["q319_robust_dim_scaler"] = """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             list_transform(embedding::DOUBLE[],
+                            x -> cast(round(x * 1e6) AS BIGINT)) AS xq
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), ex AS (
+      SELECT vid, unnest(range(len(xq))) AS pos, unnest(xq) AS val
+      FROM v
+    ), nb AS (
+      SELECT pos, count(*) AS n FROM ex GROUP BY 1
+    ), ranked AS (
+      SELECT ex.pos, ex.val, nb.n,
+             row_number() OVER (PARTITION BY ex.pos
+                                ORDER BY ex.val ASC) AS rn
+      FROM ex JOIN nb ON ex.pos = nb.pos
+    ), qs AS MATERIALIZED (
+      SELECT pos,
+             min(CASE WHEN rn = ceil(0.25 * n) THEN val END) AS q1,
+             min(CASE WHEN rn = ceil(0.5 * n) THEN val END) AS med,
+             min(CASE WHEN rn = ceil(0.75 * n) THEN val END) AS q3
+      FROM ranked
+      WHERE rn = ceil(0.25 * n) OR rn = ceil(0.5 * n)
+         OR rn = ceil(0.75 * n)
+      GROUP BY 1
+    )
+    SELECT cast(ex.pos AS INTEGER) AS pos,
+           cast(count(*) AS BIGINT) AS n,
+           round(min(qs.med) / 1e6, 6) AS median,
+           round((min(qs.q3) - min(qs.q1)) / 1e6, 6) AS iqr,
+           cast(sum(CASE WHEN 2 * ex.val
+                          < 2 * qs.q1 - 3 * (qs.q3 - qs.q1)
+                      OR 2 * ex.val
+                          > 2 * qs.q3 + 3 * (qs.q3 - qs.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM ex JOIN qs ON ex.pos = qs.pos
+    GROUP BY 1 ORDER BY 1
+"""
+
+# q320: TPC-H Q12 shape adapted: order-to-ship delay buckets x
+# priority class.
+ORACLE_SQL["q320_tpch_shipdelay_priority"] = """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+                THEN 'lt30'
+                WHEN date_diff('day', o_orderdate, l_shipdate) < 90
+                THEN 'd30to89'
+                ELSE 'ge90' END AS delay_bucket,
+           cast(sum(CASE WHEN o_orderpriority IN
+                          ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           cast(sum(CASE WHEN o_orderpriority IN
+                          ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+"""

@@ -7760,6 +7760,168 @@ def q314_tpch_sales_opportunity(
     )
 
 
+def q315_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity (l=2) audit over the (lang, length-band)
+    quasi-identifier with `source` as the sensitive attribute —
+    k-anonymity's attribute-disclosure sibling (q278 measures cell
+    SIZE; this measures cell VARIETY). Two hash aggs, cells never
+    leave the executors."""
+    from ..operators.audit import l_diversity_audit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.expr("n_chars div 500").alias("band"), "source"
+    )
+    return l_diversity_audit(
+        docs, ["lang", "band"], "source", l=2
+    ).orderBy("grp")
+
+
+def q316_geometric_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label geometric median by 2 fixed Weiszfeld steps from the
+    quantized mean (1e-3-grid weights with the standard ε-clamp,
+    exact long numerators, one terminal division per (label, dim)) —
+    the robust centroid the mean-based q69/q162 panels need beside
+    them; mean distance to the median is the robust dispersion."""
+    from ..operators.clustering import geometric_median
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return geometric_median(emb, iters=2)
+
+
+def q317_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 embedding outliers by diagonal-covariance Mahalanobis
+    distance: per-dim μ/σ² from exact integer component moments
+    (d-row stats table broadcast back to a map-side scoring pass),
+    per-dim terms snapped to the 1e-6 grid so the score sum is
+    order-free."""
+    from ..operators.clustering import mahalanobis_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mahalanobis_outliers(emb, top_n=20)
+
+
+def q318_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen for the A/B suite: mean value per
+    event by md5 arm, pooled vs per-event_type segment — a segment
+    whose delta sign opposes the pooled sign is the aggregation trap
+    every experiment readout must check. Signs are EXACT integers
+    (sign(s_a·n_b − s_b·n_a) — no division), means are exact cent
+    ratios; one events scan, two hash aggs."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    from ..operators.sampling import hash_bucket
+
+    cents = F.round(F.col("value") * 1e2, 0).cast("long")
+    base = events.select(
+        F.col("event_type").alias("segment"),
+        (hash_bucket(F.col("user_id"), 2) == 0).alias("_is_a"),
+        cents.alias("_c"),
+    )
+    seg = base.groupBy("segment").agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_is_a"), F.col("_c")).otherwise(0)).alias(
+            "_sa"
+        ),
+        F.sum(
+            F.when(~F.col("_is_a"), F.col("_c")).otherwise(0)
+        ).alias("_sb"),
+    )
+    pooled = seg.agg(
+        F.sum("n_a").alias("_pna"),
+        F.sum("n_b").alias("_pnb"),
+        F.sum("_sa").alias("_psa"),
+        F.sum("_sb").alias("_psb"),
+    )
+    seg_sign = F.signum(
+        (
+            F.col("_sa") * F.col("n_b") - F.col("_sb") * F.col("n_a")
+        ).cast("double")
+    ).cast("int")
+    pooled_sign = F.signum(
+        (
+            F.col("_psa") * F.col("_pnb")
+            - F.col("_psb") * F.col("_pna")
+        ).cast("double")
+    ).cast("int")
+    mean = lambda s, n: F.when(  # noqa: E731 — tiny local shorthand
+        F.col(n) > 0, F.round(F.col(s) / (1e2 * F.col(n)), 6)
+    )
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "segment",
+            "n_a",
+            "n_b",
+            mean("_sa", "n_a").alias("mean_a"),
+            mean("_sb", "n_b").alias("mean_b"),
+            seg_sign.alias("seg_sign"),
+            pooled_sign.alias("pooled_sign"),
+            (seg_sign * pooled_sign < 0).alias("simpson_flag"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q319_robust_dim_scaler(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension robust-scaling audit: exact DISCRETE median/IQR
+    (k-th smallest on the 1e-6 component grid, no interpolation) and
+    integer-arithmetic 1.5·IQR outlier counts — q204's mean/variance
+    panel made outlier-proof."""
+    from ..operators.clustering import robust_dim_scaler
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return robust_dim_scaler(emb)
+
+
+def q320_tpch_shipdelay_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode /
+    commit dates): order-to-ship delay buckets × order-priority
+    class — did slow shipping hit the urgent orders? One join, one
+    low-cardinality hash agg, exact integer counts."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    bucket = (
+        F.when(delay < 30, "lt30")
+        .when(delay < 90, "d30to89")
+        .otherwise("ge90")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -8075,6 +8237,12 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q312_neyman_allocation": q312_neyman_allocation,
     "q313_tpch_parts_supplier_relation": q313_tpch_parts_supplier_relation,
     "q314_tpch_sales_opportunity": q314_tpch_sales_opportunity,
+    "q315_l_diversity": q315_l_diversity,
+    "q316_geometric_median": q316_geometric_median,
+    "q317_mahalanobis_outliers": q317_mahalanobis_outliers,
+    "q318_simpson_audit": q318_simpson_audit,
+    "q319_robust_dim_scaler": q319_robust_dim_scaler,
+    "q320_tpch_shipdelay_priority": q320_tpch_shipdelay_priority,
 }
 
 

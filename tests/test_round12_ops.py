@@ -248,3 +248,96 @@ def test_tpch_sales_opportunity_excludes_order_holders(spark):
     custs = load_table(spark, SF_SMOKE, "customer").count()
     assert sum(r["numcust"] for r in rows) <= custs
     assert all(r["totacctbal"] > 0 for r in rows)
+
+
+# ---------- batch B: q315-q320 ----------
+
+
+def test_l_diversity_single_source_cells_flagged(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.audit import (
+        l_diversity_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("en", 0, "web"), ("en", 0, "web"),   # cell l=1: risky
+            ("fr", 0, "web"), ("fr", 0, "book"),  # cell l=2: fine
+        ],
+        "lang string, band int, source string",
+    )
+    rows = {
+        r["grp"]: r
+        for r in l_diversity_audit(
+            df, ["lang", "band"], "source", l=2
+        ).collect()
+    }
+    assert rows["en"]["n_risky_cells"] == 1
+    assert rows["en"]["n_rows_at_risk"] == 2
+    assert rows["fr"]["n_risky_cells"] == 0
+    with pytest.raises(ValueError):
+        l_diversity_audit(df, ["lang"], "source", l=1)
+
+
+def test_geometric_median_resists_outlier(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.clustering import (
+        geometric_median,
+    )
+
+    # 9 points at ~1.0 plus one far outlier at 1000: the MEAN is
+    # dragged to ~100, the geometric median stays near 1.0
+    rows = [(i, [1.0 + 0.001 * i, 0.0], 0) for i in range(9)]
+    rows.append((9, [1000.0, 0.0], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = geometric_median(df, iters=2).collect()[0]
+    assert out["n"] == 10
+    assert out["med_norm"] < 5.0, "median was dragged by the outlier"
+
+
+def test_mahalanobis_planted_outlier_ranks_first(spark, emb):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.clustering import (
+        mahalanobis_outliers,
+    )
+
+    rows = mahalanobis_outliers(emb, top_n=20).collect()
+    assert len(rows) == 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+def test_simpson_audit_signs_consistent(spark):
+    rows = registry.q318_simpson_audit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["seg_sign"] in (-1, 0, 1)
+        assert r["pooled_sign"] in (-1, 0, 1)
+        assert r["simpson_flag"] == (
+            r["seg_sign"] * r["pooled_sign"] < 0
+        )
+
+
+def test_robust_dim_scaler_shape(spark, emb):
+    from public_projet_data_engineering_tarification_electrique_spark.operators.clustering import (
+        robust_dim_scaler,
+    )
+
+    rows = robust_dim_scaler(emb).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["iqr"] >= 0
+        assert r["n_outliers"] <= r["n"]
+
+
+def test_shipdelay_counts_partition_lineitems(spark):
+    from public_projet_data_engineering_tarification_electrique_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = registry.q320_tpch_shipdelay_priority(
+        spark, SF_SMOKE
+    ).collect()
+    total = sum(r["high_count"] + r["low_count"] for r in rows)
+    li = load_table(spark, SF_SMOKE, "lineitem").count()
+    assert total == li
