@@ -44,3 +44,66 @@ def test_ambiguous_prefix_exits_2():
 def test_no_names_at_all_exits_2():
     p = _run()
     assert p.returncode == 2, (p.returncode, p.stdout, p.stderr)
+
+
+# ---------- bench_compare contract ----------
+
+BC = os.path.join(REPO, "tools", "bench_compare.py")
+
+
+def _bench_json(tmpdir, name, queries, norm=None):
+    import json
+
+    d = {
+        "metric": "total_query_wall_clock",
+        "value": sum(queries.values()),
+        "value_normalized": sum((norm or queries).values()),
+        "unit": "sec",
+        "queries": queries,
+        "queries_normalized": norm or queries,
+        "probe": {"spread": 1.0},
+    }
+    p = os.path.join(tmpdir, name)
+    with open(p, "w") as f:
+        json.dump(d, f)
+    return p
+
+
+def _run_bc(*args):
+    return subprocess.run(
+        [sys.executable, BC, *args],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+
+
+def test_gate_fails_on_two_series_regression(tmp_path):
+    old = _bench_json(str(tmp_path), "old.json", {"q1": 1.0, "q2": 1.0})
+    new = _bench_json(str(tmp_path), "new.json", {"q1": 2.0, "q2": 1.0})
+    p = _run_bc(old, new, "--gate")
+    assert p.returncode == 2
+    assert "GATE FAIL" in p.stdout
+
+
+def test_gate_passes_and_norm_only_note_shows_raw_ratio(tmp_path):
+    # q1 grows 2x normalized but only 1.4x raw -> norm-only note must
+    # print the borderline raw ratio instead of calling it flat
+    old = _bench_json(
+        str(tmp_path), "old.json", {"q1": 1.0}, norm={"q1": 1.0}
+    )
+    new = _bench_json(
+        str(tmp_path), "new.json", {"q1": 1.4}, norm={"q1": 2.0}
+    )
+    p = _run_bc(old, new, "--gate")
+    assert p.returncode == 0
+    assert "GATE PASS" in p.stdout
+    assert "1.40x" in p.stdout, p.stdout
+
+
+def test_gate_bare_integer_prints_fallback_note(tmp_path):
+    old = _bench_json(str(tmp_path), "old.json", {"q1": 1.0})
+    new = _bench_json(str(tmp_path), "new.json", {"q1": 1.0})
+    p = _run_bc(old, new, "--gate", "5")
+    assert p.returncode == 0
+    assert "taken as top_n" in p.stdout
