@@ -1279,3 +1279,28 @@ ORACLE_SQL["q307_adamic_adar"] = f"""
     ORDER BY score DESC, id_a ASC, id_b ASC
     LIMIT 20
 """
+
+
+# q322: transitive closure of the q305 edit-distance pairs — embeds
+# the q305 oracle text (pair substrate cannot drift) + the q47
+# recursive-CTE min-label closure.
+ORACLE_SQL["q322_editdist_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({ORACLE_SQL["q305_editdist_neardup"]})
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ), comp AS (
+      SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1
+    )
+    SELECT node AS doc_id, cluster_id,
+           cast(count(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+             AS cluster_size
+    FROM comp
+    ORDER BY doc_id
+"""

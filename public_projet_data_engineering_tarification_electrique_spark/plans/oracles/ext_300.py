@@ -597,3 +597,61 @@ ORACLE_SQL["q320_tpch_shipdelay_priority"] = """
     JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1 ORDER BY 1
 """
+
+# q321: TPC-H Q2 shape (min-cost supplier) over lineitem-observed
+# supply; 1e-4 unit-price grid, per-(part,supplier) average re-snapped
+# to one long so the argmin compares integers.
+ORACLE_SQL["q321_tpch_min_cost_supplier"] = """
+    WITH per AS (
+      SELECT p_partkey, p_brand, l_suppkey,
+             cast(round(cast(sum(cast(round(
+                     l_extendedprice / l_quantity * 1e4) AS BIGINT))
+                   AS BIGINT) * 1.0 / count(*)) AS BIGINT) AS avg_e4
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 10 AND l_quantity > 0
+      GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT p_partkey, p_brand, l_suppkey, avg_e4,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY avg_e4 ASC, l_suppkey ASC)
+               AS rn
+      FROM per
+    )
+    SELECT p_partkey AS partkey, p_brand AS brand,
+           s_name AS supplier,
+           round(avg_e4 / 1e4, 4) AS best_price
+    FROM best JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rn = 1
+    ORDER BY partkey
+"""
+
+# q323: stage-by-stage pipeline fingerprints (count + commutative
+# md5-xor digest) — ingest, length filter, exact-dedup survivors.
+ORACLE_SQL["q323_pipeline_stage_checksums"] = """
+    WITH flt AS (
+      SELECT doc_id, text FROM documents WHERE n_chars >= 100
+    ), ded AS (
+      SELECT min(doc_id) AS doc_id FROM flt
+      GROUP BY md5(lower(trim(text)))
+    )
+    SELECT '1_ingest' AS stage,
+           cast(count(*) AS BIGINT) AS n_rows,
+           cast(coalesce(bit_xor(('0x' || substring(
+                 md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT), 0)
+                AS BIGINT) AS checksum
+    FROM documents
+    UNION ALL
+    SELECT '2_filter', cast(count(*) AS BIGINT),
+           cast(coalesce(bit_xor(('0x' || substring(
+                 md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT), 0)
+                AS BIGINT)
+    FROM flt
+    UNION ALL
+    SELECT '3_dedup', cast(count(*) AS BIGINT),
+           cast(coalesce(bit_xor(('0x' || substring(
+                 md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT), 0)
+                AS BIGINT)
+    FROM ded
+    ORDER BY stage
+"""

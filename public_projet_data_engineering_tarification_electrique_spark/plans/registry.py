@@ -7922,6 +7922,136 @@ def q320_tpch_shipdelay_priority(
     )
 
 
+def q321_tpch_min_cost_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted to the
+    lineitem-observed supply relation: for every size-10 part, the
+    supplier with the lowest average observed unit price. The
+    correlated-min-subquery pattern as a partial-aggregatable
+    max(struct) argmin — no window over the corpus, no re-join of the
+    subquery (the spec's WHERE ps_supplycost = (SELECT min…) shape).
+    Unit prices ride the 1e-4 grid; the per-(part, supplier) average
+    re-snaps to one exact long so the argmin compares integers."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") == 10
+    ).select("p_partkey", "p_brand")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 0
+    ).select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    unit_e4 = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 1e4, 0
+    ).cast("long")
+    per = (
+        lineitem.join(
+            F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(unit_e4) / F.count(F.lit(1)), 0
+            )
+            .cast("long")
+            .alias("_avg_e4")
+        )
+    )
+    best = F.min(F.struct("_avg_e4", "l_suppkey")).alias("_b")
+    return (
+        per.groupBy("p_partkey", "p_brand")
+        .agg(best)
+        .join(
+            F.broadcast(supplier),
+            F.col("_b.l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier"),
+            F.round(F.col("_b._avg_e4") / 1e4, 4).alias("best_price"),
+        )
+        .orderBy("partkey")
+    )
+
+
+def q322_editdist_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transitive clustering of the q305 edit-distance near-dup pairs
+    (connected components, min-label) — the pipeline tail that turns
+    pairwise char-level verification into collapsible groups, exactly
+    as q47 does for the n-gram Jaccard pairs. Oracle composes the
+    q305 pair SQL with the recursive-CTE closure."""
+    from ..operators.dedup import connected_components, editdist_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = editdist_neardup(docs).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    from pyspark.sql import Window
+
+    size = F.count(F.lit(1)).over(
+        Window.partitionBy("component")
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        size.cast("int").alias("cluster_size"),
+    ).orderBy("doc_id")
+
+
+def q323_pipeline_stage_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stage-by-stage lineage fingerprints of an ingest→filter→dedup
+    pipeline in ONE job: three Observations (q135's mechanism) attach
+    (row count, commutative md5-xor checksum) to each stage of one
+    flowing plan, so the audit costs zero extra scans — the
+    Spark-native chain-of-custody a pipeline release wants (q139's
+    replica checksum, applied per STAGE instead of per table). The
+    xor digest is order/partition-insensitive by construction."""
+    from pyspark.sql import Observation
+
+    digest = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+    def _obs(df, name):
+        ob = Observation(name)
+        return (
+            df.observe(
+                ob,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(digest), F.lit(0)).alias("x"),
+            ),
+            ob,
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    ingest, ob1 = _obs(docs, "ingest")
+    filtered, ob2 = _obs(
+        ingest.filter(F.col("n_chars") >= 100), "filter"
+    )
+    deduped = filtered.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("_fp")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    final, ob3 = _obs(deduped, "dedup")
+    final.write.format("noop").mode("overwrite").save()
+    rows = [
+        ("1_ingest", int(ob1.get["n"]), int(ob1.get["x"])),
+        ("2_filter", int(ob2.get["n"]), int(ob2.get["x"])),
+        ("3_dedup", int(ob3.get["n"]), int(ob3.get["x"])),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n_rows long, checksum long"
+    )
+
+
 QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_trailing_window_avg": q01_trailing_window_avg,
     "q02_groupby_mean": q02_groupby_mean,
@@ -8243,6 +8373,9 @@ QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q318_simpson_audit": q318_simpson_audit,
     "q319_robust_dim_scaler": q319_robust_dim_scaler,
     "q320_tpch_shipdelay_priority": q320_tpch_shipdelay_priority,
+    "q321_tpch_min_cost_supplier": q321_tpch_min_cost_supplier,
+    "q322_editdist_clusters": q322_editdist_clusters,
+    "q323_pipeline_stage_checksums": q323_pipeline_stage_checksums,
 }
 
 

@@ -341,3 +341,61 @@ def test_shipdelay_counts_partition_lineitems(spark):
     total = sum(r["high_count"] + r["low_count"] for r in rows)
     li = load_table(spark, SF_SMOKE, "lineitem").count()
     assert total == li
+
+
+# ---------- batch C: q321-q323 ----------
+
+
+def test_min_cost_supplier_unique_per_part(spark):
+    rows = registry.q321_tpch_min_cost_supplier(
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    keys = [r["partkey"] for r in rows]
+    assert len(keys) == len(set(keys)), "multiple suppliers per part"
+    assert all(r["best_price"] > 0 for r in rows)
+
+
+def test_editdist_clusters_cover_pair_nodes(spark, docs):
+    pair_rows = editdist_neardup(docs).collect()
+    nodes = {r["id_a"] for r in pair_rows} | {
+        r["id_b"] for r in pair_rows
+    }
+    out = registry.q322_editdist_clusters(spark, SF_SMOKE).collect()
+    assert {r["doc_id"] for r in out} == nodes
+    # every cluster id is its component's minimum member
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert all(
+            r["cluster_size"] == len(members)
+            for r in out
+            if r["cluster_id"] == cid
+        )
+
+
+def test_pipeline_stage_checksums_monotone(spark):
+    rows = {
+        r["stage"]: r
+        for r in registry.q323_pipeline_stage_checksums(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(rows) == {"1_ingest", "2_filter", "3_dedup"}
+    assert (
+        rows["1_ingest"]["n_rows"]
+        >= rows["2_filter"]["n_rows"]
+        >= rows["3_dedup"]["n_rows"]
+    )
+    # rerun must be bit-identical (commutative digest, no RNG)
+    again = {
+        r["stage"]: r
+        for r in registry.q323_pipeline_stage_checksums(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert {k: (v["n_rows"], v["checksum"]) for k, v in rows.items()} == {
+        k: (v["n_rows"], v["checksum"]) for k, v in again.items()
+    }
