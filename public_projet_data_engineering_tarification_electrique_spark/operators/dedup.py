@@ -89,12 +89,20 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         )
     )
 
-    def _bit(i: int):
+    # The packed-counter and sign-test expressions are generated as SQL
+    # TEXT and parsed server-side in ONE call each: the former
+    # Column-by-Column construction crossed Py4J ~1000 times (hundreds
+    # of nested shiftleft/bitwiseAND objects) and measured 4.8-7.8 s of
+    # pure driver-side plan building at ANY data size (optimization
+    # guide §1.2 — fix the constant per-query work before the cluster
+    # work). The parsed expression tree is identical, so signatures —
+    # and the q21/q164 oracle hashes — are unchanged.
+    def _bit(i: int) -> str:
         if i < 60:
-            return F.shiftrightunsigned(F.col("_ha"), i).bitwiseAND(F.lit(1))
-        return F.shiftrightunsigned(F.col("_hb"), i - 60).bitwiseAND(F.lit(1))
+            return f"(shiftrightunsigned(_ha, {i}) & 1)"
+        return f"(shiftrightunsigned(_hb, {i - 60}) & 1)"
 
-    def packed_contrib(g: int):
+    def packed_contrib(g: int) -> str:
         # bits 2g, 2g+1 land in 32-bit fields 0, 1 of accumulator g.
         # Width choice is an OVERFLOW bound, not a style choice: with
         # the former 4×16-bit packing the field-3 term (bit<<48)·cnt
@@ -105,26 +113,25 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         # 2^32 votes (unreachable). 32 agg columns instead of 16 costs
         # some codegen width; 64 unpacked columns measured ~5× worse.
         terms = [
-            F.shiftleft(_bit(2 * g + j), 32 * j) * F.col("_cnt")
+            f"shiftleft({_bit(2 * g + j)}, {32 * j}) * _cnt"
             for j in range(2)
         ]
-        return terms[0] + terms[1]
+        return f"({terms[0]} + {terms[1]})"
 
-    aggs = [F.sum(packed_contrib(g)).alias(f"_p{g}") for g in range(32)] + [
-        F.sum("_cnt").alias("_n")
-    ]
+    aggs = [
+        F.expr(f"sum({packed_contrib(g)})").alias(f"_p{g}") for g in range(32)
+    ] + [F.sum("_cnt").alias("_n")]
     agg = toks.groupBy(id_col).agg(*aggs)
-    sig = None
+    sig_terms = []
     for i in range(64):
         g, j = divmod(i, 2)
-        ones = F.shiftrightunsigned(F.col(f"_p{g}"), 32 * j).bitwiseAND(
-            F.lit(0xFFFFFFFF)
+        ones = f"(shiftrightunsigned(_p{g}, {32 * j}) & 4294967295)"
+        bit = (
+            f"(case when {ones} * 2 > _n then cast(1 as bigint) "
+            f"else cast(0 as bigint) end)"
         )
-        bit = F.when(ones * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
+        sig_terms.append(f"shiftleft({bit}, {i})")
+    sig = F.expr(" | ".join(sig_terms))
     return agg.select(id_col, sig.alias("simhash"))
 
 
@@ -234,35 +241,59 @@ def _shingle_pair_counts(
     max_df: int | None,
 ) -> DataFrame:
     """Shared candidate-pair machinery for every shingle-overlap metric
-    (Jaccard, containment): blocked self-join on shared shingles with
-    the df cap, returning (id_a, id_b, inter, na, nb) — the metric is
-    a cheap projection on top."""
-    # The shingle table is consumed three times (sizes + both join sides):
-    # compute it once, in parallel (a small documents file arrives as ONE
-    # parquet split — without repartition the whole shingling stage would
-    # run on a single core), and localCheckpoint so the self-join does not
-    # re-tokenize the corpus per side.
+    (Jaccard, containment): df-capped POSTING LISTS with map-side pair
+    expansion, returning (id_a, id_b, inter, na, nb) — the metric is
+    a cheap projection on top.
+
+    r12 restructure (guide §2.3/§2.4 — fewer shuffles, shuffle
+    metadata not payloads): the former shape was two eager
+    localCheckpoints (tokenize; df-agg + semi-join back) feeding a
+    shingle self-join — 2 materialization jobs + 4 exchanges at every
+    call (~2.3 s fixed at sf0.1). Now ONE materialization builds the
+    capped posting lists directly: shuffle the (id, shingle) rows once
+    by shingle, cap by a window count ON that partitioning (same
+    shuffle the df-agg needed, but no broadcast join back), collect
+    the ≤``max_df`` ids per shingle, and expand the id pairs MAP-SIDE
+    from each bounded list (≤ max_df·(max_df−1)/2 rows per shingle —
+    the same Σ df² candidate work the self-join did, without
+    re-shuffling both sides). The posting table (one row per surviving
+    shingle) is the only checkpoint; sizes ride the same lists.
+    Uncapped (max_df=None) keeps the cap filter out but bounds nothing
+    — callers own that choice (they all cap).
+    """
+    win = Window.partitionBy("sh")
     sh = ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
-    ).localCheckpoint(eager=True)
+    )
     if max_df is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("sh")
+        sh = sh.withColumn("_df", F.count("*").over(win)).filter(
+            F.col("_df") <= max_df
         )
-        # re-pin after the cap: the df aggregation + semi-join would
-        # otherwise re-execute for each of the three consumers below
-        # (sizes + both join sides), defeating the checkpoint above.
-        sh = sh.join(rare, on="sh").localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    # one row per surviving shingle, ids sorted so expanded pairs are
+    # (low, high) by construction; consumed by the pair expansion AND
+    # the per-doc sizes — checkpoint once instead of re-tokenizing.
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        postings.select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n"))
+    )
     inter = (
-        a.join(b, on="sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) -> "
+                    "transform(slice(_ids, i + 2, size(_ids)), "
+                    "y -> struct(x as id_a, y as id_b))))"
+                )
+            ).alias("_pair")
+        )
+        .select("_pair.id_a", "_pair.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -51,6 +51,12 @@ def triangle_stats(
     two-paths and clustering_coeff = 3·triangles / wedges.
     """
     part = F.col(part_col) if part_col else F.lit("all")
+    # und fans out 4 ways (deg, oriented, closing, summary) and deg 3
+    # ways (da, db, nodes); without the lazy checkpoints every branch
+    # re-derives the caller's FULL edge subtree (q171's kNN self-join
+    # appeared 10× over — 90 parquet scans / 246 Exchanges in the
+    # r12-before plan). Each checkpoint computes once, later branches
+    # read the persisted partitions.
     und = (
         edges.select(
             part.alias("_p"),
@@ -59,11 +65,13 @@ def triangle_stats(
         )
         .filter(F.col("_a") < F.col("_b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select("_p", F.explode(F.array("_a", "_b")).alias("_v"))
         .groupBy("_p", "_v")
         .agg(F.count("*").alias("_d"))
+        .localCheckpoint(eager=False)
     )
     # Orient low(deg, id) -> high(deg, id): join degree onto both ends.
     da = deg.select(
@@ -87,6 +95,7 @@ def triangle_stats(
             .alias("_e"),
         )
         .select("_p", "_e.u", "_e.v")
+        .localCheckpoint(eager=False)
     )
     # Wedges rooted at u: pairs of out-neighbors (v < w); closing edge
     # (v, w) must exist in the ORIENTED list (it does, in exactly one

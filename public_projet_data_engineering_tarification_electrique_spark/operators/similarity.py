@@ -1213,9 +1213,14 @@ def knn_graph(
     w = Window.partitionBy("src").orderBy(
         F.desc("sim"), F.asc("dst")
     )
+    # edges feeds both the result AND its own reversal (the mutuality
+    # self-join) — lazily checkpoint so the bucket self-join + ranking
+    # window runs once, not once per side (and once per downstream
+    # consumer in composing operators like triangle_stats/adamic_adar).
     edges = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .localCheckpoint(eager=False)
     )
     back = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"),

@@ -572,14 +572,19 @@ def kmv_set_ops(
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 3, 13), 16, 10
     ).cast("long")
+    # pairs fans out 8 ways (3 sketches × (sketch, exact) + the two
+    # intersection branches) and the union hash set 3 ways — lazy
+    # checkpoints stop each branch re-running the scan + md5 +
+    # distinct shuffle (46 Exchange nodes in the r12-before plan).
     pairs = (
         df.filter(F.col(set_col).isin(set_a, set_b))
         .select(F.col(set_col).alias("s"), h.alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hashes_a = pairs.filter(F.col("s") == set_a).select("h")
     hashes_b = pairs.filter(F.col("s") == set_b).select("h")
-    hashes_u = pairs.select("h").distinct()
+    hashes_u = pairs.select("h").distinct().localCheckpoint(eager=False)
 
     def _estimate(hashes: DataFrame) -> DataFrame:
         """1-row (est, exact): TakeOrdered(k) sketch + exact count."""
@@ -613,7 +618,8 @@ def kmv_set_ops(
     )
 
     # intersection: members of the union sketch present in BOTH sets.
-    sk_u = hashes_u.orderBy("h").limit(k)
+    # (consumed by the membership join AND the h_k stats row)
+    sk_u = hashes_u.orderBy("h").limit(k).localCheckpoint(eager=False)
     both = (
         pairs.join(F.broadcast(sk_u), "h")
         .groupBy("h")

@@ -38,6 +38,17 @@ def scratch_root() -> str:
     return _SCRATCH_ROOT
 
 
+#: (applicationId, sorted inputFiles) → scan partition count. The
+#: ``df.rdd`` probe compiles a physical plan — ~100 ms of driver work
+#: per call (measured r12), paid on every operator construction. The
+#: partition count of a file-source frame is a pure function of the
+#: file set and the (fixed per session) split confs, so it is memoized
+#: per file set. Every call site passes a scan / projection / filter
+#: (partition-count-preserving); frames with no inputFiles fall back
+#: to the live probe.
+_NPART_CACHE: dict[tuple[str, tuple[str, ...]], int] = {}
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the session's
     parallelism.
@@ -49,7 +60,20 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     round-robin shuffle of a small input costs microseconds.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files: tuple[str, ...] = ()
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        pass
+    if files:
+        key = (df.sparkSession.sparkContext.applicationId, files)
+        n = _NPART_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _NPART_CACHE[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

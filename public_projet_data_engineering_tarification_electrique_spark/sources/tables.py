@@ -30,6 +30,19 @@ TESTDATA_TABLES = (
 )
 
 
+#: (applicationId, sf_dir, name, raw) → (session, DataFrame). Plan
+#: memoization ONLY — a cached entry is the immutable unresolved scan
+#: plan (schema + file listing); every action against it still reads
+#: the parquet data in full. ``spark.read.parquet`` costs ~106 ms of
+#: footer/schema work per call (measured r12), paid by every query
+#: construction; a production engine reads through a catalog whose
+#: metadata is cached for exactly this reason (optimization guide §6,
+#: file-listing caches). The session object is kept in the value and
+#: identity-checked so a new session with a recycled applicationId can
+#: never serve a stale plan.
+_TABLE_CACHE: dict[tuple[str, str, str, bool], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, raw: bool = False
 ) -> DataFrame:
@@ -41,31 +54,37 @@ def load_table(
     cast under ANSI and a double roundtrip loses sub-µs precision.
     """
     configure(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name, raw)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name != "events":
-        return df
-    ts_type = dict(df.dtypes).get("ts")
-    if raw:
-        # Contract: raw events.ts is LONG epoch nanoseconds. Testdata may
-        # ship ts as TIMESTAMP(NANOS)->LONG (nanosAsLong) or TIMESTAMP(US);
-        # normalize the timestamp flavor back to integer ns (session tz is
-        # pinned UTC, so NTZ->TIMESTAMP is an identity relabel).
-        if ts_type in ("timestamp", "timestamp_ntz"):
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if raw:
+            # Contract: raw events.ts is LONG epoch nanoseconds. Testdata
+            # may ship ts as TIMESTAMP(NANOS)->LONG (nanosAsLong) or
+            # TIMESTAMP(US); normalize the timestamp flavor back to
+            # integer ns (session tz is pinned UTC, so NTZ->TIMESTAMP is
+            # an identity relabel).
+            if ts_type in ("timestamp", "timestamp_ntz"):
+                df = df.withColumn(
+                    "ts",
+                    F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+                )
+        elif ts_type == "bigint":
             df = df.withColumn(
-                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
             )
-        return df
-    if ts_type == "bigint":
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
-    elif ts_type == "timestamp":
-        # TIMESTAMP(US) flavor: normalize the tz-aware read to the same
-        # timestamp_ntz contract the bigint branch produces (session tz
-        # is pinned UTC, so this is an identity relabel) — otherwise
-        # unionByName/comparisons against ntz frames break and a
-        # non-UTC session would silently shift values.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        elif ts_type == "timestamp":
+            # TIMESTAMP(US) flavor: normalize the tz-aware read to the same
+            # timestamp_ntz contract the bigint branch produces (session tz
+            # is pinned UTC, so this is an identity relabel) — otherwise
+            # unionByName/comparisons against ntz frames break and a
+            # non-UTC session would silently shift values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 
