@@ -259,15 +259,15 @@ def zorder_prune_audit(
     mask = (1 << bits) - 1
     x = (F.col("l_partkey") % (mask + 1)).alias("x")
     y = (F.col("l_suppkey") % (mask + 1)).alias("y")
-    z = None
-    for i in range(bits):
-        xb = F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) * F.lit(
-            1 << (2 * i)
+    # Morton interleave as ONE server-parsed expression (same values;
+    # the per-bit Column loop cost ~50 Py4J crossings per call)
+    z = F.expr(
+        " + ".join(
+            f"((shiftright(x, {i}) & 1) * {1 << (2 * i)}"
+            f" + (shiftright(y, {i}) & 1) * {1 << (2 * i + 1)})"
+            for i in range(bits)
         )
-        yb = F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)) * F.lit(
-            1 << (2 * i + 1)
-        )
-        z = xb + yb if z is None else z + xb + yb
+    )
     keyed = lineitem.select(
         "l_orderkey", x, y
     ).withColumn("z", z.cast("long"))

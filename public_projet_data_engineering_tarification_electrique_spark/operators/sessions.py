@@ -271,16 +271,35 @@ def rfm_segments(
         "_freq",
         "_cents",
     )
-    # lower recency = better -> ascending; higher freq/monetary = better
-    tiled = global_ntile(
-        scored, [F.asc("_rec"), F.asc("_u")], n_tiles, tile_col="_rt"
-    )
-    tiled = global_ntile(
-        tiled, [F.desc("_freq"), F.asc("_u")], n_tiles, tile_col="_ft"
-    )
-    tiled = global_ntile(
-        tiled, [F.desc("_cents"), F.asc("_u")], n_tiles, tile_col="_mt"
-    )
+    # lower recency = better -> ascending; higher freq/monetary = better.
+    # The three axis rankings are INDEPENDENT of each other — each
+    # global_ntile pays a range-sampling job plus a materialize+offsets
+    # job at build time, so chaining them serializes ~6 driver-blocking
+    # jobs. Build them concurrently (guide §2.6 — overlap independent
+    # jobs; job submission is thread-safe) and join the per-axis tiles
+    # back on the user key: values are identical (each ntile ranks the
+    # same per-user frame), wall time is the max of the three instead
+    # of the sum. scored is checkpointed first so the three branches
+    # share one materialization instead of re-aggregating per axis.
+    scored = scored.localCheckpoint(eager=True)
+    axes = [
+        ("_rt", [F.asc("_rec"), F.asc("_u")]),
+        ("_ft", [F.desc("_freq"), F.asc("_u")]),
+        ("_mt", [F.desc("_cents"), F.asc("_u")]),
+    ]
+
+    def _axis(tile_col: str, order: list) -> DataFrame:
+        return global_ntile(scored, order, n_tiles, tile_col=tile_col).select(
+            "_u", tile_col
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(axes)) as pool:
+        tiles = list(pool.map(lambda a: _axis(*a), axes))
+    tiled = scored
+    for t in tiles:
+        tiled = tiled.join(t, on="_u")
     tiled = tiled.select(
         "_cents",
         F.concat_ws(

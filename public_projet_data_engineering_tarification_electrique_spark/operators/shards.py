@@ -532,19 +532,16 @@ def sorted_layout_audit(
         F.expr(f"((_x - _xlo) * {grid}) div (_xhi - _xlo + 1)").alias("_gx"),
         F.expr(f"((_y - _ylo) * {grid}) div (_yhi - _ylo + 1)").alias("_gy"),
     )
-    z = None
-    for i in range(bits):
-        xb = F.shiftleft(
-            F.shiftrightunsigned(F.col("_gx"), i).bitwiseAND(F.lit(1)),
-            2 * i + 1,
-        )
-        yb = F.shiftleft(
-            F.shiftrightunsigned(F.col("_gy"), i).bitwiseAND(F.lit(1)),
-            2 * i,
-        )
-        term = xb + yb
-        z = term if z is None else z + term
-    gridded = gridded.withColumn("_z", z)
+    # Morton interleave as ONE server-parsed expression: the former
+    # per-bit Column loop crossed Py4J ~50 times per call (guide §1.2 —
+    # constant driver work); the parsed tree and the z values are
+    # identical (integer addition, any association).
+    z = " + ".join(
+        f"(shiftleft(shiftrightunsigned(_gx, {i}) & 1, {2 * i + 1})"
+        f" + shiftleft(shiftrightunsigned(_gy, {i}) & 1, {2 * i}))"
+        for i in range(bits)
+    )
+    gridded = gridded.withColumn("_z", F.expr(z))
 
     tiled = global_ntile(
         gridded, [F.asc("_gx"), F.asc("_gy"), F.asc("_id")], n_zones, "_zone_lin"

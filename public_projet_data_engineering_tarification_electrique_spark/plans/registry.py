@@ -3054,41 +3054,74 @@ def q120_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All outputs are integers (counts and a µs delta — min/count over
     int64 ns inputs), so the Arrow crossing adds no float drift and
-    parity is exact."""
+    parity is exact.
+
+    r12: the cogroup key is a HASH BUCKET of users, not the user —
+    Spark's cogroup machinery invokes Python once per key with
+    per-key pandas frames (~3.6 ms/key measured: 1500 users = 5.4 s
+    of pure per-call overhead at sf0.1), so the per-user shape pays
+    the Python boundary N_users times for microseconds of work each.
+    Bucketing amortizes the crossing over ~|users|/B users per call
+    and does the per-user logic VECTORIZED inside the batch (guide
+    §4.2 — hand whole batches to pandas, never loop per entity);
+    results are identical for any B because every user's rows land in
+    exactly one bucket on both sides. B scales with the session's
+    parallelism; at corpus scale size B so one bucket's rows fit an
+    Arrow frame."""
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
     events = load_table(spark, sf_dir, "events", raw=True).select(
-        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("_bk"),
     )
     clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts_us"
+        "_bk", "user_id", "ts_us"
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts_us"
+        "_bk", "user_id", "ts_us"
     )
 
     def _conv(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # a key present on only one side arrives with the other frame
-        # EMPTY — and an empty cogroup frame may carry no columns at
-        # all, so normalize before any column access
+        # a bucket present on only one side arrives with the other
+        # frame EMPTY — and an empty cogroup frame may carry no
+        # columns at all, so normalize before any column access
         def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
             if "ts_us" not in pdf.columns:
-                return pd.DataFrame({"user_id": [], "ts_us": []})
+                return pd.DataFrame(
+                    {"user_id": pd.Series([], dtype="int64"),
+                     "ts_us": pd.Series([], dtype="int64")}
+                )
             return pdf
 
         left, right = _norm(left), _norm(right)
-        n_clicks = len(left)
-        n_purch = len(right)
-        first_click = left["ts_us"].min() if n_clicks else None
-        conv = None
-        if n_clicks and n_purch:
-            after = right[right["ts_us"] >= first_click]
-            if len(after):
-                conv = int(after["ts_us"].min() - first_click)
+        la = (
+            left.groupby("user_id", sort=False)["ts_us"]
+            .agg(n_clicks="size", _fc="min")
+            .reset_index()
+        )
+        ra = (
+            right.groupby("user_id", sort=False)["ts_us"]
+            .agg(n_purchases="size")
+            .reset_index()
+        )
+        out = la.merge(ra, on="user_id", how="outer")
+        # conversion: first purchase at/after the first click, per user
+        pr = right.merge(la[["user_id", "_fc"]], on="user_id", how="inner")
+        pr = pr[pr["ts_us"] >= pr["_fc"]]
+        conv = (
+            pr.groupby("user_id", sort=False)
+            .agg(_pm=("ts_us", "min"), _fc2=("_fc", "first"))
+            .reset_index()
+        )
+        conv["convert_us"] = conv["_pm"] - conv["_fc2"]
+        out = out.merge(conv[["user_id", "convert_us"]], on="user_id", how="left")
         return pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_clicks": [n_clicks],
-                "n_purchases": [n_purch],
-                "convert_us": [conv],
+                "user_id": out["user_id"].astype("int64"),
+                "n_clicks": out["n_clicks"].fillna(0).astype("int64"),
+                "n_purchases": out["n_purchases"].fillna(0).astype("int64"),
+                "convert_us": out["convert_us"].astype("Int64"),
             }
         )
 
@@ -3096,8 +3129,8 @@ def q120_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_clicks long, n_purchases long, convert_us long"
     )
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("_bk")
+        .cogroup(purchases.groupBy("_bk"))
         .applyInPandas(_conv, schema=out_schema)
     )
 

@@ -58,17 +58,35 @@ EVENTS_LANDING_SCHEMA_NS = (
 )
 
 
+#: (prefix, abs source path) → staged landing dir. The symlink content
+#: is a pure function of the source path, and each stream run uses a
+#: FRESH checkpoint, so reusing the landing dir across calls is safe —
+#: and saves a tempdir + symlink + (downstream) a fresh-path footer
+#: probe per call.
+_LANDING_CACHE: dict[tuple[str, str], str] = {}
+
+#: (applicationId, landing path) → events ts dtype, memoized because
+#: the probe is a ~100 ms spark.read.parquet schema read per call and
+#: the flavor of a fixed path never changes within a session.
+_TS_FLAVOR_CACHE: dict[tuple[str, str], str | None] = {}
+
+
 def stage_landing(events_path: str, prefix: str = "landing_") -> str:
     """File streams need a landing DIRECTORY; when pointed at a single
     parquet file (the driver testdata layout), stage a symlink dir.
     The target is absolutized: a relative symlink target would resolve
     against the scratch dir and dangle."""
     if os.path.isfile(events_path):
+        key = (prefix, os.path.abspath(events_path))
+        hit = _LANDING_CACHE.get(key)
+        if hit is not None and os.path.isdir(hit):
+            return hit
         landing = scratch_dir(prefix)
         os.symlink(
             os.path.abspath(events_path),
             os.path.join(landing, os.path.basename(events_path)),
         )
+        _LANDING_CACHE[key] = landing
         return landing
     return events_path
 
@@ -112,10 +130,18 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     configure(spark)
     from pyspark.errors import AnalysisException
 
-    try:
-        ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
-    except AnalysisException:  # no files yet — schema cannot be inferred
-        ts_type = None
+    flavor_key = (spark.sparkContext.applicationId, events_path)
+    if flavor_key in _TS_FLAVOR_CACHE:
+        ts_type = _TS_FLAVOR_CACHE[flavor_key]
+    else:
+        try:
+            ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
+        except AnalysisException:  # no files yet — schema cannot be inferred
+            ts_type = None
+        # memoize only a SUCCESSFUL probe: an empty landing dir can gain
+        # files later and must be re-probed
+        if ts_type is not None:
+            _TS_FLAVOR_CACHE[flavor_key] = ts_type
     # any other probe failure (permissions, corrupt footer) propagates:
     # silently guessing a schema would surface as a conversion error far
     # from the root cause
