@@ -1049,27 +1049,74 @@ def incremental_dedup(
             ).alias("sh"),
         )
 
-    # Pin the raw shingle tables FIRST: the corpus side feeds the df
-    # blacklist AND the candidate join, the new side feeds its size agg
-    # AND the join — without the pins the shingling scan re-executes
-    # once per consumer (measured 3× corpus re-tokenization).
-    sn = shingles(new_docs, "new_id").localCheckpoint(eager=True)
-    sc = shingles(corpus, "corp_id").localCheckpoint(eager=True)
-    if max_df is not None:
-        hot = (
-            sc.groupBy("sh")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("sh")
-            .localCheckpoint(eager=True)  # boilerplate set: tiny, 2 consumers
+    # r12 posting-list restructure (the _shingle_pair_counts shape,
+    # bipartite): the former five eager localCheckpoints (raw new/corp
+    # shingles, blacklist, two anti-joined pins) cost five
+    # materialization jobs per call. Now ONE shuffle by shingle carries
+    # both tagged sides; the corpus-side df is a window count on that
+    # partitioning (df > max_df rows dropped on BOTH sides — identical
+    # to the anti-join blacklist, since a new-only shingle has corpus
+    # df 0 and is kept); per-shingle (new-ids, corp-ids) posting lists
+    # are the only checkpoint, and candidate (new × corp) pairs expand
+    # MAP-SIDE from each list — corp lists are ≤ max_df by the cap,
+    # new lists are bounded by the incoming batch (the per-batch-cost
+    # contract above). At 100 TB the corpus-side postings are the
+    # persisted index; a batch merges its tagged rows in.
+    tagged = (
+        shingles(new_docs, "_id")
+        .select("sh", "_id", F.lit("n").alias("_s"))
+        .unionByName(
+            shingles(corpus, "_id").select(
+                "sh", "_id", F.lit("c").alias("_s")
+            )
         )
-        sn = sn.join(hot, on="sh", how="left_anti").localCheckpoint(eager=True)
-        sc = sc.join(hot, on="sh", how="left_anti").localCheckpoint(eager=True)
-    na = sn.groupBy("new_id").agg(F.count("*").alias("_na"))
-    nb = sc.groupBy("corp_id").agg(F.count("*").alias("_nb"))
+    )
+    if max_df is not None:
+        tagged = tagged.withColumn(
+            "_df",
+            F.count(F.when(F.col("_s") == "c", F.lit(1))).over(
+                Window.partitionBy("sh")
+            ),
+        ).filter(F.col("_df") <= max_df)
+    postings = (
+        tagged.groupBy("sh")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_s") == "n", F.col("_id")))
+            ).alias("_nids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_s") == "c", F.col("_id")))
+            ).alias("_cids"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    na = (
+        postings.select(F.explode("_nids").alias("new_id"))
+        .groupBy("new_id")
+        .agg(F.count("*").alias("_na"))
+    )
+    nb = (
+        postings.select(F.explode("_cids").alias("corp_id"))
+        .groupBy("corp_id")
+        .agg(F.count("*").alias("_nb"))
+    )
     inter = (
-        sn.join(sc, on="sh")
-        .groupBy("new_id", "corp_id")
+        postings.filter(
+            (F.size("_nids") > 0) & (F.size("_cids") > 0)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_nids, x -> "
+                    "transform(_cids, y -> "
+                    "struct(x as new_id, y as corp_id))))"
+                )
+            ).alias("_p")
+        )
+        .groupBy(
+            F.col("_p.new_id").alias("new_id"),
+            F.col("_p.corp_id").alias("corp_id"),
+        )
         .agg(F.count("*").alias("_inter"))
     )
     jac = F.col("_inter") * 1.0 / (F.col("_na") + F.col("_nb") - F.col("_inter"))

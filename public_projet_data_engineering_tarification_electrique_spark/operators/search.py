@@ -176,13 +176,21 @@ def sparse_cosine_pairs(
     lifted to INTEGER ten-thousandths; pair dots and norms are integer
     sums (order-free); cosine is one terminal division rounded to 6 dp.
 
-    Plan shape: one (doc, shingle) count shuffle → df table (broadcast
-    back) → weighted postings; pair generation is a self-equi-join on
-    shingle with id_a < id_b — the df cap bounds every posting list,
-    so the join is Σ df² over capped shingles, never O(N²); norms ride
-    the same postings via a per-doc agg. Output:
-    (id_a, id_b, cos) with cos ≥ threshold.
+    Plan shape (r12 posting-list restructure, guide §2.3/§2.4): one
+    (doc, shingle) count shuffle → one shuffle by shingle where the
+    window count IS the df table (no join back) and the surviving
+    ≤``max_df`` (id, weight) posting list per shingle is collected —
+    the ONLY materialized intermediate (one bounded row per shingle).
+    Weighted pairs expand MAP-SIDE from each bounded list (the same
+    Σ df² candidate work the former self-join did, without
+    re-shuffling both postings sides or re-deriving the tokenize
+    subtree per consumer); norms ride the same lists via one per-doc
+    agg. Output: (id_a, id_b, cos) with cos ≥ threshold — identical
+    values to the join formulation (same weights, same integer dot
+    sums, same terminal division).
     """
+    from pyspark.sql import Window
+
     from ..functions.text import word_shingles
 
     tf = (
@@ -194,45 +202,49 @@ def sparse_cosine_pairs(
         .groupBy("_id", "_tok")
         .agg(F.count("*").alias("_tf"))
     )
-    dfreq = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
+    capped = tf.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("_tok"))
+    ).filter(F.col("_df") <= max_df)
     n_docs = docs.agg(F.count("*").alias("_n"))
-    weighted = (
-        tf.join(dfreq.filter(F.col("_df") <= max_df), on="_tok")
+    # weight = round(round(tf·(ln((N+1)/(df+1))+1), 4)·10⁴) as a long —
+    # the identical double-op sequence the join formulation used,
+    # applied per posting entry.
+    postings = (
+        capped.groupBy("_tok")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("_tf")))
+            ).alias("_ps"),
+            F.first("_df").alias("_df"),
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "_id",
-            "_tok",
-            F.round(
-                F.round(
-                    F.col("_tf")
-                    * (
-                        F.log(
-                            (F.col("_n") + 1.0) / (F.col("_df") + 1.0)
-                        )
-                        + 1.0
-                    ),
-                    4,
-                )
-                * 10_000
-            )
-            .cast("long")
-            .alias("_w"),
+            F.expr(
+                "transform(_ps, s -> struct(s._id as id, "
+                "cast(round(round(s._tf * (ln((_n + 1.0) / (_df + 1.0)) "
+                "+ 1.0), 4) * 10000) as bigint) as w))"
+            ).alias("_pw")
         )
+        .localCheckpoint(eager=False)
     )
-    norms = weighted.groupBy("_id").agg(
-        F.sum(F.col("_w") * F.col("_w")).alias("_nn")
-    )
-    a = weighted.select(
-        F.col("_tok"), F.col("_id").alias("id_a"), F.col("_w").alias("_wa")
-    )
-    b = weighted.select(
-        F.col("_tok"), F.col("_id").alias("id_b"), F.col("_w").alias("_wb")
+    norms = (
+        postings.select(F.explode("_pw").alias("_e"))
+        .groupBy(F.col("_e.id").alias("_id"))
+        .agg(F.sum(F.col("_e.w") * F.col("_e.w")).alias("_nn"))
     )
     dots = (
-        a.join(b, on="_tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_pw, (x, i) -> "
+                    "transform(slice(_pw, i + 2, size(_pw)), "
+                    "y -> struct(x.id as id_a, y.id as id_b, "
+                    "x.w * y.w as p))))"
+                )
+            ).alias("_pair")
+        )
+        .groupBy("_pair.id_a", "_pair.id_b")
+        .agg(F.sum("_pair.p").alias("_dot"))
     )
     na = norms.select(F.col("_id").alias("id_a"), F.col("_nn").alias("_na"))
     nb = norms.select(F.col("_id").alias("id_b"), F.col("_nn").alias("_nb"))
