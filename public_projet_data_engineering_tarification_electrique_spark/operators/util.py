@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import atexit
 import contextlib
+import re
 import shutil
 import tempfile
 
@@ -43,10 +44,33 @@ def scratch_root() -> str:
 #: per call (measured r12), paid on every operator construction. The
 #: partition count of a file-source frame is a pure function of the
 #: file set and the (fixed per session) split confs, so it is memoized
-#: per file set. Every call site passes a scan / projection / filter
-#: (partition-count-preserving); frames with no inputFiles fall back
-#: to the live probe.
+#: per file set — but ONLY for scan-shaped frames (see
+#: ``_SHAPE_CHANGING``): a post-shuffle/union/limit frame over the same
+#: files has a plan-dependent partition count and must take the live
+#: probe, or a poisoned entry could silently skip the repartition this
+#: helper exists to guarantee (VERDICT r12 item 6 / ADVICE r12).
 _NPART_CACHE: dict[tuple[str, tuple[str, ...]], int] = {}
+
+#: Logical-plan node names whose presence means the frame's partition
+#: count is NOT a pure function of its input files. Conservative: a
+#: false positive only costs the ~100 ms live probe (old behavior).
+_SHAPE_CHANGING = re.compile(
+    r"\b(Repartition|RebalancePartitions|Join|Aggregate|Window|Sort|"
+    r"Union|Deduplicate|Distinct|GlobalLimit|LocalLimit|Limit|Sample|"
+    r"CoGroup|FlatMap|MapInPandas|MapInArrow|MapPartitions|Generate|"
+    r"LogicalRDD|Intersect|Except|Offset)\b"
+)
+
+
+def _scan_shaped(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is scan/project/filter only —
+    the shapes whose partition count is a pure function of the file
+    set. One Py4J string fetch (~1 ms) vs the ~100 ms physical probe."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return _SHAPE_CHANGING.search(plan) is None
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -65,7 +89,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         files = tuple(sorted(df.inputFiles()))
     except Exception:
         pass
-    if files:
+    if files and _scan_shaped(df):
         key = (df.sparkSession.sparkContext.applicationId, files)
         n = _NPART_CACHE.get(key)
         if n is None:

@@ -28,7 +28,9 @@ def main() -> None:
         else:
             names.append(a)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("PLAN_DUMP_ROUND", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan_dump")
     qmap = registry.QUERIES()
