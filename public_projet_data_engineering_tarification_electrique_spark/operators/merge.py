@@ -90,6 +90,121 @@ def _merge_join(
     return t.join(s, on=keys, how="full_outer")
 
 
+class MergeProjections:
+    """Prebuilt expression trees for the merge family — the
+    construction-time memo for per-batch loops (guide §1.2 applied to
+    the driver boundary): every Column here is a pure function of
+    (state schema, keys, clause expressions), reusable verbatim across
+    micro-batches because Columns are immutable unresolved trees.
+    Rebuilding them per batch cost ~0.6 s of pure Py4J chatter per
+    q241 CDC micro-batch (measured r13) — at ANY data scale.
+
+    Build once per stream (source/target schemas fixed by the stream's
+    contract), pass to :func:`merge_write_cdf`; the one-shot callers
+    (:func:`merge_into`, :func:`merge_changes`) build it inline, so
+    clause semantics live in exactly one place either way.
+    """
+
+    def __init__(
+        self,
+        state_cols: list[str],
+        source_cols: list[str],
+        keys: list[str],
+        update_set: dict[str, Column] | None,
+        delete_when: Column | None,
+        insert_when: Column | None,
+        include_preimages: bool = True,
+    ) -> None:
+        update_set = _validated_update_set(
+            list(state_cols), list(source_cols), list(keys), update_set
+        )
+        self.state_cols = list(state_cols)
+        self.keys = list(keys)
+        self.include_preimages = include_preimages
+
+        matched = (
+            F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+        )
+        src_only = F.col("_t_present").isNull()
+
+        # --- into (post-merge state) pieces ---
+        keep = F.lit(True)
+        if delete_when is not None:
+            keep = keep & ~(matched & F.coalesce(delete_when, F.lit(False)))
+        if insert_when is not None:
+            keep = keep & ~(
+                src_only & ~F.coalesce(insert_when, F.lit(False))
+            )
+        self._keep = keep
+        self._into_cols = []
+        for c in self.state_cols:
+            if c in self.keys:
+                self._into_cols.append(F.col(c))
+            else:
+                updated = update_set.get(c, src(c))
+                self._into_cols.append(
+                    F.when(matched, updated)
+                    .when(src_only, src(c))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+
+        # --- changes (CDF row set) pieces ---
+        deleted = matched & (
+            F.coalesce(delete_when, F.lit(False))
+            if delete_when is not None
+            else F.lit(False)
+        )
+        inserted = src_only & (
+            F.coalesce(insert_when, F.lit(True))
+            if insert_when is not None
+            else F.lit(True)
+        )
+        post_label = "update_postimage" if include_preimages else "update"
+        self._change = (
+            F.when(deleted, F.lit("delete"))
+            .when(matched, F.lit(post_label))
+            .when(inserted, F.lit("insert"))
+        )
+        self._changes_cols = []
+        for c in self.state_cols:
+            if c in self.keys:
+                self._changes_cols.append(F.col(c))
+            else:
+                updated = update_set.get(c, src(c))
+                self._changes_cols.append(
+                    F.when(F.col("_change_type") == "delete", F.col(c))
+                    .when(F.col("_change_type") == post_label, updated)
+                    .otherwise(src(c))
+                    .alias(c)
+                )
+        self._pre_filter = matched & ~deleted
+        self._pre_cols = [F.col(c) for c in self.state_cols] + [
+            F.lit("update_preimage").alias("_change_type")
+        ]
+
+    def into(self, joined: DataFrame) -> DataFrame:
+        """merge_into's clause semantics as a pure projection of the
+        :func:`_merge_join` frame."""
+        return joined.filter(self._keep).select(*self._into_cols)
+
+    def changes(self, joined: DataFrame) -> DataFrame:
+        """merge_changes's CDF row set as a pure projection of the
+        :func:`_merge_join` frame."""
+        affected = joined.withColumn("_change_type", self._change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        out = affected.select(*self._changes_cols, "_change_type")
+        if not self.include_preimages:
+            return out
+        # Delta CDF's update_preimage rows: the target's values BEFORE
+        # the merge, for exactly the matched-and-updated keys. Same
+        # joined frame, plain target-column projection — the shared
+        # subplan means Catalyst computes the full-outer join once.
+        pre = joined.filter(self._pre_filter).select(*self._pre_cols)
+        return out.unionByName(pre)
+
+
 def _into_projection(
     joined: DataFrame,
     target_cols: list[str],
@@ -100,32 +215,14 @@ def _into_projection(
 ) -> DataFrame:
     """merge_into's clause semantics as a pure projection of the
     :func:`_merge_join` frame (so a caller holding a materialized
-    joined frame can derive the post-merge state without re-joining)."""
-    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
-    src_only = F.col("_t_present").isNull()
-    keep = F.lit(True)
-    if delete_when is not None:
-        keep = keep & ~(matched & F.coalesce(delete_when, F.lit(False)))
-    if insert_when is not None:
-        keep = keep & ~(src_only & ~F.coalesce(insert_when, F.lit(False)))
-    survivors = joined.filter(keep)
-
-    # project in the TARGET's column order (keys may not be leading
-    # columns there) so the promise "same schema and column order as
-    # target" holds for positional consumers too.
-    projected = []
-    for c in target_cols:
-        if c in keys:
-            projected.append(F.col(c))
-        else:
-            updated = update_set.get(c, src(c))
-            projected.append(
-                F.when(matched, updated)
-                .when(src_only, src(c))
-                .otherwise(F.col(c))
-                .alias(c)
-            )
-    return survivors.select(*projected)
+    joined frame can derive the post-merge state without re-joining).
+    One-shot convenience over :class:`MergeProjections`; update_set
+    must already be validated (it is re-validated trivially here via
+    the shared constructor against target columns)."""
+    return MergeProjections(
+        target_cols, list(target_cols), keys, update_set,
+        delete_when, insert_when,
+    ).into(joined)
 
 
 def _changes_projection(
@@ -140,54 +237,10 @@ def _changes_projection(
     """merge_changes's CDF row set as a pure projection of the
     :func:`_merge_join` frame — same sharing rationale as
     :func:`_into_projection`."""
-    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
-    src_only = F.col("_t_present").isNull()
-    deleted = matched & (
-        F.coalesce(delete_when, F.lit(False))
-        if delete_when is not None
-        else F.lit(False)
-    )
-    inserted = src_only & (
-        F.coalesce(insert_when, F.lit(True))
-        if insert_when is not None
-        else F.lit(True)
-    )
-    post_label = "update_postimage" if include_preimages else "update"
-    change = (
-        F.when(deleted, F.lit("delete"))
-        .when(matched, F.lit(post_label))
-        .when(inserted, F.lit("insert"))
-    )
-    affected = joined.withColumn("_change_type", change).filter(
-        F.col("_change_type").isNotNull()
-    )
-    projected = []
-    for c in target_cols:
-        if c in keys:
-            projected.append(F.col(c))
-        else:
-            updated = update_set.get(c, src(c))
-            projected.append(
-                F.when(F.col("_change_type") == "delete", F.col(c))
-                .when(F.col("_change_type") == post_label, updated)
-                .otherwise(src(c))
-                .alias(c)
-            )
-    out = affected.select(*projected, "_change_type")
-    if not include_preimages:
-        return out
-    # Delta CDF's update_preimage rows: the target's values BEFORE the
-    # merge, for exactly the matched-and-updated keys. Same joined
-    # frame, plain target-column projection — the shared subplan means
-    # Catalyst computes the full-outer join once.
-    pre = (
-        joined.filter(matched & ~deleted)
-        .select(
-            *[F.col(c) for c in target_cols],
-            F.lit("update_preimage").alias("_change_type"),
-        )
-    )
-    return out.unionByName(pre)
+    return MergeProjections(
+        target_cols, list(target_cols), keys, update_set,
+        delete_when, insert_when, include_preimages,
+    ).changes(joined)
 
 
 def merge_into(
@@ -486,11 +539,19 @@ def merge_write_cdf(
     insert_when: Column | None = None,
     batch_id: int | None = None,
     include_preimages: bool = True,
+    projections: MergeProjections | None = None,
 ) -> bool:
     """:func:`merge_write` and :func:`merge_changes` FUSED for the
     streaming CDC loop: apply one MERGE batch to the bucketed state
     dir AND append its Delta-CDF row set (tagged ``_batch_id``) to
     ``changelog_dir`` — from ONE shared full-outer join per batch.
+
+    ``projections``: the prebuilt :class:`MergeProjections` for this
+    stream's (state schema, source schema, clauses). Per-batch loops
+    SHOULD build it once and pass it here — rebuilding the expression
+    trees per micro-batch costs ~0.6 s of driver-side Py4J work at any
+    data size (measured r13, the q241 wall-clock driver). When None,
+    it is built from the call's arguments (one-shot callers).
 
     Why a fused sink exists at all: run separately, every micro-batch
     pays the state scan and the merge join TWICE (once for the feed,
@@ -523,12 +584,16 @@ def merge_write_cdf(
         if ledger is not None and batch_id <= ledger["last_batch_id"]:
             return False  # already-applied replay
 
-    update_set = _validated_update_set(
-        spark.createDataFrame([], state_schema).columns,
-        source.columns,
-        keys,
-        update_set,
-    )
+    if projections is None:
+        projections = MergeProjections(
+            spark.createDataFrame([], state_schema).columns,
+            source.columns,
+            keys,
+            update_set,
+            delete_when,
+            insert_when,
+            include_preimages,
+        )
     commit_layout = bucket_layout_guard(
         spark,
         state_dir,
@@ -541,7 +606,6 @@ def merge_write_cdf(
     bucket = F.pmod(
         F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
     ).cast("int")
-    state_cols = spark.createDataFrame([], state_schema).columns
 
     fs, hpath = hadoop_fs(spark, state_dir)
     # the batch feeds TWO consumers (affected-bucket discovery and the
@@ -579,24 +643,19 @@ def merge_write_cdf(
             .localCheckpoint(eager=False)
         )
 
-        changes = _changes_projection(
-            joined,
-            state_cols,
-            keys,
-            update_set,
-            delete_when,
-            insert_when,
-            include_preimages,
-        )
+        changes = projections.changes(joined)
         if batch_id is not None:
             changes = changes.withColumn(
                 "_batch_id", F.lit(int(batch_id)).cast("int")
             )
-        changes.write.mode("append").parquet(changelog_dir)
+        # the post/pre union doubles the partition count (2×n_out);
+        # coalesce pairs them back without a shuffle — half the output
+        # files and commit ops per batch, same parallelism as the state
+        # write (the changelog is O(batch) rows by the CDC contract, so
+        # n_out-sized files are the right grain at any scale)
+        changes.coalesce(n_out).write.mode("append").parquet(changelog_dir)
 
-        merged = _into_projection(
-            joined, state_cols, keys, update_set, delete_when, insert_when
-        ).withColumn("_bucket", bucket)
+        merged = projections.into(joined).withColumn("_bucket", bucket)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
