@@ -166,6 +166,158 @@ def _make_sessionizer(gap_seconds: int):
     return update
 
 
+#: Bucketed state row: per-user state rides PARALLEL ARRAYS inside one
+#: row per user-hash bucket — one Python crossing per (bucket, batch)
+#: instead of one per user (guide §4.2; the q120 cogroup lesson applied
+#: to applyInPandasWithState: at sf0.1 the per-user operator paid
+#: ~3000 Arrow crossings per run — 1500 users × data batch + timeout
+#: batch — for microseconds of real work each). ``t_ms`` stores each
+#: open session's ARMED event-time timeout (the per-user operator's
+#: setTimeoutTimestamp value, clamp included), so the bucket sweep
+#: applies Spark's own fire predicate (armed < watermark) per user.
+BUCKET_STATE_SCHEMA = (
+    "users array<long>, next_sid array<long>, open array<boolean>, "
+    "start_s array<long>, end_s array<long>, n_events array<long>, "
+    "sum_v4 array<long>, t_ms array<long>"
+)
+
+
+def _make_bucket_sessionizer(gap_seconds: int):
+    """Bucket-state twin of :func:`_make_sessionizer` — identical
+    per-user semantics (the same fold, numbering tombstones, and
+    timeout predicate), amortized Python boundary.
+
+    Equivalence vs the per-user operator, piece by piece:
+
+    - **Data path.** Rows sort by (user, ts_s, event_id) and fold per
+      user with the VERBATIM per-user loop — emissions and end-state
+      per user are identical to the per-user group call.
+    - **Timeout sweep.** A bucket's timeout call closes exactly the
+      users whose own per-user timer would have fired: armed
+      ``t_ms < watermark`` (strict — Spark's fire predicate, and the
+      q28 oracle's ``(end+gap)*1000 < wm_ms``). ``t_ms`` is stored per
+      user at arm time with the per-user clamp
+      ``max((end+gap)*1000, wm+1)`` applied, so the sweep predicate is
+      bit-identical to what the per-user operator armed.
+    - **Sweep inside the data path.** When the bucket receives data,
+      Spark gives it no timeout call even though OTHER users in the
+      bucket (without data this batch) may hold expired timers — the
+      per-user operator would fire those keys this same batch, so the
+      data path sweeps expired users first. For a user with BOTH an
+      expired open session and new data the sweep closes what the gap
+      rule would close anyway: a surviving (non-late) event has
+      ts·1000 ≥ wm > (end+gap)·1000, i.e. lies beyond the gap — an
+      event within the gap would be late and dropped by the watermark
+      filter before the operator. Either path emits the same session
+      with the same id.
+    - **Re-arm.** The bucket timer is min over open users' ``t_ms``
+      (clamped past the current watermark): it fires no later than the
+      earliest per-user timer, and each firing closes exactly the
+      expired users — emission CONTENT matches; only the batch id an
+      emission lands under can shift, which the cumulative read-back
+      erases.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (users, nsids, opens, starts, ends, nevs, sums, tmss) = state.get
+            st: dict = {
+                (int(u) if u is not None else None): [
+                    int(ns), bool(o), int(ss), int(es),
+                    int(ne), int(sv), int(tm),
+                ]
+                for u, ns, o, ss, es, ne, sv, tm in zip(
+                    users, nsids, opens, starts, ends, nevs, sums, tmss
+                )
+            }
+        else:
+            st = {}
+        wm_ms = state.getCurrentWatermarkMs()
+        closed: list[tuple] = []
+
+        def _sweep() -> None:
+            # Spark's event-time fire predicate, applied per user
+            for uu, s in st.items():
+                if s[1] and s[6] < wm_ms:
+                    closed.append((uu, s[0], s[4], s[2], s[3], s[5]))
+                    st[uu] = [s[0] + 1, False, 0, 0, 0, 0, 0]
+
+        _sweep()
+        if not state.hasTimedOut:
+            frames = [p for p in pdfs if len(p)]
+            if frames:
+                rows = pd.concat(frames, ignore_index=True).sort_values(
+                    ["user_id", "ts_s", "event_id"], kind="mergesort"
+                )
+                for uu, grp in rows.groupby("user_id", sort=False, dropna=False):
+                    uu = int(uu) if pd.notna(uu) else None
+                    s = st.get(uu) or [1, False, 0, 0, 0, 0, 0]
+                    next_sid, is_open, start_s, end_s, n_events, sum_v4 = s[:6]
+                    # the per-user fold, verbatim from _make_sessionizer
+                    for ts_s, value in zip(grp["ts_s"], grp["value"]):
+                        ts_s = int(ts_s)
+                        v = float(value)
+                        v4 = 0 if math.isnan(v) else _grid4(v)
+                        if is_open and ts_s - end_s > gap_seconds:
+                            closed.append(
+                                (uu, next_sid, n_events, start_s, end_s, sum_v4)
+                            )
+                            next_sid += 1
+                            is_open = False
+                        if is_open:
+                            end_s = max(end_s, ts_s)
+                            n_events += 1
+                            sum_v4 += v4
+                        else:
+                            is_open = True
+                            start_s = end_s = ts_s
+                            n_events = 1
+                            sum_v4 = v4
+                    t_ms = (
+                        max((end_s + gap_seconds) * 1000, wm_ms + 1)
+                        if is_open
+                        else 0
+                    )
+                    st[uu] = [
+                        next_sid, is_open, start_s, end_s,
+                        n_events, sum_v4, t_ms,
+                    ]
+
+        if st:
+            ks = list(st)
+            state.update(
+                (
+                    ks,
+                    [st[u][0] for u in ks],
+                    [st[u][1] for u in ks],
+                    [st[u][2] for u in ks],
+                    [st[u][3] for u in ks],
+                    [st[u][4] for u in ks],
+                    [st[u][5] for u in ks],
+                    [st[u][6] for u in ks],
+                )
+            )
+            open_t = [st[u][6] for u in ks if st[u][1]]
+            if open_t:
+                state.setTimeoutTimestamp(max(min(open_t), wm_ms + 1))
+
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_id", "n_events",
+                    "start_s", "end_s", "sum_value",
+                ],
+            )
+            # off the integer grid exactly once, at emission
+            out["sum_value"] = out["sum_value"].astype("float64") / 1e4
+            yield out
+
+    return update
+
+
 def stream_sessionize(
     spark: SparkSession,
     events_path: str,
@@ -173,6 +325,7 @@ def stream_sessionize(
     watermark: str = "0 seconds",
     checkpoint_dir: str | None = None,
     state_partitions: int | None = 8,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Run gap-sessionization as an availableNow stateful stream over a
     parquet landing path; returns the emitted (closed) sessions.
@@ -181,6 +334,15 @@ def stream_sessionize(
     minus ``watermark``, so sessions still open at end-of-input stay in
     state (they would resume on the next incremental run) — callers
     comparing against the batch twin should compare the closed prefix.
+
+    State is keyed by a ``n_buckets``-way hash of the user (see
+    :data:`BUCKET_STATE_SCHEMA`): per-user state rides arrays inside
+    the bucket row, one Python crossing per (bucket, batch). Size
+    ``n_buckets`` so a bucket's users fit one pandas frame comfortably
+    (at corpus scale: ≈ users/50k); the value is frozen into the
+    checkpoint by the grouping, so a RESUMED checkpoint must keep the
+    original (and a pre-bucketing checkpoint cannot be resumed by this
+    build — stage a fresh checkpoint to re-run).
     """
     configure(spark)
     checkpoint = checkpoint_dir or scratch_dir("ckpt_sess_")
@@ -253,10 +415,19 @@ def stream_sessionize(
         )
         .withWatermark("_et", watermark)
     )
-    sessions = src.groupBy("user_id").applyInPandasWithState(
-        _make_sessionizer(gap_seconds),
+    # NULL users keep their own group: xxhash64(NULL) is NULL, which
+    # coalesces to a dedicated bucket id outside the hash range.
+    bucket = F.coalesce(
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(int(n_buckets))),
+        F.lit(-1),
+    ).cast("long")
+    # applyInPandasWithState resolves grouping keys against the child's
+    # output — materialize the bucket as a column first
+    src = src.withColumn("_bucket", bucket)
+    sessions = src.groupBy("_bucket").applyInPandasWithState(
+        _make_bucket_sessionizer(gap_seconds),
         OUTPUT_SCHEMA,
-        STATE_SCHEMA,
+        BUCKET_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )

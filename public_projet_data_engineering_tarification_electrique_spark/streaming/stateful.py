@@ -126,28 +126,65 @@ def _tws_totals(src: DataFrame) -> DataFrame:
     )
 
 
-def _apws_totals(src: DataFrame) -> DataFrame:
+def _apws_totals(src: DataFrame, n_buckets: int = 32) -> DataFrame:
     """Fallback binding: identical state + emission semantics through
-    applyInPandasWithState (GroupState struct instead of ValueState)."""
+    applyInPandasWithState — keyed by a user-hash BUCKET with per-user
+    state in parallel arrays (guide §4.2: one Python crossing per
+    (bucket, batch) instead of per user; the per-user form paid ~1500
+    crossings per batch at sf0.1 for a two-long add each). Emits the
+    post-batch totals for exactly the users present in the batch —
+    the same rows, batch by batch, as the per-user binding, so the
+    max-struct collapse downstream is unchanged."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bucket_state = "users array<long>, n array<long>, s array<long>"
 
     def fold(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, s = state.get if state.exists else (0, 0)
-        n, s = int(n), int(s)
+        if state.exists:
+            users, ns, ss = state.get
+            st = {
+                int(u): [int(a), int(b)] for u, a, b in zip(users, ns, ss)
+            }
+        else:
+            st = {}
+        touched: dict[int, list[int]] = {}
         for pdf in pdfs:
-            n += len(pdf)
-            s += int(pdf["v_e2"].sum())
-        state.update((n, s))
-        yield pd.DataFrame(
-            {"user_id": [int(key[0])], "n_events": [n], "value_e2": [s]}
+            if not len(pdf):
+                continue
+            g = pdf.groupby("user_id", sort=False)["v_e2"].agg(
+                ["count", "sum"]
+            )
+            for uu, row in g.iterrows():
+                uu = int(uu)
+                cur = st.setdefault(uu, [0, 0])
+                cur[0] += int(row["count"])
+                cur[1] += int(row["sum"])
+                touched[uu] = cur
+        ks = list(st)
+        state.update(
+            (ks, [st[u][0] for u in ks], [st[u][1] for u in ks])
         )
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "user_id": list(touched),
+                    "n_events": [v[0] for v in touched.values()],
+                    "value_e2": [v[1] for v in touched.values()],
+                }
+            )
 
-    return src.groupBy("user_id").applyInPandasWithState(
+    keyed = src.withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(int(n_buckets))).cast(
+            "long"
+        ),
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
         fold,
         OUTPUT_SCHEMA,
-        _STATE_SCHEMA,
+        bucket_state,
         "update",
         GroupStateTimeout.NoTimeout,
     )
