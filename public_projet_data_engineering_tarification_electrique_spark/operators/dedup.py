@@ -446,6 +446,13 @@ def connected_components(
     # iteration does both (an eager checkpoint + separate count would
     # double the tiny-job scheduling overhead that dominates this loop
     # at bench scale — halving it cut the q47/q195 family measurably).
+    # the symmetrizing union consumes `edges` TWICE — without a cut the
+    # whole upstream pair pipeline (blocking join + scoring) executes
+    # once per branch (ReuseExchange only dedupes the identical
+    # upstream exchanges, not the post-shuffle scoring stages). A lazy
+    # checkpoint materializes it once in the same first action
+    # (guide §5). No broadcast is downstream of the cut.
+    edges = edges.localCheckpoint(eager=False)
     sym = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .union(edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b")))
