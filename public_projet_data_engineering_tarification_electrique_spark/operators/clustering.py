@@ -154,10 +154,31 @@ def kmeans_lloyd(
     )
     cent = _centroids_from(init)
     for _ in range(iters):
-        assigned = _assign(q, cent).select("_vid", "_cl")
-        cent = _centroids_from(
-            assigned.join(q.select("_vid", "_xq"), on="_vid")
+        # carry _xq THROUGH the argmin struct instead of joining it
+        # back per round (guide §2.4 — one exchange, no join): every
+        # scored row of a _vid holds the identical _xq, so
+        # min(struct(_d2, _cl, _xq)) is exactly the old argmin with
+        # the quantized vector attached; the update agg reads it
+        # directly. Removes one shuffle join (2 exchanges + sort) per
+        # iteration; the argmin exchange carries N partial-aggregated
+        # rows either way (the join's q side shuffled the same _xq).
+        d2 = F.round(
+            F.col("_vv")
+            - 2 * dot_product(F.col("_ve"), F.col("_cvec"))
+            + F.col("_cc"),
+            6,
         )
+        scored = q.crossJoin(F.broadcast(cent)).select(
+            "_vid", "_cl", d2.alias("_d2"), "_xq"
+        )
+        assigned = (
+            scored.groupBy("_vid")
+            .agg(F.min(F.struct("_d2", "_cl", "_xq")).alias("_b"))
+            .select(
+                F.col("_b._cl").alias("_cl"), F.col("_b._xq").alias("_xq")
+            )
+        )
+        cent = _centroids_from(assigned)
     final = _assign(q, cent)
     return (
         final.groupBy("_cl")
