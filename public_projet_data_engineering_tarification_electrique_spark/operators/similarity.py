@@ -657,8 +657,19 @@ def ivf_topk(
     # shuffle, no ML UDF, stays in whole-stage codegen. Fine for
     # codebooks up to a few thousand centroids; a 65k×768 codebook
     # would switch to a broadcast-numpy pandas_udf instead.
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
+    # Server-parsed literal codebook: the k×d nested F.lit build cost
+    # ~0.3 s of Py4J chatter per call (guide §1.2, the simhash/JL
+    # treatment). CAST('repr' AS DOUBLE) round-trips each float
+    # exactly; constant folding collapses it to the same Literal.
+    cent_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            + ")"
+            for c in codebook
+        )
+        + ")"
     )
     inverted = cand.withColumn(
         "_cluster", nearest_centroid(F.col("_cvec"), cent_lit, len(codebook))
@@ -1730,15 +1741,17 @@ def jl_distortion_audit(
     ratio (pairs at ratio 1.0 are perfectly preserved)."""
     signs = jl_signs(dim, k)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # Server-parsed SQL text instead of k×d nested Column objects: the
+    # d=64, k=16 literal sign matrix cost ~1.2 s of pure Py4J
+    # construction per call (guide §1.2 — the r12 simhash treatment).
+    # The parsed tree is identical: same aggregate/zip_with fold, same
+    # double literals, same fold order.
     proj = [
-        F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(s)) for s in row]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.expr(
+            f"aggregate(zip_with(transform({vec_col},"
+            " x -> cast(x as double)),"
+            f" array({', '.join('1.0D' if s > 0 else '-1.0D' for s in row)}),"
+            " (x, s) -> x * s), 0D, (acc, x) -> acc + x)"
         ).alias(f"p{j}")
         for j, row in enumerate(signs)
     ]
